@@ -1,0 +1,937 @@
+"""Driver contract bindings: every implemented operator from SURVEY.md §2
+(plus LLM-pipeline extensions) bound to the testdata tables, each with a
+DuckDB oracle twin.
+
+Conventions (driver compares row-count + schema + order-insensitive
+value hash, columns sorted by name):
+- every computed column is aliased identically in Spark and SQL;
+- money aggregations go through DECIMAL so results are exact and
+  independent of partial-aggregation merge order;
+- averages = exact decimal sum cast to double / exact count — one
+  deterministic fp division instead of a merge-order-dependent mean;
+- int-width parity: Spark ``count``/``row_number`` long <-> DuckDB
+  BIGINT; Spark int casts where DuckDB yields INTEGER;
+- top-k queries carry explicit tie-breakers so LIMIT is deterministic.
+
+Each query function takes (spark, sf_dir) and returns a DataFrame.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import scalar, text
+from .io import read_table, register_views
+from .llm import dedup, similarity
+from .operators import aggregates as agg
+from .operators import cohort, filters, joins, projections, setops, sorts, windows
+
+# ---------------------------------------------------------------- scans
+
+
+def q_scan_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """S2 — parquet scan + column pruning (00-etl-rwd.py:132-134)."""
+    return read_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+def q_scan_sql(spark: SparkSession, sf: str) -> DataFrame:
+    """S3 — SQL over a registered view (00-etl-rwd.py:204)."""
+    register_views(spark, sf, ["orders"])
+    return spark.sql("SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders")
+
+
+# ---------------------------------------------------------- projections
+
+
+def q_project_rename(spark: SparkSession, sf: str) -> DataFrame:
+    """P1 — bulk rename (00-etl-rwd.py:96-119)."""
+    li = read_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    return projections.rename_columns(
+        li, {"l_orderkey": "order_id", "l_partkey": "part_id", "l_quantity": "qty"}
+    )
+
+
+def q_project_alias(spark: SparkSession, sf: str) -> DataFrame:
+    """P3 — alias + literal projection (01-rwe-dashboard.r:103,107)."""
+    o = read_table(spark, sf, "orders")
+    return projections.project(
+        o, F.col("o_orderkey").alias("id"), F.lit("order").alias("rec_type"),
+        F.col("o_totalprice").alias("price"),
+    )
+
+
+def q_project_drop(spark: SparkSession, sf: str) -> DataFrame:
+    """P9 — drop columns (03-work with ML models.py:183)."""
+    return projections.drop_columns(read_table(spark, sf, "events"), "props", "value", "ts")
+
+
+def q_cast_bool_int(spark: SparkSession, sf: str) -> DataFrame:
+    """P10 — boolean like-flag cast to int (include/featurise.py:84,94)."""
+    o = read_table(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        projections.bool_flag_to_int(F.col("o_orderpriority").like("%URGENT%")).alias("is_urgent"),
+    )
+
+
+def q_stamp_literals(spark: SparkSession, sf: str) -> DataFrame:
+    """P11 — metadata stamping (03-work with ML models.py:148-152);
+    current_timestamp swapped for a fixed date so the oracle can check."""
+    o = read_table(spark, sf, "orders")
+    return projections.project_with_literals(
+        o, ["o_orderkey"],
+        {"model_name": "dtree_v1", "model_version": 3, "scored_date": datetime.date(2026, 8, 13)},
+    )
+
+
+def q_deidentify(spark: SparkSession, sf: str) -> DataFrame:
+    """P2/F2 — PII hashing, null->'null' prefill (00-etl-rwd.py:75-79),
+    built-in sha2 instead of the reference's Python UDF."""
+    c = read_table(spark, sf, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    return scalar.deidentify(c, ["c_name"])
+
+
+# -------------------------------------------------------------- filters
+
+
+def q_filter_notnull(spark: SparkSession, sf: str) -> DataFrame:
+    """P4 — IS NOT NULL (01-rwe-dashboard.r:33)."""
+    li = read_table(spark, sf, "lineitem").select("l_orderkey", "l_linenumber", "l_returnflag")
+    return filters.not_null(li, "l_returnflag")
+
+
+def q_filter_like(spark: SparkSession, sf: str) -> DataFrame:
+    """P5 — parameterized case-insensitive cohort selector
+    (01-rwe-dashboard.r:63, 02-patient-trajectory.py:53)."""
+    p = read_table(spark, sf, "part").select("p_partkey", "p_name", "p_type")
+    return filters.filter_contains(p, "p_name", "red")
+
+
+def q_filter_like_or(spark: SparkSession, sf: str) -> DataFrame:
+    """P5 — OR of two LIKEs (01-rwe-dashboard.r:102-107)."""
+    p = read_table(spark, sf, "part").select("p_partkey", "p_name")
+    return filters.filter_contains_any(p, "p_name", ["red", "blue"])
+
+
+def q_filter_notlike(spark: SparkSession, sf: str) -> DataFrame:
+    """P5 — NOT LIKE negation (01-rwe-dashboard.r:76-84)."""
+    p = read_table(spark, sf, "part").select("p_partkey", "p_name")
+    return filters.filter_not_contains(p, "p_name", "small")
+
+
+def q_flag_like(spark: SparkSession, sf: str) -> DataFrame:
+    """P6 — N like-flags in one projection (vs the reference's
+    withColumn+cache loop, include/featurise.py:42-45)."""
+    o = read_table(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    return filters.like_flags(o, "o_orderpriority", ["urgent", "high", "low"])
+
+
+def q_filter_expr(spark: SparkSession, sf: str) -> DataFrame:
+    """P7 — string-expression filter (03-work with ML models.py:120)."""
+    li = read_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount"
+    )
+    return filters.filter_expr(li, "l_quantity > 45 AND l_discount < 0.03")
+
+
+def q_filter_eq_scalar(spark: SparkSession, sf: str) -> DataFrame:
+    """P8 — rows equal to a global aggregate, distributed via broadcast
+    join instead of the reference's collect (03-work with ML models.py:191-198)."""
+    o = read_table(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    return filters.filter_eq_global_agg(o, "o_totalprice", "max")
+
+
+# ---------------------------------------------------------------- joins
+
+
+def q_join_inner(spark: SparkSession, sf: str) -> DataFrame:
+    """J1 — key-list equi join (00-etl-rwd.py:136-141)."""
+    o = read_table(spark, sf, "orders")
+    c = read_table(spark, sf, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    j = joins.join_on_keys(o, c.select("o_custkey", "c_name"), ["o_custkey"])
+    return j.select("o_orderkey", "o_custkey", "c_name", "o_totalprice")
+
+
+def q_join_3way(spark: SparkSession, sf: str) -> DataFrame:
+    """J1 — 3-table denormalization (the patient_encounters build,
+    00-etl-rwd.py:136-141); dims broadcast."""
+    li = read_table(spark, sf, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+    o = read_table(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = read_table(spark, sf, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    denorm = joins.denormalize(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        [(o, ["o_orderkey"], False), (c.withColumnRenamed("c_custkey", "o_custkey"), ["o_custkey"], True)],
+    )
+    return denorm.select("o_orderkey", "l_linenumber", "l_quantity", "c_name", "c_mktsegment")
+
+
+def q_join_expr(spark: SparkSession, sf: str) -> DataFrame:
+    """J2 — expression-form join (01-rwe-dashboard.r:80-81)."""
+    n = read_table(spark, sf, "nation")
+    r = read_table(spark, sf, "region")
+    j = joins.join_on_expr(n, r, n["n_regionkey"] == r["r_regionkey"])
+    return j.select("n_nationkey", "n_name", "r_name")
+
+
+def q_join_left(spark: SparkSession, sf: str) -> DataFrame:
+    """J3 — left outer + ifnull fill (01-rwe-dashboard.r:110)."""
+    c = read_table(spark, sf, "customer").select("c_custkey", "c_name")
+    urgent = (
+        read_table(spark, sf, "orders")
+        .filter(F.col("o_orderpriority").like("%URGENT%"))
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    j = joins.join_on_keys(c, urgent, ["c_custkey"], how="left")
+    return j.select("c_custkey", "c_name", scalar.null_fill("cnt", 0).alias("urgent_orders"))
+
+
+def q_join_anti(spark: SparkSession, sf: str) -> DataFrame:
+    """J4 — left anti negative-control cohort (02-patient-trajectory.py:73-79)."""
+    c = read_table(spark, sf, "customer").select("c_custkey", "c_name")
+    urgent_ids = (
+        read_table(spark, sf, "orders")
+        .filter(F.col("o_orderpriority").like("%URGENT%"))
+        .select(F.col("o_custkey").alias("c_custkey")).distinct()
+    )
+    return joins.anti_join(c, urgent_ids, ["c_custkey"])
+
+
+def q_join_semi(spark: SparkSession, sf: str) -> DataFrame:
+    """left-semi — anti's dual."""
+    c = read_table(spark, sf, "customer").select("c_custkey", "c_name")
+    urgent_ids = (
+        read_table(spark, sf, "orders")
+        .filter(F.col("o_orderpriority").like("%URGENT%"))
+        .select(F.col("o_custkey").alias("c_custkey")).distinct()
+    )
+    return joins.semi_join(c, urgent_ids, ["c_custkey"])
+
+
+def q_join_cross_scalar(spark: SparkSession, sf: str) -> DataFrame:
+    """J5/F4 — broadcast 1-row global min attached to every row, day
+    index via datediff (include/featurise.py:33-35)."""
+    o = read_table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    min_date = sorts.global_min(o, "o_orderdate", alias="min_date")
+    j = joins.with_global_scalar(o, min_date)
+    return j.select("o_orderkey", scalar.days_between("o_orderdate", "min_date").alias("day_idx"))
+
+
+# ----------------------------------------------------------- aggregates
+
+
+def q_agg_groupcount(spark: SparkSession, sf: str) -> DataFrame:
+    """A1 — group-count (01-rwe-dashboard.r:33)."""
+    return agg.group_count(read_table(spark, sf, "lineitem"), ["l_returnflag"])
+
+
+def q_agg_multikey(spark: SparkSession, sf: str) -> DataFrame:
+    """A2 — multi-key group-count (03-work with ML models.py:119-121)."""
+    return agg.group_count(read_table(spark, sf, "lineitem"), ["l_returnflag", "l_linestatus"])
+
+
+def q_agg_max(spark: SparkSession, sf: str) -> DataFrame:
+    """A3 — dict-style global max (03-work with ML models.py:191)."""
+    return agg.agg_scalar(read_table(spark, sf, "orders"), "o_totalprice", "max", "max_price")
+
+
+def q_distinct_proj(spark: SparkSession, sf: str) -> DataFrame:
+    """A4 — DISTINCT projection (02-patient-trajectory.py:53)."""
+    return agg.distinct_projection(read_table(spark, sf, "customer"), ["c_nationkey", "c_mktsegment"])
+
+
+def q_dedup_subset(spark: SparkSession, sf: str) -> DataFrame:
+    """A5 — dedup on key subset then count (02-patient-trajectory.py:60-61)."""
+    return agg.dedup_then_count(
+        read_table(spark, sf, "orders"), ["o_custkey", "o_orderpriority"], "o_custkey",
+        alias="n_priorities",
+    )
+
+
+def q_agg_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """Extension — CUBE group-count."""
+    return agg.cube_count(read_table(spark, sf, "lineitem"), ["l_returnflag", "l_linestatus"])
+
+
+def q_agg_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Extension — ROLLUP group-count."""
+    return agg.rollup_count(read_table(spark, sf, "lineitem"), ["l_returnflag", "l_linestatus"])
+
+
+def q_agg_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Extension — HLL++ distinct estimate (rows-only check: sketch
+    internals differ across engines by design)."""
+    return agg.approx_distinct(read_table(spark, sf, "lineitem"), "l_partkey")
+
+
+def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """Headline aggregate (TPC-H Q1 shape): exact decimal sums +
+    deterministic means, grouped and ordered."""
+    li = read_table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            agg.decimal_sum("l_quantity").alias("sum_qty"),
+            agg.decimal_sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price.cast("decimal(18,4)")).cast("decimal(18,4)").alias("sum_disc_price"),
+            agg.exact_mean("l_quantity").alias("avg_qty"),
+            agg.exact_mean("l_extendedprice").alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# -------------------------------------------------------- sorts / top-k
+
+
+def q_topk_conditions(spark: SparkSession, sf: str) -> DataFrame:
+    """T1 — the dashboard's top-k pattern (01-rwe-dashboard.r:31-35),
+    deterministic tie-break."""
+    ev = filters.not_null(read_table(spark, sf, "events"), "event_type")
+    return sorts.top_k_by_count(ev, ["event_type"], k=3)
+
+
+def q_global_min(spark: SparkSession, sf: str) -> DataFrame:
+    """T2 — global min as an aggregate, replacing sort-limit-1
+    (include/featurise.py:21-27)."""
+    return sorts.global_min(read_table(spark, sf, "orders"), "o_orderdate")
+
+
+# ------------------------------------------------------------- set ops
+
+
+def q_union_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    """U1 — UNION ALL of two cohorts (02-patient-trajectory.py:82)."""
+    o = read_table(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    a = o.filter(F.col("o_orderpriority").like("%URGENT%"))
+    b = o.filter(F.col("o_orderpriority").like("%LOW%"))
+    return setops.union_all(a, b)
+
+
+def q_set_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERSECT (distinct)."""
+    o = read_table(spark, sf, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return setops.intersect_distinct(a, b)
+
+
+def q_set_except(spark: SparkSession, sf: str) -> DataFrame:
+    """EXCEPT ALL (multiset difference)."""
+    o = read_table(spark, sf, "orders")
+    a = o.select("o_custkey")
+    b = o.filter(F.col("o_orderpriority").like("%URGENT%")).select("o_custkey")
+    return setops.except_all(a, b)
+
+
+# ------------------------------------------------------ scalar functions
+
+
+def q_null_fill(spark: SparkSession, sf: str) -> DataFrame:
+    """F3 — coalesce/ifnull (include/featurise.py:85)."""
+    li = read_table(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.coalesce(F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("none")).alias("flag_filled"),
+    )
+
+
+def q_date_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """F4 — datediff day arithmetic (include/featurise.py:34-35)."""
+    o = read_table(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        scalar.days_between(F.lit("2026-01-01").cast("date"), F.col("o_orderdate")).alias("days_old"),
+    )
+
+
+def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Extension — JSON field extraction on events.props."""
+    ev = read_table(spark, sf, "events")
+    return ev.select(
+        "event_id", scalar.json_string_field("props", "$.k").cast("bigint").alias("k")
+    )
+
+
+def q_nested_access(spark: SparkSession, sf: str) -> DataFrame:
+    """S5/F7 — nested struct/map construction + field access (the
+    mlflow-experiment metrics/params shape, 03-work with ML models.py:177-181)."""
+    ev = read_table(spark, sf, "events")
+    nested = ev.select(
+        "event_id",
+        F.struct(F.col("event_type"), F.col("value")).alias("payload"),
+        F.create_map(F.lit("value"), F.col("value")).alias("metrics"),
+    )
+    return nested.select(
+        "event_id",
+        scalar.struct_field("payload", "event_type").alias("etype"),
+        scalar.map_item("metrics", "value").alias("metric_value"),
+    )
+
+
+# -------------------------------------------------------------- windows
+
+
+def q_window_range_sum(spark: SparkSession, sf: str) -> DataFrame:
+    """W1 — per-user trailing 7-day flag count, current row excluded,
+    empty frame -> 0 (include/featurise.py:73-85 semantics exactly)."""
+    ev = read_table(spark, sf, "events")
+    min_ts = sorts.global_min(ev, "ts", alias="min_ts")
+    base = joins.with_global_scalar(ev, min_ts).select(
+        "event_id", "user_id",
+        F.col("event_type").like("%click%").cast("int").alias("flag"),
+        scalar.day_index("ts", "min_ts").alias("day_idx"),
+    )
+    w = windows.trailing_window("user_id", "day_idx", 7)
+    return base.select(
+        "event_id", "user_id", "day_idx",
+        F.coalesce(F.sum("flag").over(w), F.lit(0)).cast("bigint").alias("recent_flag"),
+    )
+
+
+def q_window_range_count(spark: SparkSession, sf: str) -> DataFrame:
+    """W2 — trailing total event count (include/featurise.py:88)."""
+    ev = read_table(spark, sf, "events")
+    min_ts = sorts.global_min(ev, "ts", alias="min_ts")
+    base = joins.with_global_scalar(ev, min_ts).select(
+        "event_id", "user_id", scalar.day_index("ts", "min_ts").alias("day_idx")
+    )
+    w = windows.trailing_window("user_id", "day_idx", 7)
+    return base.select(
+        "event_id", "user_id", "day_idx",
+        F.count(F.lit(1)).over(w).alias("recent_total"),
+    )
+
+
+def q_window_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """Extension — row_number top-1-per-group (idiomatic replacement
+    for the reference's sort-limit idioms)."""
+    o = read_table(spark, sf, "orders")
+    top = windows.top_per_group(
+        o.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"], [F.desc("o_totalprice"), F.asc("o_orderkey")], n=1,
+    )
+    return top.select("o_custkey", "o_orderkey", "o_totalprice", F.col("rn").cast("bigint").alias("rn"))
+
+
+# ---------------------------------------------------- cohort analytics
+
+
+def q_comorbidity_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """The dashboard's flagship comorbidity plan (01-rwe-dashboard.r:73-90)
+    on events: top co-occurring event types among 'click' users."""
+    ev = read_table(spark, sf, "events")
+    return cohort.comorbidity_topk(ev, "user_id", "event_type", "click", k=3)
+
+
+def q_cohort_case_control(spark: SparkSession, sf: str) -> DataFrame:
+    """Case/control cohort builder (02-patient-trajectory.py:73-87),
+    deterministic balanced controls."""
+    c = read_table(spark, sf, "customer")
+    o = read_table(spark, sf, "orders")
+    return cohort.case_control_cohort(c, "c_custkey", o, "o_custkey", "o_orderpriority", "urgent")
+
+
+# ------------------------------------------- streaming (batch-expressed)
+
+
+def q_tumble_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling 10-minute window counts on events.ts (batch-expressed;
+    the streaming wrapper lives in streaming/events.py). Window start
+    emitted as epoch seconds for engine-neutral comparison."""
+    ev = read_table(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").cast("long").alias("window_start"), "event_type", "cnt")
+    )
+
+
+def q_slide_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding 10-minute/5-minute window count + exact decimal sum."""
+    ev = read_table(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,3)")).cast("decimal(18,3)").alias("sum_value"),
+        )
+        .select(F.col("w.start").cast("long").alias("window_start"), "cnt", "sum_value")
+    )
+
+
+# ------------------------------------------------------- LLM extensions
+
+
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup groups on documents.text."""
+    return dedup.exact_dedup_groups(read_table(spark, sf, "documents"))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (inverted shingle index)."""
+    return dedup.ngram_jaccard_pairs(read_table(spark, sf, "documents"), threshold=0.2)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash+LSH candidate pairs (rows-only: hash internals are
+    engine-specific by design)."""
+    return dedup.minhash_lsh_pairs(read_table(spark, sf, "documents"))
+
+
+def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup candidates (rows-only)."""
+    return dedup.simhash_pairs(read_table(spark, sf, "documents"))
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-10 for query vectors vec_id < 5."""
+    emb = read_table(spark, sf, "embeddings")
+    return similarity.cosine_topk(emb.filter(F.col("vec_id") < 5), emb, k=10)
+
+
+def q_embedding_cosine_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-dup pairs at cosine >= 0.9."""
+    return similarity.cosine_dup_pairs(read_table(spark, sf, "embeddings"), threshold=0.9)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (rows-only: recall-trading scale
+    path; exactness checked against cosine_topk in unit tests)."""
+    emb = read_table(spark, sf, "embeddings")
+    return similarity.lsh_topk(emb.filter(F.col("vec_id") < 5), emb, dim=64, k=10, bits=4)
+
+
+def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting + BPE-ish estimate + fingerprint on documents."""
+    d = read_table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        text.token_count("text").alias("n_tokens"),
+        text.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        text.fingerprint("text").alias("fp"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    """Marker-word language-ID heuristic vs the labeled lang column."""
+    d = read_table(spark, sf, "documents")
+    return d.select("doc_id", "lang", text.lang_id("text").alias("pred_lang"))
+
+
+def q_doc_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Length/punctuation-ratio quality score (rows-only: float formula
+    replicated in tests, not oracle SQL)."""
+    d = read_table(spark, sf, "documents")
+    return d.select("doc_id", text.quality_score("text").alias("quality"))
+
+
+QUERIES = {
+    "scan_lineitem": q_scan_lineitem,
+    "scan_sql": q_scan_sql,
+    "project_rename": q_project_rename,
+    "project_alias": q_project_alias,
+    "project_drop": q_project_drop,
+    "cast_bool_int": q_cast_bool_int,
+    "stamp_literals": q_stamp_literals,
+    "deidentify": q_deidentify,
+    "filter_notnull": q_filter_notnull,
+    "filter_like": q_filter_like,
+    "filter_like_or": q_filter_like_or,
+    "filter_notlike": q_filter_notlike,
+    "flag_like": q_flag_like,
+    "filter_expr": q_filter_expr,
+    "filter_eq_scalar": q_filter_eq_scalar,
+    "join_inner": q_join_inner,
+    "join_3way": q_join_3way,
+    "join_expr": q_join_expr,
+    "join_left": q_join_left,
+    "join_anti": q_join_anti,
+    "join_semi": q_join_semi,
+    "join_cross_scalar": q_join_cross_scalar,
+    "agg_groupcount": q_agg_groupcount,
+    "agg_multikey": q_agg_multikey,
+    "agg_max": q_agg_max,
+    "distinct_proj": q_distinct_proj,
+    "dedup_subset": q_dedup_subset,
+    "agg_cube": q_agg_cube,
+    "agg_rollup": q_agg_rollup,
+    "agg_approx_distinct": q_agg_approx_distinct,
+    "pricing_summary": q_pricing_summary,
+    "topk_conditions": q_topk_conditions,
+    "global_min": q_global_min,
+    "union_cohorts": q_union_cohorts,
+    "set_intersect": q_set_intersect,
+    "set_except": q_set_except,
+    "null_fill": q_null_fill,
+    "date_diff": q_date_diff,
+    "json_extract": q_json_extract,
+    "nested_access": q_nested_access,
+    "window_range_sum": q_window_range_sum,
+    "window_range_count": q_window_range_count,
+    "window_rank": q_window_rank,
+    "comorbidity_topk": q_comorbidity_topk,
+    "cohort_case_control": q_cohort_case_control,
+    "tumble_count": q_tumble_count,
+    "slide_agg": q_slide_agg,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "embedding_cosine_dup": q_embedding_cosine_dup,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "text_stats": q_text_stats,
+    "lang_id": q_lang_id,
+    "doc_quality": q_doc_quality,
+}
+
+
+# DuckDB oracle twins. Omitted keys (approx sketches, LSH candidates,
+# engine-specific hashes, ML stats) get the driver's rows-only check.
+ORACLES = {
+    "scan_lineitem": """
+        SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem
+    """,
+    "scan_sql": "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
+    "project_rename": """
+        SELECT l_orderkey AS order_id, l_partkey AS part_id, l_quantity AS qty FROM lineitem
+    """,
+    "project_alias": """
+        SELECT o_orderkey AS id, 'order' AS rec_type, o_totalprice AS price FROM orders
+    """,
+    "project_drop": "SELECT event_id, user_id, event_type FROM events",
+    "cast_bool_int": """
+        SELECT o_orderkey, CAST(o_orderpriority LIKE '%URGENT%' AS INTEGER) AS is_urgent
+        FROM orders
+    """,
+    "stamp_literals": """
+        SELECT o_orderkey, 'dtree_v1' AS model_name, 3 AS model_version,
+               DATE '2026-08-13' AS scored_date
+        FROM orders
+    """,
+    "deidentify": """
+        SELECT c_custkey, sha256(coalesce(c_name, 'null')) AS c_name, c_mktsegment FROM customer
+    """,
+    "filter_notnull": """
+        SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+        WHERE l_returnflag IS NOT NULL
+    """,
+    "filter_like": """
+        SELECT p_partkey, p_name, p_type FROM part WHERE lower(p_name) LIKE '%red%'
+    """,
+    "filter_like_or": """
+        SELECT p_partkey, p_name FROM part
+        WHERE lower(p_name) LIKE '%red%' OR lower(p_name) LIKE '%blue%'
+    """,
+    "filter_notlike": """
+        SELECT p_partkey, p_name FROM part WHERE lower(p_name) NOT LIKE '%small%'
+    """,
+    "flag_like": """
+        SELECT o_orderkey, o_orderpriority,
+               lower(o_orderpriority) LIKE '%urgent%' AS flag_0,
+               lower(o_orderpriority) LIKE '%high%' AS flag_1,
+               lower(o_orderpriority) LIKE '%low%' AS flag_2
+        FROM orders
+    """,
+    "filter_expr": """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+        WHERE l_quantity > 45 AND l_discount < 0.03
+    """,
+    "filter_eq_scalar": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice = (SELECT max(o_totalprice) FROM orders)
+    """,
+    "join_inner": """
+        SELECT o_orderkey, o_custkey, c_name, o_totalprice
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    "join_3way": """
+        SELECT o_orderkey, l_linenumber, l_quantity, c_name, c_mktsegment
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+    """,
+    "join_expr": """
+        SELECT n_nationkey, n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+    "join_left": """
+        SELECT c.c_custkey, c.c_name, coalesce(u.cnt, 0) AS urgent_orders
+        FROM customer c
+        LEFT JOIN (
+            SELECT o_custkey, count(*) AS cnt FROM orders
+            WHERE o_orderpriority LIKE '%URGENT%' GROUP BY o_custkey
+        ) u ON c.c_custkey = u.o_custkey
+    """,
+    "join_anti": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority LIKE '%URGENT%'
+        )
+    """,
+    "join_semi": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority LIKE '%URGENT%'
+        )
+    """,
+    "join_cross_scalar": """
+        SELECT o_orderkey,
+               datediff('day', (SELECT min(o_orderdate) FROM orders), o_orderdate) AS day_idx
+        FROM orders
+    """,
+    "agg_groupcount": "SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY l_returnflag",
+    "agg_multikey": """
+        SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "agg_max": "SELECT max(o_totalprice) AS max_price FROM orders",
+    "distinct_proj": "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
+    "dedup_subset": """
+        SELECT o_custkey, count(*) AS n_priorities
+        FROM (SELECT DISTINCT o_custkey, o_orderpriority FROM orders)
+        GROUP BY o_custkey
+    """,
+    "agg_cube": """
+        SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "agg_rollup": """
+        SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
+               CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity) AS DOUBLE) AS avg_qty,
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice) AS DOUBLE) AS avg_price,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "topk_conditions": """
+        SELECT event_type, count(*) AS cnt FROM events
+        WHERE event_type IS NOT NULL
+        GROUP BY event_type
+        ORDER BY cnt DESC, event_type
+        LIMIT 3
+    """,
+    "global_min": "SELECT min(o_orderdate) AS min_o_orderdate FROM orders",
+    "union_cohorts": """
+        SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority LIKE '%URGENT%'
+        UNION ALL
+        SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority LIKE '%LOW%'
+    """,
+    "set_intersect": """
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    "set_except": """
+        SELECT o_custkey FROM orders
+        EXCEPT ALL
+        SELECT o_custkey FROM orders WHERE o_orderpriority LIKE '%URGENT%'
+    """,
+    "null_fill": """
+        SELECT l_orderkey, l_linenumber,
+               coalesce(nullif(l_returnflag, 'N'), 'none') AS flag_filled
+        FROM lineitem
+    """,
+    "date_diff": """
+        SELECT o_orderkey, datediff('day', o_orderdate, DATE '2026-01-01') AS days_old
+        FROM orders
+    """,
+    "json_extract": """
+        SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events
+    """,
+    "nested_access": """
+        SELECT event_id, event_type AS etype, value AS metric_value FROM events
+    """,
+    "window_range_sum": """
+        WITH base AS (
+            SELECT event_id, user_id,
+                   CAST(event_type LIKE '%click%' AS INTEGER) AS flag,
+                   datediff('day', (SELECT min(ts) FROM events), ts) AS day_idx
+            FROM events
+        )
+        SELECT event_id, user_id, day_idx,
+               CAST(coalesce(sum(flag) OVER (
+                   PARTITION BY user_id ORDER BY day_idx
+                   RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS recent_flag
+        FROM base
+    """,
+    "window_range_count": """
+        WITH base AS (
+            SELECT event_id, user_id,
+                   datediff('day', (SELECT min(ts) FROM events), ts) AS day_idx
+            FROM events
+        )
+        SELECT event_id, user_id, day_idx,
+               count(*) OVER (
+                   PARTITION BY user_id ORDER BY day_idx
+                   RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS recent_total
+        FROM base
+    """,
+    "window_rank": """
+        SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders
+        ) WHERE rn = 1
+    """,
+    "comorbidity_topk": """
+        WITH cohort AS (
+            SELECT DISTINCT user_id FROM events WHERE lower(event_type) LIKE '%click%'
+        ),
+        pairs AS (
+            SELECT DISTINCT e.user_id, e.event_type
+            FROM events e JOIN cohort c ON e.user_id = c.user_id
+            WHERE e.event_type IS NOT NULL AND lower(e.event_type) NOT LIKE '%click%'
+        )
+        SELECT event_type, count(*) AS cnt FROM pairs
+        GROUP BY event_type
+        ORDER BY cnt DESC, event_type
+        LIMIT 3
+    """,
+    "cohort_case_control": """
+        WITH case_ids AS (
+            SELECT DISTINCT o_custkey AS c_custkey FROM orders
+            WHERE lower(o_orderpriority) LIKE '%urgent%'
+        ),
+        n AS (SELECT count(*) AS n_cases FROM case_ids),
+        ranked AS (
+            SELECT c_custkey, row_number() OVER (ORDER BY c_custkey) AS rk
+            FROM customer
+            WHERE c_custkey NOT IN (SELECT c_custkey FROM case_ids)
+        )
+        SELECT c_custkey, 1 AS label FROM case_ids
+        UNION ALL
+        SELECT c_custkey, 0 AS label FROM ranked, n WHERE rk <= n.n_cases
+    """,
+    "tumble_count": """
+        SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
+               event_type, count(*) AS cnt
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "slide_agg": """
+        WITH expanded AS (
+            SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) - k.k * 300 AS window_start, value
+            FROM events, (SELECT 0 AS k UNION ALL SELECT 1) k
+        )
+        SELECT window_start, count(*) AS cnt,
+               CAST(sum(CAST(value AS DECIMAL(18,3))) AS DECIMAL(18,3)) AS sum_value
+        FROM expanded
+        GROUP BY window_start
+    """,
+    "dedup_exact": """
+        SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS text_hash,
+               min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM documents
+        GROUP BY 1
+    """,
+    "dedup_ngram_jaccard": """
+        WITH toks AS (
+            SELECT doc_id,
+                   string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+            FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+            WHERE len(w) >= 3
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.2
+    """,
+    "ann_cosine_topk": """
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5
+        ),
+        c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ce FROM embeddings),
+        pairs AS (
+            SELECT query_id, neighbor_id,
+                   list_dot_product(qe, ce) /
+                   (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))) AS s
+            FROM q, c WHERE query_id != neighbor_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, round(s, 6) AS sim,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS BIGINT) AS rnk
+            FROM pairs
+        )
+        SELECT query_id, neighbor_id, sim, rnk FROM ranked WHERE rnk <= 10
+    """,
+    "embedding_cosine_dup": """
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_dot_product(a.e, b.e) /
+                     (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS sim
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.e, b.e) /
+                    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.9
+    """,
+    "text_stats": """
+        SELECT doc_id,
+               CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
+               CAST(list_sum(list_transform(string_split_regex(text, '\\s+'),
+                    w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_bpe_tokens,
+               substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 16) AS fp
+        FROM documents
+    """,
+    "lang_id": """
+        WITH scores AS (
+            SELECT doc_id, lang,
+                CAST(regexp_matches(lower(text), '(^|\\s)the(\\s|$)') AS INTEGER)
+              + CAST(regexp_matches(lower(text), '(^|\\s)and(\\s|$)') AS INTEGER)
+              + CAST(regexp_matches(lower(text), '(^|\\s)of(\\s|$)') AS INTEGER) AS s_en,
+                CAST(regexp_matches(lower(text), '(^|\\s)der(\\s|$)') AS INTEGER)
+              + CAST(regexp_matches(lower(text), '(^|\\s)und(\\s|$)') AS INTEGER)
+              + CAST(regexp_matches(lower(text), '(^|\\s)die(\\s|$)') AS INTEGER) AS s_de,
+                CAST(regexp_matches(lower(text), '(^|\\s)le(\\s|$)') AS INTEGER)
+              + CAST(regexp_matches(lower(text), '(^|\\s)et(\\s|$)') AS INTEGER)
+              + CAST(regexp_matches(lower(text), '(^|\\s)les(\\s|$)') AS INTEGER) AS s_fr,
+                CAST(regexp_matches(lower(text), '(^|\\s)el(\\s|$)') AS INTEGER)
+              + CAST(regexp_matches(lower(text), '(^|\\s)y(\\s|$)') AS INTEGER)
+              + CAST(regexp_matches(lower(text), '(^|\\s)los(\\s|$)') AS INTEGER) AS s_es
+            FROM documents
+        )
+        SELECT doc_id, lang,
+               CASE
+                   WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                   WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                   WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                   WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                   ELSE 'fr'
+               END AS pred_lang
+        FROM scores
+    """,
+}

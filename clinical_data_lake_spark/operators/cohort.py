@@ -1,0 +1,88 @@
+"""Cohort analytics — the reference's clinical query semantics as
+composable library functions (SURVEY.md §3.2, §2.4 J4, §2.7 U1).
+
+- ``comorbidity_topk``: the dashboard's richest plan
+  (01-rwe-dashboard.r:73-90): distinct cohort -> join back -> one row
+  per (member, condition) -> group-count -> exclude the index condition
+  -> top-k. Generic over any (entity, label) event table.
+- ``case_control_cohort``: 02-patient-trajectory.py:73-87 — cases =
+  entities matching a predicate; controls = anti-join complement,
+  balanced to the case count. The reference balances with an unsorted
+  ``.limit(n)`` (nondeterministic); we rank by a deterministic order and
+  keep the plan fully distributed (no driver-side count round-trip).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .filters import contains_ci
+
+
+def comorbidity_topk(
+    events: DataFrame,
+    entity_col: str,
+    label_col: str,
+    index_label: str,
+    k: int,
+    alias: str = "cnt",
+) -> DataFrame:
+    """Top-k labels co-occurring with ``index_label`` across entities
+    (01-rwe-dashboard.r:73-90), deterministic tie-break on the label.
+
+    Plan shape: semi-join (cohort membership) -> distinct (entity,label)
+    -> group-count -> TakeOrderedAndProject. The cohort side is a
+    distinct projection of the same table — at scale Catalyst reuses the
+    scan, and the semi-join shuffles only entity ids.
+    """
+    cohort = (
+        events.filter(contains_ci(label_col, index_label))
+        .select(entity_col).distinct()
+    )
+    return (
+        events.join(cohort, on=entity_col, how="left_semi")
+        .filter(F.col(label_col).isNotNull())
+        .filter(~contains_ci(label_col, index_label))
+        .select(entity_col, label_col).distinct()
+        .groupBy(label_col).agg(F.count(F.lit(1)).alias(alias))
+        .orderBy(F.desc(alias), F.asc(label_col))
+        .limit(k)
+    )
+
+
+def case_control_cohort(
+    entities: DataFrame,
+    entity_col: str,
+    events: DataFrame,
+    event_entity_col: str,
+    label_col: str,
+    index_label: str,
+) -> DataFrame:
+    """Balanced case/control cohort (02-patient-trajectory.py:73-87).
+
+    Returns (entity_col, label) with label 1 = case (has an event
+    matching ``index_label``), 0 = control; controls are the smallest
+    entity ids among non-cases, as many as there are cases.
+
+    Deterministic restatement of the reference's ``.limit(count)``:
+    rank non-cases by entity id and keep rank <= case count, attached
+    via a broadcast 1-row aggregate instead of a driver ``.count()``.
+    """
+    case_ids = (
+        events.filter(contains_ci(label_col, index_label))
+        .select(F.col(event_entity_col).alias(entity_col)).distinct()
+    )
+    cases = case_ids.select(entity_col, F.lit(1).alias("label"))
+
+    n_cases = case_ids.agg(F.count(F.lit(1)).alias("__n__"))
+    non_cases = entities.join(case_ids, on=entity_col, how="left_anti")
+    w = Window.orderBy(F.col(entity_col))
+    controls = (
+        non_cases.select(entity_col)
+        .select("*", F.row_number().over(w).alias("__rk__"))
+        .crossJoin(F.broadcast(n_cases))
+        .filter(F.col("__rk__") <= F.col("__n__"))
+        .select(entity_col, F.lit(0).alias("label"))
+    )
+    return cases.unionByName(controls)

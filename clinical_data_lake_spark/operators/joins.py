@@ -1,0 +1,79 @@
+"""Join operators (SURVEY.md §2.4 J1-J5 + semi).
+
+Reference call sites rebuilt:
+- J1 equi inner join, key-list form (3-table denormalization)
+       00-etl-rwd.py:136-141; 02-patient-trajectory.py:58
+- J2 expression-form join              01-rwe-dashboard.r:80-81
+- J3 left outer + ifnull fill          01-rwe-dashboard.r:110
+- J4 left anti (negative-control cohort) 02-patient-trajectory.py:73-79
+- J5 crossJoin of a 1-row scalar       include/featurise.py:33
+
+Scale notes: dimension sides get an explicit ``broadcast()`` hint where
+the caller knows they're small (region/nation/organizations-class
+tables); otherwise Catalyst+AQE picks broadcast vs sort-merge and splits
+skewed partitions. The scalar cross-join is always broadcast — a 1-row
+nested-loop over 100 TB would otherwise shuffle everything.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def join_on_keys(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    how: str = "inner",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """J1/J3 — USING-style equi join (00-etl-rwd.py:136-141)."""
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, on=list(keys), how=how)
+
+
+def join_on_expr(left: DataFrame, right: DataFrame, cond: Column, how: str = "inner") -> DataFrame:
+    """J2 — expression-form join (01-rwe-dashboard.r:80-81)."""
+    return left.join(right, on=cond, how=how)
+
+
+def denormalize(
+    fact: DataFrame,
+    dims: Sequence[tuple[DataFrame, Sequence[str], bool]],
+) -> DataFrame:
+    """Chained multi-way denormalization (the reference's
+    ``patient_encounters`` build, 00-etl-rwd.py:136-141).
+
+    ``dims`` is ``[(dim_df, keys, broadcast?), ...]``. Catalyst reorders
+    inner joins; explicit broadcast hints keep small dims off the shuffle.
+    """
+    out = fact
+    for dim, keys, bcast in dims:
+        out = join_on_keys(out, dim, keys, "inner", broadcast_right=bcast)
+    return out
+
+
+def anti_join(left: DataFrame, right: DataFrame, cond: Column | Sequence[str]) -> DataFrame:
+    """J4 — rows of ``left`` with no match (negative-control cohort,
+    02-patient-trajectory.py:73-79)."""
+    on = cond if isinstance(cond, Column) else list(cond)
+    return left.join(right, on=on, how="left_anti")
+
+
+def semi_join(left: DataFrame, right: DataFrame, cond: Column | Sequence[str]) -> DataFrame:
+    """left-semi — anti's dual (not in the reference; completes the set)."""
+    on = cond if isinstance(cond, Column) else list(cond)
+    return left.join(right, on=on, how="left_semi")
+
+
+def with_global_scalar(df: DataFrame, scalar_df: DataFrame) -> DataFrame:
+    """J5 — attach a 1-row aggregate to every row
+    (include/featurise.py:33 crossJoin of the global min date).
+
+    Always broadcast: the scalar side is one row by construction, and a
+    broadcast nested-loop join is shuffle-free at any fact-table scale.
+    """
+    return df.crossJoin(F.broadcast(scalar_df))

@@ -1,0 +1,50 @@
+"""Projection / column operators (SURVEY.md §2.3 P1-P3, P9-P11).
+
+Reference call sites rebuilt (citations into /root/reference):
+- P1  column rename x13            00-etl-rwd.py:96-119,132-133
+- P3  selectExpr alias + literal   01-rwe-dashboard.r:103,107;
+                                   03-work with ML models.py:94
+- P9  drop columns                 03-work with ML models.py:183
+- P10 cast boolean flag to int     include/featurise.py:84,94
+- P11 literal/metadata stamping    03-work with ML models.py:148-152
+
+Design: every rename/projection is a *single* ``select``/
+``withColumnsRenamed`` pass — one logical Project node, not the
+reference's chained ``withColumnRenamed`` x13 (each adds a plan node;
+at 100 TB the analyzer cost and plan size matter for long pipelines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def rename_columns(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """Bulk rename in one pass (reference chains withColumnRenamed x13,
+    00-etl-rwd.py:96-119)."""
+    return df.withColumnsRenamed(mapping)
+
+
+def project(df: DataFrame, *cols: Column | str) -> DataFrame:
+    """Plain projection; callers pass aliased Columns."""
+    return df.select(*cols)
+
+
+def project_with_literals(df: DataFrame, cols: list[str], literals: dict[str, object]) -> DataFrame:
+    """Keep ``cols`` and stamp constant metadata columns
+    (reference: model_name/version stamping, 03-work with ML models.py:148-152)."""
+    lits = [F.lit(v).alias(k) for k, v in literals.items()]
+    return df.select(*cols, *lits)
+
+
+def drop_columns(df: DataFrame, *cols: str) -> DataFrame:
+    """Drop in one call (reference chains .drop x3,
+    03-work with ML models.py:183)."""
+    return df.drop(*cols)
+
+
+def bool_flag_to_int(col: Column) -> Column:
+    """Boolean predicate -> 0/1 int (reference: like-flag cast for labels
+    and window-sum inputs, include/featurise.py:84,94)."""
+    return col.cast("int")

@@ -1,0 +1,76 @@
+"""Window operators (SURVEY.md §2.9 W1-W2 + rank extension).
+
+The reference's distinctive analytic: per-patient trailing-window
+comorbidity counts —
+``Window.partitionBy(PATIENT).orderBy(day).rangeBetween(-days, -1)``
+with ``F.sum(flag.cast('int')).over(w)`` and null->0 fill
+(include/featurise.py:73-88; 02-patient-trajectory.py:153-168).
+Semantics preserved exactly:
+- RANGE frame on an integer day index (ties collapse into the frame);
+- frame *excludes* the current row (upper bound -1);
+- an empty frame yields NULL, filled to 0 via ifnull.
+
+Scale notes: all N rolling features share ONE shuffle (the
+partitionBy(key) exchange) as long as they use the same window spec —
+the planner evaluates all window expressions over a single sort. That
+is the key trick the reference stumbled into and we keep deliberately.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+def trailing_window(key: str, order_col: str, days: int) -> WindowSpec:
+    """RANGE BETWEEN -days AND -1 on an integer day index, per key
+    (include/featurise.py:73-77)."""
+    return Window.partitionBy(key).orderBy(F.col(order_col)).rangeBetween(-days, -1)
+
+
+def rolling_flag_sums(
+    df: DataFrame,
+    key: str,
+    day_col: str,
+    flag_cols: list[str],
+    days: int,
+    prefix: str = "recent",
+) -> DataFrame:
+    """W1 — trailing count of each boolean flag per key, excluding the
+    current row, empty frame -> 0 (include/featurise.py:80-85).
+
+    All flags + the total count (W2) ride one window spec => one shuffle
+    + one sort regardless of len(flag_cols).
+    """
+    w = trailing_window(key, day_col, days)
+    sums = [
+        F.coalesce(F.sum(F.col(c).cast("int")).over(w), F.lit(0)).alias(f"{prefix}_{c}")
+        for c in flag_cols
+    ]
+    total = F.count(F.lit(1)).over(w).alias(f"{prefix}_total")
+    return df.select("*", *sums, total)
+
+
+def rolling_count(df: DataFrame, key: str, day_col: str, days: int,
+                  alias: str = "recent_total") -> DataFrame:
+    """W2 — total events in the trailing window (include/featurise.py:88)."""
+    w = trailing_window(key, day_col, days)
+    return df.select("*", F.count(F.lit(1)).over(w).alias(alias))
+
+
+def top_per_group(
+    df: DataFrame,
+    keys: list[str],
+    order: list[Column],
+    n: int = 1,
+    rank_alias: str = "rn",
+) -> DataFrame:
+    """Extension — row_number top-n-per-group; the idiomatic distributed
+    replacement for the reference's collect-and-loop / sort-limit idioms.
+    Callers must pass a total order (include tie-breakers) for
+    determinism."""
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.select("*", F.row_number().over(w).alias(rank_alias))
+        .filter(F.col(rank_alias) <= n)
+    )

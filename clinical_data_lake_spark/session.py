@@ -1,0 +1,59 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference relies on the Databricks runtime for session setup; here we
+make the configuration explicit and deterministic. Defaults are chosen for
+the 100 TB design point (AQE, skew-join handling, broadcast thresholds) and
+scaled down via env vars for local testing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Configs that matter at cluster scale and are safe locally.
+_SCALE_DEFAULTS: dict[str, str] = {
+    # Adaptive Query Execution: runtime re-planning, skew-join splitting,
+    # partition coalescing. Essential at 100 TB; harmless at sf0.001.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas-UDF path (similarity / multimodal ops).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Deterministic timestamp semantics regardless of host TZ.
+    "spark.sql.session.timeZone": "UTC",
+    # Don't let tiny local files produce one giant partition; at cluster
+    # scale this is the knob that sizes scan tasks (128 MiB default).
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    # ANSI off: reference semantics are permissive (nulls over errors).
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "clinical-data-lake-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``);
+    on a real cluster pass ``None`` with a pre-set master URL, or let
+    spark-submit own it. ``shuffle_partitions`` defaults to the local CPU
+    count — on a 1000-executor cluster you'd size this to ~2-3x total
+    cores (or rely on AQE coalescing from a high initial value).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.appName(app_name)
+    builder = builder.master(master or f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+    conf = dict(_SCALE_DEFAULTS)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
