@@ -23,10 +23,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Mersenne prime 2^61-1: the classic universal-hash modulus — big
-# enough to avoid collisions, small enough that a*h+b stays in the
-# positive long range after the mod.
-_MERSENNE = (1 << 61) - 1
+# Mersenne prime 2^31-1 as the universal-hash modulus. The base hash
+# and both coefficients stay below 2^31, so a*h+b < 2^62 — inside the
+# signed-long range even under ANSI mode (Spark 4 default), which
+# raises ARITHMETIC_OVERFLOW instead of wrapping. 2^31-1 still gives
+# ~2e9 hash values: collision probability per shingle pair ~5e-10,
+# negligible against MinHash's own estimation variance.
+_MERSENNE = (1 << 31) - 1
 
 
 def _normalized(text_col: str) -> F.Column:
@@ -127,10 +130,12 @@ def minhash_signatures(
     """MinHash signature per document as array<long> of length
     ``num_hashes``.
 
-    Each permutation is the universal hash (a_i * x + b_i) mod M61 over
-    the shingle's xxhash64; min per doc per permutation. Computed as
-    ``num_hashes`` aggregate expressions over ONE exploded-shingle
-    shuffle — not num_hashes passes.
+    Each permutation is the universal hash (a_i * x + b_i) mod (2^31-1)
+    over the shingle's xxhash64 reduced to 31 bits; min per doc per
+    permutation. All operands stay below 2^31 so every intermediate
+    product fits a long under ANSI mode. Computed as ``num_hashes``
+    aggregate expressions over ONE exploded-shingle shuffle — not
+    num_hashes passes.
     """
     import random
 

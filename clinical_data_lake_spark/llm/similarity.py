@@ -106,6 +106,60 @@ def cosine_dup_pairs(
     )
 
 
+def cosine_dup_pairs_lsh(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    tables: int = 12,
+    bits: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Near-duplicate pairs via multi-table LSH blocking + exact cosine
+    verification on candidates — the 100 TB shape for ``cosine_dup_pairs``.
+
+    OR-construction: ``tables`` independent random-hyperplane tables of
+    ``bits`` sign bits each; any pair sharing a (table, bucket) becomes a
+    candidate, then exact cosine filters to >= threshold. The shuffle key
+    is (table, bucket), so work is linear in corpus size + candidates —
+    no all-pairs join ever materializes. Recall for a pair at cosine s is
+    1-(1-(1-acos(s)/pi)^bits)^tables: at the defaults, > 0.998 for
+    s >= 0.9 and > 0.99997 for s >= 0.95. The false-negative rate is
+    deterministic per (seed, planes), so results are reproducible.
+    """
+    v = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("e"),
+                      l2_norm(_as_double(vec_col)).alias("nrm"))
+    # one projection computes every table's bucket; explode to the
+    # (table, bucket) blocking key
+    buckets = []
+    for t in range(tables):
+        bucket = F.lit(0).cast("long")
+        for i, plane in enumerate(_random_planes(dim, bits, seed + 7919 * t)):
+            p = F.array(*[F.lit(x) for x in plane])
+            bit = F.when(dot(F.col("e"), p) >= 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long"))
+            bucket = bucket + F.shiftleft(bit, i)
+        buckets.append(F.struct(F.lit(t).alias("tbl"), bucket.alias("bkt")))
+    banded = v.select("id", "e", "nrm", F.explode(F.array(*buckets)).alias("tb")).select(
+        "id", "e", "nrm", "tb.tbl", "tb.bkt"
+    )
+    a = banded.select(F.col("id").alias("vec_a"), F.col("e").alias("ea"),
+                      F.col("nrm").alias("na"), "tbl", "bkt")
+    b = banded.select(F.col("id").alias("vec_b"), F.col("e").alias("eb"),
+                      F.col("nrm").alias("nb"), "tbl", "bkt")
+    sim = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    out_sim = F.round(sim, round_to) if round_to is not None else sim
+    return (
+        a.join(b, on=["tbl", "bkt"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+        .select("vec_a", "vec_b", out_sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def _random_planes(dim: int, bits: int, seed: int) -> list[list[float]]:
     rnd = random.Random(seed)
     return [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
