@@ -1,0 +1,102 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+exactly ONE JSON line to stdout:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"<name>": <sec>, ...}, "sf": <sf>}
+
+Each query is timed end-to-end (plan + execute + materialize) via a
+count-style action that forces full evaluation without collecting
+result rows to the driver. A warmup query runs first so JVM/codegen
+startup isn't billed to the first measured query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+# stdout must carry ONLY the JSON line; send everything else to stderr
+_real_stdout = sys.stdout
+sys.stdout = sys.stderr
+
+from pyspark.sql import SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from clinical_data_lake_spark.driver_queries import QUERIES  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# Headline set: the scan/agg, join, window, cohort, streaming-shaped,
+# and LLM-pipeline workhorses — the queries whose plans carry the
+# 100 TB design claims.
+BENCH_QUERIES = [
+    "pricing_summary",
+    "join_3way",
+    "window_range_sum",
+    "comorbidity_topk",
+    "cohort_case_control",
+    "topk_conditions",
+    "tumble_count",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "text_stats",
+]
+
+
+def _sf_from_dir(d: str) -> float:
+    m = re.search(r"sf([0-9.]+)", d)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> None:
+    spark = (
+        SparkSession.builder.appName("cdl-bench")
+        .master(f"local[{CPUS}]")
+        .config("spark.sql.shuffle.partitions", CPUS if CPUS.isdigit() else "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: JVM, codegen, parquet footer reads
+    QUERIES["scan_lineitem"](spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, SF_DIR)
+        # noop sink materializes every row AND column without driver
+        # collect — a count(*) action would let Catalyst prune
+        # projection-only queries down to parquet metadata reads
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"{name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+    }
+    print(json.dumps(out), file=_real_stdout)
+    _real_stdout.flush()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""Recall / correctness tests for the LLM-pipeline operators that the
+sf testdata can't exercise meaningfully (random embeddings have no
+near-dup pairs, shingle frequencies never hit the fan-out cap), plus
+ANSI-session regression coverage for MinHash.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from clinical_data_lake_spark.llm.dedup import (
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+)
+from clinical_data_lake_spark.llm.similarity import (
+    cosine_dup_pairs,
+    cosine_dup_pairs_lsh,
+)
+
+
+@pytest.fixture(scope="module")
+def planted_embeddings(spark):
+    """40 random 64-dim vectors + 5 planted near-duplicates (tiny
+    gaussian perturbations of vectors 0..4, cosine > 0.99)."""
+    rnd = random.Random(7)
+    base = [[rnd.gauss(0, 1) for _ in range(64)] for _ in range(40)]
+    rows = [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(base)]
+    for i in range(5):
+        pert = [float(x + rnd.gauss(0, 0.02)) for x in base[i]]
+        rows.append(Row(vec_id=100 + i, embedding=pert))
+    return spark.createDataFrame(rows)
+
+
+def test_lsh_dup_recall_matches_exact(spark, planted_embeddings):
+    """The LSH-blocked dup finder must recover exactly the pairs the
+    exact all-pairs query finds on planted duplicates."""
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in cosine_dup_pairs(planted_embeddings, threshold=0.9).collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b)
+        for r in cosine_dup_pairs_lsh(planted_embeddings, dim=64, threshold=0.9).collect()
+    }
+    assert exact == {(i, 100 + i) for i in range(5)}
+    assert lsh == exact
+
+
+def test_lsh_dup_sims_match_exact_values(spark, planted_embeddings):
+    exact = {
+        (r.vec_a, r.vec_b): r.sim
+        for r in cosine_dup_pairs(planted_embeddings, threshold=0.9).collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b): r.sim
+        for r in cosine_dup_pairs_lsh(planted_embeddings, dim=64, threshold=0.9).collect()
+    }
+    assert lsh == exact  # exact cosine verified on candidates, same rounding
+
+
+def test_minhash_estimates_track_exact_jaccard(spark):
+    """MinHash est_jaccard on near-dup docs should approximate exact
+    n-gram Jaccard (also a standing ANSI-overflow regression test —
+    session fixture runs ANSI-on)."""
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    variant = base.replace("lazy", "sleepy")  # high-jaccard near-dup
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text=variant),
+            Row(doc_id=3, text="completely different content about spark engines and scale"),
+        ]
+    )
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    est = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in minhash_lsh_pairs(docs, num_hashes=128, bands=32).collect()
+    }
+    assert (1, 2) in est
+    assert abs(est[(1, 2)] - exact[(1, 2)]) < 0.2
+
+
+def test_minhash_signature_values_in_31bit_range(spark):
+    docs = spark.createDataFrame([Row(doc_id=1, text="one two three four five six")])
+    sig = minhash_signatures(docs, num_hashes=16).collect()[0]["signature"]
+    assert len(sig) == 16
+    assert all(0 <= v < (1 << 31) for v in sig)
+
+
+def test_ngram_max_doc_freq_cap_drops_hot_shingles(spark):
+    """A shingle present in every doc is a stop-shingle: with the cap
+    below the corpus size it must not generate candidate pairs."""
+    hot = "alpha beta gamma"  # shared 3-gram across all docs
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"{hot} unique{i} filler{i} tail{i}") for i in range(6)]
+    )
+    uncapped = ngram_jaccard_pairs(docs, threshold=0.0).count()
+    capped = ngram_jaccard_pairs(docs, threshold=0.0, max_doc_freq=3).count()
+    assert uncapped == 15  # all pairs share the hot shingle
+    assert capped == 0  # cap removes the only shared shingle
