@@ -26,6 +26,9 @@ from pyspark.sql import functions as F
 from .functions import scalar, text
 from .io import read_table, register_views
 from .llm import dedup, similarity
+from .ml import featurize as ml_featurize
+from .ml import stats as ml_stats
+from .ml import train as ml_train
 from .operators import aggregates as agg
 from .operators import cohort, filters, joins, projections, setops, sorts, windows
 
@@ -455,6 +458,82 @@ def q_cohort_case_control(spark: SparkSession, sf: str) -> DataFrame:
     return cohort.case_control_cohort(c, "c_custkey", o, "o_custkey", "o_orderpriority", "urgent")
 
 
+# ------------------------------------------------------ ML / statistics
+
+
+def q_chisq_assoc(spark: SparkSession, sf: str) -> DataFrame:
+    """M5 — distributed 2x2 chi-square association (replaces the R
+    collect + chisq.test, 01-rwe-dashboard.r:110-124): is having an
+    urgent-priority order associated with having an open order? The
+    contingency build is a distributed group-count; the Pearson
+    statistic is closed-form column arithmetic, so the oracle checks
+    the value exactly."""
+    c = read_table(spark, sf, "customer")
+    o = read_table(spark, sf, "orders")
+    a_ids = (
+        o.filter(filters.contains_ci("o_orderpriority", "urgent"))
+        .select("o_custkey").distinct()
+    )
+    b_ids = o.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    return ml_stats.chisq_2x2(c, "c_custkey", a_ids, b_ids)
+
+
+def q_ml_string_index(spark: SparkSession, sf: str) -> DataFrame:
+    """M1 — StringIndexer (frequencyDesc, alphabetical tie-break,
+    include/featurise.py:63-70); the encoding is pure rank arithmetic so
+    the oracle replicates it with a window."""
+    c = read_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    models = ml_featurize.fit_string_indexers(c, ["c_mktsegment"])
+    out = ml_featurize.apply_string_indexers(c, models)
+    return out.select("c_custkey", "c_mktsegment",
+                      F.col("c_mktsegment_idx").alias("segment_idx"))
+
+
+def q_ml_features(spark: SparkSession, sf: str) -> DataFrame:
+    """The featurization pipeline's relational core
+    (include/featurise.py:18-96): cohort semi-join, day index vs global
+    origin, like-flags in one select, shared-shuffle rolling windows,
+    label derivation — everything except the vector assembly, so the
+    oracle can verify every value."""
+    ev = read_table(spark, sf, "events")
+    cohort_ids = (
+        ev.filter(filters.contains_ci("event_type", "click"))
+        .select("user_id").distinct()
+    )
+    feats, _ = ml_featurize.featurize_events(
+        ev, cohort_ids, entity_col="user_id", label_col="event_type",
+        ts_col="ts", flag_needles=["click", "view"], days=7, assemble=False,
+    )
+    return feats.select(
+        "event_id", "user_id", "day_idx", "flag_0", "flag_1",
+        F.col("recent_flag_0").cast("bigint").alias("recent_flag_0"),
+        F.col("recent_flag_1").cast("bigint").alias("recent_flag_1"),
+        "recent_total", "label",
+    )
+
+
+def q_ml_train_score(spark: SparkSession, sf: str) -> DataFrame:
+    """M2/M3/M8/R1 end-to-end (rows-only: a fitted tree is not
+    SQL-expressible): featurize -> seeded split -> DecisionTree fit ->
+    batch-score -> demographic-style breakdown
+    (02-patient-trajectory.py:85-87 + include/featurise.py:116-118 +
+    03-work with ML models.py:119-121)."""
+    ev = read_table(spark, sf, "events")
+    cohort_ids = (
+        ev.filter(filters.contains_ci("event_type", "click"))
+        .select("user_id").distinct()
+    )
+    feats, _ = ml_featurize.featurize_events(
+        ev, cohort_ids, entity_col="user_id", label_col="event_type",
+        ts_col="ts", flag_needles=["click", "view"], days=7, assemble=True,
+    )
+    train_df, _test_df = ml_featurize.seeded_split(feats, 0.7, seed=42)
+    model = ml_train.train_decision_tree(train_df, max_depth=4)
+    return ml_train.score_with_breakdown(
+        model, feats, ["event_type"], prediction_value=None
+    )
+
+
 # ------------------------------------------- streaming (batch-expressed)
 
 
@@ -605,6 +684,10 @@ QUERIES = {
     "window_rank": q_window_rank,
     "comorbidity_topk": q_comorbidity_topk,
     "cohort_case_control": q_cohort_case_control,
+    "chisq_assoc": q_chisq_assoc,
+    "ml_string_index": q_ml_string_index,
+    "ml_features": q_ml_features,
+    "ml_train_score": q_ml_train_score,
     "tumble_count": q_tumble_count,
     "slide_agg": q_slide_agg,
     "dedup_exact": q_dedup_exact,
@@ -851,6 +934,73 @@ ORACLES = {
         SELECT c_custkey, 1 AS label FROM case_ids
         UNION ALL
         SELECT c_custkey, 0 AS label FROM ranked, n WHERE rk <= n.n_cases
+    """,
+    "chisq_assoc": """
+        WITH a AS (
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE lower(o_orderpriority) LIKE '%urgent%'
+        ),
+        b AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+        flags AS (
+            SELECT c_custkey,
+                   CASE WHEN a.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS fa,
+                   CASE WHEN b.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS fb
+            FROM customer
+            LEFT JOIN a ON c_custkey = a.o_custkey
+            LEFT JOIN b ON c_custkey = b.o_custkey
+        ),
+        cells AS (
+            SELECT CAST(sum(CASE WHEN fa = 1 AND fb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_11,
+                   CAST(sum(CASE WHEN fa = 1 AND fb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_10,
+                   CAST(sum(CASE WHEN fa = 0 AND fb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_01,
+                   CAST(sum(CASE WHEN fa = 0 AND fb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_00
+            FROM flags
+        )
+        SELECT n_11, n_10, n_01, n_00,
+               (CAST(n_11 + n_10 + n_01 + n_00 AS DOUBLE)
+                * abs(CAST(n_11 AS DOUBLE) * CAST(n_00 AS DOUBLE)
+                      - CAST(n_10 AS DOUBLE) * CAST(n_01 AS DOUBLE))
+                * abs(CAST(n_11 AS DOUBLE) * CAST(n_00 AS DOUBLE)
+                      - CAST(n_10 AS DOUBLE) * CAST(n_01 AS DOUBLE)))
+               / ((CAST(n_11 AS DOUBLE) + CAST(n_10 AS DOUBLE))
+                  * (CAST(n_01 AS DOUBLE) + CAST(n_00 AS DOUBLE))
+                  * (CAST(n_11 AS DOUBLE) + CAST(n_01 AS DOUBLE))
+                  * (CAST(n_10 AS DOUBLE) + CAST(n_00 AS DOUBLE))) AS chi2
+        FROM cells
+    """,
+    "ml_string_index": """
+        WITH freq AS (
+            SELECT c_mktsegment AS v, count(*) AS cnt FROM customer GROUP BY 1
+        ),
+        idx AS (
+            SELECT v, CAST(row_number() OVER (ORDER BY cnt DESC, v ASC) - 1 AS DOUBLE) AS i
+            FROM freq
+        )
+        SELECT c_custkey, c_mktsegment, idx.i AS segment_idx
+        FROM customer JOIN idx ON c_mktsegment = idx.v
+    """,
+    "ml_features": """
+        WITH cohort AS (
+            SELECT DISTINCT user_id FROM events WHERE lower(event_type) LIKE '%click%'
+        ),
+        base AS (
+            SELECT e.event_id, e.user_id,
+                   datediff('day', (SELECT min(ts) FROM events), e.ts) AS day_idx,
+                   lower(e.event_type) LIKE '%click%' AS flag_0,
+                   lower(e.event_type) LIKE '%view%' AS flag_1
+            FROM events e JOIN cohort c ON e.user_id = c.user_id
+            WHERE e.event_type IS NOT NULL
+        )
+        SELECT event_id, user_id, day_idx, flag_0, flag_1,
+               CAST(coalesce(sum(CAST(flag_0 AS INTEGER)) OVER w, 0) AS BIGINT) AS recent_flag_0,
+               CAST(coalesce(sum(CAST(flag_1 AS INTEGER)) OVER w, 0) AS BIGINT) AS recent_flag_1,
+               count(*) OVER w AS recent_total,
+               CAST(flag_0 AS INTEGER) AS label
+        FROM base
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY day_idx
+            RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING
+        )
     """,
     "tumble_count": """
         SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,

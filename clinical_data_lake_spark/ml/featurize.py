@@ -1,0 +1,151 @@
+"""Featurization pipeline — the reference's ``featurize_encounters``
+(include/featurise.py:18-96, 02-patient-trajectory.py:96-178) rebuilt
+idiomatically and generalized to any (entity, label, timestamp) event
+table.
+
+Reference-semantic parity, Spark-first restatement:
+- global earliest date: ``agg(min)`` broadcast to every row instead of
+  sort-limit-1 (include/featurise.py:21-27);
+- N comorbidity like-flags in ONE select instead of the
+  withColumn+cache loop (include/featurise.py:42-45) — one Project
+  node, no lineage pyramid;
+- all rolling window features share ONE window spec => one shuffle +
+  one sort regardless of flag count (include/featurise.py:73-88);
+- StringIndexer models fit once on train and reused on test
+  (include/featurise.py:50-70) — M1;
+- VectorAssembler with handleInvalid='skip' — M2;
+- seeded randomSplit — R1 (the reference leaves it unseeded,
+  02-patient-trajectory.py:87).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.scalar import day_index
+from ..operators.filters import like_flags
+from ..operators.joins import with_global_scalar
+from ..operators.sorts import global_min
+from ..operators.windows import rolling_flag_sums
+
+
+def top_cooccurring_labels(
+    events: DataFrame,
+    cohort_ids: DataFrame,
+    entity_col: str,
+    label_col: str,
+    k: int,
+) -> DataFrame:
+    """The comorbid-condition list (02-patient-trajectory.py:57-63):
+    distinct (entity, label) among cohort members -> prevalence count ->
+    top-k, with a deterministic label tie-break (the reference's
+    unordered ``limit`` is nondeterministic)."""
+    return (
+        events.join(cohort_ids, on=entity_col, how="left_semi")
+        .filter(F.col(label_col).isNotNull())
+        .select(entity_col, label_col).distinct()
+        .groupBy(label_col).agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc(label_col))
+        .limit(k)
+    )
+
+
+def fit_string_indexers(df: DataFrame, cols: Sequence[str]) -> list:
+    """M1 — one StringIndexer model per categorical column,
+    handleInvalid='skip' (include/featurise.py:63-70). Returned models
+    are reused on the test set so train/test share one encoding."""
+    from pyspark.ml.feature import StringIndexer
+
+    models = []
+    for c in cols:
+        si = StringIndexer(inputCol=c, outputCol=f"{c}_idx", handleInvalid="skip")
+        models.append(si.fit(df))
+    return models
+
+
+def apply_string_indexers(df: DataFrame, models: Sequence) -> DataFrame:
+    """M1 — apply fitted indexers (the test-set path,
+    include/featurise.py:51-53)."""
+    for m in models:
+        df = m.transform(df)
+    return df
+
+
+def assemble_features(df: DataFrame, input_cols: Sequence[str],
+                      output_col: str = "features") -> DataFrame:
+    """M2 — VectorAssembler, handleInvalid='skip'
+    (include/featurise.py:91-92)."""
+    from pyspark.ml.feature import VectorAssembler
+
+    va = VectorAssembler(inputCols=list(input_cols), outputCol=output_col,
+                         handleInvalid="skip")
+    return va.transform(df)
+
+
+def seeded_split(df: DataFrame, train_fraction: float, seed: int = 42):
+    """R1 — train/test split (02-patient-trajectory.py:85-87), seeded
+    for reproducibility (the reference leaves the seed unset)."""
+    return df.randomSplit([train_fraction, 1.0 - train_fraction], seed=seed)
+
+
+def featurize_events(
+    events: DataFrame,
+    cohort: DataFrame,
+    entity_col: str,
+    label_col: str,
+    ts_col: str,
+    flag_needles: Sequence[str],
+    days: int,
+    indexer_models: Sequence | None = None,
+    index_cols: Sequence[str] = (),
+    numeric_feature_cols: Sequence[str] = (),
+    assemble: bool = True,
+):
+    """The full feature build (include/featurise.py:18-96 semantics).
+
+    Returns ``(features_df, indexer_models)`` mirroring the reference's
+    two-mode signature: pass ``indexer_models`` to reuse train-fitted
+    encoders on the test set; leave None to fit them here.
+
+    Columns produced: ``day_idx`` (days since global earliest event),
+    ``flag_i`` per needle (current-row label match), ``recent_flag_i``
+    (trailing ``days``-day count per entity, current row excluded,
+    empty frame -> 0), ``recent_total``, ``<col>_idx`` per categorical,
+    ``label`` (= flag_0 as int, the reference's target definition,
+    include/featurise.py:94), and ``features`` (vector) if
+    ``assemble``.
+    """
+    min_ts = global_min(events, ts_col, alias="__origin__")
+    base = (
+        events.join(cohort, on=entity_col, how="left_semi")
+        .filter(F.col(label_col).isNotNull())
+    )
+    base = with_global_scalar(base, min_ts).withColumn(
+        "day_idx", day_index(ts_col, "__origin__")
+    ).drop("__origin__")
+
+    base = like_flags(base, label_col, list(flag_needles), prefix="flag")
+    flag_cols = [f"flag_{i}" for i in range(len(flag_needles))]
+    base = rolling_flag_sums(base, entity_col, "day_idx", flag_cols, days)
+
+    if index_cols:
+        if indexer_models is None:
+            indexer_models = fit_string_indexers(base, index_cols)
+        base = apply_string_indexers(base, indexer_models)
+    else:
+        indexer_models = indexer_models or []
+
+    base = base.withColumn("label", F.col("flag_0").cast("int"))
+
+    if assemble:
+        feature_inputs = (
+            [f"recent_flag_{i}" for i in range(len(flag_needles))]
+            + ["recent_total"]
+            + [f"{c}_idx" for c in index_cols]
+            + list(numeric_feature_cols)
+        )
+        base = assemble_features(base, feature_inputs)
+    return base, list(indexer_models)

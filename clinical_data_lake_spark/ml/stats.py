@@ -1,0 +1,102 @@
+"""Distributed statistics — the chi-square test of association (M5).
+
+The reference computes it by collecting the full patient table into the
+R driver and calling ``chisq.test`` (01-rwe-dashboard.r:110-124) — a
+driver OOM at any real scale. Here the contingency table is built with
+a distributed group-count (4 rows leave the cluster, not N), and:
+
+- ``chisq_2x2`` emits the closed-form Pearson statistic as pure column
+  arithmetic — fully SQL-expressible, so the driver oracle can verify
+  the value bit-for-bit;
+- ``chisq_association`` wraps ``pyspark.ml.stat.ChiSquareTest`` for the
+  general (vector-features) case with p-values;
+- ``pvalue_1dof`` converts a 1-dof statistic to a p-value driver-side
+  (erfc closed form — operates on the single reduced row, not data).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cooccurrence_flags(
+    entities: DataFrame,
+    entity_col: str,
+    a_ids: DataFrame,
+    b_ids: DataFrame,
+) -> DataFrame:
+    """(entity, flag_a, flag_b) — the dashboard's condition co-occurrence
+    table (01-rwe-dashboard.r:103-110) via two left joins + ifnull,
+    restated as left-semi-style flag joins. ``a_ids``/``b_ids`` are
+    1-column DataFrames of entity ids with the condition."""
+    a = a_ids.select(F.col(a_ids.columns[0]).alias(entity_col)).distinct() \
+        .withColumn("flag_a", F.lit(1))
+    b = b_ids.select(F.col(b_ids.columns[0]).alias(entity_col)).distinct() \
+        .withColumn("flag_b", F.lit(1))
+    return (
+        entities.select(entity_col)
+        .join(a, on=entity_col, how="left")
+        .join(b, on=entity_col, how="left")
+        .select(
+            entity_col,
+            F.coalesce("flag_a", F.lit(0)).alias("flag_a"),
+            F.coalesce("flag_b", F.lit(0)).alias("flag_b"),
+        )
+    )
+
+
+def chisq_2x2(
+    entities: DataFrame,
+    entity_col: str,
+    a_ids: DataFrame,
+    b_ids: DataFrame,
+    yates: bool = False,
+) -> DataFrame:
+    """1-row (n_11, n_10, n_01, n_00, chi2) — distributed 2x2 Pearson
+    chi-square (replaces 01-rwe-dashboard.r:114-117).
+
+    chi2 = N(ad - bc)^2 / ((a+b)(c+d)(a+c)(b+d)); ``yates`` applies the
+    continuity correction (R's chisq.test default for 2x2). Everything
+    up to the 4 cell counts is a distributed group-count; the statistic
+    is column arithmetic on one row.
+    """
+    flags = cooccurrence_flags(entities, entity_col, a_ids, b_ids)
+    cells = flags.agg(
+        F.sum(((F.col("flag_a") == 1) & (F.col("flag_b") == 1)).cast("long")).alias("n_11"),
+        F.sum(((F.col("flag_a") == 1) & (F.col("flag_b") == 0)).cast("long")).alias("n_10"),
+        F.sum(((F.col("flag_a") == 0) & (F.col("flag_b") == 1)).cast("long")).alias("n_01"),
+        F.sum(((F.col("flag_a") == 0) & (F.col("flag_b") == 0)).cast("long")).alias("n_00"),
+    )
+    a, b, c, d = (F.col(x).cast("double") for x in ("n_11", "n_10", "n_01", "n_00"))
+    n = a + b + c + d
+    diff = F.abs(a * d - b * c)
+    if yates:
+        diff = F.greatest(diff - n / 2, F.lit(0.0))
+    chi2 = (n * diff * diff) / ((a + b) * (c + d) * (a + c) * (b + d))
+    return cells.select("n_11", "n_10", "n_01", "n_00", chi2.alias("chi2"))
+
+
+def pvalue_1dof(chi2: float) -> float:
+    """P(X >= chi2) for chi-square with 1 dof: erfc(sqrt(x/2))."""
+    return math.erfc(math.sqrt(chi2 / 2.0))
+
+
+def chisq_association(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str,
+) -> DataFrame:
+    """M5 general form — ``pyspark.ml.stat.ChiSquareTest`` over assembled
+    features: one row with pValues / degreesOfFreedom / statistics
+    arrays. Fully distributed (contingency built cluster-side)."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.stat import ChiSquareTest
+
+    va = VectorAssembler(inputCols=list(feature_cols), outputCol="__features__",
+                         handleInvalid="skip")
+    assembled = va.transform(df)
+    return ChiSquareTest.test(assembled, "__features__", label_col)

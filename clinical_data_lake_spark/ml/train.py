@@ -1,0 +1,142 @@
+"""Model training / evaluation / tuning / lifecycle (M3, M4, M6-M8).
+
+Reference parity:
+- DecisionTreeClassifier fit (include/featurise.py:116-118) — M3;
+- BinaryClassificationEvaluator areaUnderROC
+  (include/featurise.py:123-125) — M4;
+- hyperparameter search: the reference drives hyperopt TPE sequentially
+  on the driver (02-patient-trajectory.py:237-259); rebuilt with
+  ``TrainValidationSplit`` over the same space {impurity, maxDepth,
+  maxBins} — pure Spark, trials parallelizable via ``parallelism`` — M6;
+- model lifecycle behind a storage interface (M7): Spark-native
+  save/load always works; MLflow is an optional extra gated on import
+  (03-work with ML models.py:110-137);
+- batch scoring + demographic breakdown
+  (03-work with ML models.py:110-121) — M8.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def train_decision_tree(
+    train_df: DataFrame,
+    impurity: str = "gini",
+    max_depth: int = 5,
+    max_bins: int = 32,
+    features_col: str = "features",
+    label_col: str = "label",
+    seed: int = 42,
+):
+    """M3 — DecisionTreeClassifier fit (include/featurise.py:116-118),
+    seeded."""
+    from pyspark.ml.classification import DecisionTreeClassifier
+
+    dt = DecisionTreeClassifier(
+        impurity=impurity, maxDepth=max_depth, maxBins=max_bins,
+        featuresCol=features_col, labelCol=label_col, seed=seed,
+    )
+    return dt.fit(train_df)
+
+
+def evaluate_auc(model, test_df: DataFrame, label_col: str = "label") -> float:
+    """M4 — areaUnderROC on the scored test set
+    (include/featurise.py:123-125)."""
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+
+    bce = BinaryClassificationEvaluator(labelCol=label_col)
+    return float(bce.evaluate(model.transform(test_df)))
+
+
+def tune_decision_tree(
+    train_df: DataFrame,
+    max_depths: Sequence[int] = (3, 5, 10),
+    max_binses: Sequence[int] = (8, 16, 32, 64),
+    impurities: Sequence[str] = ("gini", "entropy"),
+    train_ratio: float = 0.75,
+    parallelism: int = 2,
+    features_col: str = "features",
+    label_col: str = "label",
+    seed: int = 42,
+):
+    """M6 — grid search over the reference's hyperopt space
+    (02-patient-trajectory.py:238-243: max_depth, max_bins in
+    {8,16,32,64}, impurity in {gini, entropy}) with
+    ``TrainValidationSplit`` — Spark-native, seeded, trials run with
+    ``parallelism`` concurrent fits (the reference runs sequentially,
+    02-patient-trajectory.py:248). Returns the fitted TVS model
+    (``.bestModel`` for the winner)."""
+    from pyspark.ml.classification import DecisionTreeClassifier
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.tuning import ParamGridBuilder, TrainValidationSplit
+
+    dt = DecisionTreeClassifier(featuresCol=features_col, labelCol=label_col, seed=seed)
+    grid = (
+        ParamGridBuilder()
+        .addGrid(dt.maxDepth, list(max_depths))
+        .addGrid(dt.maxBins, list(max_binses))
+        .addGrid(dt.impurity, list(impurities))
+        .build()
+    )
+    tvs = TrainValidationSplit(
+        estimator=dt,
+        estimatorParamMaps=grid,
+        evaluator=BinaryClassificationEvaluator(labelCol=label_col),
+        trainRatio=train_ratio,
+        parallelism=parallelism,
+        seed=seed,
+    )
+    return tvs.fit(train_df)
+
+
+class ModelStore:
+    """M7 — model lifecycle behind a storage-agnostic interface.
+
+    The reference binds to the MLflow registry
+    (03-work with ML models.py:110-137). Spark-native ``save``/``load``
+    is the always-available backend; if mlflow is importable the same
+    interface logs there too — optional, never required.
+    """
+
+    def __init__(self, base_path: str):
+        self.base_path = base_path.rstrip("/")
+
+    def _path(self, name: str, version: int) -> str:
+        return f"{self.base_path}/{name}/v{version}"
+
+    def save(self, model, name: str, version: int) -> str:
+        path = self._path(name, version)
+        model.write().overwrite().save(path)
+        try:  # optional MLflow mirror (extra, not a dependency)
+            import mlflow.spark  # noqa: F401
+
+            mlflow.spark.log_model(model, name)
+        except Exception:
+            pass
+        return path
+
+    def load(self, model_cls, name: str, version: int):
+        return model_cls.load(self._path(name, version))
+
+
+def score_with_breakdown(
+    model,
+    df: DataFrame,
+    demo_cols: Sequence[str],
+    prediction_value: float | None = 1.0,
+) -> DataFrame:
+    """M8 — batch-score and group-count predictions by demographics
+    (03-work with ML models.py:119-121). ``prediction_value`` filters to
+    one class (the reference's ``prediction = 1``); None keeps the full
+    per-class breakdown."""
+    scored = model.transform(df)
+    if prediction_value is not None:
+        scored = scored.filter(F.col("prediction") == prediction_value)
+    return (
+        scored.groupBy(*demo_cols, "prediction")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
