@@ -5,8 +5,12 @@ reference clinical RWE data lake (``rishisanalytics/clinical-data-lake``:
 four Databricks notebooks + one include, see SURVEY.md), re-expressed as an
 idiomatic, testable PySpark library:
 
-- ``session``    — SparkSession factory (AQE on, deterministic configs).
+- ``session``    — SparkSession factory (AQE on, ANSI on, deterministic
+                   configs).
 - ``io``         — parquet/delta/CSV sources & sinks, view registration.
+- ``catalog``    — DDL + table maintenance (CREATE DATABASE/TABLE, DROP,
+                   OPTIMIZE ZORDER with clustered-parquet fallback,
+                   DESCRIBE HISTORY guard).
 - ``operators``  — relational operator library (projections, filters,
                    joins, aggregates, sorts/top-k, set ops, windows,
                    cohort analytics).
@@ -20,7 +24,8 @@ idiomatic, testable PySpark library:
                    SimHash/Jaccard), similarity search, multimodal
                    column plumbing.
 - ``streaming``  — Structured Streaming versions of the event-window
-                   aggregations (batch-first so an oracle can check them).
+                   aggregations (batch-first so an oracle can check
+                   them) plus watermarked sessionization.
 
 Everything is DataFrame/SQL-first: Catalyst handles pushdown, pruning and
 join selection; Python UDFs are avoided in hot paths (the reference's one

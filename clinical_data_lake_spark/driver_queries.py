@@ -25,12 +25,13 @@ from pyspark.sql import functions as F
 
 from .functions import scalar, text
 from .io import read_table, register_views
-from .llm import dedup, similarity
+from .llm import dedup, multimodal, similarity
 from .ml import featurize as ml_featurize
 from .ml import stats as ml_stats
 from .ml import train as ml_train
 from .operators import aggregates as agg
 from .operators import cohort, filters, joins, projections, setops, sorts, windows
+from .streaming import events as streaming_events
 
 # ---------------------------------------------------------------- scans
 
@@ -458,6 +459,29 @@ def q_cohort_case_control(spark: SparkSession, sf: str) -> DataFrame:
     return cohort.case_control_cohort(c, "c_custkey", o, "o_custkey", "o_orderpriority", "urgent")
 
 
+# ------------------------------------------------------------------ ETL
+
+
+def q_etl_denorm(spark: SparkSession, sf: str) -> DataFrame:
+    """The ETL pipeline's transformation core (00-etl-rwd.py end-to-end
+    shape: de-identify PII -> rename -> 3-way denormalize into the fact
+    table). The write/catalog/optimize stages are exercised in
+    tests/test_etl.py; this query verifies the composed transformation
+    values against the oracle."""
+    c = read_table(spark, sf, "customer").select("c_custkey", "c_name", "c_nationkey")
+    n = read_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    o = read_table(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c_deid = scalar.deidentify(c, ["c_name"])
+    fact = joins.denormalize(
+        o.withColumnRenamed("o_custkey", "c_custkey"),
+        [
+            (c_deid, ["c_custkey"], False),
+            (n.withColumnRenamed("n_nationkey", "c_nationkey"), ["c_nationkey"], True),
+        ],
+    )
+    return fact.select("o_orderkey", "c_custkey", "c_name", "n_name", "o_totalprice")
+
+
 # ------------------------------------------------------ ML / statistics
 
 
@@ -538,28 +562,31 @@ def q_ml_train_score(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_tumble_count(spark: SparkSession, sf: str) -> DataFrame:
-    """Tumbling 10-minute window counts on events.ts (batch-expressed;
-    the streaming wrapper lives in streaming/events.py). Window start
-    emitted as epoch seconds for engine-neutral comparison."""
-    ev = read_table(spark, sf, "events")
-    return (
-        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(F.col("w.start").cast("long").alias("window_start"), "event_type", "cnt")
-    )
+    """Tumbling 10-minute window counts on events.ts, via the SAME plan
+    builder the streaming wrapper uses (streaming/events.py:tumbling_counts)
+    — the oracle-checked batch result certifies the streaming plan.
+    Window start emitted as epoch seconds for engine-neutral comparison."""
+    return streaming_events.tumbling_counts(read_table(spark, sf, "events"))
 
 
 def q_slide_agg(spark: SparkSession, sf: str) -> DataFrame:
-    """Sliding 10-minute/5-minute window count + exact decimal sum."""
+    """Sliding 10-minute/5-minute window count + exact decimal sum
+    emitted as double, via streaming/events.py:sliding_agg."""
+    return streaming_events.sliding_agg(read_table(spark, sf, "events"))
+
+
+def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization (30-minute inactivity gap) via Spark's
+    native session_window — the stateful streaming operator, expressed
+    batch-first so the oracle can replicate it with lag + cumulative
+    session ids. Boundaries emitted as epoch seconds."""
     ev = read_table(spark, sf, "events")
-    return (
-        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            # decimal internally (exact), double on output (driver-robust)
-            F.sum(F.col("value").cast("decimal(18,3)")).cast("double").alias("sum_value"),
-        )
-        .select(F.col("w.start").cast("long").alias("window_start"), "cnt", "sum_value")
+    out = streaming_events.sessionize(ev, gap="30 minutes")
+    return out.select(
+        "user_id",
+        F.col("session_start").cast("long").alias("session_start"),
+        F.col("session_end").cast("long").alias("session_end"),
+        "n_events",
     )
 
 
@@ -612,6 +639,34 @@ def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     path; exactness checked against cosine_topk in unit tests)."""
     emb = read_table(spark, sf, "embeddings")
     return similarity.lsh_topk(emb.filter(F.col("vec_id") < 5), emb, dim=64, k=10, bits=4)
+
+
+def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary-column plumbing: text -> blob (pure column expr), typed
+    metadata probed from container headers via Arrow-batched
+    mapInPandas. The synthesized blobs are octet-stream so width/height
+    are null; header parsing is unit-tested on real PNG/JPEG bytes
+    (tests/test_multimodal.py)."""
+    docs = read_table(spark, sf, "documents")
+    media = multimodal.synthesize_media_from_text(docs)
+    probed = multimodal.probe_media_metadata(media)
+    return probed.select(
+        "media_id",
+        F.col("meta.media_type").alias("media_type"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.valid").alias("valid"),
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Byte-histogram + entropy featurization of binary blobs
+    (rows-only: the 64-float feature vector has no SQL twin; entropy
+    formula unit-tested against closed forms)."""
+    docs = read_table(spark, sf, "documents")
+    media = multimodal.synthesize_media_from_text(docs)
+    return multimodal.byte_histogram_features(media)
 
 
 def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
@@ -684,12 +739,14 @@ QUERIES = {
     "window_rank": q_window_rank,
     "comorbidity_topk": q_comorbidity_topk,
     "cohort_case_control": q_cohort_case_control,
+    "etl_denorm": q_etl_denorm,
     "chisq_assoc": q_chisq_assoc,
     "ml_string_index": q_ml_string_index,
     "ml_features": q_ml_features,
     "ml_train_score": q_ml_train_score,
     "tumble_count": q_tumble_count,
     "slide_agg": q_slide_agg,
+    "sessionize": q_sessionize,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -697,6 +754,8 @@ QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_cosine_dup": q_embedding_cosine_dup,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "multimodal_meta": q_multimodal_meta,
+    "multimodal_features": q_multimodal_features,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
     "doc_quality": q_doc_quality,
@@ -935,6 +994,13 @@ ORACLES = {
         UNION ALL
         SELECT c_custkey, 0 AS label FROM ranked, n WHERE rk <= n.n_cases
     """,
+    "etl_denorm": """
+        SELECT o_orderkey, o_custkey AS c_custkey,
+               sha256(coalesce(c_name, 'null')) AS c_name, n_name, o_totalprice
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+    """,
     "chisq_assoc": """
         WITH a AS (
             SELECT DISTINCT o_custkey FROM orders
@@ -1018,6 +1084,29 @@ ORACLES = {
         FROM expanded
         GROUP BY window_start
     """,
+    "sessionize": """
+        WITH marked AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sess AS (
+            SELECT user_id, ts,
+                   sum(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sid
+            FROM marked
+        )
+        SELECT user_id,
+               CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+               CAST(floor(epoch(max(ts))) AS BIGINT) + 1800 AS session_end,
+               count(*) AS n_events
+        FROM sess
+        GROUP BY user_id, sid
+    """,
     "dedup_exact": """
         SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS text_hash,
                min(doc_id) AS keep_id, count(*) AS n_copies
@@ -1081,6 +1170,15 @@ ORACLES = {
         FROM v a JOIN v b ON a.vec_id < b.vec_id
         WHERE round(list_dot_product(a.e, b.e) /
                     (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.9
+    """,
+    "multimodal_meta": """
+        SELECT doc_id AS media_id,
+               'application/octet-stream' AS media_type,
+               CAST(NULL AS INTEGER) AS width,
+               CAST(NULL AS INTEGER) AS height,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               TRUE AS valid
+        FROM documents
     """,
     "text_stats": """
         SELECT doc_id,

@@ -1,0 +1,135 @@
+"""Event-stream window aggregations.
+
+Design: each aggregation is ONE plan-builder function applied to either
+a batch DataFrame or a streaming DataFrame — the DataFrame API is
+identical, so the oracle-checked batch result (driver queries
+``tumble_count``/``slide_agg``) certifies the same logical plan the
+stream runs. Streaming adds only the watermark (bounds state: late rows
+beyond the horizon are dropped and window state can be evicted — at
+100 TB/day of events unbounded state is the first thing that kills a
+job) and the sink trigger.
+
+Scale notes: windowed group-aggs shuffle on (window, keys); partial
+aggregation happens map-side per micro-batch. State store size =
+#open windows x #keys — bounded by the watermark horizon.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str | None = "event_type",
+    width: str = "10 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling-window counts: (window_start, key, cnt).
+
+    Batch twin of the driver's oracle-checked ``tumble_count``; pass a
+    streaming DataFrame + ``watermark`` for the incremental version.
+    """
+    if watermark is not None:
+        events = events.withWatermark(ts_col, watermark)
+    keys: list[Column | str] = [F.window(ts_col, width).alias("w")]
+    if key_col is not None:
+        keys.append(key_col)
+    out = events.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+    cols = [F.col("w.start").cast("long").alias("window_start")]
+    if key_col is not None:
+        cols.append(F.col(key_col))
+    return out.select(*cols, "cnt")
+
+
+def sliding_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    width: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Sliding-window count + exact decimal sum emitted as double:
+    (window_start, cnt, sum_value). Batch twin of ``slide_agg``."""
+    if watermark is not None:
+        events = events.withWatermark(ts_col, watermark)
+    return (
+        events.groupBy(F.window(ts_col, width, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col(value_col).cast("decimal(18,3)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").cast("long").alias("window_start"), "cnt", "sum_value")
+    )
+
+
+def stream_from_batch_dir(
+    spark,
+    path: str,
+    schema,
+    fmt: str = "parquet",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-source stream over a directory — the standard way to replay
+    batch data as a stream (tests, backfills). ``maxFilesPerTrigger``
+    paces micro-batches."""
+    return (
+        spark.readStream.format(fmt)
+        .schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(path)
+    )
+
+
+def run_to_memory_sink(
+    df: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+    timeout_sec: float = 120.0,
+):
+    """Execute a streaming aggregation to completion against a memory
+    sink and return the terminated query; results are then readable via
+    ``spark.table(query_name)``. availableNow processes everything
+    currently in the source and stops — the batch-equivalence test
+    harness."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return q
+
+
+def sessionize(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stateful sessionization via Spark's native session window
+    (gap-based): (key, session_start, session_end, n_events).
+
+    ``F.session_window`` is the built-in replacement for a custom
+    applyInPandasWithState session operator — state merges happen
+    JVM-side. Works identically on batch DataFrames (no watermark
+    needed there).
+    """
+    if events.isStreaming:
+        events = events.withWatermark(ts_col, watermark)
+    return (
+        events.groupBy(F.session_window(ts_col, gap).alias("w"), key_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -1,0 +1,124 @@
+"""Integration tests for the composed ETL pipeline + catalog DDL
+(SURVEY.md §2.2 D1-D5, §3.1): ingest -> de-identify -> rename -> write
+-> denormalize -> register -> optimize, on FIXTURES-shaped data."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from clinical_data_lake_spark import catalog
+from clinical_data_lake_spark.etl import TableSpec, run_etl
+from clinical_data_lake_spark.etl.pipeline import DenormSpec, ingest_csv_dir
+from clinical_data_lake_spark.io import has_delta
+
+
+@pytest.fixture()
+def sources(spark):
+    patients = spark.createDataFrame(
+        [
+            Row(Id=1, SSN="000-11-2222", FIRST="Ada", ZIP=2139, GENDER="F"),
+            Row(Id=2, SSN=None, FIRST="Bo", ZIP=2140, GENDER="M"),
+        ]
+    )
+    encounters = spark.createDataFrame(
+        [
+            Row(Id=10, PATIENT=1, START="2026-01-01", REASONDESCRIPTION="flu"),
+            Row(Id=11, PATIENT=1, START="2026-02-01", REASONDESCRIPTION="checkup"),
+            Row(Id=12, PATIENT=2, START="2026-01-15", REASONDESCRIPTION="flu"),
+        ]
+    )
+    return {"patients": patients, "encounters": encounters}
+
+
+def test_run_etl_end_to_end(spark, sources, tmp_path):
+    out = str(tmp_path / "lake")
+    specs = [
+        TableSpec("patients", pii_cols=["SSN", "FIRST"],
+                  renames={"Id": "PATIENT"}, zorder_by=["ZIP", "GENDER"]),
+        TableSpec("encounters", renames={"Id": "Enc_Id", "START": "START_TIME"}),
+    ]
+    denorm = DenormSpec(
+        name="patient_encounters", base="encounters",
+        dims=[("patients", ["PATIENT"], True)],
+    )
+    paths = run_etl(spark, sources, specs, out, denorm=denorm,
+                    database="rwd_test", optimize=True)
+
+    assert set(paths) == {"patients", "encounters", "patient_encounters"}
+    for p in paths.values():
+        assert os.path.isdir(p)
+
+    # catalog tables registered and readable (D1-D3)
+    fact = spark.table("rwd_test.patient_encounters")
+    assert fact.count() == 3
+    cols = set(fact.columns)
+    assert {"PATIENT", "Enc_Id", "START_TIME", "SSN"} <= cols
+
+    # PII hashed, nulls pre-filled with the token then hashed
+    pats = {r.PATIENT: r for r in spark.table("rwd_test.patients").collect()}
+    assert len(pats[1].SSN) == 64  # sha2-256 hex
+    assert pats[2].SSN == pats[2].SSN  # deterministic
+    assert pats[1].SSN != "000-11-2222"
+    # null SSN hashed from the literal token -> equals sha of 'null'
+    import hashlib
+
+    assert pats[2].SSN == hashlib.sha256(b"null").hexdigest()
+    # non-PII survives untouched
+    assert pats[1].ZIP == 2139
+
+    # optimize ran the parquet fallback (no delta in this env) and
+    # preserved the data
+    assert spark.read.parquet(paths["patients"]).count() == 2
+
+
+def test_optimize_table_clusters_parquet(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("v")
+    )
+    df.repartition(8).write.parquet(path)
+    catalog.register_external_table(spark, "opt_test", path)
+    mode = catalog.optimize_table(spark, "opt_test", ["k"], location=path)
+    assert mode == ("delta" if has_delta(spark) else "parquet")
+    back = spark.read.parquet(path)
+    assert back.count() == 1000
+    assert back.agg(F.sum("v")).collect()[0][0] == 499500
+    # clustered: each output file covers a narrow k-range -> with
+    # range partitioning no two files should both span all of 0..6
+    files = back.select(F.input_file_name().alias("f"), "k").groupBy("f").agg(
+        F.min("k").alias("lo"), F.max("k").alias("hi")
+    ).collect()
+    assert any(r.lo == r.hi for r in files) or len(files) == 1
+
+
+def test_describe_history_guard(spark):
+    if has_delta(spark):
+        pytest.skip("delta present; guard not applicable")
+    with pytest.raises(RuntimeError, match="delta"):
+        catalog.describe_history(spark, "opt_test")
+
+
+def test_ident_validation_blocks_splicing(spark):
+    with pytest.raises(ValueError):
+        catalog.drop_table(spark, "x; DROP TABLE y")
+    with pytest.raises(ValueError):
+        catalog.create_database(spark, "bad-name")
+
+
+def test_ingest_csv_dir_explicit_schema(spark, tmp_path):
+    import csv
+
+    root = tmp_path / "csv"
+    root.mkdir()
+    with open(root / "patients.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["Id", "ZIP"])
+        w.writerows([[1, 2139], [2, 2140]])
+    dfs = ingest_csv_dir(spark, str(root), {"patients": "Id long, ZIP int"})
+    got = dfs["patients"]
+    assert got.schema.simpleString() == "struct<Id:bigint,ZIP:int>"
+    assert got.count() == 2
