@@ -23,6 +23,13 @@ import time
 _real_stdout = sys.stdout
 sys.stdout = sys.stderr
 
+# driver-memory must be fixed BEFORE the JVM launches (builder configs
+# can't resize an already-started local JVM; the default 1g heap OOMs
+# array-heavy queries at sf0.1)
+os.environ.setdefault(
+    "PYSPARK_SUBMIT_ARGS", "--driver-memory 16g pyspark-shell"
+)
+
 from pyspark.sql import SparkSession  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
@@ -44,11 +51,17 @@ BENCH_QUERIES = [
     "cohort_case_control",
     "topk_conditions",
     "tumble_count",
+    "sessionize",
+    "etl_denorm",
+    "chisq_assoc",
+    "ml_features",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",
+    "embedding_cosine_dup",
     "text_stats",
+    "multimodal_features",
 ]
 
 

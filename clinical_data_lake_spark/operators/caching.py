@@ -1,0 +1,55 @@
+"""Scoped caching (SURVEY.md §2.10 R2).
+
+The reference caches in two places: the reused case/control cohort
+(02-patient-trajectory.py:82 — correct) and inside the per-comorbidity
+feature loop (include/featurise.py:44 — an anti-pattern: N cache levels
+and linear plan growth; our featurizer replaced the loop with one
+select, so that cache disappears entirely).
+
+What remains worth caching is the *reuse point*: a DataFrame referenced
+by 2+ downstream plans. Catalyst does NOT dedupe repeated scans of the
+same lineage — e.g. ``filter_eq_global_agg`` reads its input once for
+the aggregate and once for the join, and ``case_control_cohort`` walks
+the anti-join three times (bounds, bucket counts, rank). At 100 TB
+those re-scans are the cost; a scoped cache trades executor memory for
+them explicitly and — unlike the reference's bare ``.cache()`` —
+guarantees release.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
+
+
+@contextmanager
+def scoped_cache(*dfs: DataFrame, storage: StorageLevel = StorageLevel.MEMORY_AND_DISK):
+    """R2 — cache DataFrames for the duration of a block, always
+    unpersisting on exit (the reference's caches are never released,
+    a lineage/memory leak in long sessions):
+
+        with scoped_cache(cohort) as (cohort,):
+            train, test = cohort.randomSplit(...)
+
+    MEMORY_AND_DISK (not MEMORY_ONLY) so partitions that don't fit
+    spill instead of silently recomputing the whole lineage.
+    """
+    for df in dfs:
+        df.persist(storage)
+    try:
+        yield dfs
+    finally:
+        for df in dfs:
+            df.unpersist()
+
+
+def cache_if(df: DataFrame, reuse_count: int,
+             storage: StorageLevel = StorageLevel.MEMORY_AND_DISK) -> DataFrame:
+    """Cache only when the plan is actually reused (``reuse_count`` >= 2
+    downstream references). Makes the caller's intent auditable: a bare
+    ``.cache()`` on a once-read DataFrame costs memory for nothing."""
+    if reuse_count >= 2:
+        return df.persist(storage)
+    return df

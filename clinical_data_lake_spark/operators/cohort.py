@@ -77,7 +77,12 @@ def case_control_cohort(
 
     n_cases = case_ids.agg(F.count(F.lit(1)).alias("__n__"))
     non_cases = entities.join(case_ids, on=entity_col, how="left_anti")
-    ranked = distributed_rank(non_cases.select(entity_col), entity_col)
+    # the rank walks this lineage three times (bounds, bucket counts,
+    # local rank) — Catalyst does not dedupe the scans. The anti-join
+    # output is one id column, so MEMORY_AND_DISK persistence is cheap
+    # insurance at any scale; Spark evicts LRU if memory is tight.
+    non_cases = non_cases.select(entity_col).persist()
+    ranked = distributed_rank(non_cases, entity_col)
     controls = (
         ranked
         .crossJoin(F.broadcast(n_cases))

@@ -69,14 +69,27 @@ def filter_expr(df: DataFrame, expr: str) -> DataFrame:
     return df.filter(expr)
 
 
-def filter_eq_global_agg(df: DataFrame, col: str, agg: str = "max") -> DataFrame:
+def filter_eq_global_agg(df: DataFrame, col: str, agg: str = "max",
+                         cache_input: bool = False) -> DataFrame:
     """P8 — keep rows where ``col`` equals a global aggregate.
 
     The reference collects the scalar to the driver then re-filters
     (03-work with ML models.py:191-198). Distributed version: aggregate
-    to a 1-row DF and broadcast-join it back — no driver roundtrip, no
-    second job, and the broadcast is free at any scale.
+    to a 1-row DF and broadcast-join it back — no driver roundtrip and
+    the broadcast is free at any scale.
+
+    COST NOTE: ``df`` appears twice in the plan (aggregate + join) and
+    Catalyst does not dedupe the two scans. For a cheap parquet scan
+    that's fine (the aggregate side prunes to one column and both scans
+    push filters); for an expensive upstream lineage pass
+    ``cache_input=True`` (persists MEMORY_AND_DISK; caller unpersists
+    when done, or use ``operators.caching.scoped_cache`` around the
+    whole action).
     """
+    if cache_input:
+        from .caching import cache_if
+
+        df = cache_if(df, reuse_count=2)
     scalar = df.agg(getattr(F, agg)(col).alias("__scalar__"))
     return (
         df.join(F.broadcast(scalar), on=F.col(col) == F.col("__scalar__"), how="inner")
