@@ -1,0 +1,87 @@
+"""Physical-plan shape assertions — the 100 TB design claims, regression
+tested: filters reach the parquet scan, scans prune columns, partial
+aggregation is map-side, small dims broadcast, top-k never global-sorts,
+distributed rank never funnels fact rows through one partition, and no
+row-at-a-time Python UDF appears in any registered query's plan.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from clinical_data_lake_spark import driver_queries as dq
+
+from conftest import SF_ORACLE
+
+
+def _plan(spark, name: str) -> str:
+    df = dq.QUERIES[name](spark, SF_ORACLE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    p = _plan(spark, "filter_like")
+    assert "Contains(lower(p_name" in p  # predicate, not post-filter only
+    assert "DataFilters: [isnotnull(p_name" in p
+
+
+def test_scan_prunes_columns(spark):
+    p = _plan(spark, "scan_lineitem")
+    # 6 selected columns of lineitem's 16 reach the reader schema
+    assert "l_orderkey" in p and "l_shipdate" not in p.split("ReadSchema")[-1]
+
+
+def test_pricing_summary_partial_aggregation_and_pushdown(spark):
+    p = _plan(spark, "pricing_summary")
+    assert "partial_sum" in p  # map-side combine before the shuffle
+    assert "l_shipdate" in p.split("DataFilters")[1].split("]")[0]
+
+
+def test_join_3way_broadcasts_dim(spark):
+    p = _plan(spark, "join_3way")
+    assert "BroadcastHashJoin" in p  # customer dim explicitly broadcast
+
+
+def test_topk_uses_take_ordered(spark):
+    p = _plan(spark, "topk_conditions")
+    assert "TakeOrderedAndProject" in p  # no global sort for limit-k
+
+
+def test_global_min_is_aggregate_not_sort(spark):
+    p = _plan(spark, "global_min")
+    assert "partial_min" in p
+    assert "TakeOrdered" not in p and "Sort " not in p
+
+
+def test_case_control_rank_is_partitioned(spark):
+    """The control-ranking window must be hash-partitioned on the range
+    bucket; the only SinglePartition exchanges allowed are 1-row global
+    aggregates and the <=64-row bucket-count cumsum."""
+    p = _plan(spark, "cohort_case_control")
+    assert "row_number()" in p
+    # the rank window's sort includes the bucket key => partitioned rank
+    assert "__bkt__" in p
+    for frag in p.split("Window ")[1:]:
+        spec = frag.split("\n")[0]
+        if "row_number()" in spec:
+            assert "__bkt__" in spec  # partitionBy(bucket), not global
+
+
+def test_window_features_share_one_exchange(spark):
+    """All rolling features ride one partitionBy(user) shuffle."""
+    p = _plan(spark, "window_range_sum")
+    assert p.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_no_row_at_a_time_python_udf_anywhere(spark):
+    """BatchEvalPython = pickled row-at-a-time UDF — banned. Arrow paths
+    (ArrowEvalPython / mapInPandas) are the only Python allowed."""
+    for name in dq.QUERIES:
+        df = dq.QUERIES[name](spark, SF_ORACLE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, f"{name} uses a row-wise Python UDF"
+
+
+def test_scalar_attach_is_broadcast_nested_loop(spark):
+    p = _plan(spark, "join_cross_scalar")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
