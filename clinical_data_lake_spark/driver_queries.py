@@ -634,6 +634,14 @@ def q_embedding_cosine_dup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-cell approximate top-k (rows-only: recall-trading scale path;
+    exact-degeneration n_probe==n_cells is asserted against brute force
+    in unit tests)."""
+    emb = read_table(spark, sf, "embeddings")
+    return similarity.ivf_topk(emb.filter(F.col("vec_id") < 5), emb, k=10)
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     """LSH-bucketed approximate top-k (rows-only: recall-trading scale
     path; exactness checked against cosine_topk in unit tests)."""
@@ -753,6 +761,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_cosine_dup": q_embedding_cosine_dup,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_features": q_multimodal_features,

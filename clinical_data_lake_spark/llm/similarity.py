@@ -185,6 +185,80 @@ def cosine_dup_pairs_lsh(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: corpus vectors are assigned to their
+    nearest of ``n_cells`` centroid cells; each query probes only its
+    ``n_probe`` nearest cells, so the comparison volume is roughly
+    n_probe/n_cells of brute force and the shuffle key is the cell id.
+
+    Centroids are a deterministic corpus sample: the ``n_cells`` vectors
+    with the smallest xxhash64(id, seed) — a TakeOrdered of a bounded
+    handful of rows, collected to the driver to be baked into the
+    assignment UDF (the one bounded collect in this module; the matrix
+    is n_cells x dim floats regardless of corpus size). Assignment is
+    one numpy matmul per Arrow batch. Recall depends on how well cells
+    capture the data's clustering; raise ``n_probe`` to trade cost for
+    recall (n_probe == n_cells degenerates to exact brute force).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    centroid_rows = (
+        corpus.select(_as_double(vec_col).alias("e"),
+                      F.xxhash64(F.col(id_col), F.lit(seed)).alias("h"))
+        .orderBy("h").limit(n_cells).collect()
+    )
+    centroids = [list(r["e"]) for r in centroid_rows]
+
+    def make_cells_udf(n: int):
+        @pandas_udf("array<int>")
+        def cells(vecs: pd.Series) -> pd.Series:
+            import numpy as np
+
+            cent = np.asarray(centroids, dtype=np.float64)  # closure by value
+            cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+            mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = mat @ cent.T
+            order = np.argsort(-sims, axis=1)[:, :n].astype(np.int32)
+            return pd.Series(list(order))
+
+        return cells
+
+    assign1 = make_cells_udf(1)
+    assign_probe = make_cells_udf(n_probe)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("ce"),
+        l2_norm(_as_double(vec_col)).alias("cn"),
+        F.element_at(assign1(_as_double(vec_col)), 1).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qe"),
+        l2_norm(_as_double(vec_col)).alias("qn"),
+        F.explode(assign_probe(_as_double(vec_col))).alias("cell"),
+    )
+    sim = dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+    pairs = (
+        q.join(c, on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        pairs.select("*", F.row_number().over(w).cast("long").alias("rnk"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def _random_planes(dim: int, bits: int, seed: int) -> list[list[float]]:
     rnd = random.Random(seed)
     return [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]

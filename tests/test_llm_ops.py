@@ -63,6 +63,37 @@ def test_lsh_dup_sims_match_exact_values(spark, planted_embeddings):
     assert lsh == exact  # exact cosine verified on candidates, same rounding
 
 
+def test_ivf_topk_exact_when_probing_all_cells(spark, planted_embeddings):
+    """n_probe == n_cells degenerates to brute force — results must
+    equal the exact cosine top-k."""
+    from clinical_data_lake_spark.llm.similarity import cosine_topk, ivf_topk
+
+    q = planted_embeddings.filter("vec_id < 3")
+    exact = {
+        (r.query_id, r.neighbor_id, r.rnk)
+        for r in cosine_topk(q, planted_embeddings, k=5, round_to=None).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id, r.rnk)
+        for r in ivf_topk(q, planted_embeddings, k=5, n_cells=4, n_probe=4).collect()
+    }
+    assert ivf == exact
+
+
+def test_ivf_topk_partial_probe_finds_planted_dup(spark, planted_embeddings):
+    """Probing a subset of cells must still put each planted near-dup
+    (cosine > 0.99 — lands in the same cell as its source) at rank 1."""
+    from clinical_data_lake_spark.llm.similarity import ivf_topk
+
+    q = planted_embeddings.filter("vec_id < 3")
+    got = {
+        r.query_id: r.neighbor_id
+        for r in ivf_topk(q, planted_embeddings, k=5, n_cells=8, n_probe=2).collect()
+        if r.rnk == 1
+    }
+    assert got == {0: 100, 1: 101, 2: 102}
+
+
 def test_minhash_estimates_track_exact_jaccard(spark):
     """MinHash est_jaccard on near-dup docs should approximate exact
     n-gram Jaccard (also a standing ANSI-overflow regression test —
