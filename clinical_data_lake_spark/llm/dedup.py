@@ -36,6 +36,21 @@ def _normalized(text_col: str) -> F.Column:
     return F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Explode-heavy operators inflate rows ~10-100x downstream of the
+    scan, so scan parallelism has to be right BEFORE the explode: a
+    single small parquet file otherwise pins the shingling and the
+    map-side partial aggregation to one core. No-op when the input
+    already has enough partitions (the 100 TB case — thousands of scan
+    tasks); the repartition only pays off (and only happens) on coarse
+    inputs, where shuffling the raw docs is cheap relative to the
+    exploded work."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact duplicate groups: md5 over normalized text, keep the min id.
 
@@ -59,7 +74,7 @@ def word_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     """
     toks = F.split(_normalized(text_col), " ")
     out = (
-        docs.select(F.col(id_col), toks.alias("t"))
+        _ensure_parallelism(docs).select(F.col(id_col), toks.alias("t"))
         .filter(F.size("t") >= n)
         .select(
             id_col,
@@ -217,7 +232,8 @@ def simhash_docs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     JVM-side. One shuffle on the doc id.
     """
     toks = (
-        docs.select(F.col(id_col), F.explode(F.split(_normalized(text_col), " ")).alias("tok"))
+        _ensure_parallelism(docs)
+        .select(F.col(id_col), F.explode(F.split(_normalized(text_col), " ")).alias("tok"))
         .withColumn("h", F.xxhash64("tok"))
     )
     votes = [
