@@ -267,6 +267,16 @@ def q_agg_rollup(spark: SparkSession, sf: str) -> DataFrame:
     return agg.rollup_count(read_table(spark, sf, "lineitem"), ["l_returnflag", "l_linestatus"])
 
 
+def q_agg_salted(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-resistant two-phase group-count: identical result to a plain
+    group-count (the oracle proves it), but a hot key spreads over
+    salt_buckets reducers before the final re-agg — the mitigation for
+    aggregation skew AQE doesn't handle (AQE splits skewed joins only)."""
+    return agg.salted_group_count(
+        read_table(spark, sf, "lineitem"), ["l_returnflag"], salt_buckets=16, alias="cnt"
+    )
+
+
 def q_agg_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
     """Extension — HLL++ distinct estimate with a tolerance-style oracle:
     the sketch itself is engine-specific, so the checkable contract is
@@ -731,6 +741,7 @@ QUERIES = {
     "dedup_subset": q_dedup_subset,
     "agg_cube": q_agg_cube,
     "agg_rollup": q_agg_rollup,
+    "agg_salted": q_agg_salted,
     "agg_approx_distinct": q_agg_approx_distinct,
     "pricing_summary": q_pricing_summary,
     "topk_conditions": q_topk_conditions,
@@ -887,6 +898,7 @@ ORACLES = {
         SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
+    "agg_salted": "SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY l_returnflag",
     "agg_approx_distinct": """
         SELECT count(DISTINCT l_partkey) AS exact_nd, 1 AS within_tol FROM lineitem
     """,

@@ -1,0 +1,49 @@
+"""Bucketed co-located joins: both sides pre-shuffled on the join key
+=> the join plan has NO shuffle exchange."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clinical_data_lake_spark import catalog
+from clinical_data_lake_spark.operators.bucketing import (
+    join_bucketed,
+    write_bucketed_table,
+)
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, tmp_path_factory):
+    loc = str(tmp_path_factory.mktemp("bucketdb"))
+    catalog.create_database(spark, "bucketdb", location=loc)
+    facts = spark.range(0, 20000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    dims = spark.range(0, 5000).select(
+        F.col("id").alias("k"), F.concat(F.lit("n"), F.col("id")).alias("name")
+    )
+    write_bucketed_table(facts, "bucketdb.facts", ["k"], 8, sort_cols=["k"])
+    write_bucketed_table(dims, "bucketdb.dims", ["k"], 8, sort_cols=["k"])
+    return "bucketdb.facts", "bucketdb.dims"
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
+    left, right = bucketed_tables
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = join_bucketed(spark, left, right, ["k"])
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # co-located: no shuffle
+        assert j.count() == 5000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_join_values_correct(spark, bucketed_tables):
+    left, right = bucketed_tables
+    j = join_bucketed(spark, left, right, ["k"])
+    row = j.filter("k = 42").collect()[0]
+    assert row.v == 84 and row.name == "n42"
