@@ -106,6 +106,43 @@ def run_to_memory_sink(
     return q
 
 
+def running_user_counts(
+    events: DataFrame,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-key
+    running event count, one updated row emitted per key per
+    micro-batch — the template for stateful logic Spark's built-in
+    windows can't express (per-entity accumulators, custom eviction,
+    model state).
+
+    State = one long per key (bounded: #distinct keys, not #events);
+    batches arrive as Arrow-backed pandas frames, so per-batch work is
+    vectorized. The update closure is self-contained (no module refs)
+    so it pickles cleanly to executor Python workers.
+
+    Batch equivalence: the LAST emitted row per key equals the batch
+    ``groupBy(key).count()`` — asserted in tests/test_streaming.py.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = f"{key_col} long, n_events long"
+    state_schema = "n long"
+
+    def update(key, pdfs, state):
+        import pandas as _pd
+
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield _pd.DataFrame({key_col: [key[0]], "n_events": [n]})
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def sessionize(
     events: DataFrame,
     ts_col: str = "ts",

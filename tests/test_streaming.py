@@ -72,6 +72,27 @@ def test_streaming_sessionize_equals_batch(spark, events_stream_setup):
     assert _sorted_rows(got, cols) == _sorted_rows(batch, cols)
 
 
+def test_stateful_running_counts_converge_to_batch(spark, events_stream_setup):
+    """applyInPandasWithState: state accumulates across micro-batches
+    (4 files -> multiple batches); the last update per key must equal
+    the batch group-count."""
+    ev, root, schema = events_stream_setup
+    stream = se.running_user_counts(se.stream_from_batch_dir(spark, root, schema))
+    se.run_to_memory_sink(stream, "running_test", output_mode="update")
+    got = (
+        spark.table("running_test")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))  # last update = max (monotone)
+    )
+    want = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    cols = ["user_id", "n_events"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+    # multiple batches actually exercised incremental state
+    n_updates = spark.table("running_test").count()
+    n_keys = want.count()
+    assert n_updates >= n_keys
+
+
 def test_watermark_bounds_state(spark, events_stream_setup):
     """The watermark must actually be attached (state eviction at scale
     depends on it) — check the analyzed plan carries the event-time
