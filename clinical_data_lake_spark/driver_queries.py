@@ -698,6 +698,11 @@ def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_tfidf(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-(doc, term) smoothed TF-IDF over documents (min_df=2)."""
+    return text.tfidf_terms(read_table(spark, sf, "documents"), min_df=2)
+
+
 def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     """Marker-word language-ID heuristic vs the labeled lang column."""
     d = read_table(spark, sf, "documents")
@@ -777,6 +782,7 @@ QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_features": q_multimodal_features,
     "text_stats": q_text_stats,
+    "tfidf": q_tfidf,
     "lang_id": q_lang_id,
     "doc_quality": q_doc_quality,
 }
@@ -1208,6 +1214,27 @@ ORACLES = {
                     w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_bpe_tokens,
                substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 16) AS fp
         FROM documents
+    """,
+    "tfidf": """
+        WITH toks AS (
+            SELECT doc_id, t.term
+            FROM (
+                SELECT doc_id,
+                       string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+                FROM documents
+            ), UNNEST(w) AS t(term)
+            WHERE t.term != ''
+        ),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        dfreq AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY 1 HAVING count(*) >= 2
+        ),
+        n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+               round(CAST(tf.tf AS DOUBLE)
+                     * (ln((CAST(n.n_docs AS DOUBLE) + 1) / (CAST(dfreq.df AS DOUBLE) + 1)) + 1),
+                     6) AS tfidf
+        FROM tf JOIN dfreq USING (term), n
     """,
     "lang_id": """
         WITH scores AS (

@@ -92,3 +92,40 @@ def fingerprint(text: str | Column, length: int = 16) -> Column:
     enough for near-dedup blocking; stable across engines."""
     norm = F.regexp_replace(F.lower(F.trim(_col(text))), r"\s+", " ")
     return F.substring(F.md5(norm), 1, length)
+
+
+def tfidf_terms(docs, id_col: str = "doc_id", text_col: str = "text",
+                min_df: int = 1, round_to: int | None = 6):
+    """Per-(doc, term) TF-IDF weights: (id, term, tf, df, tfidf).
+
+    tfidf = tf * (ln((N+1)/(df+1)) + 1) — the smoothed-idf formulation
+    (no zero weights, no div-by-zero on unseen terms). Plan shape: one
+    explode + two hash aggregations (term frequencies, then document
+    frequencies over the already-distinct (doc, term) pairs) + a join
+    on term + a broadcast 1-row N — the corpus is scanned once and the
+    term join key is bounded by vocabulary size, not corpus size.
+    ``min_df`` drops hapax/noise terms (and bounds the join fan-in at
+    scale the way max_doc_freq bounds dedup). Weights rounded to
+    ``round_to`` decimals so results are engine-comparable.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    toks = (
+        docs.select(F.col(id_col), F.explode(F.split(norm, " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if min_df > 1:
+        dfreq = dfreq.filter(F.col("df") >= min_df)
+    n_docs = docs.agg(F.count_distinct(F.col(id_col)).alias("__n__"))
+    w = (
+        F.col("tf").cast("double")
+        * (F.log((F.col("__n__").cast("double") + 1) / (F.col("df").cast("double") + 1)) + 1)
+    )
+    if round_to is not None:
+        w = F.round(w, round_to)
+    return (
+        tf.join(dfreq, on="term")
+        .join(F.broadcast(n_docs), how="cross")
+        .select(F.col(id_col), "term", "tf", "df", w.alias("tfidf"))
+    )
