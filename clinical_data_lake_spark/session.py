@@ -33,6 +33,41 @@ _SCALE_DEFAULTS: dict[str, str] = {
 }
 
 
+def recommended_cluster_conf(
+    total_cores: int,
+    executor_mem_gb: int = 32,
+    target_partition_mb: int = 128,
+) -> dict[str, str]:
+    """Config recipe for a real multi-executor deployment of this
+    engine (the local factory below scales these down automatically).
+
+    Sizing rationale, per knob:
+    - shuffle partitions = 3x total cores: enough granularity for AQE
+      to coalesce down (cheap) while avoiding too-few-partitions spills
+      (expensive to recover); at 1000 executors x 4 cores this is
+      12,000 initial partitions.
+    - maxPartitionBytes: scan-task size; 128 MiB keeps a task's columns
+      + decompression well inside a 2-4 GiB-per-core executor.
+    - autoBroadcastJoinThreshold 64 MiB: dims (nation/region/customer-
+      class) broadcast; fact-to-fact joins shuffle or use bucketed
+      tables (operators/bucketing.py).
+    - AQE on with skew-join splitting: runtime re-plan beats static
+      guesses at every scale; skewed AGGREGATION keys need explicit
+      salting (operators/aggregates.salted_group_count) — AQE does not
+      split those.
+    """
+    return dict(
+        _SCALE_DEFAULTS,
+        **{
+            "spark.sql.shuffle.partitions": str(3 * total_cores),
+            "spark.sql.files.maxPartitionBytes": str(target_partition_mb * 1024 * 1024),
+            "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+            "spark.executor.memory": f"{executor_mem_gb}g",
+            "spark.memory.fraction": "0.6",
+        },
+    )
+
+
 def get_spark(
     app_name: str = "clinical-data-lake-spark",
     master: str | None = None,

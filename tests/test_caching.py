@@ -24,6 +24,16 @@ def test_scoped_cache_releases_on_error(spark):
     assert not df.storageLevel.useMemory
 
 
+def test_recommended_cluster_conf_scales_with_cores():
+    from clinical_data_lake_spark.session import recommended_cluster_conf
+
+    conf = recommended_cluster_conf(total_cores=4000, executor_mem_gb=64)
+    assert conf["spark.sql.shuffle.partitions"] == "12000"
+    assert conf["spark.executor.memory"] == "64g"
+    assert conf["spark.sql.adaptive.enabled"] == "true"
+    assert int(conf["spark.sql.files.maxPartitionBytes"]) == 128 * 1024 * 1024
+
+
 def test_cache_if_thresholds(spark):
     once = cache_if(spark.range(5), reuse_count=1)
     assert not once.storageLevel.useMemory

@@ -126,6 +126,51 @@ def test_minhash_signature_values_in_31bit_range(spark):
     assert all(0 <= v < (1 << 31) for v in sig)
 
 
+def test_salted_group_count_equals_plain_on_skew(spark):
+    """90% of rows share one key — the salted two-phase plan must still
+    produce exactly the plain group-count."""
+    from clinical_data_lake_spark.operators.aggregates import (
+        group_count,
+        salted_group_count,
+    )
+
+    df = spark.range(0, 10000).selectExpr(
+        "CASE WHEN id % 10 < 9 THEN 'hot' ELSE concat('k', id % 7) END AS k"
+    )
+    plain = {(r.k, r.cnt) for r in group_count(df, ["k"]).collect()}
+    salted = {(r.k, r.cnt) for r in salted_group_count(df, ["k"], salt_buckets=8).collect()}
+    assert salted == plain
+    assert ("hot", 9000) in plain
+
+
+def test_text_functions_null_and_empty_safe(spark):
+    """Null/empty text must flow through every text op without ANSI
+    errors and with sane outputs."""
+    from pyspark.sql import Row
+
+    from clinical_data_lake_spark.functions import text as T
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=None), Row(doc_id=2, text=""), Row(doc_id=3, text="   ")],
+        schema="doc_id long, text string",
+    )
+    out = df.select(
+        "doc_id",
+        T.token_count("text").alias("nt"),
+        T.bpe_ish_token_count("text").alias("nb"),
+        T.quality_score("text").alias("q"),
+        T.lang_id("text").alias("lang"),
+        T.fingerprint("text").alias("fp"),
+    ).collect()
+    rows = {r.doc_id: r for r in out}
+    assert rows[1].nt is None and rows[1].lang == "und" and rows[1].fp is None
+    assert rows[2].q == 0.0 or rows[2].q is not None
+    assert rows[3].lang == "und"
+    # tfidf: null/empty docs simply contribute no terms
+    got = T.tfidf_terms(df).collect()
+    assert got == []
+
+
 def test_ngram_max_doc_freq_cap_drops_hot_shingles(spark):
     """A shingle present in every doc is a stop-shingle: with the cap
     below the corpus size it must not generate candidate pairs."""
