@@ -710,10 +710,12 @@ def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_doc_quality(spark: SparkSession, sf: str) -> DataFrame:
-    """Length/punctuation-ratio quality score (rows-only: float formula
-    replicated in tests, not oracle SQL)."""
+    """Length/punctuation-ratio quality score, rounded so the pure-
+    arithmetic formula is oracle-checkable across engines."""
     d = read_table(spark, sf, "documents")
-    return d.select("doc_id", text.quality_score("text").alias("quality"))
+    return d.select(
+        "doc_id", F.round(text.quality_score("text"), 6).alias("quality")
+    )
 
 
 QUERIES = {
@@ -1235,6 +1237,24 @@ ORACLES = {
                      * (ln((CAST(n.n_docs AS DOUBLE) + 1) / (CAST(dfreq.df AS DOUBLE) + 1)) + 1),
                      6) AS tfidf
         FROM tf JOIN dfreq USING (term), n
+    """,
+    "doc_quality": """
+        WITH m AS (
+            SELECT doc_id,
+                   CAST(length(text) AS DOUBLE) AS n_chars,
+                   CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS n_tok,
+                   CAST(length(text) - length(regexp_replace(text, '[^A-Za-z\\s]', '', 'g'))
+                        AS DOUBLE) AS non_alpha
+            FROM documents
+        )
+        SELECT doc_id,
+               round(
+                   least(greatest(
+                       (CASE WHEN n_tok > 0 THEN n_chars / n_tok ELSE 0.0 END / 8.0)
+                       * (1.0 - CASE WHEN n_chars > 0 THEN non_alpha / n_chars ELSE 1.0 END),
+                       0.0), 1.0),
+                   6) AS quality
+        FROM m
     """,
     "lang_id": """
         WITH scores AS (
