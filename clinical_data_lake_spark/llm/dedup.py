@@ -190,9 +190,12 @@ def minhash_lsh_pairs(
     """
     rows = num_hashes // bands
     sig = minhash_signatures(docs, id_col, text_col, n, num_hashes, seed)
+    # band join on bare (id, band, band_hash) rows — signatures are NOT
+    # carried through the join/dedup: a hot band bucket would shuffle
+    # |bucket|^2 signature copies. Candidates dedup as id pairs, then
+    # the signatures join back once per unique pair.
     banded = sig.select(
         id_col,
-        "signature",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -203,24 +206,25 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("bb"),
-    ).select(id_col, "signature", "bb.band", "bb.band_hash")
-    a = banded.select(
-        F.col(id_col).alias("doc_a"), F.col("signature").alias("sig_a"), "band", "band_hash"
-    )
-    b = banded.select(
-        F.col(id_col).alias("doc_b"), F.col("signature").alias("sig_b"), "band", "band_hash"
-    )
+    ).select(id_col, "bb.band", "bb.band_hash")
     cand = (
-        a.join(b, on=["band", "band_hash"])
+        banded.select(F.col(id_col).alias("doc_a"), "band", "band_hash")
+        .join(banded.select(F.col(id_col).alias("doc_b"), "band", "band_hash"),
+              on=["band", "band_hash"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sa = sig.select(F.col(id_col).alias("doc_a"), F.col("signature").alias("sig_a"))
+    sb = sig.select(F.col(id_col).alias("doc_b"), F.col("signature").alias("sig_b"))
     match_frac = (
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
         / F.lit(num_hashes)
     )
-    return cand.select("doc_a", "doc_b", match_frac.alias("est_jaccard"))
+    return (
+        cand.join(sa, on="doc_a").join(sb, on="doc_b")
+        .select("doc_a", "doc_b", match_frac.alias("est_jaccard"))
+    )
 
 
 def simhash_docs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
