@@ -1052,15 +1052,20 @@ ORACLES = {
             FROM flags
         )
         SELECT n_11, n_10, n_01, n_00,
-               (CAST(n_11 + n_10 + n_01 + n_00 AS DOUBLE)
-                * abs(CAST(n_11 AS DOUBLE) * CAST(n_00 AS DOUBLE)
-                      - CAST(n_10 AS DOUBLE) * CAST(n_01 AS DOUBLE))
-                * abs(CAST(n_11 AS DOUBLE) * CAST(n_00 AS DOUBLE)
-                      - CAST(n_10 AS DOUBLE) * CAST(n_01 AS DOUBLE)))
-               / ((CAST(n_11 AS DOUBLE) + CAST(n_10 AS DOUBLE))
-                  * (CAST(n_01 AS DOUBLE) + CAST(n_00 AS DOUBLE))
-                  * (CAST(n_11 AS DOUBLE) + CAST(n_01 AS DOUBLE))
-                  * (CAST(n_10 AS DOUBLE) + CAST(n_00 AS DOUBLE))) AS chi2
+               CASE WHEN (CAST(n_11 AS DOUBLE) + CAST(n_10 AS DOUBLE))
+                         * (CAST(n_01 AS DOUBLE) + CAST(n_00 AS DOUBLE))
+                         * (CAST(n_11 AS DOUBLE) + CAST(n_01 AS DOUBLE))
+                         * (CAST(n_10 AS DOUBLE) + CAST(n_00 AS DOUBLE)) > 0
+               THEN (CAST(n_11 + n_10 + n_01 + n_00 AS DOUBLE)
+                     * abs(CAST(n_11 AS DOUBLE) * CAST(n_00 AS DOUBLE)
+                           - CAST(n_10 AS DOUBLE) * CAST(n_01 AS DOUBLE))
+                     * abs(CAST(n_11 AS DOUBLE) * CAST(n_00 AS DOUBLE)
+                           - CAST(n_10 AS DOUBLE) * CAST(n_01 AS DOUBLE)))
+                    / ((CAST(n_11 AS DOUBLE) + CAST(n_10 AS DOUBLE))
+                       * (CAST(n_01 AS DOUBLE) + CAST(n_00 AS DOUBLE))
+                       * (CAST(n_11 AS DOUBLE) + CAST(n_01 AS DOUBLE))
+                       * (CAST(n_10 AS DOUBLE) + CAST(n_00 AS DOUBLE)))
+               ELSE 0.0 END AS chi2
         FROM cells
     """,
     "ml_string_index": """

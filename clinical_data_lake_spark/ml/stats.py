@@ -76,7 +76,11 @@ def chisq_2x2(
     diff = F.abs(a * d - b * c)
     if yates:
         diff = F.greatest(diff - n / 2, F.lit(0.0))
-    chi2 = (n * diff * diff) / ((a + b) * (c + d) * (a + c) * (b + d))
+    denom = (a + b) * (c + d) * (a + c) * (b + d)
+    # a zero marginal (a flag constant across all entities) makes the
+    # table degenerate: no variation to associate => chi2 = 0. The
+    # guard also keeps the expression ANSI-safe (no divide-by-zero).
+    chi2 = F.when(denom > 0, (n * diff * diff) / denom).otherwise(F.lit(0.0))
     return cells.select("n_11", "n_10", "n_01", "n_00", chi2.alias("chi2"))
 
 

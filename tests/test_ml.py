@@ -84,6 +84,20 @@ def test_chisq_2x2_matches_closed_form(spark):
     assert stats.pvalue_1dof(0.0) == pytest.approx(1.0)
 
 
+def test_chisq_2x2_degenerate_marginal_is_zero(spark):
+    """A flag constant across all entities (zero marginal) must yield
+    chi2 = 0, not an ANSI divide-by-zero (regression: found by the
+    end-to-end workflow test at sf0.001 where every user had the
+    b-flag)."""
+    rows = [Row(entity=i, fa=i % 2, fb=1) for i in range(20)]
+    e = spark.createDataFrame(rows)
+    got = stats.chisq_2x2(
+        e, "entity", e.filter("fa=1").select("entity"), e.select("entity")
+    ).collect()[0]
+    assert got.n_10 == 0 and got.n_00 == 0  # nobody lacks flag b
+    assert got.chi2 == 0.0
+
+
 def test_chisq_association_vector_form(spark, labeled_df):
     # discretize x1 so ChiSquareTest sees categorical-ish features
     df = labeled_df.select(
