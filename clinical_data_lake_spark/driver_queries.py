@@ -608,6 +608,12 @@ def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.exact_dedup_groups(read_table(spark, sf, "documents"))
 
 
+def q_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonical-document selection: per exact-dup group keep the
+    highest-quality row (rounded score, id tie-break)."""
+    return dedup.dedup_keep_best(read_table(spark, sf, "documents"))
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs (inverted shingle index).
     ``max_doc_freq`` caps the per-shingle join fan-out — the knob that
@@ -774,6 +780,7 @@ QUERIES = {
     "slide_agg": q_slide_agg,
     "sessionize": q_sessionize,
     "dedup_exact": q_dedup_exact,
+    "dedup_keep_best": q_dedup_keep_best,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
@@ -1146,6 +1153,33 @@ ORACLES = {
                min(doc_id) AS keep_id, count(*) AS n_copies
         FROM documents
         GROUP BY 1
+    """,
+    "dedup_keep_best": """
+        WITH m AS (
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS text_hash,
+                   CAST(length(text) AS DOUBLE) AS n_chars,
+                   CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS n_tok,
+                   CAST(length(text) - length(regexp_replace(text, '[^A-Za-z\\s]', '', 'g'))
+                        AS DOUBLE) AS non_alpha
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id, text_hash,
+                   round(
+                       least(greatest(
+                           (CASE WHEN n_tok > 0 THEN n_chars / n_tok ELSE 0.0 END / 8.0)
+                           * (1.0 - CASE WHEN n_chars > 0 THEN non_alpha / n_chars ELSE 1.0 END),
+                           0.0), 1.0),
+                       6) AS quality
+            FROM m
+        )
+        SELECT doc_id, text_hash, quality FROM (
+            SELECT doc_id, text_hash, quality,
+                   row_number() OVER (
+                       PARTITION BY text_hash ORDER BY quality DESC, doc_id) AS rn
+            FROM scored
+        ) WHERE rn = 1
     """,
     "dedup_ngram_jaccard": """
         WITH toks AS (

@@ -65,6 +65,40 @@ def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     )
 
 
+def dedup_keep_best(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_col: F.Column | None = None,
+) -> DataFrame:
+    """Exact dedup that keeps the BEST row per duplicate group, not an
+    arbitrary one: group by normalized-text fingerprint, rank by a
+    quality score (rounded, ties broken by id), keep rank 1 — the
+    standard 'canonical document selection' step of a training-data
+    pipeline. Returns (id, text_hash, quality).
+
+    One shuffle on the 128-bit fingerprint; the rank window is
+    partitioned by it, so group size bounds the task, never corpus
+    size. ``quality_col`` defaults to ``functions.text.quality_score``.
+    """
+    from ..functions.text import quality_score
+
+    q = quality_col if quality_col is not None else quality_score(text_col)
+    scored = docs.select(
+        F.col(id_col),
+        F.md5(_normalized(text_col)).alias("text_hash"),
+        F.round(q, 6).alias("quality"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("text_hash").orderBy(F.desc("quality"), F.asc(id_col))
+    return (
+        scored.select("*", F.row_number().over(w).alias("__rn__"))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+
+
 def word_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                   n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).
