@@ -267,6 +267,17 @@ def q_agg_rollup(spark: SparkSession, sf: str) -> DataFrame:
     return agg.rollup_count(read_table(spark, sf, "lineitem"), ["l_returnflag", "l_linestatus"])
 
 
+def q_agg_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Extension — pivoted counts (order status per customer segment),
+    explicit value list for a deterministic schema."""
+    o = read_table(spark, sf, "orders")
+    c = read_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    j = o.select(F.col("o_custkey").alias("c_custkey"), "o_orderstatus").join(
+        F.broadcast(c), on="c_custkey"
+    )
+    return agg.pivot_counts(j, "c_mktsegment", "o_orderstatus", ["O", "F", "P"])
+
+
 def q_agg_salted(spark: SparkSession, sf: str) -> DataFrame:
     """Skew-resistant two-phase group-count: identical result to a plain
     group-count (the oracle proves it), but a hot key spreads over
@@ -754,6 +765,7 @@ QUERIES = {
     "dedup_subset": q_dedup_subset,
     "agg_cube": q_agg_cube,
     "agg_rollup": q_agg_rollup,
+    "agg_pivot": q_agg_pivot,
     "agg_salted": q_agg_salted,
     "agg_approx_distinct": q_agg_approx_distinct,
     "pricing_summary": q_pricing_summary,
@@ -912,6 +924,14 @@ ORACLES = {
     "agg_rollup": """
         SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "agg_pivot": """
+        SELECT c_mktsegment,
+               count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+               count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
     """,
     "agg_salted": "SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY l_returnflag",
     "agg_approx_distinct": """

@@ -96,6 +96,23 @@ def approx_distinct(df: DataFrame, col: str, rsd: float = 0.05,
     return df.agg(F.approx_count_distinct(col, rsd).alias(alias))
 
 
+def pivot_counts(
+    df: DataFrame,
+    key: str,
+    pivot_col: str,
+    values: Sequence[str],
+    fill: int = 0,
+) -> DataFrame:
+    """Extension — wide-format group counts: one row per ``key``, one
+    column per pivot value. ``values`` is REQUIRED: with an explicit
+    value list Spark skips the extra distinct-discovery job and the
+    output schema is deterministic (the unlisted long tail is dropped —
+    at scale an unbounded pivot is a schema explosion). Empty cells
+    fill with ``fill`` so downstream arithmetic is null-safe."""
+    out = df.groupBy(key).pivot(pivot_col, list(values)).count()
+    return out.na.fill(fill, subset=list(values))
+
+
 def salted_group_count(df: DataFrame, keys: Sequence[str], salt_buckets: int = 16,
                        alias: str = "cnt") -> DataFrame:
     """Skew-resistant two-phase group-count: add a random salt to spread a
