@@ -217,6 +217,25 @@ def q_join_semi(spark: SparkSession, sf: str) -> DataFrame:
     return joins.semi_join(c, urgent_ids, ["c_custkey"])
 
 
+def q_join_asof(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join (custom operator — Spark has no native one): each
+    event picks up the user's latest order at-or-before the event time.
+    Orders are rank-deduped to one per (custkey, date) first, per the
+    operator's uniqueness contract. Oracle = DuckDB's native ASOF
+    LEFT JOIN."""
+    ev = read_table(spark, sf, "events").select("event_id", "user_id", "ts")
+    o = read_table(spark, sf, "orders")
+    latest_per_day = windows.top_per_group(
+        o.select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"),
+        ["o_custkey", "o_orderdate"], [F.desc("o_orderkey")], n=1,
+    ).drop("rn")
+    return joins.asof_join(
+        ev, latest_per_day.withColumnRenamed("o_custkey", "user_id"),
+        key="user_id", left_ts="ts", right_ts="o_orderdate",
+        right_value_cols=["o_orderkey", "o_totalprice"],
+    ).select("event_id", "user_id", "o_orderkey", "o_totalprice")
+
+
 def q_join_cross_scalar(spark: SparkSession, sf: str) -> DataFrame:
     """J5/F4 — broadcast 1-row global min attached to every row, day
     index via datediff (include/featurise.py:33-35)."""
@@ -757,6 +776,7 @@ QUERIES = {
     "join_left": q_join_left,
     "join_anti": q_join_anti,
     "join_semi": q_join_semi,
+    "join_asof": q_join_asof,
     "join_cross_scalar": q_join_cross_scalar,
     "agg_groupcount": q_agg_groupcount,
     "agg_multikey": q_agg_multikey,
@@ -899,6 +919,20 @@ ORACLES = {
             SELECT 1 FROM orders o
             WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority LIKE '%URGENT%'
         )
+    """,
+    "join_asof": """
+        WITH ranked AS (
+            SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY o_custkey, o_orderdate
+                       ORDER BY o_orderkey DESC) AS rn
+            FROM orders
+        ),
+        latest AS (SELECT * FROM ranked WHERE rn = 1)
+        SELECT e.event_id, e.user_id, latest.o_orderkey, latest.o_totalprice
+        FROM events e
+        ASOF LEFT JOIN latest
+          ON e.user_id = latest.o_custkey AND e.ts >= latest.o_orderdate
     """,
     "join_cross_scalar": """
         SELECT o_orderkey,

@@ -69,6 +69,71 @@ def semi_join(left: DataFrame, right: DataFrame, cond: Column | Sequence[str]) -
     return left.join(right, on=on, how="left_semi")
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: Sequence[str],
+) -> DataFrame:
+    """As-of join: each left row picks up the LATEST right row of the
+    same key with ``right_ts <= left_ts`` (inclusive). Spark has no
+    native operator; this is the composition form:
+
+        tag both sides -> union -> per-key window sorted by
+        (ts, side) -> last(ignorenulls) carries the most recent right
+        values forward -> keep left rows.
+
+    One shuffle on the key, one sort — the same cost as a sort-merge
+    join, with no range-condition explosion (a naive
+    ``left.join(right, ts_r <= ts_l)`` is O(|matches|) per key pair and
+    degenerates to cross-join-per-key at scale). Right rows sort BEFORE
+    left rows at equal timestamps, giving the inclusive <= semantic.
+
+    CALLER CONTRACT: ``right`` must be unique per (key, right_ts) —
+    pre-aggregate or rank-dedupe ties first, else "latest" is
+    ill-defined (and engines disagree). Left rows with no prior right
+    row emit nulls.
+    """
+    from pyspark.sql import Window
+
+    lcols = left.columns
+    l_tagged = left.select(
+        F.col(key).alias("__k__"),
+        F.col(left_ts).cast("timestamp").alias("__ts__"),
+        F.lit(1).alias("__side__"),
+        F.struct(*lcols).alias("__lrow__"),
+        F.lit(None).cast(
+            "struct<" + ", ".join(
+                f"{c}: {right.schema[c].dataType.simpleString()}" for c in right_value_cols
+            ) + ">"
+        ).alias("__rval__"),
+    )
+    r_tagged = right.select(
+        F.col(key).alias("__k__"),
+        F.col(right_ts).cast("timestamp").alias("__ts__"),
+        F.lit(0).alias("__side__"),
+        F.lit(None).cast(l_tagged.schema["__lrow__"].dataType.simpleString()).alias("__lrow__"),
+        F.struct(*right_value_cols).alias("__rval__"),
+    )
+    u = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy("__k__")
+        .orderBy("__ts__", "__side__")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        "__side__", "__lrow__",
+        F.last("__rval__", ignorenulls=True).over(w).alias("__rmatch__"),
+    )
+    out = carried.filter(F.col("__side__") == 1).select(
+        *[F.col(f"__lrow__.{c}").alias(c) for c in lcols],
+        *[F.col(f"__rmatch__.{c}").alias(c) for c in right_value_cols],
+    )
+    return out
+
+
 def with_global_scalar(df: DataFrame, scalar_df: DataFrame) -> DataFrame:
     """J5 — attach a 1-row aggregate to every row
     (include/featurise.py:33 crossJoin of the global min date).

@@ -126,6 +126,30 @@ def test_minhash_signature_values_in_31bit_range(spark):
     assert all(0 <= v < (1 << 31) for v in sig)
 
 
+def test_asof_join_semantics(spark):
+    """Inclusive <= match, latest-wins, null for no-prior-row."""
+    import datetime
+
+    from clinical_data_lake_spark.operators.joins import asof_join
+
+    t = lambda d: datetime.datetime(2026, 1, d)  # noqa: E731
+    left = spark.createDataFrame(
+        [Row(eid=1, k=1, ts=t(5)), Row(eid=2, k=1, ts=t(10)),
+         Row(eid=3, k=1, ts=t(2)), Row(eid=4, k=2, ts=t(5))],
+    )
+    right = spark.createDataFrame(
+        [Row(k=1, rts=t(3), val=30), Row(k=1, rts=t(10), val=100),
+         Row(k=3, rts=t(1), val=1)],
+    )
+    out = {r.eid: r.val for r in asof_join(
+        left, right, key="k", left_ts="ts", right_ts="rts", right_value_cols=["val"]
+    ).collect()}
+    assert out[1] == 30  # latest at-or-before Jan 5 is Jan 3
+    assert out[2] == 100  # equal timestamp matches (inclusive)
+    assert out[3] is None  # no right row at-or-before Jan 2
+    assert out[4] is None  # key has no right rows at all
+
+
 def test_salted_group_count_equals_plain_on_skew(spark):
     """90% of rows share one key — the salted two-phase plan must still
     produce exactly the plain group-count."""
