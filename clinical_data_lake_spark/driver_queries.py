@@ -236,6 +236,21 @@ def q_join_asof(spark: SparkSession, sf: str) -> DataFrame:
     ).select("event_id", "user_id", "o_orderkey", "o_totalprice")
 
 
+def q_join_range(spark: SparkSession, sf: str) -> DataFrame:
+    """Binned range join (custom operator): events whose value falls in
+    a +-5 band around each supplier's scaled account balance. The
+    bucket equi-join replaces the nested-loop plan Spark would pick for
+    a raw BETWEEN condition."""
+    ev = read_table(spark, sf, "events").select("event_id", "value")
+    s = read_table(spark, sf, "supplier").select(
+        "s_suppkey",
+        (F.col("s_acctbal") / 100 - 5).alias("lo"),
+        (F.col("s_acctbal") / 100 + 5).alias("hi"),
+    )
+    out = joins.range_join(ev, s, "value", "lo", "hi", bucket_width=10.0)
+    return out.select("event_id", "s_suppkey")
+
+
 def q_join_cross_scalar(spark: SparkSession, sf: str) -> DataFrame:
     """J5/F4 — broadcast 1-row global min attached to every row, day
     index via datediff (include/featurise.py:33-35)."""
@@ -777,6 +792,7 @@ QUERIES = {
     "join_anti": q_join_anti,
     "join_semi": q_join_semi,
     "join_asof": q_join_asof,
+    "join_range": q_join_range,
     "join_cross_scalar": q_join_cross_scalar,
     "agg_groupcount": q_agg_groupcount,
     "agg_multikey": q_agg_multikey,
@@ -933,6 +949,13 @@ ORACLES = {
         FROM events e
         ASOF LEFT JOIN latest
           ON e.user_id = latest.o_custkey AND e.ts >= latest.o_orderdate
+    """,
+    "join_range": """
+        SELECT e.event_id, s.s_suppkey
+        FROM events e
+        JOIN supplier s
+          ON e.value >= s.s_acctbal / 100 - 5
+         AND e.value <= s.s_acctbal / 100 + 5
     """,
     "join_cross_scalar": """
         SELECT o_orderkey,

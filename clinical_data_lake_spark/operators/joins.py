@@ -134,6 +134,49 @@ def asof_join(
     return out
 
 
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Point-in-interval join (custom operator): rows of ``points``
+    matched to every interval containing them.
+
+    Spark plans a naive ``p BETWEEN s AND e`` join as a broadcast
+    nested loop — O(|points| x |intervals|) at any scale. Binned
+    restatement: each point lands in exactly ONE width-``bucket_width``
+    bucket; each interval explodes to every bucket it overlaps; an
+    equi-join on the bucket id + the exact containment filter gives the
+    same pairs with a hash-shuffle plan. No dedup needed — a (point,
+    interval) pair can only meet in the point's single bucket.
+
+    Pick ``bucket_width`` near the typical interval length: each
+    interval then explodes to ~2 buckets (cost ~2x interval count),
+    and a bucket's candidates are the intervals overlapping it, not
+    the whole table.
+    """
+    p = points.withColumn(
+        "__bkt__", F.floor(F.col(point_col) / F.lit(bucket_width)).cast("long")
+    )
+    i = intervals.withColumn(
+        "__bkt__",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / F.lit(bucket_width)).cast("long"),
+                F.floor(F.col(end_col) / F.lit(bucket_width)).cast("long"),
+            )
+        ),
+    )
+    return (
+        p.join(i, on="__bkt__")
+        .filter((F.col(point_col) >= F.col(start_col)) & (F.col(point_col) <= F.col(end_col)))
+        .drop("__bkt__")
+    )
+
+
 def with_global_scalar(df: DataFrame, scalar_df: DataFrame) -> DataFrame:
     """J5 — attach a 1-row aggregate to every row
     (include/featurise.py:33 crossJoin of the global min date).

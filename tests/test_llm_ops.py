@@ -150,6 +150,31 @@ def test_asof_join_semantics(spark):
     assert out[4] is None  # key has no right rows at all
 
 
+def test_range_join_matches_naive_and_plans_hash_join(spark):
+    """Binned range join == naive BETWEEN join result, but with a hash
+    equi-join on the bucket instead of a nested loop; negative values
+    and boundary-inclusive matches covered."""
+    from clinical_data_lake_spark.operators.joins import range_join
+
+    pts = spark.createDataFrame(
+        [Row(pid=i, v=float(x)) for i, x in enumerate([-15.0, -10.0, 0.0, 9.99, 10.0, 55.5])]
+    )
+    ivs = spark.createDataFrame(
+        [Row(iid=1, lo=-20.0, hi=-10.0), Row(iid=2, lo=0.0, hi=10.0),
+         Row(iid=3, lo=50.0, hi=60.0), Row(iid=4, lo=100.0, hi=110.0)]
+    )
+    got = {(r.pid, r.iid) for r in range_join(pts, ivs, "v", "lo", "hi", 10.0).collect()}
+    want = {
+        (r.pid, r.iid)
+        for r in pts.join(ivs, (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi"))).collect()
+    }
+    assert got == want
+    assert (0, 1) in got and (1, 1) in got  # negative bucket + inclusive hi
+    assert (4, 2) in got  # inclusive boundary at hi
+    plan = range_join(pts, ivs, "v", "lo", "hi", 10.0)._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan or "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
 def test_salted_group_count_equals_plain_on_skew(spark):
     """90% of rows share one key — the salted two-phase plan must still
     produce exactly the plain group-count."""
