@@ -769,6 +769,73 @@ def q_doc_quality(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- round-2 extension batch 2
+
+
+def q_window_lag(spark: SparkSession, sf: str) -> DataFrame:
+    """Lead/lag extension — per-user previous-event gap in seconds
+    (cadence feature / sessionization building block)."""
+    ev = read_table(spark, sf, "events").select("event_id", "user_id", "ts")
+    out = windows.with_lag_gap(ev, "user_id", "ts", "event_id")
+    return out.select("event_id", "user_id", "prev_ts_s", "gap_s")
+
+
+def q_agg_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact per-group quartiles (percentile_cont semantics)."""
+    li = read_table(spark, sf, "lineitem")
+    return agg.percentile_summary(li, ["l_returnflag"], "l_quantity")
+
+
+def q_agg_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group dispersion + association moments (stddev / covar /
+    corr), single-pass mergeable aggregates."""
+    li = read_table(spark, sf, "lineitem")
+    return agg.descriptive_stats(li, ["l_returnflag"], "l_quantity", "l_extendedprice")
+
+
+def q_agg_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-width histogram of order totals (50k-wide buckets,
+    overflow clamped into the last of 12)."""
+    o = read_table(spark, sf, "orders")
+    return agg.histogram_fixed_width(o, "o_totalprice", 50_000.0, 12)
+
+
+def q_sample_hash(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic ~10% sample keyed on md5(o_orderkey) — stable
+    across partitionings/engines, unlike seeded df.sample()."""
+    from .operators import sampling
+
+    o = read_table(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    return sampling.hash_sample(o, "o_orderkey", 26)
+
+
+def q_sample_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 3-per-event-type sample ranked by md5(event_id) —
+    the reproducible replacement for unordered limit(n) cohort
+    balancing (02-patient-trajectory.py:77)."""
+    from .operators import sampling
+
+    ev = read_table(spark, sf, "events").select("event_id", "event_type")
+    return sampling.sample_per_group(ev, ["event_type"], "event_id", 3)
+
+
+def q_text_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """PII redaction over documents.text: emails then long digit runs,
+    same two regexp_replace passes the oracle applies."""
+    d = read_table(spark, sf, "documents")
+    return d.select("doc_id", text.redact_pii("text").alias("redacted"))
+
+
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Connected components over the exact jaccard near-dup pairs:
+    min-label propagation vs the oracle's recursive-CTE transitive
+    closure."""
+    pairs = dedup.ngram_jaccard_pairs(
+        read_table(spark, sf, "documents"), threshold=0.2, max_doc_freq=100
+    )
+    return dedup.dup_clusters(pairs)
+
+
 QUERIES = {
     "scan_lineitem": q_scan_lineitem,
     "scan_sql": q_scan_sql,
@@ -817,6 +884,14 @@ QUERIES = {
     "window_range_sum": q_window_range_sum,
     "window_range_count": q_window_range_count,
     "window_rank": q_window_rank,
+    "window_lag": q_window_lag,
+    "agg_percentile": q_agg_percentile,
+    "agg_stats": q_agg_stats,
+    "agg_histogram": q_agg_histogram,
+    "sample_hash": q_sample_hash,
+    "sample_per_group": q_sample_per_group,
+    "text_redact": q_text_redact,
+    "dedup_clusters": q_dedup_clusters,
     "comorbidity_topk": q_comorbidity_topk,
     "cohort_case_control": q_cohort_case_control,
     "etl_denorm": q_etl_denorm,
@@ -847,6 +922,39 @@ QUERIES = {
 
 # DuckDB oracle twins. Omitted keys (approx sketches, LSH candidates,
 # engine-specific hashes, ML stats) get the driver's rows-only check.
+# Shared by dedup_ngram_jaccard and dedup_clusters (which computes the
+# transitive closure of these same pairs).
+_NGRAM_PAIRS_SQL = """
+        WITH toks AS (
+            SELECT doc_id,
+                   string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+            FROM documents
+        ),
+        sh_all AS (
+            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+            FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+            WHERE len(w) >= 3
+        ),
+        sh AS (
+            SELECT doc_id, shingle FROM sh_all
+            WHERE shingle IN (
+                SELECT shingle FROM sh_all GROUP BY shingle HAVING count(*) <= 100
+            )
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.2
+"""
+
 ORACLES = {
     "scan_lineitem": """
         SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice
@@ -1078,6 +1186,55 @@ ORACLES = {
             FROM orders
         ) WHERE rn = 1
     """,
+    "window_lag": """
+        SELECT event_id, user_id,
+               CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) AS prev_ts_s,
+               CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) AS gap_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "agg_percentile": """
+        SELECT l_returnflag,
+               round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+               round(quantile_cont(l_quantity, 0.50), 6) AS p50,
+               round(quantile_cont(l_quantity, 0.75), 6) AS p75
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "agg_stats": """
+        SELECT l_returnflag,
+               round(stddev_samp(l_extendedprice), 4) AS sd_y,
+               round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_xy,
+               round(corr(l_quantity, l_extendedprice), 6) AS corr_xy,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "agg_histogram": """
+        SELECT CAST(least(floor(o_totalprice / 50000.0), 11) AS INTEGER) AS bucket,
+               count(*) AS cnt
+        FROM orders GROUP BY 1
+    """,
+    "sample_hash": """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '1a'
+    """,
+    "sample_per_group": """
+        SELECT event_id, event_type, rn FROM (
+            SELECT event_id, event_type,
+                   row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+            FROM events
+        ) WHERE rn <= 3
+    """,
+    "text_redact": """
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '[0-9]{4,}', '<NUM>', 'g') AS redacted
+        FROM documents
+    """,
     "comorbidity_topk": """
         WITH cohort AS (
             SELECT DISTINCT user_id FROM events WHERE lower(event_type) LIKE '%click%'
@@ -1258,35 +1415,22 @@ ORACLES = {
             FROM scored
         ) WHERE rn = 1
     """,
-    "dedup_ngram_jaccard": """
-        WITH toks AS (
-            SELECT doc_id,
-                   string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
-            FROM documents
+    "dedup_ngram_jaccard": _NGRAM_PAIRS_SQL,
+    "dedup_clusters": f"""
+        WITH RECURSIVE pairs AS (
+            SELECT doc_a, doc_b FROM ({_NGRAM_PAIRS_SQL})
         ),
-        sh_all AS (
-            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-            FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
-            WHERE len(w) >= 3
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION
+            SELECT doc_b AS src, doc_a AS dst FROM pairs
         ),
-        sh AS (
-            SELECT doc_id, shingle FROM sh_all
-            WHERE shingle IN (
-                SELECT shingle FROM sh_all GROUP BY shingle HAVING count(*) <= 100
-            )
-        ),
-        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-        inter AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
+        reach AS (
+            SELECT src AS node, src AS lbl FROM edges
+            UNION
+            SELECT e.src AS node, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
         )
-        SELECT doc_a, doc_b,
-               CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
-        FROM inter
-        JOIN sizes sa ON sa.doc_id = doc_a
-        JOIN sizes sb ON sb.doc_id = doc_b
-        WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.2
+        SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
     """,
     "ann_cosine_topk": """
         WITH q AS (

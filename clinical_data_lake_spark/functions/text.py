@@ -94,6 +94,24 @@ def fingerprint(text: str | Column, length: int = 16) -> Column:
     return F.substring(F.md5(norm), 1, length)
 
 
+# Patterns chosen to mean the same thing in Java regex (Spark) and RE2
+# (DuckDB): character classes + bounded quantifiers only, no lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+LONG_NUMBER_RE = r"[0-9]{4,}"
+
+
+def redact_pii(text: str | Column) -> Column:
+    """Scrub emails then long digit runs (ids, phones, SSNs) from free
+    text — the projection-side counterpart of the ETL's hash-based
+    de-identification (00-etl-rwd.py:66-79): hashing protects join keys,
+    redaction protects prose. Order matters (emails can contain digit
+    runs), so both engines apply email -> number. Pure regexp_replace:
+    scan-speed, no shuffle, codegen."""
+    c = _col(text)
+    c = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(c, LONG_NUMBER_RE, "<NUM>")
+
+
 def tfidf_terms(docs, id_col: str = "doc_id", text_col: str = "text",
                 min_df: int = 1, round_to: int | None = 6):
     """Per-(doc, term) TF-IDF weights: (id, term, tf, df, tfidf).

@@ -328,3 +328,68 @@ def simhash_pairs(
         .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    left: str = "doc_a",
+    right: str = "doc_b",
+    id_alias: str = "doc_id",
+    cluster_alias: str = "cluster_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pairs: every doc in a cluster
+    gets the cluster's minimum doc id as its label. Pair emitters
+    (jaccard/minhash/simhash) only say "a~b"; dedup policy needs the
+    transitive closure — keep one doc per *cluster*, not per pair.
+
+    Min-label propagation: each round every node takes the min of its
+    own label and its neighbors' labels, until a fixpoint. Rounds =
+    cluster diameter (near-dup clusters are shallow — a handful of
+    rounds), each round one equi-join shuffle on node id: the standard
+    distributed CC shape, linear in |edges| per round. localCheckpoint
+    truncates the growing lineage so round N's plan doesn't replay
+    rounds 1..N-1; the convergence probe is a limit(1).count() — a
+    bounded driver action, not a collect.
+    """
+    edges = (
+        pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
+        .union(pairs.select(F.col(right).alias("src"), F.col(left).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("neigh_label"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["node"] == neigh["src"], "left")
+            .select(
+                labels["node"],
+                F.least(
+                    labels["label"], F.coalesce(F.col("neigh_label"), labels["label"])
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias(id_alias), F.col("label").alias(cluster_alias)
+    )

@@ -96,6 +96,72 @@ def approx_distinct(df: DataFrame, col: str, rsd: float = 0.05,
     return df.agg(F.approx_count_distinct(col, rsd).alias(alias))
 
 
+def percentile_summary(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str,
+    percentiles: Sequence[float] = (0.25, 0.5, 0.75),
+    digits: int = 6,
+) -> DataFrame:
+    """Extension — exact linear-interpolated percentiles per group
+    (ANSI percentile_cont semantics; matches DuckDB ``quantile_cont``).
+
+    Scale note: exact percentiles buffer each group's values on the
+    reducer — fine for bounded groups. For high-cardinality columns at
+    100 TB use ``approx_percentile`` (t-digest sketch, fixed memory,
+    mergeable map-side) and accept the rsd."""
+    aggs = [
+        F.round(F.percentile(F.col(col), F.lit(p)).cast("double"), digits).alias(
+            f"p{int(p * 100)}"
+        )
+        for p in percentiles
+    ]
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def descriptive_stats(
+    df: DataFrame,
+    keys: Sequence[str],
+    x: str,
+    y: str,
+    digits: int = 4,
+) -> DataFrame:
+    """Extension — per-group dispersion + association: stddev/variance of
+    ``x``'s partner ``y`` and corr/covariance between ``x`` and ``y``.
+    All four are single-pass, mergeable aggregates (partial moments
+    combine associatively), so the plan is one map-side partial + one
+    shuffle on the keys. Rounded so merge-order float noise can't leak
+    into equality checks."""
+    return df.groupBy(*keys).agg(
+        F.round(F.stddev_samp(y).cast("double"), digits).alias("sd_y"),
+        F.round(F.covar_samp(x, y).cast("double"), digits).alias("cov_xy"),
+        F.round(F.corr(x, y).cast("double"), 6).alias("corr_xy"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def histogram_fixed_width(
+    df: DataFrame,
+    col: str,
+    width: float,
+    n_buckets: int,
+    alias: str = "cnt",
+) -> DataFrame:
+    """Extension — fixed-width histogram: bucket i covers
+    [i*width, (i+1)*width), with the last bucket absorbing overflow.
+    Pure arithmetic + group-count: one scan, map-side partials, shuffle
+    on at most ``n_buckets`` keys — the cheapest possible distribution
+    profile of a 100 TB column."""
+    bucket = F.least(
+        F.floor(F.col(col) / F.lit(float(width))), F.lit(n_buckets - 1)
+    ).cast("int")
+    return (
+        df.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias(alias))
+    )
+
+
 def pivot_counts(
     df: DataFrame,
     key: str,

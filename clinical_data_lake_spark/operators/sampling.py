@@ -1,0 +1,62 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+``df.sample()`` / ``randomSplit`` are seed-reproducible only for a fixed
+partitioning — repartition the input and the sample changes. At 100 TB
+that makes experiment reruns non-reproducible. The operators here key
+the sampling decision on a *hash of the row's own key*, so membership is
+a pure function of the data: stable across partitionings, engines, and
+reruns, and joinable (the same key samples identically in two tables,
+which is what you need to sample a fact table and its dimensions
+consistently).
+
+All are pure projections/filters — no shuffle, full codegen; the
+per-group variant adds the one shuffle its window needs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# 2-hex-digit md5 prefix thresholds: fraction k/256 ≈ prefix < hex(k)
+_HEX = "0123456789abcdef"
+
+
+def _md5_prefix(col: str) -> F.Column:
+    return F.substring(F.md5(F.col(col).cast("string")), 1, 2)
+
+
+def hash_sample(df: DataFrame, key_col: str, n_256: int) -> DataFrame:
+    """Keep rows whose md5(key) prefix falls in the first ``n_256``/256
+    of hash space (e.g. n_256=26 ≈ 10.2%). Deterministic: the same key
+    is always in or always out, independent of partitioning or engine —
+    md5 hex is identical everywhere, so the oracle can replay it.
+    """
+    if not 0 < n_256 <= 256:
+        raise ValueError("n_256 must be in (0, 256]")
+    threshold = _HEX[(n_256 >> 4) & 0xF] + _HEX[n_256 & 0xF]
+    return df.filter(_md5_prefix(key_col) < F.lit(threshold))
+
+
+def sample_per_group(
+    df: DataFrame,
+    group_keys: Sequence[str],
+    key_col: str,
+    n: int,
+    rank_alias: str = "rn",
+) -> DataFrame:
+    """Deterministic fixed-size per-group sample: rank rows inside each
+    group by md5(key) (a uniform-ish but reproducible order, key
+    tie-break) and keep the first ``n``. The distributed replacement for
+    the reference's unordered ``.limit(n)`` cohort balancing
+    (02-patient-trajectory.py:77), which picks whatever rows arrive
+    first. One partitionBy(group) exchange; no global sort."""
+    w = Window.partitionBy(*group_keys).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    return (
+        df.select("*", F.row_number().over(w).alias(rank_alias))
+        .filter(F.col(rank_alias) <= n)
+    )

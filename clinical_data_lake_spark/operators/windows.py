@@ -58,6 +58,30 @@ def rolling_count(df: DataFrame, key: str, day_col: str, days: int,
     return df.select("*", F.count(F.lit(1)).over(w).alias(alias))
 
 
+def with_lag_gap(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    tiebreak: str,
+    gap_alias: str = "gap_s",
+) -> DataFrame:
+    """Extension — per-key previous-event timestamp and gap in seconds
+    (the building block behind sessionization and event-cadence
+    features). ``tiebreak`` makes the order total so lag() is
+    deterministic under ties.
+
+    Scale: one partitionBy(key) exchange + sort; lag/lead piggyback on
+    the same window sort as any other expressions over the spec.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(ts_col), F.col(tiebreak))
+    prev = F.lag(F.col(ts_col)).over(w)
+    return df.select(
+        "*",
+        prev.cast("long").alias("prev_ts_s"),
+        (F.col(ts_col).cast("long") - prev.cast("long")).alias(gap_alias),
+    )
+
+
 def top_per_group(
     df: DataFrame,
     keys: list[str],

@@ -231,3 +231,75 @@ def test_ngram_max_doc_freq_cap_drops_hot_shingles(spark):
     capped = ngram_jaccard_pairs(docs, threshold=0.0, max_doc_freq=3).count()
     assert uncapped == 15  # all pairs share the hot shingle
     assert capped == 0  # cap removes the only shared shingle
+
+
+def test_dup_clusters_transitive_closure(spark):
+    """A chain a-b, b-c, c-d must collapse to ONE cluster labeled by the
+    min id, even though (a,d) was never emitted as a pair; disjoint
+    pairs stay separate clusters."""
+    from clinical_data_lake_spark.llm.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        schema="doc_a long, doc_b long",
+    )
+    got = {(r.doc_id, r.cluster_id) for r in dup_clusters(pairs).collect()}
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20),
+    }
+
+
+def test_dup_clusters_deep_chain_converges(spark):
+    """A 12-node path graph needs multiple propagation rounds; the loop
+    must converge (not hit max_iters with wrong labels)."""
+    from clinical_data_lake_spark.llm.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 111)], schema="doc_a long, doc_b long"
+    )
+    got = {(r.doc_id, r.cluster_id) for r in dup_clusters(pairs).collect()}
+    assert got == {(i, 100) for i in range(100, 112)}
+
+
+def test_hash_sample_deterministic_and_partition_invariant(spark):
+    """Membership is a pure function of the key: same rows selected
+    regardless of partitioning, and the fraction tracks n_256/256."""
+    from clinical_data_lake_spark.operators.sampling import hash_sample
+
+    df = spark.range(0, 4000).withColumnRenamed("id", "k")
+    a = {r.k for r in hash_sample(df, "k", 26).collect()}
+    b = {r.k for r in hash_sample(df.repartition(13), "k", 26).collect()}
+    assert a == b
+    assert 0.06 < len(a) / 4000 < 0.15  # ~10.2% expected
+
+
+def test_sample_per_group_fixed_size_and_stable(spark):
+    from clinical_data_lake_spark.operators.sampling import sample_per_group
+
+    df = spark.createDataFrame(
+        [(i, "g" + str(i % 3)) for i in range(300)], schema="k long, g string"
+    )
+    out = sample_per_group(df, ["g"], "k", 5)
+    counts = {r.g: r.cnt for r in out.groupBy("g").agg(F.count("*").alias("cnt")).collect()}
+    assert counts == {"g0": 5, "g1": 5, "g2": 5}
+    again = {(r.g, r.k) for r in sample_per_group(df.repartition(7), ["g"], "k", 5).collect()}
+    assert {(r.g, r.k) for r in out.collect()} == again
+
+
+def test_redact_pii_emails_and_numbers(spark):
+    from clinical_data_lake_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact john.doe+x@ex-ample.co.uk or call 5551234567 now"),
+            (2, "short 123 stays; 1234 goes"),
+            (3, None),
+        ],
+        schema="doc_id long, text string",
+    )
+    rows = {r.doc_id: r.red for r in df.select("doc_id", redact_pii("text").alias("red")).collect()}
+    assert rows[1] == "contact <EMAIL> or call <NUM> now"
+    assert rows[2] == "short 123 stays; <NUM> goes"
+    assert rows[3] is None
