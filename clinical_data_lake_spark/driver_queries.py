@@ -819,6 +819,27 @@ def q_sample_per_group(spark: SparkSession, sf: str) -> DataFrame:
     return sampling.sample_per_group(ev, ["event_type"], "event_id", 3)
 
 
+def q_sample_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment keyed on
+    md5(o_orderkey) — reproducible across engines and partitionings,
+    unlike seeded randomSplit (02-patient-trajectory.py:85-87)."""
+    from .operators import sampling
+
+    o = read_table(spark, sf, "orders").select("o_orderkey")
+    return sampling.hash_split(o, "o_orderkey")
+
+
+def q_seq_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy sequence packing of documents into 2048-token bins
+    (rows-only: the sequential next-fit scan has no SQL twin; bin
+    invariants are unit-tested)."""
+    from .llm import packing
+
+    d = read_table(spark, sf, "documents")
+    with_tokens = d.select("doc_id", text.token_count("text").alias("n_tokens"))
+    return packing.pack_greedy(with_tokens, budget=2048, shards=16)
+
+
 def q_text_redact(spark: SparkSession, sf: str) -> DataFrame:
     """PII redaction over documents.text: emails then long digit runs,
     same two regexp_replace passes the oracle applies."""
@@ -890,6 +911,8 @@ QUERIES = {
     "agg_histogram": q_agg_histogram,
     "sample_hash": q_sample_hash,
     "sample_per_group": q_sample_per_group,
+    "sample_split": q_sample_split,
+    "seq_pack": q_seq_pack,
     "text_redact": q_text_redact,
     "dedup_clusters": q_dedup_clusters,
     "comorbidity_topk": q_comorbidity_topk,
@@ -1226,6 +1249,13 @@ ORACLES = {
                        ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
             FROM events
         ) WHERE rn <= 3
+    """,
+    "sample_split": """
+        SELECT o_orderkey,
+               CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+                    WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM orders
     """,
     "text_redact": """
         SELECT doc_id,

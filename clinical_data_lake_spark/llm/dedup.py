@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 # Mersenne prime 2^31-1 as the universal-hash modulus. The base hash
 # and both coefficients stay below 2^31, so a*h+b < 2^62 — inside the
@@ -223,7 +224,14 @@ def minhash_lsh_pairs(
     materializes.
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(docs, id_col, text_col, n, num_hashes, seed)
+    # The plan references sig three times (banding + both sides of the
+    # signature join-back); without a persist Spark recomputes the
+    # shingle-explode + 64-way min aggregation each time. Signatures are
+    # tiny (64 longs/doc ≈ 0.5 KB — ~50 GB cluster-wide for a 100M-doc
+    # corpus), so MEMORY_AND_DISK is safe at scale.
+    sig = minhash_signatures(docs, id_col, text_col, n, num_hashes, seed).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     # band join on bare (id, band, band_hash) rows — signatures are NOT
     # carried through the join/dedup: a hot band bucket would shuffle
     # |bucket|^2 signature copies. Candidates dedup as id pairs, then
@@ -305,7 +313,9 @@ def simhash_pairs(
     """
     width = 64 // bands
     mask = (1 << width) - 1
-    sh = simhash_docs(docs, id_col, text_col)
+    # sh feeds both sides of the band self-join; persist so the 64-way
+    # conditional-sum aggregation runs once (8 B/doc — trivially cached).
+    sh = simhash_docs(docs, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
     banded = sh.select(
         id_col,
         "simhash",

@@ -40,6 +40,35 @@ def hash_sample(df: DataFrame, key_col: str, n_256: int) -> DataFrame:
     return df.filter(_md5_prefix(key_col) < F.lit(threshold))
 
 
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: Sequence[float] = (0.8, 0.1, 0.1),
+    labels: Sequence[str] = ("train", "val", "test"),
+    alias: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment keyed on md5(key) —
+    the reproducible, engine-portable replacement for seeded
+    ``randomSplit`` (02-patient-trajectory.py:85-87), whose output
+    changes with partitioning. Weights are quantized to 256 hash cells
+    (resolution ~0.4%); every key lands in exactly one split, forever,
+    in any engine that can compute md5."""
+    if len(weights) != len(labels) or len(labels) < 2:
+        raise ValueError("need matching weights/labels, at least 2")
+    total = float(sum(weights))
+    cells = []
+    cum = 0.0
+    for w in weights[:-1]:
+        cum += w / total
+        cells.append(max(1, min(255, round(cum * 256))))
+    prefix = _md5_prefix(key_col)
+    expr = F.lit(labels[-1])
+    for cell, label in zip(reversed(cells), reversed(labels[:-1])):
+        threshold = _HEX[(cell >> 4) & 0xF] + _HEX[cell & 0xF]
+        expr = F.when(prefix < F.lit(threshold), F.lit(label)).otherwise(expr)
+    return df.withColumn(alias, expr)
+
+
 def sample_per_group(
     df: DataFrame,
     group_keys: Sequence[str],

@@ -303,3 +303,41 @@ def test_redact_pii_emails_and_numbers(spark):
     assert rows[1] == "contact <EMAIL> or call <NUM> now"
     assert rows[2] == "short 123 stays; <NUM> goes"
     assert rows[3] is None
+
+
+def test_hash_split_partitions_cover_and_are_stable(spark):
+    from clinical_data_lake_spark.operators.sampling import hash_split
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "k")
+    out = hash_split(df, "k")
+    counts = {r.split: r.cnt for r in out.groupBy("split").agg(F.count("*").alias("cnt")).collect()}
+    assert sum(counts.values()) == 5000
+    assert 0.72 < counts["train"] / 5000 < 0.88
+    assert 0.05 < counts["val"] / 5000 < 0.16
+    assert 0.05 < counts["test"] / 5000 < 0.16
+    again = {(r.k, r.split) for r in hash_split(df.repartition(11), "k").collect()}
+    assert {(r.k, r.split) for r in out.collect()} == again
+
+
+def test_pack_greedy_invariants(spark):
+    """Every doc appears once; per-bin fill <= budget unless the bin is
+    a flagged oversized singleton; assignment is partitioning-invariant."""
+    from clinical_data_lake_spark.llm.packing import pack_greedy, pack_stats
+
+    rows = [(i, 100 + (i * 37) % 900) for i in range(400)] + [(1000, 5000)]
+    df = spark.createDataFrame(rows, schema="doc_id long, n_tokens long")
+    packed = pack_greedy(df, budget=2048, shards=8)
+    got = packed.collect()
+    assert sorted(r.doc_id for r in got) == sorted(r[0] for r in rows)
+
+    stats = pack_stats(pack_greedy(df, budget=2048, shards=8), budget=2048).collect()
+    for s in stats:
+        if not s.has_oversize:
+            assert s.fill <= 2048, (s.shard, s.bin, s.fill)
+        else:
+            assert s.n_docs == 1  # oversized doc is alone in its bin
+
+    again = pack_greedy(df.repartition(5), budget=2048, shards=8).collect()
+    assert {(r.doc_id, r.shard, r.bin) for r in got} == {
+        (r.doc_id, r.shard, r.bin) for r in again
+    }
