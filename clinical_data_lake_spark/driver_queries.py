@@ -847,6 +847,15 @@ def q_text_redact(spark: SparkSession, sf: str) -> DataFrame:
     return d.select("doc_id", text.redact_pii("text").alias("redacted"))
 
 
+def q_corpus_clean(spark: SparkSession, sf: str) -> DataFrame:
+    """Composed corpus-cleaning pipeline: language filter + quality
+    gate + token bounds + exact-dedup canonicalization in one scan +
+    one shuffle."""
+    from .llm import corpus
+
+    return corpus.clean_corpus(read_table(spark, sf, "documents"))
+
+
 def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Connected components over the exact jaccard near-dup pairs:
     min-label propagation vs the oracle's recursive-CTE transitive
@@ -914,6 +923,7 @@ QUERIES = {
     "sample_split": q_sample_split,
     "seq_pack": q_seq_pack,
     "text_redact": q_text_redact,
+    "corpus_clean": q_corpus_clean,
     "dedup_clusters": q_dedup_clusters,
     "comorbidity_topk": q_comorbidity_topk,
     "cohort_case_control": q_cohort_case_control,
@@ -1444,6 +1454,52 @@ ORACLES = {
                        PARTITION BY text_hash ORDER BY quality DESC, doc_id) AS rn
             FROM scored
         ) WHERE rn = 1
+    """,
+    "corpus_clean": """
+        WITH m AS (
+            SELECT doc_id, text,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS text_hash,
+                   CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS DOUBLE) AS n_chars,
+                   CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS n_tok_d,
+                   CAST(length(text) - length(regexp_replace(text, '[^A-Za-z\\s]', '', 'g'))
+                        AS DOUBLE) AS non_alpha
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id, text_hash, n_tokens,
+                   round(
+                       least(greatest(
+                           (CASE WHEN n_tok_d > 0 THEN n_chars / n_tok_d ELSE 0.0 END / 8.0)
+                           * (1.0 - CASE WHEN n_chars > 0 THEN non_alpha / n_chars ELSE 1.0 END),
+                           0.0), 1.0),
+                       6) AS quality,
+                CAST(regexp_matches(lower(text), '(^|\\s)the(\\s|$)') AS INTEGER)
+              + CAST(regexp_matches(lower(text), '(^|\\s)and(\\s|$)') AS INTEGER)
+              + CAST(regexp_matches(lower(text), '(^|\\s)of(\\s|$)') AS INTEGER) AS s_en,
+                CAST(regexp_matches(lower(text), '(^|\\s)der(\\s|$)') AS INTEGER)
+              + CAST(regexp_matches(lower(text), '(^|\\s)und(\\s|$)') AS INTEGER)
+              + CAST(regexp_matches(lower(text), '(^|\\s)die(\\s|$)') AS INTEGER) AS s_de,
+                CAST(regexp_matches(lower(text), '(^|\\s)le(\\s|$)') AS INTEGER)
+              + CAST(regexp_matches(lower(text), '(^|\\s)et(\\s|$)') AS INTEGER)
+              + CAST(regexp_matches(lower(text), '(^|\\s)les(\\s|$)') AS INTEGER) AS s_fr,
+                CAST(regexp_matches(lower(text), '(^|\\s)el(\\s|$)') AS INTEGER)
+              + CAST(regexp_matches(lower(text), '(^|\\s)y(\\s|$)') AS INTEGER)
+              + CAST(regexp_matches(lower(text), '(^|\\s)los(\\s|$)') AS INTEGER) AS s_es
+            FROM m
+        ),
+        kept AS (
+            SELECT doc_id, text_hash, n_tokens, quality
+            FROM scored
+            WHERE greatest(s_de, s_en, s_es, s_fr) > 0
+              AND s_de < greatest(s_de, s_en, s_es, s_fr)
+              AND s_en = greatest(s_de, s_en, s_es, s_fr)
+              AND quality >= 0.2
+              AND n_tokens BETWEEN 5 AND 5000
+        )
+        SELECT doc_id, n_tokens, quality
+        FROM kept
+        QUALIFY row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) = 1
     """,
     "dedup_ngram_jaccard": _NGRAM_PAIRS_SQL,
     "dedup_clusters": f"""

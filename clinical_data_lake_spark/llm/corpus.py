@@ -1,0 +1,56 @@
+"""Composed corpus-cleaning pipeline for LLM training data.
+
+The standard pretraining pretreatment (C4/RefinedWeb-style), assembled
+from this package's primitives into one operator:
+
+1. language filter   (functions.text.lang_id — JVM marker heuristic)
+2. quality gate      (functions.text.quality_score >= min_quality)
+3. length bounds     (token_count within [min_tokens, max_tokens])
+4. exact dedup       (canonical fingerprint; keep the lowest doc id)
+
+Everything is a projection or filter until the final dedup, which is
+one window over the normalized-text hash — so the whole pipeline is a
+single scan + a single shuffle on the 128-bit fingerprint. At 100 TB
+this ordering matters: the cheap filters run scan-side and shrink the
+corpus before the only exchange. Near-dup stages (minhash/simhash ->
+dup_clusters) slot in after this as separate passes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+
+def clean_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang: str = "en",
+    min_tokens: int = 5,
+    max_tokens: int = 5000,
+    min_quality: float = 0.2,
+) -> DataFrame:
+    """Returns (doc_id, n_tokens, quality) for the surviving canonical
+    documents, deterministic (quality rounded, min-id canonicalization).
+    """
+    scored = docs.select(
+        F.col(id_col),
+        T.token_count(text_col).alias("n_tokens"),
+        F.round(T.quality_score(text_col), 6).alias("quality"),
+        T.lang_id(text_col).alias("pred_lang"),
+        T.fingerprint(text_col, 32).alias("text_hash"),
+    )
+    kept = scored.filter(
+        (F.col("pred_lang") == lang)
+        & (F.col("quality") >= min_quality)
+        & F.col("n_tokens").between(min_tokens, max_tokens)
+    )
+    w = Window.partitionBy("text_hash").orderBy(id_col)
+    return (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "n_tokens", "quality")
+    )

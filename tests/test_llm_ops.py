@@ -341,3 +341,18 @@ def test_pack_greedy_invariants(spark):
     assert {(r.doc_id, r.shard, r.bin) for r in got} == {
         (r.doc_id, r.shard, r.bin) for r in again
     }
+
+
+def test_clean_corpus_null_safe_and_dedups(spark):
+    """Null/empty text must not crash the composed pipeline; exact
+    duplicates collapse to the min doc id; only docs passing every gate
+    survive."""
+    from clinical_data_lake_spark.llm.corpus import clean_corpus
+
+    good = "the cat and the dog of the house sat on the mat near the door"
+    df = spark.createDataFrame(
+        [(1, good), (2, good), (3, None), (4, ""), (5, "der hund und die katze und der vogel")],
+        schema="doc_id long, text string",
+    )
+    got = {r.doc_id for r in clean_corpus(df).collect()}
+    assert got == {1}
