@@ -13,7 +13,7 @@ idiomatic, testable PySpark library:
                    DESCRIBE HISTORY guard).
 - ``operators``  — relational operator library (projections, filters,
                    joins, aggregates, sorts/top-k, set ops, windows,
-                   cohort analytics).
+                   cohort analytics, deterministic hash sampling/splits).
 - ``functions``  — scalar column functions (de-identification hashing,
                    null fill, date math, JSON extraction, text analysis).
 - ``etl``        — the clinical ETL pipeline (ingest → de-identify →
@@ -21,8 +21,9 @@ idiomatic, testable PySpark library:
 - ``ml``         — featurization (comorbidity flags + rolling windows +
                    indexing), training, chi-square association.
 - ``llm``        — LLM-data-pipeline extensions: dedup (exact/MinHash/
-                   SimHash/Jaccard), similarity search, multimodal
-                   column plumbing.
+                   SimHash/Jaccard + connected-component clustering),
+                   similarity search, corpus cleaning, sequence packing,
+                   multimodal column plumbing.
 - ``streaming``  — Structured Streaming versions of the event-window
                    aggregations (batch-first so an oracle can check
                    them) plus watermarked sessionization.

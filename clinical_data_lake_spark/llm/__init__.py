@@ -1,4 +1,5 @@
-"""LLM-training-data pipeline operators (dedup, similarity, multimodal).
+"""LLM-training-data pipeline operators (dedup + dup clustering,
+similarity, corpus cleaning, sequence packing, multimodal).
 
 Not in the reference (it is a clinical RWE lake); these extend the
 engine per the project north star. All are DataFrame-native and

@@ -85,3 +85,29 @@ def test_no_row_at_a_time_python_udf_anywhere(spark):
 def test_scalar_attach_is_broadcast_nested_loop(spark):
     p = _plan(spark, "join_cross_scalar")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_corpus_clean_single_shuffle(spark):
+    """The composed cleaning pipeline is one scan + ONE exchange (the
+    dedup window on text_hash); every filter must run before it."""
+    p = _plan(spark, "corpus_clean")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "text_hash" in p
+
+
+def test_hash_sample_is_shuffle_free(spark):
+    """Deterministic sampling is a pure filter — no exchange at all."""
+    p = _plan(spark, "sample_hash")
+    assert "Exchange" not in p
+
+
+def test_histogram_partial_aggregation(spark):
+    p = _plan(spark, "agg_histogram")
+    assert "partial_count" in p  # map-side combine on <=12 bucket keys
+
+
+def test_descriptive_stats_single_pass(spark):
+    """stddev/covar/corr all merge as moments in one aggregation — no
+    second scan, no second shuffle."""
+    p = _plan(spark, "agg_stats")
+    assert p.count("Exchange hashpartitioning") == 1
