@@ -800,6 +800,20 @@ def q_agg_histogram(spark: SparkSession, sf: str) -> DataFrame:
     return agg.histogram_fixed_width(o, "o_totalprice", 50_000.0, 12)
 
 
+def q_agg_mode(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic per-group mode (highest count, smallest value on
+    ties) — built-in mode() is tie-arbitrary, this is replayable."""
+    o = read_table(spark, sf, "orders")
+    return agg.group_mode(o, ["o_orderstatus"], "o_orderpriority")
+
+
+def q_profile_nulls(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-column completeness profile over events — the pre-training
+    data-QA readout."""
+    ev = read_table(spark, sf, "events")
+    return agg.null_profile(ev, ["event_type", "value", "props"])
+
+
 def q_sample_hash(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic ~10% sample keyed on md5(o_orderkey) — stable
     across partitionings/engines, unlike seeded df.sample()."""
@@ -918,6 +932,8 @@ QUERIES = {
     "agg_percentile": q_agg_percentile,
     "agg_stats": q_agg_stats,
     "agg_histogram": q_agg_histogram,
+    "agg_mode": q_agg_mode,
+    "profile_nulls": q_profile_nulls,
     "sample_hash": q_sample_hash,
     "sample_per_group": q_sample_per_group,
     "sample_split": q_sample_split,
@@ -1246,6 +1262,34 @@ ORACLES = {
         SELECT CAST(least(floor(o_totalprice / 50000.0), 11) AS INTEGER) AS bucket,
                count(*) AS cnt
         FROM orders GROUP BY 1
+    """,
+    "agg_mode": """
+        SELECT o_orderstatus, o_orderpriority AS mode_value, cnt FROM (
+            SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+                   row_number() OVER (
+                       PARTITION BY o_orderstatus
+                       ORDER BY count(*) DESC, o_orderpriority) AS rn
+            FROM orders GROUP BY o_orderstatus, o_orderpriority
+        ) WHERE rn = 1
+    """,
+    "profile_nulls": """
+        SELECT 'event_type' AS col_name, count(*) AS n_rows,
+               sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS n_null,
+               round(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS null_frac
+        FROM events
+        UNION ALL
+        SELECT 'value', count(*),
+               sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END),
+               round(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6)
+        FROM events
+        UNION ALL
+        SELECT 'props', count(*),
+               sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END),
+               round(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6)
+        FROM events
     """,
     "sample_hash": """
         SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -162,6 +162,58 @@ def histogram_fixed_width(
     )
 
 
+def group_mode(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    alias: str = "mode_value",
+    cnt_alias: str = "cnt",
+) -> DataFrame:
+    """Extension — deterministic per-group mode: the most frequent
+    value, ties broken by smallest value. Built-in ``F.mode`` picks an
+    arbitrary winner on ties (non-deterministic under shuffle order),
+    so this composes count + struct-max instead: two aggregations,
+    both with map-side partials, shuffles on (keys, value) then keys."""
+    counted = df.groupBy(*keys, value_col).agg(F.count(F.lit(1)).alias("__n__"))
+    # max of (count, -?) can't negate strings: order by count desc then
+    # value asc == max of struct(count, MAX-value)… instead use min over
+    # a struct of (-count, value): lexicographic min gives highest count,
+    # then smallest value.
+    best = counted.groupBy(*keys).agg(
+        F.min(F.struct((-F.col("__n__")).alias("neg"), F.col(value_col).alias("v"))).alias("__b__")
+    )
+    return best.select(
+        *keys,
+        F.col("__b__.v").alias(alias),
+        (-F.col("__b__.neg")).cast("long").alias(cnt_alias),
+    )
+
+
+def null_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Extension — per-column completeness profile: total rows, null
+    count, and null fraction for each named column, as one narrow
+    (column, n_rows, n_null, null_frac) table. One scan, one 1-row
+    aggregate, then a tiny unpivot — the data-QA primitive you run
+    before training on a 100 TB drop."""
+    aggs = [F.count(F.lit(1)).alias("__total__")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}__"))
+    one = df.agg(*aggs)
+    pairs = []
+    for c in cols:
+        pairs.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("__total__").alias("n_rows"),
+                F.col(f"__null_{c}__").alias("n_null"),
+                F.round(F.col(f"__null_{c}__") / F.col("__total__"), 6).alias("null_frac"),
+            )
+        )
+    return one.select(F.explode(F.array(*pairs)).alias("p")).select(
+        "p.col_name", "p.n_rows", "p.n_null", "p.null_frac"
+    )
+
+
 def pivot_counts(
     df: DataFrame,
     key: str,

@@ -356,3 +356,15 @@ def test_clean_corpus_null_safe_and_dedups(spark):
     )
     got = {r.doc_id for r in clean_corpus(df).collect()}
     assert got == {1}
+
+
+def test_group_mode_tie_breaks_deterministically(spark):
+    """On tied counts the smallest value wins, every run."""
+    from clinical_data_lake_spark.operators.aggregates import group_mode
+
+    df = spark.createDataFrame(
+        [("g1", "b"), ("g1", "b"), ("g1", "a"), ("g1", "a"), ("g2", "z")],
+        schema="g string, v string",
+    )
+    got = {(r.g, r.mode_value, r.cnt) for r in group_mode(df, ["g"], "v").collect()}
+    assert got == {("g1", "a", 2), ("g2", "z", 1)}
