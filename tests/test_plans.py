@@ -111,3 +111,27 @@ def test_descriptive_stats_single_pass(spark):
     second scan, no second shuffle."""
     p = _plan(spark, "agg_stats")
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_partitioned_write_enables_partition_pruning(spark, tmp_path):
+    """The 100 TB storage idiom end-to-end: hive-partition events by
+    day on write, filter by day on read, and require the predicate to
+    land in PartitionFilters (directory pruning) — not a post-scan
+    filter over every file."""
+    from pyspark.sql import functions as F
+
+    from clinical_data_lake_spark.io import read_table, write_table
+
+    ev = read_table(spark, SF_ORACLE, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    target = ev.selectExpr("min(event_date) AS d").collect()[0].d
+    expected = ev.filter(F.col("event_date") == F.lit(target)).count()
+    path = str(tmp_path / "events_by_day")
+    write_table(ev, path, partition_by=["event_date"])
+
+    back = spark.read.parquet(path).filter(F.col("event_date") == F.lit(target))
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    part_frag = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "event_date" in part_frag  # predicate prunes directories
+    assert back.count() == expected
