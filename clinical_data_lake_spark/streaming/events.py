@@ -106,6 +106,24 @@ def run_to_memory_sink(
     return q
 
 
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival per key, with
+    dedup state evicted beyond the watermark horizon — the ingest-side
+    guard against at-least-once sources (Kafka replays, file re-drops).
+    Unbounded ``dropDuplicates`` state grows forever on a 100 TB/day
+    stream; ``dropDuplicatesWithinWatermark`` keeps state proportional
+    to keys-per-horizon instead. On a batch DataFrame this degrades to
+    plain ``dropDuplicates`` (same result set, no state concept)."""
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)
+
+
 def running_user_counts(
     events: DataFrame,
     key_col: str = "user_id",

@@ -102,3 +102,33 @@ def test_watermark_bounds_state(spark, events_stream_setup):
         se.stream_from_batch_dir(spark, root, schema), watermark="1 hour"
     )
     assert "EventTimeWatermark" in stream._jdf.queryExecution().analyzed().toString()
+
+
+def test_streaming_dedup_within_watermark_equals_batch(spark, events_stream_setup):
+    """Replaying the same files TWICE through the stream must still
+    yield exactly one row per event_id (dedup state alive within the
+    watermark horizon); result set equals batch dropDuplicates."""
+    ev, root, schema = events_stream_setup
+    import shutil
+    import tempfile
+
+    dup_root = tempfile.mkdtemp(prefix="stream_dup_")
+    shutil.copytree(root, dup_root, dirs_exist_ok=True)
+    # second copy of every file = an at-least-once source replay
+    for i, f in enumerate(list(__import__("os").listdir(dup_root))):
+        if f.endswith(".parquet"):
+            shutil.copy(f"{dup_root}/{f}", f"{dup_root}/replay_{i}.parquet")
+
+    # Watermark wider than the dataset's full time span: replayed files
+    # arrive out of event-time order, and a tight horizon would drop
+    # them as late instead of deduplicating them (state-bounding under a
+    # tight horizon is covered by test_watermark_bounds_state).
+    stream = se.dedup_within_watermark(
+        se.stream_from_batch_dir(spark, dup_root, schema),
+        keys=["event_id"],
+        watermark="365 days",
+    ).select("event_id")
+    se.run_to_memory_sink(stream, "dedup_test", output_mode="append")
+    got = sorted(r.event_id for r in spark.table("dedup_test").collect())
+    want = sorted(r.event_id for r in ev.select("event_id").distinct().collect())
+    assert got == want
