@@ -668,6 +668,14 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dedup_near_canonical(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dedup policy end-to-end: jaccard pairs -> dup clusters ->
+    keep the min-id canonical per cluster, drop other members."""
+    docs = read_table(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.2, max_doc_freq=100)
+    return dedup.near_dedup_canonical(docs, pairs).select("doc_id")
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash+LSH candidate pairs (rows-only: hash internals are
     engine-specific by design)."""
@@ -941,6 +949,7 @@ QUERIES = {
     "text_redact": q_text_redact,
     "corpus_clean": q_corpus_clean,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_near_canonical": q_dedup_near_canonical,
     "comorbidity_topk": q_comorbidity_topk,
     "cohort_case_control": q_cohort_case_control,
     "etl_denorm": q_etl_denorm,
@@ -1546,6 +1555,26 @@ ORACLES = {
         QUALIFY row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) = 1
     """,
     "dedup_ngram_jaccard": _NGRAM_PAIRS_SQL,
+    "dedup_near_canonical": f"""
+        WITH RECURSIVE pairs AS (
+            SELECT doc_a, doc_b FROM ({_NGRAM_PAIRS_SQL})
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION
+            SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        reach AS (
+            SELECT src AS node, src AS lbl FROM edges
+            UNION
+            SELECT e.src AS node, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+        ),
+        losers AS (
+            SELECT node FROM reach GROUP BY node HAVING node != min(lbl)
+        )
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT node FROM losers)
+    """,
     "dedup_clusters": f"""
         WITH RECURSIVE pairs AS (
             SELECT doc_a, doc_b FROM ({_NGRAM_PAIRS_SQL})

@@ -403,3 +403,26 @@ def dup_clusters(
     return labels.select(
         F.col("node").alias(id_alias), F.col("label").alias(cluster_alias)
     )
+
+
+def near_dedup_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    left: str = "doc_a",
+    right: str = "doc_b",
+) -> DataFrame:
+    """End-to-end near-dedup: given any pair emitter's output, keep one
+    canonical doc (the min id) per connected dup cluster and every doc
+    not in any pair. The policy step that turns pair/cluster artifacts
+    into an actual filtered corpus.
+
+    Plan: cluster labels (see ``dup_clusters``) -> the non-canonical
+    member ids (a tiny set, ~#dups) -> one broadcast anti-join against
+    the corpus. The full corpus is touched exactly once.
+    """
+    clusters = dup_clusters(pairs, left, right, id_alias="__node__", cluster_alias="__lbl__")
+    losers = clusters.filter(F.col("__node__") != F.col("__lbl__")).select(
+        F.col("__node__").alias(id_col)
+    )
+    return docs.join(F.broadcast(losers), on=id_col, how="left_anti")

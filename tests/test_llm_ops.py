@@ -368,3 +368,15 @@ def test_group_mode_tie_breaks_deterministically(spark):
     )
     got = {(r.g, r.mode_value, r.cnt) for r in group_mode(df, ["g"], "v").collect()}
     assert got == {("g1", "a", 2), ("g2", "z", 1)}
+
+
+def test_near_dedup_canonical_keeps_min_per_cluster(spark):
+    from clinical_data_lake_spark.llm.dedup import near_dedup_canonical
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 8)], schema="doc_id long")
+    pairs = spark.createDataFrame(
+        [(2, 3), (3, 4), (6, 7)], schema="doc_a long, doc_b long"
+    )
+    got = sorted(r.doc_id for r in near_dedup_canonical(docs, pairs).collect())
+    # cluster {2,3,4} -> keep 2; cluster {6,7} -> keep 6; 1,5 untouched
+    assert got == [1, 2, 5, 6]
