@@ -131,7 +131,13 @@ def tfidf_terms(docs, id_col: str = "doc_id", text_col: str = "text",
         docs.select(F.col(id_col), F.explode(F.split(norm, " ")).alias("term"))
         .filter(F.col("term") != "")
     )
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf is aggregated again for document frequencies and then joined
+    # back — persist so the explode + first aggregation run once.
+    from pyspark.storagelevel import StorageLevel
+
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if min_df > 1:
         dfreq = dfreq.filter(F.col("df") >= min_df)

@@ -147,6 +147,11 @@ def ngram_jaccard_pairs(
             sh.join(freq.filter(F.col("df") <= max_doc_freq).select("shingle"),
                     on="shingle", how="left_semi")
         )
+    # sh feeds the size aggregate AND both sides of the inverted-index
+    # join — three recomputes of the explode+distinct shuffle without a
+    # persist. The cache is corpus-shingle-sized (spills to disk), still
+    # far cheaper than re-shuffling the explode three times.
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
