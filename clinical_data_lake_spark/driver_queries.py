@@ -616,6 +616,19 @@ def q_ml_train_score(spark: SparkSession, sf: str) -> DataFrame:
 # ------------------------------------------- streaming (batch-expressed)
 
 
+def q_ml_group_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type closed-form linear models (value ~ hour-of-day)
+    via grouped applyInPandas — the many-small-models scale pattern
+    (rows-only: coefficient recovery is unit-tested on exact data)."""
+    ev = read_table(spark, sf, "events")
+    feats = ev.select(
+        "event_type",
+        (F.hour("ts") + F.minute("ts") / F.lit(60.0)).alias("hod"),
+        "value",
+    ).filter(F.col("value").isNotNull())
+    return ml_train.fit_linear_per_group(feats, ["event_type"], ["hod"], "value")
+
+
 def q_tumble_count(spark: SparkSession, sf: str) -> DataFrame:
     """Tumbling 10-minute window counts on events.ts, via the SAME plan
     builder the streaming wrapper uses (streaming/events.py:tumbling_counts)
@@ -957,6 +970,7 @@ QUERIES = {
     "ml_string_index": q_ml_string_index,
     "ml_features": q_ml_features,
     "ml_train_score": q_ml_train_score,
+    "ml_group_fit": q_ml_group_fit,
     "tumble_count": q_tumble_count,
     "slide_agg": q_slide_agg,
     "sessionize": q_sessionize,

@@ -140,3 +140,68 @@ def score_with_breakdown(
         scored.groupBy(*demo_cols, "prediction")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def fit_linear_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_cols: Sequence[str],
+    y_col: str,
+    reg: float = 0.0,
+) -> DataFrame:
+    """Grouped model fitting — one closed-form ridge/OLS model per group
+    via the normal equations, inside Arrow-batched ``applyInPandas``.
+
+    The "many small models" pattern the reference's single global tree
+    (include/featurise.py:116-118) can't express: per-entity /
+    per-segment models where each group's data fits in one task. The
+    distributed shape is one shuffle on the group key; each task solves
+    a (k+1)x(k+1) system — at 100 TB with millions of groups this
+    parallelizes perfectly, while a driver loop over groups would never
+    finish. Returns (groups..., n, intercept, coefs array<double>, r2);
+    groups with fewer rows than k+2 or a singular system yield null
+    coefs. ``reg`` > 0 adds L2 (never on the intercept) for
+    ill-conditioned groups.
+    """
+    import pandas as pd
+
+    gcols = list(group_cols)
+    xcols = list(x_cols)
+    out_schema = (
+        ", ".join(f"{c} string" for c in gcols)
+        + ", n long, intercept double, coefs array<double>, r2 double"
+    )
+
+    def fit(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        base = {c: [str(k)] for c, k in zip(gcols, key)}
+        n = len(pdf)
+        k = len(xcols)
+        if n < k + 2:
+            return pd.DataFrame({**base, "n": [n], "intercept": [None],
+                                 "coefs": [None], "r2": [None]})
+        X = np.column_stack([np.ones(n)] + [pdf[c].to_numpy(dtype=np.float64) for c in xcols])
+        y = pdf[y_col].to_numpy(dtype=np.float64)
+        A = X.T @ X
+        if reg > 0.0:
+            ridge = np.eye(k + 1) * reg
+            ridge[0, 0] = 0.0  # never regularize the intercept
+            A = A + ridge
+        try:
+            beta = np.linalg.solve(A, X.T @ y)
+        except np.linalg.LinAlgError:
+            return pd.DataFrame({**base, "n": [n], "intercept": [None],
+                                 "coefs": [None], "r2": [None]})
+        resid = y - X @ beta
+        ss_tot = float(((y - y.mean()) ** 2).sum())
+        r2 = 1.0 - float((resid ** 2).sum()) / ss_tot if ss_tot > 0 else None
+        return pd.DataFrame({**base, "n": [n], "intercept": [float(beta[0])],
+                             "coefs": [[float(b) for b in beta[1:]]], "r2": [r2]})
+
+    proj = df.select(
+        *[F.col(c).cast("string").alias(c) for c in gcols],
+        *[F.col(c).cast("double").alias(c) for c in xcols],
+        F.col(y_col).cast("double").alias(y_col),
+    )
+    return proj.groupBy(*gcols).applyInPandas(fit, schema=out_schema)

@@ -155,3 +155,24 @@ def test_featurize_events_end_to_end(spark):
     assert got[2].recent_flag_0 == 2
     assert got[2].label == 1
     assert "features" in feats.columns
+
+
+def test_fit_linear_per_group_recovers_exact_coefficients(spark):
+    """On exactly-linear data the normal equations must recover the
+    per-group coefficients to float precision; degenerate (tiny) groups
+    yield null models instead of crashing."""
+    from clinical_data_lake_spark.ml.train import fit_linear_per_group
+
+    rows = []
+    for g, (a, b1, b2) in {"g1": (2.0, 3.0, -1.0), "g2": (-5.0, 0.5, 4.0)}.items():
+        for i in range(40):
+            x1, x2 = float(i), float((i * 7) % 11)
+            rows.append((g, x1, x2, a + b1 * x1 + b2 * x2))
+    rows.append(("tiny", 1.0, 2.0, 3.0))  # n < k+2 -> null model
+    df = spark.createDataFrame(rows, schema="g string, x1 double, x2 double, y double")
+    out = {r.g: r for r in fit_linear_per_group(df, ["g"], ["x1", "x2"], "y").collect()}
+    assert abs(out["g1"].intercept - 2.0) < 1e-8
+    assert abs(out["g1"].coefs[0] - 3.0) < 1e-8 and abs(out["g1"].coefs[1] + 1.0) < 1e-8
+    assert abs(out["g2"].coefs[1] - 4.0) < 1e-8
+    assert out["g1"].r2 > 0.999999
+    assert out["tiny"].coefs is None and out["tiny"].n == 1
