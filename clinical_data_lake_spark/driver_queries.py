@@ -801,6 +801,15 @@ def q_window_lag(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("event_id", "user_id", "prev_ts_s", "gap_s")
 
 
+def q_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """view -> click conversion within 30 minutes, computed with a
+    FOLLOWING-frame window (no from-to self-join fan-out)."""
+    ev = read_table(spark, sf, "events")
+    return windows.funnel_conversion(
+        ev, "user_id", "ts", "event_type", "view", "click", 1800, "event_id"
+    )
+
+
 def q_agg_percentile(spark: SparkSession, sf: str) -> DataFrame:
     """Exact per-group quartiles (percentile_cont semantics)."""
     li = read_table(spark, sf, "lineitem")
@@ -950,6 +959,7 @@ QUERIES = {
     "window_range_count": q_window_range_count,
     "window_rank": q_window_rank,
     "window_lag": q_window_lag,
+    "funnel": q_funnel,
     "agg_percentile": q_agg_percentile,
     "agg_stats": q_agg_stats,
     "agg_histogram": q_agg_histogram,
@@ -1265,6 +1275,23 @@ ORACLES = {
                    - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) AS gap_s
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "funnel": """
+        WITH marked AS (
+            SELECT event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+                   min(CASE WHEN event_type = 'click'
+                            THEN CAST(floor(epoch(ts)) AS BIGINT) END) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+                   ) AS next_to
+            FROM events
+        )
+        SELECT count(*) AS n_from,
+               coalesce(sum(CASE WHEN next_to <= ts_s + 1800 THEN 1 ELSE 0 END), 0) AS n_converted,
+               round(coalesce(sum(CASE WHEN next_to <= ts_s + 1800 THEN 1 ELSE 0 END), 0)
+                     / CAST(count(*) AS DOUBLE), 6) AS conv_rate
+        FROM marked WHERE event_type = 'view'
     """,
     "agg_percentile": """
         SELECT l_returnflag,

@@ -82,6 +82,49 @@ def with_lag_gap(
     )
 
 
+def funnel_conversion(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    type_col: str,
+    from_type: str,
+    to_type: str,
+    horizon_s: int,
+    tiebreak: str,
+) -> DataFrame:
+    """Extension — funnel step conversion: of the ``from_type`` events,
+    how many were followed by a ``to_type`` event for the same key
+    within ``horizon_s`` seconds. Returns one row
+    (n_from, n_converted, conv_rate).
+
+    The non-quadratic shape: instead of joining from-events to
+    to-events (fan-out on hot users), compute per-row "next to-event
+    timestamp" with a min over the FOLLOWING window frame — the same
+    single partitionBy(key) sort every other per-key feature shares.
+    """
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts_col), F.col(tiebreak))
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    ts_s = F.col(ts_col).cast("long")
+    next_to = F.min(
+        F.when(F.col(type_col) == to_type, ts_s)
+    ).over(w)
+    marked = df.select(
+        F.col(type_col),
+        ts_s.alias("__ts_s__"),
+        next_to.alias("__next_to__"),
+    ).filter(F.col(type_col) == from_type)
+    hit = (F.col("__next_to__") <= F.col("__ts_s__") + horizon_s).cast("long")
+    n_conv = F.coalesce(F.sum(hit), F.lit(0))  # all-null (no to-events) -> 0
+    return marked.agg(
+        F.count(F.lit(1)).alias("n_from"),
+        n_conv.alias("n_converted"),
+        F.round(n_conv / F.count(F.lit(1)), 6).alias("conv_rate"),
+    )
+
+
 def top_per_group(
     df: DataFrame,
     keys: list[str],

@@ -380,3 +380,25 @@ def test_near_dedup_canonical_keeps_min_per_cluster(spark):
     got = sorted(r.doc_id for r in near_dedup_canonical(docs, pairs).collect())
     # cluster {2,3,4} -> keep 2; cluster {6,7} -> keep 6; 1,5 untouched
     assert got == [1, 2, 5, 6]
+
+
+def test_funnel_conversion_boundaries(spark):
+    """Conversion is inclusive at exactly the horizon; users with no
+    to-event contribute unconverted rows, never nulls."""
+    from clinical_data_lake_spark.operators.windows import funnel_conversion
+
+    rows = [
+        (1, 100, "view", 0),    # converted at exactly +1800
+        (1, 1900, "click", 1),
+        (2, 100, "view", 2),    # click too late
+        (2, 2000, "click", 3),
+        (3, 100, "view", 4),    # no click at all
+    ]
+    df = spark.createDataFrame(
+        [(u, __import__("datetime").datetime(2026, 1, 1, 0, 0, 0)
+          + __import__("datetime").timedelta(seconds=s), t, e) for u, s, t, e in rows],
+        schema="user_id long, ts timestamp, event_type string, event_id long",
+    )
+    out = funnel_conversion(df, "user_id", "ts", "event_type", "view", "click", 1800, "event_id").collect()[0]
+    assert (out.n_from, out.n_converted) == (3, 1)
+    assert abs(out.conv_rate - 0.333333) < 1e-6
