@@ -251,6 +251,24 @@ def q_join_range(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("event_id", "s_suppkey")
 
 
+def q_join_interval_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval-overlap join (custom operator): supplier vs customer
+    500-wide account-balance bands that intersect, via canonical-bucket
+    binning (no nested-loop plan)."""
+    sup = read_table(spark, sf, "supplier").select(
+        "s_suppkey",
+        F.col("s_acctbal").alias("ls"),
+        (F.col("s_acctbal") + F.lit(500.0)).alias("le"),
+    )
+    cust = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.col("c_acctbal").alias("rs"),
+        (F.col("c_acctbal") + F.lit(500.0)).alias("re"),
+    )
+    out = joins.interval_overlap_join(sup, cust, "ls", "le", "rs", "re", 500.0)
+    return out.select("s_suppkey", "c_custkey")
+
+
 def q_join_cross_scalar(spark: SparkSession, sf: str) -> DataFrame:
     """J5/F4 — broadcast 1-row global min attached to every row, day
     index via datediff (include/featurise.py:33-35)."""
@@ -335,6 +353,24 @@ def q_agg_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
         "exact_nd",
         (F.abs(F.col("approx_nd") - F.col("exact_nd"))
          <= 0.05 * F.col("exact_nd")).cast("int").alias("within_tol"),
+    )
+
+
+def q_agg_approx_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    """Extension — t-digest style approximate median with a
+    tolerance-style oracle (the sketch is engine-specific; the checkable
+    contract is (exact value, estimate-within-1% flag)). At 100 TB the
+    approx sketch is the only mergeable fixed-memory option; the exact
+    twin here exists to certify it."""
+    li = read_table(spark, sf, "lineitem")
+    both = li.agg(
+        F.percentile(F.col("l_extendedprice"), F.lit(0.5)).alias("__exact__"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("__approx__"),
+    )
+    return both.select(
+        F.round(F.col("__exact__").cast("double"), 6).alias("exact_p50"),
+        (F.abs(F.col("__approx__") - F.col("__exact__"))
+         <= 0.01 * F.abs(F.col("__exact__"))).cast("int").alias("within_tol"),
     )
 
 
@@ -934,6 +970,7 @@ QUERIES = {
     "join_semi": q_join_semi,
     "join_asof": q_join_asof,
     "join_range": q_join_range,
+    "join_interval_overlap": q_join_interval_overlap,
     "join_cross_scalar": q_join_cross_scalar,
     "agg_groupcount": q_agg_groupcount,
     "agg_multikey": q_agg_multikey,
@@ -945,6 +982,7 @@ QUERIES = {
     "agg_pivot": q_agg_pivot,
     "agg_salted": q_agg_salted,
     "agg_approx_distinct": q_agg_approx_distinct,
+    "agg_approx_percentile": q_agg_approx_percentile,
     "pricing_summary": q_pricing_summary,
     "topk_conditions": q_topk_conditions,
     "global_min": q_global_min,
@@ -1147,6 +1185,12 @@ ORACLES = {
           ON e.value >= s.s_acctbal / 100 - 5
          AND e.value <= s.s_acctbal / 100 + 5
     """,
+    "join_interval_overlap": """
+        SELECT s_suppkey, c_custkey
+        FROM supplier JOIN customer
+          ON s_acctbal <= c_acctbal + 500.0
+         AND c_acctbal <= s_acctbal + 500.0
+    """,
     "join_cross_scalar": """
         SELECT o_orderkey,
                datediff('day', (SELECT min(o_orderdate) FROM orders), o_orderdate) AS day_idx
@@ -1183,6 +1227,11 @@ ORACLES = {
     "agg_salted": "SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY l_returnflag",
     "agg_approx_distinct": """
         SELECT count(DISTINCT l_partkey) AS exact_nd, 1 AS within_tol FROM lineitem
+    """,
+    "agg_approx_percentile": """
+        SELECT round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50,
+               1 AS within_tol
+        FROM lineitem
     """,
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,

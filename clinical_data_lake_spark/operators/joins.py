@@ -177,6 +177,58 @@ def range_join(
     )
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Interval-overlap join (custom operator): pairs whose
+    [start, end] ranges intersect — ``ls <= re AND rs <= le``.
+
+    Same binning idea as ``range_join`` but both sides explode to the
+    buckets they span, so a pair can meet in several buckets; crediting
+    the match to ONE canonical bucket (the bucket of the overlap
+    region's start = max of the two starts) removes duplicates with a
+    filter instead of a dropDuplicates shuffle. Plan: explode both
+    sides (~len/width rows each), hash-join on bucket, exact overlap +
+    canonical-bucket filter. Linear in input + output; no nested loop.
+    """
+    lb = left.withColumn(
+        "__bkt__",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(left_start) / F.lit(bucket_width)).cast("long"),
+                F.floor(F.col(left_end) / F.lit(bucket_width)).cast("long"),
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "__bkt__",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_start) / F.lit(bucket_width)).cast("long"),
+                F.floor(F.col(right_end) / F.lit(bucket_width)).cast("long"),
+            )
+        ),
+    )
+    overlap_start_bkt = F.floor(
+        F.greatest(F.col(left_start), F.col(right_start)) / F.lit(bucket_width)
+    ).cast("long")
+    return (
+        lb.join(rb, on="__bkt__")
+        .filter(
+            (F.col(left_start) <= F.col(right_end))
+            & (F.col(right_start) <= F.col(left_end))
+            & (F.col("__bkt__") == overlap_start_bkt)
+        )
+        .drop("__bkt__")
+    )
+
+
 def with_global_scalar(df: DataFrame, scalar_df: DataFrame) -> DataFrame:
     """J5 — attach a 1-row aggregate to every row
     (include/featurise.py:33 crossJoin of the global min date).

@@ -402,3 +402,27 @@ def test_funnel_conversion_boundaries(spark):
     out = funnel_conversion(df, "user_id", "ts", "event_type", "view", "click", 1800, "event_id").collect()[0]
     assert (out.n_from, out.n_converted) == (3, 1)
     assert abs(out.conv_rate - 0.333333) < 1e-6
+
+
+def test_interval_overlap_join_matches_naive_and_avoids_nested_loop(spark):
+    from clinical_data_lake_spark.operators.joins import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, 0.0, 10.0), (2, 20.0, 25.0), (3, -7.5, -2.5)],
+        schema="lid long, ls double, le double",
+    )
+    right = spark.createDataFrame(
+        [(10, 9.0, 30.0), (20, 11.0, 19.0), (30, -3.0, 0.0), (40, 100.0, 110.0)],
+        schema="rid long, rs double, re double",
+    )
+    out = interval_overlap_join(left, right, "ls", "le", "rs", "re", 5.0)
+    got = {(r.lid, r.rid) for r in out.collect()}
+    naive = {
+        (lr.lid, rr.rid)
+        for lr in left.collect() for rr in right.collect()
+        if lr.ls <= rr.re and rr.rs <= lr.le
+    }
+    assert got == naive
+    assert len(got) == len(out.collect())  # canonical bucket: no dup pairs
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
