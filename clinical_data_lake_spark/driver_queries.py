@@ -829,6 +829,24 @@ def q_doc_quality(spark: SparkSession, sf: str) -> DataFrame:
 # ------------------------------------------- round-2 extension batch 2
 
 
+def q_window_rank_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Remaining ranking family — ntile deciles, percent_rank,
+    cume_dist — PARTITIONED by order status (a global ORDER BY window
+    would funnel the table through one task; per-partition ranks keep
+    the sort distributed), unique tie-break for determinism."""
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
 def q_window_lag(spark: SparkSession, sf: str) -> DataFrame:
     """Lead/lag extension — per-user previous-event gap in seconds
     (cadence feature / sessionization building block)."""
@@ -997,6 +1015,7 @@ QUERIES = {
     "window_range_count": q_window_range_count,
     "window_rank": q_window_rank,
     "window_lag": q_window_lag,
+    "window_rank_stats": q_window_rank_stats,
     "funnel": q_funnel,
     "agg_percentile": q_agg_percentile,
     "agg_stats": q_agg_stats,
@@ -1324,6 +1343,14 @@ ORACLES = {
                    - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) AS gap_s
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "window_rank_stats": """
+        SELECT o_orderkey, o_orderstatus,
+               ntile(10) OVER w AS decile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
     """,
     "funnel": """
         WITH marked AS (
