@@ -20,10 +20,7 @@ Identifiers are validated (no SQL splicing of user text beyond
 
 from __future__ import annotations
 
-import os
 import re
-import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -78,6 +75,29 @@ def register_external_table(
     )
 
 
+def _hadoop_fs(spark: SparkSession, path_str: str):
+    """(FileSystem, Path) for a path via the Hadoop FS API — resolves
+    whatever scheme the path carries (file:/, hdfs:/, s3a:/, ...), so
+    table maintenance never assumes a driver-local POSIX filesystem."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def _table_location(spark: SparkSession, name: str) -> str | None:
+    """Current physical location of a catalog table (URI string)."""
+    for row in spark.sql(f"DESCRIBE FORMATTED {_check_ident(name)}").collect():
+        if (row[0] or "").strip().lower() == "location":
+            return (row[1] or "").strip()
+    return None
+
+
+# suffix toggled by the repoint flow; kept stable so repeated OPTIMIZE
+# runs ping-pong between exactly two directories
+_OPT_SUFFIX = ".zopt"
+
+
 def optimize_table(
     spark: SparkSession,
     name: str,
@@ -96,6 +116,23 @@ def optimize_table(
     data-skipping effect Z-ordering buys, traded against multi-column
     skipping quality. Returns 'delta' or 'parquet' for the path taken.
 
+    The rewrite goes through Spark + the Hadoop FS API only (no
+    driver-local ``os`` calls), so it works wherever the warehouse
+    lives — local FS, HDFS, or an object store through its Hadoop
+    connector:
+
+    - table registered in the catalog: write the clustered copy to a
+      sibling directory (``<base>`` <-> ``<base>.zopt`` ping-pong),
+      ``ALTER TABLE ... SET LOCATION`` to re-point readers at it, then
+      delete the old directory. Readers resolving through the catalog
+      never observe a missing path; queries already planned against the
+      old files should finish before the delete in production (delay
+      the delete, vacuum-style, if that race matters).
+    - location-only (no table): stage next to the target, then swap via
+      ``FileSystem.rename`` with a backup that is restored on failure.
+      Stale ``.staging``/``.bak`` directories from a previously failed
+      run are cleaned up first.
+
     At 100 TB the rewrite is a full shuffle of the table — schedule it
     like the reference does (a periodic maintenance job, 00-etl-rwd.py:222),
     not per-query.
@@ -105,26 +142,48 @@ def optimize_table(
         cols = ", ".join(_check_ident(c) for c in zorder_by)
         spark.sql(f"OPTIMIZE {name} ZORDER BY ({cols})")
         return "delta"
+
+    def clustered(df: DataFrame) -> DataFrame:
+        n = target_partitions or df.rdd.getNumPartitions()
+        return df.repartitionByRange(n, *zorder_by).sortWithinPartitions(*zorder_by)
+
+    if _table_exists(spark, name):
+        old = _table_location(spark, name)
+        if old is None:
+            raise ValueError(f"cannot resolve location of table {name}")
+        base = old.rstrip("/")
+        new = (base[: -len(_OPT_SUFFIX)] if base.endswith(_OPT_SUFFIX)
+               else base + _OPT_SUFFIX)
+        fs, new_path = _hadoop_fs(spark, new)
+        if fs.exists(new_path):  # stale copy from a failed prior run
+            fs.delete(new_path, True)
+        clustered(spark.table(name)).write.parquet(new)
+        spark.sql(f"ALTER TABLE {name} SET LOCATION '{new}'")
+        spark.sql(f"REFRESH TABLE {name}")
+        fs, old_path = _hadoop_fs(spark, base)
+        fs.delete(old_path, True)
+        return "parquet"
+
     if location is None:
-        raise ValueError("parquet fallback needs the table location")
-    df = spark.read.parquet(location)
-    n = target_partitions or df.rdd.getNumPartitions()
-    clustered = df.repartitionByRange(n, *zorder_by).sortWithinPartitions(*zorder_by)
-    # parquet can't overwrite a path it is reading: stage next to the
-    # target then swap directories
-    stage = tempfile.mkdtemp(dir=os.path.dirname(location.rstrip("/")) or ".",
-                             prefix=".optimize-")
-    try:
-        clustered.write.mode("overwrite").parquet(stage)
-        backup = location.rstrip("/") + ".bak"
-        os.rename(location, backup)
-        os.rename(stage, location)
-        shutil.rmtree(backup)
-    except BaseException:
-        shutil.rmtree(stage, ignore_errors=True)
-        raise
-    # refresh any cached metadata for tables over this path
-    spark.sql(f"REFRESH TABLE {name}") if _table_exists(spark, name) else None
+        raise ValueError("parquet fallback needs a registered table or a location")
+    # no catalog entry to re-point: stage + rename swap on the table's
+    # own filesystem (parquet can't overwrite a path it is reading)
+    base = location.rstrip("/")
+    fs, loc_path = _hadoop_fs(spark, base)
+    _, stage_path = _hadoop_fs(spark, base + ".staging")
+    _, backup_path = _hadoop_fs(spark, base + ".bak")
+    for stale in (stage_path, backup_path):  # leftovers of a failed run
+        if fs.exists(stale):
+            fs.delete(stale, True)
+    clustered(spark.read.parquet(location)).write.parquet(str(stage_path))
+    if not fs.rename(loc_path, backup_path):
+        fs.delete(stage_path, True)
+        raise IOError(f"rename {base} -> {base}.bak failed")
+    if not fs.rename(stage_path, loc_path):
+        fs.rename(backup_path, loc_path)  # restore the original table
+        fs.delete(stage_path, True)
+        raise IOError(f"rename {base}.staging -> {base} failed; original restored")
+    fs.delete(backup_path, True)
     return "parquet"
 
 

@@ -112,6 +112,12 @@ def run_etl(
         for name, cols in zorders.items():
             qualified = f"{database}.{name}" if database else name
             catalog.optimize_table(spark, qualified, cols, location=paths[name])
+            if database:
+                # the catalog repoint flow moves registered tables to a
+                # sibling directory — report where the data lives now
+                loc = catalog._table_location(spark, qualified)
+                if loc:
+                    paths[name] = loc.removeprefix("file:")
 
     return paths
 

@@ -84,7 +84,7 @@ def test_optimize_table_clusters_parquet(spark, tmp_path):
     catalog.register_external_table(spark, "opt_test", path)
     mode = catalog.optimize_table(spark, "opt_test", ["k"], location=path)
     assert mode == ("delta" if has_delta(spark) else "parquet")
-    back = spark.read.parquet(path)
+    back = spark.table("opt_test")  # catalog repoint: read via the table
     assert back.count() == 1000
     assert back.agg(F.sum("v")).collect()[0][0] == 499500
     # clustered: each output file covers a narrow k-range -> with
@@ -93,6 +93,34 @@ def test_optimize_table_clusters_parquet(spark, tmp_path):
         F.min("k").alias("lo"), F.max("k").alias("hi")
     ).collect()
     assert any(r.lo == r.hi for r in files) or len(files) == 1
+    if mode == "parquet":
+        # repoint flow ping-pongs between <base> and <base>.zopt and
+        # deletes the superseded directory each time
+        loc1 = catalog._table_location(spark, "opt_test")
+        assert loc1.rstrip("/").endswith(".zopt")
+        catalog.optimize_table(spark, "opt_test", ["k"])
+        loc2 = catalog._table_location(spark, "opt_test")
+        assert not loc2.rstrip("/").endswith(".zopt")
+        assert spark.table("opt_test").count() == 1000
+
+
+def test_optimize_location_only_swap(spark, tmp_path):
+    if has_delta(spark):
+        pytest.skip("delta present; parquet fallback not applicable")
+    path = str(tmp_path / "loc_only")
+    spark.range(0, 500).select(
+        (F.col("id") % 5).alias("k"), F.col("id").alias("v")
+    ).repartition(6).write.parquet(path)
+    # plant a stale backup from a "failed prior run" — must be cleaned
+    (tmp_path / "loc_only.bak").mkdir()
+    mode = catalog.optimize_table(spark, "no_such_table_here", ["k"], location=path)
+    assert mode == "parquet"
+    back = spark.read.parquet(path)  # swap flow: data stays at location
+    assert back.count() == 500
+    assert back.agg(F.sum("v")).collect()[0][0] == 124750
+    import os
+    assert not os.path.exists(path + ".bak")
+    assert not os.path.exists(path + ".staging")
 
 
 def test_describe_history_guard(spark):
