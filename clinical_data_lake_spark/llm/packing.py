@@ -2,27 +2,105 @@
 
 Training examples are fixed token budgets (e.g. 2048, 8192); packing
 many short documents into one sequence instead of padding each is a
-throughput multiplier. The operator here is the distributed version of
-the standard greedy pack:
+throughput multiplier. Two distributed packers:
 
-1. shard documents by a *data-derived* key (``xxhash64(doc_id) mod
-   shards``) — membership is a pure function of the data, so results
-   are identical for any physical partitioning of the input;
-2. within each shard, scan docs in doc-id order and close a bin
-   whenever the next doc would overflow the budget (greedy
-   next-fit). A doc longer than the budget gets its own bin, flagged.
+- ``pack_concat`` — concatenate-and-cut (GPT-style) packing, fully
+  JVM-side: lay documents head-to-tail in deterministic id order
+  within each shard and cut at every ``budget`` boundary. A document
+  whose span crosses a boundary is split across the two sequences
+  (flagged). One window over the shard, zero Python — the 100 TB
+  fast path, and the semantics most pretraining pipelines actually
+  use (fill fraction is exactly 1.0 except each shard's last bin).
+- ``pack_greedy`` — exact greedy next-fit (close a bin when the next
+  doc would overflow; no doc is ever split). Sequential semantics, so
+  per-shard state lives in an Arrow-batched ``applyInPandas`` scan —
+  the exactness fallback when downstream can't handle split docs.
 
-Per-shard state is a single running (bin, fill) pair, so each shard is
-one pass over its rows inside an Arrow-batched ``applyInPandas`` —
-Python, but vectorized transfer and O(rows) work; at 100 TB the cost
-is one shuffle on the shard key plus a linear scan, and shard count
-scales the parallelism independently of input layout.
+Both shard by a *data-derived* key (``xxhash64(doc_id) mod shards``) —
+membership is a pure function of the data, so results are identical
+for any physical partitioning of the input. Shard count defaults to
+data-derived (``ceil(rows / rows_per_shard)``) so per-task work is
+bounded by ``rows_per_shard`` regardless of corpus size: a fixed
+shard count would grow per-task memory linearly with the corpus and
+OOM the pandas path at scale.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import math
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _derive_shards(
+    docs: DataFrame, shards: int | None, rows_per_shard: int
+) -> int:
+    """Data-derived shard count: one cheap count job (parquet metadata
+    for raw scans) bounds every shard near ``rows_per_shard`` rows, so
+    per-task memory stays constant as the corpus grows."""
+    if shards is not None:
+        if shards < 1:
+            raise ValueError("shards must be >= 1")
+        return shards
+    if rows_per_shard < 1:
+        raise ValueError("rows_per_shard must be >= 1")
+    return max(1, math.ceil(docs.count() / rows_per_shard))
+
+
+def _sharded(
+    docs: DataFrame, id_col: str, token_col: str, n_shards: int,
+    shard_by_hash: bool = True,
+) -> DataFrame:
+    # hash sharding decorrelates shard membership from id order (even
+    # fill when ids cluster); pmod-of-id sharding is engine-portable
+    # (expressible in any SQL dialect for oracle comparison)
+    key = F.xxhash64(F.col(id_col)) if shard_by_hash else F.col(id_col).cast("long")
+    return docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(token_col).cast("long").alias(token_col),
+        F.pmod(key, F.lit(n_shards)).cast("int").alias("shard"),
+    )
+
+
+def pack_concat(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    budget: int = 2048,
+    shards: int | None = None,
+    rows_per_shard: int = 250_000,
+) -> DataFrame:
+    """Concatenate-and-cut packing, all JVM-side window arithmetic.
+
+    Documents are laid head-to-tail in id order within each shard;
+    sequence ``bin`` = floor(start_offset / budget), ``bin_offset`` =
+    the doc's start within that bin, ``split`` = true when the doc's
+    span crosses a bin boundary (it contributes tokens to 2+
+    sequences). Plan: one shuffle on the shard key + one window cumsum
+    — no Python workers, whole-stage codegen either side of the
+    window, per-task work bounded by ``rows_per_shard``.
+    """
+    n_shards = _derive_shards(docs, shards, rows_per_shard)
+    w = Window.partitionBy("shard").orderBy(id_col)
+    end = F.sum(token_col).over(w)  # inclusive cumulative tokens
+    start = end - F.col(token_col)
+    return (
+        _sharded(docs, id_col, token_col, n_shards)
+        .select(
+            id_col,
+            token_col,
+            "shard",
+            F.floor(start / budget).alias("bin"),
+            (start % budget).alias("bin_offset"),
+            # a zero-token doc never splits; otherwise compare the bins
+            # of the first and last token
+            (
+                (F.col(token_col) > 0)
+                & (F.floor(start / budget) != F.floor((end - 1) / budget))
+            ).alias("split"),
+        )
+    )
 
 
 def pack_greedy(
@@ -30,12 +108,17 @@ def pack_greedy(
     id_col: str = "doc_id",
     token_col: str = "n_tokens",
     budget: int = 2048,
-    shards: int = 64,
+    shards: int | None = None,
+    rows_per_shard: int = 250_000,
 ) -> DataFrame:
-    """Assign each doc a (shard, bin) so that per-bin token sums stay
-    within ``budget`` (singleton oversized docs excepted, flagged via
-    ``oversize``). Deterministic: shard = xxhash64(id) mod shards, scan
-    order = id order."""
+    """Exact greedy next-fit: assign each doc a (shard, bin) so that
+    per-bin token sums stay within ``budget`` (singleton oversized docs
+    excepted, flagged via ``oversize``); docs are never split.
+    Deterministic: shard = xxhash64(id) mod shards, scan order = id
+    order. Sequential per-shard state -> Arrow-batched applyInPandas;
+    use ``pack_concat`` when cut-at-boundary semantics are acceptable
+    (it avoids Python entirely).
+    """
     import pandas as pd
 
     out_schema = (
@@ -60,23 +143,25 @@ def pack_greedy(
         pdf["oversize"] = pd.Series(overs, dtype="bool")
         return pdf[[id_col, token_col, "shard", "bin", "oversize"]]
 
-    sharded = docs.select(
-        F.col(id_col).cast("long").alias(id_col),
-        F.col(token_col).cast("long").alias(token_col),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards)).cast("int").alias("shard"),
+    n_shards = _derive_shards(docs, shards, rows_per_shard)
+    return (
+        _sharded(docs, id_col, token_col, n_shards)
+        .groupBy("shard")
+        .applyInPandas(pack, schema=out_schema)
     )
-    return sharded.groupBy("shard").applyInPandas(pack, schema=out_schema)
 
 
 def pack_stats(packed: DataFrame, token_col: str = "n_tokens", budget: int = 2048) -> DataFrame:
     """Per-(shard, bin) fill summary — the packing-efficiency readout
     (mean fill fraction is the metric that justifies packing at all)."""
+    agg = [
+        F.sum(token_col).alias("fill"),
+        F.count(F.lit(1)).alias("n_docs"),
+    ]
+    if "oversize" in packed.columns:
+        agg.append(F.max("oversize").alias("has_oversize"))
     return (
         packed.groupBy("shard", "bin")
-        .agg(
-            F.sum(token_col).alias("fill"),
-            F.count(F.lit(1)).alias("n_docs"),
-            F.max("oversize").alias("has_oversize"),
-        )
+        .agg(*agg)
         .withColumn("fill_frac", (F.col("fill") / F.lit(float(budget))).cast("double"))
     )
