@@ -67,13 +67,17 @@ def quality_score(text: str | Column) -> Column:
 
 def lang_id(text: str | Column, markers: dict[str, list[str]] | None = None) -> Column:
     """Marker-word language ID: pick the language with the most marker
-    hits; 'und' when nothing matches. A CASE/score expression — no UDF."""
-    c = F.lower(_col(text))
+    hits; 'und' when nothing matches. Single tokenize pass (one regex
+    split, shared by codegen subexpression elimination) + one
+    ``array_intersect`` per language — same distinct-marker-present
+    semantics as a per-word boundary regex, at a fraction of the
+    per-row cost (the previous form ran langs*words rlike passes)."""
     markers = markers or LANG_MARKERS
+    toks = F.split(F.lower(_col(text)), r"\s+")
     scores = {
-        lang: sum(
-            (F.when(c.rlike(rf"(^|\s){w}(\s|$)"), 1).otherwise(0) for w in words),
-            start=F.lit(0),
+        lang: F.coalesce(
+            F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))),
+            F.lit(0),
         )
         for lang, words in markers.items()
     }

@@ -72,15 +72,31 @@ def probe_media_metadata(
                 w, h = _struct.unpack(">II", data[16:24])
                 return ("image/png", w, h, n, True)
             if n >= 4 and data[:2] == b"\xff\xd8":
+                # full SOF set: 0xC0-0xCF minus DHT(C4)/JPG(C8)/DAC(CC),
+                # so progressive (C2), arithmetic (C9-CB) etc. all parse
+                sof = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
                 i = 2
-                while i + 9 < n:
+                while i + 1 < n:
                     if data[i] != 0xFF:
                         break
+                    while i + 1 < n and data[i + 1] == 0xFF:
+                        i += 1  # 0xFF fill bytes may pad any marker
                     marker = data[i + 1]
+                    if marker == 0xD9:
+                        break  # EOI with no SOF seen
+                    if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+                        i += 2  # standalone markers carry no segment
+                        continue
+                    if i + 3 >= n:
+                        break
                     seglen = _struct.unpack(">H", data[i + 2 : i + 4])[0]
-                    if marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0-3
-                        h, w = _struct.unpack(">HH", data[i + 5 : i + 9])
-                        return ("image/jpeg", w, h, n, True)
+                    if marker in sof:
+                        if i + 9 <= n:
+                            h, w = _struct.unpack(">HH", data[i + 5 : i + 9])
+                            return ("image/jpeg", w, h, n, True)
+                        break
+                    if marker == 0xDA:
+                        break  # entropy-coded data; SOF had to precede it
                     i += 2 + seglen
                 return ("image/jpeg", None, None, n, False)
             if n >= 12 and data[:4] == b"RIFF" and data[8:12] == b"WAVE":
@@ -113,6 +129,9 @@ def byte_histogram_features(
     row, not megabyte blobs.
     """
     import numpy as np
+
+    if bins < 1 or 256 % bins != 0:
+        raise ValueError(f"bins must evenly divide 256, got {bins}")
 
     schema = f"{id_col} long, n_bytes long, entropy double, features array<float>"
 

@@ -70,6 +70,7 @@ def pack_concat(
     budget: int = 2048,
     shards: int | None = None,
     rows_per_shard: int = 250_000,
+    shard_by_hash: bool = True,
 ) -> DataFrame:
     """Concatenate-and-cut packing, all JVM-side window arithmetic.
 
@@ -80,13 +81,23 @@ def pack_concat(
     sequences). Plan: one shuffle on the shard key + one window cumsum
     — no Python workers, whole-stage codegen either side of the
     window, per-task work bounded by ``rows_per_shard``.
+
+    ``id_col`` values must be unique: the cumsum uses an explicit ROWS
+    frame, so duplicate ids would get an arbitrary (though
+    deterministic-per-run) relative order within the shard.
     """
     n_shards = _derive_shards(docs, shards, rows_per_shard)
-    w = Window.partitionBy("shard").orderBy(id_col)
+    # ROWS, not the default RANGE, frame: RANGE treats order-by ties as
+    # peers sharing one inclusive cumsum, which corrupts start offsets
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     end = F.sum(token_col).over(w)  # inclusive cumulative tokens
     start = end - F.col(token_col)
     return (
-        _sharded(docs, id_col, token_col, n_shards)
+        _sharded(docs, id_col, token_col, n_shards, shard_by_hash)
         .select(
             id_col,
             token_col,
@@ -110,6 +121,7 @@ def pack_greedy(
     budget: int = 2048,
     shards: int | None = None,
     rows_per_shard: int = 250_000,
+    shard_by_hash: bool = True,
 ) -> DataFrame:
     """Exact greedy next-fit: assign each doc a (shard, bin) so that
     per-bin token sums stay within ``budget`` (singleton oversized docs
@@ -145,7 +157,7 @@ def pack_greedy(
 
     n_shards = _derive_shards(docs, shards, rows_per_shard)
     return (
-        _sharded(docs, id_col, token_col, n_shards)
+        _sharded(docs, id_col, token_col, n_shards, shard_by_hash)
         .groupBy("shard")
         .applyInPandas(pack, schema=out_schema)
     )
@@ -153,7 +165,37 @@ def pack_greedy(
 
 def pack_stats(packed: DataFrame, token_col: str = "n_tokens", budget: int = 2048) -> DataFrame:
     """Per-(shard, bin) fill summary — the packing-efficiency readout
-    (mean fill fraction is the metric that justifies packing at all)."""
+    (mean fill fraction is the metric that justifies packing at all).
+
+    ``pack_greedy`` output (no splits) sums exactly. ``pack_concat``
+    output (marked by its ``bin_offset`` column) is accounted exactly
+    too: each doc is exploded across every bin its token span touches
+    (``sequence`` + ``explode`` — still pure JVM) and contributes
+    ``min(end, bin_end) - max(start, bin_start)`` tokens to each, so
+    every non-terminal concat bin reads fill fraction exactly 1.0 and
+    ``n_docs`` counts the docs occupying (not merely starting in) the
+    bin. Zero-token docs count in their starting bin with 0 fill."""
+    if "bin_offset" in packed.columns:  # concat-packed: span-exact explode
+        b = F.lit(budget).cast("long")
+        start = F.col("bin") * b + F.col("bin_offset")
+        end = start + F.col(token_col)
+        last_bin = F.when(
+            F.col(token_col) > 0, F.floor((end - 1) / b)
+        ).otherwise(F.col("bin"))
+        per_bin = packed.select(
+            "shard",
+            start.alias("_start"),
+            end.alias("_end"),
+            F.explode(F.sequence(F.col("bin"), last_bin)).alias("bin"),
+        )
+        contrib = F.least(F.col("_end"), (F.col("bin") + 1) * b) - F.greatest(
+            F.col("_start"), F.col("bin") * b
+        )
+        return (
+            per_bin.groupBy("shard", "bin")
+            .agg(F.sum(contrib).alias("fill"), F.count(F.lit(1)).alias("n_docs"))
+            .withColumn("fill_frac", (F.col("fill") / F.lit(float(budget))).cast("double"))
+        )
     agg = [
         F.sum(token_col).alias("fill"),
         F.count(F.lit(1)).alias("n_docs"),

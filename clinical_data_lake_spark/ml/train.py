@@ -17,6 +17,8 @@ Reference parity:
 
 from __future__ import annotations
 
+import logging
+
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
@@ -115,8 +117,13 @@ class ModelStore:
             import mlflow.spark  # noqa: F401
 
             mlflow.spark.log_model(model, name)
+        except ImportError:
+            pass  # mlflow absent: the Spark-native save above is canonical
         except Exception:
-            pass
+            # mlflow present but misconfigured — surface it, don't hide it
+            logging.getLogger(__name__).warning(
+                "MLflow mirror of model %r failed", name, exc_info=True
+            )
         return path
 
     def load(self, model_cls, name: str, version: int):

@@ -36,6 +36,8 @@ def hash_sample(df: DataFrame, key_col: str, n_256: int) -> DataFrame:
     """
     if not 0 < n_256 <= 256:
         raise ValueError("n_256 must be in (0, 256]")
+    if n_256 == 256:  # full hash space: every prefix is < the (3-digit)
+        return df     # threshold, but hex math would yield '00' -> 0 rows
     threshold = _HEX[(n_256 >> 4) & 0xF] + _HEX[n_256 & 0xF]
     return df.filter(_md5_prefix(key_col) < F.lit(threshold))
 

@@ -426,3 +426,84 @@ def test_interval_overlap_join_matches_naive_and_avoids_nested_loop(spark):
     assert len(got) == len(out.collect())  # canonical bucket: no dup pairs
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_pack_concat_exact_replay(spark):
+    """Driver-side replay of the full concat-and-cut semantics: within
+    each shard, docs laid head-to-tail in id order; bin = floor(start /
+    budget), bin_offset = start % budget, split iff the doc's token span
+    crosses a bin boundary. Also: every doc appears exactly once and the
+    assignment is invariant to input partitioning."""
+    from clinical_data_lake_spark.llm.packing import pack_concat
+
+    budget = 256
+    rows = [(i, (i * 37) % 500) for i in range(300)]  # includes 0-token docs
+    df = spark.createDataFrame(rows, schema="doc_id long, n_tokens long")
+    packed = pack_concat(df, budget=budget, shards=4, shard_by_hash=False)
+    got = {r.doc_id: r for r in packed.collect()}
+    assert sorted(got) == sorted(r[0] for r in rows)
+
+    by_shard: dict[int, list[tuple[int, int]]] = {}
+    for doc_id, n_tok in rows:
+        by_shard.setdefault(doc_id % 4, []).append((doc_id, n_tok))
+    for shard, docs in by_shard.items():
+        start = 0
+        for doc_id, n_tok in sorted(docs):
+            r = got[doc_id]
+            end = start + n_tok
+            assert r.shard == shard
+            assert r.bin == start // budget, (doc_id, r.bin, start)
+            assert r.bin_offset == start % budget
+            assert r.split == (n_tok > 0 and start // budget != (end - 1) // budget)
+            start = end
+
+    again = pack_concat(df.repartition(7), budget=budget, shards=4, shard_by_hash=False)
+    assert {tuple(r) for r in again.collect()} == {tuple(r) for r in packed.collect()}
+
+
+def test_pack_concat_stats_span_exact(spark):
+    """pack_stats on concat output attributes a split doc's tokens to
+    every bin its span touches, so every interior bin reads fill exactly
+    budget (fill fraction 1.0) — including bins wholly covered by one
+    long doc — and total fill across bins equals total tokens."""
+    from clinical_data_lake_spark.llm.packing import pack_concat, pack_stats
+
+    budget = 128
+    rows = [(i, 50) for i in range(20)] + [(100, 500)]  # 500 spans ~4 bins
+    df = spark.createDataFrame(rows, schema="doc_id long, n_tokens long")
+    packed = pack_concat(df, budget=budget, shards=1, shard_by_hash=False)
+    stats = {r.bin: r for r in pack_stats(packed, budget=budget).collect()}
+    last = max(stats)
+    assert sorted(stats) == list(range(last + 1))  # long-doc interior bins present
+    for b, s in stats.items():
+        assert s.fill <= budget, (b, s.fill)
+        if b < last:
+            assert s.fill == budget, (b, s.fill)
+    assert sum(s.fill for s in stats.values()) == sum(n for _, n in rows)
+
+
+def test_pack_concat_jvm_only_plan(spark):
+    """The concat packer must stay Python-free: no Arrow/Python eval
+    nodes in the physical plan (that is its whole point vs pack_greedy)."""
+    from clinical_data_lake_spark.llm.packing import pack_concat
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 50 + 1).alias("n_tokens")
+    )
+    plan = pack_concat(df, budget=64, shards=2)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_hash_sample_boundaries(spark):
+    """n_256=256 keeps every row (the hex-threshold arithmetic would
+    otherwise compute '00' and keep none); out-of-range values raise."""
+    import pytest as _pytest
+
+    from clinical_data_lake_spark.operators.sampling import hash_sample
+
+    df = spark.range(0, 500).withColumnRenamed("id", "k")
+    assert hash_sample(df, "k", 256).count() == 500
+    with _pytest.raises(ValueError):
+        hash_sample(df, "k", 0)
+    with _pytest.raises(ValueError):
+        hash_sample(df, "k", 257)

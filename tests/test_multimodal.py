@@ -99,3 +99,44 @@ def test_synthesize_media_from_text(spark):
     got = mm.synthesize_media_from_text(docs).collect()[0]
     assert bytes(got.content) == "héllo".encode()
     assert got.media_id == 1
+
+
+def _jpeg_progressive_padded(w: int, h: int) -> bytes:
+    # SOI, 0xFF fill bytes before markers, DRI standalone-length segment,
+    # a restart-range marker region is not valid pre-SOS, so emulate the
+    # hard cases: fill padding + APP0 + progressive SOF2
+    app0 = b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
+    sof2 = b"\xff\xc2" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", h, w) + b"\x03\x00\x00\x00"
+    return b"\xff\xd8" + b"\xff" * 3 + app0 + b"\xff\xff" + sof2
+
+
+def _jpeg_arithmetic(w: int, h: int) -> bytes:
+    sof9 = b"\xff\xc9" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", h, w) + b"\x03\x00\x00\x00"
+    return b"\xff\xd8" + sof9
+
+
+def _jpeg_no_sof() -> bytes:
+    # SOI + APP0 then straight to EOI: structurally JPEG, no dimensions
+    app0 = b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
+    return b"\xff\xd8" + app0 + b"\xff\xd9"
+
+
+def test_probe_jpeg_hardened_variants(spark):
+    rows = [
+        Row(media_id=1, content=_jpeg_progressive_padded(800, 600)),
+        Row(media_id=2, content=_jpeg_arithmetic(320, 240)),
+        Row(media_id=3, content=_jpeg_no_sof()),
+    ]
+    df = spark.createDataFrame(rows, schema="media_id long, content binary")
+    got = {r.media_id: r.meta for r in mm.probe_media_metadata(df).collect()}
+    assert got[1].valid and (got[1].width, got[1].height) == (800, 600)
+    assert got[2].valid and (got[2].width, got[2].height) == (320, 240)
+    assert got[3].media_type == "image/jpeg" and not got[3].valid
+
+
+def test_byte_histogram_rejects_non_divisor_bins(spark):
+    df = spark.createDataFrame(
+        [Row(media_id=1, content=b"\x00\x01")], schema="media_id long, content binary"
+    )
+    with pytest.raises(ValueError, match="bins"):
+        mm.byte_histogram_features(df, bins=100)
