@@ -22,6 +22,8 @@ from __future__ import annotations
 
 import re
 
+from urllib.parse import unquote, urlparse
+
 from pyspark.sql import DataFrame, SparkSession
 
 from .io import has_delta
@@ -73,6 +75,11 @@ def register_external_table(
         f"CREATE TABLE IF NOT EXISTS {name} USING {_check_ident(fmt)} "
         f"LOCATION '{location}'"
     )
+    # A hive-partitioned layout is *discovered* at CREATE (the partition
+    # columns appear in the schema) but its partitions are not
+    # *registered*, so the table reads as 0 rows until recovered.
+    if _partition_columns(spark, name):
+        spark.sql(f"MSCK REPAIR TABLE {name}")
 
 
 def _hadoop_fs(spark: SparkSession, path_str: str):
@@ -86,11 +93,33 @@ def _hadoop_fs(spark: SparkSession, path_str: str):
 
 
 def _table_location(spark: SparkSession, name: str) -> str | None:
-    """Current physical location of a catalog table (URI string)."""
+    """Current physical location of a catalog table (raw URI string)."""
     for row in spark.sql(f"DESCRIBE FORMATTED {_check_ident(name)}").collect():
         if (row[0] or "").strip().lower() == "location":
             return (row[1] or "").strip()
     return None
+
+
+def table_location(spark: SparkSession, name: str) -> str | None:
+    """Public: where a catalog table's data lives.
+
+    Local-filesystem locations come back as a plain POSIX path
+    (``file:/x``, ``file:///x`` -> ``/x``); any other scheme (hdfs,
+    s3a, ...) is returned as the full URI untouched, so callers can
+    hand the result straight back to ``spark.read``/Hadoop FS either
+    way."""
+    loc = _table_location(spark, name)
+    if loc is None:
+        return None
+    parsed = urlparse(loc)
+    if parsed.scheme in ("", "file"):
+        return unquote(parsed.path) or loc
+    return loc
+
+
+def _partition_columns(spark: SparkSession, name: str) -> list[str]:
+    """Hive-partition columns of a catalog table ([] when unpartitioned)."""
+    return [c.name for c in spark.catalog.listColumns(name) if c.isPartition]
 
 
 # suffix toggled by the repoint flow; kept stable so repeated OPTIMIZE
@@ -151,14 +180,24 @@ def optimize_table(
         old = _table_location(spark, name)
         if old is None:
             raise ValueError(f"cannot resolve location of table {name}")
+        part_cols = _partition_columns(spark, name)
         base = old.rstrip("/")
         new = (base[: -len(_OPT_SUFFIX)] if base.endswith(_OPT_SUFFIX)
                else base + _OPT_SUFFIX)
         fs, new_path = _hadoop_fs(spark, new)
         if fs.exists(new_path):  # stale copy from a failed prior run
             fs.delete(new_path, True)
-        clustered(spark.table(name)).write.parquet(new)
+        writer = clustered(spark.table(name)).write
+        if part_cols:
+            # preserve the hive layout or every downstream partition
+            # prune (and the repointed table itself) silently breaks
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(new)
         spark.sql(f"ALTER TABLE {name} SET LOCATION '{new}'")
+        if part_cols:
+            # SET LOCATION moves the base; partition entries must be
+            # re-registered against the new directory tree
+            spark.sql(f"MSCK REPAIR TABLE {name}")
         spark.sql(f"REFRESH TABLE {name}")
         fs, old_path = _hadoop_fs(spark, base)
         fs.delete(old_path, True)
@@ -172,6 +211,15 @@ def optimize_table(
     fs, loc_path = _hadoop_fs(spark, base)
     _, stage_path = _hadoop_fs(spark, base + ".staging")
     _, backup_path = _hadoop_fs(spark, base + ".bak")
+    if not fs.exists(loc_path) and fs.exists(backup_path):
+        # a prior run died between rename(loc -> .bak) and
+        # rename(.staging -> loc): .bak holds the ONLY copy of the
+        # table — restore it before any cleanup touches it
+        if not fs.rename(backup_path, loc_path):
+            raise IOError(
+                f"found orphaned backup {base}.bak with no live table "
+                f"and could not restore it; not deleting anything"
+            )
     for stale in (stage_path, backup_path):  # leftovers of a failed run
         if fs.exists(stale):
             fs.delete(stale, True)

@@ -115,9 +115,9 @@ def run_etl(
             if database:
                 # the catalog repoint flow moves registered tables to a
                 # sibling directory — report where the data lives now
-                loc = catalog._table_location(spark, qualified)
+                loc = catalog.table_location(spark, qualified)
                 if loc:
-                    paths[name] = loc.removeprefix("file:")
+                    paths[name] = loc
 
     return paths
 

@@ -150,3 +150,65 @@ def test_ingest_csv_dir_explicit_schema(spark, tmp_path):
     got = dfs["patients"]
     assert got.schema.simpleString() == "struct<Id:bigint,ZIP:int>"
     assert got.count() == 2
+
+
+def test_optimize_partitioned_table_preserves_layout(spark, tmp_path):
+    """Catalog repoint on a hive-partitioned table must keep the
+    partition layout AND re-register partitions, or the table silently
+    reads as 0 rows while the original directory is deleted."""
+    if has_delta(spark):
+        pytest.skip("delta present; parquet fallback not applicable")
+    path = str(tmp_path / "ptab")
+    spark.range(0, 900).select(
+        F.concat(F.lit("g"), (F.col("id") % 3)).alias("p"),
+        (F.col("id") % 11).alias("k"),
+        F.col("id").alias("v"),
+    ).write.partitionBy("p").parquet(path)
+    catalog.register_external_table(spark, "opt_part_test", path)
+    assert spark.table("opt_part_test").count() == 900  # MSCK at register
+
+    mode = catalog.optimize_table(spark, "opt_part_test", ["k"])
+    assert mode == "parquet"
+    back = spark.table("opt_part_test")
+    assert back.count() == 900
+    assert back.agg(F.sum("v")).collect()[0][0] == 404550
+    assert {r.p for r in back.select("p").distinct().collect()} == {"g0", "g1", "g2"}
+    # partition pruning still works post-repoint
+    assert back.filter(F.col("p") == "g1").count() == 300
+    loc = catalog.table_location(spark, "opt_part_test")
+    assert loc.rstrip("/").endswith(".zopt")
+    import os
+    assert sorted(
+        d for d in os.listdir(loc) if d.startswith("p=")
+    ) == ["p=g0", "p=g1", "p=g2"]
+    assert not os.path.exists(path)  # superseded directory removed
+
+
+def test_optimize_location_only_restores_orphaned_backup(spark, tmp_path):
+    """If a prior run died between rename(loc -> .bak) and
+    rename(.staging -> loc), .bak holds the only copy; the next run must
+    restore it, never delete it as a stale leftover."""
+    if has_delta(spark):
+        pytest.skip("delta present; parquet fallback not applicable")
+    path = str(tmp_path / "orphan")
+    spark.range(0, 400).select(
+        (F.col("id") % 5).alias("k"), F.col("id").alias("v")
+    ).write.parquet(path + ".bak")  # the only copy lives in .bak
+    (tmp_path / "orphan.staging").mkdir()  # half-written staging leftover
+    mode = catalog.optimize_table(spark, "no_such_table_here", ["k"], location=path)
+    assert mode == "parquet"
+    back = spark.read.parquet(path)
+    assert back.count() == 400
+    assert back.agg(F.sum("v")).collect()[0][0] == 79800
+    import os
+    assert not os.path.exists(path + ".bak")
+    assert not os.path.exists(path + ".staging")
+
+
+def test_table_location_normalizes_file_uri(spark, tmp_path):
+    path = str(tmp_path / "locnorm")
+    spark.range(10).write.parquet(path)
+    catalog.register_external_table(spark, "locnorm_test", path)
+    loc = catalog.table_location(spark, "locnorm_test")
+    assert loc == path  # file: scheme stripped to a plain POSIX path
+    assert catalog.table_location(spark, "locnorm_test") is not None
