@@ -36,6 +36,7 @@ from pyspark.sql import functions as F  # noqa: E402
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from clinical_data_lake_spark.driver_queries import QUERIES  # noqa: E402
+from clinical_data_lake_spark.operators.caching import release_persisted  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -100,6 +101,10 @@ def main() -> None:
         # projection-only queries down to parquet metadata reads
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # operator-internal caches are per-query: building one is billed
+        # inside the measured window above, but holding it across queries
+        # would skew later timings via executor memory pressure
+        release_persisted()
         print(f"{name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

@@ -137,10 +137,10 @@ def tfidf_terms(docs, id_col: str = "doc_id", text_col: str = "text",
     )
     # tf is aggregated again for document frequencies and then joined
     # back — persist so the explode + first aggregation run once.
-    from pyspark.storagelevel import StorageLevel
+    from ..operators.caching import track_persist
 
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    tf = track_persist(
+        toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if min_df > 1:

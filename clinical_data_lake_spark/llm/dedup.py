@@ -22,7 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
+
+from ..operators.caching import track_persist
 
 # Mersenne prime 2^31-1 as the universal-hash modulus. The base hash
 # and both coefficients stay below 2^31, so a*h+b < 2^62 — inside the
@@ -151,7 +152,7 @@ def ngram_jaccard_pairs(
     # join — three recomputes of the explode+distinct shuffle without a
     # persist. The cache is corpus-shingle-sized (spills to disk), still
     # far cheaper than re-shuffling the explode three times.
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    sh = track_persist(sh)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
@@ -234,8 +235,8 @@ def minhash_lsh_pairs(
     # shingle-explode + 64-way min aggregation each time. Signatures are
     # tiny (64 longs/doc ≈ 0.5 KB — ~50 GB cluster-wide for a 100M-doc
     # corpus), so MEMORY_AND_DISK is safe at scale.
-    sig = minhash_signatures(docs, id_col, text_col, n, num_hashes, seed).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sig = track_persist(
+        minhash_signatures(docs, id_col, text_col, n, num_hashes, seed)
     )
     # band join on bare (id, band, band_hash) rows — signatures are NOT
     # carried through the join/dedup: a hot band bucket would shuffle
@@ -320,7 +321,7 @@ def simhash_pairs(
     mask = (1 << width) - 1
     # sh feeds both sides of the band self-join; persist so the 64-way
     # conditional-sum aggregation runs once (8 B/doc — trivially cached).
-    sh = simhash_docs(docs, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = track_persist(simhash_docs(docs, id_col, text_col))
     banded = sh.select(
         id_col,
         "simhash",

@@ -25,7 +25,8 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
+
+from ..operators.caching import track_persist
 
 
 def _as_double(col: str | Column) -> Column:
@@ -164,13 +165,13 @@ def cosine_dup_pairs_lsh(
     # banded twice (self-join) — persist so the scan+norm and the
     # pandas-UDF bucket matmul each run once. Both are per-vector-sized
     # (vectors+norm; 8B x tables bucket rows), safe to cache at scale.
-    v = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("e"),
-                      l2_norm(_as_double(vec_col)).alias("nrm")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    v = track_persist(
+        corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("e"),
+                      l2_norm(_as_double(vec_col)).alias("nrm"))
     )
-    banded = (
+    banded = track_persist(
         v.select("id", F.posexplode(bucket_ids(F.col("e"))).alias("tbl", "bkt"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     cand = (
         banded.select(F.col("id").alias("vec_a"), "tbl", "bkt")
         .join(banded.select(F.col("id").alias("vec_b"), "tbl", "bkt"),

@@ -53,3 +53,37 @@ def cache_if(df: DataFrame, reuse_count: int,
     if reuse_count >= 2:
         return df.persist(storage)
     return df
+
+
+# Library operators (TF-IDF, n-gram jaccard, minhash/simhash banding,
+# embedding LSH, case-control ranking) persist an intermediate that the
+# returned plan references 2-3 times — Catalyst does not dedupe repeated
+# subplan scans, so the cache is load-bearing for performance. The
+# consuming action happens *after* the operator returns, which rules out
+# scoped_cache there; instead every such persist registers here and a
+# session owner (bench loop, notebook, service) reclaims them all with
+# release_persisted() once results are materialized. Correctness never
+# depends on the cache — released plans simply recompute.
+_TRACKED: list[DataFrame] = []
+
+
+def track_persist(
+    df: DataFrame, storage: StorageLevel = StorageLevel.MEMORY_AND_DISK
+) -> DataFrame:
+    """Persist ``df`` and register it for ``release_persisted()``."""
+    _TRACKED.append(df.persist(storage))
+    return df
+
+
+def release_persisted() -> int:
+    """Unpersist every cache registered by ``track_persist`` (idempotent;
+    safe while downstream plans still reference them — they recompute).
+    Returns the number of caches released."""
+    n = len(_TRACKED)
+    for df in _TRACKED:
+        try:
+            df.unpersist()
+        except Exception:  # session already stopped: nothing to release
+            pass
+    _TRACKED.clear()
+    return n

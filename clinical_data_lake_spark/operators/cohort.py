@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .caching import track_persist
 from .filters import contains_ci
 
 
@@ -81,7 +82,7 @@ def case_control_cohort(
     # local rank) — Catalyst does not dedupe the scans. The anti-join
     # output is one id column, so MEMORY_AND_DISK persistence is cheap
     # insurance at any scale; Spark evicts LRU if memory is tight.
-    non_cases = non_cases.select(entity_col).persist()
+    non_cases = track_persist(non_cases.select(entity_col))
     ranked = distributed_rank(non_cases, entity_col)
     controls = (
         ranked
