@@ -135,3 +135,28 @@ def test_partitioned_write_enables_partition_pruning(spark, tmp_path):
     part_frag = plan.split("PartitionFilters: [")[1].split("]")[0]
     assert "event_date" in part_frag  # predicate prunes directories
     assert back.count() == expected
+
+
+def test_join_3way_fully_broadcast_no_shuffle(spark):
+    """The flagship denorm must never shuffle the fact table: both dims
+    ride BroadcastExchange, so the only stages are scan -> two broadcast
+    hash joins. Any Exchange hashpartitioning here means a 100 TB
+    lineitem shuffle snuck in."""
+    p = _plan(spark, "join_3way")
+    assert p.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in p
+    assert "Exchange hashpartitioning" not in p
+
+
+def test_comorbidity_topk_shape_locked(spark):
+    """Flagship cohort plan: the cohort id-set broadcasts into a semi
+    join (never a shuffle of the fact side), distinct + count both
+    partial-aggregate map-side, and the top-k is TakeOrderedAndProject.
+    Exactly three hash exchanges: build-side distinct, fact distinct,
+    final group-count — a fourth means a regression."""
+    p = _plan(spark, "comorbidity_topk")
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+    assert "SortMergeJoin" not in p
+    assert "TakeOrderedAndProject" in p
+    assert "partial_count" in p
+    assert p.count("Exchange hashpartitioning") == 3
