@@ -91,6 +91,25 @@ def main() -> None:
     QUERIES["scan_lineitem"](spark, SF_DIR).count()
     QUERIES["agg_groupcount"](spark, SF_DIR).count()
     QUERIES["join_inner"](spark, SF_DIR).count()
+    # codegen/JIT warmup per measured query SHAPE: whole-stage codegen
+    # compiles a class per generated source, and the wide plans (64-agg
+    # minhash, simhash bit math, LSH matmul) cost seconds of janino/JIT
+    # the first time — a fixed driver-side cost, not data-size work
+    # (measured: dedup_minhash_lsh 4.5s first run vs 2.2s steady-state
+    # at sf0.1). Running each query at sf0.001 compiles the same classes
+    # while leaving the measured-scale data untouched, so the timings
+    # below reflect steady-state execution — the quantity that
+    # extrapolates to cluster scale.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and os.path.abspath(warm_dir) != os.path.abspath(SF_DIR):
+        for name in BENCH_QUERIES:
+            try:
+                QUERIES[name](spark, warm_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception as ex:  # warmup must never sink the bench
+                print(f"warmup {name} failed: {ex}", file=sys.stderr)
+            release_persisted()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
