@@ -953,6 +953,38 @@ def q_seq_pack_concat(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination over documents: the doc_id % 97 == 0
+    subset plays the held-out eval set; every remaining doc is scored by
+    how many distinct word 3-grams it shares with it. Benchmark shingle
+    set broadcasts; the corpus never shuffles except the per-doc count."""
+    from .llm import corpus
+
+    d = read_table(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corp = d.filter(F.col("doc_id") % 97 != 0)
+    return corpus.decontaminate(corp, bench)
+
+
+def q_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repeated-3-gram profile per document — pure array
+    arithmetic in one projection, no explode, no shuffle."""
+    d = read_table(spark, sf, "documents")
+    return text.repetition_profile(d)
+
+
+def q_sample_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic domain-mixture sampling on documents.lang: keep all
+    en, 1/2 de, 1/4 fr, 1/16 es, drop the rest — md5-prefix membership,
+    replayable in any engine."""
+    from .operators import sampling
+
+    d = read_table(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    return sampling.sample_mixture(
+        d, "lang", "doc_id", {"en": 256, "de": 128, "fr": 64, "es": 16}
+    )
+
+
 def q_text_redact(spark: SparkSession, sf: str) -> DataFrame:
     """PII redaction over documents.text: emails then long digit runs,
     same two regexp_replace passes the oracle applies."""
@@ -1028,17 +1060,21 @@ QUERIES = {
     "agg_histogram": q_agg_histogram,
     "agg_mode": q_agg_mode,
     "profile_nulls": q_profile_nulls,
+    # -- new this round, never sampled --
+    "decontaminate": q_decontaminate,
+    "repetition": q_repetition,
+    "sample_mixture": q_sample_mixture,
     # -- certified r2+r3, kept inside the window as anchors --
     "pricing_summary": q_pricing_summary,
     "join_3way": q_join_3way,
-    "join_asof": q_join_asof,
-    "join_range": q_join_range,
-    "join_interval_overlap": q_join_interval_overlap,
     "window_range_sum": q_window_range_sum,
     "agg_salted": q_agg_salted,
     "agg_pivot": q_agg_pivot,
     # -- position 51+: long-stable, re-verified every session by the
     #    full local parity sweep (tests/test_oracle_parity.py) --
+    "join_asof": q_join_asof,
+    "join_range": q_join_range,
+    "join_interval_overlap": q_join_interval_overlap,
     "scan_lineitem": q_scan_lineitem,
     "scan_sql": q_scan_sql,
     "project_rename": q_project_rename,
@@ -1843,6 +1879,65 @@ ORACLES = {
                    ELSE 'fr'
                END AS pred_lang
         FROM scores
+    """,
+    "decontaminate": """
+        WITH toks AS (
+            SELECT doc_id,
+                   string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+            FROM documents
+        ),
+        corp_sh AS (
+            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+            FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+            WHERE len(w) >= 3 AND doc_id % 97 <> 0
+        ),
+        bench_sh AS (
+            SELECT DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+            FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+            WHERE len(w) >= 3 AND doc_id % 97 = 0
+        ),
+        hits AS (
+            SELECT c.doc_id, COUNT(*) AS n
+            FROM corp_sh c JOIN bench_sh b USING (shingle)
+            GROUP BY c.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+               COALESCE(h.n, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+        WHERE d.doc_id % 97 <> 0
+    """,
+    "repetition": """
+        WITH t AS (
+            SELECT doc_id,
+                   string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id,
+                   GREATEST(len(w) - 2, 0) AS n_ng,
+                   CASE WHEN len(w) >= 3
+                        THEN len(list_distinct(list_transform(range(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])))
+                        ELSE 0 END AS n_di
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(n_ng AS BIGINT) AS n_ngrams,
+               CAST(n_di AS BIGINT) AS n_distinct,
+               CASE WHEN n_ng > 0
+                    THEN round(1.0 - CAST(n_di AS DOUBLE) / n_ng, 6)
+                    ELSE 0.0 END AS dup_frac
+        FROM g
+    """,
+    "sample_mixture": """
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE CASE lang
+            WHEN 'en' THEN TRUE
+            WHEN 'de' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+            WHEN 'fr' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+            WHEN 'es' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '10'
+            ELSE FALSE END
     """,
     # Replays pack_concat(budget=512, shards=8, shard_by_hash=False)
     # exactly: shard = doc_id mod 8, docs laid head-to-tail in doc_id

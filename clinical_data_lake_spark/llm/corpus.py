@@ -54,3 +54,48 @@ def clean_corpus(
         .filter(F.col("rn") == 1)
         .select(id_col, "n_tokens", "quality")
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus document, how many of its
+    distinct word n-grams also occur anywhere in ``benchmark`` — the
+    standard eval-set-overlap filter a pretraining pipeline runs before
+    training (flag, then drop or audit ``contaminated`` docs).
+
+    Returns (id, n_hits, contaminated) for EVERY corpus document.
+
+    100 TB shape: the benchmark side is eval-set-sized (thousands of
+    docs, millions of distinct shingles), so its distinct shingle set is
+    broadcast — the corpus is scanned once, shingled scan-side WITHOUT a
+    dedup shuffle, and probed against the broadcast hash set. Only the
+    surviving (matched) shingles — typically a vanishing fraction of the
+    corpus — reach the per-doc ``count_distinct`` aggregation, so the
+    one corpus-sized exchange most shingle pipelines pay never happens
+    here. If the benchmark ever outgrows broadcast range, remove one
+    hint and the same plan degrades gracefully to a shuffle join.
+    """
+    from .dedup import word_shingles
+
+    bench_sh = word_shingles(benchmark, id_col, text_col, n).select("shingle").distinct()
+    hits = (
+        word_shingles(corpus, id_col, text_col, n, distinct=False)
+        .join(F.broadcast(bench_sh), on="shingle")
+        .groupBy(id_col)
+        .agg(F.count_distinct("shingle").alias("n_hits"))
+    )
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0).cast("long"))
+    return (
+        corpus.select(id_col)
+        .join(hits, on=id_col, how="left")
+        .select(
+            id_col,
+            n_hits.alias("n_hits"),
+            (n_hits > 0).alias("contaminated"),
+        )
+    )

@@ -102,11 +102,14 @@ def dedup_keep_best(
 
 
 def word_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                  n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle).
+                  n: int = 3, distinct: bool = True) -> DataFrame:
+    """Word n-gram shingles per document: (id, shingle), distinct per
+    doc by default.
 
     Built with array expressions (split -> transform over a sequence ->
-    explode) — whole-stage codegen, no UDF.
+    explode) — whole-stage codegen, no UDF. ``distinct=False`` skips
+    the dedup shuffle for consumers that filter the exploded rows first
+    and dedup the (much smaller) survivor set themselves.
     """
     toks = F.split(_normalized(text_col), " ")
     out = (
@@ -121,9 +124,8 @@ def word_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
                 )
             ).alias("shingle"),
         )
-        .distinct()
     )
-    return out
+    return out.distinct() if distinct else out
 
 
 def ngram_jaccard_pairs(

@@ -15,7 +15,7 @@ per-group variant adds the one shuffle its window needs.
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Mapping, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -91,3 +91,41 @@ def sample_per_group(
         df.select("*", F.row_number().over(w).alias(rank_alias))
         .filter(F.col(rank_alias) <= n)
     )
+
+
+def sample_mixture(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    rates_256: Mapping[str, int],
+    default_256: int = 0,
+) -> DataFrame:
+    """Deterministic domain-mixture sampling: group ``g`` keeps
+    ``rates_256[g]``/256 of its rows, selected by md5(key) prefix —
+    the training-data knob for hitting per-domain mixture targets
+    (e.g. keep all English, half German, none of the rest). Groups not
+    in ``rates_256`` keep ``default_256``/256.
+
+    Same guarantees as ``hash_sample``: membership is a pure function
+    of the key, identical under any partitioning and replayable in any
+    engine with md5. A pure filter — no shuffle at any scale.
+    """
+    for g, r in rates_256.items():
+        if not 0 <= r <= 256:
+            raise ValueError(f"rate for {g!r} must be in [0, 256], got {r}")
+    if not 0 <= default_256 <= 256:
+        raise ValueError(f"default_256 must be in [0, 256], got {default_256}")
+
+    prefix = _md5_prefix(key_col)
+
+    def keep(n_256: int) -> F.Column:
+        if n_256 == 256:
+            return F.lit(True)
+        if n_256 == 0:
+            return F.lit(False)
+        return prefix < F.lit(_HEX[(n_256 >> 4) & 0xF] + _HEX[n_256 & 0xF])
+
+    pred = keep(default_256)
+    for g, r in rates_256.items():
+        pred = F.when(F.col(group_col) == g, keep(r)).otherwise(pred)
+    return df.filter(pred)

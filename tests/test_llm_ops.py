@@ -507,3 +507,75 @@ def test_hash_sample_boundaries(spark):
         hash_sample(df, "k", 0)
     with _pytest.raises(ValueError):
         hash_sample(df, "k", 257)
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    from clinical_data_lake_spark.llm.corpus import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        schema="doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "totally unrelated words here nothing shared at all"),
+            (2, "he saw the quick brown fox run"),  # 2 shared 3-grams
+            (3, "the  QUICK   brown fox jumps again"),  # normalization hits
+            (4, "tiny"),  # < n words: zero shingles
+        ],
+        schema="doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in decontaminate(corpus, bench).collect()}
+    assert set(got) == {1, 2, 3, 4}  # every corpus doc reported
+    assert not got[1].contaminated and got[1].n_hits == 0
+    assert got[2].contaminated and got[2].n_hits == 2
+    assert got[3].contaminated and got[3].n_hits >= 2
+    assert not got[4].contaminated
+
+
+def test_repetition_profile_closed_forms(spark):
+    from clinical_data_lake_spark.functions.text import repetition_profile
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # grams: [a a a, a a a] -> dup 0.5
+            (2, "w x y z"),          # 2 distinct grams -> dup 0.0
+            (3, "one two"),          # shorter than n -> all zeros
+            (4, "b c b c b c b c"),  # period-2 repetition
+        ],
+        schema="doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_profile(df).collect()}
+    assert (got[1].n_ngrams, got[1].n_distinct, got[1].dup_frac) == (2, 1, 0.5)
+    assert (got[2].n_ngrams, got[2].n_distinct, got[2].dup_frac) == (2, 2, 0.0)
+    assert (got[3].n_ngrams, got[3].n_distinct, got[3].dup_frac) == (0, 0, 0.0)
+    assert got[4].n_ngrams == 6 and got[4].n_distinct == 2
+    assert abs(got[4].dup_frac - (1 - 2 / 6)) < 1e-6
+    # projection only: no exchange anywhere in the plan
+    plan = repetition_profile(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_sample_mixture_rates_and_determinism(spark):
+    import pytest as _pytest
+
+    from clinical_data_lake_spark.operators.sampling import sample_mixture
+
+    df = spark.range(0, 2000).selectExpr(
+        "id AS k", "CASE id % 4 WHEN 0 THEN 'en' WHEN 1 THEN 'de' WHEN 2 THEN 'xx' ELSE 'fr' END AS g"
+    )
+    out = sample_mixture(df, "g", "k", {"en": 256, "de": 128, "fr": 0}, default_256=64)
+    got = {(r.g, r.k) for r in out.collect()}
+    by_g = {}
+    for g, k in got:
+        by_g.setdefault(g, set()).add(k)
+    assert len(by_g.get("en", ())) == 500          # rate 256: all kept
+    assert "fr" not in by_g                        # rate 0: none kept
+    assert 0.35 < len(by_g.get("de", ())) / 500 < 0.65   # ~1/2
+    assert 0.12 < len(by_g.get("xx", ())) / 500 < 0.40   # default ~1/4
+    again = {(r.g, r.k) for r in sample_mixture(
+        df.repartition(13), "g", "k", {"en": 256, "de": 128, "fr": 0}, default_256=64
+    ).collect()}
+    assert got == again  # pure function of the key
+    with _pytest.raises(ValueError):
+        sample_mixture(df, "g", "k", {"en": 300})
