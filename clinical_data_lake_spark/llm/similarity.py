@@ -43,8 +43,17 @@ def l2_norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def _guarded_ratio(num: Column, denom: Column) -> Column:
+    """0.0 instead of an ANSI DIVIDE_BY_ZERO when the denominator is 0:
+    a zero-norm (all-zero) embedding has undefined cosine, and "similar
+    to nothing" is the behavior every consumer here wants. At corpus
+    scale a zero vector (failed embedder, padded row) is inevitable —
+    it must not sink the whole job."""
+    return F.when(denom > 0.0, num / denom).otherwise(F.lit(0.0))
+
+
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    return _guarded_ratio(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def cosine_topk(
@@ -70,7 +79,7 @@ def cosine_topk(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("ce"),
         l2_norm(_as_double(vec_col)).alias("cn"),
     )
-    sim = dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+    sim = _guarded_ratio(dot(F.col("qe"), F.col("ce")), F.col("qn") * F.col("cn"))
     pairs = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", sim.alias("sim_raw"))
@@ -101,7 +110,7 @@ def cosine_dup_pairs(
                       l2_norm(_as_double(vec_col)).alias("na"))
     b = corpus.select(F.col(id_col).alias("vec_b"), _as_double(vec_col).alias("eb"),
                       l2_norm(_as_double(vec_col)).alias("nb"))
-    sim = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    sim = _guarded_ratio(dot(F.col("ea"), F.col("eb")), F.col("na") * F.col("nb"))
     out_sim = F.round(sim, round_to) if round_to is not None else sim
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
@@ -184,7 +193,7 @@ def cosine_dup_pairs_lsh(
                   F.col("nrm").alias("na"))
     eb = v.select(F.col("id").alias("vec_b"), F.col("e").alias("eb"),
                   F.col("nrm").alias("nb"))
-    sim = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    sim = _guarded_ratio(dot(F.col("ea"), F.col("eb")), F.col("na") * F.col("nb"))
     out_sim = F.round(sim, round_to) if round_to is not None else sim
     return (
         cand.join(ea, on="vec_a").join(eb, on="vec_b")
@@ -232,7 +241,7 @@ def ivf_topk(
             import numpy as np
 
             cent = np.asarray(centroids, dtype=np.float64)  # closure by value
-            cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+            cent = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
             mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
             mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
             sims = mat @ cent.T
@@ -254,7 +263,7 @@ def ivf_topk(
         l2_norm(_as_double(vec_col)).alias("qn"),
         F.explode(assign_probe(_as_double(vec_col))).alias("cell"),
     )
-    sim = dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+    sim = _guarded_ratio(dot(F.col("qe"), F.col("ce")), F.col("qn") * F.col("cn"))
     pairs = (
         q.join(c, on="cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -579,3 +579,27 @@ def test_sample_mixture_rates_and_determinism(spark):
     assert got == again  # pure function of the key
     with _pytest.raises(ValueError):
         sample_mixture(df, "g", "k", {"en": 300})
+
+
+def test_cosine_ops_survive_zero_vectors(spark):
+    """A zero-norm embedding (failed embedder, padded row) must not
+    raise ANSI DIVIDE_BY_ZERO anywhere in the similarity family; its
+    cosine is defined as 0.0 (similar to nothing)."""
+    from clinical_data_lake_spark.llm.similarity import (
+        cosine_dup_pairs,
+        cosine_dup_pairs_lsh,
+        cosine_topk,
+    )
+    from clinical_data_lake_spark.operators.caching import release_persisted
+
+    rows = [(i, [float((i + j) % 7 + 1) for j in range(8)]) for i in range(10)]
+    rows.append((99, [0.0] * 8))  # the poison row
+    vecs = spark.createDataFrame(rows, schema="vec_id long, embedding array<double>")
+
+    dup = cosine_dup_pairs(vecs, threshold=0.5).collect()  # no crash
+    assert all(99 not in (r.vec_a, r.vec_b) for r in dup)  # sim 0 < threshold
+    lsh = cosine_dup_pairs_lsh(vecs, dim=8, threshold=0.5).collect()
+    assert all(99 not in (r.vec_a, r.vec_b) for r in lsh)
+    topk = cosine_topk(vecs.filter("vec_id = 99"), vecs, k=3).collect()
+    assert all(r.sim == 0.0 for r in topk)  # zero query: all sims 0
+    release_persisted()
