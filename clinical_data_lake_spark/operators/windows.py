@@ -118,10 +118,14 @@ def funnel_conversion(
     ).filter(F.col(type_col) == from_type)
     hit = (F.col("__next_to__") <= F.col("__ts_s__") + horizon_s).cast("long")
     n_conv = F.coalesce(F.sum(hit), F.lit(0))  # all-null (no to-events) -> 0
+    n_from = F.count(F.lit(1))
+    # a global agg over zero from-events still emits its one row with
+    # count 0 — under ANSI the unguarded ratio would DIVIDE_BY_ZERO
+    rate = F.when(n_from > 0, F.round(n_conv / n_from, 6)).otherwise(F.lit(0.0))
     return marked.agg(
-        F.count(F.lit(1)).alias("n_from"),
+        n_from.alias("n_from"),
         n_conv.alias("n_converted"),
-        F.round(n_conv / F.count(F.lit(1)), 6).alias("conv_rate"),
+        rate.alias("conv_rate"),
     )
 
 

@@ -603,3 +603,20 @@ def test_cosine_ops_survive_zero_vectors(spark):
     topk = cosine_topk(vecs.filter("vec_id = 99"), vecs, k=3).collect()
     assert all(r.sim == 0.0 for r in topk)  # zero query: all sims 0
     release_persisted()
+
+
+def test_funnel_zero_from_events_yields_zero_rate(spark):
+    """No from-events: the global aggregate still emits its single row;
+    conv_rate must be 0.0, not an ANSI divide-by-zero."""
+    import datetime
+
+    from clinical_data_lake_spark.operators.windows import funnel_conversion
+
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2026, 1, 1), "click", 1)],
+        schema="user_id long, ts timestamp, event_type string, event_id long",
+    )
+    out = funnel_conversion(
+        df, "user_id", "ts", "event_type", "view", "click", 1800, "event_id"
+    ).collect()[0]
+    assert (out.n_from, out.n_converted, out.conv_rate) == (0, 0, 0.0)
