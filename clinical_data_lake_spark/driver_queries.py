@@ -985,6 +985,24 @@ def q_sample_mixture(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_corpus_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-(source, lang) corpus rollup: the planning table mixture
+    rates are chosen from. One partial-aggregated shuffle."""
+    from .llm import corpus
+
+    return corpus.corpus_profile(read_table(spark, sf, "documents"))
+
+
+def q_training_order(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic training shuffle: (doc, shard, position) with
+    id-mod sharding and md5-rank ordering so DuckDB replays it row for
+    row."""
+    from .llm import corpus
+
+    d = read_table(spark, sf, "documents")
+    return corpus.training_order(d, n_shards=8, shard_by_hash=False)
+
+
 def q_text_redact(spark: SparkSession, sf: str) -> DataFrame:
     """PII redaction over documents.text: emails then long digit runs,
     same two regexp_replace passes the oracle applies."""
@@ -1075,6 +1093,8 @@ QUERIES = {
     "join_asof": q_join_asof,
     "join_range": q_join_range,
     "join_interval_overlap": q_join_interval_overlap,
+    "corpus_profile": q_corpus_profile,
+    "training_order": q_training_order,
     "scan_lineitem": q_scan_lineitem,
     "scan_sql": q_scan_sql,
     "project_rename": q_project_rename,
@@ -1879,6 +1899,41 @@ ORACLES = {
                    ELSE 'fr'
                END AS pred_lang
         FROM scores
+    """,
+    "corpus_profile": """
+        WITH m AS (
+            SELECT source, lang,
+                   CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tok,
+                   CAST(length(text) AS BIGINT) AS n_ch,
+                   least(greatest(
+                       (CASE WHEN len(string_split_regex(text, '\\s+')) > 0
+                             THEN CAST(length(text) AS DOUBLE)
+                                  / len(string_split_regex(text, '\\s+'))
+                             ELSE 0.0 END / 8.0)
+                       * (1.0 - CASE WHEN length(text) > 0
+                                     THEN CAST(length(text) - length(regexp_replace(text, '[^A-Za-z\\s]', '', 'g')) AS DOUBLE)
+                                          / length(text)
+                                     ELSE 1.0 END),
+                       0.0), 1.0) AS q
+            FROM documents
+        )
+        SELECT source, lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+               CAST(SUM(n_ch) AS BIGINT) AS total_chars,
+               round(CAST(SUM(CAST(round(q, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                     / COUNT(*), 6) AS avg_quality
+        FROM m
+        GROUP BY source, lang
+    """,
+    "training_order": """
+        SELECT doc_id,
+               CAST(CAST(doc_id AS BIGINT) % 8 AS INTEGER) AS shard,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY CAST(doc_id AS BIGINT) % 8
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS BIGINT) AS position
+        FROM documents
     """,
     "decontaminate": """
         WITH toks AS (

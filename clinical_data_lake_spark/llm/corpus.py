@@ -99,3 +99,70 @@ def decontaminate(
             (n_hits > 0).alias("contaminated"),
         )
     )
+
+
+def corpus_profile(
+    docs: DataFrame,
+    group_cols: list[str] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-slice corpus statistics — the planning readout behind mixture
+    decisions (``sample_mixture`` rates come from exactly this table):
+
+        (group..., n_docs, total_tokens, total_chars, avg_quality)
+
+    One scan, one partial-aggregated shuffle on the (low-cardinality)
+    grouping keys; every metric is a built-in column expression.
+    """
+    group_cols = group_cols or ["source", "lang"]
+    # decimal-exact quality mean: an fp AVG is partition-order-dependent
+    # in the last bits; summing pre-rounded decimals is exact in any
+    # order, and the single double division at the end is deterministic
+    q6 = F.round(T.quality_score(text_col), 6).cast("decimal(18,6)")
+    return (
+        docs.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(T.token_count(text_col)).alias("total_tokens"),
+            F.sum(F.length(F.col(text_col)).cast("long")).alias("total_chars"),
+            F.round(
+                F.sum(q6).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_quality"),
+        )
+    )
+
+
+def training_order(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    shard_by_hash: bool = True,
+) -> DataFrame:
+    """Deterministic global shuffle for training-data writing: assign
+    every doc a (shard, position) that is a pure function of its id —
+    md5 rank inside a sharded partition, so adjacent input rows (same
+    crawl, same source file) decorrelate, every engine/partitioning
+    reproduces the same order, and a resumed writer restarts exactly
+    where it stopped.
+
+    One exchange on the shard key + one in-partition sort of
+    corpus/n_shards rows; no global sort ever happens. Size n_shards so
+    a shard's (id, md5) pairs sort comfortably in one task (the docs
+    themselves are not sorted — join this back by id at write time).
+    ``shard_by_hash=False`` uses id-mod sharding (replayable in any SQL
+    engine for certification; hash sharding decorrelates better when
+    ids cluster).
+    """
+    key = (
+        F.xxhash64(F.col(id_col)) if shard_by_hash
+        else F.col(id_col).cast("long")
+    )
+    shard = F.pmod(key, F.lit(n_shards)).cast("int")
+    w = Window.partitionBy("shard").orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        docs.select(F.col(id_col), shard.alias("shard"))
+        .withColumn("position", F.row_number().over(w).cast("long"))
+    )

@@ -620,3 +620,46 @@ def test_funnel_zero_from_events_yields_zero_rate(spark):
         df, "user_id", "ts", "event_type", "view", "click", 1800, "event_id"
     ).collect()[0]
     assert (out.n_from, out.n_converted, out.conv_rate) == (0, 0, 0.0)
+
+
+def test_training_order_is_a_deterministic_permutation(spark):
+    """(shard, position) is a pure function of the id: positions within
+    each shard are 1..n with no gaps, the assignment survives any input
+    partitioning, and hash-sharded mode covers every doc exactly once."""
+    from clinical_data_lake_spark.llm.corpus import training_order
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    out = training_order(df, n_shards=4, shard_by_hash=False).collect()
+    assert sorted(r.doc_id for r in out) == list(range(1000))
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.position)
+    for shard, positions in by_shard.items():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    again = training_order(
+        df.repartition(17), n_shards=4, shard_by_hash=False
+    ).collect()
+    assert {(r.doc_id, r.shard, r.position) for r in again} == {
+        (r.doc_id, r.shard, r.position) for r in out
+    }
+    hashed = training_order(df, n_shards=4, shard_by_hash=True).collect()
+    assert sorted(r.doc_id for r in hashed) == list(range(1000))
+
+
+def test_corpus_profile_closed_form(spark):
+    from clinical_data_lake_spark.llm.corpus import corpus_profile
+
+    df = spark.createDataFrame(
+        [
+            (1, "web", "en", "four token doc here"),
+            (2, "web", "en", "two tokens"),
+            (3, "web", "de", "ein doc"),
+        ],
+        schema="doc_id long, source string, lang string, text string",
+    )
+    got = {(r.source, r.lang): r for r in corpus_profile(df).collect()}
+    assert got[("web", "en")].n_docs == 2
+    assert got[("web", "en")].total_tokens == 6
+    assert got[("web", "en")].total_chars == len("four token doc here") + len("two tokens")
+    assert got[("web", "de")].n_docs == 1
+    assert 0.0 <= got[("web", "en")].avg_quality <= 1.0
