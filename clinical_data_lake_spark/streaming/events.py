@@ -188,3 +188,26 @@ def sessionize(
             "n_events",
         )
     )
+
+
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to a
+    live event stream (user profile, device registry, reference codes).
+
+    Structured Streaming supports joining a stream to a static
+    DataFrame natively — no state store involved; the static side is
+    re-read per micro-batch (so a refreshed dim table is picked up on
+    the next trigger). With ``broadcast_dim`` the dim hashes once onto
+    every executor instead of shuffling each micro-batch — the right
+    plan whenever the dim fits in memory; disable it for huge dims and
+    let AQE pick a shuffle join. Works identically on a batch
+    DataFrame, which is what the parity test exploits.
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return events.join(d, on=keys, how=how)

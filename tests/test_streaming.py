@@ -132,3 +132,21 @@ def test_streaming_dedup_within_watermark_equals_batch(spark, events_stream_setu
     got = sorted(r.event_id for r in spark.table("dedup_test").collect())
     want = sorted(r.event_id for r in ev.select("event_id").distinct().collect())
     assert got == want
+
+
+def test_stream_static_enrichment_equals_batch(spark, events_stream_setup):
+    """Stream-static join: events enriched against a static dim table
+    must match the same join run in batch, with the dim broadcast."""
+    ev, root, schema = events_stream_setup
+    dim = (
+        ev.select("user_id").distinct()
+        .withColumn("segment", F.concat(F.lit("seg_"), (F.col("user_id") % 3).cast("string")))
+    )
+    batch = se.enrich_stream(ev, dim, ["user_id"]).groupBy("segment").count()
+
+    stream = se.stream_from_batch_dir(spark, root, schema)
+    enriched = se.enrich_stream(stream, dim, ["user_id"]).groupBy("segment").count()
+    se.run_to_memory_sink(enriched, "enrich_sink", output_mode="complete")
+    got = _sorted_rows(spark.table("enrich_sink"), ["segment", "count"])
+    want = _sorted_rows(batch, ["segment", "count"])
+    assert got == want
