@@ -160,3 +160,16 @@ def test_comorbidity_topk_shape_locked(spark):
     assert "TakeOrderedAndProject" in p
     assert "partial_count" in p
     assert p.count("Exchange hashpartitioning") == 3
+
+
+def test_decontaminate_probes_broadcast_before_any_shuffle(spark):
+    """Decontamination must filter corpus shingles against the broadcast
+    benchmark set BEFORE any aggregation shuffle — only matched shingles
+    may reach an exchange. A SortMergeJoin (or a corpus-side shingle
+    dedup ahead of the probe) would mean a corpus-sized shuffle."""
+    p = _plan(spark, "decontaminate")
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 2  # shingle probe + hits join-back
+    # survivors-only distinct+count (2) + benchmark-side distinct (1);
+    # a 4th+ exchange would be a corpus-side shingle dedup regression
+    assert p.count("Exchange hashpartitioning") <= 3

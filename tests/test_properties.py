@@ -47,3 +47,51 @@ def test_deidentify_invariants(spark, names):
         key = n if n is not None else "\x00"
         by_input.setdefault(key, set()).add(out[i].name)
     assert all(len(v) == 1 for v in by_input.values())
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=600), min_size=1, max_size=50),
+    budget=st.integers(min_value=16, max_value=512),
+)
+def test_pack_concat_replay_property(spark, toks, budget):
+    """For arbitrary token counts and budgets, pack_concat must equal
+    the sequential concat-and-cut replay within each shard."""
+    from clinical_data_lake_spark.llm.packing import pack_concat
+
+    rows = [(i, t) for i, t in enumerate(toks)]
+    df = spark.createDataFrame(rows, schema="doc_id long, n_tokens long")
+    got = {r.doc_id: r for r in
+           pack_concat(df, budget=budget, shards=3, shard_by_hash=False).collect()}
+    for shard in range(3):
+        start = 0
+        for doc_id, n in rows:
+            if doc_id % 3 != shard:
+                continue
+            r = got[doc_id]
+            end = start + n
+            assert r.bin == start // budget
+            assert r.bin_offset == start % budget
+            assert r.split == (n > 0 and start // budget != (end - 1) // budget)
+            start = end
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    keys=st.lists(st.integers(min_value=-(2**40), max_value=2**40),
+                  min_size=1, max_size=60, unique=True),
+    n_256=st.integers(min_value=1, max_value=256),
+)
+def test_hash_sample_subset_monotone(spark, keys, n_256):
+    """hash_sample selections are nested: the n_256 sample is a superset
+    of every smaller-rate sample of the same keys (the property that
+    makes rate changes safe mid-pipeline), and rate 256 keeps all."""
+    from clinical_data_lake_spark.operators.sampling import hash_sample
+
+    df = spark.createDataFrame([Row(k=v) for v in keys], schema="k long")
+    big = {r.k for r in hash_sample(df, "k", n_256).collect()}
+    small = {r.k for r in hash_sample(df, "k", max(1, n_256 // 2)).collect()}
+    assert small <= big
+    assert {r.k for r in hash_sample(df, "k", 256).collect()} == set(keys)
