@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "chisq_assoc",
     "ml_features",
     "dedup_exact",
+    "seq_pack_concat",
+    "decontaminate",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",
