@@ -985,6 +985,16 @@ def q_sample_mixture(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_stratified_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact per-language 80/20 split of documents: every lang lands
+    exactly round(0.8 * n_lang) rows in train — class balance hash_split
+    can't guarantee."""
+    from .operators import sampling
+
+    d = read_table(spark, sf, "documents").select("doc_id", "lang")
+    return sampling.stratified_split(d, ["lang"], "doc_id")
+
+
 def q_corpus_profile(spark: SparkSession, sf: str) -> DataFrame:
     """Per-(source, lang) corpus rollup: the planning table mixture
     rates are chosen from. One partial-aggregated shuffle."""
@@ -1095,6 +1105,7 @@ QUERIES = {
     "join_interval_overlap": q_join_interval_overlap,
     "corpus_profile": q_corpus_profile,
     "training_order": q_training_order,
+    "stratified_split": q_stratified_split,
     "scan_lineitem": q_scan_lineitem,
     "scan_sql": q_scan_sql,
     "project_rename": q_project_rename,
@@ -1899,6 +1910,15 @@ ORACLES = {
                    ELSE 'fr'
                END AS pred_lang
         FROM scores
+    """,
+    "stratified_split": """
+        SELECT doc_id, lang,
+               CASE WHEN ROW_NUMBER() OVER (
+                        PARTITION BY lang
+                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                    ) <= round(0.8 * COUNT(*) OVER (PARTITION BY lang))
+                    THEN 'train' ELSE 'test' END AS split
+        FROM documents
     """,
     "corpus_profile": """
         WITH m AS (

@@ -113,3 +113,27 @@ def write_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+) -> DataFrame:
+    """JSONL (one JSON object per line) source — the interchange format
+    LLM document corpora actually ship in. Schema is REQUIRED: inferred
+    JSON schemas double-scan the input and drift across shards (a field
+    that is null in one file and int in another infers differently),
+    which at 100 TB is both a second full read and a correctness
+    hazard. Lines that don't parse land in ``_corrupt_record`` if the
+    schema declares it, else are dropped by Spark's default PERMISSIVE
+    mode semantics."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, n_files: int | None = None) -> None:
+    """JSONL sink with overwrite. ``n_files`` controls output shard
+    count (repartition before write); leave None to keep the upstream
+    partitioning — at scale one file per task is what you want."""
+    out = df.repartition(n_files) if n_files else df
+    out.write.mode("overwrite").json(path)

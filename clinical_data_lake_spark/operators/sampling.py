@@ -129,3 +129,42 @@ def sample_mixture(
     for g, r in rates_256.items():
         pred = F.when(F.col(group_col) == g, keep(r)).otherwise(pred)
     return df.filter(pred)
+
+
+def stratified_split(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    key_col: str,
+    weights: Sequence[float] = (0.8, 0.2),
+    labels: Sequence[str] = ("train", "test"),
+    alias: str = "split",
+) -> DataFrame:
+    """Exact stratified split: within each stratum, rows are ranked by
+    md5(key) (deterministic, partitioning-independent) and cut at
+    ``round(cum_weight * stratum_size)`` — so every stratum lands its
+    EXACT proportion in every split, the class-balance guarantee
+    ``hash_split`` (expected proportions only) can't give small or
+    skewed classes. One window shuffle on the strata columns.
+    """
+    if len(weights) != len(labels) or len(labels) < 2:
+        raise ValueError("need len(weights) == len(labels) >= 2")
+    if any(w <= 0 for w in weights):
+        raise ValueError("weights must be positive")
+    total = float(sum(weights))
+
+    w_rank = Window.partitionBy(*strata_cols).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    w_all = Window.partitionBy(*strata_cols)
+    rn = F.row_number().over(w_rank)
+    cnt = F.count(F.lit(1)).over(w_all)
+
+    expr = F.lit(labels[-1])
+    cum = 0.0
+    cuts = []
+    for w in weights[:-1]:
+        cum += w / total
+        cuts.append(cum)
+    for cut, label in zip(reversed(cuts), reversed(labels[:-1])):
+        expr = F.when(rn <= F.round(F.lit(cut) * cnt), F.lit(label)).otherwise(expr)
+    return df.withColumn(alias, expr)

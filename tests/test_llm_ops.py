@@ -663,3 +663,55 @@ def test_corpus_profile_closed_form(spark):
     assert got[("web", "en")].total_chars == len("four token doc here") + len("two tokens")
     assert got[("web", "de")].n_docs == 1
     assert 0.0 <= got[("web", "en")].avg_quality <= 1.0
+
+
+def test_stratified_split_exact_proportions(spark):
+    """Every stratum lands exactly round(w * n) rows per split, the
+    assignment is a pure function of the key, and 3-way weights work."""
+    import pytest as _pytest
+
+    from clinical_data_lake_spark.operators.sampling import stratified_split
+
+    df = spark.range(0, 900).selectExpr(
+        "id AS k", "CASE id % 3 WHEN 0 THEN 'a' WHEN 1 THEN 'b' ELSE 'c' END AS g"
+    )
+    out = stratified_split(df, ["g"], "k")
+    counts = {(r.g, r.split): r.cnt for r in
+              out.groupBy("g", "split").agg(F.count("*").alias("cnt")).collect()}
+    for g in ("a", "b", "c"):
+        assert counts[(g, "train")] == 240  # round(0.8 * 300)
+        assert counts[(g, "test")] == 60
+    again = stratified_split(df.repartition(11), ["g"], "k").collect()
+    assert {(r.k, r.split) for r in again} == {(r.k, r.split) for r in out.collect()}
+
+    three = stratified_split(df, ["g"], "k", (0.6, 0.2, 0.2), ("tr", "va", "te"))
+    c3 = {(r.g, r.split): r.cnt for r in
+          three.groupBy("g", "split").agg(F.count("*").alias("cnt")).collect()}
+    for g in ("a", "b", "c"):
+        assert c3[(g, "tr")] == 180 and c3[(g, "va")] == 60 and c3[(g, "te")] == 60
+    with _pytest.raises(ValueError):
+        stratified_split(df, ["g"], "k", (0.8,), ("only",))
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    """JSONL sink -> source roundtrip with explicit schema; corrupt
+    lines surface in _corrupt_record instead of poisoning the read."""
+    from clinical_data_lake_spark.io import read_jsonl, write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "hello world", "en"), (2, 'quote " and \\ slash', "de"), (3, None, None)],
+        schema="doc_id long, text string, lang string",
+    )
+    path = str(tmp_path / "corpus_jsonl")
+    write_jsonl(df, path, n_files=2)
+    back = read_jsonl(spark, path, "doc_id long, text string, lang string")
+    assert sorted((r.doc_id, r.text, r.lang) for r in back.collect()) == sorted(
+        (r.doc_id, r.text, r.lang) for r in df.collect()
+    )
+
+    bad = tmp_path / "bad.jsonl"
+    bad.write_text('{"doc_id": 1, "text": "ok"}\nNOT JSON AT ALL\n')
+    got = read_jsonl(
+        spark, str(bad), "doc_id long, text string, _corrupt_record string"
+    ).collect()
+    assert sorted(r._corrupt_record is not None for r in got) == [False, True]
