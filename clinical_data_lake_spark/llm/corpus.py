@@ -166,3 +166,60 @@ def training_order(
         docs.select(F.col(id_col), shard.alias("shard"))
         .withColumn("position", F.row_number().over(w).cast("long"))
     )
+
+
+def prepare_pretraining_data(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang: str = "en",
+    mixture_rates: dict[str, int] | None = None,
+    lang_col: str = "lang",
+    budget: int = 2048,
+    n_shards: int = 8,
+) -> DataFrame:
+    """The composed pretraining data-prep pipeline — the LLM-side analog
+    of ``etl.run_etl``, wiring this module's primitives in the order a
+    production corpus build runs them:
+
+        1. clean          (lang + quality + length gates, exact dedup)
+        2. decontaminate  (drop docs overlapping the benchmark/eval set)
+        3. mixture-sample (optional per-language keep rates)
+        4. training order (deterministic shard + position)
+        5. pack           (concat-and-cut bins of ``budget`` tokens)
+
+    Returns one row per surviving doc:
+        (id, n_tokens, quality, shard, position, bin, bin_offset, split)
+
+    Stage order is the cost order: the cheap scan-side gates shrink the
+    corpus before the fingerprint shuffle, the (broadcast) benchmark
+    probe runs on survivors only, and the shard/pack windows touch the
+    final sample. Every stage is individually oracle-certified; the
+    composition adds joins on ``id_col`` only.
+    """
+    from .packing import pack_concat
+    from ..operators.sampling import sample_mixture
+
+    kept = clean_corpus(docs, id_col, text_col, lang=lang)
+
+    if benchmark is not None:
+        flags = decontaminate(docs, benchmark, id_col, text_col)
+        clean_ids = flags.filter(~F.col("contaminated")).select(id_col)
+        kept = kept.join(clean_ids, on=id_col, how="left_semi")
+
+    if mixture_rates is not None:
+        sampled = sample_mixture(
+            docs.select(id_col, lang_col), lang_col, id_col, mixture_rates
+        ).select(id_col)
+        kept = kept.join(sampled, on=id_col, how="left_semi")
+
+    ordered = training_order(kept, id_col, n_shards=n_shards)
+    packed = pack_concat(
+        kept.select(id_col, "n_tokens"), id_col, "n_tokens",
+        budget=budget, shards=n_shards,
+    )
+    return (
+        kept.join(ordered, on=id_col)
+        .join(packed.select(id_col, "bin", "bin_offset", "split"), on=id_col)
+    )

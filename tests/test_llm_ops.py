@@ -715,3 +715,37 @@ def test_jsonl_roundtrip(spark, tmp_path):
         spark, str(bad), "doc_id long, text string, _corrupt_record string"
     ).collect()
     assert sorted(r._corrupt_record is not None for r in got) == [False, True]
+
+
+def test_prepare_pretraining_data_end_to_end(spark):
+    """The composed pipeline applies every stage: cleaning gates, exact
+    dedup, decontamination, mixture sampling, deterministic order and
+    packing — and survivors carry consistent columns."""
+    from clinical_data_lake_spark.llm.corpus import prepare_pretraining_data
+
+    def doc(i):
+        # English markers (the/and/of) for the lang gate, interleaved
+        # with per-doc words so no two docs share 3 consecutive tokens
+        return (f"the number{i} and word{i} of thing{i} extra{i} "
+                f"tail{i} closing{i} words{i}")
+
+    rows = [(i, doc(i), "en") for i in range(20)]
+    rows += [(101, doc(3), "en")]                 # exact duplicate of doc 3
+    rows += [(102, "der und die " * 4, "de")]     # wrong language
+    rows += [(103, "x", "en")]                    # too short
+    docs = spark.createDataFrame(rows, schema="doc_id long, text string, lang string")
+    bench = spark.createDataFrame([(999, doc(7))], schema="doc_id long, text string")
+    out = prepare_pretraining_data(
+        docs, benchmark=bench, budget=16, n_shards=2,
+        mixture_rates={"en": 256},
+    )
+    got = {r.doc_id: r for r in out.collect()}
+    assert 101 not in got            # exact dup dropped (doc 3 canonical)
+    assert 102 not in got            # language gate
+    assert 103 not in got            # length gate
+    assert 7 not in got              # decontaminated (shares bench 3-grams)
+    survivors = set(range(20)) - {7}
+    assert set(got) == survivors
+    for r in got.values():           # consistent packing/order columns
+        assert r.shard in (0, 1) and r.position >= 1
+        assert r.bin >= 0 and 0 <= r.bin_offset < 16
