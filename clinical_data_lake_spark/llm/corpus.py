@@ -204,13 +204,20 @@ def prepare_pretraining_data(
     kept = clean_corpus(docs, id_col, text_col, lang=lang)
 
     if benchmark is not None:
-        flags = decontaminate(docs, benchmark, id_col, text_col)
+        # shingle only the survivors: at corpus scale the clean gates
+        # drop a large fraction, and re-shingling rejected docs for the
+        # contamination probe would re-scan data already thrown away
+        survivors = docs.join(kept.select(id_col), on=id_col, how="left_semi")
+        flags = decontaminate(survivors, benchmark, id_col, text_col)
         clean_ids = flags.filter(~F.col("contaminated")).select(id_col)
         kept = kept.join(clean_ids, on=id_col, how="left_semi")
 
     if mixture_rates is not None:
         sampled = sample_mixture(
-            docs.select(id_col, lang_col), lang_col, id_col, mixture_rates
+            kept.select(id_col, lang_col) if lang_col in kept.columns
+            else docs.select(id_col, lang_col).join(
+                kept.select(id_col), on=id_col, how="left_semi"),
+            lang_col, id_col, mixture_rates,
         ).select(id_col)
         kept = kept.join(sampled, on=id_col, how="left_semi")
 

@@ -277,6 +277,64 @@ def minhash_lsh_pairs(
     )
 
 
+def verified_near_dup_pairs(
+    docs: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram-Jaccard verification of LSH candidate pairs — the
+    production two-phase near-dedup pattern: a cheap probabilistic
+    candidate generator (``minhash_lsh_pairs`` / ``simhash_pairs``)
+    followed by exact similarity computed ONLY on the candidate set.
+
+    Returns (doc_a, doc_b, jaccard) for candidates whose exact word
+    n-gram Jaccard >= ``threshold``. When the candidate generator has
+    no false negatives at ``threshold`` (the regime banding parameters
+    are chosen for), the output equals the exact all-pairs answer —
+    which is what makes the probabilistic machinery oracle-checkable.
+
+    Scale shape: the corpus is first semi-joined down to the docs that
+    appear in any candidate pair, so the exact pass shingles
+    |candidate docs| documents, not the corpus; the intersection join
+    then runs on that reduced inverted index and is inner-joined back
+    to the candidate pair list.
+    """
+    cand = candidates.select("doc_a", "doc_b")
+    ids = (
+        cand.select(F.col("doc_a").alias(id_col))
+        .union(cand.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    sh = track_persist(
+        word_shingles(docs.join(ids, on=id_col, how="left_semi"),
+                      id_col, text_col, n)
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(cand, on=["doc_a", "doc_b"], how="left_semi")
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash_docs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash per document (id, simhash long).
 

@@ -119,6 +119,46 @@ def test_minhash_estimates_track_exact_jaccard(spark):
     assert abs(est[(1, 2)] - exact[(1, 2)]) < 0.2
 
 
+def test_verified_near_dup_pairs_equals_exact_answer(spark):
+    """The two-phase pattern (LSH candidates -> exact-Jaccard verify)
+    must equal the exact all-pairs answer when the candidate generator
+    covers every true pair, and must drop candidate pairs below the
+    verification threshold (no false positives by construction)."""
+    from clinical_data_lake_spark.llm.dedup import (
+        simhash_pairs, verified_near_dup_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text=base.replace("kappa", "lambda")),  # near-dup of 1
+            Row(doc_id=3, text=base),                             # exact dup of 1
+            Row(doc_id=4, text="unrelated words about engines pipelines and shuffles today"),
+        ]
+    )
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    # minhash candidates
+    mh_cand = minhash_lsh_pairs(docs, num_hashes=64, bands=16)
+    mh = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in verified_near_dup_pairs(docs, mh_cand, threshold=0.8).collect()
+    }
+    assert mh == exact and (1, 3) in mh and mh[(1, 3)] == 1.0
+    # simhash candidates, wide-band coverage
+    sh_cand = simhash_pairs(docs, max_hamming=7, bands=8)
+    sh = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in verified_near_dup_pairs(docs, sh_cand, threshold=0.8).collect()
+    }
+    assert sh == exact
+    # sub-threshold candidate pairs are verified away: nothing below 0.8
+    assert all(j >= 0.8 for j in mh.values())
+
+
 def test_minhash_signature_values_in_31bit_range(spark):
     docs = spark.createDataFrame([Row(doc_id=1, text="one two three four five six")])
     sig = minhash_signatures(docs, num_hashes=16).collect()[0]["signature"]
