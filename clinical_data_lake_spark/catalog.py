@@ -196,8 +196,12 @@ def optimize_table(
         spark.sql(f"ALTER TABLE {name} SET LOCATION '{new}'")
         if part_cols:
             # SET LOCATION moves the base; partition entries must be
-            # re-registered against the new directory tree
-            spark.sql(f"MSCK REPAIR TABLE {name}")
+            # re-registered against the new directory tree. SYNC
+            # PARTITIONS matters on a Hive metastore: plain MSCK only
+            # ADDs unknown specs, so pre-existing partition entries
+            # would keep pointing under the old base (deleted below).
+            # The in-memory catalog treats both forms identically.
+            spark.sql(f"MSCK REPAIR TABLE {name} SYNC PARTITIONS")
         spark.sql(f"REFRESH TABLE {name}")
         fs, old_path = _hadoop_fs(spark, base)
         fs.delete(old_path, True)

@@ -46,15 +46,47 @@ def has_delta(spark: SparkSession) -> bool:
         return False
 
 
-# The driver's events parquet stores ts as TIMESTAMP(NANOS), which the
-# Spark parquet reader rejects. Reading with an explicit LongType schema
-# bypasses the check (vectorized INT64 read), then we convert ns -> a
-# real timestamp column. Integer `div` keeps full precision (a double
-# division would lose bits above 2^53 on ns-scale epochs).
+# The driver's events parquet has shipped ts under different physical
+# encodings across regenerations: TIMESTAMP(NANOS) (which the Spark
+# parquet reader rejects outright) and TIMESTAMP_NTZ(MICROS) (which
+# reads fine but cannot be cast to long under ANSI, and whose naive
+# semantics would silently shift with a non-UTC session TZ). Reading
+# with an explicit LongType schema sidesteps both: the vectorized
+# reader hands back the raw INT64, and we convert to a session-TZ-
+# independent TIMESTAMP using the unit declared in the parquet footer.
+# Integer `div` keeps full precision (a double division would lose
+# bits above 2^53 on ns-scale epochs).
 _EVENTS_SCHEMA = (
     "event_id long, ts long, user_id long, event_type string, "
     "value double, props string"
 )
+
+
+def _parquet_ts_unit(path: str, column: str = "ts") -> str:
+    """Time unit ('s'|'ms'|'us'|'ns') of a parquet timestamp column,
+    from the file footer. Footer-only read: cheap, driver-side, no
+    Spark action. Raises if the column isn't a timestamp — a loud
+    failure beats silently mis-scaling every event time."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        inner = [n for n in sorted(os.listdir(path)) if n.endswith(".parquet")]
+        if not inner:
+            raise FileNotFoundError(f"no parquet files under {path}")
+        path = os.path.join(path, inner[0])
+    typ = pq.ParquetFile(path).schema_arrow.field(column).type
+    unit = getattr(typ, "unit", None)
+    if unit not in ("s", "ms", "us", "ns"):
+        raise TypeError(f"{path}:{column} is {typ}, expected a timestamp")
+    return unit
+
+
+_TS_FROM_INT64 = {
+    "s": "timestamp_seconds(ts)",
+    "ms": "timestamp_millis(ts)",
+    "us": "timestamp_micros(ts)",
+    "ns": "timestamp_micros(ts div 1000)",
+}
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -62,7 +94,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         df = spark.read.schema(_EVENTS_SCHEMA).parquet(path)
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df.withColumn("ts", F.expr(_TS_FROM_INT64[_parquet_ts_unit(path)]))
     return spark.read.parquet(path)
 
 
@@ -126,8 +158,11 @@ def read_jsonl(
     that is null in one file and int in another infers differently),
     which at 100 TB is both a second full read and a correctness
     hazard. Lines that don't parse land in ``_corrupt_record`` if the
-    schema declares it, else are dropped by Spark's default PERMISSIVE
-    mode semantics."""
+    schema declares it; otherwise PERMISSIVE mode emits a row with
+    every schema field null — corrupt lines survive as null rows, they
+    are NOT dropped. Callers that want drops should either declare
+    ``_corrupt_record`` and filter it, or pass a reader with
+    ``mode='DROPMALFORMED'``."""
     return spark.read.schema(schema).json(path)
 
 

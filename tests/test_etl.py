@@ -212,3 +212,25 @@ def test_table_location_normalizes_file_uri(spark, tmp_path):
     loc = catalog.table_location(spark, "locnorm_test")
     assert loc == path  # file: scheme stripped to a plain POSIX path
     assert catalog.table_location(spark, "locnorm_test") is not None
+
+
+def test_events_ts_unit_matches_testdata(spark):
+    """Drift guard: the driver regenerates /root/testdata between
+    rounds and has already switched the events.ts physical encoding
+    once (TIMESTAMP(NANOS) int64 -> TIMESTAMP_NTZ micros, round 6).
+    read_table scales the raw int64 by the footer-declared unit; if a
+    future regeneration changes the unit again and the probe misreads
+    it, every event lands outside the generator's 2024+/-few-years
+    window and this fails loudly instead of silently compressing or
+    stretching all event gaps (the round-6 funnel symptom)."""
+    from conftest import SF_SMALL
+
+    from clinical_data_lake_spark.io import read_table
+
+    lo, hi = (
+        read_table(spark, SF_SMALL, "events")
+        .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+        .first()
+    )
+    assert 2015 <= lo.year <= 2035, lo
+    assert 2015 <= hi.year <= 2035, hi
