@@ -779,6 +779,26 @@ def q_ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.cosine_topk(emb.filter(F.col("vec_id") < 5), emb, k=10)
 
 
+def q_dedup_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Sub-document boilerplate removal: drop every 4-word chunk
+    occurring in >= 2 distinct docs, reassemble survivors in order.
+    Corpus text never shuffles — only chunk hashes and the removed
+    (doc, idx) set do."""
+    return dedup.chunk_dedup(
+        read_table(spark, sf, "documents"), chunk_words=4, min_docs=2
+    )
+
+
+def q_ann_quantized_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Cosine top-10 over int8-quantized embeddings (shared corpus
+    max-|x| scale). Integer dot products are exact in double, so the
+    ranking is bit-reproducible and oracle-comparable."""
+    emb = read_table(spark, sf, "embeddings")
+    return similarity.quantized_cosine_topk(
+        emb.filter(F.col("vec_id") < 5), emb, k=10
+    )
+
+
 def q_embedding_cosine_dup(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding near-dup pairs at cosine >= 0.9, via multi-table LSH
     blocking + exact cosine verification on candidates (the linear-scale
@@ -1121,6 +1141,9 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
 # CORRECTNESS row lead; long-stable operators (green since r1 and in
 # every local parity sweep) follow. Rotate again as new queries land.
 QUERIES = {
+    # -- r6 additions, never driver-sampled: lead the window --
+    "dedup_chunks": q_dedup_chunks,
+    "ann_quantized_topk": q_ann_quantized_topk,
     # -- r5 targets: the 4 driver-red r4 rows (oracle HUGEINT casts /
     #    array serialization fixed this round), the 3 never-sampled
     #    r4 additions, and 4 new oracle-backed LSH/ANN certifications --
@@ -1932,6 +1955,49 @@ ORACLES = {
             SELECT e.src AS node, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
         )
         SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+    """,
+    "dedup_chunks": """
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        n AS (SELECT doc_id, ws, CAST(ceil(len(ws) / 4.0) AS BIGINT) AS nc FROM w),
+        c AS (SELECT doc_id, i AS ci,
+                     array_to_string(ws[i*4+1 : i*4+4], ' ') AS chunk
+              FROM n, UNNEST(range(nc)) AS t(i)),
+        dup AS (SELECT chunk FROM c GROUP BY chunk
+                HAVING count(DISTINCT doc_id) >= 2)
+        -- CAST: DuckDB widens integer sum() to HUGEINT -> pandas float64
+        -- -> driver hash mismatch (the r4 funnel/profile_nulls trap)
+        SELECT c.doc_id,
+               coalesce(string_agg(CASE WHEN dup.chunk IS NULL THEN c.chunk END,
+                                   ' ' ORDER BY ci), '') AS clean_text,
+               count(*) AS n_chunks,
+               CAST(sum(CASE WHEN dup.chunk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_removed
+        FROM c LEFT JOIN dup ON c.chunk = dup.chunk
+        GROUP BY c.doc_id
+    """,
+    "ann_quantized_topk": """
+        WITH s AS (SELECT max(list_max(list_transform(embedding::DOUBLE[],
+                                                      x -> abs(x)))) AS scale
+                   FROM embeddings),
+        q AS (SELECT vec_id AS query_id,
+                     list_transform(embedding::DOUBLE[], x -> floor(x*127.0/scale)) AS qe
+              FROM embeddings, s WHERE vec_id < 5),
+        c AS (SELECT vec_id AS neighbor_id,
+                     list_transform(embedding::DOUBLE[], x -> floor(x*127.0/scale)) AS ce
+              FROM embeddings, s),
+        pairs AS (
+            SELECT query_id, neighbor_id,
+                   CASE WHEN sqrt(list_dot_product(qe,qe))*sqrt(list_dot_product(ce,ce)) > 0
+                        THEN list_dot_product(qe,ce)
+                             / (sqrt(list_dot_product(qe,qe))*sqrt(list_dot_product(ce,ce)))
+                        ELSE 0.0 END AS s
+            FROM q, c WHERE query_id != neighbor_id),
+        ranked AS (
+            SELECT query_id, neighbor_id, round(s, 6) AS sim,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS BIGINT) AS rnk
+            FROM pairs)
+        SELECT query_id, neighbor_id, sim, rnk FROM ranked WHERE rnk <= 10
     """,
     "ann_cosine_topk": """
         WITH q AS (

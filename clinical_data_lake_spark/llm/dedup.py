@@ -20,6 +20,8 @@ UDFs anywhere.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -492,3 +494,67 @@ def near_dedup_canonical(
         F.col("__node__").alias(id_col)
     )
     return docs.join(F.broadcast(losers), on=id_col, how="left_anti")
+
+
+def chunk_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 4,
+    min_docs: int = 2,
+    sep: str = " ",
+) -> DataFrame:
+    """Sub-document (paragraph/line-level) dedup, CCNet/RefinedWeb
+    style: split each document into consecutive ``chunk_words``-word
+    chunks, drop every chunk whose exact text occurs in at least
+    ``min_docs`` distinct documents (boilerplate, headers, license
+    blurbs), and reassemble the survivors in order. Returns
+    (id, clean_text, n_chunks, n_removed) — one row per input doc,
+    docs whose every chunk is boilerplate come back with clean_text ''.
+
+    The 100 TB shape: the corpus text is NEVER shuffled. Only 64-bit
+    chunk hashes flow through the frequency aggregation and the dup
+    probe (content dropped pre-shuffle, as in the multimodal ops); the
+    removed (doc, chunk_idx) set — small, ~#boilerplate hits — joins
+    back to the original docs on id, and each doc's clean text is
+    rebuilt locally from its own words array with JVM array functions.
+    AQE broadcasts the removed side when it is small enough. The only
+    approximation is xxhash64 chunk identity (collision odds ~n^2/2^64
+    — at 1e12 chunks still < 1e-4 expected collisions corpus-wide).
+    """
+    words = F.split(F.col(text_col), re.escape(sep))
+    n_chunks = F.ceil(F.size(words) / F.lit(float(chunk_words))).cast("int")
+
+    def chunk_at(i):  # chunk i = words[i*W : i*W + W], joined back with sep
+        return F.array_join(F.slice(words, i * chunk_words + 1, chunk_words), sep)
+
+    light = _ensure_parallelism(docs).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.xxhash64(chunk_at(i)),
+            )
+        ).alias("__ci__", "__h__"),
+    )
+    dup_hashes = (
+        light.groupBy("__h__")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd__"))
+        .filter(F.col("__nd__") >= min_docs)
+        .select("__h__")
+    )
+    removed = (
+        light.join(dup_hashes, on="__h__")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("__ci__")).alias("__rm__"))
+    )
+    rm = F.coalesce(F.col("__rm__"), F.array().cast("array<int>"))
+    kept_idx = F.filter(
+        F.sequence(F.lit(0), n_chunks - 1), lambda i: ~F.array_contains(rm, i)
+    )
+    return docs.join(removed, on=id_col, how="left").select(
+        F.col(id_col),
+        F.array_join(F.transform(kept_idx, chunk_at), sep).alias("clean_text"),
+        n_chunks.cast("long").alias("n_chunks"),
+        F.size(rm).cast("long").alias("n_removed"),
+    )

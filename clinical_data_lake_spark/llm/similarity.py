@@ -336,3 +336,63 @@ def lsh_topk(
         pairs.select("*", F.row_number().over(w).cast("long").alias("rnk"))
         .filter(F.col("rnk") <= k)
     )
+
+
+def maxabs_scale(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """1-row DataFrame holding the corpus-wide max |component| — the
+    symmetric-quantization scale. A full-scan agg that reduces to one
+    double; join it back with a broadcast cross-join (never collect)."""
+    return df.agg(
+        F.max(F.array_max(F.transform(_as_double(vec_col), F.abs))).alias("__scale__")
+    )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    q_col: str = "q_embedding",
+    scale_df: DataFrame | None = None,
+) -> DataFrame:
+    """Symmetric int8 scalar quantization: q = floor(x * 127 / scale),
+    scale = corpus max |x| (or a precomputed ``scale_df``, so queries
+    and corpus share one codebook). The quantized column is what you
+    persist at 100 TB — 4x smaller scans than float32, and integer
+    dot products are exact in double arithmetic, so downstream
+    similarity is bit-reproducible (no float-summation-order drift).
+    All-zero scale (empty/degenerate corpus) quantizes to all zeros
+    instead of dividing by zero."""
+    scale_df = maxabs_scale(df, vec_col) if scale_df is None else scale_df
+    scale = F.col("__scale__")
+    q = F.transform(
+        _as_double(vec_col),
+        lambda x: F.when(scale > 0.0, F.floor(x * 127.0 / scale)).otherwise(F.lit(0)),
+    )
+    return (
+        df.crossJoin(F.broadcast(scale_df))
+        .withColumn(q_col, q)
+        .drop("__scale__")
+    )
+
+
+def quantized_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Brute-force cosine top-k over int8-quantized vectors — the
+    memory-bound variant of ``cosine_topk`` for 100 TB embedding
+    stores. One shared scale (from the corpus side) quantizes both
+    sides; the ranking then runs the exact ``cosine_topk`` plan on the
+    quantized arrays. Integer components make every dot product exact,
+    so the result is deterministic to the last bit."""
+    scale = maxabs_scale(corpus, vec_col)
+    qq = quantize_embeddings(queries, vec_col, "__q__", scale).select(
+        id_col, F.col("__q__").alias(vec_col)
+    )
+    qc = quantize_embeddings(corpus, vec_col, "__q__", scale).select(
+        id_col, F.col("__q__").alias(vec_col)
+    )
+    return cosine_topk(qq, qc, k=k, id_col=id_col, vec_col=vec_col, round_to=round_to)

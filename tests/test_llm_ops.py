@@ -789,3 +789,91 @@ def test_prepare_pretraining_data_end_to_end(spark):
     for r in got.values():           # consistent packing/order columns
         assert r.shard in (0, 1) and r.position >= 1
         assert r.bin >= 0 and 0 <= r.bin_offset < 16
+
+
+# ---------------------------------------------------------- chunk dedup
+
+
+def test_chunk_dedup_removes_planted_boilerplate(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c d e f g h"),
+            Row(doc_id=2, text="a b c d x y z w"),
+            Row(doc_id=3, text="p q r s t u v k"),
+        ]
+    )
+    from clinical_data_lake_spark.llm.dedup import chunk_dedup
+
+    out = {
+        r.doc_id: r
+        for r in chunk_dedup(docs, chunk_words=4, min_docs=2).collect()
+    }
+    assert out[1].clean_text == "e f g h" and out[1].n_removed == 1
+    assert out[2].clean_text == "x y z w" and out[2].n_removed == 1
+    assert out[3].clean_text == "p q r s t u v k" and out[3].n_removed == 0
+    assert all(out[i].n_chunks == 2 for i in (1, 2, 3))
+
+
+def test_chunk_dedup_identity_without_duplicates(spark):
+    from clinical_data_lake_spark.llm.dedup import chunk_dedup
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"u{i} v{i} w{i} x{i} y{i}") for i in range(5)]
+    )
+    out = chunk_dedup(docs, chunk_words=4, min_docs=2).collect()
+    originals = {i: f"u{i} v{i} w{i} x{i} y{i}" for i in range(5)}
+    for r in out:
+        # trailing short chunk ("y{i}") must survive reassembly intact
+        assert r.clean_text == originals[r.doc_id]
+        assert r.n_removed == 0 and r.n_chunks == 2
+
+
+def test_chunk_dedup_all_boilerplate_doc_empties(spark):
+    from clinical_data_lake_spark.llm.dedup import chunk_dedup
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="same old text"),
+            Row(doc_id=2, text="same old text"),
+            Row(doc_id=3, text="fresh words here"),
+        ]
+    )
+    out = {r.doc_id: r for r in chunk_dedup(docs, chunk_words=4, min_docs=2).collect()}
+    assert out[1].clean_text == "" and out[1].n_removed == 1
+    assert out[2].clean_text == "" and out[2].n_removed == 1
+    assert out[3].clean_text == "fresh words here"
+
+
+# ----------------------------------------------------- int8 quantization
+
+
+def test_quantize_embeddings_bounds_and_zero_guard(spark):
+    from clinical_data_lake_spark.llm.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[2.0, -2.0, 1.0, 0.0]),
+            Row(vec_id=1, embedding=[0.5, 0.25, -1.0, 2.0]),
+        ]
+    )
+    q = {r.vec_id: r.q_embedding for r in quantize_embeddings(df).collect()}
+    # scale = 2.0: x=2 -> 127, x=-2 -> floor(-127.0) = -127
+    assert q[0] == [127, -127, 63, 0]
+    assert q[1] == [31, 15, -64, 127]  # floor semantics: -1*63.5 -> -64
+    assert all(-127 <= v <= 127 for vs in q.values() for v in vs)
+
+    zeros = spark.createDataFrame([Row(vec_id=0, embedding=[0.0, 0.0])])
+    qz = quantize_embeddings(zeros).collect()[0].q_embedding
+    assert qz == [0, 0]
+
+
+def test_quantized_topk_finds_planted_duplicate(spark, planted_embeddings):
+    from clinical_data_lake_spark.llm.similarity import quantized_cosine_topk
+
+    out = quantized_cosine_topk(
+        planted_embeddings.filter(F.col("vec_id") < 5), planted_embeddings, k=3
+    ).collect()
+    top1 = {r.query_id: r for r in out if r.rnk == 1}
+    for qid in range(5):
+        assert top1[qid].neighbor_id == 100 + qid  # the planted near-dup
+        assert top1[qid].sim > 0.99
