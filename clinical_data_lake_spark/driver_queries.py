@@ -30,7 +30,17 @@ from .ml import featurize as ml_featurize
 from .ml import stats as ml_stats
 from .ml import train as ml_train
 from .operators import aggregates as agg
-from .operators import cohort, filters, joins, projections, setops, sorts, windows
+from .operators import (
+    cdc,
+    cohort,
+    filters,
+    joins,
+    projections,
+    setops,
+    sorts,
+    timeseries,
+    windows,
+)
 from .streaming import events as streaming_events
 
 # ---------------------------------------------------------------- scans
@@ -960,6 +970,31 @@ def q_funnel(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE INTO semantics on plain parquet: a change feed derived
+    deterministically from orders (latest order per customer updates
+    the name/balance; orderkey % 7 == 0 deletes) applied to the
+    customer snapshot. The snapshot is anti-joined, never windowed."""
+    snap = read_table(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    changes = read_table(spark, sf, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.concat(F.lit("upd-"), F.col("o_orderkey").cast("string")).alias("c_name"),
+        F.col("o_totalprice").alias("c_acctbal"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+    )
+    return cdc.apply_changes(snap, changes, keys="c_custkey")
+
+
+def q_resample_gapfill(spark: SparkSession, sf: str) -> DataFrame:
+    """Calendar-dense daily rollup per user: zero-filled counts, exact
+    decimal day sums, LOCF carry across gap days (time_bucket_gapfill
+    semantics as pure DataFrame ops)."""
+    return timeseries.resample_daily(read_table(spark, sf, "events"))
+
+
 def q_agg_percentile(spark: SparkSession, sf: str) -> DataFrame:
     """Exact per-group quartiles (percentile_cont semantics)."""
     li = read_table(spark, sf, "lineitem")
@@ -1144,6 +1179,8 @@ QUERIES = {
     # -- r6 additions, never driver-sampled: lead the window --
     "dedup_chunks": q_dedup_chunks,
     "ann_quantized_topk": q_ann_quantized_topk,
+    "resample_gapfill": q_resample_gapfill,
+    "cdc_apply": q_cdc_apply,
     # -- r5 targets: the 4 driver-red r4 rows (oracle HUGEINT casts /
     #    array serialization fixed this round), the 3 never-sampled
     #    r4 additions, and 4 new oracle-backed LSH/ANN certifications --
@@ -1955,6 +1992,42 @@ ORACLES = {
             SELECT e.src AS node, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
         )
         SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+    """,
+    "cdc_apply": """
+        WITH changes AS (
+            SELECT o_custkey AS c_custkey,
+                   'upd-' || CAST(o_orderkey AS VARCHAR) AS c_name,
+                   o_totalprice AS c_acctbal,
+                   o_orderkey AS seq,
+                   CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'U' END AS op
+            FROM orders),
+        winners AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY c_custkey ORDER BY seq DESC, op DESC) AS rn
+                FROM changes)
+            WHERE rn = 1),
+        kept AS (
+            SELECT c_custkey, c_name, c_acctbal FROM customer
+            WHERE c_custkey NOT IN (SELECT c_custkey FROM winners)),
+        ups AS (SELECT c_custkey, c_name, c_acctbal FROM winners WHERE op != 'D')
+        SELECT * FROM kept UNION ALL SELECT * FROM ups
+    """,
+    "resample_gapfill": """
+        WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events,
+                          CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS day_sum
+                   FROM events GROUP BY 1, 2),
+        b AS (SELECT user_id, min(day) AS mn, max(day) AS mx FROM d GROUP BY 1),
+        s AS (SELECT user_id,
+                     CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day
+              FROM b),
+        j AS (SELECT s.user_id, s.day, coalesce(d.n_events, 0) AS n_events, d.day_sum
+              FROM s LEFT JOIN d ON s.user_id = d.user_id AND s.day = d.day)
+        SELECT user_id, day, CAST(n_events AS BIGINT) AS n_events, day_sum,
+               last_value(day_sum IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_sum
+        FROM j
     """,
     "dedup_chunks": """
         WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

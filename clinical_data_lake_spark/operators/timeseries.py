@@ -1,0 +1,65 @@
+"""Time-series regularization: calendar-grid resampling, gap fill,
+last-observation-carried-forward.
+
+The reference's event analytics (02-rwe-patient-dashboard.py windowed
+rollups) assume a dense grid; real event streams are sparse. These
+operators densify: per key, a contiguous daily spine between the key's
+first and last active day, zero-filled counts, and LOCF for carried
+measures — the hypertable/"time_bucket_gapfill" operation expressed as
+pure DataFrame ops.
+
+100 TB shape: the expensive step is the rollup groupBy — one shuffle on
+(key, day), partial-aggregated map-side. Everything after runs on the
+aggregated table (|keys| x |days| rows, orders of magnitude smaller):
+the spine explode generates at most (max_day - min_day + 1) rows per
+key, the gap join and the LOCF window reuse the same key-hash
+partitioning, and AQE coalesces the post-agg shuffles. Nothing touches
+the raw events twice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample_daily(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Daily rollup on a gap-free per-key calendar grid.
+
+    Returns (key, day, n_events, day_sum, locf_sum):
+    - ``day`` — every calendar date from the key's first to last
+      active day, inclusive (dates with no events included);
+    - ``n_events`` — events that day (0 on gap days);
+    - ``day_sum`` — exact decimal sum of ``value_col`` rendered as
+      double (NULL on gap days) — decimal accumulation keeps the
+      result independent of partial-aggregation order;
+    - ``locf_sum`` — ``day_sum`` with gaps carried forward from the
+      last observed day (never NULL: the spine starts at each key's
+      first *active* day, so there is always something to carry).
+    """
+    daily = df.groupBy(F.col(key), F.to_date(F.col(ts_col)).alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col(value_col).cast("decimal(18,3)")).cast("double").alias("day_sum"),
+    )
+    spine = (
+        daily.groupBy(key)
+        .agg(F.min("day").alias("__mn__"), F.max("day").alias("__mx__"))
+        .select(F.col(key), F.explode(F.sequence("__mn__", "__mx__")).alias("day"))
+    )
+    grid = spine.join(daily, on=[key, "day"], how="left").select(
+        F.col(key),
+        F.col("day"),
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.col("day_sum"),
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.withColumn("locf_sum", F.last("day_sum", ignorenulls=True).over(w))

@@ -1,0 +1,53 @@
+"""Gap-fill / LOCF semantics on planted sparse series (the sf testdata
+exercises the operator at volume; these pin the per-cell behavior)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Row
+
+from clinical_data_lake_spark.operators.timeseries import resample_daily
+
+
+def _ts(day: int, hour: int = 12) -> datetime.datetime:
+    return datetime.datetime(2024, 3, day, hour, 0, 0)
+
+
+def test_resample_daily_fills_gaps_and_carries(spark):
+    events = spark.createDataFrame(
+        [
+            Row(user_id=1, ts=_ts(1), value=10.0),
+            Row(user_id=1, ts=_ts(1, 13), value=2.5),
+            # day 2 and 3 silent
+            Row(user_id=1, ts=_ts(4), value=7.0),
+            Row(user_id=2, ts=_ts(5), value=1.0),
+        ]
+    )
+    out = {
+        (r.user_id, r.day.isoformat()): r
+        for r in resample_daily(events).collect()
+    }
+    assert len(out) == 5  # user 1: days 1-4; user 2: day 5
+
+    d1 = out[(1, "2024-03-01")]
+    assert (d1.n_events, d1.day_sum, d1.locf_sum) == (2, 12.5, 12.5)
+    for gap_day in ("2024-03-02", "2024-03-03"):
+        g = out[(1, gap_day)]
+        assert g.n_events == 0 and g.day_sum is None
+        assert g.locf_sum == 12.5  # carried from day 1
+    d4 = out[(1, "2024-03-04")]
+    assert (d4.n_events, d4.day_sum, d4.locf_sum) == (1, 7.0, 7.0)
+
+    b = out[(2, "2024-03-05")]
+    assert (b.n_events, b.day_sum, b.locf_sum) == (1, 1.0, 1.0)
+
+
+def test_resample_daily_single_day_key_is_one_row(spark):
+    events = spark.createDataFrame(
+        [Row(user_id=9, ts=_ts(10), value=3.0), Row(user_id=9, ts=_ts(10, 23), value=4.0)]
+    )
+    rows = resample_daily(events).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_events, r.day_sum, r.locf_sum) == (2, 7.0, 7.0)
