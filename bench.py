@@ -65,6 +65,15 @@ BENCH_QUERIES = [
     "embedding_cosine_dup",
     "text_stats",
     "multimodal_features",
+    # r6 additions: sub-doc dedup, quantized ANN, gap-fill, CDC merge,
+    # graph centrality, and the composed pretraining pipeline — the
+    # end-to-end artifact a user actually runs, not just its stages
+    "dedup_chunks",
+    "ann_quantized_topk",
+    "resample_gapfill",
+    "cdc_apply",
+    "graph_pagerank",
+    "pretraining_pipeline",
 ]
 
 

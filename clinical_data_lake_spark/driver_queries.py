@@ -34,6 +34,7 @@ from .operators import (
     cdc,
     cohort,
     filters,
+    graph,
     joins,
     projections,
     setops,
@@ -970,6 +971,49 @@ def q_funnel(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_join_salted(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-mitigation salted equi-join (lineitem x supplier on
+    l_suppkey, 8 salts): row-identical to the plain join — the salt
+    only re-routes the shuffle — so the oracle is the unsalted SQL."""
+    li = read_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey"
+    )
+    sup = read_table(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    return joins.salted_join(li, sup, on="l_suppkey", salt=8)
+
+
+def q_pretraining_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed pretraining data-prep pipeline end to end (clean ->
+    decontaminate vs the doc_id % 97 == 0 eval slice -> deterministic
+    order -> concat packing), certified as ONE query: the per-stage
+    oracles prove the parts, this proves the composition's joins and
+    stage ordering. shard_by_hash=False so the sharding is
+    SQL-replayable."""
+    from .llm import corpus as corpus_mod
+
+    docs = read_table(spark, sf, "documents")
+    return corpus_mod.prepare_pretraining_data(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        benchmark=docs.filter(F.col("doc_id") % 97 == 0),
+        shard_by_hash=False,
+    )
+
+
+def q_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Centrality over the near-dup graph: 3 fixed PageRank iterations
+    on the exact-Jaccard pair edges — ranks the most-connected member
+    of each dup cluster (a centrality-based canonical policy)."""
+    pairs = dedup.ngram_jaccard_pairs(
+        read_table(spark, sf, "documents"), threshold=0.2, max_doc_freq=100
+    )
+    ranks = graph.pagerank(pairs, src="doc_a", dst="doc_b", iterations=3)
+    return ranks.select(
+        F.col("node").alias("doc_id"), F.round("rank", 6).alias("rank")
+    )
+
+
 def q_cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
     """MERGE INTO semantics on plain parquet: a change feed derived
     deterministically from orders (latest order per customer updates
@@ -1181,6 +1225,9 @@ QUERIES = {
     "ann_quantized_topk": q_ann_quantized_topk,
     "resample_gapfill": q_resample_gapfill,
     "cdc_apply": q_cdc_apply,
+    "graph_pagerank": q_graph_pagerank,
+    "pretraining_pipeline": q_pretraining_pipeline,
+    "join_salted": q_join_salted,
     # -- r5 targets: the 4 driver-red r4 rows (oracle HUGEINT casts /
     #    array serialization fixed this round), the 3 never-sampled
     #    r4 additions, and 4 new oracle-backed LSH/ANN certifications --
@@ -1992,6 +2039,123 @@ ORACLES = {
             SELECT e.src AS node, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
         )
         SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+    """,
+    "join_salted": """
+        SELECT l_orderkey, l_linenumber, l_suppkey, s_name
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    """,
+    "pretraining_pipeline": """
+WITH corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+m AS (
+    SELECT doc_id, text,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS text_hash,
+           CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS DOUBLE) AS n_chars,
+           CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS n_tok_d,
+           CAST(length(text) - length(regexp_replace(text, '[^A-Za-z\\s]', '', 'g'))
+                AS DOUBLE) AS non_alpha
+    FROM corpus
+),
+scored AS (
+    SELECT doc_id, text_hash, n_tokens,
+           round(
+               least(greatest(
+                   (CASE WHEN n_tok_d > 0 THEN n_chars / n_tok_d ELSE 0.0 END / 8.0)
+                   * (1.0 - CASE WHEN n_chars > 0 THEN non_alpha / n_chars ELSE 1.0 END),
+                   0.0), 1.0),
+               6) AS quality,
+        CAST(regexp_matches(lower(text), '(^|\\s)the(\\s|$)') AS INTEGER)
+      + CAST(regexp_matches(lower(text), '(^|\\s)and(\\s|$)') AS INTEGER)
+      + CAST(regexp_matches(lower(text), '(^|\\s)of(\\s|$)') AS INTEGER) AS s_en,
+        CAST(regexp_matches(lower(text), '(^|\\s)der(\\s|$)') AS INTEGER)
+      + CAST(regexp_matches(lower(text), '(^|\\s)und(\\s|$)') AS INTEGER)
+      + CAST(regexp_matches(lower(text), '(^|\\s)die(\\s|$)') AS INTEGER) AS s_de,
+        CAST(regexp_matches(lower(text), '(^|\\s)le(\\s|$)') AS INTEGER)
+      + CAST(regexp_matches(lower(text), '(^|\\s)et(\\s|$)') AS INTEGER)
+      + CAST(regexp_matches(lower(text), '(^|\\s)les(\\s|$)') AS INTEGER) AS s_fr,
+        CAST(regexp_matches(lower(text), '(^|\\s)el(\\s|$)') AS INTEGER)
+      + CAST(regexp_matches(lower(text), '(^|\\s)y(\\s|$)') AS INTEGER)
+      + CAST(regexp_matches(lower(text), '(^|\\s)los(\\s|$)') AS INTEGER) AS s_es
+    FROM m
+),
+kept0 AS (
+    SELECT doc_id, n_tokens, quality
+    FROM scored
+    WHERE greatest(s_de, s_en, s_es, s_fr) > 0
+      AND s_de < greatest(s_de, s_en, s_es, s_fr)
+      AND s_en = greatest(s_de, s_en, s_es, s_fr)
+      AND quality >= 0.2
+      AND n_tokens BETWEEN 5 AND 5000
+    QUALIFY row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) = 1
+),
+toks AS (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+    FROM documents
+),
+corp_sh AS (
+    SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+    FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+    WHERE len(w) >= 3 AND doc_id IN (SELECT doc_id FROM kept0)
+),
+bench_sh AS (
+    SELECT DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+    FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+    WHERE len(w) >= 3 AND doc_id % 97 = 0
+),
+hit_ids AS (
+    SELECT DISTINCT c.doc_id FROM corp_sh c JOIN bench_sh b USING (shingle)
+),
+final AS (
+    SELECT * FROM kept0 WHERE doc_id NOT IN (SELECT doc_id FROM hit_ids)
+),
+ordered AS (
+    SELECT doc_id,
+           CAST(doc_id % 8 AS INTEGER) AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY doc_id % 8
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS position
+    FROM final
+),
+c AS (
+    SELECT doc_id, n_tokens,
+           CAST(SUM(n_tokens) OVER (
+               PARTITION BY doc_id % 8 ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fin
+    FROM final
+),
+packed AS (
+    SELECT doc_id,
+           CAST(floor((fin - n_tokens) / 2048.0) AS BIGINT) AS bin,
+           CAST((fin - n_tokens) % 2048 AS BIGINT) AS bin_offset,
+           (n_tokens > 0
+            AND floor((fin - n_tokens) / 2048.0) <> floor((fin - 1) / 2048.0)) AS split
+    FROM c
+)
+SELECT f.doc_id, f.n_tokens, f.quality, o.shard, o.position, p.bin, p.bin_offset, p.split
+FROM final f JOIN ordered o USING (doc_id) JOIN packed p USING (doc_id)
+    """,
+    "graph_pagerank": f"""
+        WITH pairs AS (
+            SELECT doc_a, doc_b FROM ({_NGRAM_PAIRS_SQL})
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION
+            SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+        r0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) AS rank FROM deg),
+        r1 AS (SELECT e.dst AS node, 0.15 + 0.85 * sum(r.rank / deg.d) AS rank
+               FROM edges e JOIN r0 r ON r.node = e.src JOIN deg ON deg.src = e.src
+               GROUP BY e.dst),
+        r2 AS (SELECT e.dst AS node, 0.15 + 0.85 * sum(r.rank / deg.d) AS rank
+               FROM edges e JOIN r1 r ON r.node = e.src JOIN deg ON deg.src = e.src
+               GROUP BY e.dst),
+        r3 AS (SELECT e.dst AS node, 0.15 + 0.85 * sum(r.rank / deg.d) AS rank
+               FROM edges e JOIN r2 r ON r.node = e.src JOIN deg ON deg.src = e.src
+               GROUP BY e.dst)
+        SELECT node AS doc_id, round(rank, 6) AS rank FROM r3
     """,
     "cdc_apply": """
         WITH changes AS (

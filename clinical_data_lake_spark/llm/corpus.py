@@ -178,6 +178,7 @@ def prepare_pretraining_data(
     lang_col: str = "lang",
     budget: int = 2048,
     n_shards: int = 8,
+    shard_by_hash: bool = True,
 ) -> DataFrame:
     """The composed pretraining data-prep pipeline — the LLM-side analog
     of ``etl.run_etl``, wiring this module's primitives in the order a
@@ -221,10 +222,12 @@ def prepare_pretraining_data(
         ).select(id_col)
         kept = kept.join(sampled, on=id_col, how="left_semi")
 
-    ordered = training_order(kept, id_col, n_shards=n_shards)
+    ordered = training_order(
+        kept, id_col, n_shards=n_shards, shard_by_hash=shard_by_hash
+    )
     packed = pack_concat(
         kept.select(id_col, "n_tokens"), id_col, "n_tokens",
-        budget=budget, shards=n_shards,
+        budget=budget, shards=n_shards, shard_by_hash=shard_by_hash,
     )
     return (
         kept.join(ordered, on=id_col)

@@ -237,3 +237,43 @@ def with_global_scalar(df: DataFrame, scalar_df: DataFrame) -> DataFrame:
     broadcast nested-loop join is shuffle-free at any fact-table scale.
     """
     return df.crossJoin(F.broadcast(scalar_df))
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str] | str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigation equi-join: spread a hot join key over ``salt``
+    reducers. Left rows get a salt in [0, salt); the right side (the
+    small one — a dim table that would otherwise pile onto the hot
+    key's single reducer) is replicated once per salt value; the join
+    key becomes (on..., salt). The result is row-identical to the
+    plain join — salting only changes the shuffle routing, which is
+    why AQE's skew-join splitting can't always replace it: AQE splits
+    oversized *partitions* after the fact, salting prevents the
+    pile-up when one KEY alone exceeds a task (the agg-side analog is
+    ``aggregates.salted_group_count``).
+
+    Only ``inner``, ``left``, ``left_semi`` and ``left_anti`` are
+    salt-safe (each left row carries exactly one salt, so it matches
+    at most one right replica set). A right/full outer join would
+    emit unmatched right rows once per salt value — rejected.
+    """
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti"}
+    if how not in allowed:
+        raise ValueError(f"salted_join supports {sorted(allowed)}, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    # any routing works (the salt never reaches the output); hashing the
+    # key columns plus a per-row id keeps hot-key rows spread evenly
+    row_salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in keys], F.monotonically_increasing_id()),
+        F.lit(salt),
+    )
+    l = left.withColumn("__salt__", row_salt.cast("int"))
+    r = right.withColumn(
+        "__salt__", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return l.join(r, on=keys + ["__salt__"], how=how).drop("__salt__")
