@@ -211,3 +211,37 @@ def enrich_stream(
     """
     d = F.broadcast(dim) if broadcast_dim else dim
     return events.join(d, on=keys, how=how)
+
+
+def stream_to_parquet(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    output_mode: str = "append",
+    timeout_sec: float = 300.0,
+    partition_by: list[str] | None = None,
+):
+    """Durable streaming sink: parquet files + a write-ahead checkpoint,
+    processed with availableNow (drain everything currently in the
+    source, then stop — the incremental-batch pattern: re-running the
+    same query picks up exactly the new source files, giving
+    exactly-once file output across restarts via the checkpoint's
+    source offsets + sink commit log).
+
+    At scale this IS the ingestion loop: a cron-triggered availableNow
+    run replaces a always-on cluster for hourly/daily freshness at a
+    fraction of the cost, with identical semantics. ``partition_by``
+    lays out hive-style directories for downstream partition pruning.
+    """
+    w = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    q = w.start()
+    q.awaitTermination(timeout_sec)
+    return q

@@ -173,3 +173,39 @@ def test_decontaminate_probes_broadcast_before_any_shuffle(spark):
     # survivors-only distinct+count (2) + benchmark-side distinct (1);
     # a 4th+ exchange would be a corpus-side shingle dedup regression
     assert p.count("Exchange hashpartitioning") <= 3
+
+
+def test_chunk_dedup_corpus_never_shuffled(spark):
+    """The doc text must reach the reassembly projection straight off
+    the scan: only chunk hashes and the removed-(doc,idx) set may cross
+    an exchange. Plan shape: final join is broadcast (removed side
+    built), and no exchange carries the text column."""
+    p = _plan(spark, "dedup_chunks")
+    assert "BroadcastHashJoin" in p
+    for frag in p.split("Exchange hashpartitioning")[1:]:
+        keys = frag.split(")")[0]
+        assert "text" not in keys, f"corpus text in shuffle key: {keys}"
+
+
+def test_cdc_apply_snapshot_not_windowed(spark):
+    """Conflict resolution (row_number) must run on the change feed
+    only: every window spec in the plan orders by the feed's seq
+    column (the snapshot branch is never windowed), the rn=1 filter
+    compiles to WindowGroupLimit (top-1 pushed below the exchange),
+    and the snapshot side is filtered with a broadcast anti-join."""
+    p = _plan(spark, "cdc_apply")
+    specs = p.split("windowspecdefinition(")[1:]
+    assert specs, "expected the change-feed window"
+    for s in specs:
+        assert "seq" in s.split(")")[0], f"window not on the change feed: {s[:80]}"
+    assert "WindowGroupLimit" in p
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+
+
+def test_resample_gapfill_single_fact_shuffle(spark):
+    """The raw events shuffle once (the rollup groupBy); the spine
+    join and LOCF window run on the aggregated table. Allowed: rollup
+    exchange + post-agg (key,day)/key exchanges, no SinglePartition."""
+    p = _plan(spark, "resample_gapfill")
+    assert "Exchange SinglePartition" not in p
+    assert "partial_count" in p or "partial_sum" in p  # map-side combine

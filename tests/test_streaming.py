@@ -150,3 +150,27 @@ def test_stream_static_enrichment_equals_batch(spark, events_stream_setup):
     got = _sorted_rows(spark.table("enrich_sink"), ["segment", "count"])
     want = _sorted_rows(batch, ["segment", "count"])
     assert got == want
+
+
+def test_stream_to_parquet_incremental_exactly_once(spark, events_stream_setup, tmp_path):
+    """availableNow parquet sink: draining the source twice without new
+    files must add NOTHING (checkpoint offsets make re-runs no-ops),
+    and the drained content must equal the batch projection."""
+    ev, root, schema = events_stream_setup
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    proj = se.stream_from_batch_dir(spark, root, schema).select(
+        "event_id", "user_id", "event_type"
+    )
+    se.stream_to_parquet(proj, out, ckpt)
+    first = spark.read.parquet(out)
+    want = ev.select("event_id", "user_id", "event_type")
+    assert sorted(r.event_id for r in first.collect()) == sorted(
+        r.event_id for r in want.collect()
+    )
+    # re-run with the same checkpoint: no new source files -> no new rows
+    proj2 = se.stream_from_batch_dir(spark, root, schema).select(
+        "event_id", "user_id", "event_type"
+    )
+    se.stream_to_parquet(proj2, out, ckpt)
+    assert spark.read.parquet(out).count() == first.count()
