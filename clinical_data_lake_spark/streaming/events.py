@@ -245,3 +245,56 @@ def stream_to_parquet(
     q = w.start()
     q.awaitTermination(timeout_sec)
     return q
+
+
+def running_user_totals_tws(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """The same per-key accumulator as ``running_user_counts``, on the
+    transformWithStateInPandas API (Spark 4.x): a StatefulProcessor
+    with a typed ValueState holding (n_events, sum_value) per key, one
+    updated row emitted per key per micro-batch.
+
+    Why both: applyInPandasWithState is the widely-deployed interface;
+    transformWithState is its successor — typed state variables
+    (value/list/map), per-processor init/close hooks, timers, and TTL —
+    and requires the RocksDB state store provider (the store that
+    actually scales: changelog-checkpointed, not JVM-heap-bound, the
+    configuration a 100 TB deployment runs anyway).
+
+    Environment note: the TWS state-server protocol needs the
+    ``google.protobuf`` Python package at runtime; in containers
+    without it the query fails at init (this repo's test skips with
+    the cause, mirroring the delta-gated paths). The
+    applyInPandasWithState twin above carries the certified coverage.
+
+    Batch equivalence: last emitted row per key equals the batch
+    groupBy count/sum — asserted in tests/test_streaming.py.
+    """
+    import pandas as _pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    out_schema = f"{key_col} long, n_events long, sum_value double"
+
+    class _Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", "n long, s double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf[value_col].sum())
+            self._state.update((n, s))
+            yield _pd.DataFrame(
+                {key_col: [key[0]], "n_events": [n], "sum_value": [s]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(key_col).transformWithStateInPandas(
+        _Totals(), out_schema, "update", "processingTime"
+    )

@@ -174,3 +174,42 @@ def test_stream_to_parquet_incremental_exactly_once(spark, events_stream_setup, 
     )
     se.stream_to_parquet(proj2, out, ckpt)
     assert spark.read.parquet(out).count() == first.count()
+
+
+def test_transform_with_state_totals_converge_to_batch(spark, events_stream_setup):
+    """transformWithStateInPandas (typed ValueState, RocksDB store):
+    the last update per key must equal the batch count/sum."""
+    ev, root, schema = events_stream_setup
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = se.running_user_totals_tws(
+            se.stream_from_batch_dir(spark, root, schema)
+        )
+        se.run_to_memory_sink(stream, "tws_test", output_mode="update")
+    except Exception as ex:  # pragma: no cover - env-dependent store
+        pytest.skip(f"RocksDB state store unavailable: {ex}")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    w = spark.table("tws_test")
+    got = {
+        r.user_id: (r.n_events, round(r.sum_value, 6))
+        for r in w.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("sum_value").alias("sum_value"))
+        .collect()
+    }
+    want = {
+        r.user_id: (r.n_events, round(r.sum_value, 6))
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .collect()
+    }
+    assert got == want
