@@ -971,6 +971,20 @@ def q_funnel(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_text_truncate(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget truncation (first 32 whitespace tokens) — the
+    context-window formatter, as a pure JVM projection."""
+    return read_table(spark, sf, "documents").select(
+        "doc_id", text.truncate_tokens("text", 32).alias("trunc")
+    )
+
+
+def q_compression_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style zlib compression-ratio quality signal (rows-only:
+    no SQL twin for DEFLATE; closed-form separation unit-tested)."""
+    return text.compression_ratio(read_table(spark, sf, "documents"))
+
+
 def q_join_salted(spark: SparkSession, sf: str) -> DataFrame:
     """Skew-mitigation salted equi-join (lineitem x supplier on
     l_suppkey, 8 salts): row-identical to the plain join — the salt
@@ -1228,6 +1242,8 @@ QUERIES = {
     "graph_pagerank": q_graph_pagerank,
     "pretraining_pipeline": q_pretraining_pipeline,
     "join_salted": q_join_salted,
+    "text_truncate": q_text_truncate,
+    "compression_ratio": q_compression_ratio,
     # -- r5 targets: the 4 driver-red r4 rows (oracle HUGEINT casts /
     #    array serialization fixed this round), the 3 never-sampled
     #    r4 additions, and 4 new oracle-backed LSH/ANN certifications --
@@ -2043,6 +2059,11 @@ ORACLES = {
     "join_salted": """
         SELECT l_orderkey, l_linenumber, l_suppkey, s_name
         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    """,
+    "text_truncate": """
+        SELECT doc_id,
+               array_to_string(string_split_regex(text, '\\s+')[1:32], ' ') AS trunc
+        FROM documents
     """,
     "pretraining_pipeline": """
 WITH corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),

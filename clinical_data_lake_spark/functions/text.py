@@ -12,6 +12,8 @@ pass is exactly one scan.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -198,4 +200,46 @@ def repetition_profile(
         n_ngrams.alias("n_ngrams"),
         n_distinct.alias("n_distinct"),
         dup_frac.alias("dup_frac"),
+    )
+
+
+def truncate_tokens(text: str | Column, max_tokens: int, sep: str = " ") -> Column:
+    """First ``max_tokens`` whitespace tokens, rejoined with ``sep`` —
+    the context-budget truncation every SFT/pretraining formatter
+    needs. Pure JVM array expression (split -> slice -> join): no
+    shuffle, codegen'd, safe in any projection."""
+    c = _col(text) if isinstance(text, str) else text
+    return F.array_join(F.slice(F.split(c, r"\s+"), 1, max_tokens), sep)
+
+
+def compression_ratio(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-doc zlib compression ratio (compressed/raw bytes) — the
+    Gopher/MassiveText quality heuristic: boilerplate and repeated
+    spans compress far below ~0.4, high-entropy junk sits near 1.0;
+    both tails get filtered before pretraining.
+
+    Arrow-batched pandas UDF (zlib is CPU-bound C code; per-batch
+    vectorization amortizes the Python crossing) — rows-only for the
+    driver (no SQL twin for DEFLATE), with closed-form unit tests:
+    ratio(x*1000) << ratio(random), empty text -> 1.0. Returns
+    (id, n_bytes, ratio) — content is dropped before any shuffle.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ratio(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        def one(t):
+            if t is None or len(t) == 0:
+                return 1.0
+            raw = t.encode("utf-8")
+            return round(len(zlib.compress(raw, 6)) / len(raw), 6)
+
+        return texts.map(one)
+
+    return docs.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).cast("long").alias("n_bytes"),
+        _ratio(F.col(text_col)).alias("ratio"),
     )

@@ -877,3 +877,45 @@ def test_quantized_topk_finds_planted_duplicate(spark, planted_embeddings):
     for qid in range(5):
         assert top1[qid].neighbor_id == 100 + qid  # the planted near-dup
         assert top1[qid].sim > 0.99
+
+
+# ------------------------------------------------------ text: new r6 ops
+
+
+def test_truncate_tokens_budget_and_identity(spark):
+    from clinical_data_lake_spark.functions.text import token_count, truncate_tokens
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a b c d e f"), Row(doc_id=2, text="x y")]
+    ).select(
+        "doc_id",
+        truncate_tokens("text", 4).alias("t4"),
+        truncate_tokens("text", 10).alias("t10"),
+        "text",
+    )
+    out = {r.doc_id: r for r in df.collect()}
+    assert out[1].t4 == "a b c d"
+    assert out[1].t10 == out[1].text  # budget wider than doc: identity
+    assert out[2].t4 == "x y"
+
+
+def test_compression_ratio_separates_repetitive_from_random(spark):
+    import random
+    import string
+
+    from clinical_data_lake_spark.functions.text import compression_ratio
+
+    rnd = random.Random(13)
+    noisy = "".join(rnd.choice(string.ascii_letters + string.digits) for _ in range(2000))
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="spam " * 400),   # boilerplate: compresses hard
+            Row(doc_id=2, text=noisy),           # high entropy: barely compresses
+            Row(doc_id=3, text=""),              # empty: defined as 1.0
+        ]
+    )
+    out = {r.doc_id: r for r in compression_ratio(docs).collect()}
+    assert out[1].ratio < 0.05
+    assert out[2].ratio > 0.7
+    assert out[3].ratio == 1.0
+    assert out[1].n_bytes == 2000 and out[3].n_bytes == 0
