@@ -201,8 +201,15 @@ def prepare_pretraining_data(
     """
     from .packing import pack_concat
     from ..operators.sampling import sample_mixture
+    from ..operators.caching import track_persist
 
-    kept = clean_corpus(docs, id_col, text_col, lang=lang)
+    # The cleaned survivor table (id, n_tokens, quality — narrow) feeds
+    # the contamination gate, the mixture sampler, the ordering window,
+    # the packer, and the final joins. Persisting it caps the corpus
+    # text at ~2 scans (clean + shingle probe) instead of re-deriving
+    # the regex scoring + dedup window once per consumer; tracked so
+    # release_persisted() frees it after the job.
+    kept = track_persist(clean_corpus(docs, id_col, text_col, lang=lang))
 
     if benchmark is not None:
         # shingle only the survivors: at corpus scale the clean gates
