@@ -971,6 +971,15 @@ def q_funnel(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric n-gram containment pairs (|A∩B|/|A| >= 0.5): catches
+    subset duplication that Jaccard misses (a doc quoted inside a
+    longer one). Same inverted-index + fan-out-cap plan as jaccard."""
+    return dedup.ngram_containment_pairs(
+        read_table(spark, sf, "documents"), threshold=0.5, max_doc_freq=100
+    )
+
+
 def q_text_truncate(spark: SparkSession, sf: str) -> DataFrame:
     """Token-budget truncation (first 32 whitespace tokens) — the
     context-window formatter, as a pure JVM projection."""
@@ -1162,6 +1171,18 @@ def q_repetition(spark: SparkSession, sf: str) -> DataFrame:
     return text.repetition_profile(d)
 
 
+def q_sample_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic Efraimidis–Spirakis weighted sampling: per lang,
+    20 docs with inclusion probability proportional to n_chars —
+    md5-keyed, replayable in any engine."""
+    from .operators import sampling
+
+    return sampling.weighted_sample_per_group(
+        read_table(spark, sf, "documents").select("doc_id", "lang", "n_chars"),
+        "lang", "doc_id", "n_chars", 20,
+    )
+
+
 def q_sample_mixture(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic domain-mixture sampling on documents.lang: keep all
     en, 1/2 de, 1/4 fr, 1/16 es, drop the rest — md5-prefix membership,
@@ -1244,6 +1265,8 @@ QUERIES = {
     "join_salted": q_join_salted,
     "text_truncate": q_text_truncate,
     "compression_ratio": q_compression_ratio,
+    "dedup_containment": q_dedup_containment,
+    "sample_weighted": q_sample_weighted,
     # -- r5 targets: the 4 driver-red r4 rows (oracle HUGEINT casts /
     #    array serialization fixed this round), the 3 never-sampled
     #    r4 additions, and 4 new oracle-backed LSH/ANN certifications --
@@ -2064,6 +2087,46 @@ ORACLES = {
         SELECT doc_id,
                array_to_string(string_split_regex(text, '\\s+')[1:32], ' ') AS trunc
         FROM documents
+    """,
+    "sample_weighted": """
+        WITH s AS (
+            SELECT doc_id, lang, n_chars,
+                   -ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT)
+                        + 0.5) / 4503599627370496.0)
+                   / CAST(n_chars AS DOUBLE) AS aes
+            FROM documents)
+        SELECT doc_id, lang, n_chars FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY lang ORDER BY aes, doc_id) AS rn FROM s)
+        WHERE rn <= 20
+    """,
+    "dedup_containment": """
+        WITH toks AS (
+            SELECT doc_id,
+                   string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+            FROM documents
+        ),
+        sh_all AS (
+            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+            FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+            WHERE len(w) >= 3
+        ),
+        sh AS (
+            SELECT doc_id, shingle FROM sh_all
+            WHERE shingle IN (
+                SELECT shingle FROM sh_all GROUP BY shingle HAVING count(*) <= 100
+            )
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id != b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(CAST(inter AS DOUBLE) / sa.n_sh, 6) AS containment
+        FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+        WHERE round(CAST(inter AS DOUBLE) / sa.n_sh, 6) >= 0.5
     """,
     "pretraining_pipeline": """
 WITH corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),

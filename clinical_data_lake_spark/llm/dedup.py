@@ -558,3 +558,53 @@ def chunk_dedup(
         n_chunks.cast("long").alias("n_chunks"),
         F.size(rm).cast("long").alias("n_removed"),
     )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup detection: n-gram containment
+    |A ∩ B| / |A| — "how much of doc A appears inside doc B". Jaccard
+    misses subset duplication (a paragraph quoted inside a much longer
+    doc scores low on Jaccard but 1.0 on containment); pretraining
+    dedup wants both directions, so each unordered pair emits up to
+    two rows: (doc_a, doc_b, containment) where containment is of
+    doc_a within doc_b, for every ordered pair >= threshold with
+    doc_a != doc_b.
+
+    Same inverted-index plan (and fan-out cap) as
+    ``ngram_jaccard_pairs``: shuffle on shingle, id-pairs-only
+    aggregation, sizes joined last.
+    """
+    sh = word_shingles(docs, id_col, text_col, n)
+    if max_doc_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(
+            freq.filter(F.col("df") <= max_doc_freq).select("shingle"),
+            on="shingle", how="left_semi",
+        )
+    sh = track_persist(sh)
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
+    return (
+        inter.join(sa, "doc_a")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("inter") / F.col("na"), 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

@@ -168,3 +168,38 @@ def stratified_split(
     for cut, label in zip(reversed(cuts), reversed(labels[:-1])):
         expr = F.when(rn <= F.round(F.lit(cut) * cnt), F.lit(label)).otherwise(expr)
     return df.withColumn(alias, expr)
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-ES): per group, keep the ``k`` rows with
+    the smallest -ln(u)/w, where u is an md5-derived uniform of the
+    row's key and w its (positive) weight — inclusion probability
+    proportional to weight, membership a pure function of the data
+    (any partitioning, any engine with md5 replays it; the standard
+    use: sample training docs proportional to length/quality).
+
+    u = (first 13 md5 hex digits + 0.5) / 16^13 — 52 bits, exact in a
+    double, strictly inside (0,1) so ln() is finite. One window
+    shuffle on the group key; everything else is a projection.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    v = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 13), 16, 10
+    ).cast("long")
+    u = (v.cast("double") + F.lit(0.5)) / F.lit(float(16**13))
+    aes = -F.log(u) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(group_col).orderBy(F.asc("__aes__"), F.asc(key_col))
+    return (
+        df.withColumn("__aes__", aes)
+        .withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= k)
+        .drop("__aes__", "__rn__")
+    )

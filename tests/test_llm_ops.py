@@ -919,3 +919,30 @@ def test_compression_ratio_separates_repetitive_from_random(spark):
     assert out[2].ratio > 0.7
     assert out[3].ratio == 1.0
     assert out[1].n_bytes == 2000 and out[3].n_bytes == 0
+
+
+def test_containment_catches_subset_duplication(spark):
+    """A short doc fully quoted inside a long doc: containment(short in
+    long) = 1.0 while Jaccard stays below a typical dup threshold."""
+    from clinical_data_lake_spark.llm.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quoted = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=quoted),
+            Row(doc_id=2, text=filler + " " + quoted),
+            Row(doc_id=3, text="totally unrelated words only here"),
+        ]
+    )
+    cont = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in ngram_containment_pairs(docs, threshold=0.5).collect()
+    }
+    assert cont[(1, 2)] == 1.0          # short doc entirely inside long
+    assert (2, 1) not in cont           # long doc is NOT inside short
+    jac = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert jac == []                    # jaccard misses the subset dup

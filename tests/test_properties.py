@@ -95,3 +95,37 @@ def test_hash_sample_subset_monotone(spark, keys, n_256):
     small = {r.k for r in hash_sample(df, "k", max(1, n_256 // 2)).collect()}
     assert small <= big
     assert {r.k for r in hash_sample(df, "k", 256).collect()} == set(keys)
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    """A-ES: a row with overwhelming weight is (near-)always included;
+    inclusion frequency tracks weight. With one row at weight 1e6 and
+    99 at weight 1, the heavy row's -ln(u)/w is ~1e-6 x anything else."""
+    from clinical_data_lake_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    rows = [Row(g="a", k=i, w=1.0) for i in range(99)] + [
+        Row(g="a", k=999, w=1e6)
+    ]
+    df = spark.createDataFrame(rows)
+    got = weighted_sample_per_group(df, "g", "k", "w", k=10)
+    kept = {r.k for r in got.collect()}
+    assert 999 in kept and len(kept) == 10
+
+
+def test_weighted_sample_deterministic_across_partitionings(spark):
+    from clinical_data_lake_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    rows = [Row(g=str(i % 3), k=i, w=float(1 + i % 7)) for i in range(200)]
+    df = spark.createDataFrame(rows)
+    a = {tuple(r) for r in weighted_sample_per_group(df, "g", "k", "w", 5).collect()}
+    b = {
+        tuple(r)
+        for r in weighted_sample_per_group(
+            df.repartition(13), "g", "k", "w", 5
+        ).collect()
+    }
+    assert a == b and len(a) == 15
