@@ -1171,6 +1171,16 @@ def q_repetition(spark: SparkSession, sf: str) -> DataFrame:
     return text.repetition_profile(d)
 
 
+def q_agg_equidepth(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-depth histogram: quartile buckets of l_quantity per return
+    flag — (group, bucket, lo, hi, cnt) with deterministic edges via a
+    total-order tiebreak."""
+    return agg.equidepth_histogram(
+        read_table(spark, sf, "lineitem"),
+        "l_returnflag", "l_quantity", ["l_orderkey", "l_linenumber"], buckets=4,
+    )
+
+
 def q_sample_weighted(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic Efraimidis–Spirakis weighted sampling: per lang,
     20 docs with inclusion probability proportional to n_chars —
@@ -1267,6 +1277,7 @@ QUERIES = {
     "compression_ratio": q_compression_ratio,
     "dedup_containment": q_dedup_containment,
     "sample_weighted": q_sample_weighted,
+    "agg_equidepth": q_agg_equidepth,
     # -- r5 targets: the 4 driver-red r4 rows (oracle HUGEINT casts /
     #    array serialization fixed this round), the 3 never-sampled
     #    r4 additions, and 4 new oracle-backed LSH/ANN certifications --
@@ -2087,6 +2098,17 @@ ORACLES = {
         SELECT doc_id,
                array_to_string(string_split_regex(text, '\\s+')[1:32], ' ') AS trunc
         FROM documents
+    """,
+    "agg_equidepth": """
+        SELECT l_returnflag, bucket,
+               min(l_quantity) AS lo, max(l_quantity) AS hi, count(*) AS cnt
+        FROM (
+            SELECT l_returnflag, l_quantity,
+                   ntile(4) OVER (
+                       PARTITION BY l_returnflag
+                       ORDER BY l_quantity, l_orderkey, l_linenumber) AS bucket
+            FROM lineitem)
+        GROUP BY l_returnflag, bucket
     """,
     "sample_weighted": """
         WITH s AS (

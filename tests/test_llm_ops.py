@@ -946,3 +946,20 @@ def test_containment_catches_subset_duplication(spark):
     assert (2, 1) not in cont           # long doc is NOT inside short
     jac = ngram_jaccard_pairs(docs, threshold=0.5).collect()
     assert jac == []                    # jaccard misses the subset dup
+
+
+def test_equidepth_histogram_equal_counts_and_ordered_edges(spark):
+    from clinical_data_lake_spark.operators.aggregates import equidepth_histogram
+
+    df = spark.createDataFrame(
+        [Row(g="a", v=float(i), k=i) for i in range(40)]
+        + [Row(g="b", v=float(i % 3), k=i) for i in range(12)]
+    )
+    out = equidepth_histogram(df, "g", "v", ["k"], buckets=4).collect()
+    a = sorted((r.bucket, r.lo, r.hi, r.cnt) for r in out if r.g == "a")
+    assert [r[3] for r in a] == [10, 10, 10, 10]         # equal depth
+    assert a[0][1] == 0.0 and a[3][2] == 39.0            # full range covered
+    for (b1, _, hi1, _), (b2, lo2, _, _) in zip(a, a[1:]):
+        assert hi1 <= lo2                                 # non-overlapping edges
+    b = sorted((r.bucket, r.cnt) for r in out if r.g == "b")
+    assert [c for _, c in b] == [3, 3, 3, 3]             # ties split by position
