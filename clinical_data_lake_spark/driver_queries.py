@@ -1171,6 +1171,22 @@ def q_repetition(spark: SparkSession, sf: str) -> DataFrame:
     return text.repetition_profile(d)
 
 
+def q_merge_intervals(spark: SparkSession, sf: str) -> DataFrame:
+    """Gaps-and-islands: events become [ts, ts + value*60s] exposure
+    intervals per user, overlapping/touching spans merge to episodes.
+    floor() on the duration (not a bare cast) because Spark truncates
+    double->bigint while DuckDB rounds half-even."""
+    ev = read_table(spark, sf, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").cast("long").alias("start_s"),
+        (F.col("ts").cast("long") + F.floor(F.col("value") * 60).cast("long")).alias(
+            "end_s"
+        ),
+    )
+    return timeseries.merge_intervals(iv, "user_id", "start_s", "end_s")
+
+
 def q_resample_ewma(spark: SparkSession, sf: str) -> DataFrame:
     """EWMA trend over the gap-filled daily event counts (alpha=0.3,
     pandas adjust=True semantics) — closed-form cumsum formulation,
@@ -1293,6 +1309,7 @@ QUERIES = {
     "sample_weighted": q_sample_weighted,
     "agg_equidepth": q_agg_equidepth,
     "resample_ewma": q_resample_ewma,
+    "merge_intervals": q_merge_intervals,
     # -- r5 targets: the 4 driver-red r4 rows (oracle HUGEINT casts /
     #    array serialization fixed this round), the 3 never-sampled
     #    r4 additions, and 4 new oracle-backed LSH/ANN certifications --
@@ -2113,6 +2130,34 @@ ORACLES = {
         SELECT doc_id,
                array_to_string(string_split_regex(text, '\\s+')[1:32], ' ') AS trunc
         FROM documents
+    """,
+    "merge_intervals": """
+        WITH iv AS (
+            SELECT user_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS start_s,
+                   CAST(floor(epoch(ts)) AS BIGINT)
+                       + CAST(floor(value * 60) AS BIGINT) AS end_s
+            FROM events),
+        flagged AS (
+            SELECT user_id, start_s, end_s,
+                   CASE WHEN max(end_s) OVER (
+                            PARTITION BY user_id ORDER BY start_s, end_s
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        IS NULL
+                        OR start_s > max(end_s) OVER (
+                            PARTITION BY user_id ORDER BY start_s, end_s
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   THEN 1 ELSE 0 END AS is_new
+            FROM iv),
+        islands AS (
+            SELECT user_id, start_s, end_s,
+                   sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY start_s, end_s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+            FROM flagged)
+        SELECT user_id, min(start_s) AS start, max(end_s) AS "end",
+               count(*) AS n_merged
+        FROM islands GROUP BY user_id, island
     """,
     "resample_ewma": """
         WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events

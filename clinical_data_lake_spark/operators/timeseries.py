@@ -103,3 +103,45 @@ def ewma(
         )
         .drop("__w__")
     )
+
+
+def merge_intervals(
+    df: DataFrame,
+    key: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Merge overlapping/touching intervals per key (gaps-and-islands):
+    returns (key, start, end, n_merged) — one row per maximal merged
+    span. The clinical workhorse (overlapping medication courses,
+    hospital stays, device-wear sessions collapse to exposure
+    episodes); also the session-flattening step after interval joins.
+
+    Plan: one window pass — an interval starts a new island iff its
+    start exceeds the running max of all previous ends (handles
+    intervals nested inside earlier, longer ones, which a lag(end)
+    comparison would miss); island id = running count of starts;
+    groupBy (key, island). One shuffle on the key, partial aggregation
+    map-side. Touching intervals (start == previous end) merge.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(start_col), F.col(end_col))
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_new = (
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end)
+    ).cast("long")
+    island = F.sum("__new__").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("__new__", is_new)
+        .withColumn("__island__", island)
+        .groupBy(key, "__island__")
+        .agg(
+            F.min(start_col).alias("start"),
+            F.max(end_col).alias("end"),
+            F.count(F.lit(1)).alias("n_merged"),
+        )
+        .drop("__island__")
+    )

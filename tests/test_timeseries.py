@@ -77,3 +77,33 @@ def test_ewma_is_per_key(spark):
     assert out[(2, 0)] == 5.0            # key 2 unaffected by key 1
     assert out[(1, 0)] == 10.0
     assert 0.0 < out[(1, 1)] < 10.0
+
+
+def test_merge_intervals_islands_and_nesting(spark):
+    from clinical_data_lake_spark.operators.timeseries import merge_intervals
+
+    rows = [
+        Row(k=1, s=0, e=10),
+        Row(k=1, s=5, e=7),    # nested inside [0,10]
+        Row(k=1, s=10, e=15),  # touching: merges
+        Row(k=1, s=20, e=25),  # gap: new island
+        Row(k=2, s=0, e=1),
+    ]
+    out = sorted(
+        (r.k, r.start, r.end, r.n_merged)
+        for r in merge_intervals(spark.createDataFrame(rows), "k", "s", "e").collect()
+    )
+    assert out == [(1, 0, 15, 3), (1, 20, 25, 1), (2, 0, 1, 1)]
+
+
+def test_merge_intervals_long_chain_via_running_max(spark):
+    """A long interval spanning several later short ones must absorb
+    them all — the case a lag(end)-based island flag gets wrong."""
+    from clinical_data_lake_spark.operators.timeseries import merge_intervals
+
+    rows = [Row(k=1, s=0, e=100)] + [
+        Row(k=1, s=i * 10, e=i * 10 + 5) for i in range(1, 9)
+    ]
+    out = merge_intervals(spark.createDataFrame(rows), "k", "s", "e").collect()
+    assert len(out) == 1 and out[0].start == 0 and out[0].end == 100
+    assert out[0].n_merged == 9
