@@ -74,6 +74,8 @@ BENCH_QUERIES = [
     "cdc_apply",
     "graph_pagerank",
     "pretraining_pipeline",
+    "dedup_containment",
+    "merge_intervals",
 ]
 
 
