@@ -1004,7 +1004,11 @@ def q_join_salted(spark: SparkSession, sf: str) -> DataFrame:
     sup = read_table(spark, sf, "supplier").select(
         F.col("s_suppkey").alias("l_suppkey"), "s_name"
     )
-    return joins.salted_join(li, sup, on="l_suppkey", salt=8)
+    # explicit reorder: the USING-style join fronts the key column,
+    # and the oracle (like every other twin here) lists l_orderkey first
+    return joins.salted_join(li, sup, on="l_suppkey", salt=8).select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "s_name"
+    )
 
 
 def q_pretraining_pipeline(spark: SparkSession, sf: str) -> DataFrame:
@@ -1191,7 +1195,7 @@ def q_resample_ewma(spark: SparkSession, sf: str) -> DataFrame:
     """EWMA trend over the gap-filled daily event counts (alpha=0.3,
     pandas adjust=True semantics) — closed-form cumsum formulation,
     one shared key shuffle with the grid build."""
-    grid = timeseries.resample_daily(read_table(spark, sf, "events"))
+    grid = timeseries.resample_daily(read_table(spark, sf, "events"), locf=False)
     out = timeseries.ewma(
         grid.select("user_id", "day", F.col("n_events").cast("double").alias("v")),
         "user_id", "day", "v", alpha=0.3,

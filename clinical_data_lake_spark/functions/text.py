@@ -240,6 +240,9 @@ def compression_ratio(docs, id_col: str = "doc_id", text_col: str = "text"):
 
     return docs.select(
         F.col(id_col),
-        F.length(F.col(text_col)).cast("long").alias("n_bytes"),
+        # octet_length, not length: the ratio denominator is UTF-8
+        # bytes, so n_bytes must count bytes too or n_bytes*ratio
+        # stops approximating the compressed size on non-ASCII text
+        F.octet_length(F.col(text_col)).cast("long").alias("n_bytes"),
         _ratio(F.col(text_col)).alias("ratio"),
     )

@@ -62,12 +62,23 @@ _EVENTS_SCHEMA = (
 )
 
 
+_TS_UNIT_CACHE: dict[tuple[str, str], str] = {}
+
+
 def _parquet_ts_unit(path: str, column: str = "ts") -> str:
     """Time unit ('s'|'ms'|'us'|'ns') of a parquet timestamp column,
     from the file footer. Footer-only read: cheap, driver-side, no
-    Spark action. Raises if the column isn't a timestamp — a loud
-    failure beats silently mis-scaling every event time."""
+    Spark action — and memoized per (path, column), since query
+    construction calls read_table dozens of times per run and the
+    unit of a given file never changes within one. Raises if the
+    column isn't a timestamp — a loud failure beats silently
+    mis-scaling every event time."""
     import pyarrow.parquet as pq
+
+    key = (path, column)
+    cached = _TS_UNIT_CACHE.get(key)
+    if cached is not None:
+        return cached
 
     if os.path.isdir(path):
         inner = [n for n in sorted(os.listdir(path)) if n.endswith(".parquet")]
@@ -78,6 +89,7 @@ def _parquet_ts_unit(path: str, column: str = "ts") -> str:
     unit = getattr(typ, "unit", None)
     if unit not in ("s", "ms", "us", "ns"):
         raise TypeError(f"{path}:{column} is {typ}, expected a timestamp")
+    _TS_UNIT_CACHE[key] = unit
     return unit
 
 

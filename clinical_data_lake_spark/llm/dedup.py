@@ -130,21 +130,19 @@ def word_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     return out.distinct() if distinct else out
 
 
-def ngram_jaccard_pairs(
+def _shingle_intersections(
     docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 3,
-    threshold: float = 0.2,
-    max_doc_freq: int | None = None,
-) -> DataFrame:
-    """Exact n-gram Jaccard similarity via inverted shingle index.
-
-    (doc_a, doc_b, jaccard) for pairs >= threshold, doc_a < doc_b.
-    ``max_doc_freq`` drops shingles appearing in more than that many
-    docs — stop-shingle removal, the standard cap on join fan-out at
-    scale (a shingle in 1M docs would emit 5e11 pairs).
-    """
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_doc_freq: int | None,
+    directed: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared core of the exact pairwise n-gram comparators: inverted
+    shingle index -> per-pair intersection counts + per-doc shingle
+    sizes. ``directed=False`` emits each unordered pair once
+    (doc_a < doc_b, the symmetric-metric case); ``directed=True``
+    emits both orderings (asymmetric metrics like containment)."""
     sh = word_shingles(docs, id_col, text_col, n)
     if max_doc_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
@@ -160,11 +158,36 @@ def ngram_jaccard_pairs(
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    pair_filter = (
+        F.col("doc_a") != F.col("doc_b") if directed
+        else F.col("doc_a") < F.col("doc_b")
+    )
     inter = (
         a.join(b, on="shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(pair_filter)
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return inter, sizes
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity via inverted shingle index.
+
+    (doc_a, doc_b, jaccard) for pairs >= threshold, doc_a < doc_b.
+    ``max_doc_freq`` drops shingles appearing in more than that many
+    docs — stop-shingle removal, the standard cap on join fan-out at
+    scale (a shingle in 1M docs would emit 5e11 pairs).
+    """
+    inter, sizes = _shingle_intersections(
+        docs, id_col, text_col, n, max_doc_freq, directed=False
     )
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
@@ -578,26 +601,13 @@ def ngram_containment_pairs(
     doc_a != doc_b.
 
     Same inverted-index plan (and fan-out cap) as
-    ``ngram_jaccard_pairs``: shuffle on shingle, id-pairs-only
-    aggregation, sizes joined last.
+    ``ngram_jaccard_pairs`` — the shared ``_shingle_intersections``
+    core: shuffle on shingle, id-pairs-only aggregation, sizes joined
+    last.
     """
-    sh = word_shingles(docs, id_col, text_col, n)
-    if max_doc_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        sh = sh.join(
-            freq.filter(F.col("df") <= max_doc_freq).select("shingle"),
-            on="shingle", how="left_semi",
-        )
-    sh = track_persist(sh)
-    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, on="shingle")
-        .filter(F.col("doc_a") != F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    inter, sizes = _shingle_intersections(
+        docs, id_col, text_col, n, max_doc_freq, directed=True
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
     return (
         inter.join(sa, "doc_a")

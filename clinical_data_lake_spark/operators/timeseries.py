@@ -28,6 +28,7 @@ def resample_daily(
     key: str = "user_id",
     ts_col: str = "ts",
     value_col: str = "value",
+    locf: bool = True,
 ) -> DataFrame:
     """Daily rollup on a gap-free per-key calendar grid.
 
@@ -41,6 +42,8 @@ def resample_daily(
     - ``locf_sum`` — ``day_sum`` with gaps carried forward from the
       last observed day (never NULL: the spine starts at each key's
       first *active* day, so there is always something to carry).
+      ``locf=False`` skips this column and its window pass for
+      consumers that only need the dense grid (e.g. ``ewma``).
     """
     daily = df.groupBy(F.col(key), F.to_date(F.col(ts_col)).alias("day")).agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -57,6 +60,8 @@ def resample_daily(
         F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
         F.col("day_sum"),
     )
+    if not locf:
+        return grid
     w = (
         Window.partitionBy(key)
         .orderBy("day")
@@ -82,26 +87,38 @@ def ewma(
     no UDF): divide numerator and denominator by r^t and both become
     running cumsums of v_i·r^(-i) and r^(-i) over the SAME window the
     other per-key features use — one shuffle on the key, sequential
-    in-order accumulation (deterministic floating result). r^(-i)
-    grows with row index, so this form is for bounded windows (daily
-    grids: r=0.7 over a year ≈ 1e56, still finite in a double;
-    beyond ~10^4 rows per key use the streaming state-store
-    accumulator instead — documented limit, enforced nowhere because
-    the overflow is loud: +Infinity, not silence).
+    in-order accumulation (deterministic floating result).
+
+    r^(-i) grows with row index and overflows a double at
+    i > 709/ln(1/r) (~1990 rows at the default alpha=0.3) — and the
+    failure would be SILENT NaN, not Infinity (a zero value times an
+    infinite weight is NaN, which then poisons the running sum). Rows
+    past that horizon therefore emit NULL instead: loud, and nothing
+    of value is lost — the certified daily-grid use sits 2 orders of
+    magnitude below the limit; for truly unbounded series use the
+    streaming state-store accumulator.
     """
+    import math
+
     r = 1.0 - alpha
+    # last index where r^(-i) is still finite in a double
+    horizon = int(709.0 / math.log(1.0 / r))
     w_idx = Window.partitionBy(key).orderBy(order_col)
     w_run = w_idx.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     i = F.row_number().over(w_idx) - 1
     inv = F.pow(F.lit(r), -i.cast("double"))
     return (
-        df.withColumn("__w__", inv)
+        df.withColumn("__i__", i)
+        .withColumn("__w__", inv)
         .withColumn(
             alias,
-            F.sum(F.col(value_col) * F.col("__w__")).over(w_run)
-            / F.sum("__w__").over(w_run),
+            F.when(
+                F.col("__i__") <= F.lit(horizon),
+                F.sum(F.col(value_col) * F.col("__w__")).over(w_run)
+                / F.sum("__w__").over(w_run),
+            ),
         )
-        .drop("__w__")
+        .drop("__w__", "__i__")
     )
 
 
