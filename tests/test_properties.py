@@ -129,3 +129,63 @@ def test_weighted_sample_deterministic_across_partitionings(spark):
         ).collect()
     }
     assert a == b and len(a) == 15
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=12).map(" ".join),
+        min_size=1, max_size=8,
+    ),
+    chunk_words=st.integers(min_value=1, max_value=5),
+)
+def test_chunk_dedup_properties(spark, docs, chunk_words):
+    """Invariants on random corpora: with an unreachable min_docs the
+    op is the identity; always, kept+removed chunks account for every
+    chunk and clean_text never gains words."""
+    from clinical_data_lake_spark.llm.dedup import chunk_dedup
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(docs)]
+    )
+    ident = chunk_dedup(df, chunk_words=chunk_words, min_docs=len(docs) + 1)
+    for r in ident.collect():
+        assert r.clean_text == docs[r.doc_id] and r.n_removed == 0
+
+    out = chunk_dedup(df, chunk_words=chunk_words, min_docs=2)
+    for r in out.collect():
+        n_words = len(docs[r.doc_id].split(" "))
+        expect_chunks = -(-n_words // chunk_words)  # ceil
+        assert r.n_chunks == expect_chunks
+        assert 0 <= r.n_removed <= r.n_chunks
+        if r.n_removed == 0:
+            assert r.clean_text == docs[r.doc_id]
+        else:
+            assert len(r.clean_text) < len(docs[r.doc_id])
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    iv=st.lists(
+        st.tuples(st.integers(0, 50), st.integers(1, 20)),
+        min_size=1, max_size=20,
+    )
+)
+def test_merge_intervals_properties(spark, iv):
+    """Random interval sets: merged spans are disjoint with gaps
+    between them, cover every input, and n_merged sums to the input
+    row count."""
+    from clinical_data_lake_spark.operators.timeseries import merge_intervals
+
+    rows = [Row(k=1, s=s, e=s + d) for s, d in iv]
+    out = sorted(
+        (r.start, r.end, r.n_merged)
+        for r in merge_intervals(spark.createDataFrame(rows), "k", "s", "e").collect()
+    )
+    assert sum(n for _, _, n in out) == len(rows)
+    for (s1, e1, _), (s2, e2, _) in zip(out, out[1:]):
+        assert e1 < s2  # strictly disjoint with a real gap
+    for r in rows:
+        assert any(s <= r.s and r.e <= e for s, e, _ in out)  # covered
