@@ -229,6 +229,17 @@ def prepare_pretraining_data(
         ).select(id_col)
         kept = kept.join(sampled, on=id_col, how="left_semi")
 
+    if benchmark is not None or mixture_rates is not None:
+        # the gated survivor table is consumed 3x below (ordering window,
+        # packer, final join); without this persist each consumer clones
+        # the whole gate subtree — including the decontamination shingle
+        # explode, the pipeline's most expensive pass — into its own
+        # branch (observed: 6 Generate nodes in the optimized plan where
+        # a single probe needs 2, and a composed-pipeline bench ~10x the
+        # sum of its stages). The table is narrow (id, n_tokens, quality)
+        # so at 100 TB this is a vanishing fraction of corpus size.
+        kept = track_persist(kept)
+
     ordered = training_order(
         kept, id_col, n_shards=n_shards, shard_by_hash=shard_by_hash
     )

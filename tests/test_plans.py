@@ -209,3 +209,20 @@ def test_resample_gapfill_single_fact_shuffle(spark):
     p = _plan(spark, "resample_gapfill")
     assert "Exchange SinglePartition" not in p
     assert "partial_count" in p or "partial_sum" in p  # map-side combine
+
+
+def test_pretraining_pipeline_probes_shingles_once(spark):
+    """The composed pipeline must run the decontamination shingle
+    explode ONCE: the gated survivor table is persisted, so its three
+    consumers (ordering window, packer, final join) all read the same
+    InMemoryRelation instead of cloning the probe subtree. The plan
+    prints the cached subtree (with its original expr ids) at every
+    reference, so we count DISTINCT explode input ids: one pair
+    (corpus side + benchmark side) = 2. The unpersisted regression
+    clones the subtree with fresh expr ids per branch -> 6."""
+    import re
+
+    p = _plan(spark, "pretraining_pipeline")
+    ids = re.findall(r"Generate explode\(transform\(sequence\(0, \(size\((\w+#\d+)", p)
+    assert ids, "expected the shingle explode pair in the plan"
+    assert len(set(ids)) == 2, f"probe subtree cloned: {sorted(set(ids))}"
