@@ -78,6 +78,13 @@ BENCH_QUERIES = [
     "merge_intervals",
 ]
 
+# drift diagnosis hook: scope the measured set without editing the file
+# (e.g. SPARK_GRAFT_BENCH_QUERIES="pricing_summary,join_3way"); the
+# driver never sets this, so the recorded bench always runs the full set
+_env_set = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+if _env_set:
+    BENCH_QUERIES = [q.strip() for q in _env_set.split(",") if q.strip()]
+
 
 def _sf_from_dir(d: str) -> float:
     m = re.search(r"sf([0-9.]+)", d)

@@ -2173,15 +2173,32 @@ ORACLES = {
         g AS (SELECT s.user_id, s.day,
                      CAST(coalesce(d.n_events, 0) AS DOUBLE) AS v
               FROM s LEFT JOIN d ON s.user_id = d.user_id AND s.day = d.day),
+        -- block-rescaled closed form (mirrors operators/timeseries.ewma
+        -- bit-for-bit): H = 841 rows per block at alpha=0.3, carry from
+        -- the two previous blocks' block-end numerators
         idx AS (SELECT user_id, day, v,
-                       pow(0.7, -CAST(row_number() OVER (
-                           PARTITION BY user_id ORDER BY day) - 1 AS DOUBLE)) AS w
-                FROM g)
-        SELECT user_id, day,
-               round(sum(v * w) OVER win / sum(w) OVER win, 6) AS ewma_events
-        FROM idx
-        WINDOW win AS (PARTITION BY user_id ORDER BY day
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       CAST(row_number() OVER (
+                           PARTITION BY user_id ORDER BY day) - 1 AS BIGINT) AS i
+                FROM g),
+        loc AS (SELECT *, i // 841 AS blk, i % 841 AS j FROM idx),
+        u AS (SELECT *, sum(v * pow(0.7, -CAST(j AS DOUBLE))) OVER (
+                  PARTITION BY user_id, blk ORDER BY j
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS u
+              FROM loc),
+        c AS (SELECT user_id, blk,
+                     pow(0.7, CAST(840 AS DOUBLE)) * max_by(u, j) AS c
+              FROM u GROUP BY user_id, blk),
+        carry AS (SELECT user_id, blk,
+                         coalesce(lag(c, 1) OVER w, 0)
+                         + pow(0.7, CAST(841 AS DOUBLE))
+                           * coalesce(lag(c, 2) OVER w, 0) AS carry
+                  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY blk))
+        SELECT u.user_id, u.day,
+               round((pow(0.7, CAST(u.j AS DOUBLE)) * u.u
+                      + pow(0.7, CAST(u.j + 1 AS DOUBLE)) * carry.carry)
+                     / ((1 - pow(0.7, CAST(u.i + 1 AS DOUBLE))) / (1 - 0.7)),
+                     6) AS ewma_events
+        FROM u JOIN carry ON u.user_id = carry.user_id AND u.blk = carry.blk
     """,
     "agg_equidepth": """
         SELECT l_returnflag, bucket,

@@ -84,41 +84,82 @@ def ewma(
     gap-filled grid from ``resample_daily``.
 
     Closed-form, shuffle-shared formulation (no sequential recurrence,
-    no UDF): divide numerator and denominator by r^t and both become
-    running cumsums of v_i·r^(-i) and r^(-i) over the SAME window the
-    other per-key features use — one shuffle on the key, sequential
-    in-order accumulation (deterministic floating result).
+    no UDF). A single global cumsum of v_i·r^(-i) overflows a double at
+    i > 709/ln(1/r) (~1990 rows at the default alpha) — too short for
+    multi-year daily series — so the series is SEGMENTED into blocks of
+    H = 300/ln(1/r) rows and the running sums are rescaled at block
+    boundaries:
 
-    r^(-i) grows with row index and overflows a double at
-    i > 709/ln(1/r) (~1990 rows at the default alpha=0.3) — and the
-    failure would be SILENT NaN, not Infinity (a zero value times an
-    infinite weight is NaN, which then poisons the running sum). Rows
-    past that horizon therefore emit NULL instead: loud, and nothing
-    of value is lost — the certified daily-grid use sits 2 orders of
-    magnitude below the limit; for truly unbounded series use the
-    streaming state-store accumulator.
+        block b, local index j:   N(b,j) = Λ_b(j) + r^(j+1)·carry_b
+        Λ_b(j) = r^j · Σ_{j'<=j} v·r^(-j')        (in-block cumsum,
+                                                   weights <= e^300)
+        carry_b = C_(b-1) + r^H·C_(b-2)           (block-end numerators
+                                                   of the 2 prior blocks)
+
+    The carry truncates EXACTLY at two terms in double arithmetic:
+    blocks three-or-more back enter with relative weight <= r^(2H) =
+    e^(-600), far below the 2^-52 representable precision — so the
+    truncation changes no output bit while making the carry a pair of
+    block-level lags instead of an unbounded recurrence. The
+    denominator is the geometric closed form (1-r^(t+1))/(1-r).
+
+    Plan: the in-block cumsum shares the per-key shuffle; the carry
+    adds one (key, block) aggregation over an H-times-smaller table
+    plus a join back. No row limit remains — a 100k-row key smooths
+    identically to pandas ``ewm(adjust=True)``.
     """
     import math
 
     r = 1.0 - alpha
-    # last index where r^(-i) is still finite in a double
-    horizon = int(709.0 / math.log(1.0 / r))
+    # largest block where r^(-j) stays <= e^300 (double max is ~e^709;
+    # the margin keeps v·r^(-j) finite for any sane value magnitude)
+    H = max(1, int(300.0 / math.log(1.0 / r)))
     w_idx = Window.partitionBy(key).orderBy(order_col)
-    w_run = w_idx.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    i = F.row_number().over(w_idx) - 1
-    inv = F.pow(F.lit(r), -i.cast("double"))
-    return (
-        df.withColumn("__i__", i)
-        .withColumn("__w__", inv)
+    base = (
+        df.withColumn("__i__", (F.row_number().over(w_idx) - 1).cast("long"))
+        .withColumn("__b__", (F.col("__i__") / H).cast("long"))
+        .withColumn("__j__", (F.col("__i__") % H).cast("long"))
+    )
+    w_loc = (
+        Window.partitionBy(key, "__b__")
+        .orderBy("__j__")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = base.withColumn(
+        "__u__",
+        F.sum(
+            F.col(value_col) * F.pow(F.lit(r), -F.col("__j__").cast("double"))
+        ).over(w_loc),
+    )
+    # block-end numerator C_b = r^(H-1)·U_b(H-1); max_by is deterministic
+    # (j is unique per block). Only FULL blocks are ever consumed as a
+    # lag (the final short block has no successor), so H-1 is exact.
+    w_blk = Window.partitionBy(key).orderBy("__b__")
+    blocks = (
+        base.groupBy(key, "__b__")
+        .agg(F.max_by("__u__", "__j__").alias("__ulast__"))
         .withColumn(
-            alias,
-            F.when(
-                F.col("__i__") <= F.lit(horizon),
-                F.sum(F.col(value_col) * F.col("__w__")).over(w_run)
-                / F.sum("__w__").over(w_run),
-            ),
+            "__c__", F.pow(F.lit(r), F.lit(float(H - 1))) * F.col("__ulast__")
         )
-        .drop("__w__", "__i__")
+        .withColumn(
+            "__carry__",
+            F.coalesce(F.lag("__c__", 1).over(w_blk), F.lit(0.0))
+            + F.pow(F.lit(r), F.lit(float(H)))
+            * F.coalesce(F.lag("__c__", 2).over(w_blk), F.lit(0.0)),
+        )
+        .select(key, "__b__", "__carry__")
+    )
+    num = (
+        F.pow(F.lit(r), F.col("__j__").cast("double")) * F.col("__u__")
+        + F.pow(F.lit(r), (F.col("__j__") + 1).cast("double")) * F.col("__carry__")
+    )
+    den = (
+        F.lit(1.0) - F.pow(F.lit(r), (F.col("__i__") + 1).cast("double"))
+    ) / F.lit(1.0 - r)
+    return (
+        base.join(blocks, on=[key, "__b__"])
+        .withColumn(alias, num / den)
+        .drop("__i__", "__b__", "__j__", "__u__", "__carry__")
     )
 
 

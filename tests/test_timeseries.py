@@ -67,6 +67,28 @@ def test_ewma_matches_pandas_adjust_true(spark):
     assert got == want
 
 
+def test_ewma_long_key_matches_pandas_past_old_horizon(spark):
+    """5,000-row key: the block-rescaled cumsums must smooth the whole
+    series (the previous single-cumsum form overflowed a double and
+    went NULL past ~1990 rows at alpha=0.3). Compared against pandas
+    ewm(adjust=True) at 1e-12 relative error — the closed form and the
+    pandas recurrence round differently in the last couple of bits, so
+    literal bit equality between the two ALGORITHMS is not defined;
+    1e-12 is ~4 orders tighter than the certified 6-decimal output."""
+    import pandas as pd
+    from clinical_data_lake_spark.operators.timeseries import ewma
+
+    rng = [(i * 1103515245 + 12345) % 1000 / 100.0 for i in range(5000)]
+    df = spark.createDataFrame([Row(k=1, t=i, v=v) for i, v in enumerate(rng)])
+    got = [
+        r.ewma for r in ewma(df, "k", "t", "v", alpha=0.3).orderBy("t").collect()
+    ]
+    want = pd.Series(rng).ewm(alpha=0.3, adjust=True).mean().tolist()
+    assert all(g is not None for g in got), "NULLs: horizon regression"
+    worst = max(abs(g - w) / max(abs(w), 1e-30) for g, w in zip(got, want))
+    assert worst < 1e-12, f"max relative error {worst}"
+
+
 def test_ewma_is_per_key(spark):
     from clinical_data_lake_spark.operators.timeseries import ewma
 
