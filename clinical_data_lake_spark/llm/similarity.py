@@ -218,20 +218,24 @@ def ivf_topk(
     n_probe/n_cells of brute force and the shuffle key is the cell id.
 
     Centroids are a deterministic corpus sample: the ``n_cells`` vectors
-    with the smallest xxhash64(id, seed) — a TakeOrdered of a bounded
+    with the smallest md5("seed:id") — a TakeOrdered of a bounded
     handful of rows, collected to the driver to be baked into the
     assignment UDF (the one bounded collect in this module; the matrix
-    is n_cells x dim floats regardless of corpus size). Assignment is
-    one numpy matmul per Arrow batch. Recall depends on how well cells
-    capture the data's clustering; raise ``n_probe`` to trade cost for
-    recall (n_probe == n_cells degenerates to exact brute force).
+    is n_cells x dim floats regardless of corpus size). md5 (not
+    xxhash64) so any SQL engine reproduces the same centroid set —
+    ``ann_recall``'s DuckDB twin rebuilds the cells verbatim.
+    Assignment is one numpy matmul per Arrow batch. Recall depends on
+    how well cells capture the data's clustering; raise ``n_probe`` to
+    trade cost for recall (n_probe == n_cells degenerates to exact
+    brute force).
     """
     from pyspark.sql.functions import pandas_udf
 
+    h = F.md5(F.concat_ws(":", F.lit(seed).cast("string"), F.col(id_col).cast("string")))
     centroid_rows = (
-        corpus.select(_as_double(vec_col).alias("e"),
-                      F.xxhash64(F.col(id_col), F.lit(seed)).alias("h"))
-        .orderBy("h").limit(n_cells).collect()
+        corpus.select(_as_double(vec_col).alias("e"), h.alias("h"),
+                      F.col(id_col).alias("i"))
+        .orderBy("h", "i").limit(n_cells).collect()
     )
     centroids = [list(r["e"]) for r in centroid_rows]
 

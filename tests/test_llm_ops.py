@@ -948,6 +948,47 @@ def test_containment_catches_subset_duplication(spark):
     assert jac == []                    # jaccard misses the subset dup
 
 
+def test_pair_metrics_match_single_metric_operators(spark):
+    """ngram_pair_metrics must agree with ngram_jaccard_pairs and
+    ngram_containment_pairs on every pair — same numbers from ONE
+    intersection pass instead of two; and the subset-dup case shows
+    all three metrics at once."""
+    from clinical_data_lake_spark.llm.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+        ngram_pair_metrics,
+    )
+
+    quoted = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=quoted),
+            Row(doc_id=2, text=filler + " " + quoted),
+            Row(doc_id=3, text=quoted + " extra tail words here"),
+        ]
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.jaccard, r.cont_a_in_b, r.cont_b_in_a)
+        for r in ngram_pair_metrics(docs, threshold=0.01).collect()
+    }
+    jac = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 6)
+        for r in ngram_jaccard_pairs(docs, threshold=0.01).collect()
+    }
+    cont = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in ngram_containment_pairs(docs, threshold=0.01).collect()
+    }
+    assert set(got) == set(jac)
+    for (a, b), (j, ca, cb) in got.items():
+        assert j == jac[(a, b)]
+        assert ca == cont[(a, b)]       # containment of a within b
+        assert cb == cont[(b, a)]       # and the reverse direction
+    assert got[(1, 2)][1] == 1.0        # short doc entirely inside long
+    assert got[(1, 2)][0] < 0.5         # while jaccard stays low
+
+
 def test_equidepth_histogram_equal_counts_and_ordered_edges(spark):
     from clinical_data_lake_spark.operators.aggregates import equidepth_histogram
 

@@ -226,3 +226,18 @@ def test_pretraining_pipeline_probes_shingles_once(spark):
     ids = re.findall(r"Generate explode\(transform\(sequence\(0, \(size\((\w+#\d+)", p)
     assert ids, "expected the shingle explode pair in the plan"
     assert len(set(ids)) == 2, f"probe subtree cloned: {sorted(set(ids))}"
+
+
+def test_pair_metrics_single_inverted_index_pass(spark):
+    """All three pair metrics (jaccard + both containments) must come
+    from ONE shingle explode: the shared intersection core is persisted
+    and referenced, never cloned. Same distinct-expr-id counting as the
+    pretraining lock — the cached subtree prints with its original ids
+    at every reference, so >1 distinct explode input id means the
+    inverted index was rebuilt."""
+    import re
+
+    p = _plan(spark, "dedup_pair_metrics")
+    ids = re.findall(r"Generate explode\(transform\(sequence\(0, \(size\((\w+#\d+)", p)
+    assert ids, "expected the shingle explode in the plan"
+    assert len(set(ids)) == 1, f"inverted index rebuilt: {sorted(set(ids))}"
