@@ -25,6 +25,7 @@ import re
 from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .io import has_delta
 
@@ -126,6 +127,69 @@ def _partition_columns(spark: SparkSession, name: str) -> list[str]:
 # runs ping-pong between exactly two directories
 _OPT_SUFFIX = ".zopt"
 
+# orderable types whose quantiles approxQuantile can sketch (dates and
+# timestamps go through a double cast first)
+_Z_RANKABLE = ("int", "bigint", "smallint", "tinyint", "float", "double",
+               "date", "timestamp", "timestamp_ntz")
+
+
+def _with_zorder_key(
+    df: DataFrame, cols: list[str], bits: int = 8
+) -> tuple[DataFrame, str | None]:
+    """Bit-interleaved Z-curve key over rank-normalized cluster columns
+    — the multi-dimensional ordering Delta's OPTIMIZE ZORDER applies
+    (00-etl-rwd.py:213), rebuilt from public pieces: each column is
+    bucketed into 2^bits quantile tiles (rank normalization makes the
+    curve skew-proof: every tile holds ~the same row count regardless
+    of the value distribution), and the tile numbers' bits are
+    interleaved column-round-robin so a sort by the key visits the
+    space locality-first in EVERY dimension, not lexicographically.
+
+    Tiles come from ``approxQuantile`` (one distributed sketch pass;
+    the driver collects a bounded 2^bits-1 edges per column — the same
+    sample-the-range-bounds shape Spark's own RangePartitioner uses).
+    Per-row bucketing is ``size(filter(edges, e -> v >= e))`` over the
+    edge-array literal and the interleave is shiftleft/bitwiseOR — all
+    JVM expressions, no UDF. NULLs land in tile 0 (NULLS FIRST).
+
+    Returns (df_with_key, key_name), or (df, None) when fewer than two
+    cluster columns are rankable — one dimension needs no interleaving
+    and non-numeric/date types (strings) have no quantile sketch, so
+    those fall back to lexicographic range-sort unchanged.
+    """
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    rankable = [c for c in cols if types.get(c) in _Z_RANKABLE]
+    if len(rankable) < 2:
+        return df, None
+    n_tiles = 1 << bits
+    probs = [i / n_tiles for i in range(1, n_tiles)]
+    tmp_names = [f"__zq{i}__" for i in range(len(rankable))]
+    tmp = df.select(
+        *[
+            (F.col(c).cast("timestamp").cast("double") if types[c].startswith(("date", "timestamp"))
+             else F.col(c).cast("double")).alias(t)
+            for c, t in zip(rankable, tmp_names)
+        ]
+    )
+    all_edges = tmp.stat.approxQuantile(tmp_names, probs, 1.0 / (4 * n_tiles))
+    zkey = F.lit(0).cast("long")
+    ncols = len(rankable)
+    for ci, (c, edges) in enumerate(zip(rankable, all_edges)):
+        v = (F.col(c).cast("timestamp").cast("double")
+             if types[c].startswith(("date", "timestamp")) else F.col(c).cast("double"))
+        # dedupe edges (heavy hitters repeat across quantiles) — fewer
+        # comparisons, same bucket boundaries
+        uniq = sorted(set(edges))
+        bucket = F.size(F.filter(F.array(*[F.lit(e) for e in uniq]), lambda e: v >= e))
+        for p in range(bits):
+            zkey = zkey.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(bucket.cast("long"), p).bitwiseAND(F.lit(1)),
+                    p * ncols + ci,
+                )
+            )
+    return df.withColumn("__zkey__", zkey), "__zkey__"
+
 
 def optimize_table(
     spark: SparkSession,
@@ -137,13 +201,16 @@ def optimize_table(
     """D4 — OPTIMIZE ... ZORDER BY (00-etl-rwd.py:213,217).
 
     With delta-spark on the classpath this issues the real OPTIMIZE
-    ZORDER. The parquet fallback rewrites the table clustered by
-    ``repartitionByRange(zorder_by).sortWithinPartitions(zorder_by)``:
-    range-partitioning + intra-file ordering concentrates each cluster
-    key range into few files, so parquet footer min/max stats prune
-    files and row groups for filters on those columns — the same
-    data-skipping effect Z-ordering buys, traded against multi-column
-    skipping quality. Returns 'delta' or 'parquet' for the path taken.
+    ZORDER. The parquet fallback rewrites the table clustered on a
+    bit-interleaved Z-curve key over the quantile-normalized cluster
+    columns (``_with_zorder_key``): every file then covers a small
+    hyper-rectangle of the key space, so parquet footer min/max stats
+    prune files for filters on ANY clustered column — including
+    trailing ones, which a lexicographic range-sort leaves spanning
+    the full value range in every file. Single-column (or non-rankable
+    string) clustering falls back to plain
+    ``repartitionByRange + sortWithinPartitions``. Returns 'delta' or
+    'parquet' for the path taken.
 
     The rewrite goes through Spark + the Hadoop FS API only (no
     driver-local ``os`` calls), so it works wherever the warehouse
@@ -174,7 +241,20 @@ def optimize_table(
 
     def clustered(df: DataFrame) -> DataFrame:
         n = target_partitions or df.rdd.getNumPartitions()
-        return df.repartitionByRange(n, *zorder_by).sortWithinPartitions(*zorder_by)
+        zdf, zkey = _with_zorder_key(df, zorder_by)
+        if zkey is None:
+            # one dimension (or unrankable types): plain range-sort is
+            # already the optimal single-column clustering
+            return df.repartitionByRange(n, *zorder_by).sortWithinPartitions(*zorder_by)
+        # range-partition and sort on the interleaved key; the raw
+        # columns tie-break so equal-key runs still pack tight ranges.
+        # The key is dropped before the write — footers carry min/max
+        # of the REAL columns, which is what pruning reads.
+        return (
+            zdf.repartitionByRange(n, zkey)
+            .sortWithinPartitions(zkey, *zorder_by)
+            .drop(zkey)
+        )
 
     if _table_exists(spark, name):
         old = _table_location(spark, name)

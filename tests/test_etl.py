@@ -234,3 +234,48 @@ def test_events_ts_unit_matches_testdata(spark):
     )
     assert 2015 <= lo.year <= 2035, lo
     assert 2015 <= hi.year <= 2035, hi
+
+
+def test_optimize_zorder_prunes_on_second_column(spark, tmp_path):
+    """The Z-curve fallback must enable file skipping on the SECOND
+    cluster column: under the old lexicographic range-sort every file
+    spans ~the full c2 range (c1 has many distinct values, so c2 never
+    drives file placement); under the interleaved key each file covers
+    a hyper-rectangle, so a point predicate on c2 overlaps only a
+    fraction of files."""
+    if has_delta(spark):
+        pytest.skip("delta present; parquet fallback not applicable")
+    df = spark.range(0, 100_000).select(
+        F.pmod(F.xxhash64("id"), F.lit(1000)).alias("c1"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1000)).alias("c2"),
+        F.col("id").alias("v"),
+    )
+
+    def files_overlapping_c2(path, lo, hi):
+        stats = (
+            spark.read.parquet(path)
+            .select(F.input_file_name().alias("f"), "c2")
+            .groupBy("f")
+            .agg(F.min("c2").alias("mn"), F.max("c2").alias("mx"))
+            .collect()
+        )
+        return sum(1 for r in stats if r.mn <= hi and r.mx >= lo), len(stats)
+
+    lex = str(tmp_path / "lex")
+    df.repartitionByRange(16, "c1", "c2").sortWithinPartitions("c1", "c2").write.parquet(lex)
+    zed = str(tmp_path / "zed")
+    df.write.parquet(zed)
+    mode = catalog.optimize_table(
+        spark, "no_such_table_zorder", ["c1", "c2"],
+        location=zed, target_partitions=16,
+    )
+    assert mode == "parquet"
+    lex_hit, lex_total = files_overlapping_c2(lex, 500, 510)
+    z_hit, z_total = files_overlapping_c2(zed, 500, 510)
+    assert lex_total == 16 and z_total == 16
+    # lexicographic: c2 spans everything in every file; z-order: only
+    # the files whose rectangle crosses the c2 slice qualify
+    assert lex_hit == 16
+    assert z_hit <= lex_hit // 2, f"z-order did not prune: {z_hit}/{z_total}"
+    # and the data survives the rewrite intact
+    assert spark.read.parquet(zed).agg(F.sum("v")).collect()[0][0] == 4999950000
