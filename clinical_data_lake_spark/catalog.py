@@ -274,17 +274,22 @@ def optimize_table(
             writer = writer.partitionBy(*part_cols)
         writer.parquet(new)
         spark.sql(f"ALTER TABLE {name} SET LOCATION '{new}'")
-        if part_cols:
-            # SET LOCATION moves the base; partition entries must be
-            # re-registered against the new directory tree. SYNC
-            # PARTITIONS matters on a Hive metastore: plain MSCK only
-            # ADDs unknown specs, so pre-existing partition entries
-            # would keep pointing under the old base (deleted below).
-            # The in-memory catalog treats both forms identically.
-            spark.sql(f"MSCK REPAIR TABLE {name} SYNC PARTITIONS")
-        spark.sql(f"REFRESH TABLE {name}")
+        # the old directory must be GONE before the repair: MSCK (ADD/
+        # DROP/SYNC) never rewrites the location of a partition spec
+        # that already exists, and SYNC only DROPs specs whose
+        # directories are missing — repair while the old base still
+        # exists and a real Hive metastore keeps every pre-existing
+        # partition entry dangling at the old (about-to-be-deleted)
+        # paths. Deleting first makes SYNC drop the stale specs and
+        # re-ADD them from the new tree. The in-memory catalog
+        # re-resolves partitions from the base location either way.
+        # Trade-off: queries already planned against the old files die
+        # at the delete — delay it, vacuum-style, if that race matters.
         fs, old_path = _hadoop_fs(spark, base)
         fs.delete(old_path, True)
+        if part_cols:
+            spark.sql(f"MSCK REPAIR TABLE {name} SYNC PARTITIONS")
+        spark.sql(f"REFRESH TABLE {name}")
         return "parquet"
 
     if location is None:

@@ -243,7 +243,15 @@ def stream_to_parquet(
     if partition_by:
         w = w.partitionBy(*partition_by)
     q = w.start()
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        # the availableNow drain outran the timeout: returning now
+        # would hand callers a sink with silently partial output
+        q.stop()
+        raise TimeoutError(
+            f"availableNow drain to {path} still running after "
+            f"{timeout_sec}s; stopped the query — raise timeout_sec "
+            f"or shrink the backlog per run"
+        )
     return q
 
 
