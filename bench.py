@@ -76,6 +76,12 @@ BENCH_QUERIES = [
     "pretraining_pipeline",
     "dedup_containment",
     "merge_intervals",
+    # r7 additions: one-pass pair metrics (vs the two single-metric
+    # passes), the oracle-checked ANN recall diagnostic, and the
+    # unbounded-horizon EWMA
+    "dedup_pair_metrics",
+    "ann_recall",
+    "resample_ewma",
 ]
 
 # Scope the measured set without editing the file (drift A/B testing,
