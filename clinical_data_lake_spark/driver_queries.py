@@ -980,6 +980,26 @@ def q_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_chunk_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token chunks, 16-token
+    overlap) — the RAG/embedding-index chunker and the long-document
+    splitter; pure array expressions, zero shuffle."""
+    from .llm.packing import split_to_chunks
+
+    return split_to_chunks(
+        read_table(spark, sf, "documents"), chunk_tokens=64, overlap=16
+    )
+
+
+def q_skew_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Key-skew diagnostic on lineitem's supplier key: the 10 heaviest
+    keys with row share and multiple-of-mean load — the readout that
+    picks plain vs salted joins."""
+    from .operators.aggregates import skew_profile
+
+    return skew_profile(read_table(spark, sf, "lineitem"), ["l_suppkey"], top_n=10)
+
+
 def q_dedup_pair_metrics(spark: SparkSession, sf: str) -> DataFrame:
     """Jaccard + both containment directions from ONE inverted-index
     pass (callers wanting the full near-dup picture previously paid
@@ -1347,6 +1367,8 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
 # parity sweep re-proves them each session, but the driver row is
 # the hard signal). Everything certified r4-r6 rotates to 51+.
 QUERIES = {
+    "chunk_split": q_chunk_split,
+    "skew_profile": q_skew_profile,
     "ann_recall": q_ann_recall,
     "dedup_pair_metrics": q_dedup_pair_metrics,
     "resample_ewma": q_resample_ewma,
@@ -1395,11 +1417,11 @@ QUERIES = {
     "json_extract": q_json_extract,
     "nested_access": q_nested_access,
     "window_range_count": q_window_range_count,
-    "window_rank": q_window_rank,
-    "window_lag": q_window_lag,
     # -- position 51+: certified r4-r6 (and rows-only queries whose
     #    machinery is oracle-certified via *_verified/*_exact twins),
     #    re-verified every session by tests/test_oracle_parity.py --
+    "window_rank": q_window_rank,
+    "window_lag": q_window_lag,
     "dedup_chunks": q_dedup_chunks,
     "ann_quantized_topk": q_ann_quantized_topk,
     "resample_gapfill": q_resample_gapfill,
@@ -2348,6 +2370,29 @@ ORACLES = {
             SELECT *, row_number() OVER (
                 PARTITION BY lang ORDER BY aes, doc_id) AS rn FROM s)
         WHERE rn <= 20
+    """,
+    "chunk_split": """
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+        ),
+        meta AS (
+            SELECT doc_id, t,
+                   greatest(1, CAST(floor((len(t) - 16 + 47) / 48.0) AS INT)) AS n_chunks
+            FROM toks
+        )
+        SELECT doc_id,
+               CAST(i AS BIGINT) AS chunk_id,
+               array_to_string(t[i*48+1 : i*48+64], ' ') AS chunk_text,
+               CAST(len(t[i*48+1 : i*48+64]) AS BIGINT) AS n_tokens
+        FROM meta, UNNEST(range(0, n_chunks)) AS u(i)
+    """,
+    "skew_profile": """
+        WITH c AS (SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY 1),
+        s AS (SELECT sum(cnt) AS total, count(*) AS nkeys FROM c)
+        SELECT l_suppkey, cnt,
+               round(CAST(cnt AS DOUBLE) / total, 6) AS share,
+               round(CAST(cnt * nkeys AS DOUBLE) / total, 6) AS x_avg
+        FROM c, s ORDER BY cnt DESC, l_suppkey LIMIT 10
     """,
     "dedup_pair_metrics": """
         WITH toks AS (

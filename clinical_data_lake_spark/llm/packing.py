@@ -63,6 +63,53 @@ def _sharded(
     )
 
 
+def split_to_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    sep: str = " ",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    long-document half of sequence budgeting (packing merges short
+    docs; this cuts long ones), and the standard RAG/embedding-index
+    chunker. Returns one row per chunk:
+
+        (id, chunk_id, chunk_text, n_tokens)
+
+    Chunk i covers whitespace tokens [i*step, i*step + chunk_tokens)
+    with step = chunk_tokens - overlap; the final chunk is whatever
+    tail remains (tails already fully contained in the previous chunk
+    are not re-emitted). Deterministic, pure JVM array expressions
+    (split -> transform over a sequence -> posexplode -> slice/join):
+    no shuffle at all — chunking composes into any downstream scan,
+    and at 100 TB the chunks stream straight into the next operator
+    (embedding UDF, chunk-hash dedup) without materializing.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    t = F.split(F.col(text_col), r"\s+")
+    n = F.size(t)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.floor((n - F.lit(overlap) + F.lit(step - 1)) / F.lit(step)).cast("int"),
+    )
+    chunk = F.posexplode(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.slice(t, i * step + 1, chunk_tokens),
+        )
+    )
+    return docs.select(F.col(id_col), chunk.alias("chunk_id", "__c__")).select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.array_join("__c__", sep).alias("chunk_text"),
+        F.size("__c__").cast("long").alias("n_tokens"),
+    )
+
+
 def pack_concat(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -274,3 +274,43 @@ def salted_group_count(df: DataFrame, keys: Sequence[str], salt_buckets: int = 1
     salted = df.withColumn("__salt__", (F.rand(seed=42) * salt_buckets).cast("int"))
     partial = salted.groupBy(*keys, "__salt__").agg(F.count(F.lit(1)).alias("__partial__"))
     return partial.groupBy(*keys).agg(F.sum("__partial__").alias(alias))
+
+
+def skew_profile(
+    df: DataFrame,
+    key_cols: list[str],
+    top_n: int = 10,
+) -> DataFrame:
+    """Key-skew diagnostic for a prospective join/aggregation key: the
+    ``top_n`` heaviest keys with their row share and their multiple of
+    the mean per-key load,
+
+        (key..., cnt, share, x_avg)
+
+    — the number that decides between a plain join, AQE skew handling,
+    and an explicit ``salted_join``/``salted_group_count`` (a key at
+    x_avg >> 10 is the one that strands a reducer at 100 TB).
+
+    Plan: one partially-aggregated groupBy on the keys, a 1-row global
+    rollup broadcast back, and a TakeOrdered for the top slice — no
+    global sort, no second pass over the fact table. share/x_avg are
+    rounded to 6 so results are engine-comparable.
+    """
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("cnt"))
+    stats = counts.agg(
+        F.sum("cnt").alias("__total__"),
+        F.count(F.lit(1)).alias("__nkeys__"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .select(
+            *key_cols,
+            "cnt",
+            F.round(F.col("cnt") / F.col("__total__"), 6).alias("share"),
+            F.round(
+                F.col("cnt") * F.col("__nkeys__") / F.col("__total__"), 6
+            ).alias("x_avg"),
+        )
+        .orderBy(F.desc("cnt"), *key_cols)
+        .limit(top_n)
+    )

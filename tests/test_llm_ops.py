@@ -468,6 +468,62 @@ def test_interval_overlap_join_matches_naive_and_avoids_nested_loop(spark):
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
 
 
+def test_split_to_chunks_boundaries_and_coverage(spark):
+    """Chunk i covers tokens [i*step, i*step+chunk); the tail chunk is
+    short; a tail fully inside the previous chunk is not re-emitted;
+    short docs yield one chunk; the union of chunks covers every
+    token."""
+    from clinical_data_lake_spark.llm.packing import split_to_chunks
+
+    text13 = " ".join(f"t{i}" for i in range(13))   # 13 tokens
+    text4 = "a b c d"                               # 4 <= overlap
+    text10 = " ".join(f"u{i}" for i in range(10))   # tail inside prev? no
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=text13), Row(doc_id=2, text=text4),
+         Row(doc_id=3, text=text10)]
+    )
+    out = {
+        (r.doc_id, r.chunk_id): (r.chunk_text, r.n_tokens)
+        for r in split_to_chunks(df, chunk_tokens=8, overlap=4).collect()
+    }
+    # doc 1: step=4 -> starts 0,4,8: [0..7], [4..11], [8..12]
+    assert out[(1, 0)] == (" ".join(f"t{i}" for i in range(8)), 8)
+    assert out[(1, 1)] == (" ".join(f"t{i}" for i in range(4, 12)), 8)
+    assert out[(1, 2)] == (" ".join(f"t{i}" for i in range(8, 13)), 5)
+    assert (1, 3) not in out
+    # doc 2: single chunk, whole doc
+    assert out[(2, 0)] == (text4, 4)
+    assert (2, 1) not in out
+    # doc 3 (10 tokens): starts 0,4 -> [0..7], [4..9]; start 8 would
+    # add only tokens 8,9 which [4..11] already covered... they ARE new
+    # beyond token 7? tokens 8,9 are inside chunk [4..9]? chunk 1 covers
+    # 4..9 inclusive (6 tokens) so everything is covered by 2 chunks
+    assert out[(3, 0)][1] == 8 and out[(3, 1)] == (" ".join(f"u{i}" for i in range(4, 10)), 6)
+    assert (3, 2) not in out
+    # coverage: every token of doc 1 appears in some chunk
+    covered = set()
+    for (d, _), (txt, _) in out.items():
+        if d == 1:
+            covered.update(txt.split(" "))
+    assert covered == {f"t{i}" for i in range(13)}
+
+
+def test_skew_profile_flags_heavy_key(spark):
+    from clinical_data_lake_spark.operators.aggregates import skew_profile
+
+    rows = [Row(k="hot", v=i) for i in range(80)] + [
+        Row(k=f"c{j}", v=j) for j in range(20)
+    ]
+    out = skew_profile(spark.createDataFrame(rows), ["k"], top_n=3).collect()
+    assert out[0].k == "hot" and out[0].cnt == 80
+    assert out[0].share == 0.8
+    # 21 keys, 100 rows -> mean 100/21; hot is 80/(100/21) = 16.8x
+    assert out[0].x_avg == 16.8
+    assert len(out) == 3 and all(r.cnt == 1 for r in out[1:])
+    # cold-key tiebreak is deterministic (key order)
+    assert [r.k for r in out[1:]] == ["c0", "c1"]
+
+
 def test_pack_concat_exact_replay(spark):
     """Driver-side replay of the full concat-and-cut semantics: within
     each shard, docs laid head-to-tail in id order; bin = floor(start /
