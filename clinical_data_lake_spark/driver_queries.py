@@ -720,6 +720,28 @@ def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
 # ------------------------------------------------------- LLM extensions
 
 
+def q_attribution_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream interval join certified on its batch twin:
+    view-to-click attribution within 30 minutes, per user. The same
+    builder runs on two watermarked streams (state bounded by
+    watermark + horizon); the streaming≡batch parity test replays
+    this exact data through file-source streams."""
+    ev = read_table(spark, sf, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    out = streaming_events.attribution_join(views, clicks, horizon_s=1800)
+    return out.select(
+        "user_id", "view_id", "click_id",
+        F.col("view_ts").cast("long").alias("view_ts"),
+        F.col("click_ts").cast("long").alias("click_ts"),
+        "lag_s",
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     """Exact dedup groups on documents.text."""
     return dedup.exact_dedup_groups(read_table(spark, sf, "documents"))
@@ -1367,6 +1389,7 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
 # parity sweep re-proves them each session, but the driver row is
 # the hard signal). Everything certified r4-r6 rotates to 51+.
 QUERIES = {
+    "attribution_join": q_attribution_join,
     "chunk_split": q_chunk_split,
     "skew_profile": q_skew_profile,
     "ann_recall": q_ann_recall,
@@ -1416,10 +1439,10 @@ QUERIES = {
     "date_diff": q_date_diff,
     "json_extract": q_json_extract,
     "nested_access": q_nested_access,
-    "window_range_count": q_window_range_count,
     # -- position 51+: certified r4-r6 (and rows-only queries whose
     #    machinery is oracle-certified via *_verified/*_exact twins),
     #    re-verified every session by tests/test_oracle_parity.py --
+    "window_range_count": q_window_range_count,
     "window_rank": q_window_rank,
     "window_lag": q_window_lag,
     "dedup_chunks": q_dedup_chunks,
@@ -2370,6 +2393,20 @@ ORACLES = {
             SELECT *, row_number() OVER (
                 PARTITION BY lang ORDER BY aes, doc_id) AS rn FROM s)
         WHERE rn <= 20
+    """,
+    "attribution_join": """
+        WITH v AS (SELECT user_id, event_id AS view_id, ts
+                   FROM events WHERE event_type = 'view'),
+        c AS (SELECT user_id, event_id AS click_id, ts
+              FROM events WHERE event_type = 'click')
+        SELECT v.user_id, v.view_id, c.click_id,
+               CAST(floor(epoch(v.ts)) AS BIGINT) AS view_ts,
+               CAST(floor(epoch(c.ts)) AS BIGINT) AS click_ts,
+               CAST(floor(epoch(c.ts)) AS BIGINT)
+                 - CAST(floor(epoch(v.ts)) AS BIGINT) AS lag_s
+        FROM v JOIN c ON v.user_id = c.user_id
+                     AND c.ts >= v.ts
+                     AND c.ts <= v.ts + INTERVAL 1800 SECONDS
     """,
     "chunk_split": """
         WITH toks AS (

@@ -213,6 +213,67 @@ def enrich_stream(
     return events.join(d, on=keys, how=how)
 
 
+def attribution_join(
+    views: DataFrame,
+    clicks: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    horizon_s: int = 1800,
+    watermark: str = "1 hour",
+    left_id: str = "view_id",
+    right_id: str = "click_id",
+) -> DataFrame:
+    """Stream-stream interval join — view-to-click attribution: every
+    (view, click) pair for the same key where the click lands within
+    ``horizon_s`` seconds AFTER the view. Returns
+    (key, view_id, click_id, view_ts, click_ts, lag_s).
+
+    The one Structured Streaming join mode the other builders don't
+    cover: BOTH sides are streams, so matches can arrive in either
+    order and the engine buffers each side in the state store. The
+    time-interval predicate is what makes that state bounded — with
+    both sides watermarked, rows older than (watermark + horizon) are
+    evicted; an equality-only stream-stream join would buffer forever.
+    On batch DataFrames the same plan is a plain interval join, which
+    is how the driver oracle certifies the semantics
+    (``attribution_join``); the streaming≡batch parity test replays
+    the batch data through a file-source stream.
+
+    100 TB shape: state shuffles on the join key; per-key state size =
+    events-per-horizon, independent of stream length.
+    """
+    v = views.select(
+        F.col(key_col).alias("__k__"),
+        F.col(left_id),
+        F.col(ts_col).alias("view_ts"),
+    )
+    c = clicks.select(
+        F.col(key_col).alias("__ck__"),
+        F.col(right_id),
+        F.col(ts_col).alias("click_ts"),
+    )
+    if v.isStreaming:
+        v = v.withWatermark("view_ts", watermark)
+    if c.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+    cond = (
+        (F.col("__k__") == F.col("__ck__"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {int(horizon_s)} SECONDS"))
+    )
+    return (
+        v.join(c, on=cond)
+        .select(
+            F.col("__k__").alias(key_col),
+            left_id,
+            right_id,
+            "view_ts",
+            "click_ts",
+            (F.col("click_ts").cast("long") - F.col("view_ts").cast("long")).alias("lag_s"),
+        )
+    )
+
+
 def stream_to_parquet(
     df: DataFrame,
     path: str,

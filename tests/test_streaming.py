@@ -55,6 +55,44 @@ def test_streaming_slide_equals_batch(spark, events_stream_setup):
     assert _sorted_rows(got, cols) == _sorted_rows(batch, cols)
 
 
+def test_streaming_attribution_join_equals_batch(spark, events_stream_setup, tmp_path):
+    """Stream-stream interval join: both sides are live streams (state
+    buffered per key, bounded by watermark + horizon); result set must
+    equal the batch interval join the driver oracle certifies. Inner
+    time-interval joins emit in append mode as soon as both rows have
+    arrived."""
+    ev, _, schema = events_stream_setup
+    # a time-ordered source (range-partitioned by ts, files consumed in
+    # ascending order) — the hash-partitioned shared fixture spans the
+    # whole time range in EVERY file, so the watermark jumps to the end
+    # after the first micro-batch and all later files arrive "late";
+    # real streams arrive roughly in event-time order, which is the
+    # regime stream-stream joins are specified for
+    root = str(tmp_path / "attrib_src")
+    (ev.repartitionByRange(4, "ts").sortWithinPartitions("ts")
+       .write.mode("overwrite").parquet(root))
+
+    def split(df):
+        views = df.filter(F.col("event_type") == "view").select(
+            "user_id", F.col("event_id").alias("view_id"), "ts"
+        )
+        clicks = df.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("event_id").alias("click_id"), "ts"
+        )
+        return views, clicks
+
+    bv, bc = split(ev)
+    batch = se.attribution_join(bv, bc)
+    sv, _ = split(se.stream_from_batch_dir(spark, root, schema))
+    _, sc2 = split(se.stream_from_batch_dir(spark, root, schema))
+    stream = se.attribution_join(sv, sc2, watermark="2 hours")
+    se.run_to_memory_sink(stream, "attrib_test", output_mode="append")
+    got = spark.table("attrib_test")
+    cols = ["user_id", "view_id", "click_id", "lag_s"]
+    assert _sorted_rows(got, cols) == _sorted_rows(batch, cols)
+    assert batch.count() > 0  # the fixture data actually attributes
+
+
 def test_streaming_sessionize_equals_batch(spark, events_stream_setup):
     ev, root, schema = events_stream_setup
     batch = se.sessionize(ev, gap="30 minutes")
