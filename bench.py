@@ -82,6 +82,10 @@ BENCH_QUERIES = [
     "dedup_pair_metrics",
     "ann_recall",
     "resample_ewma",
+    "chunk_split",
+    "skew_profile",
+    "attribution_join",
+    "rolling_zscore",
 ]
 
 # Scope the measured set without editing the file (drift A/B testing,

@@ -20,6 +20,7 @@ Identifiers are validated (no SQL splicing of user text beyond
 
 from __future__ import annotations
 
+import math
 import re
 
 from urllib.parse import unquote, urlparse
@@ -294,8 +295,16 @@ def optimize_table(
 
     if location is None:
         raise ValueError("parquet fallback needs a registered table or a location")
-    # no catalog entry to re-point: stage + rename swap on the table's
-    # own filesystem (parquet can't overwrite a path it is reading)
+    _rewrite_in_place(spark, location, clustered)
+    return "parquet"
+
+
+def _rewrite_in_place(spark: SparkSession, location: str, transform) -> None:
+    """Rewrite a bare parquet directory through ``transform`` with a
+    stage + rename swap (parquet can't overwrite a path it is reading);
+    a backup is restored on failure and stale leftovers of a previously
+    failed run are cleaned up first. Shared by the location-only
+    OPTIMIZE fallback and ``compact_table``."""
     base = location.rstrip("/")
     fs, loc_path = _hadoop_fs(spark, base)
     _, stage_path = _hadoop_fs(spark, base + ".staging")
@@ -312,7 +321,7 @@ def optimize_table(
     for stale in (stage_path, backup_path):  # leftovers of a failed run
         if fs.exists(stale):
             fs.delete(stale, True)
-    clustered(spark.read.parquet(location)).write.parquet(str(stage_path))
+    transform(spark.read.parquet(base)).write.parquet(str(stage_path))
     if not fs.rename(loc_path, backup_path):
         fs.delete(stage_path, True)
         raise IOError(f"rename {base} -> {base}.bak failed")
@@ -321,7 +330,36 @@ def optimize_table(
         fs.delete(stage_path, True)
         raise IOError(f"rename {base}.staging -> {base} failed; original restored")
     fs.delete(backup_path, True)
-    return "parquet"
+
+
+def compact_table(
+    spark: SparkSession,
+    location: str,
+    target_file_mb: int = 256,
+) -> int:
+    """Small-files compaction for a bare parquet directory: rewrite to
+    ``ceil(total_bytes / target_file_mb)`` files via ``coalesce`` (a
+    shuffle-free partition merge — compaction must not pay a full
+    re-shuffle of the table) and the same staged rename swap OPTIMIZE
+    uses. Returns the file count written.
+
+    The streaming-ingest companion: an availableNow micro-batch sink
+    (``stream_to_parquet``) accretes one small file per trigger per
+    partition, and at 100 TB the resulting file-count explosion —
+    footer reads, task-per-file scheduling — is what kills scan
+    latency; periodic compaction to the 128-256 MiB sweet spot is the
+    standard maintenance pass (Delta's OPTIMIZE file-size half,
+    separate from the clustering half in ``optimize_table``).
+
+    Coalesce keeps existing data order (no clustering change); run
+    ``optimize_table`` instead when you also want re-clustering.
+    """
+    base = location.rstrip("/")
+    fs, loc_path = _hadoop_fs(spark, base)
+    total_bytes = fs.getContentSummary(loc_path).getLength()
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    _rewrite_in_place(spark, base, lambda df: df.coalesce(n_files))
+    return n_files
 
 
 def _table_exists(spark: SparkSession, name: str) -> bool:

@@ -720,6 +720,17 @@ def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
 # ------------------------------------------------------- LLM extensions
 
 
+def q_rolling_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing-window anomaly score on event values: z of each value
+    vs the previous 20 events per user (min 5 priors). Decimal window
+    sums + explicit variance formula -> engine-portable bits."""
+    ev = read_table(spark, sf, "events").select("event_id", "user_id", "ts", "value")
+    out = windows.rolling_zscore(
+        ev, "user_id", ["ts", "event_id"], "value", n=20, min_periods=5
+    )
+    return out.select("event_id", "user_id", "zscore")
+
+
 def q_attribution_join(spark: SparkSession, sf: str) -> DataFrame:
     """Stream-stream interval join certified on its batch twin:
     view-to-click attribution within 30 minutes, per user. The same
@@ -1389,6 +1400,7 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
 # parity sweep re-proves them each session, but the driver row is
 # the hard signal). Everything certified r4-r6 rotates to 51+.
 QUERIES = {
+    "rolling_zscore": q_rolling_zscore,
     "attribution_join": q_attribution_join,
     "chunk_split": q_chunk_split,
     "skew_profile": q_skew_profile,
@@ -1438,10 +1450,10 @@ QUERIES = {
     "null_fill": q_null_fill,
     "date_diff": q_date_diff,
     "json_extract": q_json_extract,
-    "nested_access": q_nested_access,
     # -- position 51+: certified r4-r6 (and rows-only queries whose
     #    machinery is oracle-certified via *_verified/*_exact twins),
     #    re-verified every session by tests/test_oracle_parity.py --
+    "nested_access": q_nested_access,
     "window_range_count": q_window_range_count,
     "window_rank": q_window_rank,
     "window_lag": q_window_lag,
@@ -2393,6 +2405,23 @@ ORACLES = {
             SELECT *, row_number() OVER (
                 PARTITION BY lang ORDER BY aes, doc_id) AS rn FROM s)
         WHERE rn <= 20
+    """,
+    "rolling_zscore": """
+        WITH b AS (
+            SELECT event_id, user_id, value,
+                   CAST(sum(dv) OVER w AS DOUBLE) AS s1,
+                   CAST(sum(dv * dv) OVER w AS DOUBLE) AS s2,
+                   CAST(count(dv) OVER w AS DOUBLE) AS cnt
+            FROM (SELECT *, CAST(value AS DECIMAL(18,3)) AS dv FROM events)
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_id, user_id,
+               CASE WHEN cnt >= 5 AND (s2 - s1 * s1 / cnt) / (cnt - 1.0) > 0
+                    THEN round((value - s1 / cnt)
+                               / sqrt((s2 - s1 * s1 / cnt) / (cnt - 1.0)), 6)
+               END AS zscore
+        FROM b
     """,
     "attribution_join": """
         WITH v AS (SELECT user_id, event_id AS view_id, ts

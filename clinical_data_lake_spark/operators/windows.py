@@ -58,6 +58,46 @@ def rolling_count(df: DataFrame, key: str, day_col: str, days: int,
     return df.select("*", F.count(F.lit(1)).over(w).alias(alias))
 
 
+def rolling_zscore(
+    df: DataFrame,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    n: int = 20,
+    min_periods: int = 5,
+    alias: str = "zscore",
+) -> DataFrame:
+    """Trailing-window anomaly score: how many standard deviations the
+    current value sits from the mean of the previous ``n`` rows per key
+    (current row excluded — the score tests the new observation against
+    history it isn't part of). NULL until ``min_periods`` prior rows
+    exist or while the window is constant (std == 0). The clinical/
+    telemetry outlier flag (a vital or metric suddenly off-trend).
+
+    Engine-portable determinism: mean/std are derived from decimal
+    window sums (sum, sum-of-squares, count) so partial-aggregation
+    order can't change a bit, and the variance is the explicit
+    textbook formula — slightly worse numerically than Welford, but
+    reproducible verbatim in any SQL engine for oracle certification.
+    One shuffle on the key; all three sums ride one window spec.
+    """
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(-n, -1)
+    )
+    dv = F.col(value_col).cast("decimal(18,3)")
+    s1 = F.sum(dv).over(w).cast("double")
+    s2 = F.sum(dv * dv).over(w).cast("double")
+    cnt = F.count(dv).over(w).cast("double")
+    var = (s2 - s1 * s1 / cnt) / (cnt - F.lit(1.0))
+    z = F.when(
+        (cnt >= min_periods) & (var > 0),
+        F.round((F.col(value_col) - s1 / cnt) / F.sqrt(var), 6),
+    )
+    return df.withColumn(alias, z)
+
+
 def with_lag_gap(
     df: DataFrame,
     key: str,

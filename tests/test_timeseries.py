@@ -6,6 +6,7 @@ from __future__ import annotations
 import datetime
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from clinical_data_lake_spark.operators.timeseries import resample_daily
 
@@ -99,6 +100,55 @@ def test_ewma_is_per_key(spark):
     assert out[(2, 0)] == 5.0            # key 2 unaffected by key 1
     assert out[(1, 0)] == 10.0
     assert 0.0 < out[(1, 1)] < 10.0
+
+
+def test_rolling_zscore_matches_pandas(spark):
+    """z of each value vs the mean/std (ddof=1) of the previous n rows,
+    NULL below min_periods or on a constant window."""
+    import pandas as pd
+    from clinical_data_lake_spark.operators.windows import rolling_zscore
+
+    vals = [5.0, 5.0, 5.0, 9.0, 1.0, 5.0, 7.0, 3.0, 5.0, 50.0]
+    df = spark.createDataFrame(
+        [Row(k=1, t=i, e=i, v=v) for i, v in enumerate(vals)]
+    )
+    got = {
+        r.t: r.z
+        for r in rolling_zscore(
+            df, "k", ["t", "e"], "v", n=4, min_periods=3, alias="z"
+        ).collect()
+    }
+    s = pd.Series(vals)
+    roll = s.rolling(4, min_periods=3).agg(["mean", "std"]).shift(1)
+    for i in range(len(vals)):
+        m, sd = roll["mean"].iloc[i], roll["std"].iloc[i]
+        if pd.isna(m) or pd.isna(sd) or sd == 0:
+            assert got[i] is None, (i, got[i])
+        else:
+            assert got[i] == round((vals[i] - m) / sd, 6), i
+    # the planted outlier scores extreme
+    assert got[9] is not None and got[9] > 5
+
+
+def test_compact_table_merges_small_files(spark, tmp_path):
+    from clinical_data_lake_spark import catalog
+
+    path = str(tmp_path / "many_small")
+    spark.range(0, 10_000).selectExpr("id", "id * 2 AS v").repartition(
+        37
+    ).write.parquet(path)
+    import glob
+    before = len(glob.glob(path + "/part-*"))
+    assert before == 37
+    n = catalog.compact_table(spark, path, target_file_mb=256)
+    assert n == 1  # tiny table -> single file
+    after = len(glob.glob(path + "/part-*"))
+    assert after == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("v")).collect()[0][0] == 99990000
+    import os
+    assert not os.path.exists(path + ".bak") and not os.path.exists(path + ".staging")
 
 
 def test_merge_intervals_islands_and_nesting(spark):
