@@ -189,3 +189,43 @@ def test_merge_intervals_properties(spark, iv):
         assert e1 < s2  # strictly disjoint with a real gap
     for r in rows:
         assert any(s <= r.s and r.e <= e for s, e, _ in out)  # covered
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    n_tokens=st.lists(st.integers(min_value=1, max_value=120), min_size=1, max_size=8),
+    chunk=st.integers(min_value=2, max_value=32),
+    overlap_frac=st.floats(min_value=0.0, max_value=0.9),
+)
+def test_split_to_chunks_properties(spark, n_tokens, chunk, overlap_frac):
+    """For arbitrary doc lengths and (chunk, overlap) combinations:
+    every token position is covered, chunk starts advance by exactly
+    step, every chunk except the last is full-size, and dropping each
+    chunk's first `overlap` tokens (after chunk 0) reconstructs the
+    document exactly."""
+    from clinical_data_lake_spark.llm.packing import split_to_chunks
+
+    overlap = min(int(chunk * overlap_frac), chunk - 1)
+    step = chunk - overlap
+    docs = [(d, " ".join(f"d{d}w{i}" for i in range(n))) for d, n in enumerate(n_tokens)]
+    df = spark.createDataFrame(docs, schema="doc_id long, text string")
+    out = split_to_chunks(df, chunk_tokens=chunk, overlap=overlap)
+    rows = sorted(
+        ((r.doc_id, r.chunk_id, r.chunk_text, r.n_tokens) for r in out.collect())
+    )
+    by_doc: dict[int, list] = {}
+    for d, c, txt, nt in rows:
+        by_doc.setdefault(d, []).append((c, txt.split(" "), nt))
+    for d, n in enumerate(n_tokens):
+        chunks = by_doc[d]
+        assert [c for c, _, _ in chunks] == list(range(len(chunks)))
+        toks = [f"d{d}w{i}" for i in range(n)]
+        rebuilt = []
+        for c, words, nt in chunks:
+            assert nt == len(words)
+            assert words == toks[c * step : c * step + chunk]  # exact placement
+            if c < len(chunks) - 1:
+                assert nt == chunk  # only the tail may be short
+            rebuilt.extend(words if c == 0 else words[overlap:])
+        assert rebuilt == toks  # full coverage, no token lost or duplicated
