@@ -80,6 +80,48 @@ def test_ivf_topk_exact_when_probing_all_cells(spark, planted_embeddings):
     assert ivf == exact
 
 
+def test_kmeans_ivf_centroids_recover_planted_clusters(spark):
+    """On a corpus with genuine cluster structure, Lloyd-refined cells
+    must give PERFECT recall at n_probe=1 (each query's whole
+    neighborhood lives in its own cluster's cell), where the default
+    hash-sampled centroids are at the mercy of which rows the sample
+    picks. Certification of the ivf machinery itself is centroid-
+    agnostic (ann_ivf_exact, full coverage); this test pins the
+    QUALITY claim for fit_ivf_centroids."""
+    import random as _r
+
+    from clinical_data_lake_spark.llm.similarity import (
+        cosine_topk,
+        fit_ivf_centroids,
+        ivf_topk,
+    )
+
+    rnd = _r.Random(3)
+    centers = [[rnd.gauss(0, 1) for _ in range(16)] for _ in range(4)]
+    rows = []
+    for i in range(200):
+        c = centers[i % 4]
+        rows.append(
+            Row(
+                vec_id=i,
+                embedding=[float(x + rnd.gauss(0, 0.05)) for x in c],
+            )
+        )
+    corpus = spark.createDataFrame(rows)
+    q = corpus.filter("vec_id < 8")  # two queries per cluster
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(q, corpus, k=10).collect()
+    }
+    cents = fit_ivf_centroids(corpus, n_cells=4, seed=42)
+    assert len(cents) == 4 and len(cents[0]) == 16
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(q, corpus, k=10, n_probe=1, centroids=cents).collect()
+    }
+    assert got == exact  # recall 1.0 with a single probed cell
+
+
 def test_ivf_topk_partial_probe_finds_planted_dup(spark, planted_embeddings):
     """Probing a subset of cells must still put each planted near-dup
     (cosine > 0.99 — lands in the same cell as its source) at rank 1."""
