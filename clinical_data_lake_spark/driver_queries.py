@@ -720,6 +720,15 @@ def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
 # ------------------------------------------------------- LLM extensions
 
 
+def q_soft_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Soft dedup: 1/cluster-size sampling weight per document over the
+    exact-jaccard near-dup graph — repetition-without-deletion, the
+    data-mixing policy when near-dups still carry signal."""
+    docs = read_table(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.2, max_doc_freq=100)
+    return dedup.soft_dedup_weights(docs, pairs)
+
+
 def q_rolling_zscore(spark: SparkSession, sf: str) -> DataFrame:
     """Trailing-window anomaly score on event values: z of each value
     vs the previous 20 events per user (min 5 priors). Decimal window
@@ -1400,6 +1409,7 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
 # parity sweep re-proves them each session, but the driver row is
 # the hard signal). Everything certified r4-r6 rotates to 51+.
 QUERIES = {
+    "soft_dedup": q_soft_dedup,
     "rolling_zscore": q_rolling_zscore,
     "attribution_join": q_attribution_join,
     "chunk_split": q_chunk_split,
@@ -1449,10 +1459,10 @@ QUERIES = {
     "set_except": q_set_except,
     "null_fill": q_null_fill,
     "date_diff": q_date_diff,
-    "json_extract": q_json_extract,
     # -- position 51+: certified r4-r6 (and rows-only queries whose
     #    machinery is oracle-certified via *_verified/*_exact twins),
     #    re-verified every session by tests/test_oracle_parity.py --
+    "json_extract": q_json_extract,
     "nested_access": q_nested_access,
     "window_range_count": q_window_range_count,
     "window_rank": q_window_rank,
@@ -2308,6 +2318,34 @@ ORACLES = {
             SELECT e.src AS node, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
         )
         SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+    """,
+    "soft_dedup": f"""
+        WITH RECURSIVE pairs AS (
+            SELECT doc_a, doc_b FROM ({_NGRAM_PAIRS_SQL})
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION
+            SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        reach AS (
+            SELECT src AS node, src AS lbl FROM edges
+            UNION
+            SELECT e.src AS node, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+        ),
+        clusters AS (
+            SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+        ),
+        sizes AS (
+            SELECT cluster_id, count(*) AS cluster_size FROM clusters GROUP BY 1
+        )
+        SELECT d.doc_id,
+               coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+               coalesce(s.cluster_size, 1) AS cluster_size,
+               round(CAST(1.0 AS DOUBLE) / coalesce(s.cluster_size, 1), 6) AS weight
+        FROM documents d
+        LEFT JOIN clusters c ON c.doc_id = d.doc_id
+        LEFT JOIN sizes s ON s.cluster_id = c.cluster_id
     """,
     "join_salted": """
         SELECT l_orderkey, l_linenumber, l_suppkey, s_name

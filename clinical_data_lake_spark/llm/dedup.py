@@ -590,6 +590,45 @@ def chunk_dedup(
     )
 
 
+def soft_dedup_weights(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    left: str = "doc_a",
+    right: str = "doc_b",
+) -> DataFrame:
+    """Soft dedup: instead of DROPPING near-duplicates, weight every
+    document by 1/|its duplicate cluster| so each distinct piece of
+    content contributes unit mass to training sampling — the
+    repetition-without-deletion policy data-mixing work uses when
+    near-dups still carry signal (quotes, versions, mirrors). Returns
+    (id, cluster_id, cluster_size, weight) for EVERY corpus document
+    (singletons: own id, size 1, weight 1.0). Feed ``weight`` into
+    ``weighted_sample_per_group``.
+
+    One CC pass over the pair graph (tiny vs the corpus) + one
+    broadcast-able size rollup + one left join back on id; the corpus
+    is touched once.
+    """
+    clusters = dup_clusters(pairs, left, right, id_alias=id_col)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    labeled = clusters.join(sizes, on="cluster_id")
+    return (
+        docs.select(id_col)
+        .join(labeled, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+            F.coalesce("cluster_size", F.lit(1).cast("long")).alias("cluster_size"),
+            F.round(
+                F.lit(1.0) / F.coalesce("cluster_size", F.lit(1).cast("long")), 6
+            ).alias("weight"),
+        )
+    )
+
+
 def ngram_pair_metrics(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -1046,6 +1046,27 @@ def test_containment_catches_subset_duplication(spark):
     assert jac == []                    # jaccard misses the subset dup
 
 
+def test_soft_dedup_weights_unit_mass_per_cluster(spark):
+    """A 3-doc near-dup chain gets weight 1/3 each; singletons keep
+    weight 1.0; every doc appears exactly once and each cluster's
+    weights sum to ~1."""
+    from clinical_data_lake_spark.llm.dedup import soft_dedup_weights
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"doc {i}") for i in range(6)]
+    )
+    pairs = spark.createDataFrame(
+        [Row(doc_a=1, doc_b=2), Row(doc_a=2, doc_b=4)]  # chain 1-2-4
+    )
+    out = {r.doc_id: r for r in soft_dedup_weights(docs, pairs).collect()}
+    assert len(out) == 6
+    for d in (1, 2, 4):
+        assert (out[d].cluster_id, out[d].cluster_size) == (1, 3)
+        assert out[d].weight == round(1 / 3, 6)
+    for d in (0, 3, 5):
+        assert (out[d].cluster_id, out[d].cluster_size, out[d].weight) == (d, 1, 1.0)
+
+
 def test_pair_metrics_match_single_metric_operators(spark):
     """ngram_pair_metrics must agree with ngram_jaccard_pairs and
     ngram_containment_pairs on every pair — same numbers from ONE
