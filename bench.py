@@ -86,6 +86,8 @@ BENCH_QUERIES = [
     "skew_profile",
     "attribution_join",
     "rolling_zscore",
+    "soft_dedup",
+    "incremental_agg",
 ]
 
 # Scope the measured set without editing the file (drift A/B testing,

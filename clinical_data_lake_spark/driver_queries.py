@@ -720,6 +720,42 @@ def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
 # ------------------------------------------------------- LLM extensions
 
 
+def q_incremental_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Materialized-aggregate maintenance under CDC: per-nation
+    (count, balance sum) of customers patched with the derived change
+    feed — retract touched keys, add post-merge rows, never rescan the
+    base. The oracle recomputes the aggregate DIRECTLY from the
+    post-merge snapshot, so a hash match proves retract-then-add is
+    exact."""
+    cust = read_table(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    dv = F.col("c_acctbal").cast("decimal(18,3)")
+    agg_snap = cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(dv).cast("double").alias("sum_value"),
+    )
+    changes = (
+        read_table(spark, sf, "orders")
+        .join(
+            cust.select(F.col("c_custkey").alias("o_custkey"), "c_nationkey"),
+            on="o_custkey",
+        )
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.concat(F.lit("upd-"), F.col("o_orderkey").cast("string")).alias("c_name"),
+            F.col("o_totalprice").alias("c_acctbal"),
+            "c_nationkey",
+            F.col("o_orderkey").alias("seq"),
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        )
+    )
+    return cdc.incremental_agg(
+        cust, changes, agg_snap,
+        group_cols=["c_nationkey"], value_col="c_acctbal", keys="c_custkey",
+    )
+
+
 def q_soft_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Soft dedup: 1/cluster-size sampling weight per document over the
     exact-jaccard near-dup graph — repetition-without-deletion, the
@@ -1409,6 +1445,7 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
 # parity sweep re-proves them each session, but the driver row is
 # the hard signal). Everything certified r4-r6 rotates to 51+.
 QUERIES = {
+    "incremental_agg": q_incremental_agg,
     "soft_dedup": q_soft_dedup,
     "rolling_zscore": q_rolling_zscore,
     "attribution_join": q_attribution_join,
@@ -1458,10 +1495,10 @@ QUERIES = {
     "set_intersect": q_set_intersect,
     "set_except": q_set_except,
     "null_fill": q_null_fill,
-    "date_diff": q_date_diff,
     # -- position 51+: certified r4-r6 (and rows-only queries whose
     #    machinery is oracle-certified via *_verified/*_exact twins),
     #    re-verified every session by tests/test_oracle_parity.py --
+    "date_diff": q_date_diff,
     "json_extract": q_json_extract,
     "nested_access": q_nested_access,
     "window_range_count": q_window_range_count,
@@ -2318,6 +2355,31 @@ ORACLES = {
             SELECT e.src AS node, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
         )
         SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+    """,
+    "incremental_agg": """
+        WITH changes AS (
+            SELECT o_custkey AS c_custkey,
+                   'upd-' || CAST(o_orderkey AS VARCHAR) AS c_name,
+                   o_totalprice AS c_acctbal,
+                   c.c_nationkey,
+                   o_orderkey AS seq,
+                   CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'U' END AS op
+            FROM orders JOIN customer c ON o_custkey = c.c_custkey),
+        winners AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY c_custkey ORDER BY seq DESC, op DESC) AS rn
+                FROM changes)
+            WHERE rn = 1),
+        kept AS (
+            SELECT c_custkey, c_acctbal, c_nationkey FROM customer
+            WHERE c_custkey NOT IN (SELECT c_custkey FROM winners)),
+        ups AS (SELECT c_custkey, c_acctbal, c_nationkey FROM winners WHERE op != 'D'),
+        merged AS (SELECT * FROM kept UNION ALL SELECT * FROM ups)
+        SELECT c_nationkey,
+               count(*) AS cnt,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,3))) AS DOUBLE) AS sum_value
+        FROM merged GROUP BY c_nationkey
     """,
     "soft_dedup": f"""
         WITH RECURSIVE pairs AS (
