@@ -88,6 +88,11 @@ BENCH_QUERIES = [
     "rolling_zscore",
     "soft_dedup",
     "incremental_agg",
+    # late-r7 additions (appended at the end so the shared comparable
+    # prefix keeps its run order — the r6 drift lesson)
+    "fuzzy_match",
+    "lm_score",
+    "winsorize",
 ]
 
 # Scope the measured set without editing the file (drift A/B testing,

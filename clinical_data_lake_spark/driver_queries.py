@@ -1437,6 +1437,48 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.dup_clusters(pairs)
 
 
+def q_fuzzy_match(spark: SparkSession, sf: str) -> DataFrame:
+    """Blocked edit-distance self-join over the distinct part-name
+    vocabulary — the entity-resolution primitive (link name variants
+    across sources, where the reference joins only exact codes).
+    Length-band blocking is lossless, so the oracle's direct
+    levenshtein join is the exact same pair set."""
+    names = read_table(spark, sf, "part").select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    out = joins.fuzzy_join(a, b, "name_a", "name_b", max_dist=2)
+    return out.filter(F.col("name_a") < F.col("name_b")).select(
+        "name_a", "name_b", F.col("edit_dist").cast("long").alias("edit_dist")
+    )
+
+
+def q_lm_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-trained bigram LM perplexity proxy per document
+    (functions/text.py:bigram_lm_scores) — KenLM/CCNet-style quality
+    gating, decimal-exact mean log-probability."""
+    return text.bigram_lm_scores(read_table(spark, sf, "documents"))
+
+
+def q_sample_alpha(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-scaled (alpha=0.5) language-mixture sampling at a
+    0.5 corpus target — data-derived rates quantized to 65536 md5
+    cells so both engines replay the identical membership set."""
+    from .operators import sampling
+
+    docs = read_table(spark, sf, "documents").select("doc_id", "lang", "source")
+    return sampling.sample_alpha_mixture(
+        docs, "lang", "doc_id", alpha=0.5, target_frac=0.5
+    ).select("doc_id", "lang", "source")
+
+
+def q_winsorize(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type winsorization of the value column at the exact
+    [p5, p95] interpolated percentiles (operators/aggregates.py:
+    winsorize) — broadcast bounds, fact table never shuffles."""
+    ev = read_table(spark, sf, "events").select("event_id", "event_type", "value")
+    return agg.winsorize(ev, ["event_type"], "value", lower=0.05, upper=0.95)
+
+
 # Dict order matters: the driver's correctness gate samples the FIRST
 # 50 entries in insertion order. Round-7 window: the 2 new queries,
 # the 2 whose implementation changed this round (EWMA block rescale,
@@ -1445,6 +1487,10 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
 # parity sweep re-proves them each session, but the driver row is
 # the hard signal). Everything certified r4-r6 rotates to 51+.
 QUERIES = {
+    "fuzzy_match": q_fuzzy_match,
+    "lm_score": q_lm_score,
+    "sample_alpha": q_sample_alpha,
+    "winsorize": q_winsorize,
     "incremental_agg": q_incremental_agg,
     "soft_dedup": q_soft_dedup,
     "rolling_zscore": q_rolling_zscore,
@@ -1724,6 +1770,78 @@ _ANN_RECALL_SQL = f"""
 
 ORACLES = {
     "ann_recall": _ANN_RECALL_SQL,
+    "fuzzy_match": """
+        WITH names AS (SELECT DISTINCT p_name FROM part)
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               levenshtein(a.p_name, b.p_name) AS edit_dist
+        FROM names a JOIN names b
+          ON a.p_name < b.p_name
+         AND abs(length(a.p_name) - length(b.p_name)) <= 2
+         AND levenshtein(a.p_name, b.p_name) <= 2
+    """,
+    "lm_score": """
+        WITH toks AS (
+            SELECT doc_id,
+                   string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+            FROM documents
+        ),
+        pairs AS (
+            SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i + 1] AS bigram
+            FROM toks, unnest(range(1, len(t))) AS u(i)
+        ),
+        bc AS (SELECT bigram, count(*) AS c12 FROM pairs GROUP BY bigram),
+        uni AS (
+            SELECT w1, count(*) AS c1
+            FROM (SELECT unnest(t) AS w1 FROM toks)
+            GROUP BY w1
+        ),
+        v AS (SELECT count(*) AS vsz FROM uni),
+        scored AS (
+            SELECT p.doc_id,
+                   count(*) AS n_bigrams,
+                   round(CAST(sum(CAST(round(
+                       ln((c12 + 0.5) / (c1 + 0.5 * vsz)), 6
+                   ) AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS avg_logprob
+            FROM pairs p
+            JOIN bc USING (bigram)
+            JOIN uni USING (w1)
+            CROSS JOIN v
+            GROUP BY p.doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(s.n_bigrams, 0) AS n_bigrams,
+               s.avg_logprob
+        FROM documents d LEFT JOIN scored s USING (doc_id)
+    """,
+    "sample_alpha": """
+        WITH counts AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        w AS (SELECT lang, n_docs, pow(CAST(n_docs AS DOUBLE), 0.5) AS wt FROM counts),
+        t AS (SELECT sum(n_docs) AS n, sum(wt) AS wsum FROM w),
+        r AS (
+            SELECT lang, n_docs,
+                   CAST(floor(least(
+                       1.0,
+                       0.5 * CAST(n AS DOUBLE) * wt / wsum / CAST(n_docs AS DOUBLE)
+                   ) * 65536.0) AS INTEGER) AS rate_65536
+            FROM w CROSS JOIN t
+        )
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d JOIN r USING (lang)
+        WHERE rate_65536 >= 65536
+           OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+              < lower(lpad(hex(rate_65536), 4, '0'))
+    """,
+    "winsorize": """
+        WITH b AS (
+            SELECT event_type,
+                   round(quantile_cont(value, 0.05), 6) AS lo,
+                   round(quantile_cont(value, 0.95), 6) AS hi
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type, e.event_id, e.value,
+               round(least(greatest(e.value, lo), hi), 6) AS value_winsor
+        FROM events e JOIN b USING (event_type)
+    """,
     "scan_lineitem": """
         SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice
         FROM lineitem

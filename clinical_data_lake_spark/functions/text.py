@@ -246,3 +246,92 @@ def compression_ratio(docs, id_col: str = "doc_id", text_col: str = "text"):
         F.octet_length(F.col(text_col)).cast("long").alias("n_bytes"),
         _ratio(F.col(text_col)).alias("ratio"),
     )
+
+
+def bigram_lm_scores(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.5,
+    round_to: int = 6,
+):
+    """Per-document bigram language-model score — the KenLM/CCNet-style
+    perplexity-proxy quality gate: train add-k-smoothed bigram
+    probabilities on the corpus itself, then score every document by
+    its mean bigram log-probability. Templated/boilerplate text scores
+    high (predictable), lexical junk scores low; both tails get
+    filtered or reweighted before pretraining.
+
+        avg_logprob(d) = mean over bigrams (w1 w2) in d of
+            ln( (c(w1 w2) + k) / (c(w1) + k * V) )
+
+    with c(.) corpus counts and V the unigram vocabulary size.
+    Returns (id, n_bigrams, avg_logprob) for EVERY document
+    (docs with < 2 tokens: n_bigrams = 0, avg_logprob NULL).
+
+    Plan shape at 100 TB: one scan builds the exploded (doc, bigram)
+    table scan-side (``zip_with`` over two array slices — no window, no
+    per-token shuffle), persisted because it feeds both the count
+    aggregation and the scoring join. Model tables are
+    vocabulary-bounded, not corpus-bounded: the bigram-count join
+    shuffles on the bigram key, the unigram table and the 1-row V are
+    broadcast. The final per-doc mean sums pre-rounded decimals —
+    exact in any partial-aggregation merge order — and divides once.
+    """
+    from ..operators.caching import track_persist
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    t = F.split(norm, " ")
+    n = F.size(t)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(t, 1, n - 1),
+            F.slice(t, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = track_persist(
+        docs.select(
+            F.col(id_col),
+            F.explode(bigrams).alias("bigram"),
+        ).withColumn("w1", F.split(F.col("bigram"), " ").getItem(0))
+    )
+    bigram_counts = pairs.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
+    unigrams = docs.select(F.explode(F.split(norm, " ")).alias("w1"))
+    # vocab-bounded, consumed twice (scoring join + V): persisting it
+    # keeps the corpus-wide unigram explode+aggregate to one execution
+    unigram_counts = track_persist(
+        unigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = unigram_counts.agg(F.count(F.lit(1)).alias("__v__"))
+    logp = F.round(
+        F.log(
+            (F.col("c12").cast("double") + F.lit(float(k)))
+            / (F.col("c1").cast("double") + F.lit(float(k)) * F.col("__v__").cast("double"))
+        ),
+        round_to,
+    )
+    scored = (
+        pairs.join(bigram_counts, on="bigram")
+        .join(F.broadcast(unigram_counts), on="w1")
+        .join(F.broadcast(vocab), how="cross")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            # decimal sum: exact under any merge order; one fp division
+            F.round(
+                F.sum(logp.cast("decimal(28,6)")).cast("double") / F.count(F.lit(1)),
+                round_to,
+            ).alias("avg_logprob"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias("n_bigrams"),
+            F.col("avg_logprob"),
+        )
+    )

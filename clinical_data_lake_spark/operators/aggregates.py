@@ -314,3 +314,40 @@ def skew_profile(
         .orderBy(F.desc("cnt"), *key_cols)
         .limit(top_n)
     )
+
+
+def winsorize(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str,
+    lower: float = 0.05,
+    upper: float = 0.95,
+    digits: int = 6,
+    alias: str | None = None,
+) -> DataFrame:
+    """Extension — per-group winsorization: clamp ``col`` to its
+    group's exact [``lower``, ``upper``] interpolated percentiles, the
+    standard outlier-capping step before fitting features on
+    heavy-tailed clinical/monetary values (a robust alternative to the
+    reference's drop-the-rows filtering, include/featurise.py:73-88).
+
+    Two-pass plan, both scans cheap: one groupBy on the keys computes
+    the bounds table (group-cardinality-sized), which broadcasts back
+    onto the fact — the fact table itself never shuffles. Bounds and
+    the clamped value are rounded so fp noise can't leak into equality
+    checks; percentile semantics match DuckDB ``quantile_cont``.
+    """
+    alias = alias or f"{col}_winsor"
+    bounds = df.groupBy(*keys).agg(
+        F.round(F.percentile(F.col(col), F.lit(lower)).cast("double"), digits).alias("__lo__"),
+        F.round(F.percentile(F.col(col), F.lit(upper)).cast("double"), digits).alias("__hi__"),
+    )
+    clamped = F.round(
+        F.least(F.greatest(F.col(col).cast("double"), F.col("__lo__")), F.col("__hi__")),
+        digits,
+    )
+    return (
+        df.join(F.broadcast(bounds), on=list(keys))
+        .withColumn(alias, clamped)
+        .drop("__lo__", "__hi__")
+    )

@@ -277,3 +277,65 @@ def salted_join(
         "__salt__", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )
     return l.join(r, on=keys + ["__salt__"], how=how).drop("__salt__")
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_dist: int = 2,
+    block_prefix: int = 0,
+    dist_alias: str = "edit_dist",
+) -> DataFrame:
+    """Edit-distance (fuzzy) join: every (left, right) pair whose
+    Levenshtein distance on (``left_col``, ``right_col``) is at most
+    ``max_dist`` — the entity-resolution primitive behind linking
+    free-text clinical descriptions / drug names across sources, where
+    the reference joins only on exact codes (00-etl-rwd.py:136-141).
+
+    Exact length-band blocking replaces the nested loop:
+    ``lev(a, b) <= d`` implies ``|len(a) - len(b)| <= d``, so with band
+    width ``d + 1`` every qualifying pair shares one of at most three
+    adjacent bands (a run of ``2d + 1`` consecutive lengths can straddle
+    two band boundaries). The right side lands in its single band
+    ``floor(len/(d+1))``; the left side is replicated to the (<= 3)
+    bands covering ``[len-d, len+d]``. The join is then a
+    plain equi shuffle on the band key and only same-band candidates
+    reach the Levenshtein filter — no candidate is ever lost, and the
+    candidate count is the sum of band-size products instead of
+    |L| x |R|. ``F.levenshtein(..., threshold)`` early-aborts the DP
+    above ``max_dist`` (banded O(d*n) instead of O(n^2) per pair).
+
+    ``block_prefix > 0`` additionally requires the first k lowercase
+    characters to agree — the classic approximate blocking key for
+    name data. That is a recall trade (pairs differing inside the
+    prefix are not emitted) and is OFF by default; the length bands
+    alone keep the operator exact.
+
+    Column names must be disjoint across the two inputs (rename before
+    calling, as with Spark's own join). Output: left columns + right
+    columns + ``dist_alias`` (int).
+    """
+    if max_dist < 0:
+        raise ValueError("max_dist must be >= 0")
+    w = max_dist + 1
+    lo_band = F.floor((F.length(left_col) - max_dist) / w)
+    hi_band = F.floor((F.length(left_col) + max_dist) / w)
+    l = left.withColumn("__band__", F.explode(F.sequence(lo_band, hi_band)))
+    r = right.withColumn("__band__", F.floor(F.length(right_col) / w))
+    if block_prefix > 0:
+        l = l.withColumn("__blk__", F.lower(F.substring(left_col, 1, block_prefix)))
+        r = r.withColumn("__blk__", F.lower(F.substring(right_col, 1, block_prefix)))
+        on = ["__band__", "__blk__"]
+    else:
+        on = ["__band__"]
+    # threshold form returns -1 when the distance exceeds max_dist, so
+    # one banded-DP evaluation both filters and yields the distance
+    dist = F.levenshtein(F.col(left_col), F.col(right_col), max_dist)
+    return (
+        l.join(r, on=on)
+        .withColumn(dist_alias, dist)
+        .filter(F.col(dist_alias) >= 0)
+        .drop(*on)
+    )

@@ -203,3 +203,81 @@ def weighted_sample_per_group(
         .filter(F.col("__rn__") <= k)
         .drop("__aes__", "__rn__")
     )
+
+
+def alpha_mixture_rates(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled mixture rates — the mC4/XLM-R alpha-sampling
+    rule for multi-domain corpora: group ``g``'s share of the sampled
+    corpus is proportional to ``n_g ** alpha``, flattening the natural
+    (head-heavy) distribution so low-resource groups are not drowned
+    out (alpha=1 keeps natural proportions, alpha=0 equalizes groups).
+
+    With ``T = target_frac * N`` total sampled rows, group ``g`` keeps
+
+        rate_g = min(1, T * n_g**alpha / sum_h(n_h**alpha) / n_g)
+
+    quantized to 65536 hash cells for exact engine-portable replay
+    (the same md5-prefix trick as ``sample_mixture``, at 16-bit
+    resolution because rates here are data-derived, not caller-picked).
+    Groups capped at 1 (rate would exceed their size) under-deliver
+    the target slightly — the standard single-pass approximation; the
+    exact fix is iterative water-filling, which no pretraining mixer
+    bothers with.
+
+    Returns (group, n_docs, rate_65536). One groupBy on the
+    low-cardinality group key + two 1-row broadcast scalars.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    weight = F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha)))
+    weighted = counts.withColumn("__w__", weight)
+    totals = weighted.agg(
+        F.sum("n_docs").alias("__n__"), F.sum("__w__").alias("__wsum__")
+    )
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(float(target_frac))
+        * F.col("__n__").cast("double")
+        * F.col("__w__")
+        / F.col("__wsum__")
+        / F.col("n_docs").cast("double"),
+    )
+    return (
+        weighted.crossJoin(F.broadcast(totals))
+        .select(
+            F.col(group_col),
+            F.col("n_docs"),
+            F.floor(rate * F.lit(65536.0)).cast("int").alias("rate_65536"),
+        )
+    )
+
+
+def sample_alpha_mixture(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+) -> DataFrame:
+    """Apply ``alpha_mixture_rates``: keep a row iff the first 4 hex
+    digits of md5(key) fall below its group's quantized rate. Same
+    guarantees as ``hash_sample``/``sample_mixture``: membership is a
+    pure function of (key, corpus composition) — stable across
+    partitionings and engines — and consistent across tables sharing
+    the key. The rates side is group-cardinality-sized, so the join is
+    a broadcast: the corpus is scanned once, no shuffle.
+    """
+    rates = alpha_mixture_rates(df, group_col, alpha, target_frac)
+    thresh = F.lower(F.lpad(F.hex(F.col("rate_65536")), 4, "0"))
+    keep = (F.col("rate_65536") >= 65536) | (
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 4) < thresh
+    )
+    return (
+        df.join(F.broadcast(rates), on=group_col)
+        .filter(keep)
+        .drop("n_docs", "rate_65536")
+    )

@@ -88,13 +88,20 @@ def run_to_memory_sink(
     df: DataFrame,
     query_name: str,
     output_mode: str = "complete",
-    timeout_sec: float = 120.0,
+    timeout_sec: float = 300.0,
 ):
     """Execute a streaming aggregation to completion against a memory
     sink and return the terminated query; results are then readable via
     ``spark.table(query_name)``. availableNow processes everything
     currently in the source and stops — the batch-equivalence test
-    harness."""
+    harness.
+
+    Raises on timeout instead of returning: a still-running query means
+    the memory table is silently partial, and every caller immediately
+    reads it (the same failure mode ``stream_to_parquet`` guards
+    against — under heavy host load the old 120 s cap produced a
+    one-row-short stream-stream join result that looked like a
+    correctness bug)."""
     q = (
         df.writeStream.format("memory")
         .queryName(query_name)
@@ -102,7 +109,11 @@ def run_to_memory_sink(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {query_name!r} still running after {timeout_sec}s"
+        )
     return q
 
 
