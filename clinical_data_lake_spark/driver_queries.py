@@ -1437,6 +1437,40 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.dup_clusters(pairs)
 
 
+def q_dq_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-quality expectation report over orders (operators/
+    quality.py): null/range/domain/uniqueness checks fold into one
+    aggregate pass, plus a referential-integrity anti-join against
+    customer. The range and domain checks are deliberately tighter
+    than the data so nonzero violation counts exercise the math."""
+    from .operators import quality as dq
+
+    o = read_table(spark, sf, "orders")
+    c = read_table(spark, sf, "customer")
+    return dq.check_report(
+        o,
+        {
+            "not_null:o_orderdate": dq.not_null("o_orderdate"),
+            "range:o_totalprice<=200k": dq.in_range("o_totalprice", 0, 200000),
+            "set:o_orderstatus in (O,F)": dq.in_set("o_orderstatus", ["O", "F"]),
+        },
+        unique_keys=["o_orderkey"],
+        fks={"fk:o_custkey->customer": (c, "o_custkey", "c_custkey")},
+    )
+
+
+def q_rolling_median(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing 7-row exact median of event values per user, ordered by
+    (ts, event_id) — robust smoothing via a window-frame percentile
+    (operators/windows.py:rolling_median)."""
+    ev = read_table(spark, sf, "events").select("event_id", "user_id", "ts", "value")
+    return windows.rolling_median(
+        ev, "user_id", ["ts", "event_id"], "value", n_rows=7
+    ).select(
+        "event_id", "user_id", "value", "rolling_median"
+    )
+
+
 def q_fuzzy_match(spark: SparkSession, sf: str) -> DataFrame:
     """Blocked edit-distance self-join over the distinct part-name
     vocabulary — the entity-resolution primitive (link name variants
@@ -1487,6 +1521,8 @@ def q_winsorize(spark: SparkSession, sf: str) -> DataFrame:
 # parity sweep re-proves them each session, but the driver row is
 # the hard signal). Everything certified r4-r6 rotates to 51+.
 QUERIES = {
+    "dq_report": q_dq_report,
+    "rolling_median": q_rolling_median,
     "fuzzy_match": q_fuzzy_match,
     "lm_score": q_lm_score,
     "sample_alpha": q_sample_alpha,
@@ -1770,6 +1806,45 @@ _ANN_RECALL_SQL = f"""
 
 ORACLES = {
     "ann_recall": _ANN_RECALL_SQL,
+    "dq_report": """
+        WITH n AS (SELECT count(*) AS n_rows FROM orders),
+        checks AS (
+            SELECT 'not_null:o_orderdate' AS check_name, n_rows,
+                   (SELECT count(*) FROM orders
+                    WHERE NOT coalesce(o_orderdate IS NOT NULL, FALSE)) AS n_violations
+            FROM n
+            UNION ALL
+            SELECT 'range:o_totalprice<=200k', n_rows,
+                   (SELECT count(*) FROM orders
+                    WHERE NOT coalesce(o_totalprice BETWEEN 0 AND 200000, FALSE))
+            FROM n
+            UNION ALL
+            SELECT 'set:o_orderstatus in (O,F)', n_rows,
+                   (SELECT count(*) FROM orders
+                    WHERE NOT coalesce(o_orderstatus IN ('O', 'F'), FALSE))
+            FROM n
+            UNION ALL
+            SELECT 'unique:o_orderkey', n_rows,
+                   n_rows - (SELECT count(DISTINCT o_orderkey) FROM orders)
+            FROM n
+            UNION ALL
+            SELECT 'fk:o_custkey->customer', n_rows,
+                   (SELECT count(*) FROM orders o
+                    WHERE o.o_custkey IS NOT NULL
+                      AND NOT EXISTS (SELECT 1 FROM customer c
+                                      WHERE c.c_custkey = o.o_custkey))
+            FROM n
+        )
+        SELECT check_name, n_rows, n_violations, n_violations = 0 AS passed
+        FROM checks
+    """,
+    "rolling_median": """
+        SELECT event_id, user_id, value,
+               round(quantile_cont(value, 0.5) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS rolling_median
+        FROM events
+    """,
     "fuzzy_match": """
         WITH names AS (SELECT DISTINCT p_name FROM part)
         SELECT a.p_name AS name_a, b.p_name AS name_b,

@@ -185,3 +185,37 @@ def top_per_group(
         df.select("*", F.row_number().over(w).alias(rank_alias))
         .filter(F.col(rank_alias) <= n)
     )
+
+
+def rolling_median(
+    df: DataFrame,
+    key: str,
+    order_col: str | list[str],
+    value_col: str,
+    n_rows: int = 7,
+    alias: str = "rolling_median",
+    digits: int = 6,
+) -> DataFrame:
+    """Trailing exact median over the last ``n_rows`` rows per key
+    (current row inclusive) — the robust-smoothing counterpart of the
+    mean/zscore rollups above: one spiky vital-sign reading moves a
+    rolling mean but not a rolling median.
+
+    ``F.percentile`` runs as a window aggregate, so this is the same
+    single (key)-shuffle + in-partition sort every window op here pays;
+    the frame buffers at most ``n_rows`` values per row. Exact
+    interpolated percentile (ANSI percentile_cont semantics — matches
+    DuckDB ``quantile_cont`` as a window), rounded for engine parity.
+    For calendar-time frames, resample to a daily grid first
+    (timeseries.resample_daily) and window over the grid.
+    """
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    # a ROWS frame over a non-unique order is nondeterministic — callers
+    # pass a tiebreaker (e.g. ["ts", "event_id"]) for engine parity
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order_cols)
+        .rowsBetween(-(n_rows - 1), Window.currentRow)
+    )
+    med = F.round(F.percentile(F.col(value_col), F.lit(0.5)).over(w).cast("double"), digits)
+    return df.withColumn(alias, med)

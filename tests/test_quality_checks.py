@@ -1,0 +1,101 @@
+"""Units for the data-quality expectation report and rolling median —
+planted-violation counts the oracle hash can't explain on clean data.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clinical_data_lake_spark.operators import quality as dq
+from clinical_data_lake_spark.operators.windows import rolling_median
+
+
+@pytest.fixture(scope="module")
+def dirty(spark):
+    rows = [
+        # (id, code, score, ref)
+        (1, "A", 10.0, 100),
+        (2, "B", -5.0, 100),      # range violation
+        (3, None, 50.0, 101),     # null code
+        (4, "Z", 200.0, None),    # set violation + range violation, null ref ok
+        (4, "A", 20.0, 999),      # duplicate id + orphan ref
+    ]
+    return spark.createDataFrame(rows, ["id", "code", "score", "ref"])
+
+
+@pytest.fixture(scope="module")
+def dim(spark):
+    return spark.createDataFrame([(100,), (101,)], ["dim_id"])
+
+
+def test_planted_violation_counts(spark, dirty, dim):
+    rep = {
+        r.check_name: r
+        for r in dq.check_report(
+            dirty,
+            {
+                "not_null:code": dq.not_null("code"),
+                "range:score": dq.in_range("score", 0, 100),
+                "set:code": dq.in_set("code", ["A", "B"]),
+            },
+            unique_keys=["id"],
+            fks={"fk:ref": (dim, "ref", "dim_id")},
+        ).collect()
+    }
+    assert all(r.n_rows == 5 for r in rep.values())
+    assert rep["not_null:code"].n_violations == 1
+    assert rep["range:score"].n_violations == 2
+    # NULL code is not in ('A','B') -> counts as a set violation too
+    assert rep["set:code"].n_violations == 2
+    assert rep["unique:id"].n_violations == 1
+    assert rep["fk:ref"].n_violations == 1  # 999; NULL ref is not an orphan
+    assert not any(r.passed for r in rep.values())
+
+
+def test_clean_table_passes(spark, dim):
+    clean = spark.createDataFrame([(1, "A", 1.0, 100), (2, "B", 2.0, 101)],
+                                  ["id", "code", "score", "ref"])
+    rep = dq.check_report(
+        clean,
+        {"not_null:code": dq.not_null("code")},
+        unique_keys=["id"],
+        fks={"fk:ref": (dim, "ref", "dim_id")},
+    ).collect()
+    assert len(rep) == 3
+    assert all(r.passed and r.n_violations == 0 for r in rep)
+
+
+def test_single_aggregation_pass_for_row_checks(spark, dirty):
+    """All row-level predicates + uniqueness fold into ONE scan: the
+    executed plan must contain no more than one table scan of the
+    input (no per-check jobs)."""
+    rep = dq.check_report(
+        dirty,
+        {
+            "a": dq.not_null("code"),
+            "b": dq.in_range("score", 0, 100),
+            "c": dq.matches("code", "[A-Z]"),
+        },
+        unique_keys=["id"],
+    )
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") <= 1
+
+
+def test_rolling_median_closed_form(spark):
+    rows = [(i, 1, float(v)) for i, v in enumerate([5, 1, 9, 3, 7])]
+    df = spark.createDataFrame(rows, ["seq", "k", "v"])
+    out = {
+        r.seq: r.med
+        for r in rolling_median(df, "k", "seq", "v", n_rows=3, alias="med").collect()
+    }
+    # trailing-3 medians of [5], [5,1], [5,1,9], [1,9,3], [9,3,7]
+    assert out == {0: 5.0, 1: 3.0, 2: 5.0, 3: 3.0, 4: 7.0}
+
+
+def test_rolling_median_resists_outlier(spark):
+    rows = [(i, 1, 10.0 if i != 5 else 10000.0) for i in range(10)]
+    df = spark.createDataFrame(rows, ["seq", "k", "v"])
+    out = rolling_median(df, "k", "seq", "v", n_rows=5, alias="med").collect()
+    assert all(r.med == 10.0 for r in out)
