@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "fuzzy_match",
     "lm_score",
     "winsorize",
+    "budget_select",
 ]
 
 # Scope the measured set without editing the file (drift A/B testing,

@@ -1437,6 +1437,23 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.dup_clusters(pairs)
 
 
+def q_budget_select(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget corpus curation: highest-quality docs until a
+    20k-token budget, via the distributed prefix-sum in
+    llm/corpus.py:budget_select (no single-partition global window —
+    the oracle's plain OVER (ORDER BY ...) cumsum is exactly what the
+    operator refuses to ask Spark for)."""
+    from .llm import corpus
+
+    docs = read_table(spark, sf, "documents")
+    scored = docs.select(
+        F.col("doc_id"),
+        text.token_count("text").alias("n_tokens"),
+        F.round(text.quality_score("text"), 6).alias("quality"),
+    )
+    return corpus.budget_select(scored, token_budget=20000)
+
+
 def q_dq_report(spark: SparkSession, sf: str) -> DataFrame:
     """Data-quality expectation report over orders (operators/
     quality.py): null/range/domain/uniqueness checks fold into one
@@ -1521,6 +1538,7 @@ def q_winsorize(spark: SparkSession, sf: str) -> DataFrame:
 # parity sweep re-proves them each session, but the driver row is
 # the hard signal). Everything certified r4-r6 rotates to 51+.
 QUERIES = {
+    "budget_select": q_budget_select,
     "dq_report": q_dq_report,
     "rolling_median": q_rolling_median,
     "fuzzy_match": q_fuzzy_match,
@@ -1806,6 +1824,34 @@ _ANN_RECALL_SQL = f"""
 
 ORACLES = {
     "ann_recall": _ANN_RECALL_SQL,
+    "budget_select": """
+        WITH raw AS (
+            SELECT doc_id,
+                   CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS n_tok_d,
+                   CAST(length(text) AS DOUBLE) AS n_chars,
+                   CAST(length(text) - length(regexp_replace(text, '[^A-Za-z\\s]', '', 'g'))
+                        AS DOUBLE) AS non_alpha
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id,
+                   CAST(n_tok_d AS BIGINT) AS n_tokens,
+                   round(least(greatest(
+                       (CASE WHEN n_tok_d > 0 THEN n_chars / n_tok_d ELSE 0.0 END / 8.0)
+                       * (1.0 - CASE WHEN n_chars > 0 THEN non_alpha / n_chars ELSE 1.0 END),
+                       0.0), 1.0), 6) AS quality
+            FROM raw
+        ),
+        c AS (
+            SELECT doc_id, n_tokens, quality,
+                   CAST(sum(n_tokens) OVER (
+                       ORDER BY quality DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum_tokens
+            FROM scored
+        )
+        SELECT doc_id, n_tokens, quality, cum_tokens FROM c WHERE cum_tokens <= 20000
+    """,
     "dq_report": """
         WITH n AS (SELECT count(*) AS n_rows FROM orders),
         checks AS (

@@ -251,3 +251,81 @@ def prepare_pretraining_data(
         kept.join(ordered, on=id_col)
         .join(packed.select(id_col, "bin", "bin_offset", "split"), on=id_col)
     )
+
+
+def budget_select(
+    scored: DataFrame,
+    token_budget: int,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    quality_col: str = "quality",
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Quality-ranked token-budget selection: keep the highest-quality
+    documents whose running token total — in (quality DESC, id ASC)
+    order — stays within ``token_budget``. The "best N billion tokens"
+    curation step every fixed-budget pretraining run ends with.
+
+    The semantics are a global ordered cumulative sum, but the naive
+    ``Window.orderBy(...)`` with no partition funnels the corpus
+    through ONE task. This is the distributed prefix-sum restatement
+    (same two-phase shape as ``cohort.distributed_rank``):
+
+      1. range-bucket rows by quality (order-preserving pure column
+         expression over broadcast [min, max] bounds — no sampling, so
+         re-evaluation always agrees);
+      2. per-bucket token totals -> cumulative offsets via a window
+         over the <= ``num_buckets``-row bucket table (the only global
+         window, bounded by construction);
+      3. in-bucket running sum (one shuffle on the bucket key) plus
+         the broadcast offset = the exact global cumulative sum.
+
+    Returns (id, tokens, quality, cum_tokens) for the selected docs;
+    ``cum_tokens`` is inclusive, so the first doc that would overflow
+    the budget is dropped (next-fit, deterministic under the total
+    order).
+    """
+    from ..operators.caching import track_persist
+
+    bounds = scored.agg(
+        F.min(quality_col).alias("__lo__"), F.max(quality_col).alias("__hi__")
+    )
+    width = F.greatest(
+        (F.col("__hi__") - F.col("__lo__")) / F.lit(float(num_buckets)),
+        F.lit(1e-12),
+    )
+    # persisted: consumed by the bucket-total aggregation AND the final
+    # windowed pass — unpersisted, each branch re-scans the corpus (and
+    # clones the bounds aggregate), 4 scans where 2 suffice. The table
+    # is the caller's narrow (id, tokens, quality) projection + a long.
+    bucketed = track_persist(
+        scored.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "__bkt__",
+            F.least(
+                F.floor((F.col("__hi__") - F.col(quality_col)) / width),
+                F.lit(num_buckets - 1),
+            ),
+        )
+        .drop("__lo__", "__hi__")
+    )
+    btotals = bucketed.groupBy("__bkt__").agg(F.sum(token_col).alias("__bt__"))
+    w_off = Window.orderBy("__bkt__").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = btotals.select(
+        "__bkt__",
+        F.coalesce(F.sum("__bt__").over(w_off), F.lit(0)).cast("long").alias("__off__"),
+    )
+    w_local = (
+        Window.partitionBy("__bkt__")
+        .orderBy(F.col(quality_col).desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        bucketed.join(F.broadcast(offsets), on="__bkt__")
+        .withColumn(
+            "cum_tokens",
+            (F.col("__off__") + F.sum(token_col).over(w_local)).cast("long"),
+        )
+        .filter(F.col("cum_tokens") <= token_budget)
+        .select(id_col, token_col, quality_col, "cum_tokens")
+    )
