@@ -798,6 +798,29 @@ def q_attribution_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_attribution_left(spark: SparkSession, sf: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join on its batch twin:
+    attribution plus the unconverted views (NULL click columns) — the
+    outer emission mode where the watermark closing a view's horizon
+    is what licenses the null row."""
+    ev = read_table(spark, sf, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    out = streaming_events.attribution_join(
+        views, clicks, horizon_s=1800, how="left_outer"
+    )
+    return out.select(
+        "user_id", "view_id", "click_id",
+        F.col("view_ts").cast("long").alias("view_ts"),
+        F.col("click_ts").cast("long").alias("click_ts"),
+        "lag_s",
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     """Exact dedup groups on documents.text."""
     return dedup.exact_dedup_groups(read_table(spark, sf, "documents"))
@@ -1539,6 +1562,7 @@ def q_winsorize(spark: SparkSession, sf: str) -> DataFrame:
 # the hard signal). Everything certified r4-r6 rotates to 51+.
 QUERIES = {
     "budget_select": q_budget_select,
+    "attribution_left": q_attribution_left,
     "dq_report": q_dq_report,
     "rolling_median": q_rolling_median,
     "fuzzy_match": q_fuzzy_match,
@@ -1824,6 +1848,20 @@ _ANN_RECALL_SQL = f"""
 
 ORACLES = {
     "ann_recall": _ANN_RECALL_SQL,
+    "attribution_left": """
+        WITH v AS (SELECT user_id, event_id AS view_id, ts
+                   FROM events WHERE event_type = 'view'),
+        c AS (SELECT user_id, event_id AS click_id, ts
+              FROM events WHERE event_type = 'click')
+        SELECT v.user_id, v.view_id, c.click_id,
+               CAST(floor(epoch(v.ts)) AS BIGINT) AS view_ts,
+               CAST(floor(epoch(c.ts)) AS BIGINT) AS click_ts,
+               CAST(floor(epoch(c.ts)) AS BIGINT)
+                 - CAST(floor(epoch(v.ts)) AS BIGINT) AS lag_s
+        FROM v LEFT JOIN c ON v.user_id = c.user_id
+                          AND c.ts >= v.ts
+                          AND c.ts <= v.ts + INTERVAL 1800 SECONDS
+    """,
     "budget_select": """
         WITH raw AS (
             SELECT doc_id,

@@ -233,11 +233,21 @@ def attribution_join(
     watermark: str = "1 hour",
     left_id: str = "view_id",
     right_id: str = "click_id",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join — view-to-click attribution: every
     (view, click) pair for the same key where the click lands within
     ``horizon_s`` seconds AFTER the view. Returns
     (key, view_id, click_id, view_ts, click_ts, lag_s).
+
+    ``how="left_outer"`` additionally emits every UNCONVERTED view with
+    NULL click columns — the funnel-drop-off side of attribution. In
+    streaming mode the engine can only declare a view unmatched once
+    the watermark passes its horizon, so outer null rows trail the
+    inner matches by (watermark + horizon) of event time; the
+    time-interval condition is what makes outer emission possible at
+    all (an unconstrained outer stream-stream join would wait
+    forever).
 
     The one Structured Streaming join mode the other builders don't
     cover: BOTH sides are streams, so matches can arrive in either
@@ -267,13 +277,15 @@ def attribution_join(
         v = v.withWatermark("view_ts", watermark)
     if c.isStreaming:
         c = c.withWatermark("click_ts", watermark)
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"attribution_join supports inner/left_outer, got {how!r}")
     cond = (
         (F.col("__k__") == F.col("__ck__"))
         & (F.col("click_ts") >= F.col("view_ts"))
         & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {int(horizon_s)} SECONDS"))
     )
     return (
-        v.join(c, on=cond)
+        v.join(c, on=cond, how=how)
         .select(
             F.col("__k__").alias(key_col),
             left_id,

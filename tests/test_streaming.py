@@ -62,15 +62,25 @@ def test_streaming_attribution_join_equals_batch(spark, events_stream_setup, tmp
     time-interval joins emit in append mode as soon as both rows have
     arrived."""
     ev, _, schema = events_stream_setup
-    # a time-ordered source (range-partitioned by ts, files consumed in
-    # ascending order) — the hash-partitioned shared fixture spans the
-    # whole time range in EVERY file, so the watermark jumps to the end
-    # after the first micro-batch and all later files arrive "late";
-    # real streams arrive roughly in event-time order, which is the
-    # regime stream-stream joins are specified for
+    # a time-ordered source: the file source consumes files in
+    # MODIFICATION-TIME order, so the four ascending time slices are
+    # written sequentially (a single range-partitioned write gives all
+    # files the same mtime and a late-range file consumed first makes
+    # every earlier file "late": its views join inner within their own
+    # batch but never enter state, so cross-batch pairs are lost —
+    # the one-row-short flake). Real streams arrive roughly in
+    # event-time order, which is the regime stream-stream joins are
+    # specified for.
     root = str(tmp_path / "attrib_src")
-    (ev.repartitionByRange(4, "ts").sortWithinPartitions("ts")
-       .write.mode("overwrite").parquet(root))
+    import time as _time
+
+    from pyspark.sql import Window as W
+
+    sliced = ev.withColumn("__q__", F.ntile(4).over(W.orderBy("ts")))
+    for i in range(1, 5):
+        (sliced.filter(F.col("__q__") == i).drop("__q__")
+         .coalesce(1).write.mode("append").parquet(root))
+        _time.sleep(1.1)
 
     def split(df):
         views = df.filter(F.col("event_type") == "view").select(
@@ -251,3 +261,89 @@ def test_transform_with_state_totals_converge_to_batch(spark, events_stream_setu
         .collect()
     }
     assert got == want
+
+
+def test_streaming_attribution_left_outer_equals_batch(spark, events_stream_setup, tmp_path):
+    """LEFT OUTER stream-stream interval join: inner matches equal the
+    batch join exactly, and outer (NULL-click) rows equal the batch
+    outer rows once flush events push the watermark past every view's
+    horizon.
+
+    Two determinism requirements the inner-join test doesn't have:
+    (1) the file source orders files by MODIFICATION TIME, so the four
+    time-range slices are written sequentially (distinct mtimes) — a
+    late-range file consumed first freezes the watermark at the end and
+    the earlier files' views never enter state (their inner matches
+    still emit, their null rows never do); (2) the query watermark is
+    the MIN across both sides, so each flush carries a far-future view
+    AND click."""
+    ev, _, schema = events_stream_setup
+    root = str(tmp_path / "attrib_left_src")
+    import time as _time
+
+    from pyspark.sql import Window as W
+
+    sliced = ev.withColumn(
+        "__q__", F.ntile(4).over(W.orderBy("ts"))
+    )
+    for i in range(1, 5):
+        (sliced.filter(F.col("__q__") == i).drop("__q__")
+         .coalesce(1).write.mode("append").parquet(root))
+        _time.sleep(1.1)
+
+    def split(df):
+        views = df.filter(F.col("event_type") == "view").select(
+            "user_id", F.col("event_id").alias("view_id"), "ts"
+        )
+        clicks = df.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("event_id").alias("click_id"), "ts"
+        )
+        return views, clicks
+
+    bv, bc = split(ev)
+    batch = se.attribution_join(bv, bc, how="left_outer")
+    sv, _ = split(se.stream_from_batch_dir(spark, root, schema))
+    _, sc2 = split(se.stream_from_batch_dir(spark, root, schema))
+    stream = se.attribution_join(sv, sc2, watermark="2 hours", how="left_outer")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("attrib_left_test")
+        .outputMode("append")
+        .start()
+    )
+    flush_ids = [10**9, 10**9 + 1, 10**9 + 2, 10**9 + 3]
+    try:
+        q.processAllAvailable()
+        # flush batches: a far-future view AND click advance BOTH
+        # sides' watermarks; the second flush provides the batch in
+        # which cleanup emits the trailing null rows
+        for i in (0, 1):
+            base = ev.limit(1)
+            flush = base.select(
+                F.lit(flush_ids[2 * i]).alias("event_id"),
+                (F.col("ts") + F.expr(f"INTERVAL {60 + 30 * i} DAYS")).alias("ts"),
+                F.col("user_id"), F.lit("view").alias("event_type"),
+                F.col("value"), F.col("props"),
+            ).unionByName(base.select(
+                F.lit(flush_ids[2 * i + 1]).alias("event_id"),
+                (F.col("ts") + F.expr(f"INTERVAL {60 + 30 * i} DAYS")).alias("ts"),
+                F.col("user_id"), F.lit("click").alias("event_type"),
+                F.col("value"), F.col("props"),
+            ))
+            _time.sleep(1.1)
+            flush.coalesce(1).write.mode("append").parquet(root)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table("attrib_left_test").filter(
+        ~F.col("view_id").isin(flush_ids)
+        & (F.col("click_id").isNull() | ~F.col("click_id").isin(flush_ids))
+    )
+
+    cols = ["user_id", "view_id", "click_id", "lag_s"]
+    assert _sorted_rows(got.filter(F.col("click_id").isNotNull()), cols) == \
+        _sorted_rows(batch.filter(F.col("click_id").isNotNull()), cols)
+    # outer rows: exact equality once the flushes closed every horizon
+    assert _sorted_rows(got.filter(F.col("click_id").isNull()), cols) == \
+        _sorted_rows(batch.filter(F.col("click_id").isNull()), cols)
+    assert batch.filter(F.col("click_id").isNull()).count() > 0
