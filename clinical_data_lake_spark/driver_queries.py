@@ -1460,6 +1460,33 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.dup_clusters(pairs)
 
 
+def q_ml_standardize(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-returnflag z-score scaling of quantity and price
+    (ml/featurize.py:standardize): broadcast moments, fact never
+    shuffles."""
+    li = read_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    out = ml_featurize.standardize(
+        li, ["l_quantity", "l_extendedprice"], keys=["l_returnflag"]
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        F.col("l_quantity_z").alias("qty_z"),
+        F.col("l_extendedprice_z").alias("price_z"),
+    )
+
+
+def q_feature_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """PSI drift monitor (ml/stats.py:population_stability): view-event
+    values as the training snapshot, purchase-event values as live
+    data, 10 baseline-decile bins."""
+    ev = read_table(spark, sf, "events")
+    base = ev.filter(F.col("event_type") == "view")
+    cur = ev.filter(F.col("event_type") == "purchase")
+    return ml_stats.population_stability(base, cur, "value", n_bins=10)
+
+
 def q_budget_select(spark: SparkSession, sf: str) -> DataFrame:
     """Token-budget corpus curation: highest-quality docs until a
     20k-token budget, via the distributed prefix-sum in
@@ -1561,6 +1588,8 @@ def q_winsorize(spark: SparkSession, sf: str) -> DataFrame:
 # parity sweep re-proves them each session, but the driver row is
 # the hard signal). Everything certified r4-r6 rotates to 51+.
 QUERIES = {
+    "ml_standardize": q_ml_standardize,
+    "feature_drift": q_feature_drift,
     "budget_select": q_budget_select,
     "attribution_left": q_attribution_left,
     "dq_report": q_dq_report,
@@ -1848,6 +1877,57 @@ _ANN_RECALL_SQL = f"""
 
 ORACLES = {
     "ann_recall": _ANN_RECALL_SQL,
+    "ml_standardize": """
+        WITH s AS (
+            SELECT l_returnflag,
+                   round(avg(CAST(l_quantity AS DOUBLE)), 6) AS m_q,
+                   round(stddev_samp(CAST(l_quantity AS DOUBLE)), 6) AS s_q,
+                   round(avg(CAST(l_extendedprice AS DOUBLE)), 6) AS m_p,
+                   round(stddev_samp(CAST(l_extendedprice AS DOUBLE)), 6) AS s_p
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+               CASE WHEN s_q > 0
+                    THEN round((CAST(l.l_quantity AS DOUBLE) - m_q) / s_q, 6) END AS qty_z,
+               CASE WHEN s_p > 0
+                    THEN round((CAST(l.l_extendedprice AS DOUBLE) - m_p) / s_p, 6) END AS price_z
+        FROM lineitem l JOIN s USING (l_returnflag)
+    """,
+    "feature_drift": """
+        WITH edges AS (
+            SELECT list_transform(
+                quantile_cont(CAST(value AS DOUBLE),
+                    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+                e -> round(e, 6)) AS ed
+            FROM events WHERE event_type = 'view'
+        ),
+        base AS (
+            SELECT len(list_filter(ed, e -> CAST(value AS DOUBLE) > e)) AS bin,
+                   count(*) AS n_base
+            FROM events, edges WHERE event_type = 'view' GROUP BY 1
+        ),
+        cur AS (
+            SELECT len(list_filter(ed, e -> CAST(value AS DOUBLE) > e)) AS bin,
+                   count(*) AS n_cur
+            FROM events, edges WHERE event_type = 'purchase' GROUP BY 1
+        ),
+        joined AS (
+            SELECT coalesce(base.bin, cur.bin) AS bin,
+                   CAST(coalesce(n_base, 0) AS BIGINT) AS n_base,
+                   CAST(coalesce(n_cur, 0) AS BIGINT) AS n_cur
+            FROM base FULL OUTER JOIN cur ON base.bin = cur.bin
+        )
+        SELECT bin, n_base, n_cur,
+               round((n_base + 0.5) / (CAST(sum(n_base) OVER () AS DOUBLE) + 5.0), 6) AS p_base,
+               round((n_cur + 0.5) / (CAST(sum(n_cur) OVER () AS DOUBLE) + 5.0), 6) AS p_cur,
+               round(
+                   ((n_cur + 0.5) / (CAST(sum(n_cur) OVER () AS DOUBLE) + 5.0)
+                    - (n_base + 0.5) / (CAST(sum(n_base) OVER () AS DOUBLE) + 5.0))
+                   * ln(((n_cur + 0.5) / (CAST(sum(n_cur) OVER () AS DOUBLE) + 5.0))
+                        / ((n_base + 0.5) / (CAST(sum(n_base) OVER () AS DOUBLE) + 5.0))),
+                   6) AS psi_term
+        FROM joined
+    """,
     "attribution_left": """
         WITH v AS (SELECT user_id, event_id AS view_id, ts
                    FROM events WHERE event_type = 'view'),

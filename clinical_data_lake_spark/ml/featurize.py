@@ -149,3 +149,44 @@ def featurize_events(
         )
         base = assemble_features(base, feature_inputs)
     return base, list(indexer_models)
+
+
+def standardize(
+    df: DataFrame,
+    cols: Sequence[str],
+    keys: Sequence[str] | None = None,
+    digits: int = 6,
+    suffix: str = "_z",
+) -> DataFrame:
+    """Z-score feature scaling: ``(x - mean) / stddev_samp`` per column,
+    globally or per ``keys`` group — the standardization step before
+    distance-based models and regularized fits (the reference assembles
+    raw features unscaled, 03-work with ML models.py:35-44; tree models
+    don't care, linear/kNN ones do).
+
+    One aggregate pass computes every column's moments (mergeable
+    map-side partials, one shuffle on the keys — or a 1-row global
+    aggregate), broadcast back onto the rows: the fact table itself
+    never shuffles. Moments and z-scores are rounded so partial-merge
+    fp noise can't leak into engine comparisons. Zero-variance columns
+    yield NULL z (explicit, not a div-by-zero crash under ANSI).
+    """
+    aggs = []
+    for c in cols:
+        x = F.col(c).cast("double")
+        aggs.append(F.round(F.avg(x), digits).alias(f"__m_{c}__"))
+        aggs.append(F.round(F.stddev_samp(x), digits).alias(f"__s_{c}__"))
+    if keys:
+        stats = df.groupBy(*keys).agg(*aggs)
+        out = df.join(F.broadcast(stats), on=list(keys))
+    else:
+        stats = df.agg(*aggs)
+        out = df.crossJoin(F.broadcast(stats))
+    for c in cols:
+        sd = F.col(f"__s_{c}__")
+        z = F.when(
+            sd > 0,
+            F.round((F.col(c).cast("double") - F.col(f"__m_{c}__")) / sd, digits),
+        )
+        out = out.withColumn(f"{c}{suffix}", z)
+    return out.drop(*[f"__m_{c}__" for c in cols] + [f"__s_{c}__" for c in cols])

@@ -19,7 +19,7 @@ from __future__ import annotations
 import math
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -104,3 +104,67 @@ def chisq_association(
                          handleInvalid="skip")
     assembled = va.transform(df)
     return ChiSquareTest.test(assembled, "__features__", label_col)
+
+
+def population_stability(
+    baseline: DataFrame,
+    current: DataFrame,
+    col: str,
+    n_bins: int = 10,
+    digits: int = 6,
+) -> DataFrame:
+    """Population Stability Index per bin — the standard
+    feature/score drift monitor between a training snapshot and live
+    data: bin the baseline into equal-population deciles, re-bin the
+    current data with the SAME edges, and score the frequency shift
+
+        psi_term = (q - p) * ln(q / p)      (sum over bins = PSI)
+
+    with Laplace-smoothed frequencies ``(cnt + 0.5)/(N + n_bins/2)``
+    so empty bins are well-defined without epsilon-clamping ambiguity.
+    Rule of thumb: PSI < 0.1 stable, 0.1-0.25 shifting, > 0.25 drifted.
+
+    Plan shape: the edge list is ONE 1-row exact-percentile aggregate
+    over the baseline, broadcast to both sides; binning is a pure
+    array expression (no per-row join); each side then pays exactly
+    one n_bins-cardinality aggregation. The only unpartitioned window
+    runs over the <= n_bins-row bin table. Returns
+    (bin, n_base, n_cur, p_base, p_cur, psi_term), bins 0..n_bins-1.
+    """
+    fracs = [i / n_bins for i in range(1, n_bins)]
+    edges = baseline.agg(
+        F.transform(
+            F.percentile(F.col(col).cast("double"), F.array(*[F.lit(f) for f in fracs])),
+            lambda e: F.round(e, digits),
+        ).alias("__edges__")
+    )
+
+    def bin_counts(df: DataFrame, alias: str) -> DataFrame:
+        x = F.col(col).cast("double")
+        b = F.size(F.filter(F.col("__edges__"), lambda e: x > e))
+        return (
+            df.crossJoin(F.broadcast(edges))
+            .select(b.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    base = bin_counts(baseline, "n_base")
+    cur = bin_counts(current, "n_cur")
+    joined = base.join(cur, on="bin", how="full_outer").select(
+        "bin",
+        F.coalesce("n_base", F.lit(0).cast("long")).alias("n_base"),
+        F.coalesce("n_cur", F.lit(0).cast("long")).alias("n_cur"),
+    )
+    w = Window.partitionBy()
+    smooth = F.lit(0.5 * n_bins)
+    p = (F.col("n_base") + 0.5) / (F.sum("n_base").over(w) + smooth)
+    q = (F.col("n_cur") + 0.5) / (F.sum("n_cur").over(w) + smooth)
+    return joined.select(
+        "bin",
+        "n_base",
+        "n_cur",
+        F.round(p, digits).alias("p_base"),
+        F.round(q, digits).alias("p_cur"),
+        F.round((q - p) * F.log(q / p), digits).alias("psi_term"),
+    )
