@@ -1460,6 +1460,27 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.dup_clusters(pairs)
 
 
+def q_survival_km(spark: SparkSession, sf: str) -> DataFrame:
+    """Kaplan-Meier survival curves (ml/stats.py:kaplan_meier): per
+    synthetic arm (user_id parity), time-to-first-'error' in days with
+    error-free users censored at their last activity."""
+    ev = read_table(spark, sf, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.max("ts").alias("t1"),
+        F.min(F.when(F.col("event_type") == "error", F.col("ts"))).alias("te"),
+    )
+    subj = per_user.select(
+        F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("arm"),
+        F.datediff(
+            F.coalesce(F.col("te"), F.col("t1")).cast("date"),
+            F.col("t0").cast("date"),
+        ).cast("long").alias("duration"),
+        F.col("te").isNotNull().cast("int").alias("event"),
+    )
+    return ml_stats.kaplan_meier(subj, "duration", "event", ["arm"])
+
+
 def q_ml_standardize(spark: SparkSession, sf: str) -> DataFrame:
     """Per-returnflag z-score scaling of quantity and price
     (ml/featurize.py:standardize): broadcast moments, fact never
@@ -1588,6 +1609,7 @@ def q_winsorize(spark: SparkSession, sf: str) -> DataFrame:
 # parity sweep re-proves them each session, but the driver row is
 # the hard signal). Everything certified r4-r6 rotates to 51+.
 QUERIES = {
+    "survival_km": q_survival_km,
     "ml_standardize": q_ml_standardize,
     "feature_drift": q_feature_drift,
     "budget_select": q_budget_select,
@@ -1877,6 +1899,50 @@ _ANN_RECALL_SQL = f"""
 
 ORACLES = {
     "ann_recall": _ANN_RECALL_SQL,
+    "survival_km": """
+        WITH per_user AS (
+            SELECT user_id, min(ts) AS t0, max(ts) AS t1,
+                   min(CASE WHEN event_type = 'error' THEN ts END) AS te
+            FROM events GROUP BY user_id
+        ),
+        subj AS (
+            SELECT CAST(user_id % 2 AS INTEGER) AS arm,
+                   CAST(date_diff('day', CAST(t0 AS DATE),
+                                  CAST(coalesce(te, t1) AS DATE)) AS BIGINT) AS duration,
+                   CASE WHEN te IS NOT NULL THEN 1 ELSE 0 END AS event
+            FROM per_user
+        ),
+        exits AS (
+            SELECT arm, duration AS t,
+                   CAST(sum(event) AS BIGINT) AS n_event,
+                   CAST(count(*) - sum(event) AS BIGINT) AS n_censor
+            FROM subj GROUP BY arm, duration
+        ),
+        risk AS (
+            SELECT arm, t, n_event, n_censor,
+                   CAST(sum(n_event + n_censor) OVER (PARTITION BY arm)
+                        - coalesce(sum(n_event + n_censor) OVER (
+                              PARTITION BY arm ORDER BY t
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS n_risk
+            FROM exits
+        ),
+        calc AS (
+            SELECT arm, t, n_risk, n_event, n_censor,
+                   1.0 - CAST(n_event AS DOUBLE) / CAST(n_risk AS DOUBLE) AS factor
+            FROM risk
+        )
+        SELECT arm, t, n_risk, n_event, n_censor,
+               CASE WHEN max(CASE WHEN factor = 0 THEN 1 ELSE 0 END) OVER w = 1
+                    THEN 0.0
+                    ELSE round(exp(CAST(sum(CAST(round(
+                             ln(CASE WHEN factor > 0 THEN factor END), 6)
+                         AS DECIMAL(28,6))) OVER w AS DOUBLE)), 6)
+               END AS survival
+        FROM calc
+        WINDOW w AS (PARTITION BY arm ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
     "ml_standardize": """
         WITH s AS (
             SELECT l_returnflag,

@@ -168,3 +168,66 @@ def population_stability(
         F.round(q, digits).alias("p_cur"),
         F.round((q - p) * F.log(q / p), digits).alias("psi_term"),
     )
+
+
+def kaplan_meier(
+    subjects: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "event",
+    group_cols: Sequence[str] | None = None,
+    digits: int = 6,
+) -> DataFrame:
+    """Kaplan-Meier survival estimator — THE time-to-event summary for
+    clinical cohorts (time to readmission / adverse event / dropout),
+    the longitudinal analysis the reference's patient-trajectory
+    notebook stops short of (02-patient-trajectory.py:53-87 builds the
+    per-patient timelines; this estimates the survival curve over
+    them). Input: one row per subject with a numeric ``duration`` and
+    ``event`` flag (1 = event observed, 0 = censored), plus optional
+    arm/stratum columns. Output per (group..., t) at every distinct
+    exit time:
+
+        (group..., t, n_risk, n_event, n_censor, survival)
+        survival(t) = prod_{s <= t} (1 - d_s / n_s)
+
+    Distributed shape: the only subject-scale operation is one groupBy
+    on (group, duration) — everything after runs on the exit-time
+    table, whose cardinality is distinct durations per group (days or
+    weeks in practice — bounded, the clinical convention). The
+    running product is exp of a running sum of logs: per-step factors
+    are exact rationals, their logs are rounded then summed as
+    decimals (order-independent), and a factor of exactly 0 (everyone
+    at risk exits with an event) forces survival to 0 from that point
+    on — flagged cumulatively rather than fed to ln().
+    """
+    groups = list(group_cols or [])
+    exits = subjects.groupBy(*groups, duration_col).agg(
+        F.sum(F.col(event_col).cast("long")).alias("n_event"),
+        (F.count(F.lit(1)) - F.sum(F.col(event_col).cast("long"))).alias("n_censor"),
+    )
+    w_all = Window.partitionBy(*groups) if groups else Window.partitionBy()
+    w_prior = (
+        w_all.orderBy(duration_col).rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = w_all.orderBy(duration_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    n_total = F.sum(F.col("n_event") + F.col("n_censor")).over(w_all)
+    n_prior = F.coalesce(
+        F.sum(F.col("n_event") + F.col("n_censor")).over(w_prior), F.lit(0)
+    )
+    at_risk = exits.withColumn("n_risk", (n_total - n_prior).cast("long"))
+    factor = F.lit(1.0) - F.col("n_event").cast("double") / F.col("n_risk").cast("double")
+    lf = F.round(F.log(F.when(factor > 0, factor)), digits).cast("decimal(28,6)")
+    dead = F.max((factor == 0).cast("int")).over(w_cum)
+    surv = F.when(
+        dead == 1, F.lit(0.0)
+    ).otherwise(F.round(F.exp(F.sum(lf).over(w_cum).cast("double")), digits))
+    return at_risk.select(
+        *groups,
+        F.col(duration_col).alias("t"),
+        "n_risk",
+        "n_event",
+        "n_censor",
+        surv.alias("survival"),
+    )
