@@ -1464,13 +1464,22 @@ def q_survival_km(spark: SparkSession, sf: str) -> DataFrame:
     """Kaplan-Meier survival curves (ml/stats.py:kaplan_meier): per
     synthetic arm (user_id parity), time-to-first-'error' in days with
     error-free users censored at their last activity."""
+    return ml_stats.kaplan_meier(
+        _km_subjects(spark, sf), "duration", "event", ["arm"]
+    )
+
+
+def _km_subjects(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared subject table for the survival queries: per-user
+    time-to-first-'error' (days), censored at last activity, arm =
+    user_id parity."""
     ev = read_table(spark, sf, "events")
     per_user = ev.groupBy("user_id").agg(
         F.min("ts").alias("t0"),
         F.max("ts").alias("t1"),
         F.min(F.when(F.col("event_type") == "error", F.col("ts"))).alias("te"),
     )
-    subj = per_user.select(
+    return per_user.select(
         F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("arm"),
         F.datediff(
             F.coalesce(F.col("te"), F.col("t1")).cast("date"),
@@ -1478,7 +1487,12 @@ def q_survival_km(spark: SparkSession, sf: str) -> DataFrame:
         ).cast("long").alias("duration"),
         F.col("te").isNotNull().cast("int").alias("event"),
     )
-    return ml_stats.kaplan_meier(subj, "duration", "event", ["arm"])
+
+
+def q_survival_logrank(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sample log-rank test between the synthetic arms
+    (ml/stats.py:logrank_test): one row (o1, e1, v1, chi2)."""
+    return ml_stats.logrank_test(_km_subjects(spark, sf))
 
 
 def q_ml_standardize(spark: SparkSession, sf: str) -> DataFrame:
@@ -1610,6 +1624,7 @@ def q_winsorize(spark: SparkSession, sf: str) -> DataFrame:
 # the hard signal). Everything certified r4-r6 rotates to 51+.
 QUERIES = {
     "survival_km": q_survival_km,
+    "survival_logrank": q_survival_logrank,
     "ml_standardize": q_ml_standardize,
     "feature_drift": q_feature_drift,
     "budget_select": q_budget_select,
@@ -1899,6 +1914,61 @@ _ANN_RECALL_SQL = f"""
 
 ORACLES = {
     "ann_recall": _ANN_RECALL_SQL,
+    "survival_logrank": """
+        WITH per_user AS (
+            SELECT user_id, min(ts) AS t0, max(ts) AS t1,
+                   min(CASE WHEN event_type = 'error' THEN ts END) AS te
+            FROM events GROUP BY user_id
+        ),
+        subj AS (
+            SELECT CAST(user_id % 2 AS INTEGER) AS arm,
+                   CAST(date_diff('day', CAST(t0 AS DATE),
+                                  CAST(coalesce(te, t1) AS DATE)) AS BIGINT) AS duration,
+                   CASE WHEN te IS NOT NULL THEN 1 ELSE 0 END AS event
+            FROM per_user
+        ),
+        exits AS (
+            SELECT duration AS t,
+                   CAST(sum(event * CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+                   CAST(sum(event * CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+                   CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+                   CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS x2
+            FROM subj GROUP BY duration
+        ),
+        risk AS (
+            SELECT t, d1, d2,
+                   CAST(sum(x1) OVER ()
+                        - coalesce(sum(x1) OVER (ORDER BY t
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS DOUBLE) AS n1,
+                   CAST(sum(x2) OVER ()
+                        - coalesce(sum(x2) OVER (ORDER BY t
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS DOUBLE) AS n2
+            FROM exits
+        ),
+        terms AS (
+            SELECT d1 AS o1_t,
+                   CAST(round(CAST(d1 + d2 AS DOUBLE) * (n1 / (n1 + n2)), 6)
+                        AS DECIMAL(28,6)) AS e1_t,
+                   CAST(round(CASE WHEN n1 + n2 > 1
+                        THEN CAST(d1 + d2 AS DOUBLE) * (n1 / (n1 + n2))
+                             * (1 - n1 / (n1 + n2))
+                             * ((n1 + n2) - CAST(d1 + d2 AS DOUBLE))
+                             / ((n1 + n2) - 1)
+                        ELSE 0.0 END, 6) AS DECIMAL(28,6)) AS v1_t
+            FROM risk WHERE d1 + d2 > 0
+        )
+        SELECT CAST(sum(o1_t) AS BIGINT) AS o1,
+               round(CAST(sum(e1_t) AS DOUBLE), 6) AS e1,
+               round(CAST(sum(v1_t) AS DOUBLE), 6) AS v1,
+               CASE WHEN CAST(sum(v1_t) AS DOUBLE) > 0
+                    THEN round((CAST(sum(o1_t) AS DOUBLE) - CAST(sum(e1_t) AS DOUBLE))
+                               * (CAST(sum(o1_t) AS DOUBLE) - CAST(sum(e1_t) AS DOUBLE))
+                               / CAST(sum(v1_t) AS DOUBLE), 6)
+                    ELSE 0.0 END AS chi2
+        FROM terms
+    """,
     "survival_km": """
         WITH per_user AS (
             SELECT user_id, min(ts) AS t0, max(ts) AS t1,

@@ -231,3 +231,83 @@ def kaplan_meier(
         "n_censor",
         surv.alias("survival"),
     )
+
+
+def logrank_test(
+    subjects: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "event",
+    group_col: str = "arm",
+    digits: int = 6,
+) -> DataFrame:
+    """Two-sample log-rank test — does survival differ between arms?
+    The hypothesis test that accompanies ``kaplan_meier`` in every
+    clinical read-out. At each pooled event time t:
+
+        E1_t = d_t * n1_t / n_t
+        V1_t = d_t * (n1_t/n_t) * (1 - n1_t/n_t) * (n_t - d_t)/(n_t - 1)
+        chi2 = (sum(d1_t - E1_t))^2 / sum(V1_t)        (1 dof)
+
+    Returns ONE row: (o1, e1, v1, chi2) — observed events in arm 1,
+    their expectation and variance under H0, and the statistic
+    (``pvalue_1dof`` converts it driver-side).
+
+    Distributed shape mirrors ``kaplan_meier``: the only subject-scale
+    operation is the groupBy to the per-(arm, t) exit table; the
+    at-risk bookkeeping, per-time terms, and the final 1-row reduction
+    all run on that bounded table. Per-time terms are rounded then
+    summed as decimals so the reduction is merge-order-independent.
+    The two arm labels are read with one bounded collect (2 rows,
+    validated).
+    """
+    arms = [r[0] for r in subjects.select(group_col).distinct().collect()]
+    if len(arms) != 2:
+        raise ValueError(f"logrank_test needs exactly 2 arms, got {arms}")
+    a1, a2 = sorted(arms, key=str)
+
+    is1 = (F.col(group_col) == a1).cast("long")
+    exits = subjects.groupBy(duration_col).agg(
+        F.sum(F.col(event_col).cast("long") * is1).alias("d1"),
+        F.sum(F.col(event_col).cast("long") * (1 - is1)).alias("d2"),
+        F.sum(is1).alias("x1"),
+        F.sum(F.lit(1) - is1).alias("x2"),
+    )
+    w_all = Window.partitionBy()
+    w_prior = w_all.orderBy(duration_col).rowsBetween(Window.unboundedPreceding, -1)
+    n1 = (
+        F.sum("x1").over(w_all) - F.coalesce(F.sum("x1").over(w_prior), F.lit(0))
+    ).cast("double")
+    n2 = (
+        F.sum("x2").over(w_all) - F.coalesce(F.sum("x2").over(w_prior), F.lit(0))
+    ).cast("double")
+    at_risk = exits.select(
+        duration_col, "d1", "d2", n1.alias("n1"), n2.alias("n2")
+    ).filter((F.col("d1") + F.col("d2")) > 0)
+    d = (F.col("d1") + F.col("d2")).cast("double")
+    n = F.col("n1") + F.col("n2")
+    p1 = F.col("n1") / n
+    e1 = d * p1
+    v1 = F.when(
+        n > 1, d * p1 * (1 - p1) * (n - d) / (n - 1)
+    ).otherwise(F.lit(0.0))
+    dec = f"decimal(28,{digits})"
+    terms = at_risk.select(
+        F.col("d1").alias("o1_t"),
+        F.round(e1, digits).cast(dec).alias("e1_t"),
+        F.round(v1, digits).cast(dec).alias("v1_t"),
+    )
+    agg = terms.agg(
+        F.sum("o1_t").alias("o1"),
+        F.sum("e1_t").cast("double").alias("e1"),
+        F.sum("v1_t").cast("double").alias("v1"),
+    )
+    diff = F.col("o1").cast("double") - F.col("e1")
+    chi2 = F.when(
+        F.col("v1") > 0, F.round(diff * diff / F.col("v1"), digits)
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "o1",
+        F.round("e1", digits).alias("e1"),
+        F.round("v1", digits).alias("v1"),
+        chi2.alias("chi2"),
+    )

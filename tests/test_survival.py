@@ -58,3 +58,65 @@ def test_grouped_arms_are_independent(spark):
         assert a[t] == pytest.approx(s, abs=5e-5)
     assert b[5] == pytest.approx(0.5, abs=1e-6)
     assert b[8] == pytest.approx(0.5, abs=1e-6)  # censoring keeps it flat
+
+
+# placebo arm of the same trial: 21 patients, all relapse
+PLACEBO = [(1, 1), (1, 1), (2, 1), (2, 1), (3, 1), (4, 1), (4, 1), (5, 1),
+           (5, 1), (8, 1), (8, 1), (8, 1), (8, 1), (11, 1), (11, 1), (12, 1),
+           (12, 1), (15, 1), (17, 1), (22, 1), (23, 1)]
+
+
+def _ref_logrank(rows):
+    """Independent driver-side log-rank (arm 'a' = group 1)."""
+    times = sorted({t for _, t, e in rows if e == 1})
+    o1 = e1 = v1 = 0.0
+    for t in times:
+        n1 = sum(1 for g, d, _ in rows if g == "a" and d >= t)
+        n2 = sum(1 for g, d, _ in rows if g == "b" and d >= t)
+        d1 = sum(1 for g, d, e in rows if g == "a" and d == t and e == 1)
+        d2 = sum(1 for g, d, e in rows if g == "b" and d == t and e == 1)
+        d, n = d1 + d2, n1 + n2
+        if d == 0:
+            continue
+        p1 = n1 / n
+        o1 += d1
+        e1 += d * p1
+        if n > 1:
+            v1 += d * p1 * (1 - p1) * (n - d) / (n - 1)
+    return o1, e1, v1, (o1 - e1) ** 2 / v1
+
+
+def test_logrank_freireich_trial(spark):
+    rows = [("a", t, e) for t, e in SIX_MP] + [("b", t, e) for t, e in PLACEBO]
+    df = spark.createDataFrame(rows, ["arm", "duration", "event"])
+    got = kaplan_meier  # noqa: F841  (keep import used)
+    from clinical_data_lake_spark.ml.stats import logrank_test, pvalue_1dof
+
+    r = logrank_test(df, group_col="arm").head()
+    o1, e1, v1, chi2 = _ref_logrank(rows)
+    assert r.o1 == o1
+    assert r.e1 == pytest.approx(e1, abs=1e-4)
+    assert r.v1 == pytest.approx(v1, abs=1e-4)
+    assert r.chi2 == pytest.approx(chi2, abs=1e-3)
+    # published value for this trial
+    assert r.chi2 == pytest.approx(16.79, abs=0.05)
+    assert pvalue_1dof(r.chi2) < 0.001
+
+
+def test_logrank_identical_arms_is_zero(spark):
+    rows = [("a", t, e) for t, e in SIX_MP] + [("b", t, e) for t, e in SIX_MP]
+    df = spark.createDataFrame(rows, ["arm", "duration", "event"])
+    from clinical_data_lake_spark.ml.stats import logrank_test
+
+    r = logrank_test(df, group_col="arm").head()
+    assert r.chi2 == pytest.approx(0.0, abs=1e-4)
+
+
+def test_logrank_rejects_three_arms(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 1), ("b", 2, 1), ("c", 3, 1)], ["arm", "duration", "event"]
+    )
+    from clinical_data_lake_spark.ml.stats import logrank_test
+
+    with pytest.raises(ValueError, match="2 arms"):
+        logrank_test(df, group_col="arm")
