@@ -1495,6 +1495,21 @@ def q_survival_logrank(spark: SparkSession, sf: str) -> DataFrame:
     return ml_stats.logrank_test(_km_subjects(spark, sf))
 
 
+def q_auc_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact Mann-Whitney AUC of 'value predicts error' over events
+    (ml/train.py:auc_exact): midrank ranks via the bucketed prefix-sum,
+    integer rank arithmetic end to end."""
+    ev = read_table(spark, sf, "events")
+    return ml_train.auc_exact(
+        ev.select(
+            F.col("value"),
+            (F.col("event_type") == "error").cast("int").alias("label"),
+        ),
+        "value",
+        "label",
+    )
+
+
 def q_ml_standardize(spark: SparkSession, sf: str) -> DataFrame:
     """Per-returnflag z-score scaling of quantity and price
     (ml/featurize.py:standardize): broadcast moments, fact never
@@ -1625,6 +1640,7 @@ def q_winsorize(spark: SparkSession, sf: str) -> DataFrame:
 QUERIES = {
     "survival_km": q_survival_km,
     "survival_logrank": q_survival_logrank,
+    "auc_exact": q_auc_exact,
     "ml_standardize": q_ml_standardize,
     "feature_drift": q_feature_drift,
     "budget_select": q_budget_select,
@@ -1914,6 +1930,33 @@ _ANN_RECALL_SQL = f"""
 
 ORACLES = {
     "ann_recall": _ANN_RECALL_SQL,
+    "auc_exact": """
+        WITH scores AS (
+            SELECT value AS s, count(*) AS cnt,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS pos
+            FROM events GROUP BY value
+        ),
+        ranked AS (
+            SELECT pos, cnt,
+                   coalesce(sum(cnt) OVER (ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+            FROM scores
+        ),
+        agg AS (
+            SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+                   CAST(sum(cnt) - sum(pos) AS BIGINT) AS n_neg,
+                   CAST(sum(pos * (2 * below + cnt + 1)) AS BIGINT) AS r2
+            FROM ranked
+        )
+        SELECT n_pos, n_neg,
+               CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                   round((CAST(r2 AS DOUBLE) / 2
+                          - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1) / 2)
+                         / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+               END AS auc
+        FROM agg
+    """,
     "survival_logrank": """
         WITH per_user AS (
             SELECT user_id, min(ts) AS t0, max(ts) AS t1,

@@ -212,3 +212,88 @@ def fit_linear_per_group(
         F.col(y_col).cast("double").alias(y_col),
     )
     return proj.groupBy(*gcols).applyInPandas(fit, schema=out_schema)
+
+
+def auc_exact(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    num_buckets: int = 64,
+    digits: int = 6,
+) -> DataFrame:
+    """Exact ROC AUC as the Mann-Whitney U statistic with midranks —
+    the SQL-expressible twin that certifies what
+    ``BinaryClassificationEvaluator`` (M4) reports:
+
+        AUC = (sum over positives of midrank(score) - P(P+1)/2) / (P*N)
+
+    where midranks average over score ties (exactly how tied ROC
+    thresholds behave). Returns ONE row (n_pos, n_neg, auc).
+
+    Scale shape: one groupBy collapses the data to the distinct-score
+    table (cnt, n_pos per score); global rank offsets over that table
+    use the same bucketed prefix-sum as ``llm.corpus.budget_select`` —
+    range-bucket by score over broadcast [min,max] bounds, per-bucket
+    totals, a window over the <= num_buckets-row bucket table, and an
+    in-bucket running sum — so no data-sized set ever crosses a
+    SinglePartition exchange even when scores are near-unique (the
+    degenerate case for a naive Window.orderBy(score) rank).
+    """
+    from pyspark.sql import Window
+
+    y = F.col(label_col).cast("long")
+    scores = df.groupBy(score_col).agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum(y).alias("pos")
+    )
+    bounds = scores.agg(
+        F.min(score_col).alias("__lo__"), F.max(score_col).alias("__hi__")
+    )
+    width = F.greatest(
+        (F.col("__hi__") - F.col("__lo__")) / F.lit(float(num_buckets)),
+        F.lit(1e-12),
+    )
+    bucketed = (
+        scores.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "__bkt__",
+            F.least(
+                F.floor((F.col(score_col) - F.col("__lo__")) / width),
+                F.lit(num_buckets - 1),
+            ),
+        )
+        .drop("__lo__", "__hi__")
+    )
+    btotals = bucketed.groupBy("__bkt__").agg(F.sum("cnt").alias("__bt__"))
+    w_off = Window.orderBy("__bkt__").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = btotals.select(
+        "__bkt__",
+        F.coalesce(F.sum("__bt__").over(w_off), F.lit(0)).cast("long").alias("__off__"),
+    )
+    w_local = (
+        Window.partitionBy("__bkt__")
+        .orderBy(score_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = (
+        bucketed.join(F.broadcast(offsets), on="__bkt__")
+        .withColumn(
+            "below",
+            F.col("__off__") + F.coalesce(F.sum("cnt").over(w_local), F.lit(0)),
+        )
+        # midrank of every row tied at this score, exact in halves
+        .withColumn(
+            "midrank2", 2 * F.col("below") + F.col("cnt") + 1  # 2 * midrank
+        )
+    )
+    agg = ranked.agg(
+        F.sum("pos").alias("n_pos"),
+        (F.sum("cnt") - F.sum("pos")).alias("n_neg"),
+        F.sum(F.col("pos") * F.col("midrank2")).alias("r2"),  # 2 * rank-sum
+    )
+    p, n = F.col("n_pos").cast("double"), F.col("n_neg").cast("double")
+    auc = (F.col("r2").cast("double") / 2 - p * (p + 1) / 2) / (p * n)
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.when((p > 0) & (n > 0), F.round(auc, digits)).alias("auc"),
+    )

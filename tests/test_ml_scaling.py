@@ -68,3 +68,76 @@ def test_psi_empty_bins_are_smoothed(spark):
         assert r.psi_term is not None and math.isfinite(r.psi_term)
     assert sum(r.n_cur for r in rows) == 100
     assert max(r.bin for r in rows if r.n_cur > 0) == 4
+
+
+def _ref_auc(pairs):
+    """Reference midrank AUC."""
+    pos = sorted(s for s, y in pairs if y == 1)
+    neg = sorted(s for s, y in pairs if y == 0)
+    wins = ties = 0
+    for p in pos:
+        for n in neg:
+            if p > n:
+                wins += 1
+            elif p == n:
+                ties += 1
+    return (wins + 0.5 * ties) / (len(pos) * len(neg))
+
+
+def test_auc_exact_closed_forms(spark):
+    from clinical_data_lake_spark.ml.train import auc_exact
+
+    # perfect separation
+    perfect = [(float(i), 1 if i >= 50 else 0) for i in range(100)]
+    df = spark.createDataFrame(perfect, ["s", "y"])
+    assert auc_exact(df, "s", "y").head().auc == 1.0
+
+    # anti-separation
+    assert auc_exact(
+        spark.createDataFrame([(s, 1 - y) for s, y in perfect], ["s", "y"]), "s", "y"
+    ).head().auc == 0.0
+
+    # heavy ties: every score carries equal positives and negatives -> 0.5
+    tied = [(float((i // 2) % 10), i % 2) for i in range(200)]
+    assert auc_exact(
+        spark.createDataFrame(tied, ["s", "y"]), "s", "y"
+    ).head().auc == pytest.approx(0.5, abs=1e-6)
+
+
+def test_auc_exact_matches_reference_and_mllib(spark):
+    import random
+
+    from pyspark.sql import functions as SF
+
+    from clinical_data_lake_spark.ml.train import auc_exact
+
+    rng = random.Random(11)
+    pairs = [
+        (round(rng.gauss(1.0 if rng.random() < 0.4 else 0.0, 1.0), 2),)
+        for _ in range(400)
+    ]
+    # label correlated with score sign-ish: rebuild deterministically
+    pairs = [
+        (round(rng.gauss(0.8, 1.0), 2), 1) if i % 3 == 0
+        else (round(rng.gauss(0.0, 1.0), 2), 0)
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(pairs, ["s", "y"])
+    got = auc_exact(df, "s", "y").head()
+    assert got.n_pos + got.n_neg == 400
+    assert got.auc == pytest.approx(_ref_auc(pairs), abs=1e-6)
+
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+
+    bce = BinaryClassificationEvaluator(
+        rawPredictionCol="s", labelCol="y", metricName="areaUnderROC"
+    )
+    mllib_auc = bce.evaluate(df.select(SF.col("s").cast("double"), SF.col("y").cast("double")))
+    assert got.auc == pytest.approx(mllib_auc, abs=1e-3)
+
+
+def test_auc_exact_degenerate_single_class(spark):
+    from clinical_data_lake_spark.ml.train import auc_exact
+
+    df = spark.createDataFrame([(1.0, 1), (2.0, 1)], ["s", "y"])
+    assert auc_exact(df, "s", "y").head().auc is None
