@@ -1495,6 +1495,39 @@ def q_survival_logrank(spark: SparkSession, sf: str) -> DataFrame:
     return ml_stats.logrank_test(_km_subjects(spark, sf))
 
 
+def q_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Okapi BM25 relevance of every document against the query bag
+    {hash, join, vector} (functions/text.py:bm25_scores)."""
+    return text.bm25_scores(
+        read_table(spark, sf, "documents"), ["hash", "join", "vector"]
+    )
+
+
+def q_rrf_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-50 fused with dense cosine
+    top-50 for query vector 0 via reciprocal-rank fusion
+    (llm/similarity.py:rrf_fuse), top 20 fused results."""
+    from pyspark.sql import Window as W
+
+    docs = read_table(spark, sf, "documents")
+    emb = read_table(spark, sf, "embeddings")
+    lex = (
+        text.bm25_scores(docs, ["hash", "join", "vector"])
+        .filter(F.col("n_matched") > 0)
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(50)
+    )
+    lex_ranked = lex.withColumn(
+        "rnk",
+        F.row_number().over(W.orderBy(F.desc("score"), "doc_id")).cast("long"),
+    )
+    dense = (
+        similarity.cosine_topk(emb.filter(F.col("vec_id") == 0), emb, k=50)
+        .select(F.col("neighbor_id").alias("doc_id"), F.col("rnk").cast("long").alias("rnk"))
+    )
+    return similarity.rrf_fuse(lex_ranked, dense, "doc_id", top=20)
+
+
 def q_auc_exact(spark: SparkSession, sf: str) -> DataFrame:
     """Exact Mann-Whitney AUC of 'value predicts error' over events
     (ml/train.py:auc_exact): midrank ranks via the bucketed prefix-sum,
@@ -1641,6 +1674,8 @@ QUERIES = {
     "survival_km": q_survival_km,
     "survival_logrank": q_survival_logrank,
     "auc_exact": q_auc_exact,
+    "bm25_search": q_bm25_search,
+    "rrf_search": q_rrf_search,
     "ml_standardize": q_ml_standardize,
     "feature_drift": q_feature_drift,
     "budget_select": q_budget_select,
@@ -1930,6 +1965,96 @@ _ANN_RECALL_SQL = f"""
 
 ORACLES = {
     "ann_recall": _ANN_RECALL_SQL,
+    "bm25_search": """
+        WITH q AS (SELECT unnest(['hash', 'join', 'vector']) AS term),
+        base AS (
+            SELECT doc_id,
+                   string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+            FROM documents
+        ),
+        tf AS (
+            SELECT b.doc_id,
+                   CAST(len(b.t) AS DOUBLE) AS dl,
+                   q.term,
+                   CAST(len(list_filter(b.t, w -> w = q.term)) AS DOUBLE) AS tf
+            FROM base b CROSS JOIN q
+            WHERE list_contains(b.t, q.term)
+        ),
+        stats AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n,
+                   avg(len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))) AS avgdl
+            FROM documents
+        ),
+        dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+        scored AS (
+            SELECT tf.doc_id,
+                   count(*) AS n_matched,
+                   round(CAST(sum(CAST(round(
+                       ln(1.0 + (n - df + 0.5) / (df + 0.5))
+                       * tf.tf * (1.2 + 1.0)
+                       / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / avgdl)),
+                       6) AS DECIMAL(28,6))) AS DOUBLE), 6) AS score
+            FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+            GROUP BY tf.doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(s.n_matched, 0) AS n_matched,
+               coalesce(s.score, 0.0) AS score
+        FROM documents d LEFT JOIN scored s USING (doc_id)
+    """,
+    "rrf_search": """
+        WITH q AS (SELECT unnest(['hash', 'join', 'vector']) AS term),
+        base AS (
+            SELECT doc_id,
+                   string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+            FROM documents
+        ),
+        tf AS (
+            SELECT b.doc_id, CAST(len(b.t) AS DOUBLE) AS dl, q.term,
+                   CAST(len(list_filter(b.t, w -> w = q.term)) AS DOUBLE) AS tf
+            FROM base b CROSS JOIN q
+            WHERE list_contains(b.t, q.term)
+        ),
+        stats AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n,
+                   avg(len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))) AS avgdl
+            FROM documents
+        ),
+        dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+        lex AS (
+            SELECT tf.doc_id,
+                   round(CAST(sum(CAST(round(
+                       ln(1.0 + (n - df + 0.5) / (df + 0.5))
+                       * tf.tf * (1.2 + 1.0)
+                       / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / avgdl)),
+                       6) AS DECIMAL(28,6))) AS DOUBLE), 6) AS score
+            FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+            GROUP BY tf.doc_id
+        ),
+        lex_ranked AS (
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_a
+            FROM lex QUALIFY rank_a <= 50
+        ),
+        qv AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+        dense AS (
+            SELECT vec_id AS doc_id,
+                   CAST(row_number() OVER (
+                       ORDER BY list_dot_product(qe, embedding::DOUBLE[]) /
+                           (sqrt(list_dot_product(qe, qe))
+                            * sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) DESC,
+                       vec_id) AS BIGINT) AS rank_b
+            FROM embeddings, qv WHERE vec_id != 0
+            QUALIFY rank_b <= 50
+        )
+        SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+               l.rank_a, d.rank_b,
+               round(coalesce(1.0 / (60.0 + l.rank_a), 0.0)
+                     + coalesce(1.0 / (60.0 + d.rank_b), 0.0), 6) AS rrf
+        FROM lex_ranked l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+        ORDER BY rrf DESC, doc_id
+        LIMIT 20
+    """,
     "auc_exact": """
         WITH scores AS (
             SELECT value AS s, count(*) AS cnt,

@@ -335,3 +335,98 @@ def bigram_lm_scores(
             F.col("avg_logprob"),
         )
     )
+
+
+def bm25_scores(
+    docs,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 6,
+):
+    """Okapi BM25 relevance of every document against a bag of query
+    terms — the lexical half of a retrieval stack (the embedding half
+    is ``llm.similarity.cosine_topk``):
+
+        score(d) = sum over matched terms of
+            idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))
+        idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))
+
+    Returns (id, n_matched, score) for EVERY document (0.0 when no
+    term matches). Plan shape: the corpus explodes once, immediately
+    semi-filtered by the broadcast query-term list — so the per-term
+    tf aggregation and everything after run on the matched slice only,
+    which for a handful of query terms is a vanishing fraction of the
+    corpus. Document lengths and the 1-row (N, avgdl) scalars ride the
+    same pre-aggregated per-doc table; df comes from the matched
+    slice. One corpus scan, one matched-slice shuffle.
+    """
+    from ..operators.caching import track_persist
+
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    qt = F.array(*[F.lit(t.lower()) for t in set(query_terms)])
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    toks = F.split(norm, " ")
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).cast("double").alias("dl"),
+        F.array_intersect(toks, qt).alias("__hit__"),
+        toks.alias("__t__"),
+    )
+    # per-(doc, matched term) tf, scan-side: count occurrences inside
+    # the token array instead of exploding the whole corpus
+    tf = track_persist(
+        base.filter(F.size("__hit__") > 0)
+        .select(
+            id_col,
+            "dl",
+            F.explode("__hit__").alias("term"),
+            "__t__",
+        )
+        .withColumn(
+            "tf",
+            F.size(F.filter(F.col("__t__"), lambda w: w == F.col("term"))).cast("double"),
+        )
+        .drop("__t__")
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("__n__"),
+        F.avg(F.size(F.split(
+            F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+        ))).alias("__avgdl__"),
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("__n__") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    term_score = F.round(
+        idf
+        * F.col("tf") * (F.lit(k1) + 1.0)
+        / (F.col("tf") + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("__avgdl__"))),
+        round_to,
+    )
+    scored = (
+        tf.join(dfreq, on="term")
+        .join(F.broadcast(stats), how="cross")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.round(
+                F.sum(term_score.cast(f"decimal(28,{round_to})")).cast("double"),
+                round_to,
+            ).alias("score"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_matched", F.lit(0).cast("long")).alias("n_matched"),
+            F.coalesce("score", F.lit(0.0)).alias("score"),
+        )
+    )

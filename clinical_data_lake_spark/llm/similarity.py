@@ -440,3 +440,49 @@ def quantized_cosine_topk(
         id_col, F.col("__q__").alias(vec_col)
     )
     return cosine_topk(qq, qc, k=k, id_col=id_col, vec_col=vec_col, round_to=round_to)
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str,
+    rank_col: str = "rnk",
+    k: int = 60,
+    top: int = 20,
+    digits: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval rankings — the standard
+    hybrid-search combiner (lexical BM25 + dense cosine, the two
+    halves this package certifies separately):
+
+        rrf(d) = sum over lists containing d of 1 / (k + rank_d)
+
+    ``ranked_a``/``ranked_b`` carry (id, rank) with rank 1 = best;
+    documents absent from a list simply contribute nothing (the
+    defining robustness of RRF — no score normalization across
+    incomparable scales). Returns the fused top ``top``:
+    (id, rank_a, rank_b, rrf), deterministic via id tiebreak.
+
+    Scale shape: inputs are top-K lists (bounded by construction — the
+    candidate generators already did the corpus-scale work), so the
+    outer join and the final ordered limit run on 2K rows.
+    """
+    a = ranked_a.select(F.col(id_col), F.col(rank_col).alias("rank_a"))
+    b = ranked_b.select(F.col(id_col), F.col(rank_col).alias("rank_b"))
+    contrib_a = F.when(
+        F.col("rank_a").isNotNull(), F.lit(1.0) / (F.lit(float(k)) + F.col("rank_a"))
+    ).otherwise(F.lit(0.0))
+    contrib_b = F.when(
+        F.col("rank_b").isNotNull(), F.lit(1.0) / (F.lit(float(k)) + F.col("rank_b"))
+    ).otherwise(F.lit(0.0))
+    return (
+        a.join(b, on=id_col, how="full_outer")
+        .select(
+            id_col,
+            "rank_a",
+            "rank_b",
+            F.round(contrib_a + contrib_b, digits).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), id_col)
+        .limit(top)
+    )

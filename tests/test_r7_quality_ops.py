@@ -209,3 +209,61 @@ class TestWinsorize:
         )
         plan = winsorize(df, ["grp"], "value")._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
+
+
+class TestBM25:
+    def test_closed_form_two_docs(self, spark):
+        import math
+
+        from clinical_data_lake_spark.functions.text import bm25_scores
+
+        docs = spark.createDataFrame(
+            [(1, "hash hash join"), (2, "sort sort sort"), (3, "hash sort")],
+            ["doc_id", "text"],
+        )
+        out = {r.doc_id: r for r in bm25_scores(docs, ["hash"]).collect()}
+        # N=3, df(hash)=2, dl1=3, dl3=2, avgdl=8/3
+        idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+        def s(tf, dl):
+            return round(idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / (8 / 3))), 6)
+        assert out[1].n_matched == 1
+        assert out[1].score == pytest.approx(s(2, 3), abs=2e-6)
+        assert out[3].score == pytest.approx(s(1, 2), abs=2e-6)
+        assert out[2].n_matched == 0 and out[2].score == 0.0
+
+    def test_rarer_term_scores_higher(self, spark):
+        from clinical_data_lake_spark.functions.text import bm25_scores
+
+        docs = spark.createDataFrame(
+            [(i, "common filler words here") for i in range(20)]
+            + [(100, "common rare")],
+            ["doc_id", "text"],
+        )
+        out = {r.doc_id: r.score for r in bm25_scores(docs, ["common", "rare"]).collect()}
+        assert out[100] > max(v for k, v in out.items() if k != 100)
+
+
+class TestRRF:
+    def test_fusion_prefers_docs_in_both_lists(self, spark):
+        from clinical_data_lake_spark.llm.similarity import rrf_fuse
+
+        a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], ["id", "rnk"])
+        b = spark.createDataFrame([(3, 1), (4, 2)], ["id", "rnk"])
+        out = rrf_fuse(a, b, "id", top=10).collect()
+        order = [r.id for r in out]
+        # doc 3 (rank 3 + rank 1) beats doc 1 (rank 1 only)
+        assert order[0] == 3
+        assert set(order) == {1, 2, 3, 4}
+        got3 = [r for r in out if r.id == 3][0]
+        assert got3.rrf == pytest.approx(1 / 63 + 1 / 61, abs=1e-6)
+        got4 = [r for r in out if r.id == 4][0]
+        assert got4.rank_a is None and got4.rank_b == 2
+
+    def test_top_truncation_deterministic(self, spark):
+        from clinical_data_lake_spark.llm.similarity import rrf_fuse
+
+        a = spark.createDataFrame([(i, i + 1) for i in range(30)], ["id", "rnk"])
+        b = spark.createDataFrame([(i + 100, i + 1) for i in range(30)], ["id", "rnk"])
+        out = rrf_fuse(a, b, "id", top=5).collect()
+        # equal contributions tie -> id tiebreak picks the smallest ids
+        assert [r.id for r in out] == [0, 100, 1, 101, 2]
