@@ -94,6 +94,10 @@ BENCH_QUERIES = [
     "lm_score",
     "winsorize",
     "budget_select",
+    "survival_km",
+    "auc_exact",
+    "bm25_search",
+    "rrf_search",
 ]
 
 # Scope the measured set without editing the file (drift A/B testing,

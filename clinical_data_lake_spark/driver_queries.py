@@ -1664,12 +1664,16 @@ def q_winsorize(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # Dict order matters: the driver's correctness gate samples the FIRST
-# 50 entries in insertion order. Round-7 window: the 2 new queries,
-# the 2 whose implementation changed this round (EWMA block rescale,
-# pipeline persist), then the r3-era relational core — its last
-# driver-green rows predate three testdata regenerations (the local
-# parity sweep re-proves them each session, but the driver row is
-# the hard signal). Everything certified r4-r6 rotates to 51+.
+# 50 entries in insertion order. Round-7 window: the 17 queries new
+# this round (survival/logrank/AUC, BM25/RRF retrieval, standardize/
+# PSI, budget_select, attribution_left, dq_report, rolling_median,
+# fuzzy_match, lm_score, sample_alpha, winsorize, plus the early-r7
+# block), the 2 whose implementation changed (EWMA block rescale,
+# pipeline persist), then as much of the r3-era relational core as
+# fits — its last driver-green rows predate three testdata
+# regenerations (the local parity sweep re-proves them each session,
+# but the driver row is the hard signal). Everything certified r4-r6
+# rotates to 51+.
 QUERIES = {
     "survival_km": q_survival_km,
     "survival_logrank": q_survival_logrank,
