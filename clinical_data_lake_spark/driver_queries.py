@@ -1495,6 +1495,29 @@ def q_survival_logrank(spark: SparkSession, sf: str) -> DataFrame:
     return ml_stats.logrank_test(_km_subjects(spark, sf))
 
 
+def q_twap(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-weighted average event value per user
+    (operators/timeseries.py:time_weighted_avg): LOCF integral over
+    the observation span, exact max-min denominator."""
+    return timeseries.time_weighted_avg(read_table(spark, sf, "events"))
+
+
+def q_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly cohort-retention triangle over events
+    (operators/cohort.py:retention_matrix)."""
+    return cohort.retention_matrix(read_table(spark, sf, "events"))
+
+
+def q_dedup_probe(spark: SparkSession, sf: str) -> DataFrame:
+    """Ingest-time dedup probe: exact 3-gram Jaccard of the doc_id<100
+    batch against the whole corpus (llm/dedup.py:ngram_probe_pairs) —
+    broadcast probe shingles, the corpus never shuffles."""
+    docs = read_table(spark, sf, "documents")
+    return dedup.ngram_probe_pairs(
+        docs, docs.filter(F.col("doc_id") < 100), threshold=0.05
+    )
+
+
 def q_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
     """Okapi BM25 relevance of every document against the query bag
     {hash, join, vector} (functions/text.py:bm25_scores)."""
@@ -1680,6 +1703,9 @@ QUERIES = {
     "auc_exact": q_auc_exact,
     "bm25_search": q_bm25_search,
     "rrf_search": q_rrf_search,
+    "twap": q_twap,
+    "retention": q_retention,
+    "dedup_probe": q_dedup_probe,
     "ml_standardize": q_ml_standardize,
     "feature_drift": q_feature_drift,
     "budget_select": q_budget_select,
@@ -1969,6 +1995,78 @@ _ANN_RECALL_SQL = f"""
 
 ORACLES = {
     "ann_recall": _ANN_RECALL_SQL,
+    "twap": """
+        WITH iv AS (
+            SELECT user_id,
+                   CAST(epoch_us(ts) AS DOUBLE) / 1000000.0 AS t,
+                   CAST(value AS DOUBLE) AS v,
+                   lead(CAST(epoch_us(ts) AS DOUBLE) / 1000000.0) OVER (
+                       PARTITION BY user_id ORDER BY ts, value
+                   ) - CAST(epoch_us(ts) AS DOUBLE) / 1000000.0 AS dt
+            FROM events
+        )
+        SELECT user_id,
+               count(*) AS n_obs,
+               round(max(t) - min(t), 6) AS span_s,
+               round(CASE WHEN max(t) - min(t) > 0
+                          THEN sum(v * dt) / (max(t) - min(t))
+                          ELSE max(v) END, 6) AS twa
+        FROM iv GROUP BY user_id
+    """,
+    "retention": """
+        WITH firsts AS (
+            SELECT user_id,
+                   CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        active AS (
+            SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+            FROM events
+        ),
+        aged AS (
+            SELECT a.user_id, f.cohort_week,
+                   CAST(floor(date_diff('day', f.cohort_week, a.w) / 7.0) AS INTEGER)
+                       AS age_weeks
+            FROM active a JOIN firsts f USING (user_id)
+        ),
+        sizes AS (
+            SELECT cohort_week, count(*) AS cohort_size FROM firsts GROUP BY cohort_week
+        ),
+        cells AS (
+            SELECT cohort_week, age_weeks, count(DISTINCT user_id) AS n_active
+            FROM aged GROUP BY cohort_week, age_weeks
+        )
+        SELECT c.cohort_week, c.age_weeks,
+               CAST(c.n_active AS BIGINT) AS n_active,
+               CAST(s.cohort_size AS BIGINT) AS cohort_size,
+               round(CAST(c.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+        FROM cells c JOIN sizes s USING (cohort_week)
+    """,
+    "dedup_probe": """
+        WITH toks AS (
+            SELECT doc_id,
+                   string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+            FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+            WHERE len(w) >= 3
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT c.doc_id AS doc_id, p.doc_id AS probe_id, count(*) AS inter
+            FROM sh c JOIN sh p ON c.shingle = p.shingle
+            WHERE p.doc_id < 100 AND c.doc_id != p.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT i.doc_id, i.probe_id,
+               CAST(inter AS DOUBLE) / (sc.n_sh + sp.n_sh - inter) AS jaccard
+        FROM inter i
+        JOIN sizes sc ON sc.doc_id = i.doc_id
+        JOIN sizes sp ON sp.doc_id = i.probe_id
+        WHERE CAST(inter AS DOUBLE) / (sc.n_sh + sp.n_sh - inter) >= 0.05
+    """,
     "bm25_search": """
         WITH q AS (SELECT unnest(['hash', 'join', 'vector']) AS term),
         base AS (

@@ -713,3 +713,70 @@ def ngram_containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+def ngram_probe_pairs(
+    corpus: DataFrame,
+    probe: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+    probe_alias: str = "probe_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Ingest-time dedup probe: exact n-gram Jaccard of a SMALL probe
+    set (today's crawl, one upload batch) against the whole corpus —
+    the asymmetric complement of ``ngram_jaccard_pairs``, which pays a
+    corpus-sized inverted index because both sides are big.
+
+    Returns (id, probe_id, jaccard) for pairs >= ``threshold``.
+
+    100 TB shape — the corpus NEVER shuffles:
+      * probe shingles are eval-batch-sized -> broadcast; the corpus
+        is shingled scan-side (``distinct=False`` — no dedup exchange)
+        and filtered by the broadcast hash set, so only matching
+        (corpus doc, probe doc, shingle) rows exist past the scan;
+      * per-pair intersections dedup shingles INSIDE the aggregation
+        (count_distinct) on that matched slice only;
+      * corpus shingle-set sizes are a pure array projection
+        (size(array_distinct(grams)) — no explode), joined to the
+        id-keyed match table via broadcast of the SMALL side.
+    """
+    grams = F.when(
+        F.size(F.split(_normalized(text_col), " ")) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(F.split(_normalized(text_col), " ")) - n),
+            lambda i: F.concat_ws(
+                " ",
+                *[F.element_at(F.split(_normalized(text_col), " "), i + j + 1) for j in range(n)],
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    p_sh = word_shingles(probe, id_col, text_col, n).select(
+        F.col(id_col).alias(probe_alias), "shingle"
+    )
+    p_sizes = p_sh.groupBy(probe_alias).agg(F.count(F.lit(1)).alias("__np__"))
+
+    matches = (
+        word_shingles(corpus, id_col, text_col, n, distinct=False)
+        .join(F.broadcast(p_sh), on="shingle")
+        .groupBy(id_col, probe_alias)
+        .agg(F.count_distinct("shingle").alias("__inter__"))
+    )
+    if exclude_self:
+        matches = matches.filter(F.col(id_col) != F.col(probe_alias))
+
+    c_sizes = corpus.select(
+        F.col(id_col), F.size(F.array_distinct(grams)).cast("long").alias("__nc__")
+    )
+    jac = F.col("__inter__").cast("double") / (
+        F.col("__nc__") + F.col("__np__") - F.col("__inter__")
+    )
+    return (
+        c_sizes.join(F.broadcast(matches), on=id_col)
+        .join(F.broadcast(p_sizes), on=probe_alias)
+        .select(id_col, probe_alias, jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

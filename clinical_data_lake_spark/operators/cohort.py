@@ -136,3 +136,57 @@ def distributed_rank(
             (F.row_number().over(w_local) + F.col("__off__")).alias(rank_col),
         )
     )
+
+
+def retention_matrix(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    digits: int = 6,
+) -> DataFrame:
+    """Weekly cohort-retention triangle — the engagement readout every
+    longitudinal dashboard carries (the behavioral analog of the
+    clinical trajectory rollups, 02-rwe-patient-dashboard.py):
+
+        (cohort_week, age_weeks, n_active, cohort_size, retention)
+
+    where a user belongs to the ISO week of their FIRST event and
+    counts as active in every later week they produce any event.
+
+    Plan shape: one per-user min (the only user-scale shuffle), one
+    distinct over (user, week) pairs, then two aggregations on the
+    (cohort, age) grid — the grid is weeks x weeks, tiny at any data
+    scale. All week math is date_trunc + day arithmetic (exact ints).
+    """
+    firsts = events.groupBy(key).agg(
+        F.date_trunc("week", F.min(ts_col)).cast("date").alias("cohort_week")
+    )
+    active = (
+        events.select(
+            F.col(key), F.date_trunc("week", F.col(ts_col)).cast("date").alias("w")
+        )
+        .distinct()
+    )
+    aged = active.join(firsts, on=key).select(
+        key,
+        "cohort_week",
+        F.floor(F.datediff(F.col("w"), F.col("cohort_week")) / 7).cast("int").alias("age_weeks"),
+    )
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    cells = aged.groupBy("cohort_week", "age_weeks").agg(
+        F.count_distinct(F.col(key)).alias("n_active")
+    )
+    return (
+        cells.join(F.broadcast(sizes), on="cohort_week")
+        .select(
+            "cohort_week",
+            "age_weeks",
+            "n_active",
+            "cohort_size",
+            F.round(
+                F.col("n_active").cast("double") / F.col("cohort_size"), digits
+            ).alias("retention"),
+        )
+    )

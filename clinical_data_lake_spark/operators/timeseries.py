@@ -203,3 +203,57 @@ def merge_intervals(
         )
         .drop("__island__")
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    digits: int = 6,
+) -> DataFrame:
+    """Time-weighted average per key over an irregular series — the
+    correct mean for sampled-when-changed measures (drug exposure
+    level, vital-sign monitors, sensor states), where the plain AVG
+    over-weights busy periods:
+
+        twa = sum over intervals of value_i * (t_{i+1} - t_i)
+              / (t_last - t_first)
+
+    i.e. the integral of the last-observation-carried-forward curve
+    divided by the observation span. Each reading is weighted by how
+    long it REMAINED the current value (the final reading carries no
+    weight — nothing is known past it). Keys with a single reading (no
+    span) fall back to that reading's value.
+
+    One shuffle on the key; the interval construction is a single lag
+    window over each key's readings. Returns
+    (key, n_obs, span_s, twa).
+    """
+    w = Window.partitionBy(key).orderBy(F.col(ts_col), F.col(value_col))
+    t = F.col(ts_col).cast("double")
+    iv = df.select(
+        F.col(key),
+        t.alias("__t__"),
+        F.col(value_col).cast("double").alias("__v__"),
+        (F.lead(t).over(w) - t).alias("__dt__"),
+    )
+    # span = max(t) - min(t) — mathematically equal to sum(dt) but
+    # computed as ONE subtraction of exact inputs, so it carries none
+    # of the merge-order noise a float sum of deltas would; it is also
+    # the twa denominator for the same reason
+    span = F.max("__t__") - F.min("__t__")
+    return (
+        iv.groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.round(span, digits).alias("span_s"),
+            F.round(
+                F.when(
+                    span > 0,
+                    F.sum(F.col("__v__") * F.col("__dt__")) / span,
+                ).otherwise(F.max("__v__")),
+                digits,
+            ).alias("twa"),
+        )
+    )

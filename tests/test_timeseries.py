@@ -179,3 +179,76 @@ def test_merge_intervals_long_chain_via_running_max(spark):
     out = merge_intervals(spark.createDataFrame(rows), "k", "s", "e").collect()
     assert len(out) == 1 and out[0].start == 0 and out[0].end == 100
     assert out[0].n_merged == 9
+
+
+def test_time_weighted_avg_closed_form(spark):
+    import datetime as dt
+
+    from clinical_data_lake_spark.operators.timeseries import time_weighted_avg
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 10.0),
+        (1, t0 + dt.timedelta(seconds=10), 20.0),
+        (1, t0 + dt.timedelta(seconds=40), 99.0),  # final reading: no weight
+        (2, t0, 7.0),                               # single reading
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    out = {r.user_id: r for r in time_weighted_avg(df).collect()}
+    # user 1: 10.0 held 10s, 20.0 held 30s -> (100 + 600) / 40 = 17.5
+    assert out[1].n_obs == 3
+    assert out[1].span_s == 40.0
+    assert out[1].twa == 17.5
+    # plain AVG would say 43.0 — the whole point of time weighting
+    assert out[2].n_obs == 1 and out[2].span_s == 0.0 and out[2].twa == 7.0
+
+
+def test_retention_matrix_closed_form(spark):
+    import datetime as dt
+
+    from clinical_data_lake_spark.operators.cohort import retention_matrix
+
+    mon1 = dt.datetime(2024, 1, 1, 12)   # Monday
+    mon2 = mon1 + dt.timedelta(weeks=1)
+    rows = [
+        # cohort week 1: users 1, 2; user 1 returns in week 2
+        (1, mon1), (2, mon1), (1, mon2),
+        # cohort week 2: user 3
+        (3, mon2),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {(str(r.cohort_week), r.age_weeks): r for r in retention_matrix(df).collect()}
+    w1, w2 = "2024-01-01", "2024-01-08"
+    assert out[(w1, 0)].n_active == 2 and out[(w1, 0)].cohort_size == 2
+    assert out[(w1, 0)].retention == 1.0
+    assert out[(w1, 1)].n_active == 1 and out[(w1, 1)].retention == 0.5
+    assert out[(w2, 0)].n_active == 1 and out[(w2, 0)].cohort_size == 1
+    assert len(out) == 3
+
+
+def test_ngram_probe_matches_symmetric_jaccard(spark):
+    """The asymmetric probe must agree exactly with the symmetric
+    all-pairs operator restricted to probe-involving pairs."""
+    from clinical_data_lake_spark.io import read_table
+    from clinical_data_lake_spark.llm.dedup import (
+        ngram_jaccard_pairs,
+        ngram_probe_pairs,
+    )
+    from conftest import SF_SMALL
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    probe = docs.filter("doc_id < 20")
+    got = sorted(
+        (r.doc_id, r.probe_id, round(r.jaccard, 6))
+        for r in ngram_probe_pairs(docs, probe, threshold=0.1).collect()
+    )
+    sym = ngram_jaccard_pairs(docs, threshold=0.1).collect()
+    want = sorted(
+        (b, a, round(j, 6))
+        for r in sym
+        for a, b, j in [(r.doc_a, r.doc_b, r.jaccard)]
+        for a, b in ([(a, b)] if a < 20 else []) + ([(b, a)] if b < 20 else [])
+    )
+    assert got == want
+    assert got, "fixture has no near-dup probe pairs"
+    assert all(d != p for d, p, _ in got)  # self-pairs excluded
