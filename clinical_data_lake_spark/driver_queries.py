@@ -1518,6 +1518,39 @@ def q_dedup_probe(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_path_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 first-order event-type transitions per user timeline
+    (operators/windows.py:event_transitions)."""
+    return windows.event_transitions(
+        read_table(spark, sf, "events"), "user_id", ["ts", "event_id"],
+        "event_type", k=20,
+    )
+
+
+def q_hll_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable HLL rollup with a tolerance-style oracle (the
+    agg_approx_distinct pattern): per event type, daily user sketches
+    (operators/aggregates.py:hll_rollup) merged up to all-time
+    (hll_merge), checked against the exact distinct count. lg_k=12
+    gives ~1.6% rsd; the flag uses 5%."""
+    ev = read_table(spark, sf, "events").withColumn(
+        "day", F.to_date(F.col("ts"))
+    )
+    daily = agg.hll_rollup(ev, ["event_type", "day"], "user_id", lg_k=12)
+    merged = agg.hll_merge(daily, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_nd")
+    )
+    return exact.join(merged, on="event_type").select(
+        "event_type",
+        "exact_nd",
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_nd"))
+            <= 0.05 * F.col("exact_nd")
+        ).cast("int").alias("within_tol"),
+    )
+
+
 def q_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
     """Okapi BM25 relevance of every document against the query bag
     {hash, join, vector} (functions/text.py:bm25_scores)."""
@@ -1706,6 +1739,8 @@ QUERIES = {
     "twap": q_twap,
     "retention": q_retention,
     "dedup_probe": q_dedup_probe,
+    "path_transitions": q_path_transitions,
+    "hll_rollup": q_hll_rollup,
     "ml_standardize": q_ml_standardize,
     "feature_drift": q_feature_drift,
     "budget_select": q_budget_select,
@@ -1995,6 +2030,26 @@ _ANN_RECALL_SQL = f"""
 
 ORACLES = {
     "ann_recall": _ANN_RECALL_SQL,
+    "path_transitions": """
+        WITH pairs AS (
+            SELECT lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS from_label,
+                   event_type AS to_label
+            FROM events
+        )
+        SELECT from_label, to_label, count(*) AS cnt
+        FROM pairs WHERE from_label IS NOT NULL
+        GROUP BY from_label, to_label
+        ORDER BY cnt DESC, from_label, to_label
+        LIMIT 20
+    """,
+    "hll_rollup": """
+        SELECT event_type,
+               count(DISTINCT user_id) AS exact_nd,
+               1 AS within_tol
+        FROM events GROUP BY event_type
+    """,
     "twap": """
         WITH iv AS (
             SELECT user_id,

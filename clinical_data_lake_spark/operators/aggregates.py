@@ -351,3 +351,48 @@ def winsorize(
         .withColumn(alias, clamped)
         .drop("__lo__", "__hi__")
     )
+
+
+def hll_rollup(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str,
+    lg_k: int = 12,
+    sketch_alias: str = "hll",
+) -> DataFrame:
+    """Pre-aggregated distinct-count sketches per group:
+    (keys..., hll) with ``hll`` a Datasketches HyperLogLog binary —
+    the mergeable building block for incremental rollups. Build daily
+    partition sketches ONCE, then answer any coarser distinct-count
+    (weekly, all-time, cross-key) by merging sketches instead of
+    rescanning raw data — the pattern that turns a 100 TB COUNT
+    DISTINCT backfill into a few-KB-per-group merge.
+
+    Merging never loses coverage (every observed value is represented
+    in the union), but the estimate is NOT bit-stable: the sketch's
+    internal representation depends on insertion/merge order (sparse
+    -> dense promotion), so merged-daily vs direct all-time — or the
+    same rollup under a different partitioning — can differ by a few
+    counts inside the standard rsd (~1.04/sqrt(2^lg_k)). Consumers
+    must treat the output as an estimate with that tolerance, which is
+    exactly how the driver query certifies it.
+    """
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(F.col(col), F.lit(lg_k)).alias(sketch_alias)
+    )
+
+
+def hll_merge(
+    sketches: DataFrame,
+    keys: Sequence[str],
+    sketch_col: str = "hll",
+    estimate_alias: str = "approx_distinct",
+) -> DataFrame:
+    """Merge per-group sketches up to a coarser grouping and emit the
+    estimate: (keys..., approx_distinct). The input is the (tiny)
+    sketch table, not raw data — the whole point of ``hll_rollup``."""
+    return sketches.groupBy(*keys).agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col(sketch_col)))
+        .cast("long")
+        .alias(estimate_alias)
+    )

@@ -219,3 +219,37 @@ def rolling_median(
     )
     med = F.round(F.percentile(F.col(value_col), F.lit(0.5)).over(w).cast("double"), digits)
     return df.withColumn(alias, med)
+
+
+def event_transitions(
+    df: DataFrame,
+    key: str,
+    order_cols: list[str],
+    label_col: str,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k first-order event transitions — the path-analysis readout
+    (which step follows which): per key, order events and pair each
+    with its predecessor, then count (from_label, to_label) globally.
+
+        (from_label, to_label, cnt)   — top k by cnt desc, label ties
+
+    One key shuffle for the lag window, one bounded aggregation on the
+    label-pair grid (|labels|^2 rows), then TakeOrdered — no global
+    sort. ``order_cols`` must totally order each key's events (pass a
+    unique tiebreaker) or the pairing is engine-dependent.
+    """
+    w = Window.partitionBy(key).orderBy(*order_cols)
+    pairs = (
+        df.select(
+            F.lag(F.col(label_col)).over(w).alias("from_label"),
+            F.col(label_col).alias("to_label"),
+        )
+        .filter(F.col("from_label").isNotNull())
+    )
+    return (
+        pairs.groupBy("from_label", "to_label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "from_label", "to_label")
+        .limit(k)
+    )

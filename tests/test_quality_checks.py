@@ -99,3 +99,54 @@ def test_rolling_median_resists_outlier(spark):
     df = spark.createDataFrame(rows, ["seq", "k", "v"])
     out = rolling_median(df, "k", "seq", "v", n_rows=5, alias="med").collect()
     assert all(r.med == 10.0 for r in out)
+
+
+def test_event_transitions_closed_form(spark):
+    from clinical_data_lake_spark.operators.windows import event_transitions
+
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "a"),
+        (2, 1, "a"), (2, 2, "b"),
+    ]
+    df = spark.createDataFrame(rows, ["k", "seq", "lbl"])
+    got = {
+        (r.from_label, r.to_label): r.cnt
+        for r in event_transitions(df, "k", ["seq"], "lbl").collect()
+    }
+    assert got == {("a", "b"): 2, ("b", "a"): 1}
+
+
+def test_hll_merge_within_tolerance(spark):
+    """Merging daily sketches up loses no coverage: the merged
+    estimate, the direct all-time estimate, and a differently
+    partitioned rollup all land within rsd of the exact distinct
+    count (estimates are NOT bit-stable across merge orders — the
+    sketch representation depends on promotion order — which is why
+    the operator's contract, and the driver query, are
+    tolerance-based)."""
+    from pyspark.sql import functions as F
+
+    from clinical_data_lake_spark.operators.aggregates import hll_merge, hll_rollup
+
+    df = spark.range(20000).select(
+        (F.col("id") % 7).alias("g"),
+        (F.col("id") % 4).alias("day"),
+        (F.col("id") % 1000).alias("uid"),
+    )
+    daily = hll_rollup(df, ["g", "day"], "uid", lg_k=12)
+    merged = {r.g: r.approx_distinct for r in hll_merge(daily, ["g"]).collect()}
+    direct = {
+        r.g: r.approx_distinct
+        for r in hll_merge(hll_rollup(df, ["g"], "uid", lg_k=12), ["g"]).collect()
+    }
+    repart = {
+        r.g: r.approx_distinct
+        for r in hll_merge(
+            hll_rollup(df.repartition(17), ["g", "day"], "uid", lg_k=12), ["g"]
+        ).collect()
+    }
+    exact = {r.g: r.nd for r in df.groupBy("g").agg(
+        F.count_distinct("uid").alias("nd")).collect()}
+    for g, nd in exact.items():
+        for est in (merged[g], direct[g], repart[g]):
+            assert abs(est - nd) <= 0.05 * nd, (g, est, nd)
