@@ -1518,6 +1518,32 @@ def q_dedup_probe(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_chisq_rc(spark: SparkSession, sf: str) -> DataFrame:
+    """General r x c Pearson chi-square (ml/stats.py:chisq_rc): is
+    event type independent of ISO weekday?"""
+    ev = read_table(spark, sf, "events").select(
+        "event_type", F.weekday(F.col("ts")).alias("dow")
+    )
+    return ml_stats.chisq_rc(ev, "event_type", "dow")
+
+
+def q_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """Reliability diagram of 'value predicts error'
+    (ml/train.py:calibration_curve): equal-population score deciles,
+    mean score vs observed positive rate per bin."""
+    ev = read_table(spark, sf, "events").select(
+        F.col("value").alias("score"),
+        (F.col("event_type") == "error").cast("int").alias("label"),
+    )
+    return ml_train.calibration_curve(ev, "score", "label", n_bins=10)
+
+
+def q_seasonality(spark: SparkSession, sf: str) -> DataFrame:
+    """Day-of-week seasonal profile of event values
+    (operators/timeseries.py:seasonal_profile), ISO weekday slots."""
+    return timeseries.seasonal_profile(read_table(spark, sf, "events"))
+
+
 def q_path_transitions(spark: SparkSession, sf: str) -> DataFrame:
     """Top-20 first-order event-type transitions per user timeline
     (operators/windows.py:event_transitions)."""
@@ -1741,6 +1767,9 @@ QUERIES = {
     "dedup_probe": q_dedup_probe,
     "path_transitions": q_path_transitions,
     "hll_rollup": q_hll_rollup,
+    "chisq_rc": q_chisq_rc,
+    "calibration": q_calibration,
+    "seasonality": q_seasonality,
     "ml_standardize": q_ml_standardize,
     "feature_drift": q_feature_drift,
     "budget_select": q_budget_select,
@@ -2030,6 +2059,68 @@ _ANN_RECALL_SQL = f"""
 
 ORACLES = {
     "ann_recall": _ANN_RECALL_SQL,
+    "chisq_rc": """
+        WITH base AS (
+            SELECT event_type AS a, (isodow(ts) - 1) AS b FROM events
+        ),
+        cells AS (SELECT a, b, count(*) AS o FROM base GROUP BY a, b),
+        rt AS (SELECT a, sum(o) AS ra FROM cells GROUP BY a),
+        ct AS (SELECT b, sum(o) AS cb FROM cells GROUP BY b),
+        nn AS (SELECT sum(o) AS n FROM cells),
+        grid AS (
+            SELECT CAST(coalesce(c.o, 0) AS DOUBLE) AS o,
+                   CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(nn.n AS DOUBLE) AS e
+            FROM rt CROSS JOIN ct CROSS JOIN nn
+            LEFT JOIN cells c ON c.a = rt.a AND c.b = ct.b
+        ),
+        agg AS (
+            SELECT CAST(sum(CAST(round((o - e) * (o - e) / e, 6)
+                                 AS DECIMAL(28,6))) AS DOUBLE) AS chi2_raw
+            FROM grid
+        ),
+        dims AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT event_type) AS BIGINT) AS r,
+                   CAST(count(DISTINCT isodow(ts) - 1) AS BIGINT) AS c
+            FROM events
+        )
+        SELECT n, r, c, (r - 1) * (c - 1) AS dof, round(chi2_raw, 6) AS chi2
+        FROM dims CROSS JOIN agg
+    """,
+    "calibration": """
+        WITH edges AS (
+            SELECT list_transform(
+                quantile_cont(CAST(value AS DOUBLE),
+                    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+                e -> round(e, 6)) AS ed
+            FROM events
+        ),
+        binned AS (
+            SELECT len(list_filter(ed, e -> CAST(value AS DOUBLE) > e)) AS bin,
+                   CAST(round(CAST(value AS DOUBLE), 6) AS DECIMAL(28,6)) AS s,
+                   CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y
+            FROM events, edges
+        )
+        SELECT bin,
+               count(*) AS n,
+               round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS mean_score,
+               round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS frac_pos
+        FROM binned GROUP BY bin
+    """,
+    "seasonality": """
+        WITH per AS (
+            SELECT CAST(isodow(ts) - 1 AS INTEGER) AS slot,
+                   CAST(round(CAST(value AS DOUBLE), 6) AS DECIMAL(28,6)) AS q
+            FROM events
+        ),
+        ps AS (SELECT slot, count(*) AS n, sum(q) AS s FROM per GROUP BY slot),
+        o AS (SELECT CAST(sum(s) AS DOUBLE) / sum(n) AS ov FROM ps)
+        SELECT slot,
+               CAST(n AS BIGINT) AS n,
+               round(CAST(s AS DOUBLE) / n, 6) AS avg_value,
+               round((CAST(s AS DOUBLE) / n) / ov, 6) AS seasonal_index
+        FROM ps CROSS JOIN o
+    """,
     "path_transitions": """
         WITH pairs AS (
             SELECT lag(event_type) OVER (

@@ -311,3 +311,56 @@ def logrank_test(
         F.round("v1", digits).alias("v1"),
         chi2.alias("chi2"),
     )
+
+
+def chisq_rc(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    digits: int = 6,
+) -> DataFrame:
+    """General r x c Pearson chi-square of association between two
+    categorical columns — the full-table generalization of
+    ``chisq_2x2`` (M5): is event type independent of, say, weekday or
+    site? Returns ONE row (n, r, c, dof, chi2).
+
+    Distributed shape: one group-count collapses the data to the
+    observed contingency cells; marginals, the r x c expected grid
+    (cross join of the two marginal tables — bounded by category
+    cardinalities), and the final reduction all run on that grid.
+    Zero-observed cells are included (their (0-E)^2/E terms count, as
+    Pearson requires); per-cell terms are rounded then summed as
+    decimals so the statistic is merge-order-independent.
+    """
+    cells = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("o"))
+    rows_t = cells.groupBy(col_a).agg(F.sum("o").alias("ra"))
+    cols_t = cells.groupBy(col_b).agg(F.sum("o").alias("cb"))
+    n = cells.agg(F.sum("o").alias("__n__"))
+    grid = (
+        rows_t.crossJoin(cols_t)
+        .join(cells, on=[col_a, col_b], how="left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.coalesce(F.col("o"), F.lit(0)).cast("double").alias("o"),
+            (
+                F.col("ra").cast("double")
+                * F.col("cb").cast("double")
+                / F.col("__n__").cast("double")
+            ).alias("e"),
+        )
+    )
+    dec = f"decimal(28,{digits})"
+    term = F.round((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e"), digits)
+    agg = grid.agg(F.sum(term.cast(dec)).cast("double").alias("chi2_raw"))
+    dims = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col(col_a)).alias("r"),
+        F.count_distinct(F.col(col_b)).alias("c"),
+    )
+    return dims.crossJoin(F.broadcast(agg)).select(
+        "n",
+        "r",
+        "c",
+        ((F.col("r") - 1) * (F.col("c") - 1)).alias("dof"),
+        F.round("chi2_raw", digits).alias("chi2"),
+    )

@@ -297,3 +297,56 @@ def auc_exact(
         "n_neg",
         F.when((p > 0) & (n > 0), F.round(auc, digits)).alias("auc"),
     )
+
+
+def calibration_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    digits: int = 6,
+) -> DataFrame:
+    """Reliability diagram — AUC (ranking) says nothing about whether
+    a 0.8 score MEANS 80%: bin predictions into equal-population score
+    deciles and compare each bin's mean score to its observed positive
+    rate. Returns (bin, n, mean_score, frac_pos), bins 0..n_bins-1.
+
+    Same plan skeleton as ``ml.stats.population_stability``: one 1-row
+    exact-percentile edge aggregate broadcast back, binning as a pure
+    array expression, one n_bins-cardinality aggregation. Mean scores
+    sum pre-rounded decimals (merge-order-exact); the positive rate is
+    an exact integer ratio.
+    """
+    from pyspark.sql import functions as SF
+
+    fracs = [i / n_bins for i in range(1, n_bins)]
+    edges = df.agg(
+        SF.transform(
+            SF.percentile(
+                SF.col(score_col).cast("double"),
+                SF.array(*[SF.lit(f) for f in fracs]),
+            ),
+            lambda e: SF.round(e, digits),
+        ).alias("__edges__")
+    )
+    x = SF.col(score_col).cast("double")
+    b = SF.size(SF.filter(SF.col("__edges__"), lambda e: x > e))
+    dec = f"decimal(28,{digits})"
+    return (
+        df.crossJoin(SF.broadcast(edges))
+        .select(
+            b.alias("bin"),
+            SF.round(x, digits).cast(dec).alias("__s__"),
+            SF.col(label_col).cast("long").alias("__y__"),
+        )
+        .groupBy("bin")
+        .agg(
+            SF.count(SF.lit(1)).alias("n"),
+            SF.round(
+                SF.sum("__s__").cast("double") / SF.count(SF.lit(1)), digits
+            ).alias("mean_score"),
+            SF.round(
+                SF.sum("__y__").cast("double") / SF.count(SF.lit(1)), digits
+            ).alias("frac_pos"),
+        )
+    )

@@ -257,3 +257,53 @@ def time_weighted_avg(
             ).alias("twa"),
         )
     )
+
+
+def seasonal_profile(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    grain: str = "dow",
+    digits: int = 6,
+) -> DataFrame:
+    """Seasonality read-out: mean value per calendar slot (day-of-week
+    or hour-of-day) and its index against the overall mean — the
+    staffing/arrival-pattern profile behind every ops dashboard
+    (weekday admission peaks, nightly batch dips).
+
+        (slot, n, avg_value, seasonal_index)   index = slot avg / overall
+
+    One partial-aggregated shuffle on the (7- or 24-value) slot key +
+    a broadcast 1-row overall mean. Means sum pre-rounded decimals so
+    they are merge-order-exact; ``weekday`` is ISO (0 = Monday) for
+    engine portability.
+    """
+    if grain == "dow":
+        slot = F.weekday(F.col(ts_col))
+    elif grain == "hour":
+        slot = F.hour(F.col(ts_col))
+    else:
+        raise ValueError(f"grain must be dow|hour, got {grain!r}")
+    dec = f"decimal(28,{digits})"
+    q = F.round(F.col(value_col).cast("double"), digits).cast(dec)
+    per_slot = (
+        df.select(slot.alias("slot"), q.alias("__q__"))
+        .groupBy("slot")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__q__").alias("__sum__"),
+        )
+    )
+    overall = per_slot.agg(
+        (F.sum("__sum__").cast("double") / F.sum("n")).alias("__avg__")
+    )
+    avg_slot = F.col("__sum__").cast("double") / F.col("n")
+    return (
+        per_slot.crossJoin(F.broadcast(overall))
+        .select(
+            "slot",
+            "n",
+            F.round(avg_slot, digits).alias("avg_value"),
+            F.round(avg_slot / F.col("__avg__"), digits).alias("seasonal_index"),
+        )
+    )

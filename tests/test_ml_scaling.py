@@ -141,3 +141,92 @@ def test_auc_exact_degenerate_single_class(spark):
 
     df = spark.createDataFrame([(1.0, 1), (2.0, 1)], ["s", "y"])
     assert auc_exact(df, "s", "y").head().auc is None
+
+
+def test_chisq_rc_matches_reference(spark):
+    from clinical_data_lake_spark.ml.stats import chisq_rc
+
+    rows = (
+        [("a", "x")] * 30 + [("a", "y")] * 10
+        + [("b", "x")] * 15 + [("b", "y")] * 25
+        + [("c", "x")] * 5 + [("c", "y")] * 15
+    )
+    df = spark.createDataFrame(rows, ["u", "v"])
+    r = chisq_rc(df, "u", "v").head()
+    # independent reference
+    from collections import Counter
+
+    obs = Counter(rows)
+    ra = Counter(u for u, _ in rows)
+    cb = Counter(v for _, v in rows)
+    n = len(rows)
+    chi2 = sum(
+        (obs.get((u, v), 0) - ra[u] * cb[v] / n) ** 2 / (ra[u] * cb[v] / n)
+        for u in ra for v in cb
+    )
+    assert r.n == 100 and r.r == 3 and r.c == 2 and r.dof == 2
+    assert r.chi2 == pytest.approx(chi2, abs=1e-4)
+
+
+def test_chisq_rc_2x2_agrees_with_closed_form(spark):
+    """The r x c generalization must reproduce chisq_2x2 (yates=False)
+    on a 2x2 table."""
+    from clinical_data_lake_spark.ml.stats import chisq_2x2, chisq_rc
+
+    ents = spark.createDataFrame([(i,) for i in range(100)], ["eid"])
+    a_ids = spark.createDataFrame([(i,) for i in range(40)], ["eid"])
+    b_ids = spark.createDataFrame([(i,) for i in range(20, 70)], ["eid"])
+    want = chisq_2x2(ents, "eid", a_ids, b_ids).head().chi2
+    flags = spark.createDataFrame(
+        [(1 if i < 40 else 0, 1 if 20 <= i < 70 else 0) for i in range(100)],
+        ["fa", "fb"],
+    )
+    got = chisq_rc(flags, "fa", "fb").head()
+    assert got.dof == 1
+    assert got.chi2 == pytest.approx(want, abs=1e-4)
+
+
+def test_chisq_rc_independent_is_small(spark):
+    from pyspark.sql import functions as F
+
+    from clinical_data_lake_spark.ml.stats import chisq_rc
+
+    df = spark.range(7000).select(
+        (F.col("id") % 7).alias("u"), (F.col("id") % 5).alias("v")
+    )
+    r = chisq_rc(df, "u", "v").head()  # perfectly uniform grid
+    assert r.chi2 == pytest.approx(0.0, abs=1e-3)
+
+
+def test_calibration_curve_on_calibrated_scores(spark):
+    """Scores constructed so that P(label=1 | score=s) == s exactly in
+    each bin: every bin's frac_pos must track its mean_score."""
+    from clinical_data_lake_spark.ml.train import calibration_curve
+
+    rows = []
+    for pct in range(5, 100, 10):          # scores 0.05, 0.15, ... 0.95
+        s = pct / 100
+        for i in range(100):
+            rows.append((s, 1 if i < pct else 0))
+    df = spark.createDataFrame(rows, ["score", "label"])
+    out = sorted(calibration_curve(df, "score", "label", n_bins=10).collect())
+    assert len(out) == 10
+    for r in out:
+        assert r.frac_pos == pytest.approx(r.mean_score, abs=1e-6)
+    assert [r.n for r in out] == [100] * 10
+
+
+def test_seasonal_profile_closed_form(spark):
+    import datetime as dt
+
+    from clinical_data_lake_spark.operators.timeseries import seasonal_profile
+
+    mon = dt.datetime(2024, 1, 1)          # Monday
+    rows = [(mon, 10.0), (mon, 20.0), (mon + dt.timedelta(days=1), 40.0)]
+    df = spark.createDataFrame(rows, ["ts", "value"])
+    out = {r.slot: r for r in seasonal_profile(df).collect()}
+    assert out[0].n == 2 and out[0].avg_value == 15.0
+    assert out[1].n == 1 and out[1].avg_value == 40.0
+    overall = 70.0 / 3
+    assert out[0].seasonal_index == pytest.approx(round(15.0 / overall, 6))
+    assert out[1].seasonal_index == pytest.approx(round(40.0 / overall, 6))

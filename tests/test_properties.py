@@ -229,3 +229,72 @@ def test_split_to_chunks_properties(spark, n_tokens, chunk, overlap_frac):
                 assert nt == chunk  # only the tail may be short
             rebuilt.extend(words if c == 0 else words[overlap:])
         assert rebuilt == toks  # full coverage, no token lost or duplicated
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    names=st.lists(
+        st.text(alphabet="abcx", min_size=0, max_size=9), min_size=1,
+        max_size=24, unique=True,
+    ),
+    d=st.integers(min_value=0, max_value=3),
+)
+def test_fuzzy_join_equals_brute_force(spark, names, d):
+    """Length-band blocking is lossless on arbitrary strings: the
+    emitted pair set equals the brute-force levenshtein filter —
+    including empty strings, duplicates-of-length, and distances that
+    straddle two band boundaries."""
+    from clinical_data_lake_spark.operators.joins import fuzzy_join
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    a = spark.createDataFrame([(n,) for n in names], schema="name_a string")
+    b = spark.createDataFrame([(n,) for n in names], schema="name_b string")
+    got = sorted(
+        (r.name_a, r.name_b, r.edit_dist)
+        for r in fuzzy_join(a, b, "name_a", "name_b", max_dist=d).collect()
+    )
+    want = sorted(
+        (x, y, lev(x, y)) for x in names for y in names if lev(x, y) <= d
+    )
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=40),           # n_tokens
+            st.sampled_from([0.0, 0.1, 0.25, 0.5, 0.5, 0.9]), # quality (ties!)
+        ),
+        min_size=1, max_size=60,
+    ),
+    budget=st.integers(min_value=0, max_value=600),
+)
+def test_budget_select_equals_global_cumsum(spark, rows, budget):
+    """The bucketed prefix-sum reproduces the global ordered cumulative
+    cutoff for arbitrary token counts, tie-heavy qualities, and
+    budgets (including 0 and over-budget)."""
+    from clinical_data_lake_spark.llm.corpus import budget_select
+
+    data = [(i, t, q) for i, (t, q) in enumerate(rows)]
+    df = spark.createDataFrame(data, schema="doc_id long, n_tokens long, quality double")
+    got = sorted(
+        (r.doc_id, r.cum_tokens)
+        for r in budget_select(df, budget, num_buckets=4).collect()
+    )
+    want, cum = [], 0
+    for i, t, q in sorted(data, key=lambda r: (-r[2], r[0])):
+        cum += t
+        if cum <= budget:
+            want.append((i, cum))
+    assert got == sorted(want)
