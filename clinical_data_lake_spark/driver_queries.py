@@ -1518,6 +1518,24 @@ def q_dedup_probe(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_rolling_corr(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing-20 serial correlation of event values per user
+    (operators/windows.py:rolling_corr): x = value, y = previous
+    value — covariation/autocorrelation drift, (ts, event_id) total
+    order."""
+    ev = read_table(spark, sf, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    paired = ev.withColumn("prev_value", F.lag("value").over(w))
+    out = windows.rolling_corr(
+        paired, "user_id", ["ts", "event_id"], "value", "prev_value", n=20
+    )
+    return out.select("event_id", "user_id", "rolling_corr")
+
+
 def q_chisq_rc(spark: SparkSession, sf: str) -> DataFrame:
     """General r x c Pearson chi-square (ml/stats.py:chisq_rc): is
     event type independent of ISO weekday?"""
@@ -1770,6 +1788,7 @@ QUERIES = {
     "chisq_rc": q_chisq_rc,
     "calibration": q_calibration,
     "seasonality": q_seasonality,
+    "rolling_corr": q_rolling_corr,
     "ml_standardize": q_ml_standardize,
     "feature_drift": q_feature_drift,
     "budget_select": q_budget_select,
@@ -2059,6 +2078,42 @@ _ANN_RECALL_SQL = f"""
 
 ORACLES = {
     "ann_recall": _ANN_RECALL_SQL,
+    "rolling_corr": """
+        WITH paired AS (
+            SELECT event_id, user_id, ts, value,
+                   lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS prev_value
+            FROM events
+        ),
+        masked AS (
+            SELECT event_id, user_id, ts,
+                   CASE WHEN value IS NOT NULL AND prev_value IS NOT NULL
+                        THEN CAST(value AS DECIMAL(18,6)) END AS px,
+                   CASE WHEN value IS NOT NULL AND prev_value IS NOT NULL
+                        THEN CAST(prev_value AS DECIMAL(18,6)) END AS py
+            FROM paired
+        ),
+        stats AS (
+            SELECT event_id, user_id,
+                   CAST(count(px) OVER w AS DOUBLE) AS n,
+                   CAST(sum(px) OVER w AS DOUBLE) AS sx,
+                   CAST(sum(py) OVER w AS DOUBLE) AS sy,
+                   CAST(sum(px * px) OVER w AS DOUBLE) AS sxx,
+                   CAST(sum(py * py) OVER w AS DOUBLE) AS syy,
+                   CAST(sum(px * py) OVER w AS DOUBLE) AS sxy
+            FROM masked
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_id, user_id,
+               CASE WHEN n >= 5
+                     AND n * sxx - sx * sx > 0
+                     AND n * syy - sy * sy > 0
+                    THEN round((n * sxy - sx * sy)
+                               / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+               END AS rolling_corr
+        FROM stats
+    """,
     "chisq_rc": """
         WITH base AS (
             SELECT event_type AS a, (isodow(ts) - 1) AS b FROM events

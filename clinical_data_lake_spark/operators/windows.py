@@ -253,3 +253,58 @@ def event_transitions(
         .orderBy(F.desc("cnt"), "from_label", "to_label")
         .limit(k)
     )
+
+
+def rolling_corr(
+    df: DataFrame,
+    key: str,
+    order_cols: list[str],
+    x_col: str,
+    y_col: str,
+    n: int = 20,
+    min_periods: int = 5,
+    alias: str = "rolling_corr",
+    digits: int = 6,
+) -> DataFrame:
+    """Trailing-window Pearson correlation between two paired series
+    per key (current row inclusive) — covariation drift detection
+    (two vitals decoupling, a metric detaching from its driver).
+    NULL until ``min_periods`` complete pairs exist or while either
+    side is constant in the window (instead of an engine-dependent
+    NaN/NULL for the 0/0 case).
+
+    Engine-portable determinism, same recipe as ``rolling_zscore``:
+    the five sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy) are
+    decimal window sums over values quantized to 6 decimals — exact in
+    any evaluation order — and the correlation is the explicit
+    closed form on those sums, so the guard genuinely prevents the
+    0/0 case (Spark's built-in window ``corr`` divides INSIDE the
+    aggregate and raises DIVIDE_BY_ZERO under ANSI on a constant
+    window, where no outer ``when`` can protect it). Null-pair rows
+    drop from every statistic. One key shuffle; all six sums ride one
+    window sort. Decimal(18,6) inputs give products with 12 fractional
+    digits — ample headroom for trailing windows of a few hundred
+    rows.
+    """
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(-(n - 1), Window.currentRow)
+    )
+    both = F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    px = F.when(both, F.col(x_col)).cast("decimal(18,6)")
+    py = F.when(both, F.col(y_col)).cast("decimal(18,6)")
+    cnt = F.count(F.when(both, F.lit(1))).over(w).cast("double")
+    sx = F.sum(px).over(w).cast("double")
+    sy = F.sum(py).over(w).cast("double")
+    sxx = F.sum(px * px).over(w).cast("double")
+    syy = F.sum(py * py).over(w).cast("double")
+    sxy = F.sum(px * py).over(w).cast("double")
+    vx = cnt * sxx - sx * sx
+    vy = cnt * syy - sy * sy
+    cov = cnt * sxy - sx * sy
+    val = F.when(
+        (cnt >= min_periods) & (vx > 0) & (vy > 0),
+        F.round(cov / F.sqrt(vx * vy), digits),
+    )
+    return df.withColumn(alias, val)

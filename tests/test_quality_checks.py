@@ -150,3 +150,30 @@ def test_hll_merge_within_tolerance(spark):
     for g, nd in exact.items():
         for est in (merged[g], direct[g], repart[g]):
             assert abs(est - nd) <= 0.05 * nd, (g, est, nd)
+
+
+def test_rolling_corr_closed_form(spark):
+    import math
+
+    from clinical_data_lake_spark.operators.windows import rolling_corr
+
+    # y = 2x + noise-free -> corr exactly 1 once min_periods reached;
+    # anti-correlated tail flips the sign
+    rows = [(i, 1, float(i), 2.0 * i) for i in range(10)] + [
+        (i, 2, float(i), -3.0 * i) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["seq", "k", "x", "y"])
+    out = rolling_corr(df, "k", ["seq"], "x", "y", n=5, min_periods=3).collect()
+    by = {(r.k, r.seq): r.rolling_corr for r in out}
+    assert by[(1, 1)] is None  # below min_periods
+    assert by[(1, 5)] == 1.0
+    assert by[(2, 7)] == -1.0
+
+
+def test_rolling_corr_constant_window_is_null(spark):
+    from clinical_data_lake_spark.operators.windows import rolling_corr
+
+    rows = [(i, 1, 5.0, float(i)) for i in range(8)]
+    df = spark.createDataFrame(rows, ["seq", "k", "x", "y"])
+    out = rolling_corr(df, "k", ["seq"], "x", "y", n=5, min_periods=3).collect()
+    assert all(r.rolling_corr is None for r in out)  # x constant -> guarded NULL
