@@ -114,6 +114,14 @@ def word_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     and dedup the (much smaller) survivor set themselves.
     """
     toks = F.split(_normalized(text_col), " ")
+    # zip n shifted slices and join INSIDE the lambda from the struct
+    # argument only: referencing the token array via element_at in the
+    # lambda re-evaluates the whole split() per element (higher-order
+    # lambdas are interpreted, no common-subexpression elimination) —
+    # O(len^2) per doc, measured 16.0s -> 1.2s at sf0.1 for the
+    # identical shingle strings
+    win = F.greatest(F.size("t") - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice("t", j + 1, win) for j in range(n)])
     out = (
         _ensure_parallelism(docs).select(F.col(id_col), toks.alias("t"))
         .filter(F.size("t") >= n)
@@ -121,8 +129,8 @@ def word_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
             id_col,
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(0), F.size("t") - n),
-                    lambda i: F.concat_ws(" ", *[F.element_at("t", i + j + 1) for j in range(n)]),
+                    zipped,
+                    lambda t: F.concat_ws(" ", *[t[str(j)] for j in range(n)]),
                 )
             ).alias("shingle"),
         )
@@ -724,6 +732,7 @@ def ngram_probe_pairs(
     threshold: float = 0.2,
     probe_alias: str = "probe_id",
     exclude_self: bool = True,
+    max_probe_freq: int | None = None,
 ) -> DataFrame:
     """Ingest-time dedup probe: exact n-gram Jaccard of a SMALL probe
     set (today's crawl, one upload batch) against the whole corpus —
@@ -742,21 +751,61 @@ def ngram_probe_pairs(
       * corpus shingle-set sizes are a pure array projection
         (size(array_distinct(grams)) — no explode), joined to the
         id-keyed match table via broadcast of the SMALL side.
-    """
-    grams = F.when(
-        F.size(F.split(_normalized(text_col), " ")) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(F.split(_normalized(text_col), " ")) - n),
-            lambda i: F.concat_ws(
-                " ",
-                *[F.element_at(F.split(_normalized(text_col), " "), i + j + 1) for j in range(n)],
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
 
-    p_sh = word_shingles(probe, id_col, text_col, n).select(
-        F.col(id_col).alias(probe_alias), "shingle"
+    ``max_probe_freq`` is the fan-out cap (the probe-side analog of
+    ``ngram_jaccard_pairs``' ``max_doc_freq``): shingles present in
+    more than that many PROBE docs are stop-shingles — each corpus
+    occurrence of one fans out to every probe doc containing it, which
+    on low-entropy text (boilerplate, tiny vocabularies) turns the
+    matched slice into corpus x probe. With the cap, both sides'
+    shingle-set sizes consistently exclude the dropped stop-shingles
+    (the stop set is bounded by the probe vocabulary, so shipping it
+    into the corpus-size projection is one small, documented driver
+    round-trip) — the same consistent-underestimate semantics as
+    stop-shingle removal in the symmetric operator. Default None keeps
+    the metric exact.
+    """
+    # distinct-shingle COUNTS never need the shingle strings: a
+    # higher-order transform building concat_ws strings per element is
+    # interpreted (no codegen inside lambdas) and measured 10x slower
+    # than zipping n shifted slices into struct triples — identical
+    # distinct count (tokens cannot contain the separator post-split)
+    toks = F.split(_normalized(text_col), " ")
+    # clamp: slice() under ANSI rejects negative lengths on short docs
+    win = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(
+        *[F.slice(toks, j + 1, win) for j in range(n)]
     )
+
+    from ..operators.caching import track_persist
+
+    # lift the scan to full parallelism ONCE, for every subtree: the
+    # operator builds several corpus-derived branches (match slice,
+    # size projection, broadcast builds) and on a coarse input each
+    # would otherwise run its text-heavy row work single-threaded in
+    # sequence (broadcast builds serialize) — measured 13s -> ~4s at
+    # sf0.1 on a 1-file corpus
+    corpus = _ensure_parallelism(corpus)
+    probe = _ensure_parallelism(probe)
+
+    # probe shingles and the match table are both small (probe-batch /
+    # match-pair sized) but their LINEAGES contain the corpus explode;
+    # persisted, each broadcast build and the final assembly read the
+    # few-KB cache instead of re-running the shingle subtrees
+    p_sh = track_persist(word_shingles(probe, id_col, text_col, n).select(
+        F.col(id_col).alias(probe_alias), "shingle"
+    ))
+    stop: list[str] = []
+    if max_probe_freq is not None:
+        freq = p_sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("pf"))
+        # bounded collect: the stop set is a subset of the (eval-batch
+        # sized) probe vocabulary, like the IVF centroid round-trip
+        stop = [r.shingle for r in freq.filter(F.col("pf") > max_probe_freq).collect()]
+        if stop:
+            p_sh = p_sh.join(
+                F.broadcast(freq.filter(F.col("pf") <= max_probe_freq).select("shingle")),
+                on="shingle", how="left_semi",
+            )
     p_sizes = p_sh.groupBy(probe_alias).agg(F.count(F.lit(1)).alias("__np__"))
 
     matches = (
@@ -767,9 +816,30 @@ def ngram_probe_pairs(
     )
     if exclude_self:
         matches = matches.filter(F.col(id_col) != F.col(probe_alias))
+    matches = track_persist(matches)
 
+    if stop:
+        # the stop set must come off the corpus counts too; rebuild the
+        # string shingles only on this (capped) path, where the
+        # array_except needs them
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                zipped,
+                lambda t: F.concat_ws(" ", *[t[str(j)] for j in range(n)]),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        sized = F.size(
+            F.array_except(
+                F.array_distinct(grams), F.array(*[F.lit(t) for t in stop])
+            )
+        )
+    else:
+        sized = F.when(
+            F.size(toks) >= n, F.size(F.array_distinct(zipped))
+        ).otherwise(F.lit(0))
     c_sizes = corpus.select(
-        F.col(id_col), F.size(F.array_distinct(grams)).cast("long").alias("__nc__")
+        F.col(id_col), sized.cast("long").alias("__nc__")
     )
     jac = F.col("__inter__").cast("double") / (
         F.col("__nc__") + F.col("__np__") - F.col("__inter__")

@@ -223,7 +223,7 @@ def test_pretraining_pipeline_probes_shingles_once(spark):
     import re
 
     p = _plan(spark, "pretraining_pipeline")
-    ids = re.findall(r"Generate explode\(transform\(sequence\(0, \(size\((\w+#\d+)", p)
+    ids = re.findall(r"Generate explode\(transform\(arrays_zip\(slice\((\w+#\d+)", p)
     assert ids, "expected the shingle explode pair in the plan"
     assert len(set(ids)) == 2, f"probe subtree cloned: {sorted(set(ids))}"
 
@@ -238,6 +238,6 @@ def test_pair_metrics_single_inverted_index_pass(spark):
     import re
 
     p = _plan(spark, "dedup_pair_metrics")
-    ids = re.findall(r"Generate explode\(transform\(sequence\(0, \(size\((\w+#\d+)", p)
+    ids = re.findall(r"Generate explode\(transform\(arrays_zip\(slice\((\w+#\d+)", p)
     assert ids, "expected the shingle explode in the plan"
     assert len(set(ids)) == 1, f"inverted index rebuilt: {sorted(set(ids))}"

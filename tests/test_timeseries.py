@@ -252,3 +252,47 @@ def test_ngram_probe_matches_symmetric_jaccard(spark):
     assert got == want
     assert got, "fixture has no near-dup probe pairs"
     assert all(d != p for d, p, _ in got)  # self-pairs excluded
+
+
+def test_ngram_probe_cap_matches_filtered_reference(spark):
+    """max_probe_freq drops probe stop-shingles from BOTH sides'
+    statistics: the capped output equals a brute-force jaccard over
+    shingle sets with those shingles removed."""
+    import re
+
+    from clinical_data_lake_spark.llm.dedup import ngram_probe_pairs
+
+    boiler = "all rights reserved by the corpus"
+    docs = [
+        (i, f"{boiler} unique words number {i} alpha beta gamma delta {i}")
+        for i in range(6)
+    ] + [(10, "alpha beta gamma delta epsilon unique words number 1")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    probe = df.filter("doc_id < 6")
+
+    def sh(t):
+        w = re.sub(r"\s+", " ", t.lower().strip()).split(" ")
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    sets = {d: sh(t) for d, t in docs}
+    cap = 3
+    from collections import Counter
+
+    pf = Counter(s for d, t in docs if d < 6 for s in sets[d])
+    stop = {s for s, c in pf.items() if c > cap}
+    fsets = {d: sets[d] - stop for d in sets}
+    want = sorted(
+        (c, p, round(len(fsets[c] & fsets[p]) / len(fsets[c] | fsets[p]), 9))
+        for c in sets for p in sets
+        if p < 6 and c != p and fsets[c] | fsets[p]
+        and len(fsets[c] & fsets[p]) / len(fsets[c] | fsets[p]) >= 0.05
+    )
+    got = sorted(
+        (r.doc_id, r.probe_id, round(r.jaccard, 9))
+        for r in ngram_probe_pairs(
+            df, probe, threshold=0.05, max_probe_freq=cap
+        ).collect()
+    )
+    assert got == want
+    assert stop, "fixture must actually trigger the cap"
+    assert got, "capped fixture still has qualifying pairs"
