@@ -1518,6 +1518,15 @@ def q_dedup_probe(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_gini(spark: SparkSession, sf: str) -> DataFrame:
+    """Gini concentration of per-user event volume
+    (operators/aggregates.py:gini_concentration) — bucketed prefix-sum
+    ranks, decimal-exact rank*value reduction."""
+    ev = read_table(spark, sf, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    return agg.gini_concentration(per_user, "n_events", "user_id")
+
+
 def q_rolling_corr(spark: SparkSession, sf: str) -> DataFrame:
     """Trailing-20 serial correlation of event values per user
     (operators/windows.py:rolling_corr): x = value, y = previous
@@ -1789,6 +1798,7 @@ QUERIES = {
     "calibration": q_calibration,
     "seasonality": q_seasonality,
     "rolling_corr": q_rolling_corr,
+    "gini": q_gini,
     "ml_standardize": q_ml_standardize,
     "feature_drift": q_feature_drift,
     "budget_select": q_budget_select,
@@ -2078,6 +2088,29 @@ _ANN_RECALL_SQL = f"""
 
 ORACLES = {
     "ann_recall": _ANN_RECALL_SQL,
+    "gini": """
+        WITH per_user AS (
+            SELECT user_id, count(*) AS x FROM events GROUP BY user_id
+        ),
+        ranked AS (
+            SELECT CAST(x AS DOUBLE) AS x,
+                   row_number() OVER (ORDER BY CAST(x AS DOUBLE), user_id) AS rk
+            FROM per_user
+        ),
+        agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS total,
+                   CAST(sum(CAST(CAST(rk AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,6))
+                                 AS DECIMAL(38,6))) AS DOUBLE) AS s
+            FROM ranked
+        )
+        SELECT n, round(total, 6) AS total,
+               CASE WHEN n > 0 AND total > 0
+                    THEN round(2.0 * s / (CAST(n AS DOUBLE) * total)
+                               - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6)
+                    ELSE 0.0 END AS gini
+        FROM agg
+    """,
     "rolling_corr": """
         WITH paired AS (
             SELECT event_id, user_id, ts, value,

@@ -396,3 +396,74 @@ def hll_merge(
         .cast("long")
         .alias(estimate_alias)
     )
+
+
+def gini_concentration(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    num_buckets: int = 64,
+    digits: int = 6,
+) -> DataFrame:
+    """Gini coefficient of a non-negative quantity across entities —
+    the concentration read-out (is all usage/cost/volume coming from a
+    handful of users?): 0 = perfectly even, (n-1)/n = one entity holds
+    everything. Returns ONE row (n, total, gini) via the rank formula
+
+        G = 2 * sum(rank_i * x_i) / (n * sum(x)) - (n + 1) / n
+
+    with ranks 1..n ascending by (value, id). Tie order between equal
+    values cannot change the sum, so any consistent total order gives
+    the exact statistic.
+
+    Scale shape: global ranks come from the same bucketed prefix-sum
+    as ``ml.train.auc_exact`` (range-bucket on the value, per-bucket
+    counts, a window over the <= num_buckets-row bucket table, an
+    in-bucket row_number) — no entity-scale data ever crosses a
+    SinglePartition exchange. rank*x products sum as decimals, so the
+    one-row reduction is exact at any count.
+    """
+    from pyspark.sql import Window
+
+    vals = df.select(F.col(id_col).alias("__id__"), F.col(value_col).cast("double").alias("__x__"))
+    bounds = vals.agg(F.min("__x__").alias("__lo__"), F.max("__x__").alias("__hi__"))
+    width = F.greatest(
+        (F.col("__hi__") - F.col("__lo__")) / F.lit(float(num_buckets)),
+        F.lit(1e-12),
+    )
+    bucketed = (
+        vals.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "__bkt__",
+            F.least(
+                F.floor((F.col("__x__") - F.col("__lo__")) / width),
+                F.lit(num_buckets - 1),
+            ),
+        )
+        .drop("__lo__", "__hi__")
+    )
+    counts = bucketed.groupBy("__bkt__").agg(F.count(F.lit(1)).alias("__bn__"))
+    w_off = Window.orderBy("__bkt__").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__bkt__",
+        F.coalesce(F.sum("__bn__").over(w_off), F.lit(0)).cast("long").alias("__off__"),
+    )
+    w_local = Window.partitionBy("__bkt__").orderBy("__x__", "__id__")
+    ranked = (
+        bucketed.join(F.broadcast(offsets), on="__bkt__")
+        .withColumn("__rk__", F.row_number().over(w_local) + F.col("__off__"))
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("__x__").cast("decimal(28,6)")).cast("double").alias("total"),
+        F.sum(
+            (F.col("__rk__").cast("decimal(18,0)")
+             * F.col("__x__").cast("decimal(18,6)")).cast("decimal(38,6)")
+        ).cast("double").alias("__s__"),
+    )
+    n, t, srk = F.col("n").cast("double"), F.col("total"), F.col("__s__")
+    gini = F.when(
+        (F.col("n") > 0) & (t > 0),
+        F.round(F.lit(2.0) * srk / (n * t) - (n + 1.0) / n, digits),
+    ).otherwise(F.lit(0.0))
+    return agg.select("n", F.round(t, digits).alias("total"), gini.alias("gini"))

@@ -230,3 +230,37 @@ def test_seasonal_profile_closed_form(spark):
     overall = 70.0 / 3
     assert out[0].seasonal_index == pytest.approx(round(15.0 / overall, 6))
     assert out[1].seasonal_index == pytest.approx(round(40.0 / overall, 6))
+
+
+def test_gini_closed_forms(spark):
+    from clinical_data_lake_spark.operators.aggregates import gini_concentration
+
+    # perfectly even -> 0
+    even = spark.createDataFrame([(i, 10.0) for i in range(50)], ["id", "x"])
+    assert gini_concentration(even, "x", "id").head().gini == 0.0
+
+    # one entity holds everything -> (n-1)/n
+    solo = spark.createDataFrame(
+        [(0, 100.0)] + [(i, 0.0) for i in range(1, 10)], ["id", "x"]
+    )
+    r = gini_concentration(solo, "x", "id").head()
+    assert r.gini == pytest.approx(9 / 10, abs=1e-6)
+
+    # textbook example: x = [1,2,3,4] -> G = 0.25
+    tb = spark.createDataFrame([(i, float(i)) for i in (1, 2, 3, 4)], ["id", "x"])
+    assert gini_concentration(tb, "x", "id").head().gini == pytest.approx(0.25, abs=1e-6)
+
+
+def test_gini_tie_order_invariant(spark):
+    """Heavy ties under different partitionings: the statistic cannot
+    depend on the arbitrary order among equal values."""
+    from clinical_data_lake_spark.operators.aggregates import gini_concentration
+
+    rows = [(i, float(i % 5)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "x"])
+    g1 = gini_concentration(df, "x", "id").head().gini
+    g2 = gini_concentration(df.repartition(13), "x", "id").head().gini
+    want_sorted = sorted(x for _, x in rows)
+    n, t = len(rows), sum(want_sorted)
+    ref = 2 * sum((i + 1) * x for i, x in enumerate(want_sorted)) / (n * t) - (n + 1) / n
+    assert g1 == g2 == pytest.approx(ref, abs=1e-6)
