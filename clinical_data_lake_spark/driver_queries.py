@@ -1518,6 +1518,14 @@ def q_dedup_probe(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_class_keywords(spark: SparkSession, sf: str) -> DataFrame:
+    """c-TF-IDF distinctive terms per source slice
+    (functions/text.py:class_tfidf_terms), top 5 per class."""
+    return text.class_tfidf_terms(
+        read_table(spark, sf, "documents"), "source", top_k=5
+    )
+
+
 def q_gini(spark: SparkSession, sf: str) -> DataFrame:
     """Gini concentration of per-user event volume
     (operators/aggregates.py:gini_concentration) — bucketed prefix-sum
@@ -1799,6 +1807,7 @@ QUERIES = {
     "seasonality": q_seasonality,
     "rolling_corr": q_rolling_corr,
     "gini": q_gini,
+    "class_keywords": q_class_keywords,
     "ml_standardize": q_ml_standardize,
     "feature_drift": q_feature_drift,
     "budget_select": q_budget_select,
@@ -2088,6 +2097,34 @@ _ANN_RECALL_SQL = f"""
 
 ORACLES = {
     "ann_recall": _ANN_RECALL_SQL,
+    "class_keywords": """
+        WITH raw AS (
+            SELECT source AS cls,
+                   unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT cls, term, count(*) AS tf FROM raw
+            WHERE term != '' GROUP BY cls, term
+        ),
+        mass AS (SELECT cls, sum(tf) AS m FROM tf GROUP BY cls),
+        a AS (SELECT CAST(sum(m) AS DOUBLE) / count(*) AS a FROM mass),
+        ft AS (SELECT term, sum(tf) AS ft FROM tf GROUP BY term),
+        scored AS (
+            SELECT tf.cls AS source, tf.term,
+                   round((CAST(tf.tf AS DOUBLE) / CAST(mass.m AS DOUBLE))
+                         * ln(1.0 + a.a / CAST(ft.ft AS DOUBLE)), 6) AS w
+            FROM tf
+            JOIN mass USING (cls)
+            JOIN ft USING (term)
+            CROSS JOIN a
+        )
+        SELECT source, term, w, CAST(rnk AS BIGINT) AS rnk FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY source ORDER BY w DESC, term) AS rnk
+            FROM scored
+        ) WHERE rnk <= 5
+    """,
     "gini": """
         WITH per_user AS (
             SELECT user_id, count(*) AS x FROM events GROUP BY user_id

@@ -436,3 +436,62 @@ def bm25_scores(
             F.coalesce("score", F.lit(0.0)).alias("score"),
         )
     )
+
+
+def class_tfidf_terms(
+    docs,
+    class_col: str,
+    text_col: str = "text",
+    top_k: int = 10,
+    round_to: int = 6,
+):
+    """Class-based TF-IDF (the BERTopic c-TF-IDF formulation): the
+    most DISTINCTIVE terms per corpus slice (source, language, topic
+    cluster) — the labeling/readout step after any corpus grouping:
+
+        w(t, c) = tf_norm(t, c) * ln(1 + A / f_t)
+
+    with ``tf_norm`` the term's share of class c's token mass, ``f_t``
+    the term's total count across classes, and ``A`` the average
+    per-class token mass. Returns the top ``top_k``
+    (class, term, w) per class, deterministic (weight desc, term asc).
+
+    One explode + one (class, term) aggregation — everything after
+    runs on the vocabulary-by-classes table: class masses, the 1-row
+    A, per-term totals (a term-keyed self-aggregation), and a top-k
+    window partitioned by class. The corpus is scanned once.
+    """
+    from ..operators.caching import track_persist
+    from pyspark.sql import Window
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    tf = track_persist(
+        docs.select(F.col(class_col).alias("cls"), F.explode(F.split(norm, " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("cls", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    mass = tf.groupBy("cls").agg(F.sum("tf").alias("__m__"))
+    a_row = mass.agg(
+        (F.sum("__m__").cast("double") / F.count(F.lit(1))).alias("__a__")
+    )
+    ft = tf.groupBy("term").agg(F.sum("tf").alias("__ft__"))
+    w = F.round(
+        (F.col("tf").cast("double") / F.col("__m__").cast("double"))
+        * F.log(F.lit(1.0) + F.col("__a__") / F.col("__ft__").cast("double")),
+        round_to,
+    )
+    scored = (
+        tf.join(F.broadcast(mass), on="cls")
+        .join(ft, on="term")
+        .crossJoin(F.broadcast(a_row))
+        .select(F.col("cls").alias(class_col), "term", w.alias("w"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy(class_col).orderBy(F.desc("w"), F.asc("term"))
+    )
+    return (
+        scored.withColumn("rnk", rk)
+        .filter(F.col("rnk") <= top_k)
+        .select(class_col, "term", "w", F.col("rnk").cast("long").alias("rnk"))
+    )

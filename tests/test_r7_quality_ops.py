@@ -267,3 +267,43 @@ class TestRRF:
         out = rrf_fuse(a, b, "id", top=5).collect()
         # equal contributions tie -> id tiebreak picks the smallest ids
         assert [r.id for r in out] == [0, 100, 1, 101, 2]
+
+
+class TestClassTfidf:
+    def test_distinctive_terms_rank_first(self, spark):
+        """A term exclusive to one class must out-rank terms shared by
+        every class within that class's keyword list."""
+        from clinical_data_lake_spark.functions.text import class_tfidf_terms
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a", "common words everywhere plus warfarin warfarin"),
+                (2, "a", "common words everywhere plus warfarin dosing"),
+                (3, "b", "common words everywhere plus metformin metformin"),
+                (4, "b", "common words everywhere plus metformin dosing"),
+            ],
+            ["doc_id", "cls", "text"],
+        )
+        out = class_tfidf_terms(docs, "cls", top_k=3).collect()
+        top = {r.cls: [x.term for x in sorted(out, key=lambda y: y.rnk) if x.cls == r.cls]
+               for r in out}
+        assert top["a"][0] == "warfarin"
+        assert top["b"][0] == "metformin"
+        # shared filler never beats the class-exclusive term
+        for cls in ("a", "b"):
+            assert "common" not in top[cls][:1]
+
+    def test_top_k_and_determinism(self, spark):
+        from clinical_data_lake_spark.functions.text import class_tfidf_terms
+
+        docs = spark.createDataFrame(
+            [(i, f"c{i % 3}", f"w{i % 7} w{(i + 1) % 7} shared") for i in range(60)],
+            ["doc_id", "cls", "text"],
+        )
+        out1 = sorted(map(tuple, class_tfidf_terms(docs, "cls", top_k=4).collect()))
+        out2 = sorted(map(tuple, class_tfidf_terms(docs.repartition(7), "cls", top_k=4).collect()))
+        assert out1 == out2
+        per_cls = {}
+        for cls, term, w, rnk in out1:
+            per_cls.setdefault(cls, []).append(rnk)
+        assert all(sorted(v) == list(range(1, 5)) for v in per_cls.values())
