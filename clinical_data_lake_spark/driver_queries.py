@@ -247,6 +247,24 @@ def q_join_asof(spark: SparkSession, sf: str) -> DataFrame:
     ).select("event_id", "user_id", "o_orderkey", "o_totalprice")
 
 
+def q_join_asof_tol(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join with a 7-day staleness tolerance (the pandas
+    merge_asof(tolerance=...) semantic): matches older than the bound
+    null out their carried values, the event row itself is kept."""
+    ev = read_table(spark, sf, "events").select("event_id", "user_id", "ts")
+    o = read_table(spark, sf, "orders")
+    latest_per_day = windows.top_per_group(
+        o.select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"),
+        ["o_custkey", "o_orderdate"], [F.desc("o_orderkey")], n=1,
+    ).drop("rn")
+    return joins.asof_join(
+        ev, latest_per_day.withColumnRenamed("o_custkey", "user_id"),
+        key="user_id", left_ts="ts", right_ts="o_orderdate",
+        right_value_cols=["o_orderkey", "o_totalprice"],
+        tolerance_s=7 * 86400,
+    ).select("event_id", "user_id", "o_orderkey", "o_totalprice")
+
+
 def q_join_range(spark: SparkSession, sf: str) -> DataFrame:
     """Binned range join (custom operator): events whose value falls in
     a +-5 band around each supplier's scaled account balance. The
@@ -1808,6 +1826,7 @@ QUERIES = {
     "rolling_corr": q_rolling_corr,
     "gini": q_gini,
     "class_keywords": q_class_keywords,
+    "join_asof_tol": q_join_asof_tol,
     "ml_standardize": q_ml_standardize,
     "feature_drift": q_feature_drift,
     "budget_select": q_budget_select,
@@ -2845,6 +2864,26 @@ ORACLES = {
             SELECT 1 FROM orders o
             WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority LIKE '%URGENT%'
         )
+    """,
+    "join_asof_tol": """
+        WITH ranked AS (
+            SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY o_custkey, o_orderdate
+                       ORDER BY o_orderkey DESC) AS rn
+            FROM orders
+        ),
+        latest AS (SELECT * FROM ranked WHERE rn = 1)
+        SELECT e.event_id, e.user_id,
+               CASE WHEN CAST(latest.o_orderdate AS TIMESTAMP)
+                         >= e.ts - INTERVAL 604800 SECONDS
+                    THEN latest.o_orderkey END AS o_orderkey,
+               CASE WHEN CAST(latest.o_orderdate AS TIMESTAMP)
+                         >= e.ts - INTERVAL 604800 SECONDS
+                    THEN latest.o_totalprice END AS o_totalprice
+        FROM events e
+        ASOF LEFT JOIN latest
+          ON e.user_id = latest.o_custkey AND e.ts >= latest.o_orderdate
     """,
     "join_asof": """
         WITH ranked AS (

@@ -76,6 +76,7 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_value_cols: Sequence[str],
+    tolerance_s: int | None = None,
 ) -> DataFrame:
     """As-of join: each left row picks up the LATEST right row of the
     same key with ``right_ts <= left_ts`` (inclusive). Spark has no
@@ -95,6 +96,13 @@ def asof_join(
     pre-aggregate or rank-dedupe ties first, else "latest" is
     ill-defined (and engines disagree). Left rows with no prior right
     row emit nulls.
+
+    ``tolerance_s`` is the pandas ``merge_asof(tolerance=...)``
+    staleness bound: a match older than that many seconds before the
+    left timestamp emits nulls instead (the left row itself is kept) —
+    a carried vital/price from last year should not decorate today's
+    event. Implemented by carrying the matched right timestamp in the
+    same struct; no extra shuffle.
     """
     from pyspark.sql import Window
 
@@ -105,7 +113,7 @@ def asof_join(
         F.lit(1).alias("__side__"),
         F.struct(*lcols).alias("__lrow__"),
         F.lit(None).cast(
-            "struct<" + ", ".join(
+            "struct<__rts__: timestamp, " + ", ".join(
                 f"{c}: {right.schema[c].dataType.simpleString()}" for c in right_value_cols
             ) + ">"
         ).alias("__rval__"),
@@ -115,7 +123,9 @@ def asof_join(
         F.col(right_ts).cast("timestamp").alias("__ts__"),
         F.lit(0).alias("__side__"),
         F.lit(None).cast(l_tagged.schema["__lrow__"].dataType.simpleString()).alias("__lrow__"),
-        F.struct(*right_value_cols).alias("__rval__"),
+        F.struct(
+            F.col(right_ts).cast("timestamp").alias("__rts__"), *right_value_cols
+        ).alias("__rval__"),
     )
     u = l_tagged.unionByName(r_tagged)
     w = (
@@ -124,12 +134,21 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = u.select(
-        "__side__", "__lrow__",
+        "__side__", "__lrow__", "__ts__",
         F.last("__rval__", ignorenulls=True).over(w).alias("__rmatch__"),
     )
+    if tolerance_s is None:
+        rcols = [F.col(f"__rmatch__.{c}").alias(c) for c in right_value_cols]
+    else:
+        fresh = F.col("__rmatch__.__rts__") >= (
+            F.col("__ts__") - F.expr(f"INTERVAL {int(tolerance_s)} SECONDS")
+        )
+        rcols = [
+            F.when(fresh, F.col(f"__rmatch__.{c}")).alias(c)
+            for c in right_value_cols
+        ]
     out = carried.filter(F.col("__side__") == 1).select(
-        *[F.col(f"__lrow__.{c}").alias(c) for c in lcols],
-        *[F.col(f"__rmatch__.{c}").alias(c) for c in right_value_cols],
+        *[F.col(f"__lrow__.{c}").alias(c) for c in lcols], *rcols
     )
     return out
 

@@ -307,3 +307,41 @@ class TestClassTfidf:
         for cls, term, w, rnk in out1:
             per_cls.setdefault(cls, []).append(rnk)
         assert all(sorted(v) == list(range(1, 5)) for v in per_cls.values())
+
+
+class TestAsofTolerance:
+    def test_stale_matches_null_out(self, spark):
+        import datetime as dt
+
+        from clinical_data_lake_spark.operators.joins import asof_join
+
+        t0 = dt.datetime(2024, 1, 10)
+        left = spark.createDataFrame(
+            [(1, 7, t0), (2, 7, t0 + dt.timedelta(days=5))],
+            ["eid", "k", "ts"],
+        )
+        right = spark.createDataFrame(
+            [(7, t0 - dt.timedelta(days=2), 100.0)], ["k", "rts", "val"]
+        )
+        out = {
+            r.eid: r.val
+            for r in asof_join(
+                left, right, "k", "ts", "rts", ["val"], tolerance_s=3 * 86400
+            ).collect()
+        }
+        assert out[1] == 100.0       # 2 days old: within the 3-day bound
+        assert out[2] is None        # 7 days old: stale -> nulled, row kept
+        assert len(out) == 2
+
+    def test_no_tolerance_unchanged(self, spark):
+        import datetime as dt
+
+        from clinical_data_lake_spark.operators.joins import asof_join
+
+        t0 = dt.datetime(2024, 1, 10)
+        left = spark.createDataFrame([(1, 7, t0)], ["eid", "k", "ts"])
+        right = spark.createDataFrame(
+            [(7, t0 - dt.timedelta(days=365), 5.0)], ["k", "rts", "val"]
+        )
+        r = asof_join(left, right, "k", "ts", "rts", ["val"]).head()
+        assert r.val == 5.0  # without tolerance, arbitrarily old matches carry
