@@ -1536,6 +1536,15 @@ def q_dedup_probe(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_quantile_norm(spark: SparkSession, sf: str) -> DataFrame:
+    """Global percent-rank normalization of event values
+    (ml/featurize.py:quantile_normalize) — oracle is SQL's native
+    percent_rank(), which the operator refuses to compute as a
+    single-partition window."""
+    ev = read_table(spark, sf, "events").select("event_id", "value")
+    return ml_featurize.quantile_normalize(ev, "value").select("event_id", "pct")
+
+
 def q_class_keywords(spark: SparkSession, sf: str) -> DataFrame:
     """c-TF-IDF distinctive terms per source slice
     (functions/text.py:class_tfidf_terms), top 5 per class."""
@@ -1827,6 +1836,7 @@ QUERIES = {
     "gini": q_gini,
     "class_keywords": q_class_keywords,
     "join_asof_tol": q_join_asof_tol,
+    "quantile_norm": q_quantile_norm,
     "ml_standardize": q_ml_standardize,
     "feature_drift": q_feature_drift,
     "budget_select": q_budget_select,
@@ -2116,6 +2126,11 @@ _ANN_RECALL_SQL = f"""
 
 ORACLES = {
     "ann_recall": _ANN_RECALL_SQL,
+    "quantile_norm": """
+        SELECT event_id,
+               round(percent_rank() OVER (ORDER BY CAST(value AS DOUBLE)), 6) AS pct
+        FROM events
+    """,
     "class_keywords": """
         WITH raw AS (
             SELECT source AS cls,

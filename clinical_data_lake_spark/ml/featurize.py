@@ -190,3 +190,79 @@ def standardize(
         )
         out = out.withColumn(f"{c}{suffix}", z)
     return out.drop(*[f"__m_{c}__" for c in cols] + [f"__s_{c}__" for c in cols])
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    alias: str = "pct",
+    num_buckets: int = 64,
+    digits: int = 6,
+) -> DataFrame:
+    """Global percent-rank transform of a column — map every value to
+    its empirical quantile in [0, 1] (SQL ``percent_rank()``
+    semantics: (rank - 1)/(n - 1), ties share the min rank). The
+    standard monotone normalization before non-parametric models and
+    for making scores comparable across heterogeneous cohorts.
+
+    A naive ``percent_rank().over(Window.orderBy(col))`` is a
+    single-partition sort of the whole table. Here ranks come from the
+    distinct-value table (one groupBy), whose cumulative counts use
+    the same bucketed prefix-sum as ``auc_exact``; rows then pick up
+    their value's rank with one value-keyed join. No row-scale data
+    crosses a SinglePartition exchange.
+    """
+    from pyspark.sql import Window
+
+    vals = df.groupBy(F.col(value_col).cast("double").alias("__v__")).agg(
+        F.count(F.lit(1)).alias("__cnt__")
+    )
+    bounds = vals.agg(F.min("__v__").alias("__lo__"), F.max("__v__").alias("__hi__"))
+    width = F.greatest(
+        (F.col("__hi__") - F.col("__lo__")) / F.lit(float(num_buckets)),
+        F.lit(1e-12),
+    )
+    bucketed = (
+        vals.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "__bkt__",
+            F.least(
+                F.floor((F.col("__v__") - F.col("__lo__")) / width),
+                F.lit(num_buckets - 1),
+            ),
+        )
+        .drop("__lo__", "__hi__")
+    )
+    btotals = bucketed.groupBy("__bkt__").agg(F.sum("__cnt__").alias("__bt__"))
+    w_off = Window.orderBy("__bkt__").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = btotals.select(
+        "__bkt__",
+        F.coalesce(F.sum("__bt__").over(w_off), F.lit(0)).cast("long").alias("__off__"),
+    )
+    w_local = (
+        Window.partitionBy("__bkt__")
+        .orderBy("__v__")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_row = vals.agg(F.sum("__cnt__").alias("__n__"))
+    ranked = (
+        bucketed.join(F.broadcast(offsets), on="__bkt__")
+        .withColumn(
+            "__below__",
+            F.col("__off__") + F.coalesce(F.sum("__cnt__").over(w_local), F.lit(0)),
+        )
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "__v__",
+            F.when(
+                F.col("__n__") > 1,
+                F.round(
+                    F.col("__below__").cast("double") / (F.col("__n__") - 1), digits
+                ),
+            ).otherwise(F.lit(0.0)).alias(alias),
+        )
+    )
+    return df.join(
+        ranked.withColumnRenamed("__v__", "__qn_v__"),
+        on=F.col(value_col).cast("double") == F.col("__qn_v__"),
+    ).drop("__qn_v__")

@@ -264,3 +264,34 @@ def test_gini_tie_order_invariant(spark):
     n, t = len(rows), sum(want_sorted)
     ref = 2 * sum((i + 1) * x for i, x in enumerate(want_sorted)) / (n * t) - (n + 1) / n
     assert g1 == g2 == pytest.approx(ref, abs=1e-6)
+
+
+def test_quantile_normalize_closed_form_and_plan(spark):
+    from clinical_data_lake_spark.ml.featurize import quantile_normalize
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 20.0), (4, 30.0), (5, 40.0)], ["id", "v"]
+    )
+    out = {r.id: r.pct for r in quantile_normalize(df, "v").collect()}
+    # percent_rank: (min_rank-1)/(n-1); ties share the min rank
+    assert out[1] == 0.0
+    assert out[2] == out[3] == 0.25
+    assert out[4] == 0.75
+    assert out[5] == 1.0
+
+    # plan: no row-scale SinglePartition window — the only global
+    # pieces are the bounded bucket/total tables
+    big = spark.range(20000).select(
+        F.col("id").alias("rid"), (F.col("id") % 977).cast("double").alias("v")
+    )
+    plan = quantile_normalize(big, "v")._jdf.queryExecution().executedPlan().toString()
+    assert "percent_rank" not in plan
+    assert plan.count("Window [") <= 2  # offsets prefix + in-bucket below
+
+
+def test_quantile_normalize_single_value(spark):
+    from clinical_data_lake_spark.ml.featurize import quantile_normalize
+
+    df = spark.createDataFrame([(1, 7.0), (2, 7.0)], ["id", "v"])
+    out = quantile_normalize(df, "v").collect()
+    assert all(r.pct == 0.0 for r in out)  # n distinct=1 -> everyone at 0
