@@ -1244,6 +1244,116 @@ def q_cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
     return cdc.apply_changes(snap, changes, keys="c_custkey")
 
 
+def q_table_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Post-migration reconciliation: diff the customer snapshot
+    against its CDC-applied successor — per-metric and per-column
+    change counts from ONE full-outer join + one global aggregate
+    (operators/quality.py:table_diff)."""
+    snap = read_table(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    changes = read_table(spark, sf, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.concat(F.lit("upd-"), F.col("o_orderkey").cast("string")).alias("c_name"),
+        F.col("o_totalprice").alias("c_acctbal"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+    )
+    from .operators import quality as dq
+
+    new = cdc.apply_changes(snap, changes, keys="c_custkey")
+    return dq.table_diff(snap, new, keys=["c_custkey"])
+
+
+def q_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
+    """Privacy release gate: k-anonymity / l-diversity audit of the
+    customer extract on (nation, market-segment) quasi-identifiers
+    with account balance as the sensitive attribute — two-stage
+    rollup, nothing driver-side (operators/quality.py:
+    k_anonymity_report)."""
+    from .operators import quality as dq
+
+    cust = read_table(spark, sf, "customer")
+    return dq.k_anonymity_report(
+        cust, ["c_nationkey", "c_mktsegment"], k=5, sensitive_col="c_acctbal"
+    )
+
+
+def q_robust_scale(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-returnflag median/IQR scaling of quantity and price
+    (ml/featurize.py:robust_scale): exact quartiles broadcast back,
+    fact never shuffles — standardize's outlier-resistant sibling."""
+    li = read_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    out = ml_featurize.robust_scale(
+        li, ["l_quantity", "l_extendedprice"], keys=["l_returnflag"]
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        F.col("l_quantity_r").alias("qty_r"),
+        F.col("l_extendedprice_r").alias("price_r"),
+    )
+
+
+def q_target_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """Smoothed target encoding of order priority by order value —
+    per-level decimal (count, sum) broadcast back, empirical-Bayes
+    shrinkage toward the global mean (ml/featurize.py:target_encode)."""
+    o = read_table(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderpriority").alias("priority"),
+        "o_totalprice",
+    )
+    enc = ml_featurize.target_encode(
+        o, "priority", "o_totalprice", smoothing=20.0, out_col="enc"
+    )
+    return enc.select("orderkey", "priority", "enc")
+
+
+def _order_status_feed(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared change feed for the SCD2 queries: each order observes the
+    customer's (status, priority) on its order date."""
+    return read_table(spark, sf, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("seq"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+
+
+def q_scd2_build(spark: SparkSession, sf: str) -> DataFrame:
+    """Type-2 slowly-changing dimension from an observation feed:
+    change-only compaction (null-safe), half-open validity intervals,
+    one key shuffle shared by the compaction lag and the closing lead
+    (operators/cdc.py:scd2_build)."""
+    feed = _order_status_feed(spark, sf)
+    return cdc.scd2_build(
+        feed, keys="custkey", attr_cols=["status", "priority"],
+        ts_col="ts", seq_col="seq",
+    )
+
+
+def q_scd2_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time enrichment vs the SCD2 dimension: what was this
+    customer's observed (status, priority) 30 days before each order?
+    Broadcast interval join; facts never shuffle; probes before the
+    first version keep NULL attributes (operators/cdc.py:scd2_lookup)."""
+    feed = _order_status_feed(spark, sf)
+    dim = cdc.scd2_build(
+        feed, keys="custkey", attr_cols=["status", "priority"],
+        ts_col="ts", seq_col="seq",
+    )
+    facts = read_table(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_custkey").alias("custkey"),
+        (F.col("o_orderdate") - F.expr("INTERVAL 30 DAYS")).alias("probe_day"),
+    )
+    out = cdc.scd2_lookup(facts, dim, keys="custkey", fact_ts="probe_day")
+    return out.select("orderkey", "custkey", "probe_day", "status", "priority")
+
+
 def q_resample_gapfill(spark: SparkSession, sf: str) -> DataFrame:
     """Calendar-dense daily rollup per user: zero-filled counts, exact
     decimal day sums, LOCF carry across gap days (time_bucket_gapfill
@@ -1819,6 +1929,12 @@ def q_winsorize(spark: SparkSession, sf: str) -> DataFrame:
 # but the driver row is the hard signal). Everything certified r4-r6
 # rotates to 51+.
 QUERIES = {
+    "scd2_build": q_scd2_build,
+    "scd2_lookup": q_scd2_lookup,
+    "table_diff": q_table_diff,
+    "k_anonymity": q_k_anonymity,
+    "target_encode": q_target_encode,
+    "robust_scale": q_robust_scale,
     "survival_km": q_survival_km,
     "survival_logrank": q_survival_logrank,
     "auc_exact": q_auc_exact,
@@ -3843,6 +3959,140 @@ FROM final f JOIN ordered o USING (doc_id) JOIN packed p USING (doc_id)
             WHERE c_custkey NOT IN (SELECT c_custkey FROM winners)),
         ups AS (SELECT c_custkey, c_name, c_acctbal FROM winners WHERE op != 'D')
         SELECT * FROM kept UNION ALL SELECT * FROM ups
+    """,
+    "table_diff": """
+        WITH changes AS (
+            SELECT o_custkey AS c_custkey,
+                   'upd-' || CAST(o_orderkey AS VARCHAR) AS c_name,
+                   o_totalprice AS c_acctbal,
+                   o_orderkey AS seq,
+                   CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'U' END AS op
+            FROM orders),
+        winners AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY c_custkey ORDER BY seq DESC, op DESC) AS rn
+                FROM changes)
+            WHERE rn = 1),
+        kept AS (
+            SELECT c_custkey, c_name, c_acctbal FROM customer
+            WHERE c_custkey NOT IN (SELECT c_custkey FROM winners)),
+        ups AS (SELECT c_custkey, c_name, c_acctbal FROM winners WHERE op != 'D'),
+        newsnap AS (SELECT * FROM kept UNION ALL SELECT * FROM ups),
+        l AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+        j AS (SELECT l.c_custkey IS NOT NULL AS inl,
+                     n.c_custkey IS NOT NULL AS inr,
+                     l.c_name IS DISTINCT FROM n.c_name AS dn,
+                     l.c_acctbal IS DISTINCT FROM n.c_acctbal AS db
+              FROM l FULL OUTER JOIN newsnap n ON l.c_custkey = n.c_custkey)
+        SELECT 'rows_left' AS metric,
+               CAST(sum(CASE WHEN inl THEN 1 ELSE 0 END) AS BIGINT) AS n FROM j
+        UNION ALL SELECT 'rows_right',
+               CAST(sum(CASE WHEN inr THEN 1 ELSE 0 END) AS BIGINT) FROM j
+        UNION ALL SELECT 'only_left',
+               CAST(sum(CASE WHEN inl AND NOT inr THEN 1 ELSE 0 END) AS BIGINT) FROM j
+        UNION ALL SELECT 'only_right',
+               CAST(sum(CASE WHEN inr AND NOT inl THEN 1 ELSE 0 END) AS BIGINT) FROM j
+        UNION ALL SELECT 'matched',
+               CAST(sum(CASE WHEN inl AND inr AND NOT (dn OR db) THEN 1 ELSE 0 END)
+                    AS BIGINT) FROM j
+        UNION ALL SELECT 'changed',
+               CAST(sum(CASE WHEN inl AND inr AND (dn OR db) THEN 1 ELSE 0 END)
+                    AS BIGINT) FROM j
+        UNION ALL SELECT 'changed:c_name',
+               CAST(sum(CASE WHEN inl AND inr AND dn THEN 1 ELSE 0 END) AS BIGINT) FROM j
+        UNION ALL SELECT 'changed:c_acctbal',
+               CAST(sum(CASE WHEN inl AND inr AND db THEN 1 ELSE 0 END) AS BIGINT) FROM j
+    """,
+    "robust_scale": """
+        WITH s AS (
+            SELECT l_returnflag,
+                   round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 6) AS md_q,
+                   round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.25), 6) AS q1_q,
+                   round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.75), 6) AS q3_q,
+                   round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 6) AS md_p,
+                   round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25), 6) AS q1_p,
+                   round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75), 6) AS q3_p
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+               CASE WHEN q3_q - q1_q > 0
+                    THEN round((CAST(l.l_quantity AS DOUBLE) - md_q)
+                               / (q3_q - q1_q), 6) END AS qty_r,
+               CASE WHEN q3_p - q1_p > 0
+                    THEN round((CAST(l.l_extendedprice AS DOUBLE) - md_p)
+                               / (q3_p - q1_p), 6) END AS price_r
+        FROM lineitem l JOIN s USING (l_returnflag)
+    """,
+    "target_encode": """
+        WITH per AS (SELECT o_orderpriority AS pr, count(*) AS n,
+                            sum(CAST(o_totalprice AS DECIMAL(18,6))) AS sy
+                     FROM orders GROUP BY 1),
+        g AS (SELECT count(*) AS gn,
+                     sum(CAST(o_totalprice AS DECIMAL(18,6))) AS gs
+              FROM orders)
+        SELECT o.o_orderkey AS orderkey, o.o_orderpriority AS priority,
+               round((CAST(p.sy AS DOUBLE)
+                      + 20.0 * round(CAST(g.gs AS DOUBLE) / g.gn, 6))
+                     / (p.n + 20.0), 6) AS enc
+        FROM orders o
+        JOIN per p ON o.o_orderpriority = p.pr
+        CROSS JOIN g
+    """,
+    "k_anonymity": """
+        WITH cls AS (SELECT c_nationkey, c_mktsegment, count(*) AS sz,
+                            count(DISTINCT c_acctbal) AS l
+                     FROM customer GROUP BY 1, 2)
+        SELECT CAST(5 AS INTEGER) AS k,
+               CAST(sum(sz) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_classes,
+               CAST(min(sz) AS BIGINT) AS min_class_size,
+               CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+                   AS n_rows_at_risk,
+               CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_classes_at_risk,
+               CAST(min(l) AS BIGINT) AS min_l,
+               sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) = 0 AS k_anonymous
+        FROM cls
+    """,
+    "scd2_build": """
+        WITH ch AS (SELECT o_custkey AS custkey, o_orderdate AS ts,
+                           o_orderkey AS seq, o_orderstatus AS status,
+                           o_orderpriority AS priority
+                    FROM orders),
+        lg AS (SELECT *, lag(status) OVER w AS ps, lag(priority) OVER w AS pp,
+                      row_number() OVER w AS rn
+               FROM ch WINDOW w AS (PARTITION BY custkey ORDER BY ts, seq)),
+        chg AS (SELECT * FROM lg
+                WHERE rn = 1 OR status IS DISTINCT FROM ps
+                   OR priority IS DISTINCT FROM pp)
+        SELECT custkey, status, priority, ts AS valid_from,
+               lead(ts) OVER w2 AS valid_to,
+               (lead(ts) OVER w2) IS NULL AS is_current
+        FROM chg WINDOW w2 AS (PARTITION BY custkey ORDER BY ts, seq)
+    """,
+    "scd2_lookup": """
+        WITH ch AS (SELECT o_custkey AS custkey, o_orderdate AS ts,
+                           o_orderkey AS seq, o_orderstatus AS status,
+                           o_orderpriority AS priority
+                    FROM orders),
+        lg AS (SELECT *, lag(status) OVER w AS ps, lag(priority) OVER w AS pp,
+                      row_number() OVER w AS rn
+               FROM ch WINDOW w AS (PARTITION BY custkey ORDER BY ts, seq)),
+        chg AS (SELECT * FROM lg
+                WHERE rn = 1 OR status IS DISTINCT FROM ps
+                   OR priority IS DISTINCT FROM pp),
+        dim AS (SELECT custkey, status, priority, ts AS valid_from,
+                       lead(ts) OVER (PARTITION BY custkey ORDER BY ts, seq)
+                           AS valid_to
+                FROM chg),
+        facts AS (SELECT o_orderkey AS orderkey, o_custkey AS custkey,
+                         o_orderdate - INTERVAL 30 DAY AS probe_day
+                  FROM orders)
+        SELECT f.orderkey, f.custkey, f.probe_day, d.status, d.priority
+        FROM facts f LEFT JOIN dim d
+          ON f.custkey = d.custkey AND f.probe_day >= d.valid_from
+         AND (d.valid_to IS NULL OR f.probe_day < d.valid_to)
     """,
     "resample_gapfill": """
         WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events,

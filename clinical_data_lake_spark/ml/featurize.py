@@ -192,6 +192,105 @@ def standardize(
     return out.drop(*[f"__m_{c}__" for c in cols] + [f"__s_{c}__" for c in cols])
 
 
+def robust_scale(
+    df: DataFrame,
+    cols: Sequence[str],
+    keys: Sequence[str] | None = None,
+    digits: int = 6,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Median/IQR feature scaling: ``(x - median) / (p75 - p25)`` per
+    column, globally or per ``keys`` group — ``standardize``'s
+    outlier-resistant sibling for the heavy-tailed clinical/monetary
+    values where a few extreme rows dominate mean and stddev.
+
+    Same shape as ``standardize``: ONE aggregate pass computes every
+    column's exact interpolated quartiles (percentile_cont semantics,
+    matching DuckDB ``quantile_cont``), broadcast back onto the rows —
+    the fact table never shuffles. Zero-IQR columns yield NULL
+    (explicit, not an ANSI div-by-zero). Quartiles and outputs are
+    rounded so fp noise can't leak into engine comparisons.
+    """
+    aggs = []
+    for c in cols:
+        x = F.col(c).cast("double")
+        aggs.append(F.round(F.percentile(x, F.lit(0.5)), digits).alias(f"__md_{c}__"))
+        aggs.append(F.round(F.percentile(x, F.lit(0.25)), digits).alias(f"__q1_{c}__"))
+        aggs.append(F.round(F.percentile(x, F.lit(0.75)), digits).alias(f"__q3_{c}__"))
+    if keys:
+        stats = df.groupBy(*keys).agg(*aggs)
+        out = df.join(F.broadcast(stats), on=list(keys))
+    else:
+        stats = df.agg(*aggs)
+        out = df.crossJoin(F.broadcast(stats))
+    drop = []
+    for c in cols:
+        iqr = F.col(f"__q3_{c}__") - F.col(f"__q1_{c}__")
+        scaled = F.when(
+            iqr > 0,
+            F.round((F.col(c).cast("double") - F.col(f"__md_{c}__")) / iqr, digits),
+        )
+        out = out.withColumn(f"{c}{suffix}", scaled)
+        drop += [f"__md_{c}__", f"__q1_{c}__", f"__q3_{c}__"]
+    return out.drop(*drop)
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    label_col: str,
+    smoothing: float = 20.0,
+    out_col: str | None = None,
+    digits: int = 6,
+) -> DataFrame:
+    """Smoothed target (mean) encoding of a categorical column — the
+    high-cardinality alternative to one-hot/StringIndexer encodings
+    (M1's indexer gives arbitrary ranks; this gives the category's
+    shrunken label mean, the standard trick for ids with thousands of
+    levels):
+
+        enc(c) = (sum_y(c) + smoothing * global_mean)
+                 / (count(c) + smoothing)
+
+    Categories with few rows shrink toward the global mean (an
+    empirical-Bayes prior with ``smoothing`` pseudo-observations), so
+    rare levels don't memorize their handful of labels.
+
+    Scale shape: one groupBy on the category computes decimal-exact
+    (count, sum) per level, one 1-row global aggregate supplies the
+    prior, both broadcast back — the fact table never shuffles. NULL
+    categories form their own level (standard practice: missingness is
+    signal). Accumulation is decimal (partitioning-invariant); only
+    the final scalar arithmetic runs in IEEE double, so the encoding
+    is bit-reproducible across partitionings AND engines.
+    """
+    out_col = out_col or f"{cat_col}_enc"
+    # NULL join keys never match; a sentinel key makes NULL a level.
+    key = F.coalesce(F.col(cat_col).cast("string"), F.lit("\x00<null>"))
+    tagged = df.withColumn("__cat__", key)
+    y = F.col(label_col).cast("decimal(18,6)")
+    per_cat = tagged.groupBy("__cat__").agg(
+        F.count(F.lit(1)).alias("__n__"),
+        F.sum(y).alias("__sy__"),
+    )
+    glob = df.agg(
+        F.count(F.lit(1)).alias("__gn__"),
+        F.sum(y).alias("__gs__"),
+    )
+    gm = F.round(F.col("__gs__").cast("double") / F.col("__gn__"), digits)
+    enc = F.round(
+        (F.col("__sy__").cast("double") + F.lit(float(smoothing)) * gm)
+        / (F.col("__n__") + F.lit(float(smoothing))),
+        digits,
+    )
+    return (
+        tagged.join(F.broadcast(per_cat), on=["__cat__"])
+        .crossJoin(F.broadcast(glob))
+        .withColumn(out_col, enc)
+        .drop("__cat__", "__n__", "__sy__", "__gn__", "__gs__")
+    )
+
+
 def quantile_normalize(
     df: DataFrame,
     value_col: str,

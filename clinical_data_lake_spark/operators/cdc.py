@@ -56,6 +56,89 @@ def apply_changes(
     return kept.unionByName(upserts)
 
 
+def scd2_build(
+    changes: DataFrame,
+    keys: list[str] | str,
+    attr_cols: list[str],
+    ts_col: str = "ts",
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Build a slowly-changing-dimension Type 2 table from a change
+    feed: one validity interval per *distinct consecutive attribute
+    version* per key, with ``valid_from`` / ``valid_to`` / ``is_current``.
+
+    The warehouse counterpart of the reference's overwrite-style
+    dimension refresh (00-etl-rwd.py:136-141): instead of keeping only
+    the latest row per key, history is preserved as half-open
+    intervals [valid_from, valid_to) — the shape ``scd2_lookup`` (and
+    any as-of join) consumes.
+
+    Semantics: rows are ordered per key by (``ts_col``, ``seq_col``);
+    consecutive rows whose ``attr_cols`` are unchanged are compacted
+    into the earlier row's interval (change-only compaction, null-safe
+    comparison), so re-delivering an unchanged snapshot never splits
+    an interval. ``valid_to`` is the next *changed* version's
+    ``valid_from``; NULL on the open (current) interval.
+
+    100 TB shape: one shuffle on the key columns; the compaction lag
+    and the closing lead reuse the SAME (key, order) window
+    partitioning, so Spark plans a single Exchange and two Window
+    nodes over it. No join, no broadcast, no second pass.
+    """
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    order = [F.col(ts_col).asc()] + ([F.col(seq_col).asc()] if seq_col else [])
+    w = Window.partitionBy(*key_list).orderBy(*order)
+    ver = F.struct(*[F.col(c) for c in attr_cols])
+    changed = (
+        changes.withColumn("__prev__", F.lag(ver).over(w))
+        .filter(F.col("__prev__").isNull() | ~ver.eqNullSafe(F.col("__prev__")))
+        .drop("__prev__")
+    )
+    w2 = Window.partitionBy(*key_list).orderBy(*order)
+    out = changed.select(
+        *key_list,
+        *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(F.col(ts_col)).over(w2).alias("valid_to"),
+    )
+    return out.withColumn("is_current", F.col("valid_to").isNull())
+
+
+def scd2_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    keys: list[str] | str,
+    fact_ts: str = "ts",
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time enrichment against an SCD2 dimension: each fact
+    row picks the dimension version whose [valid_from, valid_to)
+    interval contains ``fact_ts``.
+
+    Plan: an equi-join on the key columns carrying the interval
+    predicate as a join condition — fan-out is bounded by versions per
+    key, and the dimension side (small by construction: one row per
+    attribute change) is broadcast. The fact table never shuffles.
+    Facts earlier than the key's first version get NULL attributes
+    under ``how='left'``.
+    """
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    f, d = facts.alias("__f__"), dim.alias("__d__")
+    cond = None
+    for k in key_list:
+        c = F.col(f"__f__.{k}") == F.col(f"__d__.{k}")
+        cond = c if cond is None else (cond & c)
+    ts = F.col(f"__f__.{fact_ts}")
+    cond = (
+        cond
+        & (ts >= F.col("__d__.valid_from"))
+        & (F.col("__d__.valid_to").isNull() | (ts < F.col("__d__.valid_to")))
+    )
+    dim_cols = [c for c in dim.columns if c not in key_list]
+    joined = f.join(F.broadcast(d), cond, how)
+    return joined.select("__f__.*", *[F.col(f"__d__.{c}") for c in dim_cols])
+
+
 def incremental_agg(
     snapshot: DataFrame,
     changes: DataFrame,

@@ -46,6 +46,134 @@ def matches(col: str, pattern: str) -> Column:
     return F.col(col).rlike(pattern)
 
 
+def table_diff(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Reconcile two versions of a table by key — the validation pass
+    after a migration, backfill, or CDC apply (the check
+    ``apply_changes`` consumers run before swapping a snapshot).
+
+    Returns one row per metric:
+
+        (metric, n)  with metrics
+        rows_left, rows_right, only_left, only_right, matched, changed,
+        changed:<col> (one per compared column)
+
+    Scale shape: each side is pruned to (keys..., compared columns)
+    and the two sides meet in ONE full-outer shuffle join on the
+    keys; everything after the join is a single
+    global aggregate (map-side combined). Wide tables can pass
+    ``compare_cols`` to prune the scan to the audited columns. No
+    window, no second pass over either input.
+
+    Keys are assumed unique per side (the snapshot invariant CDC
+    maintains); duplicate keys would pair combinatorially as in any
+    key-based diff.
+    """
+    key_list = list(keys)
+    if compare_cols is None:
+        compare_cols = [c for c in left.columns if c not in key_list]
+    cmp_list = [c for c in compare_cols if c not in key_list]
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            *key_list,
+            F.lit(1).alias(f"__p{tag}__"),
+            *[F.col(c).alias(f"__{tag}_{c}__") for c in cmp_list],
+        )
+
+    j = side(left, "l").join(side(right, "r"), on=key_list, how="full_outer")
+    in_l = F.col("__pl__").isNotNull()
+    in_r = F.col("__pr__").isNotNull()
+    col_diff = {
+        c: in_l & in_r & ~F.col(f"__l_{c}__").eqNullSafe(F.col(f"__r_{c}__"))
+        for c in cmp_list
+    }
+    any_diff = None
+    for d in col_diff.values():
+        any_diff = d if any_diff is None else (any_diff | d)
+    if any_diff is None:
+        any_diff = F.lit(False)
+
+    def cnt(pred) -> Column:
+        return F.sum(F.when(pred, F.lit(1)).otherwise(F.lit(0))).cast("long")
+
+    aggs = [
+        cnt(in_l).alias("rows_left"),
+        cnt(in_r).alias("rows_right"),
+        cnt(in_l & ~in_r).alias("only_left"),
+        cnt(~in_l & in_r).alias("only_right"),
+        cnt(in_l & in_r & ~any_diff).alias("matched"),
+        cnt(in_l & in_r & any_diff).alias("changed"),
+    ]
+    names = ["rows_left", "rows_right", "only_left", "only_right", "matched", "changed"]
+    for c in cmp_list:
+        aggs.append(cnt(col_diff[c]).alias(f"changed:{c}"))
+        names.append(f"changed:{c}")
+    wide = j.agg(*aggs)
+    stack_args = ", ".join(f"'{n}', `{n}`" for n in names)
+    return wide.select(
+        F.expr(f"stack({len(names)}, {stack_args}) AS (metric, n)")
+    ).select("metric", F.col("n").cast("long").alias("n"))
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    k: int = 5,
+    sensitive_col: str | None = None,
+) -> DataFrame:
+    """Privacy-risk audit before publishing a de-identified extract:
+    k-anonymity (every quasi-identifier combination appears >= k
+    times) and, when ``sensitive_col`` is given, l-diversity (distinct
+    sensitive values per equivalence class).
+
+    The release gate the reference's de-identification step implies
+    (00-etl-rwd.py's hashed-id projection): hashing direct identifiers
+    is not enough if the quasi-identifier combination singles a row
+    out. One summary row:
+
+        (k, n_rows, n_classes, min_class_size,
+         n_rows_at_risk, n_classes_at_risk, min_l, k_anonymous)
+
+    ``min_l`` is NULL when no sensitive column is given; rows/classes
+    at risk are those in equivalence classes smaller than ``k``.
+
+    Scale shape: one groupBy on the quasi-identifier columns (map-side
+    combined counts + distinct-sensitive), then a global aggregate of
+    the class-level table — the classic two-stage rollup; no windows,
+    no joins, nothing driver-side.
+    """
+    q = list(quasi_cols)
+    per_class = [F.count(F.lit(1)).alias("__sz__")]
+    if sensitive_col is not None:
+        per_class.append(F.count_distinct(F.col(sensitive_col)).alias("__l__"))
+    classes = df.groupBy(*q).agg(*per_class)
+    at_risk = F.col("__sz__") < F.lit(k)
+    aggs = [
+        F.lit(k).cast("int").alias("k"),
+        F.sum("__sz__").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("__sz__").cast("long").alias("min_class_size"),
+        F.sum(F.when(at_risk, F.col("__sz__")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_rows_at_risk"),
+        F.sum(F.when(at_risk, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_classes_at_risk"),
+        (
+            F.min("__l__").cast("long")
+            if sensitive_col is not None
+            else F.lit(None).cast("long")
+        ).alias("min_l"),
+    ]
+    out = classes.agg(*aggs)
+    return out.withColumn("k_anonymous", F.col("n_classes_at_risk") == 0)
+
+
 def check_report(
     df: DataFrame,
     checks: Mapping[str, Column],

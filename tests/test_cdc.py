@@ -104,3 +104,80 @@ def test_incremental_agg_equals_direct_recompute(spark):
     }
     assert got == direct
     assert got == {"a": (2, 15.5), "c": (1, 2.0)}  # b dropped at zero
+
+
+# ----------------------------------------------------------- SCD Type 2
+
+from clinical_data_lake_spark.operators.cdc import scd2_build, scd2_lookup  # noqa: E402
+
+
+def _feed(spark):
+    return spark.createDataFrame(
+        [
+            # key 1: a -> a (compacted) -> b -> b (compacted)
+            Row(k=1, ts=1, seq=1, v="a"),
+            Row(k=1, ts=2, seq=2, v="a"),
+            Row(k=1, ts=5, seq=3, v="b"),
+            Row(k=1, ts=9, seq=4, v="b"),
+            # key 2: single version
+            Row(k=2, ts=3, seq=5, v="x"),
+            # key 3: null attribute versions compact null-safely
+            Row(k=3, ts=1, seq=6, v=None),
+            Row(k=3, ts=4, seq=7, v=None),
+            Row(k=3, ts=6, seq=8, v="z"),
+        ]
+    )
+
+
+def test_scd2_build_compacts_and_closes_intervals(spark):
+    dim = scd2_build(_feed(spark), keys="k", attr_cols=["v"], ts_col="ts", seq_col="seq")
+    rows = sorted(
+        ((r.k, r.v, r.valid_from, r.valid_to, r.is_current) for r in dim.collect()),
+        key=lambda t: (t[0], t[2]),
+    )
+    assert rows == [
+        (1, "a", 1, 5, False),
+        (1, "b", 5, None, True),
+        (2, "x", 3, None, True),
+        (3, None, 1, 6, False),
+        (3, "z", 6, None, True),
+    ]
+
+
+def test_scd2_build_same_ts_tiebreak_by_seq(spark):
+    feed = spark.createDataFrame(
+        [Row(k=1, ts=1, seq=2, v="late"), Row(k=1, ts=1, seq=1, v="early")]
+    )
+    dim = scd2_build(feed, keys="k", attr_cols=["v"], ts_col="ts", seq_col="seq")
+    rows = sorted((r.v, r.valid_from, r.is_current) for r in dim.collect())
+    assert rows == [("early", 1, False), ("late", 1, True)]
+
+
+def test_scd2_lookup_point_in_time(spark):
+    dim = scd2_build(_feed(spark), keys="k", attr_cols=["v"], ts_col="ts", seq_col="seq")
+    facts = spark.createDataFrame(
+        [
+            Row(fid=1, k=1, ts=0),   # before first version -> NULL
+            Row(fid=2, k=1, ts=2),   # inside [1, 5) -> a
+            Row(fid=3, k=1, ts=5),   # boundary: half-open -> b
+            Row(fid=4, k=1, ts=99),  # open current interval -> b
+            Row(fid=5, k=9, ts=1),   # unknown key -> NULL
+        ]
+    )
+    out = {r.fid: r.v for r in scd2_lookup(facts, dim, keys="k", fact_ts="ts").collect()}
+    assert out == {1: None, 2: "a", 3: "b", 4: "b", 5: None}
+
+
+def test_scd2_lookup_inner_drops_unmatched(spark):
+    dim = scd2_build(_feed(spark), keys="k", attr_cols=["v"], ts_col="ts", seq_col="seq")
+    facts = spark.createDataFrame([Row(fid=1, k=1, ts=0), Row(fid=2, k=2, ts=4)])
+    out = scd2_lookup(facts, dim, keys="k", fact_ts="ts", how="inner").collect()
+    assert [(r.fid, r.v) for r in out] == [(2, "x")]
+
+
+def test_scd2_build_single_shuffle(spark):
+    """The compaction lag and the closing lead must share ONE exchange."""
+    dim = scd2_build(_feed(spark), keys="k", attr_cols=["v"], ts_col="ts", seq_col="seq")
+    plan = dim._jdf.queryExecution().executedPlan().toString()
+    n_exchange = plan.count("Exchange")
+    assert n_exchange <= 1, plan

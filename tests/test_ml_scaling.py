@@ -295,3 +295,61 @@ def test_quantile_normalize_single_value(spark):
     df = spark.createDataFrame([(1, 7.0), (2, 7.0)], ["id", "v"])
     out = quantile_normalize(df, "v").collect()
     assert all(r.pct == 0.0 for r in out)  # n distinct=1 -> everyone at 0
+
+
+# ----------------------------------------------------- robust_scale
+
+def test_robust_scale_closed_form(spark):
+    from clinical_data_lake_spark.ml.featurize import robust_scale
+
+    # group g: values 0..4 -> median 2, q1 1, q3 3, iqr 2
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in range(5)] + [("h", 9.0), ("h", 9.0)],
+        ["grp", "x"],
+    )
+    out = {(r.grp, r.x): r.x_r for r in robust_scale(df, ["x"], keys=["grp"]).collect()}
+    assert out[("g", 0.0)] == -1.0
+    assert out[("g", 2.0)] == 0.0
+    assert out[("g", 4.0)] == 1.0
+    # zero IQR -> NULL, not a crash
+    assert out[("h", 9.0)] is None
+
+
+def test_robust_scale_global_and_outlier_resistance(spark):
+    from clinical_data_lake_spark.ml.featurize import robust_scale
+
+    vals = [float(v) for v in range(1, 100)] + [1e9]  # one wild outlier
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    out = {r.x: r.x_r for r in robust_scale(df, ["x"]).collect()}
+    # median 50.5, iqr ~49.5: the bulk stays in a tight range
+    assert abs(out[50.0]) < 0.05
+    assert abs(out[99.0]) < 1.1  # outlier does not inflate the scale
+
+
+# ----------------------------------------------------- target_encode
+
+def test_target_encode_shrinks_rare_levels(spark):
+    from clinical_data_lake_spark.ml.featurize import target_encode
+
+    rows = [("a", 1.0)] * 100 + [("b", 0.0)] * 100 + [("rare", 1.0)]
+    df = spark.createDataFrame(rows, ["cat", "y"])
+    out = {r.cat: r.cat_enc for r in target_encode(df, "cat", "y", smoothing=10.0)
+           .select("cat", "cat_enc").distinct().collect()}
+    gm = (100 + 1) / 201  # ~0.5025
+    # big levels sit near their own mean; the 1-row level shrinks to the prior
+    assert abs(out["a"] - (100 + 10 * gm) / 110) < 1e-6
+    assert abs(out["b"] - (0 + 10 * gm) / 110) < 1e-6
+    assert abs(out["rare"] - (1 + 10 * gm) / 11) < 1e-6
+
+
+def test_target_encode_null_category_is_its_own_level(spark):
+    from clinical_data_lake_spark.ml.featurize import target_encode
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(cat=None, y=1.0), Row(cat=None, y=1.0), Row(cat="a", y=0.0)]
+    )
+    out = target_encode(df, "cat", "y", smoothing=0.0).collect()
+    by_cat = {r.cat: r.cat_enc for r in out}
+    assert by_cat[None] == 1.0 and by_cat["a"] == 0.0
+    assert len(out) == 3  # no rows dropped by the NULL key

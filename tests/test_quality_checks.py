@@ -177,3 +177,67 @@ def test_rolling_corr_constant_window_is_null(spark):
     df = spark.createDataFrame(rows, ["seq", "k", "x", "y"])
     out = rolling_corr(df, "k", ["seq"], "x", "y", n=5, min_periods=3).collect()
     assert all(r.rolling_corr is None for r in out)  # x constant -> guarded NULL
+
+
+# ----------------------------------------------------------- table_diff
+
+from pyspark.sql import Row  # noqa: E402
+from clinical_data_lake_spark.operators.quality import table_diff  # noqa: E402
+
+
+def test_table_diff_planted_differences(spark):
+    left = spark.createDataFrame(
+        [Row(k=1, a="x", b=1.0), Row(k=2, a="y", b=2.0),
+         Row(k=3, a="z", b=3.0), Row(k=4, a=None, b=4.0)]
+    )
+    right = spark.createDataFrame(
+        [Row(k=1, a="x", b=1.0),      # identical
+         Row(k=2, a="y2", b=2.0),     # a changed
+         Row(k=4, a=None, b=9.0),     # b changed, null a matches null-safely
+         Row(k=5, a="new", b=5.0)]    # only right
+    )
+    rep = {r.metric: r.n for r in table_diff(left, right, keys=["k"]).collect()}
+    assert rep == {
+        "rows_left": 4, "rows_right": 4, "only_left": 1, "only_right": 1,
+        "matched": 1, "changed": 2, "changed:a": 1, "changed:b": 1,
+    }
+
+
+def test_table_diff_identical_tables(spark):
+    df = spark.createDataFrame([Row(k=1, a="x"), Row(k=2, a=None)])
+    rep = {r.metric: r.n for r in table_diff(df, df, keys=["k"]).collect()}
+    assert rep["matched"] == 2 and rep["changed"] == 0
+    assert rep["only_left"] == 0 and rep["only_right"] == 0
+
+
+def test_table_diff_compare_subset_prunes(spark):
+    left = spark.createDataFrame([Row(k=1, a="x", noise="p")])
+    right = spark.createDataFrame([Row(k=1, a="x", noise="q")])
+    rep = {r.metric: r.n
+           for r in table_diff(left, right, keys=["k"], compare_cols=["a"]).collect()}
+    assert rep["matched"] == 1 and "changed:noise" not in rep
+
+
+# ------------------------------------------------------- k-anonymity
+
+from clinical_data_lake_spark.operators.quality import k_anonymity_report  # noqa: E402
+
+
+def test_k_anonymity_flags_small_classes(spark):
+    df = spark.createDataFrame(
+        # class (a,1): 3 rows; class (b,1): 1 row -> at risk at k=2
+        [Row(q1="a", q2=1, s=10), Row(q1="a", q2=1, s=20),
+         Row(q1="a", q2=1, s=10), Row(q1="b", q2=1, s=30)]
+    )
+    r = k_anonymity_report(df, ["q1", "q2"], k=2, sensitive_col="s").collect()[0]
+    assert (r.n_rows, r.n_classes, r.min_class_size) == (4, 2, 1)
+    assert (r.n_rows_at_risk, r.n_classes_at_risk) == (1, 1)
+    assert r.min_l == 1 and r.k_anonymous is False
+
+
+def test_k_anonymity_holds_and_null_min_l_without_sensitive(spark):
+    df = spark.createDataFrame(
+        [Row(q1="a", s=1), Row(q1="a", s=2), Row(q1="b", s=3), Row(q1="b", s=3)]
+    )
+    r = k_anonymity_report(df, ["q1"], k=2).collect()[0]
+    assert r.k_anonymous is True and r.min_l is None and r.n_rows_at_risk == 0
