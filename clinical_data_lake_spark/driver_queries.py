@@ -859,6 +859,16 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dedup_sorted_ngh(spark: SparkSession, sf: str) -> DataFrame:
+    """Sorted-neighborhood near-dup blocking (llm/dedup.py:
+    sorted_neighborhood_pairs): prefix-bucketed global rank (no
+    single-partition sort), rank-band candidate join, exact-Jaccard
+    verification on the candidates only."""
+    return dedup.sorted_neighborhood_pairs(
+        read_table(spark, sf, "documents"), window=10, threshold=0.3
+    )
+
+
 def q_dedup_near_canonical(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dedup policy end-to-end: jaccard pairs -> dup clusters ->
     keep the min-id canonical per cluster, drop other members."""
@@ -1935,6 +1945,7 @@ QUERIES = {
     "k_anonymity": q_k_anonymity,
     "target_encode": q_target_encode,
     "robust_scale": q_robust_scale,
+    "dedup_sorted_ngh": q_dedup_sorted_ngh,
     "survival_km": q_survival_km,
     "survival_logrank": q_survival_logrank,
     "auc_exact": q_auc_exact,
@@ -3959,6 +3970,41 @@ FROM final f JOIN ordered o USING (doc_id) JOIN packed p USING (doc_id)
             WHERE c_custkey NOT IN (SELECT c_custkey FROM winners)),
         ups AS (SELECT c_custkey, c_name, c_acctbal FROM winners WHERE op != 'D')
         SELECT * FROM kept UNION ALL SELECT * FROM ups
+    """,
+    "dedup_sorted_ngh": """
+        WITH norm AS (
+            SELECT doc_id,
+                   substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                          1, 24) AS key
+            FROM documents),
+        r AS (SELECT doc_id, row_number() OVER (ORDER BY key, doc_id) AS rk
+              FROM norm),
+        cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+                        greatest(a.doc_id, b.doc_id) AS doc_b
+                 FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk < 10),
+        toks AS (
+            SELECT doc_id,
+                   string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+            FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+            WHERE len(w) >= 3
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT i.doc_a, i.doc_b,
+               CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
+        FROM inter i
+        JOIN cand USING (doc_a, doc_b)
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.3
     """,
     "table_diff": """
         WITH changes AS (

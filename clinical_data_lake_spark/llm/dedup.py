@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..operators.caching import track_persist
@@ -373,6 +373,83 @@ def verified_near_dup_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def sorted_neighborhood_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 10,
+    key_len: int = 24,
+    prefix_len: int = 2,
+    n: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Sorted-neighborhood near-dup blocking (Hernández/Stolfo SNM):
+    sort the corpus on a cheap blocking key (the first ``key_len``
+    chars of the normalized text), pair each document with its next
+    ``window - 1`` neighbors in that order, and verify candidates with
+    exact word n-gram Jaccard. The classic entity-resolution
+    complement to LSH blocking: O(N·w) candidates, strong on records
+    whose duplicates share a prefix (names, titles, templated text).
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b and
+    jaccard >= ``threshold``.
+
+    Scale shape — no global sort, no single-partition window:
+    1. Global rank by (key, id) via order-preserving PREFIX buckets
+       (the first ``prefix_len`` key chars): row_number within each
+       bucket + the broadcast cumulative count of earlier buckets.
+       The only global window runs over the per-bucket count table.
+    2. Neighbor pairing as a band join: rank-bands of width
+       ``window``, the right side duplicated into its own and the
+       previous band, so every pair with rank distance < ``window``
+       meets in exactly one band — shuffle keys are bands, never a
+       global order.
+    3. Verification shingles only the candidate docs
+       (``verified_near_dup_pairs``).
+    Bucket skew follows the key-prefix distribution; raise
+    ``prefix_len`` to split hot prefixes.
+    """
+    key = F.substring(_normalized(text_col), 1, key_len)
+    base = docs.select(F.col(id_col), key.alias("__key__"))
+    b = base.withColumn("__bkt__", F.substring("__key__", 1, prefix_len))
+    counts = b.groupBy("__bkt__").agg(F.count(F.lit(1)).alias("__bn__"))
+    w_off = Window.orderBy("__bkt__").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__bkt__", F.coalesce(F.sum("__bn__").over(w_off), F.lit(0)).alias("__off__")
+    )
+    w_local = Window.partitionBy("__bkt__").orderBy("__key__", id_col)
+    ranked = (
+        b.join(F.broadcast(offsets), on="__bkt__")
+        .select(
+            F.col(id_col),
+            (F.row_number().over(w_local) + F.col("__off__")).alias("__rk__"),
+        )
+    )
+    band = F.floor(F.col("__rk__") / F.lit(window))
+    a_side = ranked.select(
+        F.col(id_col).alias("__ida__"),
+        F.col("__rk__").alias("__ra__"),
+        band.alias("__band__"),
+    )
+    b_side = ranked.select(
+        F.col(id_col).alias("__idb__"),
+        F.col("__rk__").alias("__rb__"),
+        F.explode(F.array(band, band - 1)).alias("__band__"),
+    )
+    cand = (
+        a_side.join(b_side, on="__band__")
+        .filter(
+            (F.col("__rb__") > F.col("__ra__"))
+            & (F.col("__rb__") - F.col("__ra__") < window)
+        )
+        .select(
+            F.least("__ida__", "__idb__").alias("doc_a"),
+            F.greatest("__ida__", "__idb__").alias("doc_b"),
+        )
+    )
+    return verified_near_dup_pairs(docs, cand, id_col, text_col, n, threshold)
 
 
 def simhash_docs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -1123,3 +1123,71 @@ def test_equidepth_histogram_equal_counts_and_ordered_edges(spark):
         assert hi1 <= lo2                                 # non-overlapping edges
     b = sorted((r.bucket, r.cnt) for r in out if r.g == "b")
     assert [c for _, c in b] == [3, 3, 3, 3]             # ties split by position
+
+
+# ------------------------------------------------ sorted neighborhood
+
+def test_sorted_neighborhood_finds_prefix_dups(spark):
+    from clinical_data_lake_spark.llm.dedup import sorted_neighborhood_pairs
+
+    docs = spark.createDataFrame(
+        [
+            # near-identical pair sharing a long prefix
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),
+            # unrelated docs that sort far away
+            (3, "zulu yankee xray whiskey victor uniform tango sierra"),
+            (4, "mike november oscar papa quebec romeo sierra tango"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = sorted_neighborhood_pairs(docs, window=2, threshold=0.3).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in out}
+    assert (1, 2) in pairs
+    assert all(p == (1, 2) for p in pairs)
+    j = {(r.doc_a, r.doc_b): r.jaccard for r in out}[(1, 2)]
+    # 6 shingles each, 5 shared -> 5/7
+    assert abs(j - 5 / 7) < 1e-9
+
+
+def test_sorted_neighborhood_window_bounds_candidates(spark):
+    from clinical_data_lake_spark.llm.dedup import sorted_neighborhood_pairs
+
+    # identical texts BUT sorted >window apart cannot pair with w=2:
+    # the decoys sit lexicographically between them
+    docs = spark.createDataFrame(
+        [
+            (1, "aaa common tail one two three four"),
+            (2, "bbb one two three four five six seven"),
+            (3, "ccc eight nine ten eleven twelve thirteen"),
+            (4, "ddd fourteen fifteen sixteen seventeen eighteen nineteen"),
+            (5, "zzz common tail one two three four"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = sorted_neighborhood_pairs(docs, window=2, threshold=0.2).collect()
+    assert (1, 5) not in {(r.doc_a, r.doc_b) for r in out}
+    # widening the window to cover the gap finds the pair
+    out_wide = sorted_neighborhood_pairs(docs, window=5, threshold=0.2).collect()
+    assert (1, 5) in {(r.doc_a, r.doc_b) for r in out_wide}
+
+
+def test_sorted_neighborhood_rank_is_bucketed_not_global(spark):
+    from clinical_data_lake_spark.llm.dedup import sorted_neighborhood_pairs
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc text number "), F.col("id").cast("string"),
+                 F.lit(" filler words here")).alias("text"),
+    )
+    df = sorted_neighborhood_pairs(docs, window=3, threshold=0.99)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the doc-scale row_number window is partitioned by the key-prefix
+    # bucket — never a global ORDER BY over the corpus
+    assert "row_number" in plan
+    for line in plan.splitlines():
+        if "row_number" in line:
+            assert "__bkt__" in line, line
+    # near-identical template texts differing by an id token: self-pairs
+    # only, none survive a 0.99 threshold
+    assert df.count() == 0
