@@ -1191,3 +1191,19 @@ def test_sorted_neighborhood_rank_is_bucketed_not_global(spark):
     # near-identical template texts differing by an id token: self-pairs
     # only, none survive a 0.99 threshold
     assert df.count() == 0
+
+
+def test_simhash_long_doc_guard_raises(spark):
+    """16-bit packed vote counters bound docs to 65535 tokens; the
+    guard must fail LOUDLY, not bleed into the next counter."""
+    from clinical_data_lake_spark.llm.dedup import simhash_docs
+
+    ok = spark.createDataFrame([(1, "w " * 100)], ["doc_id", "text"])
+    assert simhash_docs(ok).count() == 1
+
+    # Depending on which bit positions the oversized counts land in,
+    # either ANSI arithmetic overflow (top counter) or the explicit
+    # assert_true guard (lower counters) fires — both are loud.
+    too_long = spark.createDataFrame([(1, "w " * 70000)], ["doc_id", "text"])
+    with pytest.raises(Exception, match="65535|ARITHMETIC_OVERFLOW"):
+        simhash_docs(too_long).collect()
