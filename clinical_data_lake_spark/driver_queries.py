@@ -1254,6 +1254,24 @@ def q_cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
     return cdc.apply_changes(snap, changes, keys="c_custkey")
 
 
+def q_agg_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUPING SETS subtotals over orders: (status, priority) detail,
+    status subtotal, and grand total in one pass, gid disambiguating
+    aggregated-away keys (operators/aggregates.py:grouping_sets_agg)."""
+    o = read_table(spark, sf, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+        "o_totalprice",
+    )
+    return agg.grouping_sets_agg(
+        o,
+        sets=[["status", "priority"], ["status"], []],
+        keys=["status", "priority"],
+        value_col="o_totalprice",
+        sum_alias="sum_price",
+    )
+
+
 def q_table_diff(spark: SparkSession, sf: str) -> DataFrame:
     """Post-migration reconciliation: diff the customer snapshot
     against its CDC-applied successor — per-metric and per-column
@@ -1946,6 +1964,7 @@ QUERIES = {
     "target_encode": q_target_encode,
     "robust_scale": q_robust_scale,
     "dedup_sorted_ngh": q_dedup_sorted_ngh,
+    "agg_grouping_sets": q_agg_grouping_sets,
     "survival_km": q_survival_km,
     "survival_logrank": q_survival_logrank,
     "auc_exact": q_auc_exact,
@@ -4005,6 +4024,15 @@ FROM final f JOIN ordered o USING (doc_id) JOIN packed p USING (doc_id)
         JOIN sizes sa ON sa.doc_id = i.doc_a
         JOIN sizes sb ON sb.doc_id = i.doc_b
         WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.3
+    """,
+    "agg_grouping_sets": """
+        SELECT o_orderstatus AS status, o_orderpriority AS priority,
+               CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
     """,
     "table_diff": """
         WITH changes AS (

@@ -88,6 +88,36 @@ def rollup_count(df: DataFrame, keys: Sequence[str], alias: str = "cnt") -> Data
     return df.rollup(*keys).agg(F.count(F.lit(1)).alias(alias))
 
 
+def grouping_sets_agg(
+    df: DataFrame,
+    sets: Sequence[Sequence[str]],
+    keys: Sequence[str],
+    value_col: str | None = None,
+    cnt_alias: str = "cnt",
+    sum_alias: str = "sum_value",
+) -> DataFrame:
+    """Extension — GROUPING SETS aggregation: exactly the subtotal
+    combinations the report needs, in ONE pass (cube computes 2^k
+    combinations, rollup only the hierarchy; arbitrary dashboards need
+    neither-nor). ``grouping_id()`` is emitted as ``gid`` so a NULL
+    key from aggregation is distinguishable from a NULL data value —
+    the standard disambiguator (bit i set = column i aggregated away).
+
+    Same scale shape as cube/rollup: Spark expands rows per matching
+    set map-side and partially aggregates before the single shuffle;
+    sums accumulate in decimal so the rollup is partitioning-invariant.
+    """
+    aggs = [F.count(F.lit(1)).cast("long").alias(cnt_alias)]
+    if value_col is not None:
+        aggs.append(
+            F.sum(F.col(value_col).cast("decimal(18,3)"))
+            .cast("double")
+            .alias(sum_alias)
+        )
+    gb = df.groupingSets([list(s) for s in sets], *[F.col(k) for k in keys])
+    return gb.agg(F.grouping_id().cast("long").alias("gid"), *aggs)
+
+
 def approx_distinct(df: DataFrame, col: str, rsd: float = 0.05,
                     alias: str = "approx_nd") -> DataFrame:
     """Extension — HyperLogLog++ distinct estimate. At 100 TB this is the

@@ -298,3 +298,20 @@ def test_budget_select_equals_global_cumsum(spark, rows, budget):
         if cum <= budget:
             want.append((i, cum))
     assert got == sorted(want)
+
+
+def test_grouping_sets_closed_form(spark):
+    from clinical_data_lake_spark.operators.aggregates import grouping_sets_agg
+
+    df = spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 4.0)], ["g1", "g2", "v"]
+    )
+    out = {(r.g1, r.g2, r.gid): (r.cnt, r.sum_value)
+           for r in grouping_sets_agg(
+               df, sets=[["g1", "g2"], ["g1"], []], keys=["g1", "g2"],
+               value_col="v").collect()}
+    assert out[("a", "x", 0)] == (1, 1.0)
+    assert out[("a", None, 1)] == (2, 3.0)      # g2 aggregated away -> bit 1
+    assert out[("b", None, 1)] == (1, 4.0)
+    assert out[(None, None, 3)] == (3, 7.0)     # grand total -> both bits
+    assert len(out) == 6
