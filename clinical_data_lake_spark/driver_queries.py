@@ -869,6 +869,16 @@ def q_dedup_sorted_ngh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dedup_prefix_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Lossless set-similarity join via PPJoin-style prefix filtering
+    (llm/dedup.py:prefix_filter_pairs): rarest-first prefixes bound
+    the inverted-index fan-out WITHOUT dropping pairs — the oracle is
+    the pure exact-Jaccard query, certifying zero false negatives."""
+    return dedup.prefix_filter_pairs(
+        read_table(spark, sf, "documents"), threshold=0.2
+    )
+
+
 def q_dedup_near_canonical(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dedup policy end-to-end: jaccard pairs -> dup clusters ->
     keep the min-id canonical per cluster, drop other members."""
@@ -1965,6 +1975,7 @@ QUERIES = {
     "robust_scale": q_robust_scale,
     "dedup_sorted_ngh": q_dedup_sorted_ngh,
     "agg_grouping_sets": q_agg_grouping_sets,
+    "dedup_prefix_filter": q_dedup_prefix_filter,
     "survival_km": q_survival_km,
     "survival_logrank": q_survival_logrank,
     "auc_exact": q_auc_exact,
@@ -3990,6 +4001,7 @@ FROM final f JOIN ordered o USING (doc_id) JOIN packed p USING (doc_id)
         ups AS (SELECT c_custkey, c_name, c_acctbal FROM winners WHERE op != 'D')
         SELECT * FROM kept UNION ALL SELECT * FROM ups
     """,
+    "dedup_prefix_filter": _EXACT_JACCARD_SQL.format(t=0.2),
     "dedup_sorted_ngh": """
         WITH norm AS (
             SELECT doc_id,

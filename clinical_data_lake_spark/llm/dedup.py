@@ -375,6 +375,67 @@ def verified_near_dup_pairs(
     )
 
 
+def prefix_filter_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT set-similarity join via prefix filtering (SSJoin /
+    PPJoin, Chaudhuri et al. 2006, Xiao et al. 2008): all pairs with
+    word n-gram Jaccard >= ``threshold`` — lossless, unlike the
+    ``max_doc_freq`` cap (which silently drops stop-shingle overlap)
+    or MinHash (probabilistic). The oracle twin is therefore the PURE
+    exact-Jaccard query: this operator must reproduce it exactly.
+
+    Principle: order each document's shingles by ascending corpus
+    document frequency (rarest first, ties by shingle). If
+    J(A,B) >= t, A and B must collide inside their PREFIXES of length
+    |x| - ceil(t·|x|) + 1 — so the inverted index is built over
+    prefixes only, and the rarest-first order makes those the least
+    fan-out tokens in the corpus. A size filter (t·|A| <= |B| and
+    vice versa) prunes length-incompatible survivors before
+    verification.
+
+    Scale shape: one groupBy for document frequencies, one doc-key
+    shuffle for the in-doc frequency sort (window partitioned by doc,
+    never global), a self-join restricted to prefix tokens — the
+    frequency order concentrates candidates on rare shingles, the
+    opposite of the hot-key fan-out a naive inverted index suffers —
+    then exact verification on the candidate docs only.
+    """
+    sh = track_persist(word_shingles(docs, id_col, text_col, n))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df__"))
+    w_doc = Window.partitionBy(id_col).orderBy("__df__", "shingle")
+    prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    ranked = (
+        sh.join(dfreq, on="shingle")
+        .withColumn("__pos__", F.row_number().over(w_doc))
+        .join(sizes, on=id_col)
+        .filter(F.col("__pos__") <= prefix_len)
+    )
+    a = ranked.select(
+        F.col(id_col).alias("doc_a"), F.col("n_sh").alias("__na__"), "shingle"
+    )
+    b = ranked.select(
+        F.col(id_col).alias("doc_b"), F.col("n_sh").alias("__nb__"), "shingle"
+    )
+    t = F.lit(float(threshold))
+    cand = (
+        a.join(b, on="shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            (F.col("__nb__") >= t * F.col("__na__"))
+            & (F.col("__na__") >= t * F.col("__nb__"))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return verified_near_dup_pairs(docs, cand, id_col, text_col, n, threshold)
+
+
 def sorted_neighborhood_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

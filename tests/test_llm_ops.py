@@ -1207,3 +1207,35 @@ def test_simhash_long_doc_guard_raises(spark):
     too_long = spark.createDataFrame([(1, "w " * 70000)], ["doc_id", "text"])
     with pytest.raises(Exception, match="65535|ARITHMETIC_OVERFLOW"):
         simhash_docs(too_long).collect()
+
+
+def test_prefix_filter_equals_exact_jaccard(spark):
+    """PPJoin prefix filtering is LOSSLESS: its output must equal the
+    exact all-pairs jaccard join at the same threshold, including on
+    stop-shingle-heavy corpora where the max_doc_freq cap drops pairs."""
+    from clinical_data_lake_spark.llm.dedup import prefix_filter_pairs
+
+    base = "the common boilerplate header appears in every document here "
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base + "unique tail alpha beta gamma"),
+            Row(doc_id=2, text=base + "unique tail alpha beta delta"),
+            Row(doc_id=3, text=base + "totally different ending words now"),
+            Row(doc_id=4, text="no shared prefix content at all whatsoever"),
+        ]
+    )
+    for t in (0.3, 0.5, 0.8):
+        exact = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in ngram_jaccard_pairs(docs, threshold=t).collect()
+        }
+        pf = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in prefix_filter_pairs(docs, threshold=t).collect()
+        }
+        assert pf == exact, (t, pf, exact)
+    # the high-overlap pair is present at 0.5
+    assert (1, 2) in {
+        p for p in
+        {(r.doc_a, r.doc_b) for r in prefix_filter_pairs(docs, threshold=0.5).collect()}
+    }
