@@ -1282,6 +1282,33 @@ def q_agg_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_basket_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Association rules over (user, event_type) baskets: apriori
+    item pruning before the within-basket pair join; support /
+    confidence / lift from integer counts with one final division
+    per measure (operators/itemsets.py:basket_rules)."""
+    from .operators import itemsets
+
+    ev = read_table(spark, sf, "events").select("user_id", "event_type")
+    return itemsets.basket_rules(
+        ev, basket_col="user_id", item_col="event_type", min_support=0.05
+    )
+
+
+def q_pmi_assoc(spark: SparkSession, sf: str) -> DataFrame:
+    """Cell-level pointwise mutual information between order status
+    and priority — over/under-representation vs independence, one
+    deterministic double log per cell, no order-dependent float sums
+    (operators/itemsets.py:pmi_cooccurrence)."""
+    from .operators import itemsets
+
+    o = read_table(spark, sf, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    return itemsets.pmi_cooccurrence(o, "status", "priority")
+
+
 def q_table_diff(spark: SparkSession, sf: str) -> DataFrame:
     """Post-migration reconciliation: diff the customer snapshot
     against its CDC-applied successor — per-metric and per-column
@@ -1976,6 +2003,8 @@ QUERIES = {
     "dedup_sorted_ngh": q_dedup_sorted_ngh,
     "agg_grouping_sets": q_agg_grouping_sets,
     "dedup_prefix_filter": q_dedup_prefix_filter,
+    "basket_rules": q_basket_rules,
+    "pmi_assoc": q_pmi_assoc,
     "survival_km": q_survival_km,
     "survival_logrank": q_survival_logrank,
     "auc_exact": q_auc_exact,
@@ -4036,6 +4065,51 @@ FROM final f JOIN ordered o USING (doc_id) JOIN packed p USING (doc_id)
         JOIN sizes sa ON sa.doc_id = i.doc_a
         JOIN sizes sb ON sb.doc_id = i.doc_b
         WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.3
+    """,
+    "basket_rules": """
+        WITH lines AS (SELECT DISTINCT user_id AS bk, event_type AS it
+                       FROM events),
+        nb AS (SELECT count(DISTINCT bk) AS n_baskets FROM lines),
+        item_n AS (SELECT it, count(*) AS ni FROM lines GROUP BY it),
+        freq AS (SELECT it, ni FROM item_n, nb WHERE ni >= 0.05 * n_baskets),
+        pruned AS (SELECT l.bk, l.it FROM lines l
+                   WHERE l.it IN (SELECT it FROM freq)),
+        pairs AS (SELECT a.it AS item_a, b.it AS item_b, count(*) AS n_ab
+                  FROM pruned a JOIN pruned b
+                    ON a.bk = b.bk AND a.it < b.it
+                  GROUP BY 1, 2)
+        SELECT p.item_a, p.item_b,
+               CAST(fa.ni AS BIGINT) AS n_a,
+               CAST(fb.ni AS BIGINT) AS n_b,
+               CAST(p.n_ab AS BIGINT) AS n_ab,
+               round(p.n_ab / n_baskets, 6) AS support,
+               round(p.n_ab / fa.ni, 6) AS conf_a_to_b,
+               round(p.n_ab / fb.ni, 6) AS conf_b_to_a,
+               round((p.n_ab * n_baskets) / (fa.ni * fb.ni), 6) AS lift
+        FROM pairs p
+        JOIN freq fa ON fa.it = p.item_a
+        JOIN freq fb ON fb.it = p.item_b
+        CROSS JOIN nb
+        WHERE p.n_ab >= 0.05 * n_baskets
+    """,
+    "pmi_assoc": """
+        WITH cells AS (SELECT o_orderstatus AS status,
+                              o_orderpriority AS priority,
+                              count(*) AS n_xy
+                       FROM orders
+                       WHERE o_orderstatus IS NOT NULL
+                         AND o_orderpriority IS NOT NULL
+                       GROUP BY 1, 2),
+        mx AS (SELECT status, sum(n_xy) AS n_x FROM cells GROUP BY status),
+        my AS (SELECT priority, sum(n_xy) AS n_y FROM cells GROUP BY priority),
+        tot AS (SELECT sum(n_xy) AS n FROM cells)
+        SELECT c.status, c.priority,
+               CAST(c.n_xy AS BIGINT) AS n_xy,
+               CAST(mx.n_x AS BIGINT) AS n_x,
+               CAST(my.n_y AS BIGINT) AS n_y,
+               round(ln((c.n_xy * tot.n) / (mx.n_x * my.n_y)), 6) AS pmi
+        FROM cells c
+        JOIN mx USING (status) JOIN my USING (priority) CROSS JOIN tot
     """,
     "agg_grouping_sets": """
         SELECT o_orderstatus AS status, o_orderpriority AS priority,

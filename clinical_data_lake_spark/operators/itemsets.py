@@ -1,0 +1,145 @@
+"""Frequent-itemset / association-rule mining over basket-shaped data.
+
+The market-basket view of the reference's co-occurrence analytics
+(02-patient-trajectory.py:53-87 computes per-patient condition
+co-occurrence; the comorbidity_topk query certifies the pairwise
+rollup): which items appear together more often than chance, scored
+with the standard support / confidence / lift measures.
+
+Scale shape (the apriori pruning, distributed):
+
+1. Item supports — one groupBy(item) over the basket lines.
+2. PRUNE before pairing: only items with support >= min_support can
+   participate in a frequent pair (apriori monotonicity), so the
+   basket lines are semi-joined down to frequent items first. This is
+   the step that keeps the within-basket self-join from exploding on
+   long-tail items at 100 TB.
+3. Pair generation — self-join ON the basket key (item_a < item_b),
+   then one groupBy(pair). Fan-out is quadratic only in the FREQUENT
+   items per basket, bounded by the prune.
+4. Measures — pair counts joined to the (small, frequent-only)
+   item-support table, broadcast; all counts stay integer until the
+   final per-row double divisions, so results are bit-reproducible
+   across partitionings and engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def basket_rules(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: float = 0.01,
+    min_pair_support: float | None = None,
+    digits: int = 6,
+) -> DataFrame:
+    """Association rules over (basket, item) lines.
+
+    Returns one row per unordered frequent pair:
+
+        (item_a, item_b, n_a, n_b, n_ab, support,
+         conf_a_to_b, conf_b_to_a, lift)
+
+    with ``support = n_ab / n_baskets``, ``conf_a_to_b = n_ab / n_a``,
+    ``lift = support / (supp_a * supp_b)``. Duplicate (basket, item)
+    lines are collapsed first (set semantics — a basket holds an item
+    or not). ``min_support`` prunes items before pairing;
+    ``min_pair_support`` (defaults to ``min_support``) filters the
+    emitted pairs.
+    """
+    if min_pair_support is None:
+        min_pair_support = min_support
+    lines = baskets.select(
+        F.col(basket_col).alias("__bk__"), F.col(item_col).alias("__it__")
+    ).distinct()
+    n_baskets_df = lines.select("__bk__").distinct().agg(
+        F.count(F.lit(1)).alias("__nb__")
+    )
+    item_n = lines.groupBy("__it__").agg(F.count(F.lit(1)).alias("__ni__"))
+    frequent = (
+        item_n.crossJoin(F.broadcast(n_baskets_df))
+        .filter(F.col("__ni__") >= F.lit(min_support) * F.col("__nb__"))
+        .select("__it__", "__ni__")
+    )
+    pruned = lines.join(frequent.select("__it__"), on="__it__", how="left_semi")
+    a = pruned.select("__bk__", F.col("__it__").alias("item_a"))
+    b = pruned.select("__bk__", F.col("__it__").alias("item_b"))
+    pair_n = (
+        a.join(b, on="__bk__")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    na = frequent.select(F.col("__it__").alias("item_a"), F.col("__ni__").alias("n_a"))
+    nb = frequent.select(F.col("__it__").alias("item_b"), F.col("__ni__").alias("n_b"))
+    out = (
+        pair_n.join(F.broadcast(na), on="item_a")
+        .join(F.broadcast(nb), on="item_b")
+        .crossJoin(F.broadcast(n_baskets_df))
+        .filter(F.col("n_ab") >= F.lit(min_pair_support) * F.col("__nb__"))
+    )
+    supp = F.col("n_ab") / F.col("__nb__")
+    lift = (F.col("n_ab") * F.col("__nb__")) / (F.col("n_a") * F.col("n_b"))
+    return out.select(
+        "item_a",
+        "item_b",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("n_ab").cast("long").alias("n_ab"),
+        F.round(supp, digits).alias("support"),
+        F.round(F.col("n_ab") / F.col("n_a"), digits).alias("conf_a_to_b"),
+        F.round(F.col("n_ab") / F.col("n_b"), digits).alias("conf_b_to_a"),
+        F.round(lift, digits).alias("lift"),
+    )
+
+
+def pmi_cooccurrence(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    min_count: int = 1,
+    digits: int = 6,
+) -> DataFrame:
+    """Pointwise mutual information between two categorical columns —
+    the cell-level association table feature selection and corpus
+    analysis read (which (x, y) combinations are over/under-
+    represented vs independence):
+
+        pmi(x, y) = ln( n_xy * N / (n_x * n_y) )
+
+    One groupBy on (x, y); the two marginal tables derive from the
+    CELL table (grouping-key-cardinality-sized — no second pass over
+    the data) and broadcast back. Every count stays integer; each
+    row's pmi is one deterministic double log — no order-dependent
+    float summation anywhere, which is what makes the table (unlike a
+    single summed MI scalar) bit-reproducible across partitionings.
+    Rows with NULL in either column are excluded (standard contingency
+    semantics).
+    """
+    cells = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(x_col, y_col)
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+    )
+    mx = cells.groupBy(x_col).agg(F.sum("n_xy").alias("n_x"))
+    my = cells.groupBy(y_col).agg(F.sum("n_xy").alias("n_y"))
+    tot = cells.agg(F.sum("n_xy").alias("__n__"))
+    out = (
+        cells.filter(F.col("n_xy") >= min_count)
+        .join(F.broadcast(mx), on=x_col)
+        .join(F.broadcast(my), on=y_col)
+        .crossJoin(F.broadcast(tot))
+    )
+    pmi = F.log((F.col("n_xy") * F.col("__n__")) / (F.col("n_x") * F.col("n_y")))
+    return out.select(
+        x_col,
+        y_col,
+        F.col("n_xy").cast("long").alias("n_xy"),
+        F.col("n_x").cast("long").alias("n_x"),
+        F.col("n_y").cast("long").alias("n_y"),
+        F.round(pmi, digits).alias("pmi"),
+    )
