@@ -1282,6 +1282,20 @@ def q_agg_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_topn_others(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 priorities per order status with the tail rolled into one
+    '(other)' row — the dashboard rollup that keeps the tail's mass
+    (operators/sorts.py:top_n_with_others)."""
+    o = read_table(spark, sf, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("label"),
+        "o_totalprice",
+    )
+    return sorts.top_n_with_others(
+        o, ["status"], "label", n=3, value_col="o_totalprice"
+    )
+
+
 def q_basket_rules(spark: SparkSession, sf: str) -> DataFrame:
     """Association rules over (user, event_type) baskets: apriori
     item pruning before the within-basket pair join; support /
@@ -2004,6 +2018,7 @@ QUERIES = {
     "agg_grouping_sets": q_agg_grouping_sets,
     "dedup_prefix_filter": q_dedup_prefix_filter,
     "basket_rules": q_basket_rules,
+    "topn_others": q_topn_others,
     "pmi_assoc": q_pmi_assoc,
     "survival_km": q_survival_km,
     "survival_logrank": q_survival_logrank,
@@ -4065,6 +4080,23 @@ FROM final f JOIN ordered o USING (doc_id) JOIN packed p USING (doc_id)
         JOIN sizes sa ON sa.doc_id = i.doc_a
         JOIN sizes sb ON sb.doc_id = i.doc_b
         WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.3
+    """,
+    "topn_others": """
+        WITH cells AS (SELECT o_orderstatus AS status,
+                              o_orderpriority AS label,
+                              count(*) AS cnt,
+                              sum(CAST(o_totalprice AS DECIMAL(18,3))) AS sv
+                       FROM orders GROUP BY 1, 2),
+        r AS (SELECT *, row_number() OVER (
+                  PARTITION BY status ORDER BY cnt DESC, label) AS rn
+              FROM cells),
+        head AS (SELECT status, label, cnt, sv FROM r WHERE rn <= 3),
+        tail AS (SELECT status, '(other)' AS label, sum(cnt) AS cnt,
+                        sum(sv) AS sv
+                 FROM r WHERE rn > 3 GROUP BY status)
+        SELECT status, label, CAST(cnt AS BIGINT) AS cnt,
+               CAST(sv AS DOUBLE) AS sum_value
+        FROM (SELECT * FROM head UNION ALL SELECT * FROM tail)
     """,
     "basket_rules": """
         WITH lines AS (SELECT DISTINCT user_id AS bk, event_type AS it

@@ -48,3 +48,54 @@ def global_min(df: DataFrame, col: str, alias: str | None = None) -> DataFrame:
     and plans as a two-stage reduce: no sort, no data movement beyond one
     row per partition."""
     return df.agg(F.min(col).alias(alias or f"min_{col}"))
+
+
+def top_n_with_others(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    label_col: str,
+    n: int,
+    value_col: str | None = None,
+    others_label: str = "(other)",
+) -> DataFrame:
+    """Reporting rollup: per group, the ``n`` largest labels by count
+    (or by decimal-exact sum of ``value_col``) kept verbatim, every
+    remaining label collapsed into one ``(other)`` row — the standard
+    dashboard shape (the reference's top-k condition charts,
+    01-rwe-dashboard.r:31-52, truncate instead of rolling up, losing
+    the tail's mass).
+
+    Returns (group_cols..., label, cnt[, sum_value]) where exactly one
+    row per group carries ``others_label`` (only when a tail exists).
+    Ties at the cutoff break deterministically by label ascending.
+
+    Scale shape: one groupBy on (group, label) — the only data-scale
+    shuffle — then a row_number window over the group-label table
+    (bounded by label cardinality per group, not rows) and a second
+    tiny aggregate for the tail. Decimal sums keep the rollup
+    partitioning-invariant.
+    """
+    from pyspark.sql import Window
+
+    keys = list(group_cols)
+    aggs = [F.count(F.lit(1)).alias("cnt")]
+    if value_col is not None:
+        aggs.append(F.sum(F.col(value_col).cast("decimal(18,3)")).alias("__sv__"))
+    cells = df.groupBy(*keys, label_col).agg(*aggs)
+    w = Window.partitionBy(*keys).orderBy(F.desc("cnt"), F.asc(label_col))
+    ranked = cells.withColumn("__rn__", F.row_number().over(w))
+    head = ranked.filter(F.col("__rn__") <= n).drop("__rn__")
+    tail_aggs = [F.sum("cnt").alias("cnt")]
+    if value_col is not None:
+        tail_aggs.append(F.sum("__sv__").alias("__sv__"))
+    tail = (
+        ranked.filter(F.col("__rn__") > n)
+        .groupBy(*keys)
+        .agg(*tail_aggs)
+        .withColumn(label_col, F.lit(others_label))
+    )
+    out = head.unionByName(tail.select(*head.columns))
+    cols = [*keys, label_col, F.col("cnt").cast("long").alias("cnt")]
+    if value_col is not None:
+        cols.append(F.col("__sv__").cast("double").alias("sum_value"))
+    return out.select(*cols)

@@ -315,3 +315,27 @@ def test_grouping_sets_closed_form(spark):
     assert out[("b", None, 1)] == (1, 4.0)
     assert out[(None, None, 3)] == (3, 7.0)     # grand total -> both bits
     assert len(out) == 6
+
+
+def test_top_n_with_others_closed_form(spark):
+    from clinical_data_lake_spark.operators.sorts import top_n_with_others
+
+    rows = (
+        [("g", "a", 10.0)] * 5 + [("g", "b", 1.0)] * 3
+        + [("g", "c", 2.0)] * 2 + [("g", "d", 1.0)] * 1
+    )
+    df = spark.createDataFrame(rows, ["grp", "lbl", "v"])
+    out = {r.lbl: (r.cnt, r.sum_value)
+           for r in top_n_with_others(df, ["grp"], "lbl", n=2, value_col="v").collect()}
+    assert out["a"] == (5, 50.0)
+    assert out["b"] == (3, 3.0)
+    assert out["(other)"] == (3, 5.0)   # c(2) + d(1) collapsed, mass kept
+    assert "c" not in out and "d" not in out
+
+
+def test_top_n_with_others_no_tail_row_when_no_tail(spark):
+    from clinical_data_lake_spark.operators.sorts import top_n_with_others
+
+    df = spark.createDataFrame([("g", "a"), ("g", "b")], ["grp", "lbl"])
+    out = top_n_with_others(df, ["grp"], "lbl", n=5).collect()
+    assert {r.lbl for r in out} == {"a", "b"}
