@@ -98,6 +98,14 @@ BENCH_QUERIES = [
     "auc_exact",
     "bm25_search",
     "rrf_search",
+    # this-session additions (appended — keep the comparable prefix):
+    # lossless prefix-filter similarity join, SNM blocking, SCD2,
+    # association rules, reconciliation diff
+    "dedup_prefix_filter",
+    "dedup_sorted_ngh",
+    "scd2_build",
+    "basket_rules",
+    "table_diff",
 ]
 
 # Scope the measured set without editing the file (drift A/B testing,

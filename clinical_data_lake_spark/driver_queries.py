@@ -873,9 +873,12 @@ def q_dedup_prefix_filter(spark: SparkSession, sf: str) -> DataFrame:
     """Lossless set-similarity join via PPJoin-style prefix filtering
     (llm/dedup.py:prefix_filter_pairs): rarest-first prefixes bound
     the inverted-index fan-out WITHOUT dropping pairs — the oracle is
-    the pure exact-Jaccard query, certifying zero false negatives."""
+    the pure exact-Jaccard query, certifying zero false negatives.
+    t=0.8 is the filter's regime: the prefix indexes only the rarest
+    ~20% of each doc's shingles (at t=0.2 it would degenerate to the
+    full inverted index — see the operator docstring)."""
     return dedup.prefix_filter_pairs(
-        read_table(spark, sf, "documents"), threshold=0.2
+        read_table(spark, sf, "documents"), threshold=0.8
     )
 
 
@@ -1280,6 +1283,14 @@ def q_agg_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
         value_col="o_totalprice",
         sum_alias="sum_price",
     )
+
+
+def q_activity_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily active / new / returning users (growth accounting): the
+    corpus reduces to distinct (user, day) once; first-seen derives
+    from that reduced table (operators/cohort.py:activity_rollup)."""
+    ev = read_table(spark, sf, "events")
+    return cohort.activity_rollup(ev)
 
 
 def q_topn_others(spark: SparkSession, sf: str) -> DataFrame:
@@ -2019,6 +2030,7 @@ QUERIES = {
     "dedup_prefix_filter": q_dedup_prefix_filter,
     "basket_rules": q_basket_rules,
     "topn_others": q_topn_others,
+    "activity_rollup": q_activity_rollup,
     "pmi_assoc": q_pmi_assoc,
     "survival_km": q_survival_km,
     "survival_logrank": q_survival_logrank,
@@ -4045,7 +4057,7 @@ FROM final f JOIN ordered o USING (doc_id) JOIN packed p USING (doc_id)
         ups AS (SELECT c_custkey, c_name, c_acctbal FROM winners WHERE op != 'D')
         SELECT * FROM kept UNION ALL SELECT * FROM ups
     """,
-    "dedup_prefix_filter": _EXACT_JACCARD_SQL.format(t=0.2),
+    "dedup_prefix_filter": _EXACT_JACCARD_SQL.format(t=0.8),
     "dedup_sorted_ngh": """
         WITH norm AS (
             SELECT doc_id,
@@ -4080,6 +4092,19 @@ FROM final f JOIN ordered o USING (doc_id) JOIN packed p USING (doc_id)
         JOIN sizes sa ON sa.doc_id = i.doc_a
         JOIN sizes sb ON sb.doc_id = i.doc_b
         WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.3
+    """,
+    "activity_rollup": """
+        WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
+                    FROM events),
+        fst AS (SELECT u, min(day) AS first_day FROM ud GROUP BY u)
+        SELECT day,
+               CAST(count(*) AS BIGINT) AS active_users,
+               CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+                   AS new_users,
+               CAST(count(*) - sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+                    AS BIGINT) AS returning_users
+        FROM ud JOIN fst USING (u)
+        GROUP BY day
     """,
     "topn_others": """
         WITH cells AS (SELECT o_orderstatus AS status,

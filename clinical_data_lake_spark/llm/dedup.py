@@ -404,6 +404,15 @@ def prefix_filter_pairs(
     frequency order concentrates candidates on rare shingles, the
     opposite of the hot-key fan-out a naive inverted index suffers —
     then exact verification on the candidate docs only.
+
+    Regime: the prefix has length |x|(1-t)+1, so the filter only
+    bites at HIGH thresholds — t=0.8 indexes ~20% of each doc (the
+    rarest fifth), t=0.2 indexes ~80% and degenerates to the full
+    inverted index (measured 46 s vs 4 s at sf0.1). For
+    low-threshold similarity mining use ``ngram_jaccard_pairs`` with
+    ``max_doc_freq`` (capped, approximate) or ``minhash_lsh_pairs``
+    (probabilistic); prefix filtering is the LOSSLESS high-threshold
+    near-dup path.
     """
     sh = track_persist(word_shingles(docs, id_col, text_col, n))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))

@@ -190,3 +190,47 @@ def retention_matrix(
             ).alias("retention"),
         )
     )
+
+
+def activity_rollup(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Daily active / new / returning users — the growth-accounting
+    rollup every event dashboard starts from (the per-day sibling of
+    ``retention_matrix``'s weekly triangle):
+
+        (day, active_users, new_users, returning_users)
+
+    A user is "new" on the day of their first-ever event, "returning"
+    on any later active day.
+
+    Scale shape: the corpus reduces to distinct (user, day) pairs in
+    one user-day shuffle; first-seen days come from a min() over the
+    SAME reduced table (user-key shuffle, user-cardinality output),
+    joined back co-partitioned on the user; the final day rollup
+    aggregates a table bounded by users x active-days. No windows, no
+    broadcast of anything user-scale.
+    """
+    ud = (
+        events.select(
+            F.col(user_col).alias("__u__"),
+            F.to_date(F.col(ts_col)).alias("day"),
+        )
+        .distinct()
+    )
+    first = ud.groupBy("__u__").agg(F.min("day").alias("__first__"))
+    return (
+        ud.join(first, on="__u__")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("active_users"),
+            F.sum(F.when(F.col("day") == F.col("__first__"), 1).otherwise(0))
+            .cast("long")
+            .alias("new_users"),
+        )
+        .withColumn(
+            "returning_users", (F.col("active_users") - F.col("new_users")).cast("long")
+        )
+    )

@@ -339,3 +339,25 @@ def test_top_n_with_others_no_tail_row_when_no_tail(spark):
     df = spark.createDataFrame([("g", "a"), ("g", "b")], ["grp", "lbl"])
     out = top_n_with_others(df, ["grp"], "lbl", n=5).collect()
     assert {r.lbl for r in out} == {"a", "b"}
+
+
+def test_activity_rollup_closed_form(spark):
+    import datetime as _dt
+
+    from clinical_data_lake_spark.operators.cohort import activity_rollup
+
+    d = lambda s: _dt.datetime.fromisoformat(s)  # noqa: E731
+    ev = spark.createDataFrame(
+        [
+            (1, d("2024-01-01T10:00")), (1, d("2024-01-01T11:00")),  # dup same day
+            (1, d("2024-01-02T10:00")),
+            (2, d("2024-01-02T10:00")),
+            (3, d("2024-01-03T10:00")),
+        ],
+        ["user_id", "ts"],
+    )
+    out = {str(r.day): (r.active_users, r.new_users, r.returning_users)
+           for r in activity_rollup(ev).collect()}
+    assert out["2024-01-01"] == (1, 1, 0)
+    assert out["2024-01-02"] == (2, 1, 1)   # user1 returns, user2 new
+    assert out["2024-01-03"] == (1, 1, 0)
