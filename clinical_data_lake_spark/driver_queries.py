@@ -2008,7 +2008,14 @@ def q_winsorize(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # Dict order matters: the driver's correctness gate samples the FIRST
-# 50 entries in insertion order. Round-7 window: the 17 queries new
+# 50 entries in insertion order. Late-r7 reshuffle: the 14 queries new
+# this session lead, then the earlier-r7 block; the window closes at
+# resample_ewma (position 50) so both implementation-changed queries
+# (EWMA block rescale, pipeline persist) and the VERDICT done-criteria
+# rows (pretraining_pipeline, ann_recall, dedup_pair_metrics) all get
+# driver rows. chunk_split (zero-shuffle projection, strongest unit
+# coverage) and the r3-era core rotation wait for r8.
+# Previous-window rationale: the 17 queries new
 # this round (survival/logrank/AUC, BM25/RRF retrieval, standardize/
 # PSI, budget_select, attribution_left, dq_report, rolling_median,
 # fuzzy_match, lm_score, sample_alpha, winsorize, plus the early-r7
@@ -2032,6 +2039,7 @@ QUERIES = {
     "topn_others": q_topn_others,
     "activity_rollup": q_activity_rollup,
     "pmi_assoc": q_pmi_assoc,
+    "pretraining_pipeline": q_pretraining_pipeline,
     "survival_km": q_survival_km,
     "survival_logrank": q_survival_logrank,
     "auc_exact": q_auc_exact,
@@ -2064,12 +2072,11 @@ QUERIES = {
     "soft_dedup": q_soft_dedup,
     "rolling_zscore": q_rolling_zscore,
     "attribution_join": q_attribution_join,
-    "chunk_split": q_chunk_split,
     "skew_profile": q_skew_profile,
     "ann_recall": q_ann_recall,
     "dedup_pair_metrics": q_dedup_pair_metrics,
     "resample_ewma": q_resample_ewma,
-    "pretraining_pipeline": q_pretraining_pipeline,
+    "chunk_split": q_chunk_split,
     "sample_split": q_sample_split,
     "join_asof": q_join_asof,
     "join_range": q_join_range,
