@@ -714,6 +714,15 @@ def q_tumble_count(spark: SparkSession, sf: str) -> DataFrame:
     return streaming_events.tumbling_counts(read_table(spark, sf, "events"))
 
 
+def q_trending_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-tumbling-window trending event types (top-3 by count,
+    deterministic ties): the rank stage windows over the bounded
+    count table, never event-scale rows (streaming/events.py:
+    trending_topk; streaming parity via rank_trending in
+    test_streaming.py)."""
+    return streaming_events.trending_topk(read_table(spark, sf, "events"))
+
+
 def q_slide_agg(spark: SparkSession, sf: str) -> DataFrame:
     """Sliding 10-minute/5-minute window count + exact decimal sum
     emitted as double, via streaming/events.py:sliding_agg."""
@@ -2077,6 +2086,7 @@ QUERIES = {
     "dedup_pair_metrics": q_dedup_pair_metrics,
     "resample_ewma": q_resample_ewma,
     "chunk_split": q_chunk_split,
+    "trending_topk": q_trending_topk,
     "sample_split": q_sample_split,
     "join_asof": q_join_asof,
     "join_range": q_join_range,
@@ -3506,6 +3516,18 @@ ORACLES = {
             PARTITION BY user_id ORDER BY day_idx
             RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING
         )
+    """,
+    "trending_topk": """
+        WITH c AS (SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT)
+                              AS window_start,
+                          event_type, count(*) AS cnt
+                   FROM events GROUP BY 1, 2),
+        r AS (SELECT *, row_number() OVER (
+                  PARTITION BY window_start
+                  ORDER BY cnt DESC, event_type) AS rnk
+              FROM c)
+        SELECT window_start, event_type, cnt, CAST(rnk AS INTEGER) AS rnk
+        FROM r WHERE rnk <= 3
     """,
     "tumble_count": """
         SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,

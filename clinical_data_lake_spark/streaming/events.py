@@ -66,6 +66,42 @@ def sliding_agg(
     )
 
 
+def trending_topk(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    width: str = "10 minutes",
+    k: int = 3,
+) -> DataFrame:
+    """Per-window trending keys: the top-``k`` keys by count in each
+    tumbling window, ties broken by key ascending (deterministic):
+    (window_start, key, cnt, rnk).
+
+    Built ON TOP of the same ``tumbling_counts`` plan the streaming
+    wrapper runs — the rank stage windows over the (window, key) COUNT
+    table (bounded by key cardinality per window, never event-scale).
+    In streaming, ranking can't ride inside the incremental query
+    (no window functions over streaming aggregates); the supported
+    shape is ``rank_trending`` applied per sink table / foreachBatch
+    micro-batch — see ``test_streaming.py``'s parity test.
+    """
+    counts = tumbling_counts(events, ts_col, key_col, width)
+    return rank_trending(counts, key_col, k)
+
+
+def rank_trending(counts: DataFrame, key_col: str = "event_type", k: int = 3) -> DataFrame:
+    """Rank a (window_start, key, cnt) table to its per-window top-k —
+    the batch stage a foreachBatch sink applies to the incrementally-
+    maintained counts."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("window_start").orderBy(F.desc("cnt"), F.asc(key_col))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def stream_from_batch_dir(
     spark,
     path: str,

@@ -347,3 +347,20 @@ def test_streaming_attribution_left_outer_equals_batch(spark, events_stream_setu
     assert _sorted_rows(got.filter(F.col("click_id").isNull()), cols) == \
         _sorted_rows(batch.filter(F.col("click_id").isNull()), cols)
     assert batch.filter(F.col("click_id").isNull()).count() > 0
+
+
+def test_streaming_trending_topk_equals_batch(spark, events_stream_setup):
+    """Trending top-k: the incremental query maintains the windowed
+    counts; the rank stage (not expressible inside a streaming agg)
+    applies to the sink table per refresh — and must reproduce the
+    batch trending_topk exactly."""
+    ev, root, schema = events_stream_setup
+    batch = se.trending_topk(ev)
+    stream_counts = se.tumbling_counts(
+        se.stream_from_batch_dir(spark, root, schema),
+        watermark="1 hour",
+    )
+    se.run_to_memory_sink(stream_counts, "trend_counts")
+    got = se.rank_trending(spark.table("trend_counts"))
+    cols = ["window_start", "event_type", "cnt", "rnk"]
+    assert _sorted_rows(got, cols) == _sorted_rows(batch, cols)
