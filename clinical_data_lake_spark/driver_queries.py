@@ -1316,6 +1316,21 @@ def q_topn_others(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_negative_samples(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic hash-ring negative sampling for contrastive
+    training (operators/sampling.py:negative_samples): 5 reproducible
+    negatives per anchor doc, self excluded, pure md5 arithmetic —
+    the oracle replays the identical ring in SQL."""
+    from .operators import sampling
+
+    docs = read_table(spark, sf, "documents")
+    anchors = docs.select(F.col("doc_id").alias("query_id")).filter("query_id < 10")
+    self_pairs = anchors.select("query_id", F.col("query_id").alias("doc_id"))
+    return sampling.negative_samples(
+        anchors, docs, k=5, positives=self_pairs, oversample=2, seed=42
+    )
+
+
 def q_basket_rules(spark: SparkSession, sf: str) -> DataFrame:
     """Association rules over (user, event_type) baskets: apriori
     item pruning before the within-basket pair join; support /
@@ -2045,8 +2060,8 @@ QUERIES = {
     "agg_grouping_sets": q_agg_grouping_sets,
     "dedup_prefix_filter": q_dedup_prefix_filter,
     "basket_rules": q_basket_rules,
-    "topn_others": q_topn_others,
     "activity_rollup": q_activity_rollup,
+    "negative_samples": q_negative_samples,
     "pmi_assoc": q_pmi_assoc,
     "pretraining_pipeline": q_pretraining_pipeline,
     "survival_km": q_survival_km,
@@ -2087,6 +2102,7 @@ QUERIES = {
     "resample_ewma": q_resample_ewma,
     "chunk_split": q_chunk_split,
     "trending_topk": q_trending_topk,
+    "topn_others": q_topn_others,
     "sample_split": q_sample_split,
     "join_asof": q_join_asof,
     "join_range": q_join_range,
@@ -4151,6 +4167,28 @@ FROM final f JOIN ordered o USING (doc_id) JOIN packed p USING (doc_id)
         SELECT status, label, CAST(cnt AS BIGINT) AS cnt,
                CAST(sv AS DOUBLE) AS sum_value
         FROM (SELECT * FROM head UNION ALL SELECT * FROM tail)
+    """,
+    "negative_samples": """
+        WITH anchors AS (SELECT doc_id AS q FROM documents WHERE doc_id < 10),
+        probes AS (SELECT q, s AS slot,
+                          md5(CAST(q AS VARCHAR) || ':' || CAST(s AS VARCHAR)
+                              || ':42') AS pos
+                   FROM anchors, UNNEST(range(7)) AS t(s)),
+        ring AS (SELECT doc_id AS rid, md5(CAST(doc_id AS VARCHAR)) AS pos
+                 FROM documents),
+        matched AS (
+            SELECT p.q, p.slot,
+                   coalesce((SELECT r.rid FROM ring r WHERE r.pos >= p.pos
+                             ORDER BY r.pos LIMIT 1),
+                            (SELECT r.rid FROM ring r ORDER BY r.pos LIMIT 1))
+                       AS rid
+            FROM probes p),
+        excl AS (SELECT * FROM matched WHERE rid != q),
+        ranked AS (SELECT q, slot, rid,
+                          row_number() OVER (PARTITION BY q ORDER BY slot) AS nr
+                   FROM excl)
+        SELECT q AS query_id, CAST(nr AS INTEGER) AS neg_rank, rid AS doc_id
+        FROM ranked WHERE nr <= 5
     """,
     "basket_rules": """
         WITH lines AS (SELECT DISTINCT user_id AS bk, event_type AS it

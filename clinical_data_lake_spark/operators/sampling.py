@@ -281,3 +281,129 @@ def sample_alpha_mixture(
         .filter(keep)
         .drop("n_docs", "rate_65536")
     )
+
+
+def negative_samples(
+    anchors: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    anchor_col: str = "query_id",
+    id_col: str = "doc_id",
+    positives: DataFrame | None = None,
+    oversample: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    each anchor, ``k`` pseudo-uniform corpus ids — reproducible across
+    runs, partitionings, and engines (pure md5 arithmetic, the same
+    contract as ``hash_split``), with an anchor's known positives
+    excluded when ``positives`` (anchor_col, id_col) is given. Output:
+    (anchor_col, neg_rank 1..k, id_col).
+
+    Hash-ring construction: every corpus id sits on a ring at
+    md5(id); each (anchor, slot) probe lands at md5(anchor:slot:seed)
+    and takes the next corpus id clockwise (first pos >= probe,
+    wrapping). ``oversample`` extra slots absorb positive-exclusion
+    losses and probe collisions; rank keeps the first k surviving
+    slots. With heavy oversampling loss an anchor can emit < k rows —
+    raise ``oversample`` (loss is ~|positives per anchor| / |corpus|).
+
+    Scale shape — the ring match is NOT a global-order window: ring
+    and probes bucket by the first two hex chars (256 order-preserving
+    segments), the clockwise carry runs inside each bucket, and
+    wraparound across empty tails resolves against a 256-row
+    per-bucket successor table (broadcast). One corpus-scale shuffle
+    on the bucket key; probes are |anchors| x (k + oversample).
+    """
+    m = k + oversample
+    probe_pos = F.md5(
+        F.concat_ws(":", F.col(anchor_col).cast("string"),
+                    F.col("__slot__").cast("string"), F.lit(str(seed)))
+    )
+    probes = (
+        anchors.select(anchor_col).distinct()
+        .select(
+            anchor_col,
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("__slot__"),
+        )
+        .select(anchor_col, "__slot__", probe_pos.alias("__pos__"))
+    )
+    ring = corpus.select(
+        F.col(id_col).alias("__rid__"),
+        F.md5(F.col(id_col).cast("string")).alias("__pos__"),
+    )
+    bkt = F.substring("__pos__", 1, 2)
+
+    # clockwise carry inside each bucket: descending pos, corpus rows
+    # first on ties (pos == probe counts as a match)
+    u = (
+        ring.select(
+            bkt.alias("__bkt__"), "__pos__", "__rid__",
+            F.lit(None).cast(probes.schema[anchor_col].dataType).alias(anchor_col),
+            F.lit(None).cast("int").alias("__slot__"),
+            F.lit(0).alias("__isp__"),
+        )
+        .unionByName(
+            probes.select(
+                bkt.alias("__bkt__"), "__pos__",
+                F.lit(None).cast(ring.schema["__rid__"].dataType).alias("__rid__"),
+                F.col(anchor_col), F.col("__slot__").cast("int").alias("__slot__"),
+                F.lit(1).alias("__isp__"),
+            )
+        )
+    )
+    w = (
+        Window.partitionBy("__bkt__")
+        .orderBy(F.desc("__pos__"), F.asc("__isp__"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn("__next__", F.last("__rid__", ignorenulls=True).over(w))
+
+    # wraparound: per-bucket first (smallest-pos) corpus id, then each
+    # bucket's successor = the first id of the next non-empty bucket
+    # (cyclic) — a 256-row table, windowed tiny, broadcast back
+    firsts = ring.groupBy(bkt.alias("__bkt__")).agg(
+        F.min_by("__rid__", "__pos__").alias("__first__")
+    )
+    # every hex bucket gets a row (a probe may land in a bucket with
+    # no corpus ids at all); empty buckets inherit the next non-empty
+    # bucket's first id via ignorenulls-first over the 256-row table
+    spark = corpus.sparkSession
+    buckets256 = spark.range(256).select(
+        F.lpad(F.lower(F.conv(F.col("id").cast("string"), 10, 16)), 2, "0").alias(
+            "__bkt__"
+        )
+    )
+    all_bkts = buckets256.join(F.broadcast(firsts), on="__bkt__", how="left")
+    w_succ = Window.orderBy(F.asc("__bkt__")).rowsBetween(1, Window.unboundedFollowing)
+    glob_first = F.first("__first__", ignorenulls=True).over(
+        Window.orderBy(F.asc("__bkt__")).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    succ = all_bkts.select(
+        "__bkt__",
+        F.coalesce(
+            F.first("__first__", ignorenulls=True).over(w_succ), glob_first
+        ).alias("__succ__"),
+    )
+
+    matched = (
+        carried.filter(F.col("__isp__") == 1)
+        .join(F.broadcast(succ), on="__bkt__", how="left")
+        .select(
+            anchor_col, "__slot__",
+            F.coalesce("__next__", "__succ__").alias(id_col),
+        )
+    )
+    if positives is not None:
+        matched = matched.join(
+            positives.select(anchor_col, id_col), on=[anchor_col, id_col],
+            how="left_anti",
+        )
+    w_rank = Window.partitionBy(anchor_col).orderBy(F.asc("__slot__"))
+    return (
+        matched.withColumn("neg_rank", F.row_number().over(w_rank))
+        .filter(F.col("neg_rank") <= k)
+        .select(anchor_col, F.col("neg_rank").cast("int").alias("neg_rank"), id_col)
+    )

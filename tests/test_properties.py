@@ -361,3 +361,45 @@ def test_activity_rollup_closed_form(spark):
     assert out["2024-01-01"] == (1, 1, 0)
     assert out["2024-01-02"] == (2, 1, 1)   # user1 returns, user2 new
     assert out["2024-01-03"] == (1, 1, 0)
+
+
+def test_negative_samples_match_python_ring(spark):
+    """The hash-ring match must agree with a literal Python md5
+    reimplementation: clockwise next id, wraparound, exclusion, k cut."""
+    import hashlib
+
+    from clinical_data_lake_spark.operators.sampling import negative_samples
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    corpus_ids = list(range(1, 21))
+    ring = sorted((md5(str(i)), i) for i in corpus_ids)
+
+    def ring_next(pos):
+        for p, i in ring:
+            if p >= pos:
+                return i
+        return ring[0][1]
+
+    anchors = [100, 101, 102]
+    k, m, seed = 3, 5, 42
+    corpus = spark.createDataFrame([(i,) for i in corpus_ids], ["doc_id"])
+    adf = spark.createDataFrame([(a,) for a in anchors], ["query_id"])
+
+    # no exclusion: first k slots verbatim
+    got = {(r.query_id, r.neg_rank): r.doc_id
+           for r in negative_samples(adf, corpus, k=k, oversample=m - k,
+                                     seed=seed).collect()}
+    for a in anchors:
+        expected = [ring_next(md5(f"{a}:{s}:{seed}")) for s in range(m)][:k]
+        assert [got[(a, r)] for r in (1, 2, 3)] == expected
+
+    # excluding anchor 100's slot-0 hit shifts its ranks to later slots
+    slot_hits = [ring_next(md5(f"100:{s}:{seed}")) for s in range(m)]
+    pos = spark.createDataFrame([(100, slot_hits[0])], ["query_id", "doc_id"])
+    got2 = {(r.query_id, r.neg_rank): r.doc_id
+            for r in negative_samples(adf, corpus, k=k, oversample=m - k,
+                                      seed=seed, positives=pos).collect()}
+    survivors = [h for h in slot_hits if h != slot_hits[0]][:k]
+    assert [got2[(100, r)] for r in range(1, len(survivors) + 1)] == survivors
+    # other anchors unaffected
+    assert got2[(101, 1)] == got[(101, 1)]
