@@ -241,3 +241,41 @@ def test_pair_metrics_single_inverted_index_pass(spark):
     ids = re.findall(r"Generate explode\(transform\(arrays_zip\(slice\((\w+#\d+)", p)
     assert ids, "expected the shingle explode in the plan"
     assert len(set(ids)) == 1, f"inverted index rebuilt: {sorted(set(ids))}"
+
+
+def test_scd2_lookup_dim_broadcast_facts_unshuffled(spark):
+    """The SCD2 dimension must broadcast; the fact side reaches the
+    join straight off the scan (no fact-key exchange before it)."""
+    p = _plan(spark, "scd2_lookup")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_negative_samples_ring_windows_are_bucketed(spark):
+    """The clockwise carry must run per hex bucket — the only
+    unpartitioned windows are over the 256-row successor table and
+    the per-anchor rank (anchor-partitioned)."""
+    p = _plan(spark, "negative_samples")
+    for line in p.splitlines():
+        if "last(__rid__" in line:
+            assert "__bkt__" in line, line
+    # anchor-rank window is partitioned by the anchor
+    for line in p.splitlines():
+        if "row_number" in line and "neg_rank" not in line:
+            assert "query_id" in line or "__bkt__" in line, line
+
+
+def test_basket_rules_prunes_before_pairing(spark):
+    """Apriori prune: the within-basket self-join consumes the
+    semi-joined (frequent-items-only) lines, and item supports are
+    broadcast back."""
+    p = _plan(spark, "basket_rules")
+    assert "LeftSemi" in p
+    assert p.count("BroadcastHashJoin") >= 2
+
+
+def test_winsorize_bounds_broadcast_fact_unshuffled(spark):
+    """Per-group winsorization: the bounds table broadcasts; the fact
+    table itself must not cross a hash exchange (its only exchange is
+    the bounds aggregation input)."""
+    p = _plan(spark, "winsorize")
+    assert "BroadcastHashJoin" in p
