@@ -1316,6 +1316,14 @@ def q_topn_others(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_incidence(spark: SparkSession, sf: str) -> DataFrame:
+    """Monthly incidence/prevalence per event type (operators/
+    cohort.py:incidence_prevalence): distinct user-type-month
+    reduction, first-ever months from the reduced table, integer-count
+    rates."""
+    return cohort.incidence_prevalence(read_table(spark, sf, "events"))
+
+
 def q_negative_samples(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic hash-ring negative sampling for contrastive
     training (operators/sampling.py:negative_samples): 5 reproducible
@@ -2103,6 +2111,7 @@ QUERIES = {
     "chunk_split": q_chunk_split,
     "trending_topk": q_trending_topk,
     "topn_others": q_topn_others,
+    "incidence": q_incidence,
     "sample_split": q_sample_split,
     "join_asof": q_join_asof,
     "join_range": q_join_range,
@@ -4167,6 +4176,29 @@ FROM final f JOIN ordered o USING (doc_id) JOIN packed p USING (doc_id)
         SELECT status, label, CAST(cnt AS BIGINT) AS cnt,
                CAST(sv AS DOUBLE) AS sum_value
         FROM (SELECT * FROM head UNION ALL SELECT * FROM tail)
+    """,
+    "incidence": """
+        WITH utm AS (SELECT DISTINCT user_id AS u, event_type,
+                            CAST(date_trunc('month', ts) AS DATE) AS month
+                     FROM events),
+        denom AS (SELECT month, count(*) AS n_active
+                  FROM (SELECT DISTINCT u, month FROM utm) GROUP BY month),
+        fe AS (SELECT u, event_type, min(month) AS first_month
+               FROM utm GROUP BY u, event_type),
+        cell AS (SELECT utm.month, utm.event_type,
+                        count(*) AS n_prevalent,
+                        sum(CASE WHEN utm.month = fe.first_month
+                                 THEN 1 ELSE 0 END) AS n_incident
+                 FROM utm JOIN fe ON utm.u = fe.u
+                       AND utm.event_type = fe.event_type
+                 GROUP BY 1, 2)
+        SELECT c.month, c.event_type,
+               CAST(d.n_active AS BIGINT) AS n_active,
+               CAST(c.n_prevalent AS BIGINT) AS n_prevalent,
+               CAST(c.n_incident AS BIGINT) AS n_incident,
+               round(c.n_prevalent / d.n_active, 6) AS prevalence,
+               round(c.n_incident / d.n_active, 6) AS incidence
+        FROM cell c JOIN denom d USING (month)
     """,
     "negative_samples": """
         WITH anchors AS (SELECT doc_id AS q FROM documents WHERE doc_id < 10),

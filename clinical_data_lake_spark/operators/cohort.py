@@ -234,3 +234,68 @@ def activity_rollup(
             "returning_users", (F.col("active_users") - F.col("new_users")).cast("long")
         )
     )
+
+
+def incidence_prevalence(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    digits: int = 6,
+) -> DataFrame:
+    """Monthly incidence and prevalence per event type — the
+    epidemiology rates the reference's dashboard approximates with raw
+    condition counts (01-rwe-dashboard.r:40-52): per (month, type),
+
+        n_active     users with ANY event that month (denominator)
+        n_prevalent  users with >=1 event of this type that month
+        n_incident   users whose FIRST-EVER event of this type falls
+                     in that month (new cases)
+        prevalence   n_prevalent / n_active
+        incidence    n_incident / n_active
+
+    Scale shape: everything reduces to distinct (user, type, month)
+    triples in one shuffle; first-ever months are a min() over the
+    same reduced table (user/type-key shuffle, output bounded by
+    users x types); denominators reduce further to (user, month). The
+    rate rollups aggregate tables bounded by actives — never raw
+    events. Rates are integer-count ratios rounded once: bit-stable
+    everywhere.
+    """
+    utm = (
+        events.select(
+            F.col(user_col).alias("__u__"),
+            F.col(type_col).alias("event_type"),
+            F.date_trunc("month", F.col(ts_col)).cast("date").alias("month"),
+        )
+        .distinct()
+    )
+    denom = (
+        utm.select("__u__", "month").distinct()
+        .groupBy("month")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    first_ever = utm.groupBy("__u__", "event_type").agg(
+        F.min("month").alias("__first__")
+    )
+    per_cell = (
+        utm.join(first_ever, on=["__u__", "event_type"])
+        .groupBy("month", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_prevalent"),
+            F.sum(F.when(F.col("month") == F.col("__first__"), 1).otherwise(0))
+            .alias("n_incident"),
+        )
+    )
+    return (
+        per_cell.join(F.broadcast(denom), on="month")
+        .select(
+            "month",
+            "event_type",
+            F.col("n_active").cast("long").alias("n_active"),
+            F.col("n_prevalent").cast("long").alias("n_prevalent"),
+            F.col("n_incident").cast("long").alias("n_incident"),
+            F.round(F.col("n_prevalent") / F.col("n_active"), digits).alias("prevalence"),
+            F.round(F.col("n_incident") / F.col("n_active"), digits).alias("incidence"),
+        )
+    )

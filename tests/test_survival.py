@@ -120,3 +120,36 @@ def test_logrank_rejects_three_arms(spark):
 
     with pytest.raises(ValueError, match="2 arms"):
         logrank_test(df, group_col="arm")
+
+
+# ------------------------------------------------- incidence/prevalence
+
+def test_incidence_prevalence_closed_form(spark):
+    import datetime as _dt
+
+    from clinical_data_lake_spark.operators.cohort import incidence_prevalence
+
+    d = lambda s: _dt.datetime.fromisoformat(s)  # noqa: E731
+    ev = spark.createDataFrame(
+        [
+            # jan: u1 has A (first), u2 has A (first) -> incidence 2/2
+            (1, "A", d("2024-01-05T00:00")),
+            (2, "A", d("2024-01-20T00:00")),
+            # feb: u1 has A again (not incident), u3 has A first time;
+            # u2 active with B only
+            (1, "A", d("2024-02-01T00:00")),
+            (3, "A", d("2024-02-10T00:00")),
+            (2, "B", d("2024-02-15T00:00")),
+        ],
+        ["user_id", "event_type", "ts"],
+    )
+    out = {(str(r.month), r.event_type): r
+           for r in incidence_prevalence(ev).collect()}
+    jan_a = out[("2024-01-01", "A")]
+    assert (jan_a.n_active, jan_a.n_prevalent, jan_a.n_incident) == (2, 2, 2)
+    assert jan_a.prevalence == 1.0 and jan_a.incidence == 1.0
+    feb_a = out[("2024-02-01", "A")]
+    assert (feb_a.n_active, feb_a.n_prevalent, feb_a.n_incident) == (3, 2, 1)
+    assert feb_a.incidence == round(1 / 3, 6)
+    feb_b = out[("2024-02-01", "B")]
+    assert (feb_b.n_prevalent, feb_b.n_incident) == (1, 1)
