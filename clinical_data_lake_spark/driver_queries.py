@@ -1316,6 +1316,19 @@ def q_topn_others(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_mutual_info(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar mutual information between order status and priority
+    (operators/itemsets.py:mutual_information): per-cell terms rounded
+    to decimal(28,14) and summed decimally — partitioning-invariant."""
+    from .operators import itemsets
+
+    o = read_table(spark, sf, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    return itemsets.mutual_information(o, "status", "priority")
+
+
 def q_incidence(spark: SparkSession, sf: str) -> DataFrame:
     """Monthly incidence/prevalence per event type (operators/
     cohort.py:incidence_prevalence): distinct user-type-month
@@ -2112,6 +2125,7 @@ QUERIES = {
     "trending_topk": q_trending_topk,
     "topn_others": q_topn_others,
     "incidence": q_incidence,
+    "mutual_info": q_mutual_info,
     "sample_split": q_sample_split,
     "join_asof": q_join_asof,
     "join_range": q_join_range,
@@ -4176,6 +4190,22 @@ FROM final f JOIN ordered o USING (doc_id) JOIN packed p USING (doc_id)
         SELECT status, label, CAST(cnt AS BIGINT) AS cnt,
                CAST(sv AS DOUBLE) AS sum_value
         FROM (SELECT * FROM head UNION ALL SELECT * FROM tail)
+    """,
+    "mutual_info": """
+        WITH cells AS (SELECT o_orderstatus AS s, o_orderpriority AS p,
+                              count(*) AS n_xy
+                       FROM orders
+                       WHERE o_orderstatus IS NOT NULL
+                         AND o_orderpriority IS NOT NULL
+                       GROUP BY 1, 2),
+        mx AS (SELECT s, sum(n_xy) AS n_x FROM cells GROUP BY s),
+        my AS (SELECT p, sum(n_xy) AS n_y FROM cells GROUP BY p),
+        tot AS (SELECT sum(n_xy) AS n FROM cells)
+        SELECT CAST(count(*) AS BIGINT) AS n_cells,
+               round(CAST(sum(CAST(round(
+                   (c.n_xy / tot.n) * ln((c.n_xy * tot.n) / (mx.n_x * my.n_y)),
+                   14) AS DECIMAL(28,14))) AS DOUBLE), 9) AS mi_nats
+        FROM cells c JOIN mx USING (s) JOIN my USING (p) CROSS JOIN tot
     """,
     "incidence": """
         WITH utm AS (SELECT DISTINCT user_id AS u, event_type,

@@ -143,3 +143,41 @@ def pmi_cooccurrence(
         F.col("n_y").cast("long").alias("n_y"),
         F.round(pmi, digits).alias("pmi"),
     )
+
+
+def mutual_information(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Scalar mutual information I(X;Y) in nats — the feature-
+    selection score summarizing the ``pmi_cooccurrence`` table:
+
+        I = sum_cells (n_xy / N) * pmi(x, y)
+
+    A naive double sum over cells is order-dependent (float addition
+    does not associate); here each cell's term is rounded to a
+    decimal(28,14) and summed DECIMALLY, so the scalar is identical
+    under any partitioning — the same trick the certified decimal
+    rollups use, applied to log-domain terms. Emitted as one row
+    (n_cells, mi_nats).
+    """
+    cells = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(x_col, y_col)
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+    )
+    mx = cells.groupBy(x_col).agg(F.sum("n_xy").alias("n_x"))
+    my = cells.groupBy(y_col).agg(F.sum("n_xy").alias("n_y"))
+    tot = cells.agg(F.sum("n_xy").alias("__n__"))
+    pmi = F.log((F.col("n_xy") * F.col("__n__")) / (F.col("n_x") * F.col("n_y")))
+    term = F.round((F.col("n_xy") / F.col("__n__")) * pmi, 14).cast("decimal(28,14)")
+    return (
+        cells.join(F.broadcast(mx), on=x_col)
+        .join(F.broadcast(my), on=y_col)
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.round(F.sum(term).cast("double"), 9).alias("mi_nats"),
+        )
+    )

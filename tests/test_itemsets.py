@@ -50,3 +50,17 @@ def test_pmi_independence_is_zero(spark):
     df = spark.createDataFrame(rows, ["x", "y"])
     out = pmi_cooccurrence(df, "x", "y").collect()
     assert len(out) == 4 and all(r.pmi == 0.0 for r in out)
+
+
+def test_mutual_information_closed_forms(spark):
+    from clinical_data_lake_spark.operators.itemsets import mutual_information
+
+    # independent uniform grid -> MI exactly 0
+    rows = [(x, y) for x in "ab" for y in "cd" for _ in range(5)]
+    out = mutual_information(spark.createDataFrame(rows, ["x", "y"]), "x", "y").collect()[0]
+    assert out.n_cells == 4 and out.mi_nats == 0.0
+
+    # perfect dependence over 2 equiprobable symbols -> MI = ln 2
+    rows = [("a", "p")] * 5 + [("b", "q")] * 5
+    out = mutual_information(spark.createDataFrame(rows, ["x", "y"]), "x", "y").collect()[0]
+    assert abs(out.mi_nats - math.log(2)) < 1e-9
