@@ -1258,6 +1258,17 @@ def q_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_graph_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-node triangle counts over the near-dup graph — ordered-
+    wedge enumeration, each triangle counted exactly once
+    (operators/graph.py:triangle_counts). Separates duplicate cliques
+    from accidental chains."""
+    pairs = dedup.ngram_jaccard_pairs(
+        read_table(spark, sf, "documents"), threshold=0.2, max_doc_freq=100
+    )
+    return graph.triangle_counts(pairs, src="doc_a", dst="doc_b")
+
+
 def q_cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
     """MERGE INTO semantics on plain parquet: a change feed derived
     deterministically from orders (latest order per customer updates
@@ -2126,6 +2137,7 @@ QUERIES = {
     "topn_others": q_topn_others,
     "incidence": q_incidence,
     "mutual_info": q_mutual_info,
+    "graph_triangles": q_graph_triangles,
     "sample_split": q_sample_split,
     "join_asof": q_join_asof,
     "join_range": q_join_range,
@@ -4190,6 +4202,24 @@ FROM final f JOIN ordered o USING (doc_id) JOIN packed p USING (doc_id)
         SELECT status, label, CAST(cnt AS BIGINT) AS cnt,
                CAST(sv AS DOUBLE) AS sum_value
         FROM (SELECT * FROM head UNION ALL SELECT * FROM tail)
+    """,
+    "graph_triangles": f"""
+        WITH pairs AS (SELECT doc_a, doc_b FROM ({_NGRAM_PAIRS_SQL})),
+        e AS (SELECT DISTINCT least(doc_a, doc_b) AS a,
+                     greatest(doc_a, doc_b) AS b
+              FROM pairs WHERE doc_a != doc_b),
+        tri AS (SELECT w1.a AS x, w1.b AS y, w2.b AS z
+                FROM e w1 JOIN e w2 ON w1.b = w2.a
+                WHERE EXISTS (SELECT 1 FROM e
+                              WHERE e.a = w1.a AND e.b = w2.b)),
+        pn AS (SELECT node, count(*) AS n FROM (
+                   SELECT x AS node FROM tri
+                   UNION ALL SELECT y FROM tri
+                   UNION ALL SELECT z FROM tri)
+               GROUP BY node),
+        nodes AS (SELECT a AS node FROM e UNION SELECT b AS node FROM e)
+        SELECT node, CAST(coalesce(n, 0) AS BIGINT) AS n_triangles
+        FROM nodes LEFT JOIN pn USING (node)
     """,
     "mutual_info": """
         WITH cells AS (SELECT o_orderstatus AS s, o_orderpriority AS p,

@@ -35,3 +35,22 @@ def test_pagerank_mass_is_conserved(spark):
     )
     rows = pagerank(edges, iterations=3).collect()
     assert sum(r.rank for r in rows) == pytest.approx(4.0)
+
+
+def test_triangle_counts_closed_form(spark):
+    from clinical_data_lake_spark.operators.graph import triangle_counts
+
+    # K4 on {1,2,3,4}: every node is in C(3,2)=3 triangles; node 5
+    # hangs off node 1 (no triangle); edges arrive unordered/dup'd
+    edges = [(1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (5, 1)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0}
+
+
+def test_triangle_counts_chain_has_none(spark):
+    from clinical_data_lake_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
+    out = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert set(out.values()) == {0}
