@@ -1327,6 +1327,24 @@ def q_topn_others(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_pareto(spark: SparkSession, sf: str) -> DataFrame:
+    """Customer-value Pareto (80/20) analysis: decimal-exact shares,
+    deterministic head set; the ordering window runs over the
+    key-cardinality table only (operators/aggregates.py:
+    pareto_analysis)."""
+    o = read_table(spark, sf, "orders").select("o_custkey", "o_totalprice")
+    return agg.pareto_analysis(o, ["o_custkey"], "o_totalprice")
+
+
+def q_period_growth(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly event volume + value with period-over-period growth
+    (NULL, not zero-division, for the first/empty-prev periods) —
+    lag over the bounded period table (operators/timeseries.py:
+    period_growth)."""
+    ev = read_table(spark, sf, "events").select("ts", "value")
+    return timeseries.period_growth(ev, value_col="value", period="week")
+
+
 def q_mutual_info(spark: SparkSession, sf: str) -> DataFrame:
     """Scalar mutual information between order status and priority
     (operators/itemsets.py:mutual_information): per-cell terms rounded
@@ -2138,6 +2156,8 @@ QUERIES = {
     "incidence": q_incidence,
     "mutual_info": q_mutual_info,
     "graph_triangles": q_graph_triangles,
+    "pareto": q_pareto,
+    "period_growth": q_period_growth,
     "sample_split": q_sample_split,
     "join_asof": q_join_asof,
     "join_range": q_join_range,
@@ -4202,6 +4222,37 @@ FROM final f JOIN ordered o USING (doc_id) JOIN packed p USING (doc_id)
         SELECT status, label, CAST(cnt AS BIGINT) AS cnt,
                CAST(sv AS DOUBLE) AS sum_value
         FROM (SELECT * FROM head UNION ALL SELECT * FROM tail)
+    """,
+    "pareto": """
+        WITH pk AS (SELECT o_custkey,
+                           sum(CAST(o_totalprice AS DECIMAL(18,3))) AS v
+                    FROM orders GROUP BY 1),
+        t AS (SELECT sum(v) AS tot FROM pk),
+        c AS (SELECT o_custkey, v,
+                     sum(v) OVER (ORDER BY v DESC, o_custkey
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+              FROM pk)
+        SELECT o_custkey, CAST(v AS DOUBLE) AS value,
+               round(CAST(v AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share,
+               round(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cum_share,
+               CAST(cum - v AS DOUBLE) < 0.8 * CAST(tot AS DOUBLE) AS in_top
+        FROM c CROSS JOIN t
+    """,
+    "period_growth": """
+        WITH p AS (SELECT CAST(date_trunc('week', ts) AS DATE) AS period_start,
+                          count(*) AS cnt,
+                          sum(CAST(value AS DECIMAL(18,3))) AS sv
+                   FROM events GROUP BY 1),
+        l AS (SELECT *, lag(cnt) OVER (ORDER BY period_start) AS pc,
+                     lag(sv) OVER (ORDER BY period_start) AS pv
+              FROM p)
+        SELECT period_start, CAST(cnt AS BIGINT) AS cnt,
+               CAST(sv AS DOUBLE) AS sum_value,
+               CASE WHEN pc > 0 THEN round(cnt / pc - 1.0, 6) END AS cnt_growth,
+               CASE WHEN pv != 0
+                    THEN round(CAST(sv AS DOUBLE) / CAST(pv AS DOUBLE) - 1.0, 6)
+               END AS sum_growth
+        FROM l
     """,
     "graph_triangles": f"""
         WITH pairs AS (SELECT doc_a, doc_b FROM ({_NGRAM_PAIRS_SQL})),

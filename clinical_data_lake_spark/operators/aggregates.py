@@ -497,3 +497,54 @@ def gini_concentration(
         F.round(F.lit(2.0) * srk / (n * t) - (n + 1.0) / n, digits),
     ).otherwise(F.lit(0.0))
     return agg.select("n", F.round(t, digits).alias("total"), gini.alias("gini"))
+
+
+def pareto_analysis(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    top_share: float = 0.8,
+    digits: int = 6,
+) -> DataFrame:
+    """Contribution / Pareto (80-20) analysis: per key, its share of
+    the decimal-exact total, the running share in descending-value
+    order, and whether the key belongs to the head that covers
+    ``top_share`` of total value:
+
+        (key_cols..., value, share, cum_share, in_top)
+
+    ``in_top`` marks every key whose cumulative share FIRST reaches
+    ``top_share`` (ties at the boundary break by key ascending, so
+    the head set is deterministic).
+
+    Scale shape: the raw table collapses to key-cardinality size in
+    one groupBy (decimal sums, map-side combined); the ordering
+    window runs over THAT table only. For key cardinalities too big
+    for one task, rank with the bucketed two-phase pattern
+    (``distributed_rank``); for dashboard-grade cardinalities this is
+    the right plan.
+    """
+    keys = list(key_cols)
+    per_key = df.groupBy(*keys).agg(
+        F.sum(F.col(value_col).cast("decimal(18,3)")).alias("__v__")
+    )
+    total = per_key.agg(F.sum("__v__").alias("__t__"))
+    w = Window.orderBy(F.desc("__v__"), *[F.asc(k) for k in keys]).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per_key.crossJoin(F.broadcast(total))
+        .withColumn("__cum__", F.sum("__v__").over(w))
+        .select(
+            *keys,
+            F.col("__v__").cast("double").alias("value"),
+            F.round(F.col("__v__").cast("double") / F.col("__t__").cast("double"),
+                    digits).alias("share"),
+            F.round(F.col("__cum__").cast("double") / F.col("__t__").cast("double"),
+                    digits).alias("cum_share"),
+            (
+                (F.col("__cum__") - F.col("__v__")).cast("double")
+                < F.lit(top_share) * F.col("__t__").cast("double")
+            ).alias("in_top"),
+        )
+    )

@@ -307,3 +307,62 @@ def seasonal_profile(
             F.round(avg_slot / F.col("__avg__"), digits).alias("seasonal_index"),
         )
     )
+
+
+def period_growth(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str | None = None,
+    period: str = "week",
+    digits: int = 6,
+) -> DataFrame:
+    """Period-over-period growth: per calendar period, the row count
+    (and decimal-exact value sum when ``value_col`` is given) plus the
+    relative change vs the previous period:
+
+        (period_start, cnt[, sum_value], cnt_growth[, sum_growth])
+
+    growth = this/prev - 1; NULL for the first period and after an
+    empty previous period (no silent zero-division). Periods with no
+    rows simply don't appear — run ``resample_daily`` first if the
+    calendar must be dense.
+
+    Scale shape: one groupBy collapses events to the period table
+    (bounded by the date range); the lag window runs over that tiny
+    table only.
+    """
+    aggs = [F.count(F.lit(1)).cast("long").alias("cnt")]
+    if value_col is not None:
+        aggs.append(
+            F.sum(F.col(value_col).cast("decimal(18,3)")).alias("__sv__")
+        )
+    per = events.groupBy(
+        F.date_trunc(period, F.col(ts_col)).cast("date").alias("period_start")
+    ).agg(*aggs)
+    w = Window.orderBy("period_start")
+    out = per.withColumn("__pc__", F.lag("cnt").over(w))
+    cols = [
+        "period_start",
+        "cnt",
+    ]
+    growth_c = F.when(
+        F.col("__pc__") > 0,
+        F.round(F.col("cnt") / F.col("__pc__") - 1.0, digits),
+    )
+    if value_col is not None:
+        out = out.withColumn("__pv__", F.lag("__sv__").over(w))
+        cols += [
+            F.col("__sv__").cast("double").alias("sum_value"),
+            growth_c.alias("cnt_growth"),
+            F.when(
+                F.col("__pv__") != 0,
+                F.round(
+                    F.col("__sv__").cast("double") / F.col("__pv__").cast("double")
+                    - 1.0,
+                    digits,
+                ),
+            ).alias("sum_growth"),
+        ]
+    else:
+        cols.append(growth_c.alias("cnt_growth"))
+    return out.select(*cols)

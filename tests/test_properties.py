@@ -403,3 +403,18 @@ def test_negative_samples_match_python_ring(spark):
     assert [got2[(100, r)] for r in range(1, len(survivors) + 1)] == survivors
     # other anchors unaffected
     assert got2[(101, 1)] == got[(101, 1)]
+
+
+def test_pareto_closed_form(spark):
+    from clinical_data_lake_spark.operators.aggregates import pareto_analysis
+
+    # values 50, 30, 15, 5 -> cumulative 0.5, 0.8, 0.95, 1.0
+    df = spark.createDataFrame(
+        [("a", 50.0), ("b", 30.0), ("c", 15.0), ("d", 5.0)], ["k", "v"]
+    )
+    out = {r.k: r for r in pareto_analysis(df, ["k"], "v", top_share=0.8).collect()}
+    assert out["a"].share == 0.5 and out["a"].cum_share == 0.5
+    assert out["b"].cum_share == 0.8
+    # head = keys whose cum start is strictly below 0.8 of total
+    assert out["a"].in_top and out["b"].in_top
+    assert not out["c"].in_top and not out["d"].in_top

@@ -296,3 +296,27 @@ def test_ngram_probe_cap_matches_filtered_reference(spark):
     assert got == want
     assert stop, "fixture must actually trigger the cap"
     assert got, "capped fixture still has qualifying pairs"
+
+
+# ---------------------------------------------------- period growth
+
+def test_period_growth_closed_form(spark):
+    import datetime as _dt
+
+    from clinical_data_lake_spark.operators.timeseries import period_growth
+
+    d = lambda s: _dt.datetime.fromisoformat(s)  # noqa: E731
+    # three ISO weeks: 2 rows -> 4 rows (+100%) -> 1 row (-75%)
+    ev = spark.createDataFrame(
+        [(d("2024-01-01T10:00"), 1.0), (d("2024-01-02T10:00"), 1.0),
+         (d("2024-01-08T10:00"), 2.0), (d("2024-01-09T10:00"), 2.0),
+         (d("2024-01-10T10:00"), 2.0), (d("2024-01-11T10:00"), 2.0),
+         (d("2024-01-15T10:00"), 8.0)],
+        ["ts", "value"],
+    )
+    out = {str(r.period_start): r for r in
+           period_growth(ev, value_col="value", period="week").collect()}
+    w1, w2, w3 = out["2024-01-01"], out["2024-01-08"], out["2024-01-15"]
+    assert w1.cnt_growth is None and w1.sum_growth is None
+    assert w2.cnt_growth == 1.0 and w2.sum_growth == 3.0   # 2 -> 8
+    assert w3.cnt_growth == -0.75 and w3.sum_growth == 0.0  # 8 -> 8
