@@ -184,3 +184,36 @@ def write_jsonl(df: DataFrame, path: str, n_files: int | None = None) -> None:
     partitioning — at scale one file per task is what you want."""
     out = df.repartition(n_files) if n_files else df
     out.write.mode("overwrite").json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — the other columnar interchange format warehouse
+    exports arrive in (Hive-era lakes are ORC-heavy). Built into Spark:
+    predicate pushdown, column pruning, and vectorized reads work the
+    same as parquet, so every operator in this package runs on ORC
+    tables unchanged."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, n_files: int | None = None) -> None:
+    """ORC sink with overwrite; ``n_files`` as in ``write_jsonl``."""
+    out = df.repartition(n_files) if n_files else df
+    out.write.mode("overwrite").orc(path)
+
+
+def read_binary_dir(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+) -> DataFrame:
+    """Opaque-binary source for multimodal ingest: one row per file
+    with (path, modificationTime, length, content BINARY) — the
+    standard way raw image/audio/video files enter the lake before
+    ``llm.multimodal`` probes/features run on the ``content`` column.
+    ``glob`` filters by pathname (e.g. ``*.png``). Spark parallelizes
+    by file; at 100 TB pair with a manifest-driven directory layout so
+    listing doesn't serialize on one driver call."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

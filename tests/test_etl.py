@@ -279,3 +279,35 @@ def test_optimize_zorder_prunes_on_second_column(spark, tmp_path):
     assert z_hit <= lex_hit // 2, f"z-order did not prune: {z_hit}/{z_total}"
     # and the data survives the rewrite intact
     assert spark.read.parquet(zed).agg(F.sum("v")).collect()[0][0] == 4999950000
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    from clinical_data_lake_spark.io import read_orc, read_table, write_orc
+
+    from conftest import SF_SMALL
+
+    orders = read_table(spark, SF_SMALL, "orders")
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path)
+    back = read_orc(spark, path)
+    assert back.count() == orders.count()
+    assert {f.name for f in back.schema} == {f.name for f in orders.schema}
+    # pushdown reaches the ORC scan
+    plan = (
+        back.filter("o_orderkey = 42").select("o_orderkey")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,42)]" in plan
+
+
+def test_binary_dir_source_reads_files(spark, tmp_path):
+    from clinical_data_lake_spark.io import read_binary_dir
+
+    (tmp_path / "a.bin").write_bytes(b"\x89PNG-ish")
+    (tmp_path / "b.txt").write_bytes(b"hello")
+    all_rows = read_binary_dir(spark, str(tmp_path)).collect()
+    assert len(all_rows) == 2
+    by_name = {r.path.rsplit("/", 1)[-1]: bytes(r.content) for r in all_rows}
+    assert by_name["b.txt"] == b"hello" and by_name["a.bin"].startswith(b"\x89")
+    only_bin = read_binary_dir(spark, str(tmp_path), glob="*.bin").collect()
+    assert [r.path.rsplit("/", 1)[-1] for r in only_bin] == ["a.bin"]
