@@ -2054,6 +2054,44 @@ def q_fuzzy_match(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_fs_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic linkage scoring over nation+segment
+    blocked customer pairs (operators/joins.py:fs_match_score): log2
+    m/u weights folded driver-side into one projection — the scoring
+    stage after blocking."""
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    a = c.select(*[F.col(x).alias(f"{x}_a") for x in c.columns])
+    b = c.select(*[F.col(x).alias(f"{x}_b") for x in c.columns])
+    pairs = a.join(
+        b,
+        on=[
+            a["c_nationkey_a"] == b["c_nationkey_b"],
+            a["c_mktsegment_a"] == b["c_mktsegment_b"],
+            a["c_custkey_a"] < b["c_custkey_b"],
+        ],
+    )
+    scored = joins.fs_match_score(
+        pairs,
+        {
+            "last_char": (
+                F.substring("c_name_a", -1, 1) == F.substring("c_name_b", -1, 1),
+                0.9, 0.1,
+            ),
+            "bal_sign": (
+                (F.col("c_acctbal_a") > 0) == (F.col("c_acctbal_b") > 0),
+                0.7, 0.5,
+            ),
+        },
+        threshold=2.0,
+    )
+    return scored.select(
+        "c_custkey_a", "c_custkey_b", "agree_last_char", "agree_bal_sign",
+        "score", "is_match",
+    )
+
+
 def q_lm_score(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus-trained bigram LM perplexity proxy per document
     (functions/text.py:bigram_lm_scores) — KenLM/CCNet-style quality
@@ -2158,6 +2196,7 @@ QUERIES = {
     "graph_triangles": q_graph_triangles,
     "pareto": q_pareto,
     "period_growth": q_period_growth,
+    "fs_score": q_fs_score,
     "sample_split": q_sample_split,
     "join_asof": q_join_asof,
     "join_range": q_join_range,
@@ -4222,6 +4261,41 @@ FROM final f JOIN ordered o USING (doc_id) JOIN packed p USING (doc_id)
         SELECT status, label, CAST(cnt AS BIGINT) AS cnt,
                CAST(sv AS DOUBLE) AS sum_value
         FROM (SELECT * FROM head UNION ALL SELECT * FROM tail)
+    """,
+    # Fellegi-Sunter weights precomputed in Python and pasted as repr'd
+    # literals so both engines add the IDENTICAL doubles (log2 at SQL
+    # runtime could differ in the last ulp).
+    "fs_score": f"""
+        WITH a AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+                          c_acctbal FROM customer),
+        pairs AS (SELECT x.c_custkey AS ka, y.c_custkey AS kb,
+                         substr(x.c_name, -1, 1) = substr(y.c_name, -1, 1)
+                             AS agree_last_char,
+                         (x.c_acctbal > 0) = (y.c_acctbal > 0) AS agree_bal_sign
+                  FROM a x JOIN a y
+                    ON x.c_nationkey = y.c_nationkey
+                   AND x.c_mktsegment = y.c_mktsegment
+                   AND x.c_custkey < y.c_custkey)
+        SELECT ka AS c_custkey_a, kb AS c_custkey_b,
+               coalesce(agree_last_char, FALSE) AS agree_last_char,
+               coalesce(agree_bal_sign, FALSE) AS agree_bal_sign,
+               round(
+                   (CASE WHEN coalesce(agree_last_char, FALSE)
+                         THEN {__import__('math').log2(0.9 / 0.1)!r}
+                         ELSE {__import__('math').log2(0.1 / 0.9)!r} END)
+                 + (CASE WHEN coalesce(agree_bal_sign, FALSE)
+                         THEN {__import__('math').log2(0.7 / 0.5)!r}
+                         ELSE {__import__('math').log2(0.3 / 0.5)!r} END), 6)
+                   AS score,
+               round(
+                   (CASE WHEN coalesce(agree_last_char, FALSE)
+                         THEN {__import__('math').log2(0.9 / 0.1)!r}
+                         ELSE {__import__('math').log2(0.1 / 0.9)!r} END)
+                 + (CASE WHEN coalesce(agree_bal_sign, FALSE)
+                         THEN {__import__('math').log2(0.7 / 0.5)!r}
+                         ELSE {__import__('math').log2(0.3 / 0.5)!r} END), 6)
+                   >= 2.0 AS is_match
+        FROM pairs
     """,
     "pareto": """
         WITH pk AS (SELECT o_custkey,

@@ -17,7 +17,7 @@ nested-loop over 100 TB would otherwise shuffle everything.
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -358,3 +358,45 @@ def fuzzy_join(
         .filter(F.col(dist_alias) >= 0)
         .drop(*on)
     )
+
+
+def fs_match_score(
+    pairs: DataFrame,
+    field_params: Mapping[str, tuple[Column, float, float]],
+    threshold: float | None = None,
+    digits: int = 6,
+) -> DataFrame:
+    """Fellegi–Sunter record-linkage scoring — the probabilistic stage
+    that turns candidate pairs (from ``fuzzy_join`` / sorted-
+    neighborhood / LSH blocking) into ranked match decisions:
+
+        score = sum_fields  log2(m_f / u_f)          if field agrees
+                            log2((1-m_f) / (1-u_f))  otherwise
+
+    ``field_params``: field name -> (agreement Column over the pair
+    row, m, u) with m = P(agree | match), u = P(agree | non-match).
+    NULL agreement counts as disagreement (three-valued logic made
+    explicit). Emits per-field agreement flags, the total ``score``,
+    and ``is_match`` when ``threshold`` is given.
+
+    The log-weights are driver-side Python constants folded into one
+    projection — no shuffle, no UDF; the expensive part of linkage is
+    the blocking that produced ``pairs``, not this scoring pass.
+    """
+    import math
+
+    out = pairs
+    score = None
+    for name, (agree_col, m, u) in field_params.items():
+        if not (0.0 < m < 1.0 and 0.0 < u < 1.0):
+            raise ValueError(f"m/u for {name!r} must be in (0, 1)")
+        flag = F.coalesce(agree_col, F.lit(False))
+        out = out.withColumn(f"agree_{name}", flag)
+        w_a = math.log2(m / u)
+        w_d = math.log2((1.0 - m) / (1.0 - u))
+        term = F.when(F.col(f"agree_{name}"), F.lit(w_a)).otherwise(F.lit(w_d))
+        score = term if score is None else score + term
+    out = out.withColumn("score", F.round(score, digits))
+    if threshold is not None:
+        out = out.withColumn("is_match", F.col("score") >= F.lit(threshold))
+    return out

@@ -345,3 +345,42 @@ class TestAsofTolerance:
         )
         r = asof_join(left, right, "k", "ts", "rts", ["val"]).head()
         assert r.val == 5.0  # without tolerance, arbitrarily old matches carry
+
+
+# ------------------------------------------------ Fellegi-Sunter score
+
+def test_fs_match_score_closed_form(spark):
+    import math
+
+    from pyspark.sql import Row
+
+    from clinical_data_lake_spark.operators.joins import fs_match_score
+
+    pairs = spark.createDataFrame(
+        [Row(pid=1, a=True, b=True), Row(pid=2, a=True, b=False),
+         Row(pid=3, a=False, b=False), Row(pid=4, a=None, b=True)]
+    )
+    out = {r.pid: r for r in fs_match_score(
+        pairs,
+        {"f1": (F.col("a"), 0.9, 0.1), "f2": (F.col("b"), 0.8, 0.4)},
+        threshold=3.0,
+    ).collect()}
+    w1a, w1d = math.log2(9), math.log2(0.1 / 0.9)
+    w2a, w2d = math.log2(2), math.log2(0.2 / 0.6)
+    assert abs(out[1].score - round(w1a + w2a, 6)) < 1e-9
+    assert out[1].is_match is True
+    assert abs(out[2].score - round(w1a + w2d, 6)) < 1e-9
+    assert out[2].is_match is False
+    # NULL agreement counts as disagreement, explicitly
+    assert out[4].agree_f1 is False
+    assert abs(out[4].score - round(w1d + w2a, 6)) < 1e-9
+
+
+def test_fs_match_score_rejects_bad_mu(spark):
+    from pyspark.sql import Row
+
+    from clinical_data_lake_spark.operators.joins import fs_match_score
+
+    pairs = spark.createDataFrame([Row(a=True)])
+    with pytest.raises(ValueError, match="must be in"):
+        fs_match_score(pairs, {"f": (F.col("a"), 1.0, 0.1)})
