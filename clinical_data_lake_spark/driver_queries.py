@@ -2054,6 +2054,17 @@ def q_fuzzy_match(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_strip_markup(spark: SparkSession, sf: str) -> DataFrame:
+    """Markup/URL stripping projection over documents (functions/
+    text.py:strip_markup) — tags, core entities, URLs, whitespace,
+    in a fixed replay-exact order; zero shuffle."""
+    docs = read_table(spark, sf, "documents")
+    clean = text.strip_markup("text")
+    return docs.select(
+        "doc_id", clean.alias("clean"), F.length(clean).cast("long").alias("n_clean")
+    )
+
+
 def q_fs_score(spark: SparkSession, sf: str) -> DataFrame:
     """Fellegi-Sunter probabilistic linkage scoring over nation+segment
     blocked customer pairs (operators/joins.py:fs_match_score): log2
@@ -2197,6 +2208,7 @@ QUERIES = {
     "pareto": q_pareto,
     "period_growth": q_period_growth,
     "fs_score": q_fs_score,
+    "strip_markup": q_strip_markup,
     "sample_split": q_sample_split,
     "join_asof": q_join_asof,
     "join_range": q_join_range,
@@ -4261,6 +4273,24 @@ FROM final f JOIN ordered o USING (doc_id) JOIN packed p USING (doc_id)
         SELECT status, label, CAST(cnt AS BIGINT) AS cnt,
                CAST(sv AS DOUBLE) AS sum_value
         FROM (SELECT * FROM head UNION ALL SELECT * FROM tail)
+    """,
+    "strip_markup": """
+        WITH s1 AS (SELECT doc_id,
+                           regexp_replace(text, '<[^>]*>', ' ', 'g') AS t
+                    FROM documents),
+        s2 AS (SELECT doc_id,
+                      replace(replace(replace(replace(replace(t,
+                          '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+                          '&quot;', '"'), '&#39;', '''') AS t
+               FROM s1),
+        s3 AS (SELECT doc_id,
+                      regexp_replace(t, 'https?://\\S+', ' ', 'g') AS t
+               FROM s2)
+        SELECT doc_id,
+               trim(regexp_replace(t, '\\s+', ' ', 'g')) AS clean,
+               CAST(length(trim(regexp_replace(t, '\\s+', ' ', 'g'))) AS BIGINT)
+                   AS n_clean
+        FROM s3
     """,
     # Fellegi-Sunter weights precomputed in Python and pasted as repr'd
     # literals so both engines add the IDENTICAL doubles (log2 at SQL

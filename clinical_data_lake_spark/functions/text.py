@@ -495,3 +495,25 @@ def class_tfidf_terms(
         .filter(F.col("rnk") <= top_k)
         .select(class_col, "term", "w", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+def strip_markup(text: str | Column) -> Column:
+    """Web-corpus cleaning: remove HTML/XML tags, decode the five core
+    entities, drop URLs, and collapse whitespace — the deterministic
+    boilerplate-stripping projection that runs BEFORE quality scoring
+    and dedup on crawled text (tags and URLs otherwise dominate
+    shingles and length ratios).
+
+    Pure chained regexp_replace — JVM-side, zero shuffle, and exactly
+    replayable in any engine with the same regex dialect (the oracle
+    runs the identical patterns). Order matters: tags first (so
+    ``<a href=url>`` drops whole), then entities, then bare URLs,
+    then whitespace.
+    """
+    c = _col(text)
+    c = F.regexp_replace(c, r"<[^>]*>", " ")
+    for ent, ch in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+                    ("&quot;", '"'), ("&#39;", "'")):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    c = F.regexp_replace(c, r"https?://\S+", " ")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
