@@ -2054,6 +2054,16 @@ def q_fuzzy_match(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_path_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 event-type trigram journeys across user streams
+    (operators/windows.py:event_path_ngrams): one key shuffle for the
+    shared lead window, vocabulary-bounded path counts, TakeOrdered."""
+    ev = read_table(spark, sf, "events").select("user_id", "ts", "event_id", "event_type")
+    return windows.event_path_ngrams(
+        ev, "user_id", ["ts", "event_id"], "event_type", n=3, k=20
+    )
+
+
 def q_strip_markup(spark: SparkSession, sf: str) -> DataFrame:
     """Markup/URL stripping projection over documents (functions/
     text.py:strip_markup) — tags, core entities, URLs, whitespace,
@@ -2209,6 +2219,7 @@ QUERIES = {
     "period_growth": q_period_growth,
     "fs_score": q_fs_score,
     "strip_markup": q_strip_markup,
+    "path_ngrams": q_path_ngrams,
     "sample_split": q_sample_split,
     "join_asof": q_join_asof,
     "join_range": q_join_range,
@@ -4273,6 +4284,19 @@ FROM final f JOIN ordered o USING (doc_id) JOIN packed p USING (doc_id)
         SELECT status, label, CAST(cnt AS BIGINT) AS cnt,
                CAST(sv AS DOUBLE) AS sum_value
         FROM (SELECT * FROM head UNION ALL SELECT * FROM tail)
+    """,
+    "path_ngrams": """
+        WITH lead3 AS (
+            SELECT event_type AS e1,
+                   lead(event_type, 1) OVER w AS e2,
+                   lead(event_type, 2) OVER w AS e3
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT e1 || '>' || e2 || '>' || e3 AS path,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM lead3 WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        GROUP BY 1 ORDER BY cnt DESC, path LIMIT 20
     """,
     "strip_markup": """
         WITH s1 AS (SELECT doc_id,

@@ -308,3 +308,42 @@ def rolling_corr(
         F.round(cov / F.sqrt(vx * vy), digits),
     )
     return df.withColumn(alias, val)
+
+
+def event_path_ngrams(
+    events: DataFrame,
+    key_col: str,
+    order_cols: Sequence[str],
+    label_col: str,
+    n: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k event-sequence n-grams (user journeys): the most common
+    length-``n`` consecutive label paths across all keys' ordered
+    event streams — ``event_transitions`` generalized past first-order
+    (which paths, not just which steps).
+
+    (path, cnt) with ``path`` the '>'-joined labels, ties broken by
+    path ascending.
+
+    Scale shape: ONE shuffle on the key for the lead window (all
+    n - 1 leads share the same window spec — one Window node), then a
+    group-count on the path string (map-side combined, label-
+    vocabulary^n-bounded) and a TakeOrdered top-k — never a global
+    sort of the fact table.
+    """
+    w = Window.partitionBy(key_col).orderBy(*[F.asc(c) for c in order_cols])
+    cols = [F.col(label_col)] + [
+        F.lead(label_col, i).over(w) for i in range(1, n)
+    ]
+    cond = None
+    for c in cols[1:]:
+        nn = c.isNotNull()
+        cond = nn if cond is None else (cond & nn)
+    paths = (
+        events.select(F.when(cond, F.concat_ws(">", *cols)).alias("path"))
+        .filter(F.col("path").isNotNull())
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return paths.orderBy(F.desc("cnt"), F.asc("path")).limit(k)

@@ -241,3 +241,15 @@ def test_k_anonymity_holds_and_null_min_l_without_sensitive(spark):
     )
     r = k_anonymity_report(df, ["q1"], k=2).collect()[0]
     assert r.k_anonymous is True and r.min_l is None and r.n_rows_at_risk == 0
+
+
+def test_event_path_ngrams_closed_form(spark):
+    from clinical_data_lake_spark.operators.windows import event_path_ngrams
+
+    # user 1: A B C D -> paths ABC, BCD; user 2: A B C -> ABC
+    rows = [(1, i, t) for i, t in enumerate("ABCD")] + \
+           [(2, i, t) for i, t in enumerate("ABC")]
+    df = spark.createDataFrame(rows, ["u", "i", "lbl"])
+    out = [(r.path, r.cnt) for r in
+           event_path_ngrams(df, "u", ["i"], "lbl", n=3, k=10).collect()]
+    assert out == [("A>B>C", 2), ("B>C>D", 1)]
