@@ -1394,6 +1394,20 @@ def q_basket_rules(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_fp_itemsets(spark: SparkSession, sf: str) -> DataFrame:
+    """FP-Growth frequent itemsets over (user, event_type) baskets,
+    sliced to sizes 1-2 so the exact counts are SQL-checkable
+    (operators/itemsets.py:fpgrowth_itemsets; FP-Growth is exact —
+    only the traversal is clever)."""
+    from .operators import itemsets
+
+    ev = read_table(spark, sf, "events").select("user_id", "event_type")
+    out = itemsets.fpgrowth_itemsets(
+        ev, basket_col="user_id", item_col="event_type", min_support=0.05
+    )
+    return out.filter(F.col("n_items") <= 2)
+
+
 def q_pmi_assoc(spark: SparkSession, sf: str) -> DataFrame:
     """Cell-level pointwise mutual information between order status
     and priority — over/under-representation vs independence, one
@@ -2220,6 +2234,7 @@ QUERIES = {
     "fs_score": q_fs_score,
     "strip_markup": q_strip_markup,
     "path_ngrams": q_path_ngrams,
+    "fp_itemsets": q_fp_itemsets,
     "sample_split": q_sample_split,
     "join_asof": q_join_asof,
     "join_range": q_join_range,
@@ -4486,6 +4501,24 @@ FROM final f JOIN ordered o USING (doc_id) JOIN packed p USING (doc_id)
         JOIN freq fb ON fb.it = p.item_b
         CROSS JOIN nb
         WHERE p.n_ab >= 0.05 * n_baskets
+    """,
+    "fp_itemsets": """
+        WITH lines AS (SELECT DISTINCT user_id AS bk, event_type AS it
+                       FROM events),
+        nb AS (SELECT count(DISTINCT bk) AS n_tx FROM lines),
+        mc AS (SELECT CAST(ceil(0.05 * n_tx) AS BIGINT) AS min_cnt FROM nb),
+        singles AS (SELECT it AS itemset, 1 AS n_items, count(*) AS freq
+                    FROM lines GROUP BY it),
+        pairs AS (SELECT least(a.it, b.it) || '>' || greatest(a.it, b.it)
+                             AS itemset,
+                         2 AS n_items, count(*) AS freq
+                  FROM lines a JOIN lines b
+                    ON a.bk = b.bk AND a.it < b.it
+                  GROUP BY 1)
+        SELECT itemset, CAST(n_items AS INTEGER) AS n_items,
+               CAST(freq AS BIGINT) AS freq
+        FROM (SELECT * FROM singles UNION ALL SELECT * FROM pairs), mc
+        WHERE freq >= min_cnt
     """,
     "pmi_assoc": """
         WITH cells AS (SELECT o_orderstatus AS status,

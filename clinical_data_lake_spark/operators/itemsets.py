@@ -97,6 +97,44 @@ def basket_rules(
     )
 
 
+def fpgrowth_itemsets(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: float = 0.05,
+) -> DataFrame:
+    """Frequent itemsets of ALL sizes via spark.ml's FPGrowth — the
+    scalable generalization of ``basket_rules``' pairwise pass (FP-Tree
+    compression, no candidate explosion). Returns
+
+        (itemset, n_items, freq)
+
+    with ``itemset`` the lexicographically-sorted '>'-joined items —
+    a deterministic, engine-comparable rendering of MLlib's array
+    output. Counts are exact (FP-Growth is exact, only the traversal
+    is clever), so size-bounded slices are oracle-checkable against
+    plain SQL co-occurrence counts: freq >= ceil(min_support * n_tx),
+    MLlib's own threshold rule.
+
+    Scale: FPGrowth distributes by suffix partitioning (PFP); input
+    reduces to one transactions table (collect_set per basket) first.
+    """
+    from pyspark.ml.fpm import FPGrowth
+
+    tx = baskets.groupBy(F.col(basket_col).alias("__bk__")).agg(
+        F.collect_set(F.col(item_col)).alias("items")
+    )
+    model = FPGrowth(
+        itemsCol="items", minSupport=min_support, minConfidence=0.0
+    ).fit(tx)
+    fi = model.freqItemsets
+    return fi.select(
+        F.concat_ws(">", F.array_sort("items")).alias("itemset"),
+        F.size("items").cast("int").alias("n_items"),
+        F.col("freq").cast("long").alias("freq"),
+    )
+
+
 def pmi_cooccurrence(
     df: DataFrame,
     x_col: str,

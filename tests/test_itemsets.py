@@ -64,3 +64,18 @@ def test_mutual_information_closed_forms(spark):
     rows = [("a", "p")] * 5 + [("b", "q")] * 5
     out = mutual_information(spark.createDataFrame(rows, ["x", "y"]), "x", "y").collect()[0]
     assert abs(out.mi_nats - math.log(2)) < 1e-9
+
+
+def test_fpgrowth_itemsets_exact_counts(spark):
+    from clinical_data_lake_spark.operators.itemsets import fpgrowth_itemsets
+
+    # 4 baskets: {a,b} x2, {a,c}, {b}; duplicates collapse (set)
+    lines = [(1, "a"), (1, "b"), (1, "b"), (2, "a"), (2, "b"),
+             (3, "a"), (3, "c"), (4, "b")]
+    df = spark.createDataFrame(lines, ["bk", "it"])
+    out = {r.itemset: (r.n_items, r.freq)
+           for r in fpgrowth_itemsets(df, "bk", "it", min_support=0.5).collect()}
+    # min count = ceil(0.5*4) = 2
+    assert out["a"] == (1, 3) and out["b"] == (1, 3)
+    assert out["a>b"] == (2, 2)
+    assert "c" not in out and "a>c" not in out
