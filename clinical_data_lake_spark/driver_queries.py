@@ -1408,6 +1408,22 @@ def q_fp_itemsets(spark: SparkSession, sf: str) -> DataFrame:
     return out.filter(F.col("n_items") <= 2)
 
 
+def q_class_prototypes(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-class prototype embeddings in exploded (label, pos, mean)
+    form — decimal(27,18) per-dimension accumulation, partitioning-
+    invariant (llm/similarity.py:class_prototypes)."""
+    return similarity.class_prototypes(read_table(spark, sf, "embeddings"))
+
+
+def q_nearest_prototype(spark: SparkSession, sf: str) -> DataFrame:
+    """Nearest-centroid classification of every embedding against the
+    class prototypes (broadcast |classes| rows; argmax window per
+    vector id) — llm/similarity.py:nearest_prototype."""
+    emb = read_table(spark, sf, "embeddings")
+    protos = similarity.prototype_vectors(similarity.class_prototypes(emb))
+    return similarity.nearest_prototype(emb, protos)
+
+
 def q_pmi_assoc(spark: SparkSession, sf: str) -> DataFrame:
     """Cell-level pointwise mutual information between order status
     and priority — over/under-representation vs independence, one
@@ -2235,6 +2251,8 @@ QUERIES = {
     "strip_markup": q_strip_markup,
     "path_ngrams": q_path_ngrams,
     "fp_itemsets": q_fp_itemsets,
+    "class_prototypes": q_class_prototypes,
+    "nearest_prototype": q_nearest_prototype,
     "sample_split": q_sample_split,
     "join_asof": q_join_asof,
     "join_range": q_join_range,
@@ -4501,6 +4519,39 @@ FROM final f JOIN ordered o USING (doc_id) JOIN packed p USING (doc_id)
         JOIN freq fb ON fb.it = p.item_b
         CROSS JOIN nb
         WHERE p.n_ab >= 0.05 * n_baskets
+    """,
+    "class_prototypes": """
+        WITH e AS (SELECT label, embedding::DOUBLE[] AS v
+                   FROM embeddings WHERE label IS NOT NULL),
+        x AS (SELECT label, i - 1 AS pos, v[i] AS val
+              FROM e, UNNEST(generate_series(1, len(v))) AS t(i))
+        SELECT label, CAST(pos AS INTEGER) AS pos,
+               round(CAST(sum(CAST(val AS DECIMAL(27,18))) AS DOUBLE)
+                     / count(*), 6) AS mean
+        FROM x GROUP BY label, pos
+    """,
+    "nearest_prototype": """
+        WITH e AS (SELECT label, vec_id, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+        x AS (SELECT label, i - 1 AS pos, v[i] AS val
+              FROM e, UNNEST(generate_series(1, len(v))) AS t(i)
+              WHERE label IS NOT NULL),
+        pd AS (SELECT label, pos,
+                      round(CAST(sum(CAST(val AS DECIMAL(27,18))) AS DOUBLE)
+                            / count(*), 6) AS mean
+               FROM x GROUP BY 1, 2),
+        proto AS (SELECT label AS pred_label, list(mean ORDER BY pos) AS p
+                  FROM pd GROUP BY label),
+        sims AS (SELECT e.vec_id, proto.pred_label,
+                        list_dot_product(e.v, p) /
+                        (sqrt(list_dot_product(e.v, e.v))
+                         * sqrt(list_dot_product(p, p))) AS s
+                 FROM e, proto),
+        r AS (SELECT vec_id, pred_label, s,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY s DESC, pred_label) AS rn
+              FROM sims)
+        SELECT vec_id, pred_label, round(s, 6) AS sim FROM r WHERE rn = 1
     """,
     "fp_itemsets": """
         WITH lines AS (SELECT DISTINCT user_id AS bk, event_type AS it

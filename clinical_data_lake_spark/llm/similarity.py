@@ -486,3 +486,83 @@ def rrf_fuse(
         .orderBy(F.desc("rrf"), id_col)
         .limit(top)
     )
+
+
+def class_prototypes(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    digits: int = 6,
+) -> DataFrame:
+    """Per-class prototype (centroid) embeddings, emitted in exploded
+    (label, pos, mean) form — the class-prototype primitive behind
+    nearest-centroid classification, SemDeDup-style semantic pruning,
+    and labeled-cluster quality checks.
+
+    Per-dimension means accumulate in DECIMAL(27,18) (doubles convert
+    to 18-dp decimals identically in any engine; sums associate), so
+    prototypes are bit-reproducible across partitionings — one
+    posexplode + one (label, pos) groupBy, map-side combined. Rows
+    with NULL labels are excluded.
+    """
+    per_dim = (
+        embeddings.filter(F.col(label_col).isNotNull())
+        .select(F.col(label_col), F.posexplode(_as_double(vec_col)).alias("pos", "val"))
+        .groupBy(label_col, "pos")
+        .agg(
+            F.round(
+                F.sum(F.col("val").cast("decimal(27,18)")).cast("double")
+                / F.count(F.lit(1)),
+                digits,
+            ).alias("mean")
+        )
+    )
+    return per_dim.select(label_col, F.col("pos").cast("int").alias("pos"), "mean")
+
+
+def prototype_vectors(per_dim: DataFrame, label_col: str = "label") -> DataFrame:
+    """Assemble ``class_prototypes``' exploded table back into
+    (label, proto array<double>) — the broadcastable form
+    ``nearest_prototype`` consumes."""
+    return per_dim.groupBy(label_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mean"))), lambda s: s["mean"]
+        ).alias("proto")
+    )
+
+
+def nearest_prototype(
+    embeddings: DataFrame,
+    protos: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_to: int = 6,
+) -> DataFrame:
+    """Nearest-centroid classification: each vector gets the label of
+    its highest-cosine class prototype — (id, pred_label, sim), ties
+    broken by label ascending.
+
+    The prototype table (|classes| rows) broadcasts; the corpus is
+    scanned once and the argmax window partitions by the vector id
+    (|classes| rows per partition). The standard embedding-space
+    labeling pass — also the assignment step of SemDeDup-style
+    semantic dedup when the "classes" are cluster centroids.
+    """
+    c = embeddings.select(
+        F.col(id_col), _as_double(vec_col).alias("ce"),
+        l2_norm(_as_double(vec_col)).alias("cn"),
+    )
+    p = protos.select(
+        F.col(label_col).alias("pred_label"), F.col("proto"),
+        l2_norm(F.col("proto")).alias("pn"),
+    )
+    sim = _guarded_ratio(dot(F.col("ce"), F.col("proto")), F.col("cn") * F.col("pn"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("__s__"), F.asc("pred_label"))
+    return (
+        c.crossJoin(F.broadcast(p))
+        .select(id_col, "pred_label", sim.alias("__s__"))
+        .withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .select(id_col, "pred_label", F.round("__s__", round_to).alias("sim"))
+    )

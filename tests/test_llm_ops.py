@@ -1239,3 +1239,30 @@ def test_prefix_filter_equals_exact_jaccard(spark):
         p for p in
         {(r.doc_a, r.doc_b) for r in prefix_filter_pairs(docs, threshold=0.5).collect()}
     }
+
+
+def test_nearest_prototype_recovers_planted_classes(spark):
+    """On well-separated planted clusters, nearest-centroid must
+    classify every member back to its own class with high sim."""
+    import random as _r
+
+    from clinical_data_lake_spark.llm.similarity import (
+        class_prototypes, nearest_prototype, prototype_vectors,
+    )
+
+    rnd = _r.Random(11)
+    centers = {0: [5.0] + [0.0] * 15, 1: [0.0] * 8 + [5.0] + [0.0] * 7}
+    rows = []
+    for i in range(60):
+        lbl = i % 2
+        rows.append(Row(
+            vec_id=i, label=lbl,
+            embedding=[float(x + rnd.gauss(0, 0.1)) for x in centers[lbl]],
+        ))
+    emb = spark.createDataFrame(rows)
+    protos = prototype_vectors(class_prototypes(emb))
+    assert protos.count() == 2
+    pred = {r.vec_id: (r.pred_label, r.sim)
+            for r in nearest_prototype(emb, protos).collect()}
+    assert all(pred[i][0] == i % 2 for i in range(60))
+    assert all(s > 0.9 for _, s in pred.values())
