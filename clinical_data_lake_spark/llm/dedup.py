@@ -473,26 +473,38 @@ def prefix_filter_pairs(
     (probabilistic); prefix filtering is the LOSSLESS high-threshold
     near-dup path.
     """
-    sh = track_persist(word_shingles(docs, id_col, text_col, n))
+    # the candidate index runs entirely on 64-bit shingle hashes (8 B
+    # vs ~25 B strings through two shingle-key shuffles and the doc
+    # window; any consistent total order works for prefix filtering,
+    # so (df, hash) replaces (df, shingle) as the canonical order) —
+    # same negligible-collision contract as chunk_dedup; the final
+    # verification recomputes EXACT string-shingle Jaccard on the
+    # candidates, so a collision can only add a candidate, never a
+    # false positive
+    sh = track_persist(
+        word_shingles(docs, id_col, text_col, n).select(
+            id_col, F.xxhash64("shingle").alias("__sh__")
+        )
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df__"))
-    w_doc = Window.partitionBy(id_col).orderBy("__df__", "shingle")
+    dfreq = sh.groupBy("__sh__").agg(F.count(F.lit(1)).alias("__df__"))
+    w_doc = Window.partitionBy(id_col).orderBy("__df__", "__sh__")
     prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
     ranked = (
-        sh.join(dfreq, on="shingle")
+        sh.join(dfreq, on="__sh__")
         .withColumn("__pos__", F.row_number().over(w_doc))
         .join(sizes, on=id_col)
         .filter(F.col("__pos__") <= prefix_len)
     )
     a = ranked.select(
-        F.col(id_col).alias("doc_a"), F.col("n_sh").alias("__na__"), "shingle"
+        F.col(id_col).alias("doc_a"), F.col("n_sh").alias("__na__"), "__sh__"
     )
     b = ranked.select(
-        F.col(id_col).alias("doc_b"), F.col("n_sh").alias("__nb__"), "shingle"
+        F.col(id_col).alias("doc_b"), F.col("n_sh").alias("__nb__"), "__sh__"
     )
     t = F.lit(float(threshold))
     cand = (
-        a.join(b, on="shingle")
+        a.join(b, on="__sh__")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .filter(
             (F.col("__nb__") >= t * F.col("__na__"))
@@ -501,7 +513,11 @@ def prefix_filter_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return verified_near_dup_pairs(docs, cand, id_col, text_col, n, threshold)
+    # on corpora with heavy cross-doc shingle repetition the prefix
+    # survivor set is dense (most docs appear in some candidate), so
+    # verification is pair-keyed (work ~ |pairs| x doc size) rather
+    # than the inverted-index verifier whose cost is df-quadratic
+    return verify_pairs_keyed(docs, cand, id_col, text_col, n, threshold)
 
 
 def sorted_neighborhood_pairs(
