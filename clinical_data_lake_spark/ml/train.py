@@ -350,3 +350,30 @@ def calibration_curve(
             ).alias("frac_pos"),
         )
     )
+
+
+def calibrate_isotonic(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    out_col: str = "calibrated",
+):
+    """Isotonic (PAV) probability calibration — the monotone
+    recalibration step after ``calibration_curve`` DIAGNOSES
+    miscalibration: fit the isotonic regression of the observed label
+    on the raw score and emit the calibrated probability.
+
+    Returns (calibrated DataFrame, fitted model); apply the model to
+    any later scored batch with ``model.transform``. spark.ml's
+    IsotonicRegression runs distributed pool-adjacent-violators
+    (per-partition PAV + merge), exact and deterministic, so the
+    result is the textbook PAV solution (unit-locked on a closed-form
+    case). Rows-only certification by nature — PAV has no SQL twin.
+    """
+    from pyspark.ml.regression import IsotonicRegression
+
+    ir = IsotonicRegression(
+        featuresCol=score_col, labelCol=label_col, predictionCol=out_col
+    )
+    model = ir.fit(scored)
+    return model.transform(scored), model

@@ -176,3 +176,31 @@ def test_fit_linear_per_group_recovers_exact_coefficients(spark):
     assert abs(out["g2"].coefs[1] - 4.0) < 1e-8
     assert out["g1"].r2 > 0.999999
     assert out["tiny"].coefs is None and out["tiny"].n == 1
+
+
+def test_isotonic_calibration_pav_closed_form(spark):
+    from clinical_data_lake_spark.ml.train import calibrate_isotonic
+
+    df = spark.createDataFrame(
+        [(1.0, 0.0), (2.0, 1.0), (3.0, 0.0), (4.0, 1.0)], ["score", "label"]
+    )
+    out, model = calibrate_isotonic(df)
+    got = {r.score: r.calibrated for r in out.collect()}
+    # PAV of labels [0,1,0,1] pools the middle violators to 0.5
+    assert got == {1.0: 0.0, 2.0: 0.5, 3.0: 0.5, 4.0: 1.0}
+    # monotone on unseen scores too (interpolation)
+    import pandas as pd  # noqa: F401
+    probe = spark.createDataFrame([(2.5, 0.0)], ["score", "label"])
+    val = model.transform(probe).collect()[0].calibrated
+    assert 0.0 <= val <= 1.0 and abs(val - 0.5) < 1e-9
+
+
+def test_isotonic_calibration_already_monotone_identity(spark):
+    from clinical_data_lake_spark.ml.train import calibrate_isotonic
+
+    df = spark.createDataFrame(
+        [(float(i), float(i >= 3)) for i in range(6)], ["score", "label"]
+    )
+    out, _ = calibrate_isotonic(df)
+    got = {r.score: r.calibrated for r in out.collect()}
+    assert got == {0.0: 0.0, 1.0: 0.0, 2.0: 0.0, 3.0: 1.0, 4.0: 1.0, 5.0: 1.0}
