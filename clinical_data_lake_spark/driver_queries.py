@@ -1408,6 +1408,16 @@ def q_fp_itemsets(spark: SparkSession, sf: str) -> DataFrame:
     return out.filter(F.col("n_items") <= 2)
 
 
+def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup end to end (llm/similarity.py:semantic_dedup):
+    md5-deterministic cells, within-cell cosine pairs, connected
+    components, min-id survivors — the embedding-space dedup policy,
+    oracle-replayed including the recursive closure."""
+    return similarity.semantic_dedup(
+        read_table(spark, sf, "embeddings"), n_cells=16, threshold=0.35
+    )
+
+
 def q_class_prototypes(spark: SparkSession, sf: str) -> DataFrame:
     """Per-class prototype embeddings in exploded (label, pos, mean)
     form — decimal(27,18) per-dimension accumulation, partitioning-
@@ -2252,6 +2262,7 @@ QUERIES = {
     "path_ngrams": q_path_ngrams,
     "fp_itemsets": q_fp_itemsets,
     "class_prototypes": q_class_prototypes,
+    "semantic_dedup": q_semantic_dedup,
     "nearest_prototype": q_nearest_prototype,
     "sample_split": q_sample_split,
     "join_asof": q_join_asof,
@@ -4519,6 +4530,42 @@ FROM final f JOIN ordered o USING (doc_id) JOIN packed p USING (doc_id)
         JOIN freq fb ON fb.it = p.item_b
         CROSS JOIN nb
         WHERE p.n_ab >= 0.05 * n_baskets
+    """,
+    "semantic_dedup": f"""
+        WITH RECURSIVE
+        c AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
+        cent AS (SELECT cell, cv FROM (
+            SELECT CAST(row_number() OVER (
+                       ORDER BY md5('42:' || CAST(vec_id AS VARCHAR)), vec_id)
+                   AS INT) - 1 AS cell,
+                   embedding::DOUBLE[] AS cv
+            FROM embeddings) WHERE cell < 16),
+        assign AS (SELECT vec_id, ce, cell FROM (
+            SELECT c.vec_id, c.ce, cent.cell,
+                   row_number() OVER (PARTITION BY c.vec_id
+                       ORDER BY {_cos_sql("c.ce", "cent.cv")} DESC, cent.cell)
+                       AS rr
+            FROM c, cent) WHERE rr = 1),
+        pairs AS (SELECT a.vec_id AS da, b.vec_id AS db
+                  FROM assign a JOIN assign b
+                    ON a.cell = b.cell AND a.vec_id < b.vec_id
+                  WHERE {_cos_sql("a.ce", "b.ce")} >= 0.35),
+        edges AS (
+            SELECT da AS src, db AS dst FROM pairs
+            UNION
+            SELECT db AS src, da AS dst FROM pairs
+        ),
+        reach AS (
+            SELECT src AS node, src AS lbl FROM edges
+            UNION
+            SELECT e.src AS node, r.lbl FROM edges e JOIN reach r
+                ON r.node = e.dst
+        ),
+        losers AS (
+            SELECT node FROM reach GROUP BY node HAVING node != min(lbl)
+        )
+        SELECT vec_id, cell FROM assign
+        WHERE vec_id NOT IN (SELECT node FROM losers)
     """,
     "class_prototypes": """
         WITH e AS (SELECT label, embedding::DOUBLE[] AS v

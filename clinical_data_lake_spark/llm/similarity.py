@@ -566,3 +566,78 @@ def nearest_prototype(
         .filter(F.col("__rn__") == 1)
         .select(id_col, "pred_label", F.round("__s__", round_to).alias("sim"))
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    threshold: float = 0.95,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embedding-space semantic
+    deduplication end to end — cluster the corpus into cells, find
+    high-cosine pairs WITHIN each cell only, and keep one
+    representative (min id) per connected duplicate group. Returns the
+    SURVIVING (id, cell) rows — the filtered corpus membership.
+
+    Composition of certified pieces: deterministic md5-sample
+    centroids (``ivf_topk``'s rule, SQL-replayable), broadcast-argmax
+    cell assignment (the ``nearest_prototype`` shape), within-cell
+    exact cosine pairs (the all-pairs comparison never crosses a cell
+    — the quadratic term is (corpus/n_cells)^2 per cell, the whole
+    point of SemDeDup), connected components + min-id canonical
+    (``dup_clusters`` / ``near_dedup_canonical``).
+
+    Swap the md5 centroids for ``fit_ivf_centroids`` (KMeans) on
+    clustered corpora — assignment/dedup machinery is centroid-
+    agnostic; the md5 rule is what makes this composition
+    oracle-checkable.
+    """
+    from .dedup import near_dedup_canonical
+
+    h = F.md5(
+        F.concat_ws(":", F.lit(seed).cast("string"), F.col(id_col).cast("string"))
+    )
+    w_cell = Window.orderBy("__h__", id_col)  # n_cells rows — tiny
+    cents = (
+        corpus.select(_as_double(vec_col).alias("cv"), h.alias("__h__"), F.col(id_col))
+        .orderBy("__h__", id_col)
+        .limit(n_cells)
+        .select(
+            (F.row_number().over(w_cell) - 1).cast("int").alias("cell"),
+            "cv",
+            l2_norm(F.col("cv")).alias("cvn"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col), _as_double(vec_col).alias("ce"),
+        l2_norm(_as_double(vec_col)).alias("cn"),
+    )
+    sim_c = _guarded_ratio(dot(F.col("ce"), F.col("cv")), F.col("cn") * F.col("cvn"))
+    w_assign = Window.partitionBy(id_col).orderBy(F.desc("__s__"), F.asc("cell"))
+    assigned = (
+        c.crossJoin(F.broadcast(cents))
+        .select(id_col, "ce", "cn", "cell", sim_c.alias("__s__"))
+        .withColumn("__rn__", F.row_number().over(w_assign))
+        .filter(F.col("__rn__") == 1)
+        .select(id_col, "ce", "cn", "cell")
+    )
+    a = assigned.select(
+        F.col(id_col).alias("doc_a"), F.col("ce").alias("ea"),
+        F.col("cn").alias("na"), "cell",
+    )
+    b = assigned.select(
+        F.col(id_col).alias("doc_b"), F.col("ce").alias("eb"),
+        F.col("cn").alias("nb"), "cell",
+    )
+    pair_sim = _guarded_ratio(dot(F.col("ea"), F.col("eb")), F.col("na") * F.col("nb"))
+    pairs = (
+        a.join(b, on="cell")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", pair_sim.alias("__ps__"))
+        .filter(F.col("__ps__") >= F.lit(float(threshold)))
+        .select("doc_a", "doc_b")
+    )
+    return near_dedup_canonical(assigned.select(id_col, "cell"), pairs, id_col=id_col)

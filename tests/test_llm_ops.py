@@ -1266,3 +1266,31 @@ def test_nearest_prototype_recovers_planted_classes(spark):
             for r in nearest_prototype(emb, protos).collect()}
     assert all(pred[i][0] == i % 2 for i in range(60))
     assert all(s > 0.9 for _, s in pred.values())
+
+
+def test_semantic_dedup_drops_planted_near_dups(spark, planted_embeddings):
+    """Planted near-dups (cosine > 0.99) must land in the SAME cell and
+    collapse to one survivor; unrelated vectors all survive."""
+    from clinical_data_lake_spark.llm.similarity import semantic_dedup
+
+    emb = planted_embeddings  # 40 base + 5 perturbed copies of 0..4
+    out = {r.vec_id: r.cell for r in
+           semantic_dedup(emb, n_cells=4, threshold=0.95).collect()}
+    survivors = set(out)
+    # min id of each pair always survives
+    assert all(i in survivors for i in range(5))
+    # the CONTRACT: a planted dup is dropped iff it shares its
+    # source's cell (within-cell only — the SemDeDup trade; pairs
+    # straddling a cell boundary are the method's documented misses)
+    n_dropped = 0
+    for i in range(5):
+        if 100 + i in survivors:
+            assert out[100 + i] != out[i], f"co-celled dup {100+i} survived"
+        else:
+            n_dropped += 1
+    assert n_dropped >= 3  # random centroids still catch most pairs
+    assert len(survivors) == 40 + (5 - n_dropped)
+    # single cell degenerates to exact global dedup: all 5 dropped
+    full = {r.vec_id for r in
+            semantic_dedup(emb, n_cells=1, threshold=0.95).collect()}
+    assert full == set(range(40))
