@@ -106,6 +106,8 @@ BENCH_QUERIES = [
     "scd2_build",
     "basket_rules",
     "table_diff",
+    "semantic_dedup",
+    "negative_samples",
 ]
 
 # Scope the measured set without editing the file (drift A/B testing,

@@ -4379,19 +4379,19 @@ FROM final f JOIN ordered o USING (doc_id) JOIN packed p USING (doc_id)
                coalesce(agree_bal_sign, FALSE) AS agree_bal_sign,
                round(
                    (CASE WHEN coalesce(agree_last_char, FALSE)
-                         THEN {__import__('math').log2(0.9 / 0.1)!r}
-                         ELSE {__import__('math').log2(0.1 / 0.9)!r} END)
+                         THEN CAST({__import__('math').log2(0.9 / 0.1)!r} AS DOUBLE)
+                         ELSE CAST({__import__('math').log2(0.1 / 0.9)!r} AS DOUBLE) END)
                  + (CASE WHEN coalesce(agree_bal_sign, FALSE)
-                         THEN {__import__('math').log2(0.7 / 0.5)!r}
-                         ELSE {__import__('math').log2(0.3 / 0.5)!r} END), 6)
+                         THEN CAST({__import__('math').log2(0.7 / 0.5)!r} AS DOUBLE)
+                         ELSE CAST({__import__('math').log2(0.3 / 0.5)!r} AS DOUBLE) END), 6)
                    AS score,
                round(
                    (CASE WHEN coalesce(agree_last_char, FALSE)
-                         THEN {__import__('math').log2(0.9 / 0.1)!r}
-                         ELSE {__import__('math').log2(0.1 / 0.9)!r} END)
+                         THEN CAST({__import__('math').log2(0.9 / 0.1)!r} AS DOUBLE)
+                         ELSE CAST({__import__('math').log2(0.1 / 0.9)!r} AS DOUBLE) END)
                  + (CASE WHEN coalesce(agree_bal_sign, FALSE)
-                         THEN {__import__('math').log2(0.7 / 0.5)!r}
-                         ELSE {__import__('math').log2(0.3 / 0.5)!r} END), 6)
+                         THEN CAST({__import__('math').log2(0.7 / 0.5)!r} AS DOUBLE)
+                         ELSE CAST({__import__('math').log2(0.3 / 0.5)!r} AS DOUBLE) END), 6)
                    >= 2.0 AS is_match
         FROM pairs
     """,
