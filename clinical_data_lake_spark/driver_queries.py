@@ -1418,6 +1418,30 @@ def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_impute_median(spark: SparkSession, sf: str) -> DataFrame:
+    """Group-median imputation with visible missingness flags
+    (ml/featurize.py:impute_group_median): NULLs planted
+    deterministically (event_id % 13) so the repair path is exercised
+    on NULL-free testdata; broadcast medians, fact never shuffles."""
+    ev = read_table(spark, sf, "events").select(
+        "event_id", "event_type",
+        F.when(F.col("event_id") % 13 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value")).alias("value"),
+    )
+    out = ml_featurize.impute_group_median(ev, ["value"], keys=["event_type"])
+    return out.select("event_id", "event_type", "value", "value_imputed")
+
+
+def q_iqr_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Tukey-fence outlier removal per return flag (ml/featurize.py:
+    iqr_filter) — the drop-the-rows sibling of winsorize; broadcast
+    quartiles, one filter, fact never shuffles."""
+    li = read_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    return ml_featurize.iqr_filter(li, "l_extendedprice", keys=["l_returnflag"])
+
+
 def q_class_prototypes(spark: SparkSession, sf: str) -> DataFrame:
     """Per-class prototype embeddings in exploded (label, pos, mean)
     form — decimal(27,18) per-dimension accumulation, partitioning-
@@ -2263,6 +2287,8 @@ QUERIES = {
     "fp_itemsets": q_fp_itemsets,
     "class_prototypes": q_class_prototypes,
     "semantic_dedup": q_semantic_dedup,
+    "impute_median": q_impute_median,
+    "iqr_filter": q_iqr_filter,
     "nearest_prototype": q_nearest_prototype,
     "sample_split": q_sample_split,
     "join_asof": q_join_asof,
@@ -4530,6 +4556,31 @@ FROM final f JOIN ordered o USING (doc_id) JOIN packed p USING (doc_id)
         JOIN freq fb ON fb.it = p.item_b
         CROSS JOIN nb
         WHERE p.n_ab >= 0.05 * n_baskets
+    """,
+    "impute_median": """
+        WITH ev AS (SELECT event_id, event_type,
+                           CASE WHEN event_id % 13 = 0 THEN NULL
+                                ELSE value END AS value
+                    FROM events),
+        md AS (SELECT event_type,
+                      round(quantile_cont(CAST(value AS DOUBLE), 0.5), 6) AS m
+               FROM ev GROUP BY 1)
+        SELECT e.event_id, e.event_type,
+               coalesce(CAST(e.value AS DOUBLE), md.m) AS value,
+               e.value IS NULL AS value_imputed
+        FROM ev e JOIN md USING (event_type)
+    """,
+    "iqr_filter": """
+        WITH s AS (SELECT l_returnflag,
+                          round(quantile_cont(CAST(l_extendedprice AS DOUBLE),
+                                              0.25), 6) AS q1,
+                          round(quantile_cont(CAST(l_extendedprice AS DOUBLE),
+                                              0.75), 6) AS q3
+                   FROM lineitem GROUP BY 1)
+        SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_extendedprice
+        FROM lineitem l JOIN s USING (l_returnflag)
+        WHERE CAST(l.l_extendedprice AS DOUBLE)
+              BETWEEN q1 - 1.5 * (q3 - q1) AND q3 + 1.5 * (q3 - q1)
     """,
     "semantic_dedup": f"""
         WITH RECURSIVE

@@ -365,3 +365,76 @@ def quantile_normalize(
         ranked.withColumnRenamed("__v__", "__qn_v__"),
         on=F.col(value_col).cast("double") == F.col("__qn_v__"),
     ).drop("__qn_v__")
+
+
+def impute_group_median(
+    df: DataFrame,
+    cols: Sequence[str],
+    keys: Sequence[str] | None = None,
+    digits: int = 6,
+    flag_suffix: str = "_imputed",
+) -> DataFrame:
+    """Median imputation for missing numerics, per ``keys`` group or
+    global — the repair step before model fitting (median, not mean:
+    robust to the heavy tails clinical/monetary values carry). Each
+    imputed column gains a boolean ``<col>_imputed`` flag so
+    missingness stays visible as a feature (standard practice — the
+    imputation must not silently erase signal).
+
+    Same broadcast shape as ``standardize``/``robust_scale``: ONE
+    aggregate pass computes every column's exact interpolated median
+    (NULLs excluded by the aggregate), broadcast back; the fact table
+    never shuffles. All-NULL groups leave the column NULL and the
+    flag true — loud in the output, not a crash.
+    """
+    aggs = [
+        F.round(F.percentile(F.col(c).cast("double"), F.lit(0.5)), digits).alias(
+            f"__md_{c}__"
+        )
+        for c in cols
+    ]
+    if keys:
+        stats = df.groupBy(*keys).agg(*aggs)
+        out = df.join(F.broadcast(stats), on=list(keys))
+    else:
+        stats = df.agg(*aggs)
+        out = df.crossJoin(F.broadcast(stats))
+    for c in cols:
+        miss = F.col(c).isNull()
+        out = out.withColumn(f"{c}{flag_suffix}", miss).withColumn(
+            c, F.coalesce(F.col(c).cast("double"), F.col(f"__md_{c}__"))
+        )
+    return out.drop(*[f"__md_{c}__" for c in cols])
+
+
+def iqr_filter(
+    df: DataFrame,
+    col: str,
+    keys: Sequence[str] | None = None,
+    k: float = 1.5,
+    digits: int = 6,
+) -> DataFrame:
+    """Tukey-fence outlier REMOVAL: keep rows inside
+    [q1 - k*iqr, q3 + k*iqr] of their group — the drop-the-rows
+    sibling of ``winsorize`` (which clamps) for pipelines where
+    outliers are errors, not extremes. NULL values are dropped too
+    (they are outside any fence; impute first if they are legitimate).
+
+    One aggregate pass for the quartiles (broadcast back), one filter
+    — the fact table never shuffles.
+    """
+    keys = list(keys) if keys else []
+    x = F.col(col).cast("double")
+    aggs = [
+        F.round(F.percentile(x, F.lit(0.25)), digits).alias("__q1__"),
+        F.round(F.percentile(x, F.lit(0.75)), digits).alias("__q3__"),
+    ]
+    if keys:
+        stats = df.groupBy(*keys).agg(*aggs)
+        out = df.join(F.broadcast(stats), on=keys)
+    else:
+        out = df.crossJoin(F.broadcast(df.agg(*aggs)))
+    iqr = F.col("__q3__") - F.col("__q1__")
+    lo = F.col("__q1__") - F.lit(k) * iqr
+    hi = F.col("__q3__") + F.lit(k) * iqr
+    return out.filter(x.between(lo, hi)).drop("__q1__", "__q3__")

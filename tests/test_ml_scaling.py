@@ -353,3 +353,30 @@ def test_target_encode_null_category_is_its_own_level(spark):
     by_cat = {r.cat: r.cat_enc for r in out}
     assert by_cat[None] == 1.0 and by_cat["a"] == 0.0
     assert len(out) == 3  # no rows dropped by the NULL key
+
+
+def test_impute_group_median_closed_form(spark):
+    from pyspark.sql import Row
+
+    from clinical_data_lake_spark.ml.featurize import impute_group_median
+
+    df = spark.createDataFrame(
+        [Row(g="a", x=1.0), Row(g="a", x=3.0), Row(g="a", x=None),
+         Row(g="b", x=None), Row(g="b", x=None)]
+    )
+    out = impute_group_median(df, ["x"], keys=["g"]).collect()
+    a = sorted((r.x, r.x_imputed) for r in out if r.g == "a")
+    assert a == [(1.0, False), (2.0, True), (3.0, False)]  # median 2 fills
+    # all-NULL group: stays NULL, flag true, no crash
+    b = [(r.x, r.x_imputed) for r in out if r.g == "b"]
+    assert all(x is None and f for x, f in b)
+
+
+def test_iqr_filter_drops_planted_outlier(spark):
+    from clinical_data_lake_spark.ml.featurize import iqr_filter
+
+    vals = [float(v) for v in range(1, 101)] + [1e6]
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    kept = [r.x for r in iqr_filter(df, "x").collect()]
+    assert 1e6 not in kept
+    assert len(kept) == 100  # the uniform bulk survives
