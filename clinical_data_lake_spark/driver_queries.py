@@ -1418,6 +1418,13 @@ def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_session_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-session engagement stats (dwell, bounce, decimal value sum)
+    riding the SAME native session-window aggregation sessionize uses
+    — no second pass (streaming/events.py:session_stats)."""
+    return streaming_events.session_stats(read_table(spark, sf, "events"))
+
+
 def q_impute_median(spark: SparkSession, sf: str) -> DataFrame:
     """Group-median imputation with visible missingness flags
     (ml/featurize.py:impute_group_median): NULLs planted
@@ -2288,6 +2295,7 @@ QUERIES = {
     "class_prototypes": q_class_prototypes,
     "semantic_dedup": q_semantic_dedup,
     "impute_median": q_impute_median,
+    "session_stats": q_session_stats,
     "iqr_filter": q_iqr_filter,
     "nearest_prototype": q_nearest_prototype,
     "sample_split": q_sample_split,
@@ -4556,6 +4564,33 @@ FROM final f JOIN ordered o USING (doc_id) JOIN packed p USING (doc_id)
         JOIN freq fb ON fb.it = p.item_b
         CROSS JOIN nb
         WHERE p.n_ab >= 0.05 * n_baskets
+    """,
+    "session_stats": """
+        WITH marked AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sess AS (
+            SELECT user_id, ts, value,
+                   sum(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sid
+            FROM marked
+        ),
+        s AS (SELECT user_id, sid, min(ts) AS f, max(ts) AS l,
+                     count(*) AS n, sum(CAST(value AS DECIMAL(18,3))) AS sv
+              FROM sess GROUP BY 1, 2)
+        SELECT user_id,
+               CAST(floor(epoch(f)) AS BIGINT) AS session_start,
+               CAST(n AS BIGINT) AS n_events,
+               CAST(floor(epoch(l)) - floor(epoch(f)) AS BIGINT) AS duration_s,
+               n = 1 AS is_bounce,
+               CAST(sv AS DOUBLE) AS sum_value
+        FROM s
     """,
     "impute_median": """
         WITH ev AS (SELECT event_id, event_type,

@@ -426,3 +426,53 @@ def running_user_totals_tws(
     return events.groupBy(key_col).transformWithStateInPandas(
         _Totals(), out_schema, "update", "processingTime"
     )
+
+
+def session_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    value_col: str | None = "value",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-session engagement stats on top of the same native
+    session-window plan ``sessionize`` uses: first/last event time,
+    dwell (last - first, the ACTUAL event span, not the gap-padded
+    window end), event count, bounce flag (single-event session), and
+    the decimal-exact value sum:
+
+        (key, session_start, n_events, duration_s, is_bounce
+         [, sum_value])
+
+    All measures ride the ONE stateful session aggregation — no
+    second pass, no join; works identically on batch (no watermark)
+    and streaming inputs.
+    """
+    if events.isStreaming:
+        events = events.withWatermark(ts_col, watermark)
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("__first__"),
+        F.max(ts_col).alias("__last__"),
+    ]
+    if value_col is not None:
+        aggs.append(
+            F.sum(F.col(value_col).cast("decimal(18,3)")).cast("double")
+            .alias("sum_value")
+        )
+    out = (
+        events.groupBy(F.session_window(ts_col, gap).alias("w"), key_col)
+        .agg(*aggs)
+        .select(
+            key_col,
+            F.unix_timestamp("__first__").alias("session_start"),
+            F.col("n_events").cast("long").alias("n_events"),
+            (F.unix_timestamp("__last__") - F.unix_timestamp("__first__"))
+            .cast("long")
+            .alias("duration_s"),
+            (F.col("n_events") == 1).alias("is_bounce"),
+            *(["sum_value"] if value_col is not None else []),
+        )
+    )
+    return out

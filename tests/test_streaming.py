@@ -364,3 +364,22 @@ def test_streaming_trending_topk_equals_batch(spark, events_stream_setup):
     got = se.rank_trending(spark.table("trend_counts"))
     cols = ["window_start", "event_type", "cnt", "rnk"]
     assert _sorted_rows(got, cols) == _sorted_rows(batch, cols)
+
+
+def test_streaming_session_stats_equals_batch(spark, events_stream_setup):
+    """session_stats rides the same stateful session aggregation as
+    sessionize — the streaming run must reproduce the batch stats
+    (dwell, bounce, decimal sums) exactly."""
+    ev, root, schema = events_stream_setup
+    batch = se.session_stats(ev)
+    # replay files aren't time-ordered: use a watermark wider than the
+    # data span (the sessionize parity test's lesson) so no replayed
+    # row is dropped as late
+    stream = se.session_stats(
+        se.stream_from_batch_dir(spark, root, schema), watermark="60 days"
+    )
+    se.run_to_memory_sink(stream, "sess_stats_test")
+    got = spark.table("sess_stats_test")
+    cols = ["user_id", "session_start", "n_events", "duration_s",
+            "is_bounce", "sum_value"]
+    assert _sorted_rows(got, cols) == _sorted_rows(batch, cols)
