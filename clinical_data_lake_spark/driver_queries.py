@@ -2230,6 +2230,66 @@ def q_winsorize(spark: SparkSession, sf: str) -> DataFrame:
 # but the driver row is the hard signal). Everything certified r4-r6
 # rotates to 51+.
 QUERIES = {
+    # -- r8 certification window (first 50): the 18 queries that have
+    #    never had a driver CORRECTNESS row, then the 32 oldest r3-era
+    #    relational-core rows (last driver-checked two testdata
+    #    regenerations ago). Rotation schedule: ROTATION.md. --
+    # 18 never-driver-checked:
+    "semantic_dedup": q_semantic_dedup,
+    "session_stats": q_session_stats,
+    "trending_topk": q_trending_topk,
+    "fp_itemsets": q_fp_itemsets,
+    "mutual_info": q_mutual_info,
+    "graph_triangles": q_graph_triangles,
+    "pareto": q_pareto,
+    "topn_others": q_topn_others,
+    "incidence": q_incidence,
+    "period_growth": q_period_growth,
+    "impute_median": q_impute_median,
+    "iqr_filter": q_iqr_filter,
+    "class_prototypes": q_class_prototypes,
+    "nearest_prototype": q_nearest_prototype,
+    "path_ngrams": q_path_ngrams,
+    "chunk_split": q_chunk_split,
+    "strip_markup": q_strip_markup,
+    "fs_score": q_fs_score,
+    # 32 r3-era relational core (the reference's actual workload,
+    #    00-etl-rwd.py:136-141 / 01-rwe-dashboard.r:31-35):
+    "scan_lineitem": q_scan_lineitem,
+    "scan_sql": q_scan_sql,
+    "project_rename": q_project_rename,
+    "project_alias": q_project_alias,
+    "project_drop": q_project_drop,
+    "cast_bool_int": q_cast_bool_int,
+    "stamp_literals": q_stamp_literals,
+    "deidentify": q_deidentify,
+    "filter_notnull": q_filter_notnull,
+    "filter_like": q_filter_like,
+    "filter_like_or": q_filter_like_or,
+    "filter_notlike": q_filter_notlike,
+    "flag_like": q_flag_like,
+    "filter_expr": q_filter_expr,
+    "filter_eq_scalar": q_filter_eq_scalar,
+    "join_inner": q_join_inner,
+    "join_expr": q_join_expr,
+    "join_left": q_join_left,
+    "join_anti": q_join_anti,
+    "join_semi": q_join_semi,
+    "join_cross_scalar": q_join_cross_scalar,
+    "agg_groupcount": q_agg_groupcount,
+    "agg_multikey": q_agg_multikey,
+    "agg_max": q_agg_max,
+    "distinct_proj": q_distinct_proj,
+    "dedup_subset": q_dedup_subset,
+    "topk_conditions": q_topk_conditions,
+    "global_min": q_global_min,
+    "json_extract": q_json_extract,
+    "window_range_count": q_window_range_count,
+    "window_rank": q_window_rank,
+    "window_lag": q_window_lag,
+    # -- position 51+: backlog for the r9/r10 windows (ROTATION.md);
+    #    every oracle-twinned query below is re-verified bit-exact each
+    #    session by tests/test_oracle_parity.py --
     "scd2_build": q_scd2_build,
     "scd2_lookup": q_scd2_lookup,
     "table_diff": q_table_diff,
@@ -2280,73 +2340,20 @@ QUERIES = {
     "ann_recall": q_ann_recall,
     "dedup_pair_metrics": q_dedup_pair_metrics,
     "resample_ewma": q_resample_ewma,
-    "chunk_split": q_chunk_split,
-    "trending_topk": q_trending_topk,
-    "topn_others": q_topn_others,
-    "incidence": q_incidence,
-    "mutual_info": q_mutual_info,
-    "graph_triangles": q_graph_triangles,
-    "pareto": q_pareto,
-    "period_growth": q_period_growth,
-    "fs_score": q_fs_score,
-    "strip_markup": q_strip_markup,
-    "path_ngrams": q_path_ngrams,
-    "fp_itemsets": q_fp_itemsets,
-    "class_prototypes": q_class_prototypes,
-    "semantic_dedup": q_semantic_dedup,
-    "impute_median": q_impute_median,
-    "session_stats": q_session_stats,
-    "iqr_filter": q_iqr_filter,
-    "nearest_prototype": q_nearest_prototype,
     "sample_split": q_sample_split,
     "join_asof": q_join_asof,
     "join_range": q_join_range,
     "join_interval_overlap": q_join_interval_overlap,
-    "scan_lineitem": q_scan_lineitem,
-    "scan_sql": q_scan_sql,
-    "project_rename": q_project_rename,
-    "project_alias": q_project_alias,
-    "project_drop": q_project_drop,
-    "cast_bool_int": q_cast_bool_int,
-    "stamp_literals": q_stamp_literals,
-    "deidentify": q_deidentify,
-    "filter_notnull": q_filter_notnull,
-    "filter_like": q_filter_like,
-    "filter_like_or": q_filter_like_or,
-    "filter_notlike": q_filter_notlike,
-    "flag_like": q_flag_like,
-    "filter_expr": q_filter_expr,
-    "filter_eq_scalar": q_filter_eq_scalar,
-    "join_inner": q_join_inner,
-    "join_expr": q_join_expr,
-    "join_left": q_join_left,
-    "join_anti": q_join_anti,
-    "join_semi": q_join_semi,
-    "join_cross_scalar": q_join_cross_scalar,
-    "agg_groupcount": q_agg_groupcount,
-    "agg_multikey": q_agg_multikey,
-    "agg_max": q_agg_max,
-    "distinct_proj": q_distinct_proj,
-    "dedup_subset": q_dedup_subset,
     "agg_cube": q_agg_cube,
     "agg_rollup": q_agg_rollup,
     "agg_approx_distinct": q_agg_approx_distinct,
     "agg_approx_percentile": q_agg_approx_percentile,
-    "topk_conditions": q_topk_conditions,
-    "global_min": q_global_min,
     "union_cohorts": q_union_cohorts,
     "set_intersect": q_set_intersect,
     "set_except": q_set_except,
     "null_fill": q_null_fill,
-    # -- position 51+: certified r4-r6 (and rows-only queries whose
-    #    machinery is oracle-certified via *_verified/*_exact twins),
-    #    re-verified every session by tests/test_oracle_parity.py --
     "date_diff": q_date_diff,
-    "json_extract": q_json_extract,
     "nested_access": q_nested_access,
-    "window_range_count": q_window_range_count,
-    "window_rank": q_window_rank,
-    "window_lag": q_window_lag,
     "dedup_chunks": q_dedup_chunks,
     "ann_quantized_topk": q_ann_quantized_topk,
     "resample_gapfill": q_resample_gapfill,
