@@ -1,0 +1,94 @@
+"""Partition-invariance certification for the r8 rotation window.
+
+The 18 queries rotated into the driver's CORRECTNESS window for r8 had
+never had a driver row; several rely on partition-invariant accumulation
+patterns (decimal sums, md5-deterministic ordering, checkpoint-free
+iterative closures). Before the driver looks, prove that each produces
+IDENTICAL output — order-insensitive value hash over name-sorted
+columns — under ``spark.sql.shuffle.partitions`` in {1, 7, 32}.
+
+This pins the claim the SQL twins rest on: results depend on the data,
+never on how the shuffle happened to split it.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import hashlib
+import math
+
+import pytest
+
+from clinical_data_lake_spark.driver_queries import QUERIES
+
+from conftest import SF_SMALL
+
+ROTATED_IN = [
+    "semantic_dedup",
+    "session_stats",
+    "trending_topk",
+    "fp_itemsets",
+    "mutual_info",
+    "graph_triangles",
+    "pareto",
+    "topn_others",
+    "incidence",
+    "period_growth",
+    "impute_median",
+    "iqr_filter",
+    "class_prototypes",
+    "nearest_prototype",
+    "path_ngrams",
+    "chunk_split",
+    "strip_markup",
+    "fs_score",
+]
+
+PARTITIONINGS = (1, 7, 32)
+
+
+def _canon(v):
+    if v is None:
+        return "\x00NULL"
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "f:nan"
+        return f"f:{v!r}"
+    if isinstance(v, decimal.Decimal):
+        return f"d:{v}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return f"t:{v.isoformat()}"
+    if isinstance(v, (bytes, bytearray)):
+        return f"x:{bytes(v).hex()}"
+    return f"s:{v}"
+
+
+def _result_hash(df) -> str:
+    cols = sorted(df.columns)
+    rows = sorted(tuple(_canon(r[c]) for c in cols) for r in df.collect())
+    h = hashlib.sha256()
+    h.update(repr(cols).encode())
+    for row in rows:
+        h.update(repr(row).encode())
+    return h.hexdigest()
+
+
+@pytest.mark.parametrize("name", ROTATED_IN)
+def test_partition_invariant(spark, name):
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    hashes = {}
+    try:
+        for n_part in PARTITIONINGS:
+            spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
+            hashes[n_part] = _result_hash(QUERIES[name](spark, SF_SMALL))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    assert len(set(hashes.values())) == 1, (
+        f"{name}: output depends on shuffle partitioning: "
+        + ", ".join(f"p={k} -> {v[:12]}" for k, v in hashes.items())
+    )
