@@ -382,6 +382,7 @@ def verify_pairs_keyed(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    shingle_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram-Jaccard verification keyed BY THE PAIR — the dense-
     candidate sibling of ``verified_near_dup_pairs``. That verifier
@@ -399,6 +400,12 @@ def verify_pairs_keyed(
 
     Returns (doc_a, doc_b, jaccard) for candidates with exact Jaccard
     >= ``threshold``.
+
+    ``shingle_hashes`` (optional): a precomputed (id_col, __sh__)
+    table of per-doc DISTINCT xxhash64 shingle hashes — callers that
+    already shingled the corpus for candidate generation (prefix
+    filtering) pass their persisted table here so verification reuses
+    it instead of re-shingling every candidate doc from raw text.
     """
     cand = candidates.select("doc_a", "doc_b").distinct()
     ids = (
@@ -412,11 +419,16 @@ def verify_pairs_keyed(
     # Shingles travel as xxhash64 longs (8 B vs ~25 B strings — each
     # doc's set is re-shipped once per pair it appears in); same
     # negligible-collision contract as chunk_dedup's 64-bit chunks.
+    if shingle_hashes is not None:
+        hashed = shingle_hashes.join(ids, on=id_col, how="left_semi").select(
+            id_col, F.col("__sh__").alias("__h__")
+        )
+    else:
+        hashed = word_shingles(
+            docs.join(ids, on=id_col, how="left_semi"), id_col, text_col, n
+        ).select(id_col, F.xxhash64("shingle").alias("__h__"))
     doc_sets = track_persist(
-        word_shingles(docs.join(ids, on=id_col, how="left_semi"),
-                      id_col, text_col, n)
-        .groupBy(id_col)
-        .agg(F.collect_list(F.xxhash64("shingle")).alias("__shs__"))
+        hashed.groupBy(id_col).agg(F.collect_list("__h__").alias("__shs__"))
     )
     sa = doc_sets.select(F.col(id_col).alias("doc_a"), F.col("__shs__").alias("__sa__"))
     sb = doc_sets.select(F.col(id_col).alias("doc_b"), F.col("__shs__").alias("__sb__"))
@@ -472,6 +484,21 @@ def prefix_filter_pairs(
     ``max_doc_freq`` (capped, approximate) or ``minhash_lsh_pairs``
     (probabilistic); prefix filtering is the LOSSLESS high-threshold
     near-dup path.
+
+    Positional filter (PPJoin proper, Xiao et al. 2008 §3.2): the
+    candidate aggregation also carries each pair's prefix-match count
+    k and LAST matched positions (max_pa, max_pb). Because the token
+    order is a single global total order, any token shared by A and B
+    that sorts before the last prefix-prefix match has strictly
+    smaller positions in BOTH documents, hence lies inside both
+    prefixes and is itself one of the k matches. Total overlap is
+    therefore bounded by k + min(|A| - max_pa, |B| - max_pb), and a
+    pair is pruned when that bound cannot reach the minimum
+    intersection alpha = ceil(t·(|A|+|B|)/(1+t)) implied by
+    J >= t. The prune is lossless (alpha is epsilon-relaxed so float
+    rounding can only ADMIT a candidate, and verification recomputes
+    exact string-shingle Jaccard); on dense-candidate corpora it cuts
+    the pairs entering verification severalfold.
     """
     # the candidate index runs entirely on 64-bit shingle hashes (8 B
     # vs ~25 B strings through two shingle-key shuffles and the doc
@@ -497,12 +524,24 @@ def prefix_filter_pairs(
         .filter(F.col("__pos__") <= prefix_len)
     )
     a = ranked.select(
-        F.col(id_col).alias("doc_a"), F.col("n_sh").alias("__na__"), "__sh__"
+        F.col(id_col).alias("doc_a"),
+        F.col("n_sh").alias("__na__"),
+        F.col("__pos__").alias("__pa__"),
+        "__sh__",
     )
     b = ranked.select(
-        F.col(id_col).alias("doc_b"), F.col("n_sh").alias("__nb__"), "__sh__"
+        F.col(id_col).alias("doc_b"),
+        F.col("n_sh").alias("__nb__"),
+        F.col("__pos__").alias("__pb__"),
+        "__sh__",
     )
     t = F.lit(float(threshold))
+    # minimum integer intersection for J >= t; the 1e-9 relaxation
+    # makes float rounding err toward ADMITTING candidates (exact
+    # verification follows), never toward a false negative
+    alpha = F.ceil(
+        t * (F.col("__na__") + F.col("__nb__")) / (t + F.lit(1.0)) - F.lit(1e-9)
+    )
     cand = (
         a.join(b, on="__sh__")
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -510,14 +549,33 @@ def prefix_filter_pairs(
             (F.col("__nb__") >= t * F.col("__na__"))
             & (F.col("__na__") >= t * F.col("__nb__"))
         )
+        # __na__/__nb__ are functionally determined by the doc ids, so
+        # grouping on them adds no groups — it just keeps them in scope
+        .groupBy("doc_a", "doc_b", "__na__", "__nb__")
+        .agg(
+            F.count(F.lit(1)).alias("__k__"),
+            F.max("__pa__").alias("__mpa__"),
+            F.max("__pb__").alias("__mpb__"),
+        )
+        .filter(
+            F.col("__k__")
+            + F.least(
+                F.col("__na__") - F.col("__mpa__"),
+                F.col("__nb__") - F.col("__mpb__"),
+            )
+            >= alpha
+        )
         .select("doc_a", "doc_b")
-        .distinct()
     )
     # on corpora with heavy cross-doc shingle repetition the prefix
     # survivor set is dense (most docs appear in some candidate), so
     # verification is pair-keyed (work ~ |pairs| x doc size) rather
-    # than the inverted-index verifier whose cost is df-quadratic
-    return verify_pairs_keyed(docs, cand, id_col, text_col, n, threshold)
+    # than the inverted-index verifier whose cost is df-quadratic;
+    # the persisted hashed shingle table is shared with verification,
+    # so the corpus is shingled exactly once end-to-end
+    return verify_pairs_keyed(
+        docs, cand, id_col, text_col, n, threshold, shingle_hashes=sh
+    )
 
 
 def sorted_neighborhood_pairs(

@@ -1234,6 +1234,32 @@ def test_prefix_filter_equals_exact_jaccard(spark):
             for r in prefix_filter_pairs(docs, threshold=t).collect()
         }
         assert pf == exact, (t, pf, exact)
+
+
+def test_prefix_filter_positional_filter_lossless(spark):
+    """The PPJoin positional prune (k + min suffix bound vs alpha) must
+    never drop a true pair: compare against exact all-pairs Jaccard at
+    t in {0.5, 0.7, 0.9} on a corpus dense enough that the positional
+    filter actually prunes (many docs sharing a heavy template with
+    varying unique tails and lengths)."""
+    from clinical_data_lake_spark.llm.dedup import prefix_filter_pairs
+
+    tmpl = "shared template body words repeated across the whole corpus "
+    rows = []
+    for i in range(24):
+        tail = " ".join(f"tok{i}x{j}" for j in range(i % 7))
+        rows.append(Row(doc_id=i, text=tmpl * (1 + i % 3) + tail))
+    docs = spark.createDataFrame(rows)
+    for t in (0.5, 0.7, 0.9):
+        exact = {
+            (r.doc_a, r.doc_b): round(r.jaccard, 12)
+            for r in ngram_jaccard_pairs(docs, threshold=t, max_doc_freq=10**9).collect()
+        }
+        pf = {
+            (r.doc_a, r.doc_b): round(r.jaccard, 12)
+            for r in prefix_filter_pairs(docs, threshold=t).collect()
+        }
+        assert pf == exact, (t, sorted(set(exact) - set(pf)), sorted(set(pf) - set(exact)))
     # the high-overlap pair is present at 0.5
     assert (1, 2) in {
         p for p in
