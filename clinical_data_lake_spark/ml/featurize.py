@@ -32,6 +32,23 @@ from ..operators.sorts import global_min
 from ..operators.windows import rolling_flag_sums
 
 
+def _join_group_stats(df: DataFrame, stats: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Broadcast-join per-group stats back onto the rows with NULL-SAFE
+    key equality: groupBy keeps a NULL-keyed group, so a data-repair
+    operator (impute/scale/filter) must match those rows to their
+    stats instead of silently dropping them through `=` semantics.
+    Every df row matches exactly its own group's row, so inner is
+    lossless here."""
+    renamed = stats
+    for k in keys:
+        renamed = renamed.withColumnRenamed(k, f"__k_{k}__")
+    cond = None
+    for k in keys:
+        c = df[k].eqNullSafe(F.col(f"__k_{k}__"))
+        cond = c if cond is None else cond & c
+    return df.join(F.broadcast(renamed), cond).drop(*[f"__k_{k}__" for k in keys])
+
+
 def top_cooccurring_labels(
     events: DataFrame,
     cohort_ids: DataFrame,
@@ -178,7 +195,7 @@ def standardize(
         aggs.append(F.round(F.stddev_samp(x), digits).alias(f"__s_{c}__"))
     if keys:
         stats = df.groupBy(*keys).agg(*aggs)
-        out = df.join(F.broadcast(stats), on=list(keys))
+        out = _join_group_stats(df, stats, list(keys))
     else:
         stats = df.agg(*aggs)
         out = df.crossJoin(F.broadcast(stats))
@@ -219,7 +236,7 @@ def robust_scale(
         aggs.append(F.round(F.percentile(x, F.lit(0.75)), digits).alias(f"__q3_{c}__"))
     if keys:
         stats = df.groupBy(*keys).agg(*aggs)
-        out = df.join(F.broadcast(stats), on=list(keys))
+        out = _join_group_stats(df, stats, list(keys))
     else:
         stats = df.agg(*aggs)
         out = df.crossJoin(F.broadcast(stats))
@@ -395,7 +412,7 @@ def impute_group_median(
     ]
     if keys:
         stats = df.groupBy(*keys).agg(*aggs)
-        out = df.join(F.broadcast(stats), on=list(keys))
+        out = _join_group_stats(df, stats, list(keys))
     else:
         stats = df.agg(*aggs)
         out = df.crossJoin(F.broadcast(stats))
@@ -431,7 +448,7 @@ def iqr_filter(
     ]
     if keys:
         stats = df.groupBy(*keys).agg(*aggs)
-        out = df.join(F.broadcast(stats), on=keys)
+        out = _join_group_stats(df, stats, keys)
     else:
         out = df.crossJoin(F.broadcast(df.agg(*aggs)))
     iqr = F.col("__q3__") - F.col("__q1__")

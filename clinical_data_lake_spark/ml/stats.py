@@ -260,9 +260,15 @@ def logrank_test(
     The two arm labels are read with one bounded collect (2 rows,
     validated).
     """
-    arms = [r[0] for r in subjects.select(group_col).distinct().collect()]
+    # limit(3) bounds the collect BEFORE validation: a mistakenly
+    # high-cardinality group_col errors after pulling at most 3 rows
+    # to the driver, not every distinct value
+    arms = [r[0] for r in subjects.select(group_col).distinct().limit(3).collect()]
     if len(arms) != 2:
-        raise ValueError(f"logrank_test needs exactly 2 arms, got {arms}")
+        raise ValueError(
+            f"logrank_test needs exactly 2 arms, got "
+            f"{'>= 3' if len(arms) > 2 else arms}"
+        )
     a1, a2 = sorted(arms, key=str)
 
     is1 = (F.col(group_col) == a1).cast("long")

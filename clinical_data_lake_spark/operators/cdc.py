@@ -110,6 +110,7 @@ def scd2_lookup(
     keys: list[str] | str,
     fact_ts: str = "ts",
     how: str = "left",
+    broadcast_dim: bool = True,
 ) -> DataFrame:
     """Point-in-time enrichment against an SCD2 dimension: each fact
     row picks the dimension version whose [valid_from, valid_to)
@@ -117,10 +118,13 @@ def scd2_lookup(
 
     Plan: an equi-join on the key columns carrying the interval
     predicate as a join condition — fan-out is bounded by versions per
-    key, and the dimension side (small by construction: one row per
-    attribute change) is broadcast. The fact table never shuffles.
-    Facts earlier than the key's first version get NULL attributes
-    under ``how='left'``.
+    key. ``broadcast_dim=True`` (default) hints the dimension side for
+    broadcast — correct for the usual executor-memory-sized dimension
+    (one row per attribute change). On HIGH-CHURN feeds where the SCD2
+    dim approaches change-feed scale, pass ``broadcast_dim=False`` so
+    the forced broadcast can't OOM the executors and AQE picks the
+    strategy (shuffle join on the keys) from runtime stats; the fact
+    table then shuffles once on the key columns.
     """
     key_list = [keys] if isinstance(keys, str) else list(keys)
     f, d = facts.alias("__f__"), dim.alias("__d__")
@@ -135,7 +139,7 @@ def scd2_lookup(
         & (F.col("__d__.valid_to").isNull() | (ts < F.col("__d__.valid_to")))
     )
     dim_cols = [c for c in dim.columns if c not in key_list]
-    joined = f.join(F.broadcast(d), cond, how)
+    joined = f.join(F.broadcast(d) if broadcast_dim else d, cond, how)
     return joined.select("__f__.*", *[F.col(f"__d__.{c}") for c in dim_cols])
 
 

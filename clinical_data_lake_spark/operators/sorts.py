@@ -57,13 +57,18 @@ def top_n_with_others(
     n: int,
     value_col: str | None = None,
     others_label: str = "(other)",
+    rank_by: str = "count",
 ) -> DataFrame:
-    """Reporting rollup: per group, the ``n`` largest labels by count
-    (or by decimal-exact sum of ``value_col``) kept verbatim, every
-    remaining label collapsed into one ``(other)`` row — the standard
-    dashboard shape (the reference's top-k condition charts,
-    01-rwe-dashboard.r:31-52, truncate instead of rolling up, losing
-    the tail's mass).
+    """Reporting rollup: per group, the ``n`` largest labels kept
+    verbatim, every remaining label collapsed into one ``(other)``
+    row — the standard dashboard shape (the reference's top-k
+    condition charts, 01-rwe-dashboard.r:31-52, truncate instead of
+    rolling up, losing the tail's mass).
+
+    Ranking is by count (``rank_by="count"``, default) or by the
+    decimal-exact sum of ``value_col`` (``rank_by="value"``, requires
+    ``value_col``); passing ``value_col`` alone only ADDS the
+    ``sum_value`` column without changing the ranking.
 
     Returns (group_cols..., label, cnt[, sum_value]) where exactly one
     row per group carries ``others_label`` (only when a tail exists).
@@ -77,12 +82,17 @@ def top_n_with_others(
     """
     from pyspark.sql import Window
 
+    if rank_by not in ("count", "value"):
+        raise ValueError(f"rank_by must be 'count' or 'value', got {rank_by!r}")
+    if rank_by == "value" and value_col is None:
+        raise ValueError("rank_by='value' requires value_col")
     keys = list(group_cols)
     aggs = [F.count(F.lit(1)).alias("cnt")]
     if value_col is not None:
         aggs.append(F.sum(F.col(value_col).cast("decimal(18,3)")).alias("__sv__"))
     cells = df.groupBy(*keys, label_col).agg(*aggs)
-    w = Window.partitionBy(*keys).orderBy(F.desc("cnt"), F.asc(label_col))
+    rank_key = F.desc("__sv__") if rank_by == "value" else F.desc("cnt")
+    w = Window.partitionBy(*keys).orderBy(rank_key, F.asc(label_col))
     ranked = cells.withColumn("__rn__", F.row_number().over(w))
     head = ranked.filter(F.col("__rn__") <= n).drop("__rn__")
     tail_aggs = [F.sum("cnt").alias("cnt")]

@@ -336,8 +336,12 @@ def event_path_ngrams(
     cols = [F.col(label_col)] + [
         F.lead(label_col, i).over(w) for i in range(1, n)
     ]
+    # ALL n positions (including the current row's label) must be
+    # non-null: concat_ws silently skips NULLs, so without the full
+    # guard a NULL label would yield a shortened path (A,NULL,C
+    # counted as 'A>C') instead of nulling the n-gram
     cond = None
-    for c in cols[1:]:
+    for c in cols:
         nn = c.isNotNull()
         cond = nn if cond is None else (cond & nn)
     paths = (
