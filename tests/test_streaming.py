@@ -366,6 +366,54 @@ def test_streaming_trending_topk_equals_batch(spark, events_stream_setup):
     assert _sorted_rows(got, cols) == _sorted_rows(batch, cols)
 
 
+def test_streaming_trending_topk_drops_late_data_like_batch(spark, events_stream_setup, tmp_path):
+    """Late-drop parity: an event arriving AFTER the watermark has
+    passed its window must be dropped by the streaming aggregation, so
+    the emitted top-k equals the batch top-k computed WITHOUT that
+    event — and would differ if the late event had been counted.
+
+    Determinism: files are written sequentially (distinct mtimes, the
+    file source consumes in modification-time order) so the watermark
+    provably advances past the late event's window before it arrives:
+    batch 1 = on-time events, batch 2 = a far-future flush event
+    (watermark -> +30 days), batch 3 = the late event (dropped).
+    Append mode: windows emit once finalized, the flush's own window
+    stays in state and never emits."""
+    import time as _time
+
+    ev, _, schema = events_stream_setup
+    root = str(tmp_path / "late_src")
+
+    on_time = ev.orderBy("ts").limit(200)
+    base_row = ev.orderBy("ts").limit(1)
+    flush = base_row.select(
+        F.lit(10**9).alias("event_id"),
+        (F.col("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    late = base_row.select(
+        F.lit(10**9 + 1).alias("event_id"),
+        "ts", "user_id", "event_type", "value", "props",
+    )
+    for piece in (on_time, flush, late):
+        piece.coalesce(1).write.mode("append").parquet(root)
+        _time.sleep(1.1)
+
+    stream_counts = se.tumbling_counts(
+        se.stream_from_batch_dir(spark, root, schema), watermark="1 hour"
+    )
+    se.run_to_memory_sink(stream_counts, "trend_late", output_mode="append")
+    got = se.rank_trending(spark.table("trend_late"))
+
+    cols = ["window_start", "event_type", "cnt", "rnk"]
+    want = se.trending_topk(on_time)
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+    # the test bites: had the late event been counted, the counts table
+    # would differ in its window
+    with_late = se.trending_topk(on_time.unionByName(late))
+    assert _sorted_rows(with_late, cols) != _sorted_rows(want, cols)
+
+
 def test_streaming_session_stats_equals_batch(spark, events_stream_setup):
     """session_stats rides the same stateful session aggregation as
     sessionize — the streaming run must reproduce the batch stats
