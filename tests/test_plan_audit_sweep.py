@@ -1,0 +1,59 @@
+"""Registry-wide scale-hygiene sweep: run ``plans.audit.audit_plan``
+over every registered driver query at sf0.001 and assert zero
+unwaived WARN findings — the 27 hand-picked plan locks generalized to
+systematic coverage of all 182 query plans.
+
+Waivers are explicit and name the bounded side-table that makes each
+global window safe; a NEW unpartitioned window, row-UDF, or cartesian
+product anywhere in the registry fails this test.
+"""
+
+from __future__ import annotations
+
+from clinical_data_lake_spark.driver_queries import QUERIES
+from clinical_data_lake_spark.operators.caching import release_persisted
+from clinical_data_lake_spark.plans.audit import audit_plan
+
+from conftest import SF_SMALL
+
+# rule -> {query: bounded table justifying the waiver}. Every waived
+# single-partition window runs over a table bounded by something far
+# below data scale (bucket count, label vocabulary, period count,
+# event-time cardinality) — never over fact-table rows.
+WAIVERS = {
+    "single-partition-window": {
+        "semantic_dedup": "n_cells centroid table (cell id assignment)",
+        "pareto": "label-cardinality rollup (cumulative share ranks)",
+        "period_growth": "period table (one row per calendar period)",
+        "dedup_sorted_ngh": "per-prefix-bucket count table (global rank offsets)",
+        "negative_samples": "256-bucket md5-ring offset table",
+        "survival_logrank": "per-event-time exit table (distinct durations)",
+        "auc_exact": "per-distinct-score rank table (Mann-Whitney)",
+        "rrf_search": "per-query top-k candidate ranks (k-bounded)",
+        "gini": "label-cardinality share table (Lorenz ranks)",
+        "quantile_norm": "per-distinct-rank reference table",
+        "feature_drift": "quantile-bin edge table (n_bins rows)",
+        "budget_select": "256-bucket offset table (distributed prefix sum)",
+        "cohort_case_control": "bounded cohort label table",
+    },
+}
+
+
+def test_registry_plans_have_no_unwaived_warnings(spark):
+    violations = []
+    unused = {rule: set(names) for rule, names in WAIVERS.items()}
+    for name, fn in QUERIES.items():
+        try:
+            findings = audit_plan(fn(spark, SF_SMALL))
+        finally:
+            release_persisted()
+        for f in findings:
+            if f.severity != "warn":
+                continue
+            if name in WAIVERS.get(f.rule, {}):
+                unused[f.rule].discard(name)
+                continue
+            violations.append(f"{name}: [{f.rule}] {f.detail[:140]}")
+    assert not violations, "unwaived plan warnings:\n" + "\n".join(violations)
+    stale = {r: sorted(n) for r, n in unused.items() if n}
+    assert not stale, f"waivers no longer needed (remove them): {stale}"
