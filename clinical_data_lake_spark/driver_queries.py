@@ -1160,6 +1160,36 @@ def q_dedup_pair_metrics(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_kmeans_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@10 of the KMeans-TRAINED IVF path vs brute-force cosine:
+    (query_id, n_hit, recall) — the trained-index quality diagnostic
+    (``fit_ivf_centroids`` + ``ivf_topk(centroids=...)``), previously
+    unit-only. Rows-only by design: KMeans|| init randomness is seeded
+    but implementation-internal, so the centroids are not
+    SQL-replayable (fit_ivf_centroids docstring); the ivf MACHINERY is
+    certified centroid-agnostically by ``ann_ivf_exact`` and the
+    deterministic-centroid path by ``ann_recall``."""
+    emb = read_table(spark, sf, "embeddings")
+    cents = similarity.fit_ivf_centroids(emb, n_cells=16, seed=42)
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(q, emb, k=10).select("query_id", "neighbor_id")
+    approx = similarity.ivf_topk(q, emb, k=10, n_probe=4, centroids=cents)
+    hits = (
+        exact.join(
+            approx.select("query_id", "neighbor_id"),
+            on=["query_id", "neighbor_id"], how="left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    n_hit = F.coalesce("n_hit", F.lit(0).cast("long"))
+    return (
+        q.select(F.col("vec_id").alias("query_id"))
+        .join(hits, on="query_id", how="left")
+        .select("query_id", n_hit.alias("n_hit"), (n_hit / F.lit(10.0)).alias("recall"))
+    )
+
+
 def q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
     """Recall@10 of the approximate ANN paths against brute-force
     cosine: (query_id, method, n_hit, recall) for method in
@@ -2422,6 +2452,8 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    # -- new in r8 (enter the r9 certification window per ROTATION.md) --
+    "ann_ivf_kmeans_recall": q_ann_ivf_kmeans_recall,
 }
 
 
