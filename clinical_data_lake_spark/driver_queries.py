@@ -2259,6 +2259,62 @@ def q_winsorize(spark: SparkSession, sf: str) -> DataFrame:
 # regenerations (the local parity sweep re-proves them each session,
 # but the driver row is the hard signal). Everything certified r4-r6
 # rotates to 51+.
+
+
+def q_cramers_v(spark: SparkSession, sf: str) -> DataFrame:
+    """Cramér's V effect size on the event-type x weekday table
+    (ml/stats.py:cramers_v) — chisq_rc's scale-free companion."""
+    ev = read_table(spark, sf, "events").select(
+        "event_type", F.weekday(F.col("ts")).alias("dow")
+    )
+    return ml_stats.cramers_v(ev, "event_type", "dow")
+
+
+def q_ks_separation(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D between error and non-error
+    event value distributions (ml/stats.py:ks_test) — distributed
+    bucketed-prefix-sum CDFs, no single-partition window."""
+    ev = read_table(spark, sf, "events").select(
+        F.when(F.col("event_type") == "error", F.lit("err"))
+        .otherwise(F.lit("oth")).alias("arm"),
+        "value",
+    )
+    return ml_stats.ks_test(ev, "value", "arm")
+
+
+def q_lift_gain(spark: SparkSession, sf: str) -> DataFrame:
+    """Cumulative gains / lift by totalprice decile predicting
+    fulfilled orders (ml/stats.py:lift_gain): does price rank predict
+    status 'F'? bin_rank 1 = highest-price decile."""
+    od = read_table(spark, sf, "orders").select(
+        F.col("o_totalprice").alias("score"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("label"),
+    )
+    return ml_stats.lift_gain(od, "score", "label")
+
+
+def q_retrieval_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """NDCG@10 + reciprocal rank of cosine retrieval against same-label
+    relevance (ml/stats.py:retrieval_metrics): rank embeddings by
+    cosine, count a neighbor relevant iff it shares the query's class
+    label — the evaluation loop every retrieval stack needs."""
+    emb = read_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    results = similarity.cosine_topk(q, emb, k=10).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), F.col("rnk").alias("rank")
+    )
+    rels = (
+        q.select(F.col("vec_id").alias("query_id"), F.col("label").alias("__ql__"))
+        .join(
+            emb.select(F.col("vec_id").alias("doc_id"), F.col("label").alias("__dl__")),
+            F.col("__ql__") == F.col("__dl__"),
+        )
+        .filter(F.col("query_id") != F.col("doc_id"))
+        .select("query_id", "doc_id", F.lit(1).alias("rel"))
+    )
+    return ml_stats.retrieval_metrics(results, rels, k=10)
+
+
 QUERIES = {
     # -- r8 certification window (first 50): the 18 queries that have
     #    never had a driver CORRECTNESS row, then the 32 oldest r3-era
@@ -2454,6 +2510,10 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     # -- new in r8 (enter the r9 certification window per ROTATION.md) --
     "ann_ivf_kmeans_recall": q_ann_ivf_kmeans_recall,
+    "cramers_v": q_cramers_v,
+    "ks_separation": q_ks_separation,
+    "lift_gain": q_lift_gain,
+    "retrieval_metrics": q_retrieval_metrics,
 }
 
 
@@ -5244,5 +5304,144 @@ FROM final f JOIN ordered o USING (doc_id) JOIN packed p USING (doc_id)
                (n_tokens > 0
                 AND floor((fin - n_tokens) / 512.0) <> floor((fin - 1) / 512.0)) AS split
         FROM c
+    """,
+    # -- new in r8 --
+    "cramers_v": """
+        WITH base AS (
+            SELECT event_type AS a, (isodow(ts) - 1) AS b FROM events
+        ),
+        cells AS (SELECT a, b, count(*) AS o FROM base GROUP BY a, b),
+        rt AS (SELECT a, sum(o) AS ra FROM cells GROUP BY a),
+        ct AS (SELECT b, sum(o) AS cb FROM cells GROUP BY b),
+        nn AS (SELECT sum(o) AS n FROM cells),
+        grid AS (
+            SELECT CAST(coalesce(c.o, 0) AS DOUBLE) AS o,
+                   CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(nn.n AS DOUBLE) AS e
+            FROM rt CROSS JOIN ct CROSS JOIN nn
+            LEFT JOIN cells c ON c.a = rt.a AND c.b = ct.b
+        ),
+        agg AS (
+            SELECT CAST(sum(CAST(round((o - e) * (o - e) / e, 6)
+                                 AS DECIMAL(28,6))) AS DOUBLE) AS chi2_raw
+            FROM grid
+        ),
+        dims AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT event_type) AS BIGINT) AS r,
+                   CAST(count(DISTINCT isodow(ts) - 1) AS BIGINT) AS c
+            FROM events
+        )
+        SELECT n, r, c, (r - 1) * (c - 1) AS dof, round(chi2_raw, 6) AS chi2,
+               CASE WHEN CAST(n AS DOUBLE) * (least(r, c) - 1) > 0
+                    THEN round(sqrt(round(chi2_raw, 6) /
+                               (CAST(n AS DOUBLE) * (least(r, c) - 1))), 6)
+               END AS v
+        FROM dims CROSS JOIN agg
+    """,
+    "ks_separation": """
+        WITH base AS (
+            SELECT round(CAST(value AS DOUBLE), 6) AS v,
+                   CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is1
+            FROM events
+        ),
+        pts AS (SELECT v, sum(is1) AS c1, sum(1 - is1) AS c2
+                FROM base GROUP BY v),
+        cum AS (
+            SELECT CAST(sum(c1) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum1,
+                   CAST(sum(c2) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum2
+            FROM pts
+        ),
+        tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                       CAST(sum(c2) AS BIGINT) AS n2 FROM pts)
+        SELECT n1, n2,
+               max(round(abs(CAST(cum1 AS DOUBLE) / n1
+                             - CAST(cum2 AS DOUBLE) / n2), 6)) AS d_stat
+        FROM cum CROSS JOIN tot GROUP BY n1, n2
+    """,
+    "lift_gain": """
+        WITH scored AS (
+            SELECT CAST(o_totalprice AS DOUBLE) AS s,
+                   CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+            FROM orders
+        ),
+        edges AS (
+            SELECT list_transform(
+                quantile_cont(s, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+                e -> round(e, 6)) AS ed
+            FROM scored
+        ),
+        bins AS (
+            SELECT len(list_filter(ed, e -> s > e)) AS bin,
+                   count(*) AS n, sum(y) AS n_pos
+            FROM scored CROSS JOIN edges GROUP BY 1
+        ),
+        walk AS (
+            SELECT CAST(row_number() OVER (ORDER BY bin DESC) AS BIGINT) AS bin_rank,
+                   CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+                   CAST(sum(n) OVER (ORDER BY bin DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_n,
+                   CAST(sum(n_pos) OVER (ORDER BY bin DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_pos,
+                   CAST(sum(n) OVER () AS BIGINT) AS tot_n,
+                   CAST(sum(n_pos) OVER () AS BIGINT) AS tot_pos
+            FROM bins
+        )
+        SELECT bin_rank, n, n_pos, cum_n, cum_pos,
+               CASE WHEN tot_pos > 0
+                    THEN round(CAST(cum_pos AS DOUBLE) / tot_pos, 6) END AS gain,
+               CASE WHEN tot_pos > 0
+                    THEN round((CAST(cum_pos AS DOUBLE) / cum_n)
+                               / (CAST(tot_pos AS DOUBLE) / tot_n), 6) END AS lift
+        FROM walk
+    """,
+    "retrieval_metrics": f"""
+        WITH q AS (SELECT vec_id AS query_id, label AS ql,
+                          embedding::DOUBLE[] AS qe
+                   FROM embeddings WHERE vec_id < 5),
+        c AS (SELECT vec_id AS doc_id, label AS dl, embedding::DOUBLE[] AS ce
+              FROM embeddings),
+        res AS (
+            SELECT query_id, doc_id, rnk AS rank FROM (
+                SELECT query_id, doc_id,
+                       CAST(row_number() OVER (PARTITION BY query_id
+                           ORDER BY {_cos_sql("qe", "ce")} DESC, doc_id)
+                       AS BIGINT) AS rnk
+                FROM q, c WHERE query_id != doc_id)
+            WHERE rnk <= 10),
+        rels AS (
+            SELECT q.query_id, c.doc_id, 1 AS rel
+            FROM q JOIN c ON q.ql = c.dl AND q.query_id != c.doc_id),
+        hits AS (
+            SELECT r.query_id, r.rank, coalesce(l.rel, 0) AS rel
+            FROM res r LEFT JOIN rels l
+              ON l.query_id = r.query_id AND l.doc_id = r.doc_id),
+        dcg AS (
+            SELECT query_id,
+                   CAST(sum(CAST(round((pow(2.0, rel) - 1)
+                                       / (ln(rank + 1.0) / ln(2.0)), 6)
+                                 AS DECIMAL(28,6))) AS DOUBLE) AS dcg,
+                   min(CASE WHEN rel > 0 THEN rank END) AS fr
+            FROM hits GROUP BY query_id),
+        ideal AS (
+            SELECT query_id,
+                   CAST(sum(CAST(round(1.0 / (ln(ir + 1.0) / ln(2.0)), 6)
+                                 AS DECIMAL(28,6))) AS DOUBLE) AS idcg
+            FROM (SELECT query_id,
+                         row_number() OVER (PARTITION BY query_id
+                             ORDER BY rel DESC, doc_id) AS ir
+                  FROM rels WHERE rel > 0)
+            WHERE ir <= 10 GROUP BY query_id)
+        SELECT q.query_id,
+               CASE WHEN coalesce(i.idcg, 0) > 0
+                    THEN round(d.dcg / i.idcg, 6) ELSE 0.0 END AS ndcg,
+               coalesce(round(1.0 / d.fr, 6), 0.0) AS rr
+        FROM q LEFT JOIN dcg d ON d.query_id = q.query_id
+        LEFT JOIN ideal i ON i.query_id = q.query_id
     """,
 }

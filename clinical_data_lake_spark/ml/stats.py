@@ -370,3 +370,258 @@ def chisq_rc(
         ((F.col("r") - 1) * (F.col("c") - 1)).alias("dof"),
         F.round("chi2_raw", digits).alias("chi2"),
     )
+
+
+def cramers_v(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Cramér's V effect size for an r x c association — the
+    scale-free companion the reference's chi-square read-out
+    (01-rwe-dashboard.r:110-124) lacks: chi2 grows with n, V stays in
+    [0, 1], so it answers "how strong", not just "how unlikely".
+
+        V = sqrt(chi2 / (n * (min(r, c) - 1)))
+
+    One extra pure-column expression over ``chisq_rc``'s single reduced
+    row — the plan is identical (group-count to the contingency cells,
+    bounded-grid reduction). Returns (n, r, c, dof, chi2, v); V is NULL
+    for degenerate 1-level tables.
+    """
+    base = chisq_rc(df, col_a, col_b, digits=digits)
+    denom = F.col("n").cast("double") * (
+        F.least(F.col("r"), F.col("c")).cast("double") - 1
+    )
+    v = F.when(denom > 0, F.round(F.sqrt(F.col("chi2") / denom), digits))
+    return base.select("n", "r", "c", "dof", "chi2", v.alias("v"))
+
+
+def ks_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    digits: int = 6,
+    num_buckets: int = 256,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic: the maximum gap between
+    the two arms' empirical CDFs — the standard distribution-shift /
+    model-separation test (does the score distribution differ between
+    cohorts?). Returns ONE row (n1, n2, d_stat), arms ordered by label.
+
+    Distributed shape — NO single-partition window over data-scale
+    rows: values are rounded to ``digits`` and group-counted per arm
+    (the only data-scale shuffle), then the global cumulative counts
+    use the same two-phase prefix sum as ``budget_select``: range-
+    bucket the distinct values (order-preserving pure expression over
+    broadcast [min, max] bounds), per-bucket offsets via a window over
+    the <= ``num_buckets``-row bucket table, in-bucket running sums
+    keyed by bucket. CDF gaps are single divisions of exact integer
+    cumulative counts, so the max is merge-order-independent.
+    """
+    from ..operators.caching import track_persist
+
+    arms = [r[0] for r in df.select(group_col).distinct().limit(3).collect()]
+    if len(arms) != 2:
+        raise ValueError(
+            f"ks_test needs exactly 2 arms, got "
+            f"{'>= 3' if len(arms) > 2 else arms}"
+        )
+    a1, _ = sorted(arms, key=str)
+
+    v = F.round(F.col(value_col).cast("double"), digits)
+    is1 = (F.col(group_col) == a1).cast("long")
+    pts = df.select(v.alias("__v__"), is1.alias("__is1__")).groupBy("__v__").agg(
+        F.sum("__is1__").alias("c1"),
+        F.sum(F.lit(1) - F.col("__is1__")).alias("c2"),
+    )
+    bounds = pts.agg(F.min("__v__").alias("__lo__"), F.max("__v__").alias("__hi__"))
+    width = F.greatest(
+        (F.col("__hi__") - F.col("__lo__")) / F.lit(float(num_buckets)),
+        F.lit(1e-12),
+    )
+    bucketed = track_persist(
+        pts.crossJoin(F.broadcast(bounds)).select(
+            "__v__", "c1", "c2",
+            F.least(
+                F.floor((F.col("__v__") - F.col("__lo__")) / width),
+                F.lit(num_buckets - 1),
+            ).alias("__bkt__"),
+        )
+    )
+    w_off = Window.orderBy("__bkt__").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        bucketed.groupBy("__bkt__")
+        .agg(F.sum("c1").alias("b1"), F.sum("c2").alias("b2"))
+        .select(
+            "__bkt__",
+            F.coalesce(F.sum("b1").over(w_off), F.lit(0)).alias("off1"),
+            F.coalesce(F.sum("b2").over(w_off), F.lit(0)).alias("off2"),
+        )
+    )
+    w_in = (
+        Window.partitionBy("__bkt__")
+        .orderBy("__v__")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = bucketed.join(F.broadcast(offsets), on="__bkt__").select(
+        (F.col("off1") + F.sum("c1").over(w_in)).alias("cum1"),
+        (F.col("off2") + F.sum("c2").over(w_in)).alias("cum2"),
+    )
+    totals = bucketed.agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    gap = F.round(
+        F.abs(
+            F.col("cum1").cast("double") / F.col("n1")
+            - F.col("cum2").cast("double") / F.col("n2")
+        ),
+        digits,
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .agg(
+            F.max("n1").alias("n1"),
+            F.max("n2").alias("n2"),
+            F.max(gap).alias("d_stat"),
+        )
+    )
+
+
+def lift_gain(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    digits: int = 6,
+) -> DataFrame:
+    """Cumulative gains / lift table — the campaign-targeting read of a
+    scored population: walk the equal-population score deciles from
+    highest scores down and report what fraction of all positives each
+    cumulative slice captures (gain) and how much better than random
+    that is (lift). Returns one row per bin, bin_rank 1 = top decile:
+    (bin_rank, n, n_pos, cum_n, cum_pos, gain, lift).
+
+    Same plan skeleton as ``calibration_curve``: one exact-percentile
+    edge aggregate broadcast back, binning as a pure array expression,
+    one n_bins-cardinality aggregation; the cumulative walk windows
+    over the ``n_bins``-row bin table only.
+    """
+    fracs = [i / n_bins for i in range(1, n_bins)]
+    edges = df.agg(
+        F.transform(
+            F.percentile(
+                F.col(score_col).cast("double"),
+                F.array(*[F.lit(f) for f in fracs]),
+            ),
+            lambda e: F.round(e, digits),
+        ).alias("__edges__")
+    )
+    x = F.col(score_col).cast("double")
+    b = F.size(F.filter(F.col("__edges__"), lambda e: x > e))
+    bins = (
+        df.crossJoin(F.broadcast(edges))
+        .select(b.alias("__bin__"), F.col(label_col).cast("long").alias("__y__"))
+        .groupBy("__bin__")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("__y__").alias("n_pos"))
+    )
+    w_cum = Window.orderBy(F.desc("__bin__")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    cum_n = F.sum("n").over(w_cum)
+    cum_pos = F.sum("n_pos").over(w_cum)
+    tot_n = F.sum("n").over(w_all)
+    tot_pos = F.sum("n_pos").over(w_all)
+    gain = F.when(tot_pos > 0, F.round(cum_pos / tot_pos.cast("double"), digits))
+    lift = F.when(
+        tot_pos > 0,
+        F.round(
+            (cum_pos.cast("double") / cum_n) / (tot_pos.cast("double") / tot_n),
+            digits,
+        ),
+    )
+    return bins.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("__bin__")))
+        .alias("bin_rank"),
+        "n",
+        "n_pos",
+        cum_n.alias("cum_n"),
+        cum_pos.alias("cum_pos"),
+        gain.alias("gain"),
+        lift.alias("lift"),
+    )
+
+
+def retrieval_metrics(
+    results: DataFrame,
+    rels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+    digits: int = 6,
+) -> DataFrame:
+    """NDCG@k + reciprocal rank per query — the evaluation half of the
+    retrieval stack (``bm25_scores``/``cosine_topk``/``rrf_fuse``
+    produce rankings; this scores them against relevance labels).
+
+        dcg@k  = sum_{rank<=k} (2^rel - 1) / log2(rank + 1)
+        ndcg@k = dcg@k / idcg@k   (ideal = rels sorted desc, top k)
+        rr@k   = 1 / min rank with rel > 0   (0 when none in top k)
+
+    Returns (query_id, ndcg, rr). Shapes: one join of the rank table
+    with the label table on (query, doc); the ideal ordering windows
+    PER QUERY (bounded by that query's label count); per-query decimal
+    sums keep the DCGs merge-order-independent.
+    """
+    dec = f"decimal(28,{digits})"
+    discount = lambda r: (F.pow(F.lit(2.0), F.col(rel_col).cast("double")) - 1) / (  # noqa: E731
+        F.log(2.0, r.cast("double") + 1)
+    )
+    hits = (
+        results.filter(F.col(rank_col) <= k)
+        .join(rels, on=[query_col, doc_col], how="left")
+        .select(
+            query_col,
+            F.col(rank_col),
+            F.coalesce(F.col(rel_col), F.lit(0)).alias(rel_col),
+        )
+    )
+    dcg = hits.groupBy(query_col).agg(
+        F.sum(F.round(discount(F.col(rank_col)), digits).cast(dec)).alias("__dcg__"),
+        F.min(
+            F.when(F.col(rel_col) > 0, F.col(rank_col))
+        ).alias("__first_rel__"),
+    )
+    w_ideal = Window.partitionBy(query_col).orderBy(
+        F.desc(rel_col), F.asc(doc_col)
+    )
+    ideal = (
+        rels.filter(F.col(rel_col) > 0)
+        .withColumn("__ir__", F.row_number().over(w_ideal))
+        .filter(F.col("__ir__") <= k)
+        .groupBy(query_col)
+        .agg(
+            F.sum(F.round(discount(F.col("__ir__")), digits).cast(dec)).alias(
+                "__idcg__"
+            )
+        )
+    )
+    ndcg = F.when(
+        F.col("__idcg__") > 0,
+        F.round(F.col("__dcg__").cast("double") / F.col("__idcg__").cast("double"), digits),
+    ).otherwise(F.lit(0.0))
+    rr = F.coalesce(
+        F.round(F.lit(1.0) / F.col("__first_rel__").cast("double"), digits),
+        F.lit(0.0),
+    )
+    return (
+        results.select(query_col).distinct()
+        .join(dcg, on=query_col, how="left")
+        .join(ideal, on=query_col, how="left")
+        .select(query_col, ndcg.alias("ndcg"), rr.alias("rr"))
+    )

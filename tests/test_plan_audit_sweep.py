@@ -35,6 +35,8 @@ WAIVERS = {
         "feature_drift": "quantile-bin edge table (n_bins rows)",
         "budget_select": "256-bucket offset table (distributed prefix sum)",
         "cohort_case_control": "bounded cohort label table",
+        "ks_separation": "256-bucket offset table (distributed CDF prefix sum)",
+        "lift_gain": "n_bins-row decile table (cumulative gains walk)",
     },
 }
 
