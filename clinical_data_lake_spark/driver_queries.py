@@ -2315,6 +2315,22 @@ def q_retrieval_metrics(spark: SparkSession, sf: str) -> DataFrame:
     return ml_stats.retrieval_metrics(results, rels, k=10)
 
 
+def q_autocorr(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user autocorrelation of event values at lags 1..3
+    (operators/timeseries.py:acf): one shared lead window per series,
+    decimal-exact moment sums per (user, lag) cell."""
+    ev = read_table(spark, sf, "events")
+    return timeseries.acf(ev, "user_id", ["ts", "event_id"], "value", max_lag=3)
+
+
+def q_cusum_change(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user CUSUM changepoint scan over event values
+    (operators/timeseries.py:cusum_changepoint): peak standardized
+    cumulative deviation and its 1-based position."""
+    ev = read_table(spark, sf, "events")
+    return timeseries.cusum_changepoint(ev, "user_id", ["ts", "event_id"], "value")
+
+
 QUERIES = {
     # -- r8 certification window (first 50): the 18 queries that have
     #    never had a driver CORRECTNESS row, then the 32 oldest r3-era
@@ -2514,6 +2530,8 @@ QUERIES = {
     "ks_separation": q_ks_separation,
     "lift_gain": q_lift_gain,
     "retrieval_metrics": q_retrieval_metrics,
+    "autocorr": q_autocorr,
+    "cusum_change": q_cusum_change,
 }
 
 
@@ -5443,5 +5461,92 @@ FROM final f JOIN ordered o USING (doc_id) JOIN packed p USING (doc_id)
                coalesce(round(1.0 / d.fr, 6), 0.0) AS rr
         FROM q LEFT JOIN dcg d ON d.query_id = q.query_id
         LEFT JOIN ideal i ON i.query_id = q.query_id
+    """,
+    "autocorr": """
+        WITH base AS (
+            SELECT user_id, ts, event_id,
+                   round(CAST(value AS DOUBLE), 6) AS x
+            FROM events
+        ),
+        led AS (
+            SELECT user_id, x,
+                   lead(x, 1) OVER w AS y1,
+                   lead(x, 2) OVER w AS y2,
+                   lead(x, 3) OVER w AS y3
+            FROM base
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        long AS (
+            SELECT user_id, 1 AS lag, x, y1 AS y FROM led WHERE y1 IS NOT NULL
+            UNION ALL
+            SELECT user_id, 2, x, y2 FROM led WHERE y2 IS NOT NULL
+            UNION ALL
+            SELECT user_id, 3, x, y3 FROM led WHERE y3 IS NOT NULL
+        ),
+        cells AS (
+            SELECT user_id, lag,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+                   CAST(sum(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+                   CAST(sum(CAST(round(x * y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+                   CAST(sum(CAST(round(x * x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sx2,
+                   CAST(sum(CAST(round(y * y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sy2
+            FROM long GROUP BY 1, 2
+        )
+        SELECT user_id, lag, n_pairs,
+               CASE WHEN (n_pairs * sx2 - sx * sx) > 0
+                     AND (n_pairs * sy2 - sy * sy) > 0
+                    THEN round((n_pairs * sxy - sx * sy)
+                               / sqrt((n_pairs * sx2 - sx * sx)
+                                      * (n_pairs * sy2 - sy * sy)), 6)
+               END AS acf
+        FROM cells
+    """,
+    "cusum_change": """
+        WITH base AS (
+            SELECT user_id, ts, event_id,
+                   CAST(round(CAST(value AS DOUBLE), 6) AS DECIMAL(28,6)) AS x
+            FROM events
+        ),
+        stats AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS DOUBLE) AS sx,
+                   CAST(sum(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 6)
+                                 AS DECIMAL(28,6))) AS DOUBLE) AS sx2
+            FROM base GROUP BY 1
+        ),
+        st2 AS (
+            SELECT user_id, n, sx / n AS mean,
+                   CASE WHEN n > 1
+                         AND (n * sx2 - sx * sx) / (n * (n - 1)) > 0
+                        THEN sqrt((n * sx2 - sx * sx) / (n * (n - 1)))
+                   END AS sd
+            FROM stats
+        ),
+        walk AS (
+            SELECT user_id,
+                   CAST(sum(x) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DOUBLE) AS cum,
+                   CAST(row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS i
+            FROM base
+        ),
+        scored AS (
+            SELECT w.user_id, s.n,
+                   round(abs((cum - i * s.mean) / (s.sd * sqrt(s.n))), 6) AS a,
+                   w.i
+            FROM walk w JOIN st2 s ON s.user_id = w.user_id
+            WHERE s.sd IS NOT NULL
+        ),
+        picked AS (
+            SELECT user_id, n, a AS d_max, i AS cp_pos FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id ORDER BY a DESC, i ASC) AS rn
+                FROM scored) WHERE rn = 1
+        )
+        SELECT user_id, n, d_max, cp_pos FROM picked
+        UNION ALL
+        SELECT user_id, n, NULL, NULL FROM st2 WHERE sd IS NULL
     """,
 }

@@ -366,3 +366,147 @@ def period_growth(
     else:
         cols.append(growth_c.alias("cnt_growth"))
     return out.select(*cols)
+
+
+def acf(
+    events: DataFrame,
+    key_col: str,
+    order_cols: Sequence[str],
+    value_col: str = "value",
+    max_lag: int = 3,
+    digits: int = 6,
+) -> DataFrame:
+    """Autocorrelation function per series: Pearson corr(x_t, x_{t+lag})
+    for lag 1..``max_lag`` within each key's ordered stream — the
+    seasonality/persistence fingerprint (a spike at lag 7 on daily data
+    = weekly cycle; fast decay = noise). Returns
+    (key, lag, n_pairs, acf); acf is NULL when either slice is
+    constant (no zero-variance division).
+
+    Scale shape: all ``max_lag`` leads share ONE window spec (one
+    shuffle + sort on the key), stacked long via explode; each
+    (key, lag) cell then reduces with decimal-exact moment sums
+    (inputs rounded to ``digits`` first), so the closed-form corr is
+    merge-order-independent.
+    """
+    x = F.round(F.col(value_col).cast("double"), digits)
+    w = Window.partitionBy(key_col).orderBy(*[F.asc(c) for c in order_cols])
+    # leads evaluate in their own projection (window expressions can't
+    # ride inside the explode's generator context), then stack long
+    led = events.select(
+        F.col(key_col),
+        x.alias("__x__"),
+        *[
+            F.round(F.lead(value_col, lag).over(w).cast("double"), digits).alias(
+                f"__y{lag}__"
+            )
+            for lag in range(1, max_lag + 1)
+        ],
+    )
+    pairs = [
+        F.struct(F.lit(lag).alias("lag"), F.col(f"__y{lag}__").alias("y"))
+        for lag in range(1, max_lag + 1)
+    ]
+    long = (
+        led.select(key_col, "__x__", F.explode(F.array(*pairs)).alias("s"))
+        .select(key_col, "__x__", F.col("s.lag").alias("lag"), F.col("s.y").alias("__y__"))
+        .filter(F.col("__y__").isNotNull())
+    )
+    dec = f"decimal(28,{digits})"
+    xx, yy = F.col("__x__"), F.col("__y__")
+    cell = long.groupBy(key_col, "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(xx.cast(dec)).alias("sx"),
+        F.sum(yy.cast(dec)).alias("sy"),
+        F.sum(F.round(xx * yy, digits).cast(dec)).alias("sxy"),
+        F.sum(F.round(xx * xx, digits).cast(dec)).alias("sx2"),
+        F.sum(F.round(yy * yy, digits).cast(dec)).alias("sy2"),
+    )
+    n = F.col("n_pairs").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sx2, sy2 = F.col("sx2").cast("double"), F.col("sy2").cast("double")
+    vx = n * sx2 - sx * sx
+    vy = n * sy2 - sy * sy
+    corr = F.when(
+        (vx > 0) & (vy > 0),
+        F.round((n * sxy - sx * sy) / F.sqrt(vx * vy), digits),
+    )
+    return cell.select(key_col, "lag", "n_pairs", corr.alias("acf"))
+
+
+def cusum_changepoint(
+    events: DataFrame,
+    key_col: str,
+    order_cols: Sequence[str],
+    value_col: str = "value",
+    digits: int = 6,
+) -> DataFrame:
+    """Standardized CUSUM changepoint scan per series: walk each key's
+    ordered stream accumulating S_i = sum_{t<=i}(x_t - mean) /
+    (sd * sqrt(n)) and report the peak |S| and where it happens —
+    large d_max (rule of thumb > ~1.36 for 5%) = a level shift, and
+    ``cp_pos`` (1-based, first peak on ties) is the estimated
+    changepoint. Returns (key, n, d_max, cp_pos); series with n < 2 or
+    zero variance yield NULL d_max.
+
+    Scale shape: one groupBy for the per-key decimal-exact moments,
+    one key-partitioned window for the running sum (the value sums are
+    exact decimals of rounded inputs, so S_i is order-deterministic),
+    one final per-key max via a struct argmax — shuffles only on the
+    series key.
+    """
+    dec = f"decimal(28,{digits})"
+    x = F.round(F.col(value_col).cast("double"), digits)
+    base = events.select(F.col(key_col), x.cast(dec).alias("__x__"))
+    stats = base.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__x__").alias("__sx__"),
+        F.sum(F.round(F.col("__x__").cast("double") * F.col("__x__").cast("double"), digits).cast(dec)).alias("__sx2__"),
+    )
+    nn = F.col("n").cast("double")
+    sx = F.col("__sx__").cast("double")
+    sx2 = F.col("__sx2__").cast("double")
+    var = F.when(F.col("n") > 1, (nn * sx2 - sx * sx) / (nn * (nn - 1)))
+    stats = stats.select(
+        key_col, "n",
+        (sx / nn).alias("__mean__"),
+        F.when(var > 0, F.sqrt(var)).alias("__sd__"),
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*[F.asc(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_pos = Window.partitionBy(key_col).orderBy(*[F.asc(c) for c in order_cols])
+    walked = (
+        events.select(F.col(key_col), *[F.col(c) for c in order_cols], x.cast(dec).alias("__x__"))
+        .withColumn("__cum__", F.sum("__x__").over(w))
+        .withColumn("__i__", F.row_number().over(w_pos))
+        .join(stats, on=key_col)
+    )
+    s_abs = F.round(
+        F.abs(
+            (F.col("__cum__").cast("double") - F.col("__i__") * F.col("__mean__"))
+            / (F.col("__sd__") * F.sqrt(F.col("n").cast("double")))
+        ),
+        digits,
+    )
+    best = F.max(F.struct(s_abs.alias("a"), (-F.col("__i__")).alias("ni")))
+    return (
+        walked.filter(F.col("__sd__").isNotNull())
+        .groupBy(key_col, "n")
+        .agg(best.alias("__b__"))
+        .select(
+            key_col, "n",
+            F.col("__b__.a").alias("d_max"),
+            (-F.col("__b__.ni")).cast("long").alias("cp_pos"),
+        )
+        .unionByName(
+            stats.filter(F.col("__sd__").isNull()).select(
+                key_col, "n",
+                F.lit(None).cast("double").alias("d_max"),
+                F.lit(None).cast("long").alias("cp_pos"),
+            )
+        )
+    )
