@@ -2331,6 +2331,56 @@ def q_cusum_change(spark: SparkSession, sf: str) -> DataFrame:
     return timeseries.cusum_changepoint(ev, "user_id", ["ts", "event_id"], "value")
 
 
+
+
+def q_link_predict(spark: SparkSession, sf: str) -> DataFrame:
+    """Common-neighbor + Adamic-Adar link prediction on the near-dup
+    graph (operators/graph.py:link_prediction): pairs the similarity
+    join missed but cluster structure implies."""
+    pairs = dedup.ngram_jaccard_pairs(
+        read_table(spark, sf, "documents"), threshold=0.2, max_doc_freq=100
+    )
+    return graph.link_prediction(pairs, src="doc_a", dst="doc_b")
+
+
+def q_fk_orphans(spark: SparkSession, sf: str) -> DataFrame:
+    """Referential-integrity audit of orders.o_custkey against
+    customer.c_custkey (operators/quality.py:fk_orphans): one anti-join
+    + two 1-row aggregates, nothing driver-side."""
+    from .operators import quality as dq
+
+    return dq.fk_orphans(
+        read_table(spark, sf, "orders"),
+        read_table(spark, sf, "customer"),
+        "o_custkey",
+        "c_custkey",
+    )
+
+
+def q_ratio_share(spark: SparkSession, sf: str) -> DataFrame:
+    """RATIO_TO_REPORT: each lineitem's share of its order's extended
+    price (operators/windows.py:ratio_to_report) — one group-keyed
+    window, decimal-exact denominators."""
+    li = read_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    return windows.ratio_to_report(li, ["l_orderkey"], "l_extendedprice")
+
+
+def q_unpivot_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Wide-to-long melt of the four lineitem measures
+    (operators/projections.py:melt) — native unpivot, pure projection,
+    no shuffle."""
+    li = read_table(spark, sf, "lineitem")
+    return projections.melt(
+        li,
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        var_col="measure",
+        val_col="amount",
+    )
+
+
 QUERIES = {
     # -- r8 certification window (first 50): the 18 queries that have
     #    never had a driver CORRECTNESS row, then the 32 oldest r3-era
@@ -2532,6 +2582,10 @@ QUERIES = {
     "retrieval_metrics": q_retrieval_metrics,
     "autocorr": q_autocorr,
     "cusum_change": q_cusum_change,
+    "link_predict": q_link_predict,
+    "fk_orphans": q_fk_orphans,
+    "ratio_share": q_ratio_share,
+    "unpivot_lineitem": q_unpivot_lineitem,
 }
 
 
@@ -5548,5 +5602,78 @@ FROM final f JOIN ordered o USING (doc_id) JOIN packed p USING (doc_id)
         SELECT user_id, n, d_max, cp_pos FROM picked
         UNION ALL
         SELECT user_id, n, NULL, NULL FROM st2 WHERE sd IS NULL
+    """,
+    "link_predict": f"""
+        WITH prs AS (SELECT doc_a, doc_b FROM ({_NGRAM_PAIRS_SQL})),
+        e AS (SELECT DISTINCT least(doc_a, doc_b) AS a,
+                     greatest(doc_a, doc_b) AS b
+              FROM prs WHERE doc_a != doc_b),
+        adj AS (SELECT a AS u, b AS v FROM e
+                UNION ALL SELECT b, a FROM e),
+        deg AS (SELECT u AS z, count(*) AS d FROM adj GROUP BY u),
+        wedges AS (
+            SELECT w1.v AS x, w1.u AS z, w2.v AS y
+            FROM adj w1 JOIN adj w2 ON w1.u = w2.u
+            WHERE w1.v < w2.v
+              AND NOT EXISTS (SELECT 1 FROM e
+                              WHERE e.a = w1.v AND e.b = w2.v)
+        )
+        SELECT x AS node_a, y AS node_b,
+               CAST(count(*) AS BIGINT) AS cn,
+               CAST(sum(CAST(round(1.0 / ln(d), 6) AS DECIMAL(28,6)))
+                    AS DOUBLE) AS aa
+        FROM wedges JOIN deg USING (z)
+        GROUP BY x, y
+    """,
+    "fk_orphans": """
+        WITH orph AS (
+            SELECT o_custkey FROM orders
+            WHERE o_custkey IS NULL
+               OR o_custkey NOT IN (SELECT c_custkey FROM customer
+                                    WHERE c_custkey IS NOT NULL)
+        ),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_child,
+                       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_child_keys
+                FROM orders),
+        o AS (SELECT CAST(count(*) AS BIGINT) AS n_orphan_rows,
+                     CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_orphan_keys,
+                     CAST(coalesce(sum(CASE WHEN o_custkey IS NULL
+                                            THEN 1 ELSE 0 END), 0) AS BIGINT)
+                         AS n_null_key_rows
+              FROM orph)
+        SELECT n_child, n_child_keys, n_orphan_rows, n_orphan_keys,
+               n_null_key_rows,
+               round(CAST(n_orphan_rows AS DOUBLE) / n_child, 6) AS orphan_share,
+               (n_orphan_rows = 0) AS referential_ok
+        FROM tot CROSS JOIN o
+    """,
+    "ratio_share": """
+        WITH base AS (
+            SELECT l_orderkey, l_linenumber, l_extendedprice,
+                   round(CAST(l_extendedprice AS DOUBLE), 6) AS v
+            FROM lineitem
+        ),
+        tot AS (
+            SELECT l_orderkey,
+                   CAST(sum(CAST(v AS DECIMAL(28,6))) AS DOUBLE) AS t
+            FROM base GROUP BY l_orderkey
+        )
+        SELECT b.l_orderkey, b.l_linenumber, b.l_extendedprice,
+               CASE WHEN t != 0 THEN round(v / t, 6) END AS share
+        FROM base b JOIN tot USING (l_orderkey)
+    """,
+    "unpivot_lineitem": """
+        SELECT l_orderkey, l_linenumber,
+               'l_quantity' AS measure, CAST(l_quantity AS DOUBLE) AS amount
+        FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber,
+               'l_extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber,
+               'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber,
+               'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem
     """,
 }

@@ -48,3 +48,32 @@ def bool_flag_to_int(col: Column) -> Column:
     """Boolean predicate -> 0/1 int (reference: like-flag cast for labels
     and window-sum inputs, include/featurise.py:84,94)."""
     return col.cast("int")
+
+
+def melt(
+    df: DataFrame,
+    id_cols: Sequence[str],
+    value_cols: Sequence[str],
+    var_col: str = "variable",
+    val_col: str = "value",
+) -> DataFrame:
+    """Wide-to-long unpivot: one output row per (input row, value
+    column), ``var_col`` carrying the source column name — the melt
+    every metrics-wide table needs before generic per-metric
+    aggregation/plotting. Values cast to double (the common numeric
+    supertype; mixed-type unpivots should cast explicitly first).
+
+    Pure projection via the native ``unpivot`` (no shuffle, no UDF,
+    stays inside whole-stage codegen); rows whose value is NULL are
+    KEPT so row counts stay predictable (filter afterwards to drop).
+    """
+    out = df.select(
+        *[F.col(c) for c in id_cols],
+        *[F.col(c).cast("double").alias(c) for c in value_cols],
+    ).unpivot(
+        ids=[*id_cols],
+        values=[*value_cols],
+        variableColumnName=var_col,
+        valueColumnName=val_col,
+    )
+    return out

@@ -235,3 +235,55 @@ def check_report(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.withColumn("passed", F.col("n_violations") == 0)
+
+
+def fk_orphans(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Referential-integrity audit: how many child rows reference a
+    key absent from the parent table — the join-quality check every
+    denormalizing pipeline (the reference's patient_encounters build,
+    00-etl-rwd.py:136-141) should run BEFORE the join silently drops
+    or null-fills the orphans. One summary row:
+
+        (n_child, n_child_keys, n_orphan_rows, n_orphan_keys,
+         orphan_share, referential_ok)
+
+    NULL child keys count as orphan ROWS (they can never join) and are
+    reported separately in ``n_null_key_rows``; the two key counts
+    cover distinct non-NULL keys. Scale shape: one anti-join on the
+    key (broadcast when the parent key set is small; AQE decides
+    otherwise) + two 1-row aggregates — no windows, nothing
+    driver-side.
+    """
+    orphans = child.join(
+        parent.select(F.col(parent_key).alias(child_key)).distinct(),
+        on=child_key,
+        how="left_anti",
+    )
+    tot = child.agg(
+        F.count(F.lit(1)).cast("long").alias("n_child"),
+        F.count_distinct(F.col(child_key)).cast("long").alias("n_child_keys"),
+    )
+    orp = orphans.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orphan_rows"),
+        F.count_distinct(F.col(child_key)).cast("long").alias("n_orphan_keys"),
+        F.coalesce(
+            F.sum(F.col(child_key).isNull().cast("long")), F.lit(0)
+        ).cast("long").alias("n_null_key_rows"),
+    )
+    return tot.crossJoin(F.broadcast(orp)).select(
+        "n_child",
+        "n_child_keys",
+        "n_orphan_rows",
+        "n_orphan_keys",
+        "n_null_key_rows",
+        F.round(
+            F.col("n_orphan_rows").cast("double") / F.col("n_child"), digits
+        ).alias("orphan_share"),
+        (F.col("n_orphan_rows") == 0).alias("referential_ok"),
+    )

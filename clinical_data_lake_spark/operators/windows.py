@@ -351,3 +351,29 @@ def event_path_ngrams(
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
     return paths.orderBy(F.desc("cnt"), F.asc("path")).limit(k)
+
+
+def ratio_to_report(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "share",
+    digits: int = 6,
+) -> DataFrame:
+    """Share-of-total within each group: ``v / sum(v) over group`` —
+    the classic RATIO_TO_REPORT reporting window (each line's share of
+    its order, each region's share of revenue). NULL when the group
+    total is 0 (explicit, not a div-by-zero).
+
+    Scale shape: ONE window keyed by the group columns (one shuffle);
+    the group total sums pre-rounded decimals, so every row in a group
+    sees the identical denominator regardless of partitioning.
+    """
+    dec = f"decimal(28,{digits})"
+    w = Window.partitionBy(*[F.col(c) for c in group_cols])
+    v = F.round(F.col(value_col).cast("double"), digits)
+    total = F.sum(v.cast(dec)).over(w).cast("double")
+    return df.withColumn(
+        out_col,
+        F.when(total != 0, F.round(v / total, digits)),
+    )
