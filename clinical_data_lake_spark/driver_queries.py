@@ -2381,6 +2381,28 @@ def q_unpivot_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+
+def q_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style rule-based corpus gate (functions/text.py:
+    gopher_quality): word/shape/symbol/stop-word rules as one pure
+    projection over documents (thresholds loosened to this synthetic
+    corpus's scale so both branches of every rule appear)."""
+    return text.gopher_quality(
+        read_table(spark, sf, "documents"), min_words=10, min_stop_hits=1
+    )
+
+
+def q_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR hashed-unigram importance weights toward the English slice
+    (llm/corpus.py:dsir_weights): md5-bucketed token LLRs, corpus
+    tokenized once, broadcast lambda table."""
+    from .llm import corpus
+
+    docs = read_table(spark, sf, "documents")
+    return corpus.dsir_weights(docs, docs.filter(F.col("lang") == "en"))
+
+
 QUERIES = {
     # -- r8 certification window (first 50): the 18 queries that have
     #    never had a driver CORRECTNESS row, then the 32 oldest r3-era
@@ -2586,6 +2608,8 @@ QUERIES = {
     "fk_orphans": q_fk_orphans,
     "ratio_share": q_ratio_share,
     "unpivot_lineitem": q_unpivot_lineitem,
+    "gopher_rules": q_gopher_rules,
+    "dsir_weights": q_dsir_weights,
 }
 
 
@@ -5675,5 +5699,89 @@ FROM final f JOIN ordered o USING (doc_id) JOIN packed p USING (doc_id)
         UNION ALL
         SELECT l_orderkey, l_linenumber,
                'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem
+    """,
+    "gopher_rules": """
+        WITH base AS (
+            SELECT doc_id, text,
+                   string_split_regex(text, '\\s+') AS words,
+                   string_split(text, chr(10)) AS lines,
+                   string_split(regexp_replace(lower(trim(text)),
+                                               '\\s+', ' ', 'g'), ' ') AS ntoks
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id,
+                   CAST(len(words) AS BIGINT) AS n_words,
+                   CASE WHEN len(words) > 0 THEN round(
+                       CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+                       / len(words), 6) END AS mean_word_len,
+                   CASE WHEN len(words) > 0 THEN round(
+                       (CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+                        + CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3)
+                       / len(words), 6) END AS symbol_ratio,
+                   round(CAST(len(list_filter(lines,
+                         x -> regexp_matches(x, '^\\s*[-*•]'))) AS DOUBLE)
+                         / len(lines), 6) AS bullet_frac,
+                   round(CAST(len(list_filter(lines,
+                         x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$'))) AS DOUBLE)
+                         / len(lines), 6) AS ellipsis_frac,
+                   CASE WHEN len(words) > 0 THEN round(
+                       CAST(len(list_filter(words,
+                            w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+                       / len(words), 6) END AS alpha_word_frac,
+                   CAST(list_contains(ntoks, 'the')::INT + list_contains(ntoks, 'be')::INT
+                      + list_contains(ntoks, 'to')::INT + list_contains(ntoks, 'of')::INT
+                      + list_contains(ntoks, 'and')::INT + list_contains(ntoks, 'that')::INT
+                      + list_contains(ntoks, 'have')::INT + list_contains(ntoks, 'with')::INT
+                   AS BIGINT) AS n_stop_hits
+            FROM base
+        )
+        SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+               ellipsis_frac, alpha_word_frac, n_stop_hits,
+               coalesce(n_words >= 10 AND n_words <= 100000
+                        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                        AND symbol_ratio <= 0.1
+                        AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+                        AND alpha_word_frac >= 0.8
+                        AND n_stop_hits >= 1, FALSE) AS pass_gopher
+        FROM m
+    """,
+    "dsir_weights": """
+        WITH toks AS (
+            SELECT doc_id, t.w
+            FROM (SELECT doc_id,
+                         string_split(regexp_replace(lower(trim(text)),
+                                                     '\\s+', ' ', 'g'), ' ') AS ws
+                  FROM documents), UNNEST(ws) AS t(w)
+        ),
+        ct AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(w), 1, 8))::BIGINT % 1024 AS b
+            FROM toks
+        ),
+        tt AS (
+            SELECT ('0x' || substr(md5(t.w), 1, 8))::BIGINT % 1024 AS b
+            FROM (SELECT string_split(regexp_replace(lower(trim(text)),
+                                                     '\\s+', ' ', 'g'), ' ') AS ws
+                  FROM documents WHERE lang = 'en'), UNNEST(ws) AS t(w)
+        ),
+        raw AS (SELECT b, count(*) AS cr FROM ct GROUP BY b),
+        tgt AS (SELECT b, count(*) AS ctg FROM tt GROUP BY b),
+        nr AS (SELECT sum(cr) AS v FROM raw),
+        nt AS (SELECT sum(ctg) AS v FROM tgt),
+        lam AS (
+            SELECT raw.b,
+                   round(ln((coalesce(tgt.ctg, 0) + 0.5)
+                            / (coalesce(nt.v, 0) + 512.0))
+                         - ln((raw.cr + 0.5) / (nr.v + 512.0)), 6) AS l
+            FROM raw LEFT JOIN tgt ON raw.b = tgt.b
+            CROSS JOIN nr CROSS JOIN nt
+        )
+        SELECT ct.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               round(CAST(sum(CAST(l AS DECIMAL(28,6))) AS DOUBLE), 6)
+                   AS dsir_logweight
+        FROM ct JOIN lam ON lam.b = ct.b
+        GROUP BY ct.doc_id
     """,
 }

@@ -517,3 +517,92 @@ def strip_markup(text: str | Column) -> Column:
         c = F.replace(c, F.lit(ent), F.lit(ch))
     c = F.regexp_replace(c, r"https?://\S+", " ")
     return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+    digits: int = 6,
+):
+    """Gopher-style rule-based quality filter (Rae et al. 2021, §A1.1):
+    the composite document gate every web-scale pretraining corpus runs
+    before model-based scoring — word-count bounds, mean word length
+    bounds, symbol-to-word ratio (# and ...), bullet-line and
+    ellipsis-line fractions, alphabetic-word fraction, and the
+    stop-word sanity check (>= ``min_stop_hits`` of the 8 canonical
+    English stop words present).
+
+    Returns (id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+    ellipsis_frac, alpha_word_frac, n_stop_hits, pass_gopher).
+
+    Pure per-row projections — whole-stage codegen, no UDF, no
+    shuffle; at 100 TB this runs scan-side and gates the corpus before
+    anything pays an exchange (clean_corpus ordering). Metrics are
+    rounded so the rule evaluation is engine-portable.
+    """
+    t = F.col(text_col)
+    words = F.split(t, r"\s+")
+    n_words = F.size(words).cast("long")
+    nw = n_words.cast("double")
+    n_nonspace = F.length(F.regexp_replace(t, r"\s", "")).cast("double")
+    mean_wl = F.when(n_words > 0, F.round(n_nonspace / nw, digits))
+    n_hash = (F.length(t) - F.length(F.regexp_replace(t, "#", ""))).cast("double")
+    n_ell = (
+        (F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))) / F.lit(3)
+    ).cast("double")
+    symbol_ratio = F.when(n_words > 0, F.round((n_hash + n_ell) / nw, digits))
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines).cast("double")
+    bullet_frac = F.round(
+        F.size(F.filter(lines, lambda x: x.rlike(r"^\s*[-*•]"))) / n_lines,
+        digits,
+    )
+    ellipsis_frac = F.round(
+        F.size(F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)\s*$"))) / n_lines,
+        digits,
+    )
+    alpha_word_frac = F.when(
+        n_words > 0,
+        F.round(F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / nw, digits),
+    )
+    norm_toks = F.split(
+        F.regexp_replace(F.lower(F.trim(t)), r"\s+", " "), " "
+    )
+    n_stop = sum(
+        F.array_contains(norm_toks, w).cast("int") for w in GOPHER_STOPWORDS
+    ).cast("long")
+    passed = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (bullet_frac <= max_bullet_frac)
+        & (ellipsis_frac <= max_ellipsis_frac)
+        & (alpha_word_frac >= min_alpha_word_frac)
+        & (n_stop >= min_stop_hits)
+    )
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_frac"),
+        ellipsis_frac.alias("ellipsis_frac"),
+        alpha_word_frac.alias("alpha_word_frac"),
+        n_stop.alias("n_stop_hits"),
+        F.coalesce(passed, F.lit(False)).alias("pass_gopher"),
+    )

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
+from .dedup import _ensure_parallelism, _normalized
 
 
 def clean_corpus(
@@ -328,4 +329,90 @@ def budget_select(
         )
         .filter(F.col("cum_tokens") <= token_budget)
         .select(id_col, token_col, quality_col, "cum_tokens")
+    )
+
+
+def dsir_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    alpha: float = 0.5,
+    digits: int = 6,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, Data Selection via
+    Importance Resampling): score every corpus document by how much
+    more likely its hashed-unigram bag is under the TARGET distribution
+    (e.g. the high-quality or in-domain slice) than under the raw
+    corpus —
+
+        lambda(b)   = ln p_target(b) - ln p_raw(b)
+        weight(doc) = sum over token occurrences of lambda(bucket(tok))
+
+    with Laplace-``alpha`` smoothing over ``n_buckets`` md5 hash
+    buckets. Feed the weights to ``alpha_mixture_rates``/
+    ``weighted_sample`` to resample the corpus toward the target.
+    Returns (id, n_tokens, dsir_logweight).
+
+    Scale shape: the corpus tokenizes ONCE into (doc, bucket) rows
+    (persisted — consumed by the raw counts AND the scoring pass); the
+    target tokenizes once for its counts; both collapse to
+    ``n_buckets``-row tables whose lambda join back is a broadcast.
+    The only data-scale shuffles are the two bucket group-counts and
+    the per-doc rollup. md5 bucketing (not xxhash64) so any SQL engine
+    replays the identical buckets.
+    """
+    from ..operators.caching import track_persist
+
+    def buckets(df: DataFrame, with_id: bool) -> DataFrame:
+        toks = F.split(_normalized(text_col), " ")
+        cols = [F.col(id_col)] if with_id else []
+        return (
+            _ensure_parallelism(df)
+            .select(*cols, F.explode(toks).alias("__w__"))
+            .select(
+                *([id_col] if with_id else []),
+                (
+                    F.conv(F.substring(F.md5("__w__"), 1, 8), 16, 10)
+                    .cast("long")
+                    % n_buckets
+                ).alias("__b__"),
+            )
+        )
+
+    corpus_toks = track_persist(buckets(corpus, with_id=True))
+    raw = corpus_toks.groupBy("__b__").agg(F.count(F.lit(1)).alias("__cr__"))
+    tgt = buckets(target, with_id=False).groupBy("__b__").agg(
+        F.count(F.lit(1)).alias("__ct__")
+    )
+    n_raw = raw.agg(F.sum("__cr__").alias("__nr__"))
+    n_tgt = tgt.agg(F.sum("__ct__").alias("__nt__"))
+    a, b = F.lit(float(alpha)), F.lit(float(alpha * n_buckets))
+    lam = (
+        raw.join(tgt, on="__b__", how="left")
+        .crossJoin(F.broadcast(n_raw))
+        .crossJoin(F.broadcast(n_tgt))
+        .select(
+            "__b__",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("__ct__"), F.lit(0)) + a)
+                    / (F.coalesce(F.col("__nt__"), F.lit(0)) + b)
+                )
+                - F.log((F.col("__cr__") + a) / (F.col("__nr__") + b)),
+                digits,
+            ).alias("__lam__"),
+        )
+    )
+    dec = f"decimal(28,{digits})"
+    return (
+        corpus_toks.join(F.broadcast(lam), on="__b__")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.sum(F.col("__lam__").cast(dec)).cast("double"), digits).alias(
+                "dsir_logweight"
+            ),
+        )
     )
