@@ -2403,6 +2403,98 @@ def q_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
     return corpus.dsir_weights(docs, docs.filter(F.col("lang") == "en"))
 
 
+
+
+def q_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
+    """Shipping-priority revenue (TPC-H Q3 shape, adapted to this
+    schema): BUILDING-segment customers, orders before / lineitems
+    shipped after the cutoff, top-10 orders by decimal-exact
+    discounted revenue."""
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    cust = read_table(spark, sf, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = read_table(spark, sf, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = read_table(spark, sf, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
+def q_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
+    """Local-supplier volume (TPC-H Q5 shape): revenue per nation for
+    one region and year, supplier and customer in the SAME nation —
+    the classic snowflake join chain with broadcast dimension tables."""
+    yr = F.year(F.col("o_orderdate"))
+    cust = read_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    orders = read_table(spark, sf, "orders").filter(yr == 1997).select(
+        "o_orderkey", "o_custkey"
+    )
+    li = read_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = read_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nat = read_table(spark, sf, "nation")
+    reg = read_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            F.broadcast(supp),
+            (li["l_suppkey"] == supp["s_suppkey"])
+            & (cust["c_nationkey"] == supp["s_nationkey"]),
+        )
+        .join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+def q_wmedian_price(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantity-weighted median extended price per return flag
+    (operators/aggregates.py:weighted_median): collapse-first decimal
+    cumulative-weight walk."""
+    li = read_table(spark, sf, "lineitem")
+    return agg.weighted_median(li, ["l_returnflag"], "l_extendedprice", "l_quantity")
+
+
+def q_rank_fractions(spark: SparkSession, sf: str) -> DataFrame:
+    """percent_rank / cume_dist / quartile per order line
+    (operators/windows.py:rank_fractions) over the total order
+    (price, linenumber)."""
+    li = read_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    return windows.rank_fractions(
+        li, ["l_orderkey"], ["l_extendedprice", "l_linenumber"]
+    )
+
+
+def q_funnel_steps(spark: SparkSession, sf: str) -> DataFrame:
+    """view -> click -> purchase funnel per user
+    (operators/windows.py:funnel_steps): k-1 key joins with
+    conditional group-mins, no event-pair fan-out."""
+    ev = read_table(spark, sf, "events")
+    return windows.funnel_steps(
+        ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )
+
+
 QUERIES = {
     # -- r8 certification window (first 50): the 18 queries that have
     #    never had a driver CORRECTNESS row, then the 32 oldest r3-era
@@ -2610,6 +2702,11 @@ QUERIES = {
     "unpivot_lineitem": q_unpivot_lineitem,
     "gopher_rules": q_gopher_rules,
     "dsir_weights": q_dsir_weights,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q5": q_tpch_q5,
+    "wmedian_price": q_wmedian_price,
+    "rank_fractions": q_rank_fractions,
+    "funnel_steps": q_funnel_steps,
 }
 
 
@@ -5783,5 +5880,100 @@ FROM final f JOIN ordered o USING (doc_id) JOIN packed p USING (doc_id)
                    AS dsir_logweight
         FROM ct JOIN lam ON lam.b = ct.b
         GROUP BY ct.doc_id
+    """,
+    "tpch_q3": """
+        SELECT l_orderkey,
+               CAST(o_orderdate AS DATE) AS o_orderdate,
+               o_orderpriority,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+    """,
+    "tpch_q5": """
+        SELECT n_name,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA' AND year(o_orderdate) = 1997
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name ASC
+    """,
+    "wmedian_price": """
+        WITH cells AS (
+            SELECT l_returnflag,
+                   CAST(l_extendedprice AS DOUBLE) AS v,
+                   sum(CAST(round(CAST(l_quantity AS DOUBLE), 6)
+                            AS DECIMAL(28,6))) AS w
+            FROM lineitem GROUP BY 1, 2
+        ),
+        walked AS (
+            SELECT l_returnflag, v,
+                   sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+                   sum(w) OVER (PARTITION BY l_returnflag) AS tw
+            FROM cells
+        )
+        SELECT l_returnflag,
+               min(v) AS weighted_median,
+               round(CAST(max(tw) AS DOUBLE), 6) AS total_weight
+        FROM walked WHERE cw * 2 >= tw
+        GROUP BY l_returnflag
+    """,
+    "rank_fractions": """
+        SELECT l_orderkey, l_linenumber, l_extendedprice,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume_dist,
+               CAST(ntile(4) OVER w AS INTEGER) AS tile
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_orderkey
+                     ORDER BY l_extendedprice ASC, l_linenumber ASC)
+    """,
+    "funnel_steps": """
+        WITH s0 AS (
+            SELECT user_id AS k, min(ts) AS t0 FROM events
+            WHERE event_type = 'view' GROUP BY 1
+        ),
+        s1 AS (
+            SELECT s0.k, s0.t0,
+                   min(CASE WHEN e.ts > s0.t0 THEN e.ts END) AS t1
+            FROM s0 LEFT JOIN events e
+              ON e.user_id = s0.k AND e.event_type = 'click'
+            GROUP BY s0.k, s0.t0
+        ),
+        s2 AS (
+            SELECT s1.k, s1.t0, s1.t1,
+                   min(CASE WHEN e.ts > s1.t1 THEN e.ts END) AS t2
+            FROM s1 LEFT JOIN events e
+              ON e.user_id = s1.k AND e.event_type = 'purchase'
+            GROUP BY s1.k, s1.t0, s1.t1
+        ),
+        c AS (SELECT count(t0) AS n0, count(t1) AS n1, count(t2) AS n2 FROM s2)
+        SELECT 1 AS step_idx, 'view' AS step, CAST(n0 AS BIGINT) AS n_entities,
+               CASE WHEN n0 > 0 THEN round(CAST(n0 AS DOUBLE) / n0, 6) END AS conv_from_prev,
+               CASE WHEN n0 > 0 THEN round(CAST(n0 AS DOUBLE) / n0, 6) END AS conv_from_first
+        FROM c
+        UNION ALL
+        SELECT 2, 'click', CAST(n1 AS BIGINT),
+               CASE WHEN n0 > 0 THEN round(CAST(n1 AS DOUBLE) / n0, 6) END,
+               CASE WHEN n0 > 0 THEN round(CAST(n1 AS DOUBLE) / n0, 6) END
+        FROM c
+        UNION ALL
+        SELECT 3, 'purchase', CAST(n2 AS BIGINT),
+               CASE WHEN n1 > 0 THEN round(CAST(n2 AS DOUBLE) / n1, 6) END,
+               CASE WHEN n0 > 0 THEN round(CAST(n2 AS DOUBLE) / n0, 6) END
+        FROM c
     """,
 }

@@ -548,3 +548,51 @@ def pareto_analysis(
             ).alias("in_top"),
         )
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    weight_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Weighted (lower) median per group: the smallest value whose
+    cumulative weight reaches half the group's total — the
+    quantile-under-weights operator plain percentile can't express
+    (every row counts once there; here a row counts its weight —
+    revenue-weighted midpoint price, token-weighted quality cutoffs).
+    Returns (group..., weighted_median, total_weight).
+
+    Scale shape: duplicate values collapse FIRST via one groupBy on
+    (group, value) with decimal weight sums (the only data-scale
+    shuffle), the cumulative walk then windows per group over the
+    collapsed distinct-value table, and one min-aggregate picks the
+    crossing point. Weights are pre-rounded decimals, so the crossing
+    comparison is merge-order-exact.
+    """
+    keys = list(group_cols)
+    dec = f"decimal(28,{digits})"
+    wgt = F.round(F.col(weight_col).cast("double"), digits).cast(dec)
+    v = F.col(value_col).cast("double")
+    cells = df.groupBy(*keys, v.alias("__v__")).agg(F.sum(wgt).alias("__w__"))
+    w_cum = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy("__v__")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*[F.col(k) for k in keys])
+    walked = cells.select(
+        *keys,
+        "__v__",
+        F.sum("__w__").over(w_cum).alias("__cw__"),
+        F.sum("__w__").over(w_all).alias("__tw__"),
+    )
+    return (
+        walked.filter(F.col("__cw__") * 2 >= F.col("__tw__"))
+        .groupBy(*keys)
+        .agg(
+            F.min("__v__").alias("weighted_median"),
+            F.round(F.max("__tw__").cast("double"), digits).alias("total_weight"),
+        )
+    )

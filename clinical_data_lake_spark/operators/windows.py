@@ -377,3 +377,101 @@ def ratio_to_report(
         out_col,
         F.when(total != 0, F.round(v / total, digits)),
     )
+
+
+def rank_fractions(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    n_tiles: int = 4,
+    digits: int = 6,
+) -> DataFrame:
+    """percent_rank + cume_dist + ntile per group in one window pass —
+    the relative-standing trio (where does this row sit in its
+    group?). ``order_cols`` must be a TOTAL order (include a
+    tie-breaker): ntile splits ties by row order, so a partial order
+    would make tile assignment nondeterministic.
+
+    One shuffle on the keys; all three functions share the single
+    window sort.
+    """
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        *[F.asc(c) for c in order_cols]
+    )
+    return df.select(
+        "*",
+        F.round(F.percent_rank().over(w), digits).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), digits).alias("cume_dist"),
+        F.ntile(n_tiles).over(w).alias("tile"),
+    )
+
+
+def funnel_steps(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+    digits: int = 6,
+) -> DataFrame:
+    """Multi-step funnel: for an ordered sequence of event types, how
+    many entities reached each step IN ORDER (each step's first
+    occurrence strictly after the previous step's) — the k-step
+    generalization of ``funnel_conversion``. Returns one row per step:
+    (step_idx, step, n_entities, conv_from_prev, conv_from_first).
+
+    Scale shape: step 1 is one filtered group-min; each later step is
+    one left join keyed by the entity + a conditional group-min — k-1
+    key-shuffles total, never an event-to-event pair join (no hot-user
+    quadratic fan-out). The final summary aggregates the per-entity
+    timestamps to ONE row and unpivots driver-free via posexplode.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel_steps needs at least 2 steps")
+    ts = F.col(ts_col)
+    cur = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(key_col)
+        .agg(F.min(ts).alias("__t0__"))
+    )
+    for i, step in enumerate(steps[1:], start=1):
+        nxt = events.filter(F.col(type_col) == step).select(
+            F.col(key_col), ts.alias("__e__")
+        )
+        prev_cols = [f"__t{j}__" for j in range(i)]
+        cur = (
+            cur.join(nxt, on=key_col, how="left")
+            .groupBy(key_col, *prev_cols)
+            .agg(
+                F.min(
+                    F.when(F.col("__e__") > F.col(f"__t{i - 1}__"), F.col("__e__"))
+                ).alias(f"__t{i}__")
+            )
+        )
+    counts = cur.agg(
+        *[F.count(F.col(f"__t{i}__")).alias(f"__n{i}__") for i in range(len(steps))]
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("step_idx"),
+                F.lit(s).alias("step"),
+                F.col(f"__n{i}__").alias("n"),
+                (F.col(f"__n{i - 1}__") if i > 0 else F.col("__n0__")).alias("np"),
+                F.col("__n0__").alias("n0"),
+            )
+            for i, s in enumerate(steps)
+        ]
+    )
+    long = counts.select(F.explode(pairs).alias("s")).select(
+        F.col("s.step_idx").alias("step_idx"),
+        F.col("s.step").alias("step"),
+        F.col("s.n").cast("long").alias("n_entities"),
+        F.when(
+            F.col("s.np") > 0, F.round(F.col("s.n") / F.col("s.np"), digits)
+        ).alias("conv_from_prev"),
+        F.when(
+            F.col("s.n0") > 0, F.round(F.col("s.n") / F.col("s.n0"), digits)
+        ).alias("conv_from_first"),
+    )
+    return long
