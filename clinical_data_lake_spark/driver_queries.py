@@ -2495,6 +2495,57 @@ def q_funnel_steps(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+
+def q_corr_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise Pearson correlations of the four lineitem measures in
+    ONE aggregate pass (ml/stats.py:corr_matrix) — long-form
+    (col_a, col_b, n, corr)."""
+    li = read_table(spark, sf, "lineitem")
+    return ml_stats.corr_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+def q_label_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Shannon entropy of each user's event-type mix
+    (operators/aggregates.py:label_entropy): behavioral diversity per
+    user, vocabulary-bounded rollup."""
+    ev = read_table(spark, sf, "events")
+    return agg.label_entropy(ev, ["user_id"], "event_type")
+
+
+def q_collapse_rare(spark: SparkSession, sf: str) -> DataFrame:
+    """Long-tail collapse of part brands under 90 occurrences
+    (operators/projections.py:collapse_rare): broadcast frequent set,
+    fact side never shuffles."""
+    part = read_table(spark, sf, "part")
+    return projections.collapse_rare(part, "p_brand", min_count=90).select(
+        "p_partkey", "p_brand"
+    )
+
+
+def q_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Confusion matrix + accuracy/precision/recall/F1 for 'value >= 35
+    predicts an error event' (ml/stats.py:confusion_at_threshold)."""
+    ev = read_table(spark, sf, "events").select(
+        F.col("value").alias("score"),
+        (F.col("event_type") == "error").alias("label"),
+    )
+    return ml_stats.confusion_at_threshold(ev, "score", "label", threshold=35.0)
+
+
+def q_pr_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """Precision-recall points at score-decile depths for totalprice
+    predicting fulfilled orders (ml/stats.py:pr_curve) — lift_gain's
+    bounded walk re-read as a PR curve."""
+    od = read_table(spark, sf, "orders").select(
+        F.col("o_totalprice").alias("score"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("label"),
+    )
+    return ml_stats.pr_curve(od, "score", "label")
+
+
 QUERIES = {
     # -- r8 certification window (first 50): the 18 queries that have
     #    never had a driver CORRECTNESS row, then the 32 oldest r3-era
@@ -2707,6 +2758,11 @@ QUERIES = {
     "wmedian_price": q_wmedian_price,
     "rank_fractions": q_rank_fractions,
     "funnel_steps": q_funnel_steps,
+    "corr_matrix": q_corr_matrix,
+    "label_entropy": q_label_entropy,
+    "collapse_rare": q_collapse_rare,
+    "confusion": q_confusion,
+    "pr_curve": q_pr_curve,
 }
 
 
@@ -5975,5 +6031,158 @@ FROM final f JOIN ordered o USING (doc_id) JOIN packed p USING (doc_id)
                CASE WHEN n1 > 0 THEN round(CAST(n2 AS DOUBLE) / n1, 6) END,
                CASE WHEN n0 > 0 THEN round(CAST(n2 AS DOUBLE) / n0, 6) END
         FROM c
+    """,
+    "corr_matrix": """
+        WITH clean AS (
+            SELECT round(CAST(l_quantity AS DOUBLE), 6) AS a,
+                   round(CAST(l_extendedprice AS DOUBLE), 6) AS b,
+                   round(CAST(l_discount AS DOUBLE), 6) AS c,
+                   round(CAST(l_tax AS DOUBLE), 6) AS d
+            FROM lineitem
+            WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+              AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+        ),
+        m AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(a AS DECIMAL(28,6))) AS DOUBLE) AS sa,
+                   CAST(sum(CAST(b AS DECIMAL(28,6))) AS DOUBLE) AS sb,
+                   CAST(sum(CAST(c AS DECIMAL(28,6))) AS DOUBLE) AS sc,
+                   CAST(sum(CAST(d AS DECIMAL(28,6))) AS DOUBLE) AS sd,
+                   CAST(sum(CAST(round(a*a, 6) AS DECIMAL(28,6))) AS DOUBLE) AS qa,
+                   CAST(sum(CAST(round(b*b, 6) AS DECIMAL(28,6))) AS DOUBLE) AS qb,
+                   CAST(sum(CAST(round(c*c, 6) AS DECIMAL(28,6))) AS DOUBLE) AS qc,
+                   CAST(sum(CAST(round(d*d, 6) AS DECIMAL(28,6))) AS DOUBLE) AS qd,
+                   CAST(sum(CAST(round(a*b, 6) AS DECIMAL(28,6))) AS DOUBLE) AS xab,
+                   CAST(sum(CAST(round(a*c, 6) AS DECIMAL(28,6))) AS DOUBLE) AS xac,
+                   CAST(sum(CAST(round(a*d, 6) AS DECIMAL(28,6))) AS DOUBLE) AS xad,
+                   CAST(sum(CAST(round(b*c, 6) AS DECIMAL(28,6))) AS DOUBLE) AS xbc,
+                   CAST(sum(CAST(round(b*d, 6) AS DECIMAL(28,6))) AS DOUBLE) AS xbd,
+                   CAST(sum(CAST(round(c*d, 6) AS DECIMAL(28,6))) AS DOUBLE) AS xcd
+            FROM clean
+        )
+        SELECT p.col_a, p.col_b, m.n,
+               CASE WHEN (m.n * p.q1 - p.s1 * p.s1) > 0
+                     AND (m.n * p.q2 - p.s2 * p.s2) > 0
+                    THEN round((m.n * p.x - p.s1 * p.s2)
+                               / sqrt((m.n * p.q1 - p.s1 * p.s1)
+                                      * (m.n * p.q2 - p.s2 * p.s2)), 6)
+               END AS corr
+        FROM m, LATERAL (
+            SELECT * FROM (VALUES
+                ('l_quantity', 'l_extendedprice', m.sa, m.sb, m.qa, m.qb, m.xab),
+                ('l_quantity', 'l_discount',      m.sa, m.sc, m.qa, m.qc, m.xac),
+                ('l_quantity', 'l_tax',           m.sa, m.sd, m.qa, m.qd, m.xad),
+                ('l_extendedprice', 'l_discount', m.sb, m.sc, m.qb, m.qc, m.xbc),
+                ('l_extendedprice', 'l_tax',      m.sb, m.sd, m.qb, m.qd, m.xbd),
+                ('l_discount', 'l_tax',           m.sc, m.sd, m.qc, m.qd, m.xcd)
+            ) AS t(col_a, col_b, s1, s2, q1, q2, x)
+        ) AS p
+    """,
+    "label_entropy": """
+        WITH cells AS (
+            SELECT user_id, event_type, count(*) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        tots AS (SELECT user_id, sum(c) AS n FROM cells GROUP BY 1),
+        terms AS (
+            SELECT c.user_id, t.n,
+                   CAST(round(-(c.c / CAST(t.n AS DOUBLE))
+                              * ln(c.c / CAST(t.n AS DOUBLE)), 6)
+                        AS DECIMAL(28,6)) AS term
+            FROM cells c JOIN tots t USING (user_id)
+        ),
+        g AS (
+            SELECT user_id,
+                   CAST(max(n) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS n_labels,
+                   CAST(sum(term) AS DOUBLE) AS ent
+            FROM terms GROUP BY user_id
+        )
+        SELECT user_id, n, n_labels, round(ent, 6) AS entropy,
+               CASE WHEN n_labels > 1
+                    THEN round(ent / ln(CAST(n_labels AS DOUBLE)), 6)
+               END AS norm_entropy
+        FROM g
+    """,
+    "collapse_rare": """
+        WITH freq AS (
+            SELECT p_brand AS cat FROM part WHERE p_brand IS NOT NULL
+            GROUP BY 1 HAVING count(*) >= 90
+        )
+        SELECT p_partkey,
+               CASE WHEN p_brand IS NULL THEN NULL
+                    WHEN p_brand IN (SELECT cat FROM freq) THEN p_brand
+                    ELSE '(rare)' END AS p_brand
+        FROM part
+    """,
+    "confusion": """
+        WITH cells AS (
+            SELECT CAST(sum(CASE WHEN value >= 35.0 AND event_type = 'error'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                   CAST(sum(CASE WHEN value >= 35.0 AND event_type != 'error'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                   CAST(sum(CASE WHEN value < 35.0 AND event_type != 'error'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+                   CAST(sum(CASE WHEN value < 35.0 AND event_type = 'error'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+            FROM events
+        )
+        SELECT 35.0 AS threshold, tp, fp, tn, fn,
+               round(CAST(tp + tn AS DOUBLE) / (tp + fp + tn + fn), 6) AS accuracy,
+               CASE WHEN tp + fp > 0
+                    THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision,
+               CASE WHEN tp + fn > 0
+                    THEN round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall,
+               CASE WHEN tp + fp > 0 AND tp + fn > 0
+                     AND (CAST(tp AS DOUBLE) / (tp + fp))
+                         + (CAST(tp AS DOUBLE) / (tp + fn)) > 0
+                    THEN round(2 * (CAST(tp AS DOUBLE) / (tp + fp))
+                                 * (CAST(tp AS DOUBLE) / (tp + fn))
+                               / ((CAST(tp AS DOUBLE) / (tp + fp))
+                                  + (CAST(tp AS DOUBLE) / (tp + fn))), 6)
+               END AS f1
+        FROM cells
+    """,
+    "pr_curve": """
+        WITH scored AS (
+            SELECT CAST(o_totalprice AS DOUBLE) AS s,
+                   CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+            FROM orders
+        ),
+        edges AS (
+            SELECT list_transform(
+                quantile_cont(s, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+                e -> round(e, 6)) AS ed
+            FROM scored
+        ),
+        bins AS (
+            SELECT len(list_filter(ed, e -> s > e)) AS bin,
+                   count(*) AS n, sum(y) AS n_pos
+            FROM scored CROSS JOIN edges GROUP BY 1
+        ),
+        walk AS (
+            SELECT CAST(row_number() OVER (ORDER BY bin DESC) AS BIGINT) AS bin_rank,
+                   CAST(sum(n) OVER (ORDER BY bin DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_n,
+                   CAST(sum(n_pos) OVER (ORDER BY bin DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_pos,
+                   CAST(sum(n_pos) OVER () AS BIGINT) AS tot_pos
+            FROM bins
+        ),
+        pr AS (
+            SELECT bin_rank, cum_n, cum_pos,
+                   CASE WHEN cum_n > 0
+                        THEN CAST(cum_pos AS DOUBLE) / cum_n END AS p,
+                   CASE WHEN tot_pos > 0
+                        THEN round(CAST(cum_pos AS DOUBLE) / tot_pos, 6) END AS r
+            FROM walk
+        )
+        SELECT bin_rank, cum_n, cum_pos,
+               round(p, 6) AS precision, r AS recall,
+               CASE WHEN p IS NOT NULL AND r IS NOT NULL AND p + r > 0
+                    THEN round(2 * p * r / (p + r), 6) END AS f1
+        FROM pr
     """,
 }

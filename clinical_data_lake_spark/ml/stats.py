@@ -625,3 +625,139 @@ def retrieval_metrics(
         .join(ideal, on=query_col, how="left")
         .select(query_col, ndcg.alias("ndcg"), rr.alias("rr"))
     )
+
+
+def corr_matrix(
+    df: DataFrame,
+    cols: Sequence[str],
+    digits: int = 6,
+) -> DataFrame:
+    """Pairwise Pearson correlations across k numeric columns in ONE
+    aggregate pass — the feature-redundancy screen before model
+    fitting (drop one of every highly-correlated pair). Returns long
+    form (col_a, col_b, n, corr) for every a < b pair; NULL corr for
+    zero-variance columns.
+
+    Scale shape: rows with a NULL in any requested column drop first
+    (pairwise-complete semantics would need k² conditional counts);
+    then a single map-side-combinable aggregate computes all k sums,
+    k sum-of-squares, and k(k-1)/2 cross-products as decimals of
+    rounded inputs — one reduction, no per-pair passes, no driver
+    loops. The 1-row moment vector unpivots engine-side via explode.
+    """
+    cs = list(cols)
+    clean = df.na.drop(subset=cs)
+    dec = f"decimal(28,{digits})"
+
+    def r(c: str):
+        return F.round(F.col(c).cast("double"), digits)
+
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n__")]
+    for c in cs:
+        aggs.append(F.sum(r(c).cast(dec)).alias(f"__s_{c}__"))
+        aggs.append(F.sum(F.round(r(c) * r(c), digits).cast(dec)).alias(f"__q_{c}__"))
+    for i, a in enumerate(cs):
+        for b in cs[i + 1:]:
+            aggs.append(
+                F.sum(F.round(r(a) * r(b), digits).cast(dec)).alias(f"__x_{a}_{b}__")
+            )
+    moments = clean.agg(*aggs)
+
+    pairs = []
+    for i, a in enumerate(cs):
+        for b in cs[i + 1:]:
+            n = F.col("__n__").cast("double")
+            sa, sb = F.col(f"__s_{a}__").cast("double"), F.col(f"__s_{b}__").cast("double")
+            qa, qb = F.col(f"__q_{a}__").cast("double"), F.col(f"__q_{b}__").cast("double")
+            xab = F.col(f"__x_{a}_{b}__").cast("double")
+            va = n * qa - sa * sa
+            vb = n * qb - sb * sb
+            corr = F.when(
+                (va > 0) & (vb > 0),
+                F.round((n * xab - sa * sb) / F.sqrt(va * vb), digits),
+            )
+            pairs.append(
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    F.col("__n__").alias("n"),
+                    corr.alias("corr"),
+                )
+            )
+    return moments.select(F.explode(F.array(*pairs)).alias("p")).select(
+        "p.col_a", "p.col_b", "p.n", "p.corr"
+    )
+
+
+def confusion_at_threshold(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    threshold: float,
+    digits: int = 6,
+) -> DataFrame:
+    """Confusion matrix + derived metrics at one decision threshold
+    (predict positive when score >= threshold): ONE row
+    (threshold, tp, fp, tn, fn, accuracy, precision, recall, f1).
+    Ratio metrics are NULL when their denominator is 0 (no silent 0s,
+    no ANSI div-by-zero). One map-side-combinable aggregate — the
+    whole table reduces to four conditional counts.
+    """
+    pred = F.col(score_col).cast("double") >= F.lit(float(threshold))
+    y = F.col(label_col).cast("boolean")
+    cells = scored.agg(
+        F.sum((pred & y).cast("long")).alias("tp"),
+        F.sum((pred & ~y).cast("long")).alias("fp"),
+        F.sum((~pred & ~y).cast("long")).alias("tn"),
+        F.sum((~pred & y).cast("long")).alias("fn"),
+    )
+    tp, fp = F.col("tp").cast("double"), F.col("fp").cast("double")
+    tn, fn = F.col("tn").cast("double"), F.col("fn").cast("double")
+    prec = F.when(tp + fp > 0, tp / (tp + fp))
+    rec = F.when(tp + fn > 0, tp / (tp + fn))
+    f1 = F.when(
+        prec.isNotNull() & rec.isNotNull() & (prec + rec > 0),
+        2 * prec * rec / (prec + rec),
+    )
+    return cells.select(
+        F.lit(float(threshold)).alias("threshold"),
+        "tp", "fp", "tn", "fn",
+        F.round((tp + tn) / (tp + fp + tn + fn), digits).alias("accuracy"),
+        F.round(prec, digits).alias("precision"),
+        F.round(rec, digits).alias("recall"),
+        F.round(f1, digits).alias("f1"),
+    )
+
+
+def pr_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    digits: int = 6,
+) -> DataFrame:
+    """Precision-recall points at equal-population score-decile depths:
+    walking the population from highest scores down (``lift_gain``'s
+    walk), each cumulative slice is "predict positive down to here" —
+    precision = cum_pos/cum_n, recall = cum_pos/total_pos. Returns
+    (bin_rank, cum_n, cum_pos, precision, recall, f1), bin_rank 1 =
+    deepest threshold (top decile only).
+
+    Same bounded plan as ``lift_gain``: one percentile aggregate, one
+    n_bins-cardinality aggregation, windows over the n_bins-row table.
+    """
+    base = lift_gain(df, score_col, label_col, n_bins=n_bins, digits=digits)
+    cum_n = F.col("cum_n").cast("double")
+    cum_pos = F.col("cum_pos").cast("double")
+    prec = F.when(cum_n > 0, cum_pos / cum_n)
+    rec = F.col("gain")
+    f1 = F.when(
+        prec.isNotNull() & rec.isNotNull() & (prec + rec > 0),
+        2 * prec * rec / (prec + rec),
+    )
+    return base.select(
+        "bin_rank", "cum_n", "cum_pos",
+        F.round(prec, digits).alias("precision"),
+        F.round(rec, digits).alias("recall"),
+        F.round(f1, digits).alias("f1"),
+    )

@@ -596,3 +596,53 @@ def weighted_median(
             F.round(F.max("__tw__").cast("double"), digits).alias("total_weight"),
         )
     )
+
+
+def label_entropy(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    label_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Shannon entropy of the label distribution per group (nats) plus
+    the [0,1]-normalized version — the diversity/concentration dual of
+    ``gini_concentration``: 0 = one label dominates entirely, 1 = all
+    observed labels equally likely. Returns
+    (group..., n, n_labels, entropy, norm_entropy); single-label
+    groups get entropy 0 and NULL norm (ln(1) = 0 denominator).
+
+    Scale shape: one group-count to (group, label) cells (the only
+    data-scale shuffle), then a per-group rollup of decimal-rounded
+    -p·ln p terms — merge-order-exact, vocabulary-bounded.
+    """
+    keys = list(group_cols)
+    cells = df.groupBy(*keys, label_col).agg(F.count(F.lit(1)).alias("__c__"))
+    per_group = cells.groupBy(*keys).agg(
+        F.sum("__c__").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_labels"),
+        F.collect_list("__c__").alias("__cs__"),
+    )
+    # entropy from the per-group count list (vocabulary-bounded): the
+    # terms are rounded before the fold so the sum is deterministic
+    nn = F.col("n").cast("double")
+    dec = f"decimal(28,{digits})"
+    ent = F.aggregate(
+        F.col("__cs__"),
+        F.lit(0).cast(dec),
+        # decimal + decimal widens to (29,6); cast back each step so
+        # the accumulator type stays fixed (exact: terms carry 6 dp)
+        lambda acc, c: (
+            acc + F.round(-(c / nn) * F.log(c / nn), digits).cast(dec)
+        ).cast(dec),
+    ).cast("double")
+    out = per_group.select(
+        *keys,
+        "n",
+        "n_labels",
+        F.round(ent, digits).alias("entropy"),
+        F.when(
+            F.col("n_labels") > 1,
+            F.round(ent / F.log(F.col("n_labels").cast("double")), digits),
+        ).alias("norm_entropy"),
+    )
+    return out

@@ -77,3 +77,39 @@ def melt(
         valueColumnName=val_col,
     )
     return out
+
+
+def collapse_rare(
+    df: DataFrame,
+    col: str,
+    min_count: int,
+    other_label: str = "(rare)",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Long-tail collapse: categories appearing fewer than
+    ``min_count`` times map to ``other_label`` — the cardinality
+    guard before one-hot/target encodings (and before any groupBy
+    whose key cardinality would otherwise explode). NULL categories
+    stay NULL (missing is not rare).
+
+    Scale shape: one group-count builds the FREQUENT set (bounded by
+    total-rows / min_count, so always broadcastable), broadcast-joined
+    back; the fact table never shuffles.
+    """
+    out_col = out_col or col
+    frequent = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("__cat__"))
+        .agg(F.count(F.lit(1)).alias("__c__"))
+        .filter(F.col("__c__") >= min_count)
+        .select("__cat__", F.lit(True).alias("__keep__"))
+    )
+    joined = df.join(
+        F.broadcast(frequent), df[col] == F.col("__cat__"), "left"
+    ).drop("__cat__")
+    replaced = (
+        F.when(F.col(col).isNull(), F.lit(None).cast("string"))
+        .when(F.col("__keep__"), F.col(col))
+        .otherwise(F.lit(other_label))
+    )
+    return joined.withColumn(out_col, replaced).drop("__keep__")
