@@ -2546,6 +2546,39 @@ def q_pr_curve(spark: SparkSession, sf: str) -> DataFrame:
     return ml_stats.pr_curve(od, "score", "label")
 
 
+
+
+def q_backtest(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling-origin backtest fold summary over the event stream
+    (operators/sampling.py:backtest_folds): 3 temporal folds, cutoffs
+    as pure arithmetic over one broadcast min/max."""
+    from .operators import sampling
+
+    return sampling.backtest_folds(read_table(spark, sf, "events"), "ts", n_folds=3)
+
+
+def q_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Graded eval-contamination report (llm/corpus.py:
+    contamination_fraction): per eval doc (id < 20), the fraction of
+    its distinct 3-grams present in the rest of the corpus."""
+    from .llm import corpus
+
+    docs = read_table(spark, sf, "documents")
+    return corpus.contamination_fraction(
+        docs.filter(F.col("doc_id") >= 20), docs.filter(F.col("doc_id") < 20)
+    )
+
+
+def q_degree_dist(spark: SparkSession, sf: str) -> DataFrame:
+    """Degree histogram of the near-dup graph
+    (operators/graph.py:degree_distribution): the shape check before
+    any degree-squared pair join."""
+    pairs = dedup.ngram_jaccard_pairs(
+        read_table(spark, sf, "documents"), threshold=0.2, max_doc_freq=100
+    )
+    return graph.degree_distribution(pairs, src="doc_a", dst="doc_b")
+
+
 QUERIES = {
     # -- r8 certification window (first 50): the 18 queries that have
     #    never had a driver CORRECTNESS row, then the 32 oldest r3-era
@@ -2763,6 +2796,9 @@ QUERIES = {
     "collapse_rare": q_collapse_rare,
     "confusion": q_confusion,
     "pr_curve": q_pr_curve,
+    "backtest": q_backtest,
+    "contamination": q_contamination,
+    "degree_dist": q_degree_dist,
 }
 
 
@@ -6184,5 +6220,66 @@ FROM final f JOIN ordered o USING (doc_id) JOIN packed p USING (doc_id)
                CASE WHEN p IS NOT NULL AND r IS NOT NULL AND p + r > 0
                     THEN round(2 * p * r / (p + r), 6) END AS f1
         FROM pr
+    """,
+    "backtest": """
+        WITH b AS (
+            SELECT CAST(epoch(min(ts)) AS BIGINT) AS lo,
+                   CAST(epoch(max(ts)) AS BIGINT) AS hi
+            FROM events
+        ),
+        folds AS (
+            SELECT i AS fold,
+                   lo + CAST(floor((hi - lo) / 4.0 * i) AS BIGINT) AS train_end,
+                   lo + CAST(floor((hi - lo) / 4.0 * (i + 1)) AS BIGINT) AS test_end
+            FROM b, UNNEST([1, 2, 3]) AS t(i)
+        )
+        SELECT CAST(f.fold AS INTEGER) AS fold, f.train_end, f.test_end,
+               CAST(sum(CASE WHEN epoch(e.ts) < f.train_end
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+               CAST(sum(CASE WHEN epoch(e.ts) >= f.train_end
+                              AND epoch(e.ts) < f.test_end
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+        FROM folds f CROSS JOIN events e
+        GROUP BY f.fold, f.train_end, f.test_end
+    """,
+    "contamination": """
+        WITH ev AS (
+            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+            FROM (SELECT doc_id,
+                         string_split(regexp_replace(lower(trim(text)),
+                                                     '\\s+', ' ', 'g'), ' ') AS w
+                  FROM documents WHERE doc_id < 20),
+                 UNNEST(range(1, len(w) - 1)) AS t(i)
+            WHERE len(w) >= 3
+        ),
+        corp AS (
+            SELECT DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+            FROM (SELECT string_split(regexp_replace(lower(trim(text)),
+                                                     '\\s+', ' ', 'g'), ' ') AS w
+                  FROM documents WHERE doc_id >= 20),
+                 UNNEST(range(1, len(w) - 1)) AS t(i)
+            WHERE len(w) >= 3
+        )
+        SELECT ev.doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN corp.sh IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hit,
+               round(CAST(sum(CASE WHEN corp.sh IS NOT NULL THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(*), 6) AS contamination
+        FROM ev LEFT JOIN corp ON ev.sh = corp.sh
+        GROUP BY ev.doc_id
+    """,
+    "degree_dist": f"""
+        WITH prs AS (SELECT doc_a, doc_b FROM ({_NGRAM_PAIRS_SQL})),
+        e AS (SELECT DISTINCT least(doc_a, doc_b) AS a,
+                     greatest(doc_a, doc_b) AS b
+              FROM prs WHERE doc_a != doc_b),
+        deg AS (
+            SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+                SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+            GROUP BY node
+        )
+        SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+        FROM deg GROUP BY degree
     """,
 }

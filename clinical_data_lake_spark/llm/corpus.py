@@ -416,3 +416,50 @@ def dsir_weights(
             ),
         )
     )
+
+
+def contamination_fraction(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-eval-document contamination REPORT: what fraction of each
+    eval document's distinct word n-grams appear anywhere in the
+    training corpus — the graded companion to ``decontaminate``
+    (which drops binary-matched docs; this quantifies partial overlap
+    so borderline eval items can be audited instead of silently
+    kept/dropped). Returns (id, n_shingles, n_hit, contamination).
+
+    Scale shape: the corpus collapses ONCE to its distinct shingle-
+    hash set (the only corpus-scale shuffle); eval shingles (small
+    side) join it with a left-semi-style hit flag and roll up per
+    document. Hashes, not strings, through the join — the same 64-bit
+    contract as the dedup stack.
+    """
+    from .dedup import word_shingles
+
+    ev = word_shingles(eval_docs, id_col, text_col, n).select(
+        id_col, F.xxhash64("shingle").alias("__h__")
+    )
+    corp = (
+        word_shingles(corpus, id_col, text_col, n)
+        .select(F.xxhash64("shingle").alias("__h__"))
+        .distinct()
+        .withColumn("__hit__", F.lit(1))
+    )
+    joined = ev.join(corp, on="__h__", how="left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.coalesce(F.sum("__hit__"), F.lit(0)).cast("long").alias("n_hit"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_shingles"), 6).alias("contamination"),
+        )
+    )

@@ -227,3 +227,34 @@ def link_prediction(
             F.sum(aa_term.cast(dec)).cast("double").alias("aa"),
         )
     )
+
+
+def degree_distribution(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Degree histogram of an undirected graph: (degree, n_nodes) —
+    the one-glance shape check (is the near-dup graph a few tight
+    cliques or one hub-and-spoke hairball?) before committing to a
+    pair-join whose cost is sum-of-degrees-squared. Two group-counts,
+    nothing else.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    )

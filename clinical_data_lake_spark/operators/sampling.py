@@ -407,3 +407,66 @@ def negative_samples(
         .filter(F.col("neg_rank") <= k)
         .select(anchor_col, F.col("neg_rank").cast("int").alias("neg_rank"), id_col)
     )
+
+
+def backtest_folds(
+    df: DataFrame,
+    ts_col: str,
+    n_folds: int = 3,
+    digits: int = 6,
+) -> DataFrame:
+    """Rolling-origin backtest splits for time-ordered data — the
+    temporal cross-validation plain random k-fold gets WRONG on
+    series (training on the future leaks). The observed [min, max]
+    timespan divides into ``n_folds + 1`` equal slices; fold i trains
+    on everything before cutoff i and tests on the next slice:
+
+        train_i = ts <  c_i,   test_i = c_i <= ts < c_{i+1}
+
+    Returns one summary row per fold:
+    (fold, train_end, test_end, n_train, n_test) with epoch-second
+    cutoffs — feed the bounds back as filters to materialize a fold.
+
+    Scale shape: one 1-row min/max aggregate broadcast against the
+    fact table, one explode over the ``n_folds``-element fold array,
+    one group-count — the data shuffles once on the fold id, and
+    cutoffs are pure arithmetic (no sampling, no window).
+    """
+    ts = F.col(ts_col).cast("timestamp").cast("long")
+    bounds = df.agg(
+        F.min(ts).alias("__lo__"), F.max(ts).alias("__hi__")
+    )
+    span = (F.col("__hi__") - F.col("__lo__")).cast("double")
+    width = span / F.lit(float(n_folds + 1))
+    folds = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("fold"),
+                # floor, not round: HALF_UP vs banker's rounding differs
+                # across engines at exact .5 boundaries; floor is identical
+                (F.col("__lo__") + F.floor(width * i).cast("long")).alias("c0"),
+                (F.col("__lo__") + F.floor(width * (i + 1)).cast("long")).alias("c1"),
+            )
+            for i in range(1, n_folds + 1)
+        ]
+    )
+    tagged = (
+        df.select(ts.alias("__ts__"))
+        .crossJoin(F.broadcast(bounds.select(F.explode(folds).alias("f"))))
+        .select(
+            F.col("f.fold").alias("fold"),
+            F.col("f.c0").alias("train_end"),
+            F.col("f.c1").alias("test_end"),
+            F.when(F.col("__ts__") < F.col("f.c0"), F.lit("train"))
+            .when(F.col("__ts__") < F.col("f.c1"), F.lit("test"))
+            .alias("__role__"),
+        )
+    )
+    return (
+        tagged.groupBy("fold", "train_end", "test_end")
+        .agg(
+            F.sum((F.col("__role__") == "train").cast("long")).alias("n_train"),
+            F.sum((F.col("__role__") == "test").cast("long")).alias("n_test"),
+        )
+        .select("fold", "train_end", "test_end", "n_train", "n_test")
+    )
