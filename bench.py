@@ -108,6 +108,18 @@ BENCH_QUERIES = [
     "table_diff",
     "semantic_dedup",
     "negative_samples",
+    # r8 additions (appended — keep the comparable prefix): classic
+    # selective-join composites, the new stats/eval surface, and the
+    # LLM curation additions
+    "tpch_q3",
+    "tpch_q5",
+    "ks_separation",
+    "corr_matrix",
+    "cusum_change",
+    "link_predict",
+    "gopher_rules",
+    "dsir_weights",
+    "contamination",
 ]
 
 # Scope the measured set without editing the file (drift A/B testing,

@@ -37,6 +37,7 @@ WAIVERS = {
         "cohort_case_control": "bounded cohort label table",
         "ks_separation": "256-bucket offset table (distributed CDF prefix sum)",
         "lift_gain": "n_bins-row decile table (cumulative gains walk)",
+        "pr_curve": "n_bins-row decile table (rides lift_gain's walk)",
     },
 }
 
