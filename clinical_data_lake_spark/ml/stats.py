@@ -645,9 +645,23 @@ def corr_matrix(
     rounded inputs — one reduction, no per-pair passes, no driver
     loops. The 1-row moment vector unpivots engine-side via explode.
     """
+    from ..llm.dedup import _ensure_parallelism
+
     cs = list(cols)
-    clean = df.na.drop(subset=cs)
-    dec = f"decimal(28,{digits})"
+    # the per-row work (k rounds + k(k+3)/2 decimal products) is far
+    # heavier than the scan; on coarse inputs (a few parquet files) the
+    # scan partitioning would pin it to a few cores — repartition the
+    # narrow projection first (no-op at cluster scale where scans
+    # already fan out). Measured 9.0s -> 2.5s at sf0.1 on local[32].
+    clean = _ensure_parallelism(df.select(*cs).na.drop(subset=cs))
+    # per-row terms cast to decimal(18,6) — long-backed, ~2x faster to
+    # aggregate than decimal(28,6) (measured 2.2s -> 1.0s for 4 sums at
+    # sf0.1); Spark widens the SUM accumulator to (28,6) automatically,
+    # so the totals keep their headroom and stay exact (6-dp values are
+    # representable identically at both precisions). Per-row magnitude
+    # must fit 1e12 — true for squares/cross-products of values up to
+    # ~1e5.9; larger inputs should be pre-scaled.
+    dec = f"decimal(18,{digits})"
 
     def r(c: str):
         return F.round(F.col(c).cast("double"), digits)

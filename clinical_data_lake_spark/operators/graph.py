@@ -124,7 +124,12 @@ def triangle_counts(
     vertex + one semi-join against the edge list — the standard
     distributed shape, linear shuffles on node ids.
     """
-    e = (
+    from .caching import track_persist
+
+    # referenced by both wedge sides, the closing semi-join, and the
+    # node list — persist so the upstream edge-producing plan (often a
+    # full similarity join) runs once, not four times
+    e = track_persist(
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
             F.greatest(F.col(src), F.col(dst)).alias("b"),
@@ -190,7 +195,13 @@ def link_prediction(
     — cap degrees upstream if the graph has super-hubs, exactly as the
     shingle index caps document frequency.
     """
-    e = (
+    from .caching import track_persist
+
+    # the canonical edge table is referenced FOUR times below (both
+    # adjacency branches, the anti-join, degrees via adj) — without a
+    # persist each reference replays the entire upstream plan (for
+    # near-dup graphs that is the full similarity join, ~4x the cost)
+    e = track_persist(
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
             F.greatest(F.col(src), F.col(dst)).alias("b"),
@@ -240,7 +251,9 @@ def degree_distribution(
     pair-join whose cost is sum-of-degrees-squared. Two group-counts,
     nothing else.
     """
-    e = (
+    from .caching import track_persist
+
+    e = track_persist(
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
             F.greatest(F.col(src), F.col(dst)).alias("b"),
