@@ -47,6 +47,18 @@ ROTATED_IN = [
 
 PARTITIONINGS = (1, 7, 32)
 
+# r8-new operators whose determinism claims lean on decimal-sum /
+# argmax patterns — proven partition-invariant before their r9 window
+R8_NEW = [
+    "wmedian_price",
+    "label_entropy",
+    "autocorr",
+    "link_predict",
+    "retrieval_metrics",
+    "corr_matrix",
+    "funnel_steps",
+]
+
 
 def _canon(v):
     if v is None:
@@ -78,7 +90,7 @@ def _result_hash(df) -> str:
     return h.hexdigest()
 
 
-@pytest.mark.parametrize("name", ROTATED_IN)
+@pytest.mark.parametrize("name", ROTATED_IN + R8_NEW)
 def test_partition_invariant(spark, name):
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     hashes = {}
