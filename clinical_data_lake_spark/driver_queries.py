@@ -2579,6 +2579,41 @@ def q_degree_dist(spark: SparkSession, sf: str) -> DataFrame:
     return graph.degree_distribution(pairs, src="doc_a", dst="doc_b")
 
 
+
+
+def q_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Modified z-score outlier flags on order totals per priority
+    (ml/featurize.py:mad_outliers): two bounded median passes, fact
+    table never shuffles."""
+    from .ml import featurize
+
+    od = read_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    return featurize.mad_outliers(od, "o_totalprice", keys=["o_orderpriority"])
+
+
+def q_benford(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford first-digit audit of extended prices
+    (operators/quality.py:benford_test): 9-row expectation broadcast,
+    one group-count."""
+    from .operators import quality as dq
+
+    return dq.benford_test(read_table(spark, sf, "lineitem"), "l_extendedprice")
+
+
+def q_event_streaks(spark: SparkSession, sf: str) -> DataFrame:
+    """Maximal same-type event runs per user (gaps-and-islands,
+    operators/windows.py:event_streaks), runs of length >= 2."""
+    ev = read_table(spark, sf, "events").select(
+        "user_id", "event_type", F.col("ts").cast("long").alias("tsec"),
+        "event_id",
+    )
+    return windows.event_streaks(
+        ev, "user_id", ["tsec", "event_id"], "event_type", min_len=2
+    )
+
+
 QUERIES = {
     # -- r8 certification window (first 50): the 18 queries that have
     #    never had a driver CORRECTNESS row, then the 32 oldest r3-era
@@ -2799,6 +2834,9 @@ QUERIES = {
     "backtest": q_backtest,
     "contamination": q_contamination,
     "degree_dist": q_degree_dist,
+    "mad_outliers": q_mad_outliers,
+    "benford": q_benford,
+    "event_streaks": q_event_streaks,
 }
 
 
@@ -6281,5 +6319,75 @@ FROM final f JOIN ordered o USING (doc_id) JOIN packed p USING (doc_id)
         )
         SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
         FROM deg GROUP BY degree
+    """,
+    "mad_outliers": """
+        WITH med AS (
+            SELECT o_orderpriority AS g,
+                   round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5), 6) AS m
+            FROM orders GROUP BY 1
+        ),
+        wm AS (
+            SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice, med.m
+            FROM orders o JOIN med ON med.g = o.o_orderpriority
+        ),
+        mad AS (
+            SELECT o_orderpriority AS g,
+                   round(quantile_cont(
+                       abs(CAST(o_totalprice AS DOUBLE) - m), 0.5), 6) AS d
+            FROM wm GROUP BY 1
+        )
+        SELECT wm.o_orderkey, wm.o_orderpriority, wm.o_totalprice,
+               CASE WHEN mad.d > 0 THEN round(
+                   0.6745 * (CAST(wm.o_totalprice AS DOUBLE) - wm.m) / mad.d, 6)
+               END AS o_totalprice_robust_z,
+               coalesce(CASE WHEN mad.d > 0 THEN abs(round(
+                   0.6745 * (CAST(wm.o_totalprice AS DOUBLE) - wm.m) / mad.d, 6))
+                   > 3.5 END, FALSE) AS o_totalprice_is_outlier
+        FROM wm JOIN mad ON mad.g = wm.o_orderpriority
+    """,
+    "benford": """
+        WITH vals AS (
+            SELECT abs(CAST(l_extendedprice AS DOUBLE)) AS x FROM lineitem
+            WHERE abs(CAST(l_extendedprice AS DOUBLE)) > 0
+        ),
+        obs AS (
+            SELECT CAST(floor(x / pow(10.0, floor(log10(x)))) AS INTEGER) AS digit,
+                   CAST(count(*) AS BIGINT) AS n_obs
+            FROM vals GROUP BY 1
+        ),
+        exp AS (
+            SELECT d AS digit, round(log10(1 + 1.0 / d), 6) AS exp_p
+            FROM UNNEST([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS t(d)
+        ),
+        tot AS (SELECT CAST(sum(n_obs) AS DOUBLE) AS n FROM obs)
+        SELECT e.digit,
+               coalesce(o.n_obs, 0) AS n_obs,
+               round(coalesce(o.n_obs, 0) / tot.n, 6) AS obs_p,
+               e.exp_p,
+               round((coalesce(o.n_obs, 0) - tot.n * e.exp_p)
+                     * (coalesce(o.n_obs, 0) - tot.n * e.exp_p)
+                     / (tot.n * e.exp_p), 6) AS chi2_term
+        FROM exp e LEFT JOIN obs o ON o.digit = e.digit CROSS JOIN tot
+    """,
+    "event_streaks": """
+        WITH base AS (
+            SELECT user_id, event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS tsec, event_id
+            FROM events
+        ),
+        marked AS (
+            SELECT user_id, event_type, tsec,
+                   row_number() OVER (PARTITION BY user_id
+                       ORDER BY tsec, event_id)
+                   - row_number() OVER (PARTITION BY user_id, event_type
+                       ORDER BY tsec, event_id) AS isl
+            FROM base
+        )
+        SELECT user_id, event_type,
+               CAST(count(*) AS BIGINT) AS run_len,
+               min(tsec) AS start_tsec
+        FROM marked
+        GROUP BY user_id, event_type, isl
+        HAVING count(*) >= 2
     """,
 }

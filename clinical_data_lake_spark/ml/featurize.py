@@ -455,3 +455,52 @@ def iqr_filter(
     lo = F.col("__q1__") - F.lit(k) * iqr
     hi = F.col("__q3__") + F.lit(k) * iqr
     return out.filter(x.between(lo, hi)).drop("__q1__", "__q3__")
+
+
+def mad_outliers(
+    df: DataFrame,
+    col: str,
+    keys: Sequence[str] | None = None,
+    k: float = 3.5,
+    digits: int = 6,
+) -> DataFrame:
+    """Robust outlier scoring via the modified z-score (Iglewicz-
+    Hoaglin): 0.6745 * (x - median) / MAD, flagged when |z| exceeds
+    ``k`` (3.5 is the published default) — the robust sibling of
+    ``iqr_filter`` that SCORES instead of dropping, immune to the
+    outliers' own pull on mean/stddev. Adds ``<col>_robust_z`` and
+    ``<col>_is_outlier``; zero-MAD groups (over half the values
+    identical) yield NULL z and false flag.
+
+    Scale shape: two bounded aggregate passes — the group medians,
+    then the median absolute deviation of the broadcast-joined
+    residuals — both null-safe-joined back; the fact table never
+    shuffles.
+    """
+    keys = list(keys) if keys else []
+    x = F.col(col).cast("double")
+    med_aggs = [F.round(F.percentile(x, F.lit(0.5)), digits).alias("__med__")]
+    if keys:
+        med = df.groupBy(*keys).agg(*med_aggs)
+        with_med = _join_group_stats(df, med, keys)
+    else:
+        with_med = df.crossJoin(F.broadcast(df.agg(*med_aggs)))
+    dev = F.abs(x - F.col("__med__"))
+    mad_aggs = [F.round(F.percentile(dev, F.lit(0.5)), digits).alias("__mad__")]
+    if keys:
+        mad = with_med.groupBy(*keys).agg(*mad_aggs)
+        scored = _join_group_stats(with_med, mad, keys)
+    else:
+        scored = with_med.crossJoin(F.broadcast(with_med.agg(*mad_aggs)))
+    z = F.when(
+        F.col("__mad__") > 0,
+        F.round(F.lit(0.6745) * (x - F.col("__med__")) / F.col("__mad__"), digits),
+    )
+    return (
+        scored.withColumn(f"{col}_robust_z", z)
+        .withColumn(
+            f"{col}_is_outlier",
+            F.coalesce(F.abs(z) > F.lit(float(k)), F.lit(False)),
+        )
+        .drop("__med__", "__mad__")
+    )

@@ -22,6 +22,7 @@ from __future__ import annotations
 from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 
@@ -286,4 +287,59 @@ def fk_orphans(
             F.col("n_orphan_rows").cast("double") / F.col("n_child"), digits
         ).alias("orphan_share"),
         (F.col("n_orphan_rows") == 0).alias("referential_ok"),
+    )
+
+
+def benford_test(
+    df: DataFrame,
+    col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Benford's-law first-digit audit: compare the observed leading-
+    digit distribution of a positive numeric column against the
+    log10(1 + 1/d) expectation — the classic fabricated-data /
+    systematic-error screen for financial and measurement columns.
+    Returns one row per digit 1..9:
+    (digit, n_obs, obs_p, exp_p, chi2_term); sum(chi2_term) is the
+    8-dof Pearson statistic. Zero/NULL/non-finite values are excluded
+    (they have no leading significant digit).
+
+    Scale shape: leading-digit extraction is pure column arithmetic
+    (floor(x / 10^floor(log10 x))); one 9-cardinality group-count;
+    the expectation join is a 9-row broadcast.
+    """
+    x = F.abs(F.col(col).cast("double"))
+    lead = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x)))).cast("int")
+    obs = (
+        df.filter(x > 0)
+        .select(lead.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    spark = df.sparkSession
+    import math as _m
+
+    exp = spark.createDataFrame(
+        [(d, round(_m.log10(1 + 1 / d), digits)) for d in range(1, 10)],
+        "digit int, exp_p double",
+    )
+    w = Window.partitionBy()
+    n = F.sum("n_obs").over(w).cast("double")
+    n_obs = F.coalesce(F.col("n_obs"), F.lit(0).cast("long"))
+    obs_p = F.round(n_obs / n, digits)
+    term = F.round(
+        (n_obs - n * F.col("exp_p")) * (n_obs - n * F.col("exp_p"))
+        / (n * F.col("exp_p")),
+        digits,
+    )
+    return (
+        F.broadcast(exp)
+        .join(obs, on="digit", how="left")
+        .select(
+            "digit",
+            n_obs.alias("n_obs"),
+            obs_p.alias("obs_p"),
+            "exp_p",
+            term.alias("chi2_term"),
+        )
     )

@@ -475,3 +475,48 @@ def funnel_steps(
         ).alias("conv_from_first"),
     )
     return long
+
+
+def event_streaks(
+    events: DataFrame,
+    key_col: str,
+    order_cols: Sequence[str],
+    label_col: str,
+    min_len: int = 1,
+) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive equal labels in
+    each key's ordered stream — streak detection (n consecutive errors,
+    n repeated purchases) that per-row lag comparisons can't express
+    without the island trick:
+
+        island = row_number(key) - row_number(key, label)
+
+    is constant exactly within a run of equal labels. Returns one row
+    per run: (key, label, run_len, start_<first order col>) for runs
+    of at least ``min_len``.
+
+    Scale shape: both row_numbers share the SAME key-partitioned
+    window sort (one shuffle); the island groupBy is run-bounded.
+    ``order_cols`` must be a total order or run boundaries are
+    nondeterministic under ties.
+    """
+    order = [F.asc(c) for c in order_cols]
+    w_all = Window.partitionBy(key_col).orderBy(*order)
+    w_lbl = Window.partitionBy(key_col, label_col).orderBy(*order)
+    first_col = order_cols[0]
+    runs = (
+        events.select(
+            F.col(key_col),
+            F.col(label_col),
+            F.col(first_col),
+            (F.row_number().over(w_all) - F.row_number().over(w_lbl)).alias("__isl__"),
+        )
+        .groupBy(key_col, label_col, "__isl__")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("run_len"),
+            F.min(first_col).alias(f"start_{first_col}"),
+        )
+        .filter(F.col("run_len") >= min_len)
+        .drop("__isl__")
+    )
+    return runs
