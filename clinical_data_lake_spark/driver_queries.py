@@ -2614,6 +2614,31 @@ def q_event_streaks(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+
+def q_theil_sen(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust per-user value trend: Theil-Sen median-of-slopes over
+    (epoch-second, value) points (operators/timeseries.py:theil_sen);
+    within-key pair join, loud guard on series length."""
+    ev = read_table(spark, sf, "events").select(
+        "user_id",
+        F.floor(F.col("ts").cast("double").cast("long")).alias("tsec"),
+        "value",
+    )
+    return timeseries.theil_sen(ev, "user_id", "tsec", "value")
+
+
+def q_ab_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-proportion A/B read-out (ml/stats.py:ab_test): even vs odd
+    user ids, conversion = purchase event; pooled z + Wilson 95%
+    intervals from one 4-count aggregate."""
+    ev = read_table(spark, sf, "events").select(
+        F.when(F.col("user_id") % 2 == 0, "a").otherwise("b").alias("arm"),
+        (F.col("event_type") == "purchase").cast("int").alias("converted"),
+    )
+    return ml_stats.ab_test(ev, "arm", "converted")
+
+
 QUERIES = {
     # -- r8 certification window (first 50): the 18 queries that have
     #    never had a driver CORRECTNESS row, then the 32 oldest r3-era
@@ -2837,6 +2862,8 @@ QUERIES = {
     "mad_outliers": q_mad_outliers,
     "benford": q_benford,
     "event_streaks": q_event_streaks,
+    "theil_sen": q_theil_sen,
+    "ab_test": q_ab_test,
 }
 
 
@@ -6389,5 +6416,73 @@ FROM final f JOIN ordered o USING (doc_id) JOIN packed p USING (doc_id)
         FROM marked
         GROUP BY user_id, event_type, isl
         HAVING count(*) >= 2
+    """,
+    "theil_sen": """
+        WITH base AS (
+            SELECT user_id,
+                   CAST(floor(epoch(ts)) AS DOUBLE) AS x,
+                   CAST(value AS DOUBLE) AS y
+            FROM events
+            WHERE ts IS NOT NULL AND value IS NOT NULL
+        ),
+        slopes AS (
+            SELECT a.user_id, (b.y - a.y) / (b.x - a.x) AS s
+            FROM base a JOIN base b
+              ON a.user_id = b.user_id AND a.x < b.x
+        ),
+        ms AS (SELECT user_id, round(quantile_cont(s, 0.5), 6) + 0.0 AS slope
+               FROM slopes GROUP BY user_id),
+        meds AS (SELECT user_id,
+                        CAST(count(*) AS BIGINT) AS n,
+                        round(quantile_cont(x, 0.5), 6) AS mx,
+                        round(quantile_cont(y, 0.5), 6) AS my
+                 FROM base GROUP BY user_id)
+        SELECT m.user_id, m.n, ms.slope,
+               round(m.my - ms.slope * m.mx, 6) + 0.0 AS intercept
+        FROM meds m LEFT JOIN ms ON ms.user_id = m.user_id
+    """,
+    "ab_test": """
+        WITH tagged AS (
+            SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS arm,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+            FROM events
+        ),
+        cells AS (
+            SELECT CAST(sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                   CAST(sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                   CAST(sum(CASE WHEN arm = 'a' THEN y ELSE 0 END) AS BIGINT) AS c_a,
+                   CAST(sum(CASE WHEN arm = 'b' THEN y ELSE 0 END) AS BIGINT) AS c_b
+            FROM tagged
+        ),
+        d AS (
+            SELECT n_a, n_b, c_a, c_b,
+                   CAST(c_a AS DOUBLE) / n_a AS pa,
+                   CAST(c_b AS DOUBLE) / n_b AS pb,
+                   CAST(c_a + c_b AS DOUBLE) / (n_a + n_b) AS pool
+            FROM cells
+        )
+        SELECT 'a' AS arm_a, 'b' AS arm_b, n_a, n_b,
+               round(pa, 6) AS conv_a, round(pb, 6) AS conv_b,
+               round(pb - pa, 6) AS lift,
+               CASE WHEN pool > 0 AND pool < 1 THEN round(
+                   (pb - pa) / sqrt(pool * (1 - pool)
+                       * (1.0 / n_a + 1.0 / n_b)), 6) END AS z,
+               round((pa + 1.959964 * 1.959964 / (2 * n_a)
+                      - 1.959964 * sqrt(pa * (1 - pa) / n_a
+                          + 1.959964 * 1.959964 / (4.0 * n_a * n_a)))
+                     / (1 + 1.959964 * 1.959964 / n_a), 6) AS wilson_lo_a,
+               round((pa + 1.959964 * 1.959964 / (2 * n_a)
+                      + 1.959964 * sqrt(pa * (1 - pa) / n_a
+                          + 1.959964 * 1.959964 / (4.0 * n_a * n_a)))
+                     / (1 + 1.959964 * 1.959964 / n_a), 6) AS wilson_hi_a,
+               round((pb + 1.959964 * 1.959964 / (2 * n_b)
+                      - 1.959964 * sqrt(pb * (1 - pb) / n_b
+                          + 1.959964 * 1.959964 / (4.0 * n_b * n_b)))
+                     / (1 + 1.959964 * 1.959964 / n_b), 6) AS wilson_lo_b,
+               round((pb + 1.959964 * 1.959964 / (2 * n_b)
+                      + 1.959964 * sqrt(pb * (1 - pb) / n_b
+                          + 1.959964 * 1.959964 / (4.0 * n_b * n_b)))
+                     / (1 + 1.959964 * 1.959964 / n_b), 6) AS wilson_hi_b
+        FROM d
     """,
 }

@@ -775,3 +775,73 @@ def pr_curve(
         F.round(rec, digits).alias("recall"),
         F.round(f1, digits).alias("f1"),
     )
+
+
+def ab_test(
+    df: DataFrame,
+    group_col: str,
+    converted_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Two-proportion A/B read-out: conversion rates per arm, absolute
+    lift, pooled two-proportion z statistic, and per-arm Wilson 95%
+    intervals — the experiment summary every product analytics stack
+    reduces to. Exactly two arms (validated with a bounded collect,
+    ordered by label so arm_a is deterministic). ONE row:
+
+        (arm_a, arm_b, n_a, n_b, conv_a, conv_b, lift, z,
+         wilson_lo_a, wilson_hi_a, wilson_lo_b, wilson_hi_b)
+
+    z is NULL for degenerate pooled rates (0% or 100% overall). The
+    whole table reduces to four conditional counts — one
+    map-side-combinable aggregate, nothing driver-side but the 2-row
+    arm validation.
+    """
+    arms = [r[0] for r in df.select(group_col).distinct().limit(3).collect()]
+    if len(arms) != 2:
+        raise ValueError(
+            f"ab_test needs exactly 2 arms, got "
+            f"{'>= 3' if len(arms) > 2 else arms}"
+        )
+    a_lbl, b_lbl = sorted(arms, key=str)
+    is_a = F.col(group_col) == a_lbl
+    y = F.col(converted_col).cast("long")
+    cells = df.agg(
+        F.sum(is_a.cast("long")).alias("n_a"),
+        F.sum((~is_a).cast("long")).alias("n_b"),
+        F.sum(F.when(is_a, y).otherwise(F.lit(0))).alias("c_a"),
+        F.sum(F.when(~is_a, y).otherwise(F.lit(0))).alias("c_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ca, cb = F.col("c_a").cast("double"), F.col("c_b").cast("double")
+    pa, pb = ca / na, cb / nb
+    pool = (ca + cb) / (na + nb)
+    se = F.sqrt(pool * (1 - pool) * (1 / na + 1 / nb))
+    z = F.when((pool > 0) & (pool < 1), F.round((pb - pa) / se, digits))
+
+    def wilson(p, n):
+        zc = F.lit(1.959964)
+        denom = 1 + zc * zc / n
+        center = p + zc * zc / (2 * n)
+        half = zc * F.sqrt(p * (1 - p) / n + zc * zc / (4 * n * n))
+        return (
+            F.round((center - half) / denom, digits),
+            F.round((center + half) / denom, digits),
+        )
+
+    lo_a, hi_a = wilson(pa, na)
+    lo_b, hi_b = wilson(pb, nb)
+    return cells.select(
+        F.lit(str(a_lbl)).alias("arm_a"),
+        F.lit(str(b_lbl)).alias("arm_b"),
+        "n_a",
+        "n_b",
+        F.round(pa, digits).alias("conv_a"),
+        F.round(pb, digits).alias("conv_b"),
+        F.round(pb - pa, digits).alias("lift"),
+        z.alias("z"),
+        lo_a.alias("wilson_lo_a"),
+        hi_a.alias("wilson_hi_a"),
+        lo_b.alias("wilson_lo_b"),
+        hi_b.alias("wilson_hi_b"),
+    )

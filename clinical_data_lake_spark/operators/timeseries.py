@@ -510,3 +510,75 @@ def cusum_changepoint(
             )
         )
     )
+
+
+def theil_sen(
+    events: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    digits: int = 6,
+    max_points: int = 1000,
+) -> DataFrame:
+    """Theil-Sen robust slope per series: the median of all pairwise
+    slopes (y_j - y_i)/(x_j - x_i) — the trend estimator that shrugs
+    off up to ~29% contaminated points where OLS (``ml.featurize``'s
+    per-group fit) follows every outlier. Returns
+    (key, n, slope, intercept) with the median-based intercept
+    median(y) - slope * median(x); series with < 2 distinct x yield
+    NULL slope.
+
+    Scale shape: the pair join is WITHIN each series key (one shuffle
+    on the key; cost sum over keys of n_k², the method's inherent
+    price — it guards with ``max_points``, erroring loudly on series
+    too long rather than silently exploding); the median reductions
+    run per key. Not for million-point series — for those, bucket the
+    x-axis first or use OLS.
+    """
+    base = events.select(
+        F.col(key_col),
+        F.col(x_col).cast("double").alias("__x__"),
+        F.col(y_col).cast("double").alias("__y__"),
+    ).filter(F.col("__x__").isNotNull() & F.col("__y__").isNotNull())
+    counts = base.groupBy(key_col).agg(F.count(F.lit(1)).alias("__n__"))
+    too_big = counts.filter(F.col("__n__") > max_points).limit(1).collect()
+    if too_big:
+        raise ValueError(
+            f"theil_sen: series over {max_points} points (pair join is "
+            f"quadratic per series); bucket x first or raise max_points"
+        )
+    a = base.select(key_col, F.col("__x__").alias("__xa__"), F.col("__y__").alias("__ya__"))
+    b = base.select(key_col, F.col("__x__").alias("__xb__"), F.col("__y__").alias("__yb__"))
+    slopes = (
+        a.join(b, on=key_col)
+        .filter(F.col("__xa__") < F.col("__xb__"))
+        .select(
+            key_col,
+            (
+                (F.col("__yb__") - F.col("__ya__"))
+                / (F.col("__xb__") - F.col("__xa__"))
+            ).alias("__s__"),
+        )
+    )
+    # + 0.0 canonicalizes IEEE -0.0 (an all-negative-then-rounded
+    # median can yield it, and engines disagree on the sign bit)
+    med_slope = slopes.groupBy(key_col).agg(
+        (F.round(F.percentile(F.col("__s__"), F.lit(0.5)), digits) + F.lit(0.0)).alias("slope")
+    )
+    meds = base.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.percentile(F.col("__x__"), F.lit(0.5)), digits).alias("__mx__"),
+        F.round(F.percentile(F.col("__y__"), F.lit(0.5)), digits).alias("__my__"),
+    )
+    return (
+        meds.join(med_slope, on=key_col, how="left")
+        .select(
+            key_col,
+            "n",
+            "slope",
+            (
+                F.round(F.col("__my__") - F.col("slope") * F.col("__mx__"), digits)
+                + F.lit(0.0)
+            ).alias("intercept"),
+        )
+    )

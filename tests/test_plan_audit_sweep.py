@@ -38,6 +38,7 @@ WAIVERS = {
         "ks_separation": "256-bucket offset table (distributed CDF prefix sum)",
         "lift_gain": "n_bins-row decile table (cumulative gains walk)",
         "pr_curve": "n_bins-row decile table (rides lift_gain's walk)",
+        "benford": "9-row digit table (total-count window)",
     },
 }
 
