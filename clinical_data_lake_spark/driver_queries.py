@@ -6228,7 +6228,7 @@ FROM final f JOIN ordered o USING (doc_id) JOIN packed p USING (doc_id)
                                  THEN 1 ELSE 0 END) AS BIGINT) AS fn
             FROM events
         )
-        SELECT 35.0 AS threshold, tp, fp, tn, fn,
+        SELECT CAST(35.0 AS DOUBLE) AS threshold, tp, fp, tn, fn,
                round(CAST(tp + tn AS DOUBLE) / (tp + fp + tn + fn), 6) AS accuracy,
                CASE WHEN tp + fp > 0
                     THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision,
