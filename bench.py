@@ -120,6 +120,10 @@ BENCH_QUERIES = [
     "gopher_rules",
     "dsir_weights",
     "contamination",
+    "theil_sen",
+    "mad_outliers",
+    "event_streaks",
+    "ab_test",
 ]
 
 # Scope the measured set without editing the file (drift A/B testing,
