@@ -2639,6 +2639,35 @@ def q_ab_test(spark: SparkSession, sf: str) -> DataFrame:
     return ml_stats.ab_test(ev, "arm", "converted")
 
 
+
+
+def q_snapshot_cdc(spark: SparkSession, sf: str) -> DataFrame:
+    """Row-level change-feed derivation between two snapshot versions
+    (operators/cdc.py:snapshot_changes — apply_changes' inverse):
+    inserts, null-safe updates, and deletes from ONE full-outer join."""
+    orders = read_table(spark, sf, "orders")
+    old = orders.filter(F.col("o_orderkey") % 11 != 0)
+    new = orders.filter(F.col("o_orderkey") % 13 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.round(F.col("o_totalprice") + 1.0, 2)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return cdc.snapshot_changes(
+        old, new, "o_orderkey", compare_cols=["o_orderstatus", "o_totalprice"]
+    )
+
+
+def q_seq_gaps(spark: SparkSession, sf: str) -> DataFrame:
+    """Missing-range audit over a thinned event-id sequence
+    (operators/quality.py:sequence_gaps): bucketed successor scan, no
+    single-partition window over the id universe."""
+    from .operators import quality as dq
+
+    ev = read_table(spark, sf, "events").filter(F.col("event_id") % 97 != 13)
+    return dq.sequence_gaps(ev, "event_id")
+
+
 QUERIES = {
     # -- r8 certification window (first 50): the 18 queries that have
     #    never had a driver CORRECTNESS row, then the 32 oldest r3-era
@@ -2864,6 +2893,8 @@ QUERIES = {
     "event_streaks": q_event_streaks,
     "theil_sen": q_theil_sen,
     "ab_test": q_ab_test,
+    "snapshot_cdc": q_snapshot_cdc,
+    "seq_gaps": q_seq_gaps,
 }
 
 
@@ -6484,5 +6515,52 @@ FROM final f JOIN ordered o USING (doc_id) JOIN packed p USING (doc_id)
                           + 1.959964 * 1.959964 / (4.0 * n_b * n_b)))
                      / (1 + 1.959964 * 1.959964 / n_b), 6) AS wilson_hi_b
         FROM d
+    """,
+    "snapshot_cdc": """
+        WITH old AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+            WHERE o_orderkey % 11 != 0
+        ),
+        new AS (
+            SELECT o_orderkey, o_orderstatus,
+                   CASE WHEN o_orderkey % 7 = 0
+                        THEN round(o_totalprice + 1.0, 2)
+                        ELSE o_totalprice END AS o_totalprice
+            FROM orders WHERE o_orderkey % 13 != 0
+        ),
+        j AS (
+            SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                   o.o_orderkey IS NOT NULL AS in_o,
+                   n.o_orderkey IS NOT NULL AS in_n,
+                   o.o_orderstatus AS os, o.o_totalprice AS op,
+                   n.o_orderstatus AS ns, n.o_totalprice AS np
+            FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+        ),
+        tagged AS (
+            SELECT o_orderkey,
+                   CASE WHEN in_n AND NOT in_o THEN 'I'
+                        WHEN in_o AND NOT in_n THEN 'D'
+                        WHEN in_o AND in_n AND (
+                            NOT (os IS NOT DISTINCT FROM ns)
+                            OR NOT (op IS NOT DISTINCT FROM np)) THEN 'U'
+                   END AS op_tag,
+                   os, op, ns, np
+            FROM j
+        )
+        SELECT o_orderkey, op_tag AS op,
+               CASE WHEN op_tag = 'D' THEN os ELSE ns END AS o_orderstatus,
+               CASE WHEN op_tag = 'D' THEN op ELSE np END AS o_totalprice
+        FROM tagged WHERE op_tag IS NOT NULL
+    """,
+    "seq_gaps": """
+        WITH vals AS (
+            SELECT DISTINCT CAST(event_id AS BIGINT) AS v FROM events
+            WHERE event_id % 97 != 13 AND event_id IS NOT NULL
+        ),
+        led AS (
+            SELECT v, lead(v) OVER (ORDER BY v) AS nx FROM vals
+        )
+        SELECT v + 1 AS gap_start, nx - 1 AS gap_end, nx - v - 1 AS gap_len
+        FROM led WHERE nx > v + 1
     """,
 }

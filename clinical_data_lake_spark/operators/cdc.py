@@ -228,3 +228,66 @@ def incremental_agg(
         )
         .filter(F.col(cnt_col) > 0)
     )
+
+
+def snapshot_changes(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str] | str,
+    compare_cols: list[str] | None = None,
+    op_col: str = "op",
+) -> DataFrame:
+    """Derive the row-level change feed that turns snapshot ``old``
+    into snapshot ``new`` — the INVERSE of ``apply_changes`` (and the
+    CDC-generation step for sources that only publish full snapshots):
+
+        op = 'I'  key only in new          (new values)
+        op = 'U'  key in both, any compared column differs (new values)
+        op = 'D'  key only in old          (old values)
+
+    Unchanged keys emit nothing, so the feed size tracks the actual
+    churn, not the table. Round-trip law (pinned by a property test):
+    ``apply_changes(old, snapshot_changes(old, new) + seq) == new``.
+
+    NULL-safe comparison (NULL -> value and value -> NULL both count
+    as changes; NULL == NULL does not). One full-outer shuffle join on
+    the keys — the same single-pass shape as ``table_diff``, emitting
+    rows instead of counts.
+    """
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    if compare_cols is None:
+        compare_cols = [c for c in new.columns if c not in key_list]
+    cmp_list = [c for c in compare_cols if c not in key_list]
+
+    o = old.select(
+        *key_list,
+        F.lit(1).alias("__po__"),
+        *[F.col(c).alias(f"__o_{c}__") for c in cmp_list],
+    )
+    n = new.select(
+        *key_list,
+        F.lit(1).alias("__pn__"),
+        *[F.col(c).alias(f"__n_{c}__") for c in cmp_list],
+    )
+    j = o.join(n, on=key_list, how="full_outer")
+    in_o, in_n = F.col("__po__").isNotNull(), F.col("__pn__").isNotNull()
+    differs = None
+    for c in cmp_list:
+        d = ~F.col(f"__o_{c}__").eqNullSafe(F.col(f"__n_{c}__"))
+        differs = d if differs is None else (differs | d)
+    op = (
+        F.when(in_n & ~in_o, F.lit("I"))
+        .when(in_o & ~in_n, F.lit("D"))
+        .when(in_o & in_n & (differs if differs is not None else F.lit(False)), F.lit("U"))
+    )
+    out_vals = [
+        F.when(F.col(op_col) == "D", F.col(f"__o_{c}__"))
+        .otherwise(F.col(f"__n_{c}__"))
+        .alias(c)
+        for c in cmp_list
+    ]
+    return (
+        j.withColumn(op_col, op)
+        .filter(F.col(op_col).isNotNull())
+        .select(*key_list, op_col, *out_vals)
+    )

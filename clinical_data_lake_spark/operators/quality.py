@@ -343,3 +343,77 @@ def benford_test(
             term.alias("chi2_term"),
         )
     )
+
+
+def sequence_gaps(
+    df: DataFrame,
+    seq_col: str,
+    keys: Sequence[str] | None = None,
+    num_buckets: int = 256,
+) -> DataFrame:
+    """Missing-range detection in an integer sequence (invoice
+    numbers, event ids, log offsets): report every maximal gap as
+    (keys..., gap_start, gap_end, gap_len) — the completeness audit a
+    plain count can't give (it says HOW MANY are missing, not WHICH).
+
+    Scale shape — no single-partition window even for the global
+    (keyless) case: distinct values range-bucket by a pure expression
+    over broadcast [min, max] bounds; each value's successor is found
+    within its bucket (one shuffle keyed by bucket), and each bucket's
+    LAST value checks against the next non-empty bucket's first via a
+    window over the <= ``num_buckets``-row boundary table. Gaps are
+    pairs of adjacent present values more than 1 apart.
+    """
+    key_list = list(keys) if keys else []
+    s = F.col(seq_col).cast("long")
+    vals = df.select(*key_list, s.alias("__v__")).filter(
+        F.col("__v__").isNotNull()
+    ).distinct()
+    if key_list:
+        # per-key sequences: the window is keyed — no global hazard
+        w = Window.partitionBy(*key_list).orderBy("__v__")
+        nxt = F.lead("__v__").over(w)
+        return (
+            vals.select(*key_list, "__v__", nxt.alias("__nx__"))
+            .filter(F.col("__nx__") > F.col("__v__") + 1)
+            .select(
+                *key_list,
+                (F.col("__v__") + 1).alias("gap_start"),
+                (F.col("__nx__") - 1).alias("gap_end"),
+                (F.col("__nx__") - F.col("__v__") - 1).alias("gap_len"),
+            )
+        )
+    bounds = vals.agg(F.min("__v__").alias("__lo__"), F.max("__v__").alias("__hi__"))
+    width = F.greatest(
+        ((F.col("__hi__") - F.col("__lo__") + 1) / F.lit(float(num_buckets))),
+        F.lit(1.0),
+    )
+    bucketed = vals.crossJoin(F.broadcast(bounds)).select(
+        "__v__",
+        F.least(
+            F.floor((F.col("__v__") - F.col("__lo__")) / width),
+            F.lit(num_buckets - 1),
+        ).alias("__bkt__"),
+    )
+    w_in = Window.partitionBy("__bkt__").orderBy("__v__")
+    in_bucket = bucketed.select(
+        "__v__", F.lead("__v__").over(w_in).alias("__nx__")
+    )
+    # bucket boundaries: last value of each bucket pairs with the next
+    # non-empty bucket's first value via the bounded boundary table
+    w_bnd = Window.orderBy("__bkt__")
+    boundary = (
+        bucketed.groupBy("__bkt__")
+        .agg(F.max("__v__").alias("__last__"), F.min("__v__").alias("__first__"))
+        .select(
+            F.col("__last__").alias("__v__"),
+            F.lead("__first__").over(w_bnd).alias("__nx__"),
+        )
+        .filter(F.col("__nx__").isNotNull())
+    )
+    pairs = in_bucket.filter(F.col("__nx__").isNotNull()).unionByName(boundary)
+    return pairs.filter(F.col("__nx__") > F.col("__v__") + 1).select(
+        (F.col("__v__") + 1).alias("gap_start"),
+        (F.col("__nx__") - 1).alias("gap_end"),
+        (F.col("__nx__") - F.col("__v__") - 1).alias("gap_len"),
+    )

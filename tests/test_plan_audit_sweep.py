@@ -39,6 +39,7 @@ WAIVERS = {
         "lift_gain": "n_bins-row decile table (cumulative gains walk)",
         "pr_curve": "n_bins-row decile table (rides lift_gain's walk)",
         "benford": "9-row digit table (total-count window)",
+        "seq_gaps": "256-row bucket boundary table (last/first handoff)",
     },
 }
 
