@@ -124,6 +124,8 @@ BENCH_QUERIES = [
     "mad_outliers",
     "event_streaks",
     "ab_test",
+    "snapshot_cdc",
+    "seq_gaps",
 ]
 
 # Scope the measured set without editing the file (drift A/B testing,
