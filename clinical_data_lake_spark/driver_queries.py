@@ -2668,6 +2668,28 @@ def q_seq_gaps(spark: SparkSession, sf: str) -> DataFrame:
     return dq.sequence_gaps(ev, "event_id")
 
 
+
+
+def q_balance_classes(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic class balancing of documents by language
+    (operators/sampling.py:balance_classes): every language
+    downsampled to the smallest class via per-class md5 rank."""
+    from .operators import sampling
+
+    docs = read_table(spark, sf, "documents").select("doc_id", "lang")
+    return sampling.balance_classes(docs, "lang", "doc_id")
+
+
+def q_multiclass_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-class precision/recall/F1 of the marker-heuristic language
+    identifier against the lang label (ml/stats.py:multiclass_confusion
+    over functions/text.py:lang_id) — the k-class evaluation loop."""
+    docs = read_table(spark, sf, "documents").select(
+        F.col("lang").alias("actual"), text.lang_id("text").alias("predicted")
+    )
+    return ml_stats.multiclass_confusion(docs, "actual", "predicted")
+
+
 QUERIES = {
     # -- r8 certification window (first 50): the 18 queries that have
     #    never had a driver CORRECTNESS row, then the 32 oldest r3-era
@@ -2895,6 +2917,8 @@ QUERIES = {
     "ab_test": q_ab_test,
     "snapshot_cdc": q_snapshot_cdc,
     "seq_gaps": q_seq_gaps,
+    "balance_classes": q_balance_classes,
+    "multiclass_eval": q_multiclass_eval,
 }
 
 
@@ -6562,5 +6586,76 @@ FROM final f JOIN ordered o USING (doc_id) JOIN packed p USING (doc_id)
         )
         SELECT v + 1 AS gap_start, nx - 1 AS gap_end, nx - v - 1 AS gap_len
         FROM led WHERE nx > v + 1
+    """,
+    "balance_classes": """
+        WITH ranked AS (
+            SELECT doc_id, lang,
+                   row_number() OVER (PARTITION BY lang
+                       ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id)
+                       AS rk
+            FROM documents
+        ),
+        mn AS (SELECT min(sz) AS m FROM (
+            SELECT count(*) AS sz FROM documents GROUP BY lang))
+        SELECT doc_id, lang FROM ranked, mn WHERE rk <= m
+    """,
+    "multiclass_eval": """
+        WITH scores AS (
+            SELECT lang AS actual,
+                CAST(regexp_matches(lower(text), '(^|\\s)the(\\s|$)') AS INTEGER)
+              + CAST(regexp_matches(lower(text), '(^|\\s)and(\\s|$)') AS INTEGER)
+              + CAST(regexp_matches(lower(text), '(^|\\s)of(\\s|$)') AS INTEGER) AS s_en,
+                CAST(regexp_matches(lower(text), '(^|\\s)der(\\s|$)') AS INTEGER)
+              + CAST(regexp_matches(lower(text), '(^|\\s)und(\\s|$)') AS INTEGER)
+              + CAST(regexp_matches(lower(text), '(^|\\s)die(\\s|$)') AS INTEGER) AS s_de,
+                CAST(regexp_matches(lower(text), '(^|\\s)le(\\s|$)') AS INTEGER)
+              + CAST(regexp_matches(lower(text), '(^|\\s)et(\\s|$)') AS INTEGER)
+              + CAST(regexp_matches(lower(text), '(^|\\s)les(\\s|$)') AS INTEGER) AS s_fr,
+                CAST(regexp_matches(lower(text), '(^|\\s)el(\\s|$)') AS INTEGER)
+              + CAST(regexp_matches(lower(text), '(^|\\s)y(\\s|$)') AS INTEGER)
+              + CAST(regexp_matches(lower(text), '(^|\\s)los(\\s|$)') AS INTEGER) AS s_es
+            FROM documents
+        ),
+        preds AS (
+            SELECT actual,
+                   CASE
+                       WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                       WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                       ELSE 'fr'
+                   END AS predicted
+            FROM scores
+        ),
+        cells AS (SELECT actual, predicted, count(*) AS n
+                  FROM preds GROUP BY 1, 2),
+        am AS (SELECT actual AS label, CAST(sum(n) AS BIGINT) AS n_actual
+               FROM cells GROUP BY 1),
+        pm AS (SELECT predicted AS label, CAST(sum(n) AS BIGINT) AS n_predicted
+               FROM cells GROUP BY 1),
+        dg AS (SELECT actual AS label, CAST(n AS BIGINT) AS n_correct
+               FROM cells WHERE actual = predicted),
+        base AS (
+            SELECT coalesce(am.label, pm.label) AS label,
+                   coalesce(n_actual, 0) AS n_actual,
+                   coalesce(n_predicted, 0) AS n_predicted,
+                   coalesce(n_correct, 0) AS n_correct
+            FROM am FULL OUTER JOIN pm ON am.label = pm.label
+            LEFT JOIN dg ON dg.label = coalesce(am.label, pm.label)
+        )
+        SELECT label, n_actual, n_predicted, n_correct,
+               CASE WHEN n_predicted > 0 THEN round(
+                   CAST(n_correct AS DOUBLE) / n_predicted, 6) END AS precision,
+               CASE WHEN n_actual > 0 THEN round(
+                   CAST(n_correct AS DOUBLE) / n_actual, 6) END AS recall,
+               CASE WHEN n_predicted > 0 AND n_actual > 0
+                     AND (CAST(n_correct AS DOUBLE) / n_predicted)
+                         + (CAST(n_correct AS DOUBLE) / n_actual) > 0
+                    THEN round(2 * (CAST(n_correct AS DOUBLE) / n_predicted)
+                                 * (CAST(n_correct AS DOUBLE) / n_actual)
+                               / ((CAST(n_correct AS DOUBLE) / n_predicted)
+                                  + (CAST(n_correct AS DOUBLE) / n_actual)), 6)
+               END AS f1
+        FROM base
     """,
 }

@@ -845,3 +845,65 @@ def ab_test(
         lo_b.alias("wilson_lo_b"),
         hi_b.alias("wilson_hi_b"),
     )
+
+
+def multiclass_confusion(
+    df: DataFrame,
+    actual_col: str,
+    predicted_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Per-class evaluation of a multiclass prediction: one row per
+    ACTUAL class with its support, correct count, and one-vs-rest
+    precision / recall / F1 — the k-class generalization of
+    ``confusion_at_threshold`` (the reference's evaluator reports one
+    scalar AUC; per-class read-outs are how class imbalance problems
+    actually get diagnosed). Returns
+    (label, n_actual, n_predicted, n_correct, precision, recall, f1);
+    classes that are only ever PREDICTED (never actual) appear with
+    n_actual = 0 and NULL recall.
+
+    Scale shape: one group-count to the (actual, predicted) cell table
+    (the only data-scale shuffle, bounded by label-vocabulary²); the
+    two marginals and the metric arithmetic run on that cell table.
+    """
+    cells = df.groupBy(
+        F.col(actual_col).alias("__a__"), F.col(predicted_col).alias("__p__")
+    ).agg(F.count(F.lit(1)).alias("__n__"))
+    actual_m = cells.groupBy(F.col("__a__").alias("label")).agg(
+        F.sum("__n__").cast("long").alias("n_actual")
+    )
+    pred_m = cells.groupBy(F.col("__p__").alias("label")).agg(
+        F.sum("__n__").cast("long").alias("n_predicted")
+    )
+    diag = cells.filter(F.col("__a__").eqNullSafe(F.col("__p__"))).select(
+        F.col("__a__").alias("label"), F.col("__n__").cast("long").alias("n_correct")
+    )
+    base = (
+        actual_m.join(pred_m, on="label", how="full_outer")
+        .join(diag, on="label", how="left")
+        .select(
+            "label",
+            F.coalesce("n_actual", F.lit(0).cast("long")).alias("n_actual"),
+            F.coalesce("n_predicted", F.lit(0).cast("long")).alias("n_predicted"),
+            F.coalesce("n_correct", F.lit(0).cast("long")).alias("n_correct"),
+        )
+    )
+    prec = F.when(
+        F.col("n_predicted") > 0,
+        F.col("n_correct").cast("double") / F.col("n_predicted"),
+    )
+    rec = F.when(
+        F.col("n_actual") > 0,
+        F.col("n_correct").cast("double") / F.col("n_actual"),
+    )
+    f1 = F.when(
+        prec.isNotNull() & rec.isNotNull() & (prec + rec > 0),
+        2 * prec * rec / (prec + rec),
+    )
+    return base.select(
+        "label", "n_actual", "n_predicted", "n_correct",
+        F.round(prec, digits).alias("precision"),
+        F.round(rec, digits).alias("recall"),
+        F.round(f1, digits).alias("f1"),
+    )

@@ -470,3 +470,35 @@ def backtest_folds(
         )
         .select("fold", "train_end", "test_end", "n_train", "n_test")
     )
+
+
+def balance_classes(
+    df: DataFrame,
+    label_col: str,
+    id_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic class balancing: downsample every class to the
+    SMALLEST class's size, keeping each class's md5-rank-lowest rows —
+    the imbalanced-training fix (02-patient-trajectory.py:44-52 builds
+    case/control cohorts by hand; this generalizes to any label) that
+    stays reproducible across runs, partitionings, and engines
+    (md5(seed:id) order, not rand()).
+
+    Scale shape: one group-count for class sizes (broadcast 1-row min),
+    one window PER CLASS (shuffle keyed by the label) ranking by the
+    md5 position — never a global order; the filter keeps rank <=
+    min_size.
+    """
+    sizes = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("__sz__"))
+    min_size = sizes.agg(F.min("__sz__").alias("__min__"))
+    pos = F.md5(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(label_col).orderBy(pos, F.col(id_col))
+    return (
+        df.withColumn("__rk__", F.row_number().over(w))
+        .crossJoin(F.broadcast(min_size))
+        .filter(F.col("__rk__") <= F.col("__min__"))
+        .drop("__rk__", "__min__")
+    )
