@@ -2690,6 +2690,39 @@ def q_multiclass_eval(spark: SparkSession, sf: str) -> DataFrame:
     return ml_stats.multiclass_confusion(docs, "actual", "predicted")
 
 
+
+
+def q_join_nearest(spark: SparkSession, sf: str) -> DataFrame:
+    """Nearest-direction as-of join (operators/joins.py:
+    nearest_asof_join): each view event decorated with the CLOSEST
+    purchase (before or after) by the same user — backward and forward
+    carries share one window sort."""
+    ev = read_table(spark, sf, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), "ts"
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("buy_ts"), F.col("value").alias("buy_value")
+    )
+    return joins.nearest_asof_join(
+        views, buys, "user_id", "ts", "buy_ts", ["buy_value"]
+    ).select(
+        "user_id", "view_id",
+        F.col("ts").cast("long").alias("view_ts"),
+        F.col("matched_ts").cast("long").alias("matched_ts"),
+        "buy_value",
+    )
+
+
+def q_profile_table(spark: SparkSession, sf: str) -> DataFrame:
+    """One-aggregate column profile of orders (operators/quality.py:
+    profile_table): counts, nulls, exact distincts, typed min/max
+    (timestamps as epoch seconds), unpivoted engine-side."""
+    from .operators import quality as dq
+
+    return dq.profile_table(read_table(spark, sf, "orders"))
+
+
 QUERIES = {
     # -- r8 certification window (first 50): the 18 queries that have
     #    never had a driver CORRECTNESS row, then the 32 oldest r3-era
@@ -2919,6 +2952,8 @@ QUERIES = {
     "seq_gaps": q_seq_gaps,
     "balance_classes": q_balance_classes,
     "multiclass_eval": q_multiclass_eval,
+    "join_nearest": q_join_nearest,
+    "profile_table": q_profile_table,
 }
 
 
@@ -6657,5 +6692,75 @@ FROM final f JOIN ordered o USING (doc_id) JOIN packed p USING (doc_id)
                                   + (CAST(n_correct AS DOUBLE) / n_actual)), 6)
                END AS f1
         FROM base
+    """,
+    "join_nearest": """
+        WITH views AS (
+            SELECT user_id, event_id AS view_id, ts FROM events
+            WHERE event_type = 'view'
+        ),
+        buys AS (
+            SELECT user_id, ts AS buy_ts, value AS buy_value FROM events
+            WHERE event_type = 'purchase'
+        ),
+        cand AS (
+            SELECT v.user_id, v.view_id, v.ts,
+                   (SELECT max(b.buy_ts) FROM buys b
+                    WHERE b.user_id = v.user_id AND b.buy_ts <= v.ts) AS bts,
+                   (SELECT min(b.buy_ts) FROM buys b
+                    WHERE b.user_id = v.user_id AND b.buy_ts > v.ts) AS fts
+            FROM views v
+        ),
+        chosen AS (
+            SELECT user_id, view_id, ts,
+                   CASE WHEN fts IS NULL THEN bts
+                        WHEN bts IS NULL THEN fts
+                        WHEN epoch(ts) - epoch(bts) <= epoch(fts) - epoch(ts)
+                             THEN bts
+                        ELSE fts END AS mts
+            FROM cand
+        )
+        SELECT c.user_id, c.view_id,
+               CAST(floor(epoch(c.ts)) AS BIGINT) AS view_ts,
+               CAST(floor(epoch(c.mts)) AS BIGINT) AS matched_ts,
+               b.buy_value
+        FROM chosen c
+        LEFT JOIN buys b ON b.user_id = c.user_id AND b.buy_ts = c.mts
+    """,
+    "profile_table": """
+        WITH s AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(o_orderkey) AS BIGINT) AS nn1,
+                   CAST(count(DISTINCT o_orderkey) AS BIGINT) AS nd1,
+                   round(CAST(min(o_orderkey) AS DOUBLE), 6) AS mn1,
+                   round(CAST(max(o_orderkey) AS DOUBLE), 6) AS mx1,
+                   CAST(count(o_custkey) AS BIGINT) AS nn2,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd2,
+                   round(CAST(min(o_custkey) AS DOUBLE), 6) AS mn2,
+                   round(CAST(max(o_custkey) AS DOUBLE), 6) AS mx2,
+                   CAST(count(o_orderstatus) AS BIGINT) AS nn3,
+                   CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nd3,
+                   min(o_orderstatus) AS mn3, max(o_orderstatus) AS mx3,
+                   CAST(count(o_totalprice) AS BIGINT) AS nn4,
+                   CAST(count(DISTINCT o_totalprice) AS BIGINT) AS nd4,
+                   round(CAST(min(o_totalprice) AS DOUBLE), 6) AS mn4,
+                   round(CAST(max(o_totalprice) AS DOUBLE), 6) AS mx4,
+                   CAST(count(o_orderdate) AS BIGINT) AS nn5,
+                   CAST(count(DISTINCT o_orderdate) AS BIGINT) AS nd5,
+                   round(epoch(min(o_orderdate)), 6) AS mn5,
+                   round(epoch(max(o_orderdate)), 6) AS mx5,
+                   CAST(count(o_orderpriority) AS BIGINT) AS nn6,
+                   CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS nd6,
+                   min(o_orderpriority) AS mn6, max(o_orderpriority) AS mx6
+            FROM orders
+        )
+        SELECT 'o_orderkey' AS column, n, n - nn1 AS n_null, nd1 AS n_distinct,
+               mn1 AS min_num, mx1 AS max_num,
+               CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        FROM s
+        UNION ALL SELECT 'o_custkey', n, n - nn2, nd2, mn2, mx2, NULL, NULL FROM s
+        UNION ALL SELECT 'o_orderstatus', n, n - nn3, nd3, NULL, NULL, mn3, mx3 FROM s
+        UNION ALL SELECT 'o_totalprice', n, n - nn4, nd4, mn4, mx4, NULL, NULL FROM s
+        UNION ALL SELECT 'o_orderdate', n, n - nn5, nd5, mn5, mx5, NULL, NULL FROM s
+        UNION ALL SELECT 'o_orderpriority', n, n - nn6, nd6, NULL, NULL, mn6, mx6 FROM s
     """,
 }

@@ -400,3 +400,85 @@ def fs_match_score(
     if threshold is not None:
         out = out.withColumn("is_match", F.col("score") >= F.lit(threshold))
     return out
+
+
+def nearest_asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: Sequence[str],
+) -> DataFrame:
+    """Nearest-match as-of join (pandas ``merge_asof
+    (direction='nearest')``): each left row picks the right row of the
+    same key whose timestamp is CLOSEST — before or after — with ties
+    (equidistant) resolved to the earlier (backward) match,
+    deterministic. The sensor-alignment sibling of ``asof_join``
+    (which only looks backward).
+
+    Same single-shuffle composition as ``asof_join``: both sides tag
+    and union, and the backward carry (last right value up to the
+    row) and the forward carry (first right value after it) ride the
+    SAME per-key window sort — one Exchange, one sort, two Window
+    frames. Right rows sort before left at equal timestamps, so an
+    exact-timestamp match is the backward candidate at distance 0.
+    Caller contract as asof_join: right unique per (key, right_ts).
+    Adds ``matched_ts`` (the chosen right timestamp) alongside the
+    value columns; left rows with no right rows at all emit nulls.
+    """
+    from pyspark.sql import Window
+
+    lcols = left.columns
+    rstruct_type = (
+        "struct<__rts__: timestamp, "
+        + ", ".join(
+            f"{c}: {right.schema[c].dataType.simpleString()}" for c in right_value_cols
+        )
+        + ">"
+    )
+    l_tagged = left.select(
+        F.col(key).alias("__k__"),
+        F.col(left_ts).cast("timestamp").alias("__ts__"),
+        F.lit(1).alias("__side__"),
+        F.struct(*lcols).alias("__lrow__"),
+        F.lit(None).cast(rstruct_type).alias("__rval__"),
+    )
+    r_tagged = right.select(
+        F.col(key).alias("__k__"),
+        F.col(right_ts).cast("timestamp").alias("__ts__"),
+        F.lit(0).alias("__side__"),
+        F.lit(None).cast(l_tagged.schema["__lrow__"].dataType.simpleString()).alias("__lrow__"),
+        F.struct(
+            F.col(right_ts).cast("timestamp").alias("__rts__"), *right_value_cols
+        ).alias("__rval__"),
+    )
+    u = l_tagged.unionByName(r_tagged)
+    order = [F.col("__ts__"), F.col("__side__")]
+    w_back = (
+        Window.partitionBy("__k__").orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("__k__").orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = u.select(
+        "__side__", "__lrow__", "__ts__",
+        F.last("__rval__", ignorenulls=True).over(w_back).alias("__b__"),
+        F.first("__rval__", ignorenulls=True).over(w_fwd).alias("__f__"),
+    )
+    bts, fts = F.col("__b__.__rts__"), F.col("__f__.__rts__")
+    lts = F.col("__ts__")
+    back_wins = F.col("__f__").isNull() | (
+        F.col("__b__").isNotNull()
+        & ((lts.cast("double") - bts.cast("double"))
+           <= (fts.cast("double") - lts.cast("double")))
+    )
+    chosen = F.when(back_wins, F.col("__b__")).otherwise(F.col("__f__"))
+    out = carried.filter(F.col("__side__") == 1).select(
+        *[F.col(f"__lrow__.{c}").alias(c) for c in lcols],
+        chosen["__rts__"].alias("matched_ts"),
+        *[chosen[c].alias(c) for c in right_value_cols],
+    )
+    return out

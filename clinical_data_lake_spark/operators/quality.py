@@ -417,3 +417,85 @@ def sequence_gaps(
         (F.col("__nx__") - 1).alias("gap_end"),
         (F.col("__nx__") - F.col("__v__") - 1).alias("gap_len"),
     )
+
+
+def profile_table(
+    df: DataFrame,
+    cols: Sequence[str] | None = None,
+    approx_distinct: bool = False,
+    digits: int = 6,
+) -> DataFrame:
+    """One-glance column profile: per column, the row count, null
+    count, distinct count, and min/max — numeric and timestamp columns
+    as doubles (timestamps as epoch seconds), string columns
+    lexicographic — the ``describe()``-style audit with deterministic,
+    engine-comparable output. Long form:
+
+        (column, n, n_null, n_distinct, min_num, max_num,
+         min_str, max_str)
+
+    ``approx_distinct=True`` swaps exact ``count_distinct`` for the
+    one-pass mergeable HLL estimate — at 100 TB that is the right
+    default (k exact distincts expand the aggregate into k passes);
+    exact is the default here because the estimate is not
+    SQL-twinnable across engines. Everything reduces in ONE aggregate;
+    the 1-row stat vector unpivots engine-side via explode.
+    """
+    from pyspark.sql.types import (
+        NumericType,
+        StringType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    cs = list(cols) if cols else list(df.columns)
+    cnt_distinct = F.approx_count_distinct if approx_distinct else F.count_distinct
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n__")]
+    kinds: dict[str, str] = {}
+    for c in cs:
+        dt = df.schema[c].dataType
+        if isinstance(dt, NumericType):
+            kinds[c] = "num"
+            x = F.col(c).cast("double")
+        elif isinstance(dt, (TimestampType, TimestampNTZType)):
+            kinds[c] = "num"
+            # epoch seconds; NTZ has no direct double cast — go via
+            # a session-TZ-interpreted timestamp (sessions run UTC)
+            x = F.col(c).cast("timestamp").cast("double")
+        elif isinstance(dt, StringType):
+            kinds[c] = "str"
+            x = F.col(c)
+        else:
+            kinds[c] = "other"
+            x = None
+        aggs.append(F.count(F.col(c)).cast("long").alias(f"__nn_{c}__"))
+        aggs.append(cnt_distinct(F.col(c)).cast("long").alias(f"__nd_{c}__"))
+        if x is not None:
+            mn = F.min(x)
+            mx = F.max(x)
+            if kinds[c] == "num":
+                mn, mx = F.round(mn, digits), F.round(mx, digits)
+            aggs.append(mn.alias(f"__mn_{c}__"))
+            aggs.append(mx.alias(f"__mx_{c}__"))
+    stats = df.agg(*aggs)
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    rows = []
+    for c in cs:
+        mn_num = F.col(f"__mn_{c}__") if kinds[c] == "num" else null_d
+        mx_num = F.col(f"__mx_{c}__") if kinds[c] == "num" else null_d
+        mn_str = F.col(f"__mn_{c}__") if kinds[c] == "str" else null_s
+        mx_str = F.col(f"__mx_{c}__") if kinds[c] == "str" else null_s
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n__").alias("n"),
+                (F.col("__n__") - F.col(f"__nn_{c}__")).alias("n_null"),
+                F.col(f"__nd_{c}__").alias("n_distinct"),
+                mn_num.alias("min_num"),
+                mx_num.alias("max_num"),
+                mn_str.alias("min_str"),
+                mx_str.alias("max_str"),
+            )
+        )
+    return stats.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
