@@ -2723,6 +2723,24 @@ def q_profile_table(spark: SparkSession, sf: str) -> DataFrame:
     return dq.profile_table(read_table(spark, sf, "orders"))
 
 
+
+
+def q_state_dwell(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user time-in-state totals (operators/cohort.py:state_dwell):
+    the gap to each next event attributed to the current event type;
+    one lead window, exact second sums."""
+    ev = read_table(spark, sf, "events")
+    return cohort.state_dwell(ev, "user_id", "ts", "event_type", "event_id")
+
+
+def q_cohort_ltv(spark: SparkSession, sf: str) -> DataFrame:
+    """Monthly acquisition-cohort LTV curves (operators/cohort.py:
+    cohort_ltv): per-age and cumulative decimal-exact event value per
+    cohort — the revenue companion of the retention triangle."""
+    ev = read_table(spark, sf, "events")
+    return cohort.cohort_ltv(ev, "user_id", "ts", "value")
+
+
 QUERIES = {
     # -- r8 certification window (first 50): the 18 queries that have
     #    never had a driver CORRECTNESS row, then the 32 oldest r3-era
@@ -2954,6 +2972,8 @@ QUERIES = {
     "multiclass_eval": q_multiclass_eval,
     "join_nearest": q_join_nearest,
     "profile_table": q_profile_table,
+    "state_dwell": q_state_dwell,
+    "cohort_ltv": q_cohort_ltv,
 }
 
 
@@ -6762,5 +6782,47 @@ FROM final f JOIN ordered o USING (doc_id) JOIN packed p USING (doc_id)
         UNION ALL SELECT 'o_totalprice', n, n - nn4, nd4, mn4, mx4, NULL, NULL FROM s
         UNION ALL SELECT 'o_orderdate', n, n - nn5, nd5, mn5, mx5, NULL, NULL FROM s
         UNION ALL SELECT 'o_orderpriority', n, n - nn6, nd6, NULL, NULL, mn6, mx6 FROM s
+    """,
+    "state_dwell": """
+        WITH spans AS (
+            SELECT user_id, event_type,
+                   CAST(floor(epoch(lead(ts) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id))) AS BIGINT)
+                   - CAST(floor(epoch(ts)) AS BIGINT) AS dwell
+            FROM events
+        )
+        SELECT user_id, event_type,
+               CAST(count(*) AS BIGINT) AS n_spells,
+               CAST(sum(dwell) AS BIGINT) AS total_s,
+               round(CAST(sum(dwell) AS DOUBLE) / count(*), 6) AS mean_s
+        FROM spans WHERE dwell IS NOT NULL
+        GROUP BY user_id, event_type
+    """,
+    "cohort_ltv": """
+        WITH pered AS (
+            SELECT user_id,
+                   CAST(date_trunc('month', ts) AS DATE) AS per,
+                   CAST(round(CAST(value AS DOUBLE), 3) AS DECIMAL(18,3)) AS v
+            FROM events
+        ),
+        first AS (SELECT user_id, min(per) AS cohort FROM pered GROUP BY 1),
+        aged AS (
+            SELECT f.cohort,
+                   CAST(datediff('month', f.cohort, p.per) AS BIGINT) AS age,
+                   p.user_id, p.v
+            FROM pered p JOIN first f ON f.user_id = p.user_id
+        ),
+        cells AS (
+            SELECT cohort, age,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_active,
+                   sum(v) AS pv
+            FROM aged GROUP BY cohort, age
+        )
+        SELECT cohort, age, n_active,
+               round(CAST(pv AS DOUBLE), 6) AS period_value,
+               round(CAST(sum(pv) OVER (PARTITION BY cohort ORDER BY age
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DOUBLE), 6) AS cum_value
+        FROM cells
     """,
 }

@@ -299,3 +299,103 @@ def incidence_prevalence(
             F.round(F.col("n_incident") / F.col("n_active"), digits).alias("incidence"),
         )
     )
+
+
+def state_dwell(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    order_tiebreak: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Time-in-state rollup: attribute the gap to the NEXT event to
+    the current row's state and total it per (key, state) — how long
+    each user/device/patient spends in each state (browsing vs
+    purchasing, normal vs error), the telemetry dual of event counts
+    (a state entered often but left instantly is noise; dwell exposes
+    it). Each key's LAST event has no successor and contributes
+    nothing (open-ended dwell is unknowable, not zero). Returns
+    (key, state, n_spells, total_s, mean_s).
+
+    Scale shape: one lead over the per-key window (single shuffle +
+    sort), one vocabulary-bounded group aggregate with exact integer
+    second sums.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col), F.col(order_tiebreak)
+    )
+    ts_s = F.col(ts_col).cast("timestamp").cast("long")
+    spans = events.select(
+        F.col(key_col),
+        F.col(state_col),
+        (F.lead(ts_s).over(
+            Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(order_tiebreak))
+        ) - ts_s).alias("__dwell__"),
+    ).filter(F.col("__dwell__").isNotNull())
+    return (
+        spans.groupBy(key_col, state_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spells"),
+            F.sum("__dwell__").cast("long").alias("total_s"),
+        )
+        .select(
+            key_col,
+            state_col,
+            "n_spells",
+            "total_s",
+            F.round(F.col("total_s") / F.col("n_spells"), digits).alias("mean_s"),
+        )
+    )
+
+
+def cohort_ltv(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    period: str = "month",
+    digits: int = 6,
+) -> DataFrame:
+    """Cohort lifetime-value curves: bucket every entity into the
+    period of its FIRST event (the acquisition cohort), then report
+    each cohort's per-age and cumulative value — the revenue
+    companion of the retention triangle (is a newer cohort monetizing
+    faster at the same age?). Returns
+    (cohort, age, n_active, period_value, cum_value), age in periods
+    since acquisition.
+
+    Scale shape: one group-min for acquisition periods (joined back on
+    the key — the only data-scale shuffles), one (cohort, age)
+    aggregate with decimal-exact value sums, and the cumulative walk
+    windows PER COHORT over the age table (bounded by the calendar).
+    """
+    per = F.date_trunc(period, F.col(ts_col)).cast("date")
+    first = events.groupBy(key_col).agg(F.min(per).alias("__cohort__"))
+    dec = "decimal(18,3)"
+    aged = events.join(first, on=key_col).select(
+        F.col("__cohort__").alias("cohort"),
+        (
+            F.months_between(per, F.col("__cohort__"))
+            if period == "month"
+            else F.datediff(per, F.col("__cohort__"))
+        ).cast("long").alias("age"),
+        F.col(key_col),
+        F.col(value_col).cast(dec).alias("__v__"),
+    )
+    cells = aged.groupBy("cohort", "age").agg(
+        F.count_distinct(F.col(key_col)).cast("long").alias("n_active"),
+        F.sum("__v__").alias("__pv__"),
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cells.select(
+        "cohort",
+        "age",
+        "n_active",
+        F.round(F.col("__pv__").cast("double"), digits).alias("period_value"),
+        F.round(F.sum("__pv__").over(w).cast("double"), digits).alias("cum_value"),
+    )
