@@ -2741,6 +2741,17 @@ def q_cohort_ltv(spark: SparkSession, sf: str) -> DataFrame:
     return cohort.cohort_ltv(ev, "user_id", "ts", "value")
 
 
+
+
+def q_dashboard_assoc(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed RWE-dashboard flow (ml/stats.py:dashboard_assoc):
+    top-2 most prevalent event types -> entity co-occurrence flags ->
+    distributed 2x2 chi-square — 01-rwe-dashboard.r:31-124 as one
+    certified artifact."""
+    ev = read_table(spark, sf, "events")
+    return ml_stats.dashboard_assoc(ev, "user_id", "event_type")
+
+
 QUERIES = {
     # -- r8 certification window (first 50): the 18 queries that have
     #    never had a driver CORRECTNESS row, then the 32 oldest r3-era
@@ -2974,6 +2985,7 @@ QUERIES = {
     "profile_table": q_profile_table,
     "state_dwell": q_state_dwell,
     "cohort_ltv": q_cohort_ltv,
+    "dashboard_assoc": q_dashboard_assoc,
 }
 
 
@@ -6823,6 +6835,52 @@ FROM final f JOIN ordered o USING (doc_id) JOIN packed p USING (doc_id)
                round(CAST(sum(pv) OVER (PARTITION BY cohort ORDER BY age
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    AS DOUBLE), 6) AS cum_value
+        FROM cells
+    """,
+    "dashboard_assoc": """
+        WITH prev AS (
+            SELECT event_type AS l, count(DISTINCT user_id) AS c
+            FROM events WHERE event_type IS NOT NULL GROUP BY 1
+        ),
+        top2 AS (SELECT l, row_number() OVER (ORDER BY c DESC, l ASC) AS rk
+                 FROM prev),
+        la AS (SELECT l FROM top2 WHERE rk = 1),
+        lb AS (SELECT l FROM top2 WHERE rk = 2),
+        a AS (SELECT DISTINCT user_id FROM events
+              WHERE event_type = (SELECT l FROM la)),
+        b AS (SELECT DISTINCT user_id FROM events
+              WHERE event_type = (SELECT l FROM lb)),
+        flags AS (
+            SELECT u.user_id,
+                   CASE WHEN a.user_id IS NOT NULL THEN 1 ELSE 0 END AS fa,
+                   CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END AS fb
+            FROM (SELECT DISTINCT user_id FROM events) u
+            LEFT JOIN a ON u.user_id = a.user_id
+            LEFT JOIN b ON u.user_id = b.user_id
+        ),
+        cells AS (
+            SELECT CAST(sum(CASE WHEN fa = 1 AND fb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_11,
+                   CAST(sum(CASE WHEN fa = 1 AND fb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_10,
+                   CAST(sum(CASE WHEN fa = 0 AND fb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_01,
+                   CAST(sum(CASE WHEN fa = 0 AND fb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_00
+            FROM flags
+        )
+        SELECT (SELECT l FROM la) AS cond_a, (SELECT l FROM lb) AS cond_b,
+               n_11, n_10, n_01, n_00,
+               CASE WHEN (CAST(n_11 AS DOUBLE) + CAST(n_10 AS DOUBLE))
+                         * (CAST(n_01 AS DOUBLE) + CAST(n_00 AS DOUBLE))
+                         * (CAST(n_11 AS DOUBLE) + CAST(n_01 AS DOUBLE))
+                         * (CAST(n_10 AS DOUBLE) + CAST(n_00 AS DOUBLE)) > 0
+               THEN (CAST(n_11 + n_10 + n_01 + n_00 AS DOUBLE)
+                     * abs(CAST(n_11 AS DOUBLE) * CAST(n_00 AS DOUBLE)
+                           - CAST(n_10 AS DOUBLE) * CAST(n_01 AS DOUBLE))
+                     * abs(CAST(n_11 AS DOUBLE) * CAST(n_00 AS DOUBLE)
+                           - CAST(n_10 AS DOUBLE) * CAST(n_01 AS DOUBLE)))
+                    / ((CAST(n_11 AS DOUBLE) + CAST(n_10 AS DOUBLE))
+                       * (CAST(n_01 AS DOUBLE) + CAST(n_00 AS DOUBLE))
+                       * (CAST(n_11 AS DOUBLE) + CAST(n_01 AS DOUBLE))
+                       * (CAST(n_10 AS DOUBLE) + CAST(n_00 AS DOUBLE)))
+               ELSE 0.0 END AS chi2
         FROM cells
     """,
 }

@@ -907,3 +907,46 @@ def multiclass_confusion(
         F.round(rec, digits).alias("recall"),
         F.round(f1, digits).alias("f1"),
     )
+
+
+def dashboard_assoc(
+    events: DataFrame,
+    entity_col: str,
+    label_col: str,
+) -> DataFrame:
+    """The reference dashboard's full analytical flow as ONE composed
+    operator (01-rwe-dashboard.r:31-124): find the two most prevalent
+    labels (distinct-entity counts, deterministic label tie-break),
+    flag every entity for each, and test their association with the
+    distributed 2x2 chi-square — the notebook's top-conditions ->
+    comorbidity -> chisq.test pipeline without a driver-side collect
+    of anything but the two winning labels. One row:
+    (cond_a, cond_b, n_11, n_10, n_01, n_00, chi2).
+
+    Scale shape: prevalence is one distinct + group-count; the two
+    labels come back in a 2-row bounded collect (literals baked into
+    the flag filters, exactly like the parameterized dashboard
+    widgets); the flags/cells reduction is ``chisq_2x2``'s distributed
+    group-count shape.
+    """
+    prev = (
+        events.filter(F.col(label_col).isNotNull())
+        .select(entity_col, label_col)
+        .distinct()
+        .groupBy(label_col)
+        .agg(F.count(F.lit(1)).alias("__c__"))
+        .orderBy(F.desc("__c__"), F.asc(label_col))
+        .limit(2)
+        .collect()
+    )
+    if len(prev) < 2:
+        raise ValueError("dashboard_assoc needs at least 2 distinct labels")
+    a_lbl, b_lbl = prev[0][0], prev[1][0]
+    a_ids = events.filter(F.col(label_col) == a_lbl).select(entity_col).distinct()
+    b_ids = events.filter(F.col(label_col) == b_lbl).select(entity_col).distinct()
+    entities = events.select(entity_col).distinct()
+    return chisq_2x2(entities, entity_col, a_ids, b_ids).select(
+        F.lit(str(a_lbl)).alias("cond_a"),
+        F.lit(str(b_lbl)).alias("cond_b"),
+        "n_11", "n_10", "n_01", "n_00", "chi2",
+    )

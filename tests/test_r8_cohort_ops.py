@@ -48,3 +48,23 @@ def test_cohort_ltv_curves(spark):
     assert jan1.cum_value == pytest.approx(17.0)  # cumulative across ages
     feb0 = out[("2024-02-01", 0)]
     assert feb0.n_active == 1 and feb0.cum_value == 7.0
+
+
+def test_dashboard_assoc_composed_flow(spark):
+    from clinical_data_lake_spark.ml.stats import dashboard_assoc
+
+    # labels: 'x' on 3 entities, 'y' on 2, 'z' on 1 -> top2 = (x, y);
+    # co-occurrence: entities 1,2 have both
+    rows = [
+        (1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (4, "z"),
+    ]
+    df = spark.createDataFrame(rows, "e int, lbl string")
+    r = dashboard_assoc(df, "e", "lbl").collect()[0]
+    assert (r.cond_a, r.cond_b) == ("x", "y")
+    assert (r.n_11, r.n_10, r.n_01, r.n_00) == (2, 1, 0, 1)
+    assert r.chi2 > 0
+
+    import pytest as _pt
+    one = spark.createDataFrame([(1, "x")], "e int, lbl string")
+    with _pt.raises(ValueError, match="at least 2"):
+        dashboard_assoc(one, "e", "lbl")
