@@ -57,6 +57,19 @@ R8_NEW = [
     "retrieval_metrics",
     "corr_matrix",
     "funnel_steps",
+    "theil_sen",
+    "mad_outliers",
+    "benford",
+    "event_streaks",
+    "snapshot_cdc",
+    "seq_gaps",
+    "state_dwell",
+    "cohort_ltv",
+    "dashboard_assoc",
+    "balance_classes",
+    "multiclass_eval",
+    "join_nearest",
+    "profile_table",
 ]
 
 
