@@ -2988,6 +2988,38 @@ QUERIES = {
     "dashboard_assoc": q_dashboard_assoc,
 }
 
+# -- r9 certification window (ROTATION.md): the driver checks the FIRST
+#    50 registry entries each round. Priority 1 = the 40 operators added
+#    in r8 (no driver CORRECTNESS row yet); Priority 2 = the 10 oldest
+#    unrotated r3/r4-era rows. The window is an explicit, auditable list;
+#    the reorder below is a pure permutation — no entry is added/removed,
+#    and tests/test_oracle_parity.py sweeps the registry regardless of
+#    order. --
+_R9_WINDOW = [
+    # Priority 1: 40 r8-new operators (39 oracle-twinned;
+    # ann_ivf_kmeans_recall rows-only by design — centroids not
+    # SQL-replayable, documented in its docstring).
+    "cramers_v", "ks_separation", "lift_gain", "retrieval_metrics",
+    "autocorr", "cusum_change", "link_predict", "fk_orphans",
+    "ratio_share", "unpivot_lineitem", "gopher_rules", "dsir_weights",
+    "tpch_q3", "tpch_q5", "wmedian_price", "rank_fractions",
+    "funnel_steps", "corr_matrix", "label_entropy", "collapse_rare",
+    "confusion", "pr_curve", "backtest", "contamination", "degree_dist",
+    "mad_outliers", "benford", "event_streaks", "theil_sen", "ab_test",
+    "snapshot_cdc", "seq_gaps", "balance_classes", "multiclass_eval",
+    "join_nearest", "profile_table", "state_dwell", "cohort_ltv",
+    "dashboard_assoc", "ann_ivf_kmeans_recall",
+    # Priority 2: 10 oldest unrotated r3/r4-era rows.
+    "agg_cube", "agg_rollup", "agg_approx_distinct",
+    "agg_approx_percentile", "union_cohorts", "set_intersect",
+    "set_except", "null_fill", "date_diff", "nested_access",
+]
+assert len(_R9_WINDOW) == 50 and len(set(_R9_WINDOW)) == 50
+QUERIES = {
+    **{k: QUERIES[k] for k in _R9_WINDOW},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R9_WINDOW)},
+}
+
 
 # DuckDB oracle twins. Omitted keys (approx sketches, LSH candidates,
 # engine-specific hashes, ML stats) get the driver's rows-only check.

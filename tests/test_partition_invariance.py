@@ -72,6 +72,15 @@ R8_NEW = [
     "profile_table",
 ]
 
+# r9 Priority-2 window entries whose sketches are the classic
+# merge-order hazard (HLL / KLL merge commutativity). The exact
+# cube/rollup pair must be bit-identical; the approx pair is certified
+# with an explicit tolerance (sketch merges are order-dependent at the
+# margin, but estimates must stay within the sketch's accuracy bound
+# across partitionings — that is the scale-invariance claim).
+R9_EXACT = ["agg_cube", "agg_rollup"]
+R9_APPROX = ["agg_approx_distinct", "agg_approx_percentile"]
+
 
 def _canon(v):
     if v is None:
@@ -103,7 +112,38 @@ def _result_hash(df) -> str:
     return h.hexdigest()
 
 
-@pytest.mark.parametrize("name", ROTATED_IN + R8_NEW)
+@pytest.mark.parametrize("name", R9_APPROX)
+def test_partition_invariant_approx(spark, name):
+    """The approx queries expose (exact value, within_tol flag). Across
+    partitionings the exact column must be bit-identical and the
+    tolerance flag must hold under EVERY merge order — the sketch's
+    estimate may drift within its accuracy bound, the contract may not."""
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    exact_vals = {}
+    try:
+        for n_part in PARTITIONINGS:
+            spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
+            # Also vary the scan parallelism: sketch partials are built
+            # per input split, so repartitioning the input exercises a
+            # different merge tree than the shuffle knob alone.
+            rows = QUERIES[name](spark, SF_SMALL).collect()
+            assert len(rows) == 1
+            r = rows[0]
+            flag_col = "within_tol"
+            exact_col = [c for c in r.asDict() if c != flag_col][0]
+            assert r[flag_col] == 1, (
+                f"{name}: sketch left its accuracy bound at "
+                f"shuffle.partitions={n_part}"
+            )
+            exact_vals[n_part] = _canon(r[exact_col])
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    assert len(set(exact_vals.values())) == 1, (
+        f"{name}: exact companion value depends on partitioning: {exact_vals}"
+    )
+
+
+@pytest.mark.parametrize("name", ROTATED_IN + R8_NEW + R9_EXACT)
 def test_partition_invariant(spark, name):
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     hashes = {}
