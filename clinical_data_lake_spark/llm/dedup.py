@@ -407,7 +407,12 @@ def verify_pairs_keyed(
     filtering) pass their persisted table here so verification reuses
     it instead of re-shingling every candidate doc from raw text.
     """
-    cand = candidates.select("doc_a", "doc_b").distinct()
+    # the distinct pair set is referenced THREE times below (both legs
+    # of the ids union + the final pair join); without a persist the
+    # caller's candidate-generation plan — often a multi-join pipeline —
+    # replays once per reference. Pairs are two ids per row, so this is
+    # the cheapest possible cut point.
+    cand = track_persist(candidates.select("doc_a", "doc_b").distinct())
     ids = (
         cand.select(F.col("doc_a").alias(id_col))
         .union(cand.select(F.col("doc_b").alias(id_col)))
@@ -542,7 +547,7 @@ def prefix_filter_pairs(
     alpha = F.ceil(
         t * (F.col("__na__") + F.col("__nb__")) / (t + F.lit(1.0)) - F.lit(1e-9)
     )
-    cand = (
+    cand = track_persist(
         a.join(b, on="__sh__")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .filter(
@@ -565,16 +570,71 @@ def prefix_filter_pairs(
             )
             >= alpha
         )
-        .select("doc_a", "doc_b")
     )
-    # on corpora with heavy cross-doc shingle repetition the prefix
-    # survivor set is dense (most docs appear in some candidate), so
-    # verification is pair-keyed (work ~ |pairs| x doc size) rather
-    # than the inverted-index verifier whose cost is df-quadratic;
-    # the persisted hashed shingle table is shared with verification,
-    # so the corpus is shingled exactly once end-to-end
-    return verify_pairs_keyed(
-        docs, cand, id_col, text_col, n, threshold, shingle_hashes=sh
+    # Suffix-restricted exact verification (the PPJoin+ suffix
+    # decomposition, Xiao et al. 2008 §4, re-costed for Spark). Key
+    # identity: every shared token NOT among the k prefix-prefix
+    # matches sorts after the last match in the global (df, hash)
+    # order, hence sits at position > mpa in A AND > mpb in B — so
+    # with SA = A[mpa+1:], SB = B[mpb+1:] (slices of the per-doc
+    # token arrays sorted by that same order),
+    #     |A ∩ B| = k + |SA ∩ SB|           ... EXACTLY.
+    # The paper prunes |SA ∩ SB| with recursive binary probes before
+    # intersecting; that is the right trade for its in-memory index
+    # nested loop, but in Spark the probe is an INTERPRETED
+    # higher-order lambda (F.filter/F.exists re-evaluate outer
+    # expressions per element, no codegen) while array_intersect is a
+    # codegen'd hash intersection — measured 4-10x SLOWER with the
+    # probe than without at sf0.1. So the suffix filter's payload
+    # here is the identity itself: verification intersects only the
+    # suffixes (shorter than the full arrays by exactly the prefix
+    # fraction, i.e. ~(1-t) of each doc at threshold t) and reuses
+    # the already-aggregated k, mpa, mpb. Lossless by construction —
+    # the count is exact, not a bound. Arrays are sorted by
+    # struct(df, sh) then projected down to bare 8-byte hash longs
+    # (the transform lambda runs once per doc in the groupBy, not per
+    # pair), so the pair join ships the minimal representation.
+    ids = (
+        cand.select(F.col("doc_a").alias(id_col))
+        .union(cand.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    arrs = (
+        sh.join(ids, on=id_col, how="left_semi")
+        .join(dfreq, on="__sh__")
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(F.col("__df__").alias("df"), F.col("__sh__").alias("sh"))
+                    )
+                ),
+                lambda x: x["sh"],
+            ).alias("__arr__")
+        )
+    )
+    inter = F.col("__k__") + F.size(
+        F.array_intersect(
+            F.slice("__aarr__", F.col("__mpa__") + 1, F.col("__na__") - F.col("__mpa__")),
+            F.slice("__barr__", F.col("__mpb__") + 1, F.col("__nb__") - F.col("__mpb__")),
+        )
+    )
+    return (
+        cand.join(
+            arrs.select(F.col(id_col).alias("doc_a"), F.col("__arr__").alias("__aarr__")),
+            on="doc_a",
+        )
+        .join(
+            arrs.select(F.col(id_col).alias("doc_b"), F.col("__arr__").alias("__barr__")),
+            on="doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter / (F.col("__na__") + F.col("__nb__") - inter)).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= t)
     )
 
 

@@ -541,13 +541,30 @@ def theil_sen(
         F.col(y_col).cast("double").alias("__y__"),
     ).filter(F.col("__x__").isNotNull() & F.col("__y__").isNotNull())
     counts = base.groupBy(key_col).agg(F.count(F.lit(1)).alias("__n__"))
-    too_big = counts.filter(F.col("__n__") > max_points).limit(1).collect()
-    if too_big:
-        raise ValueError(
+    # In-plan guard, not a pre-flight job: the per-key count joins
+    # onto the pair join's left input (co-partitioned — both sides
+    # already shuffle on the key) and gates the x value itself with
+    # raise_error, so an oversized series fails loudly from the same
+    # single job and the hot path never scans the input twice.
+    # Calling this function launches NO Spark jobs (plan-locked in
+    # tests/test_r8_trend_ops.py). The guard rides a column the join
+    # actually consumes — an unused assert column would be pruned out
+    # of the plan by Catalyst.
+    guard_msg = F.concat(
+        F.lit(
             f"theil_sen: series over {max_points} points (pair join is "
-            f"quadratic per series); bucket x first or raise max_points"
-        )
-    a = base.select(key_col, F.col("__x__").alias("__xa__"), F.col("__y__").alias("__ya__"))
+            f"quadratic per series); bucket x first or raise max_points; "
+            f"offending key: "
+        ),
+        F.col(key_col).cast("string"),
+    )
+    a = base.join(counts, on=key_col).select(
+        key_col,
+        F.when(F.col("__n__") <= F.lit(max_points), F.col("__x__"))
+        .otherwise(F.raise_error(guard_msg))
+        .alias("__xa__"),
+        F.col("__y__").alias("__ya__"),
+    )
     b = base.select(key_col, F.col("__x__").alias("__xb__"), F.col("__y__").alias("__yb__"))
     slopes = (
         a.join(b, on=key_col)

@@ -1267,6 +1267,53 @@ def test_prefix_filter_positional_filter_lossless(spark):
     }
 
 
+def test_prefix_filter_suffix_filter_lossless(spark):
+    """PPJoin+ depth-1 suffix filter (pivot on the middle token of
+    SB, partition SA by the (df, hash) total order) must never drop a
+    true pair AND the inline verification identity
+    |A∩B| = k + |SA∩SB| must reproduce exact Jaccard values to the
+    bit. Corpus built so suffixes are long and heterogeneous (the
+    regime the suffix probe prunes in): a shared template plus
+    per-doc shuffled unique middles and varying-length tails, with
+    near-threshold pairs on both sides of alpha."""
+    import random as _r
+
+    from clinical_data_lake_spark.llm.dedup import prefix_filter_pairs
+
+    tmpl = "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    mids = {}
+    for g in range(5):
+        mid = [f"m{g}w{j}" for j in range(8)]
+        _r.Random(g).shuffle(mid)  # shuffled per GROUP: same-group docs
+        mids[g] = " ".join(mid)    # share middle shingles, groups don't
+    rows = []
+    for i in range(30):
+        tail = " ".join(f"t{i}x{j}" for j in range(i % 9))
+        rows.append(
+            Row(doc_id=i, text=tmpl + mids[i % 5] + " " + tail)
+        )
+    docs = spark.createDataFrame(rows)
+    for t in (0.4, 0.6, 0.8):
+        exact = {
+            (r.doc_a, r.doc_b): round(r.jaccard, 12)
+            for r in ngram_jaccard_pairs(
+                docs, threshold=t, max_doc_freq=10**9
+            ).collect()
+        }
+        pf = {
+            (r.doc_a, r.doc_b): round(r.jaccard, 12)
+            for r in prefix_filter_pairs(docs, threshold=t).collect()
+        }
+        assert pf == exact, (
+            t,
+            sorted(set(exact) - set(pf)),
+            sorted(set(pf) - set(exact)),
+        )
+    assert len(
+        {(r.doc_a, r.doc_b) for r in prefix_filter_pairs(docs, threshold=0.4).collect()}
+    ) > 0
+
+
 def test_nearest_prototype_recovers_planted_classes(spark):
     """On well-separated planted clusters, nearest-centroid must
     classify every member back to its own class with high sim."""

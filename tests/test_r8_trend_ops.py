@@ -26,13 +26,32 @@ def test_theil_sen_degenerate_and_guard(spark):
     )
     r = theil_sen(const, "k", "x", "y").collect()[0]
     assert r.slope is None and r.intercept is None
-    # loud quadratic guard
+    # loud quadratic guard — now IN-PLAN: the call itself launches no
+    # jobs (single-scan contract); the error fires at action time from
+    # the same job that would run the pair join
     big = spark.range(50).select(
         F.lit("k").alias("k"), F.col("id").cast("double").alias("x"),
         F.col("id").cast("double").alias("y"),
     )
-    with pytest.raises(ValueError, match="quadratic"):
-        theil_sen(big, "k", "x", "y", max_points=10)
+    spark.sparkContext.setJobGroup("theil_sen_guard_probe", "plan-lock")
+    try:
+        guarded = theil_sen(big, "k", "x", "y", max_points=10)
+        tracker = spark.sparkContext.statusTracker()
+        assert tracker.getJobIdsForGroup("theil_sen_guard_probe") == [], (
+            "theil_sen ran an eager pre-flight job at call time"
+        )
+    finally:
+        spark.sparkContext.setJobGroup("", "")
+    with pytest.raises(Exception, match="quadratic"):
+        guarded.collect()
+    # mixed corpus: oversized key trips, even though small keys exist
+    mixed = big.union(
+        spark.createDataFrame(
+            [("ok", 1.0, 1.0), ("ok", 2.0, 3.0)], "k string, x double, y double"
+        )
+    )
+    with pytest.raises(Exception, match="offending key: k"):
+        theil_sen(mixed, "k", "x", "y", max_points=10).collect()
 
 
 def test_ab_test_closed_form(spark):
