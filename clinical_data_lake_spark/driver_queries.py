@@ -2465,6 +2465,112 @@ def q_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_tpch_q17(spark: SparkSession, sf: str) -> DataFrame:
+    """Small-quantity-order revenue (TPC-H Q17 shape): the classic
+    CORRELATED SCALAR SUBQUERY — lineitems whose quantity is below
+    0.2x their part's average quantity — planned as ONE per-part
+    aggregation + ONE join back, never a re-aggregation per outer row
+    (the reference's filter-vs-aggregate pattern of
+    `03-work with ML models.py:191-198`, generalized per key).
+
+    Scale shape: the brand/type dim filter broadcasts into the
+    lineitem scan FIRST, so both the aggregation and the outer side
+    see only the target parts; the per-part averages are tiny and
+    broadcast back. The 0.2x-average comparison is done in exact
+    decimal cross-multiplied form (5 * qty * n_k < sum_k) so no
+    engine's float-average rounding can flip a boundary row."""
+    target = read_table(spark, sf, "part").filter(
+        (F.col("p_brand") == "Brand#2") & (F.col("p_type") == "ECONOMY")
+    ).select("p_partkey")
+    li = read_table(spark, sf, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    sel = li.join(F.broadcast(target), li["l_partkey"] == target["p_partkey"])
+    qty_dec = F.col("l_quantity").cast("decimal(18,6)")
+    per_part = sel.groupBy("l_partkey").agg(
+        F.sum(qty_dec).alias("__sq__"), F.count(F.lit(1)).alias("__nq__")
+    )
+    return (
+        sel.select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(per_part), on="l_partkey")
+        .filter(qty_dec * F.lit(5) * F.col("__nq__") < F.col("__sq__"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly")
+        )
+    )
+
+
+def q_tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
+    """Large-volume orders (TPC-H Q18 shape): the IN-subquery over a
+    grouped HAVING — orders whose total lineitem quantity exceeds the
+    threshold — planned as one lineitem aggregation whose survivors
+    JOIN (carrying sum_qty, so no second aggregation and no IN
+    re-probe), then the customer name join, top-100 by total price."""
+    li = read_table(spark, sf, "lineitem")
+    qty = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_qty")
+        )
+        .filter(F.col("sum_qty") > 180.0)
+    )
+    orders = read_table(spark, sf, "orders")
+    cust = read_table(spark, sf, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(qty, orders["o_orderkey"] == qty["l_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_name",
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+def q_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Bucketed co-located join as a certified artifact
+    (operators/bucketing.py): write orders and customer bucketed by
+    custkey into the catalog, join WITHOUT either shuffle exchange
+    (plan-locked in tests/test_bucketing.py), and roll up order value
+    per market segment. The oracle is the plain join+group — bucketing
+    must be invisible in the result, it only moves the shuffle to
+    write time (the 100 TB lever for repeated joins on a stable key)."""
+    from .operators.bucketing import join_bucketed, write_bucketed_table
+
+    tag = "".join(ch if ch.isalnum() else "_" for ch in sf.rstrip("/").split("/")[-1])
+    ot, ct = f"bkt_orders_{tag}", f"bkt_customer_{tag}"
+    write_bucketed_table(
+        read_table(spark, sf, "orders").select("o_custkey", "o_totalprice"),
+        ot, ["o_custkey"], 8, sort_cols=["o_custkey"],
+    )
+    write_bucketed_table(
+        read_table(spark, sf, "customer").select(
+            F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+        ),
+        ct, ["o_custkey"], 8, sort_cols=["o_custkey"],
+    )
+    return (
+        join_bucketed(spark, ot, ct, ["o_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
 def q_wmedian_price(spark: SparkSession, sf: str) -> DataFrame:
     """Quantity-weighted median extended price per return flag
     (operators/aggregates.py:weighted_median): collapse-first decimal
@@ -2986,6 +3092,10 @@ QUERIES = {
     "state_dwell": q_state_dwell,
     "cohort_ltv": q_cohort_ltv,
     "dashboard_assoc": q_dashboard_assoc,
+    # -- new in r9 (enter the r10 certification window per ROTATION.md) --
+    "tpch_q17": q_tpch_q17,
+    "tpch_q18": q_tpch_q18,
+    "bucketed_join": q_bucketed_join,
 }
 
 # -- r9 certification window (ROTATION.md): the driver checks the FIRST
@@ -6221,6 +6331,49 @@ FROM final f JOIN ordered o USING (doc_id) JOIN packed p USING (doc_id)
         WHERE r_name = 'ASIA' AND year(o_orderdate) = 1997
         GROUP BY n_name
         ORDER BY revenue DESC, n_name ASC
+    """,
+    "tpch_q17": """
+        WITH sel AS (
+            SELECT l_partkey, l_quantity, l_extendedprice
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            WHERE p_brand = 'Brand#2' AND p_type = 'ECONOMY'
+        ),
+        per_part AS (
+            SELECT l_partkey,
+                   sum(CAST(l_quantity AS DECIMAL(18,6))) AS sq,
+                   count(*) AS nq
+            FROM sel GROUP BY l_partkey
+        )
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                   / 7.0 AS avg_yearly
+        FROM sel JOIN per_part USING (l_partkey)
+        WHERE CAST(l_quantity AS DECIMAL(18,6)) * 5 * nq < sq
+    """,
+    "tpch_q18": """
+        WITH qty AS (
+            SELECT l_orderkey,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                       AS sum_qty
+            FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT c_name, o_custkey, o_orderkey,
+               CAST(o_orderdate AS DATE) AS o_orderdate,
+               o_totalprice, sum_qty
+        FROM orders
+        JOIN qty ON o_orderkey = l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE sum_qty > 180.0
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 100
+    """,
+    "bucketed_join": """
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                   AS total_value
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
     """,
     "wmedian_price": """
         WITH cells AS (

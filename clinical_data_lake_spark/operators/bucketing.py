@@ -34,7 +34,27 @@ def write_bucketed_table(
 ) -> None:
     """Materialize ``df`` as a catalog table pre-shuffled into
     ``n_buckets`` by ``bucket_cols`` (and pre-sorted when ``sort_cols``
-    is given, eliding the SMJ sort too)."""
+    is given, eliding the SMJ sort too).
+
+    Self-healing against stale managed-table locations: with an
+    ephemeral (per-session) metastore, a previous session's table
+    directory survives in the warehouse while the catalog entry does
+    not, and ``saveAsTable`` then fails LOCATION_ALREADY_EXISTS. Drop
+    the catalog entry and remove an orphaned location before writing.
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    parts = name.split(".")
+    if len(parts) == 1 or parts[-2] == "default":
+        # default-database managed location is <warehouse>/<table>;
+        # qualified databases own their location and get a fresh one
+        # from create_database, so only the default path can orphan
+        from ..catalog import _hadoop_fs
+
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        fs, loc = _hadoop_fs(spark, f"{warehouse.rstrip('/')}/{parts[-1]}")
+        if fs.exists(loc):
+            fs.delete(loc, True)
     writer = (
         df.write.mode("overwrite").format(fmt).bucketBy(n_buckets, *bucket_cols)
     )

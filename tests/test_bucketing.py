@@ -47,3 +47,25 @@ def test_bucketed_join_values_correct(spark, bucketed_tables):
     j = join_bucketed(spark, left, right, ["k"])
     row = j.filter("k = 42").collect()[0]
     assert row.v == 84 and row.name == "n42"
+
+
+def test_bucketed_join_registry_query_plan_locked(spark):
+    """The registered `bucketed_join` driver query must join its two
+    bucketed catalog tables without a shuffle exchange on either side
+    (exchanges above the aggregate are fine — the JOIN is the part
+    bucketing pre-paid for)."""
+    from clinical_data_lake_spark.driver_queries import QUERIES
+
+    from conftest import SF_SMALL
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES["bucketed_join"](spark, SF_SMALL)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        join_part = plan.split("SortMergeJoin")[-1] if "SortMergeJoin" in plan else plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange hashpartitioning" not in join_part, plan
+        assert df.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
