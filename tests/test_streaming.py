@@ -224,6 +224,77 @@ def test_stream_to_parquet_incremental_exactly_once(spark, events_stream_setup, 
     assert spark.read.parquet(out).count() == first.count()
 
 
+def test_stream_to_parquet_recovers_after_midrun_kill(spark, tmp_path):
+    """Failure-path recovery (not just replay): a checkpointed
+    stream_to_parquet run is KILLED mid-run — stopped after some but
+    not all micro-batches committed — and a fresh start on the same
+    checkpoint must converge to exactly the batch twin: every source
+    row exactly once, no duplicates from the partially-progressed run,
+    no losses from the interruption. This pins the property a
+    1000-executor ingestion loop actually relies on: executor/driver
+    death between micro-batches costs nothing but a restart."""
+    import os
+    import time
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def slice_df(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % 7).alias("user_id"),
+            F.concat(F.lit("t"), (F.col("id") % 3).cast("string")).alias("event_type"),
+        )
+
+    # slice A: drained cleanly by run 1
+    slice_df(0, 200).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    proj = se.stream_from_batch_dir(spark, src, schema, max_files_per_trigger=1)
+    se.stream_to_parquet(proj, out, ckpt)
+    commits_dir = os.path.join(ckpt, "commits")
+    committed_before = len(
+        [f for f in os.listdir(commits_dir) if not f.startswith(".")]
+    )
+
+    # slice B: many single-row-group files so run 2 has several
+    # micro-batches to be interrupted between
+    for lo in range(200, 800, 100):
+        slice_df(lo, lo + 100).coalesce(1).write.mode("append").parquet(src)
+
+    # run 2: kill after at least one NEW commit lands but (with 6
+    # pending files at 1 file/trigger) before the drain finishes
+    proj2 = se.stream_from_batch_dir(spark, src, schema, max_files_per_trigger=1)
+    q = (
+        proj2.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        done = len([f for f in os.listdir(commits_dir) if not f.startswith(".")])
+        if done > committed_before:
+            break
+        time.sleep(0.05)
+    q.stop()  # mid-run kill: some of slice B committed, the rest not
+    q.awaitTermination(60)
+
+    # run 3: fresh query object, same checkpoint — recovery must pick
+    # up precisely the uncommitted remainder
+    proj3 = se.stream_from_batch_dir(spark, src, schema, max_files_per_trigger=1)
+    se.stream_to_parquet(proj3, out, ckpt)
+
+    got = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    want = list(range(800))
+    assert got == want, (
+        f"exactly-once violated after mid-run kill: {len(got)} rows, "
+        f"first diffs {[x for x in got if got.count(x) > 1][:5] or 'losses'}"
+    )
+
+
 def test_transform_with_state_totals_converge_to_batch(spark, events_stream_setup):
     """transformWithStateInPandas (typed ValueState, RocksDB store):
     the last update per key must equal the batch count/sum."""
