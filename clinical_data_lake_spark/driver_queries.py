@@ -2537,6 +2537,288 @@ def q_tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_tpch_q4(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-priority checking (TPC-H Q4 shape): orders with at least
+    one lineitem shipped >90 days after the order date, counted per
+    priority — the EXISTS pattern planned as a LEFT SEMI join with a
+    cross-side residual condition (no commit/receipt dates in this
+    schema, so lateness is ship-vs-order)."""
+    orders = read_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = read_table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders["o_orderkey"] == li["l_orderkey"])
+            & (li["l_shipdate"] > orders["o_orderdate"] + F.expr("INTERVAL 90 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_tpch_q6(spark: SparkSession, sf: str) -> DataFrame:
+    """Forecast revenue change (TPC-H Q6 shape): one tight scan-side
+    filter chain (year, discount band, quantity cap) feeding a single
+    decimal-exact aggregate — the query whose whole plan should be a
+    pushed-filter parquet scan plus one partial+final agg."""
+    li = read_table(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.year("l_shipdate") == 1998)
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+def q_tpch_q9(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-type profit (TPC-H Q9 shape): profit per nation-year
+    for color-named parts — the snowflake join with the measure spread
+    across four tables (no supplycost column here, so profit is
+    discounted revenue minus half the part's retail price per unit)."""
+    part = read_table(spark, sf, "part").filter(
+        F.col("p_name").like("%red%")
+    ).select("p_partkey", "p_retailprice")
+    supp = read_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nat = read_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    orders = read_table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    li = read_table(spark, sf, "lineitem")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+        .orderBy("n_name", F.desc("o_year"))
+    )
+
+
+def q_tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
+    """Returned-item reporting (TPC-H Q10 shape): top-20 customers by
+    lost revenue from returned lineitems in a two-quarter window —
+    fact-to-fact join shuffles on the keys, nation broadcasts, top-k
+    via sort+limit with a deterministic tiebreak."""
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1997-07-01").cast("timestamp")
+    cust = read_table(spark, sf, "customer")
+    orders = read_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    ).select("o_orderkey", "o_custkey")
+    li = read_table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    nat = read_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_tpch_q11(spark: SparkSession, sf: str) -> DataFrame:
+    """Important-stock identification (TPC-H Q11 shape, adapted — no
+    partsupp table): parts whose lineitem revenue exceeds 0.05% of
+    TOTAL revenue. The per-key aggregate joins a broadcast one-row
+    global aggregate (HAVING-vs-scalar-subquery), never re-aggregating
+    per row."""
+    li = read_table(spark, sf, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    per_part = li.groupBy("l_partkey").agg(F.sum(rev).alias("__val__"))
+    total = per_part.agg(F.sum("__val__").alias("__tot__"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(
+            F.col("__val__").cast("double")
+            > F.col("__tot__").cast("double") * F.lit(0.0005)
+        )
+        .select("l_partkey", F.col("__val__").cast("double").alias("value"))
+        .orderBy(F.desc("value"), F.asc("l_partkey"))
+    )
+
+
+def q_tpch_q13(spark: SparkSession, sf: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13 shape): LEFT join
+    with an extra join-side predicate (non-open orders), per-customer
+    counts INCLUDING zero-order customers, then the distribution of
+    those counts — the canonical double aggregation."""
+    cust = read_table(spark, sf, "customer").select("c_custkey")
+    orders = read_table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    per_cust = (
+        cust.join(
+            orders,
+            (cust["c_custkey"] == orders["o_custkey"])
+            & (orders["o_orderstatus"] != "P"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q_tpch_q14(spark: SparkSession, sf: str) -> DataFrame:
+    """Promotion effect (TPC-H Q14 shape): PROMO-type revenue share of
+    one ship-month — conditional aggregation ratio with the part dim
+    broadcast into the fact scan."""
+    li = read_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    part = read_table(spark, sf, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,4)"))).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+def q_tpch_q15(spark: SparkSession, sf: str) -> DataFrame:
+    """Top supplier (TPC-H Q15 shape): supplier(s) whose quarterly
+    revenue equals the maximum — per-key aggregate joined against its
+    own broadcast one-row max (the view + scalar-subquery pattern),
+    ties all surface."""
+    li = read_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    supp = read_table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(rev).alias("__rev__"))
+    mx = per_supp.agg(F.max("__rev__").alias("__mx__"))
+    return (
+        per_supp.join(F.broadcast(mx))
+        .filter(F.col("__rev__") == F.col("__mx__"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp["s_suppkey"])
+        .select(
+            "s_suppkey", "s_name", F.col("__rev__").cast("double").alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q_tpch_q16(spark: SparkSession, sf: str) -> DataFrame:
+    """Supplier-part relationship count (TPC-H Q16 shape, adapted):
+    distinct suppliers per (p_type, p_size), EXCLUDING flagged
+    suppliers (negative balance stands in for the complaints filter) —
+    the NOT-IN planned as a broadcast anti join, never a per-row
+    probe."""
+    li = read_table(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    part = read_table(spark, sf, "part").select("p_partkey", "p_type", "p_size")
+    bad = read_table(spark, sf, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), on="l_suppkey", how="left_anti")
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), F.asc("p_type"), F.asc("p_size"))
+    )
+
+
+def q_tpch_q19(spark: SparkSession, sf: str) -> DataFrame:
+    """Discounted revenue under disjunctive predicates (TPC-H Q19
+    shape): three OR'd brand/size/quantity bands — the equi key joins,
+    the OR residual filters post-join, and the scan still prunes to
+    the union of the bands."""
+    li = read_table(spark, sf, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = read_table(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    band = (
+        (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#4")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .filter(band)
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+def q_tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
+    """Global sales opportunity (TPC-H Q22 shape): customers with
+    above-average positive balance and NO RECENT orders (none since
+    2000 — every synthetic customer has some order, so recency keeps
+    the anti join non-vacuous), rolled up per nation. The scalar
+    average broadcasts in exact cross-multiplied decimal form
+    (bal * n > sum), the NOT EXISTS is a shuffle anti join on the
+    customer key."""
+    cust = read_table(spark, sf, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    pos = cust.filter(F.col("c_acctbal") > 0.0)
+    avg_row = pos.agg(
+        F.sum(F.col("c_acctbal").cast("decimal(18,6)")).alias("__s__"),
+        F.count(F.lit(1)).alias("__n__"),
+    )
+    orders = read_table(spark, sf, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    return (
+        pos.join(F.broadcast(avg_row))
+        .filter(
+            F.col("c_acctbal").cast("decimal(18,6)") * F.col("__n__") > F.col("__s__")
+        )
+        .join(orders, on="c_custkey", how="left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 def q_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
     """Bucketed co-located join as a certified artifact
     (operators/bucketing.py): write orders and customer bucketed by
@@ -3096,6 +3378,17 @@ QUERIES = {
     "tpch_q17": q_tpch_q17,
     "tpch_q18": q_tpch_q18,
     "bucketed_join": q_bucketed_join,
+    "tpch_q4": q_tpch_q4,
+    "tpch_q6": q_tpch_q6,
+    "tpch_q9": q_tpch_q9,
+    "tpch_q10": q_tpch_q10,
+    "tpch_q11": q_tpch_q11,
+    "tpch_q13": q_tpch_q13,
+    "tpch_q14": q_tpch_q14,
+    "tpch_q15": q_tpch_q15,
+    "tpch_q16": q_tpch_q16,
+    "tpch_q19": q_tpch_q19,
+    "tpch_q22": q_tpch_q22,
 }
 
 # -- r9 certification window (ROTATION.md): the driver checks the FIRST
@@ -6366,6 +6659,152 @@ FROM final f JOIN ordered o USING (doc_id) JOIN packed p USING (doc_id)
         WHERE sum_qty > 180.0
         ORDER BY o_totalprice DESC, o_orderkey ASC
         LIMIT 100
+    """,
+    "tpch_q4": """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        FROM orders
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "tpch_q6": """
+        SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+                    AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE year(l_shipdate) = 1998
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    "tpch_q9": """
+        SELECT n_name, year(o_orderdate) AS o_year,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                             - 0.5 * p_retailprice * l_quantity
+                             AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN orders ON o_orderkey = l_orderkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY n_name, year(o_orderdate)
+        ORDER BY n_name ASC, o_year DESC
+    """,
+    "tpch_q10": """
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation ON n_nationkey = c_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1997-07-01'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+    """,
+    "tpch_q11": """
+        WITH per_part AS (
+            SELECT l_partkey,
+                   sum(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(18,4))) AS val
+            FROM lineitem GROUP BY l_partkey
+        ),
+        tot AS (SELECT sum(val) AS t FROM per_part)
+        SELECT l_partkey, CAST(val AS DOUBLE) AS value
+        FROM per_part, tot
+        WHERE CAST(val AS DOUBLE) > CAST(t AS DOUBLE) * 0.0005
+        ORDER BY value DESC, l_partkey ASC
+    """,
+    "tpch_q13": """
+        WITH per_cust AS (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer
+            LEFT JOIN orders ON c_custkey = o_custkey
+                            AND o_orderstatus != 'P'
+            GROUP BY c_custkey
+        )
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM per_cust
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    "tpch_q14": """
+        SELECT round(100.0
+                 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(18,4))
+                       ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(18,4))) AS DOUBLE),
+               6) AS promo_revenue_pct
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+          AND l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+    "tpch_q15": """
+        WITH per_supp AS (
+            SELECT l_suppkey,
+                   sum(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(18,4))) AS rev
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1997-04-01'
+            GROUP BY l_suppkey
+        ),
+        mx AS (SELECT max(rev) AS m FROM per_supp)
+        SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+        FROM per_supp, mx
+        JOIN supplier ON s_suppkey = l_suppkey
+        WHERE rev = m
+        ORDER BY s_suppkey
+    """,
+    "tpch_q16": """
+        SELECT p_type, p_size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_type, p_size
+        ORDER BY supplier_cnt DESC, p_type ASC, p_size ASC
+    """,
+    "tpch_q19": """
+        SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "tpch_q22": """
+        WITH pos AS (
+            SELECT c_custkey, c_nationkey, c_acctbal
+            FROM customer WHERE c_acctbal > 0.0
+        ),
+        av AS (
+            SELECT sum(CAST(c_acctbal AS DECIMAL(18,6))) AS s,
+                   count(*) AS n
+            FROM pos
+        )
+        SELECT c_nationkey,
+               CAST(count(*) AS BIGINT) AS numcust,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                   AS totacctbal
+        FROM pos, av
+        WHERE CAST(c_acctbal AS DECIMAL(18,6)) * n > s
+          AND NOT EXISTS (
+              SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                AND o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
     """,
     "bucketed_join": """
         SELECT c_mktsegment,
