@@ -941,6 +941,18 @@ def q_ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.cosine_topk(emb.filter(F.col("vec_id") < 5), emb, k=10)
 
 
+def q_ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ADC top-10 (llm/similarity.py:pq_topk) for
+    query vectors vec_id < 5: corpus encoded to 8 one-byte codes
+    against the md5-deterministic 16-centroid codebook, queries carry
+    a broadcast LUT, distances are left-assoc chains — fully
+    SQL-replayed by the oracle, unlike trained-KMeans IVF."""
+    emb = read_table(spark, sf, "embeddings")
+    return similarity.pq_topk(
+        emb.filter(F.col("vec_id") < 5), emb, k=10, m=8, k_cent=16, seed=42
+    )
+
+
 def q_dedup_chunks(spark: SparkSession, sf: str) -> DataFrame:
     """Sub-document boilerplate removal: drop every 4-word chunk
     occurring in >= 2 distinct docs, reassemble survivors in order.
@@ -3016,6 +3028,40 @@ def q_theil_sen(spark: SparkSession, sf: str) -> DataFrame:
     return timeseries.theil_sen(ev, "user_id", "tsec", "value")
 
 
+def q_mann_kendall(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user monotonic-trend test (operators/timeseries.py:
+    mann_kendall): exact integer S and tie-corrected variance over
+    (epoch-second, value) points; continuity-corrected z is the only
+    float. theil_sen's hypothesis-test companion on the same series."""
+    ev = read_table(spark, sf, "events").select(
+        "user_id",
+        F.floor(F.col("ts").cast("double").cast("long")).alias("tsec"),
+        "value",
+    )
+    return timeseries.mann_kendall(ev, "user_id", "tsec", "value")
+
+
+def q_spearman(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type Spearman rank correlation between event time and
+    value (ml/stats.py:spearman_corr) — "does this metric drift
+    monotonically" with tie-correct average ranks and DECIMAL(38,0)
+    moments (exact until the final division)."""
+    ev = read_table(spark, sf, "events").select(
+        "event_type",
+        F.floor(F.col("ts").cast("double").cast("long")).alias("tsec"),
+        "value",
+    )
+    return ml_stats.spearman_corr(ev, ["event_type"], "tsec", "value")
+
+
+def q_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
+    """Lexical-diversity profile per document source
+    (functions/text.py:vocab_growth): tokens, vocab, hapax count,
+    type-token ratio — the Heaps-law inputs for pretraining-mix
+    curation."""
+    return text.vocab_growth(read_table(spark, sf, "documents"))
+
+
 def q_ab_test(spark: SparkSession, sf: str) -> DataFrame:
     """Two-proportion A/B read-out (ml/stats.py:ab_test): even vs odd
     user ids, conversion = purchase event; pooled z + Wilson 95%
@@ -3389,6 +3435,10 @@ QUERIES = {
     "tpch_q16": q_tpch_q16,
     "tpch_q19": q_tpch_q19,
     "tpch_q22": q_tpch_q22,
+    "ann_pq_topk": q_ann_pq_topk,
+    "mann_kendall": q_mann_kendall,
+    "spearman": q_spearman,
+    "vocab_growth": q_vocab_growth,
 }
 
 # -- r9 certification window (ROTATION.md): the driver checks the FIRST
@@ -3571,8 +3621,84 @@ _ANN_RECALL_SQL = f"""
     LEFT JOIN m ON m.query_id = q.query_id AND m.method = meth.method
 """
 
+# ann_pq twin: product-quantization encode + LUT + ADC rebuilt verbatim
+# in SQL. The codebook is the md5-TakeOrdered corpus sample (same rows,
+# same (md5, id) index order as pq_centroids), every subspace distance
+# is the same left-associated 8-term chain, and the pair score is the
+# same left-associated 8-way sum — bit-for-bit IEEE parity with the
+# codegen'd Spark expressions.
+_PQ_M, _PQ_DSUB, _PQ_KCENT = 8, 8, 16
+
+
+def _pq_chain_sql(vec: str, cent: str, j: int) -> str:
+    terms = []
+    for t in range(_PQ_DSUB):
+        i = j * _PQ_DSUB + t + 1
+        terms.append(f"(({vec}[{i}] - {cent}[{i}]) * ({vec}[{i}] - {cent}[{i}]))")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _pq_case_sql(vec: str) -> str:
+    whens = " ".join(
+        f"WHEN {j} THEN {_pq_chain_sql(vec, 'ce', j)}" for j in range(_PQ_M)
+    )
+    return f"CASE j {whens} END"
+
+
+_ANN_PQ_SQL = f"""
+    WITH cents AS (
+        SELECT row_number() OVER (
+                   ORDER BY md5('42:' || CAST(vec_id AS VARCHAR)), vec_id
+               ) - 1 AS c,
+               embedding::DOUBLE[] AS ce
+        FROM embeddings
+        ORDER BY md5('42:' || CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT {_PQ_KCENT}
+    ),
+    corpus AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS e
+               FROM embeddings),
+    jj AS (SELECT unnest(range({_PQ_M})) AS j),
+    dists AS (
+        SELECT neighbor_id, c, j, {_pq_case_sql('e')} AS d
+        FROM corpus CROSS JOIN cents CROSS JOIN jj
+    ),
+    codes AS (
+        SELECT neighbor_id, j, c FROM (
+            SELECT neighbor_id, j, c,
+                   row_number() OVER (PARTITION BY neighbor_id, j
+                                      ORDER BY d, c) AS rn
+            FROM dists) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+          FROM embeddings WHERE vec_id < 5),
+    qlut AS (
+        SELECT query_id, c, j, {_pq_case_sql('qe')} AS d
+        FROM q CROSS JOIN cents CROSS JOIN jj
+    ),
+    pair AS (
+        SELECT query_id, neighbor_id,
+               {", ".join(f"max(CASE WHEN j = {j} THEN d END) AS d{j}" for j in range(_PQ_M))}
+        FROM codes JOIN qlut USING (j, c)
+        WHERE query_id != neighbor_id
+        GROUP BY query_id, neighbor_id
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               ({" + ".join(f"d{j}" for j in range(_PQ_M))}) AS adist
+        FROM pair
+    )
+    SELECT query_id, neighbor_id, round(adist, 6) AS adist,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adist, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= 10
+"""
+
+
 ORACLES = {
     "ann_recall": _ANN_RECALL_SQL,
+    "ann_pq_topk": _ANN_PQ_SQL,
     "quantile_norm": """
         SELECT event_id,
                round(percent_rank() OVER (ORDER BY CAST(value AS DOUBLE)), 6) AS pct
@@ -7186,6 +7312,102 @@ FROM final f JOIN ordered o USING (doc_id) JOIN packed p USING (doc_id)
         SELECT m.user_id, m.n, ms.slope,
                round(m.my - ms.slope * m.mx, 6) + 0.0 AS intercept
         FROM meds m LEFT JOIN ms ON ms.user_id = m.user_id
+    """,
+    "mann_kendall": """
+        WITH base AS (
+            SELECT user_id,
+                   CAST(floor(epoch(ts)) AS DOUBLE) AS x,
+                   CAST(value AS DOUBLE) AS y
+            FROM events
+            WHERE ts IS NOT NULL AND value IS NOT NULL
+        ),
+        counts AS (SELECT user_id, count(*) AS n FROM base GROUP BY user_id),
+        s_tab AS (
+            SELECT a.user_id,
+                   sum(CAST(sign(b.y - a.y) AS BIGINT)) AS s
+            FROM base a JOIN base b
+              ON a.user_id = b.user_id AND a.x < b.x
+            GROUP BY a.user_id
+        ),
+        ties AS (
+            SELECT user_id,
+                   sum(t * (t - 1) * (2 * t + 5)) AS tie
+            FROM (SELECT user_id, count(*) AS t FROM base GROUP BY user_id, y)
+            GROUP BY user_id
+        )
+        SELECT c.user_id,
+               CAST(c.n AS BIGINT) AS n,
+               CAST(coalesce(s.s, 0) AS BIGINT) AS s_stat,
+               round(CAST(c.n * (c.n - 1) * (2 * c.n + 5) - t.tie AS DOUBLE)
+                     / 18.0, 6) AS var_s,
+               round(CASE
+                   WHEN c.n * (c.n - 1) * (2 * c.n + 5) - t.tie <= 0 THEN NULL
+                   WHEN coalesce(s.s, 0) > 0 THEN
+                       CAST(s.s - 1 AS DOUBLE)
+                       / sqrt(CAST(c.n * (c.n - 1) * (2 * c.n + 5) - t.tie
+                                   AS DOUBLE) / 18.0)
+                   WHEN coalesce(s.s, 0) < 0 THEN
+                       CAST(s.s + 1 AS DOUBLE)
+                       / sqrt(CAST(c.n * (c.n - 1) * (2 * c.n + 5) - t.tie
+                                   AS DOUBLE) / 18.0)
+                   ELSE 0.0 END, 6) + 0.0 AS z
+        FROM counts c
+        JOIN ties t ON t.user_id = c.user_id
+        LEFT JOIN s_tab s ON s.user_id = c.user_id
+    """,
+    "spearman": """
+        WITH base AS (
+            SELECT event_type,
+                   CAST(floor(epoch(ts)) AS DOUBLE) AS x,
+                   CAST(value AS DOUBLE) AS y
+            FROM events
+            WHERE ts IS NOT NULL AND value IS NOT NULL
+        ),
+        ranked AS (
+            SELECT event_type,
+                   2 * rank() OVER (PARTITION BY event_type ORDER BY x)
+                     + count(*) OVER (PARTITION BY event_type, x) - 1 AS a,
+                   2 * rank() OVER (PARTITION BY event_type ORDER BY y)
+                     + count(*) OVER (PARTITION BY event_type, y) - 1 AS b
+            FROM base
+        ),
+        mom AS (
+            SELECT event_type,
+                   count(*) AS n,
+                   sum(a) AS sa, sum(b) AS sb,
+                   sum(a * a) AS saa, sum(b * b) AS sbb,
+                   sum(a * b) AS sab
+            FROM ranked GROUP BY event_type
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               round(CASE WHEN n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0
+                     THEN CAST(n * sab - sa * sb AS DOUBLE)
+                          / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+                                 * CAST(n * sbb - sb * sb AS DOUBLE))
+                     ELSE NULL END, 6) + 0.0 AS rho
+        FROM mom
+    """,
+    "vocab_growth": """
+        WITH terms AS (
+            SELECT source, t, count(*) AS tf
+            FROM (
+                SELECT source,
+                       unnest(string_split(regexp_replace(lower(trim(text)),
+                                                          '\\s+', ' ', 'g'),
+                                           ' ')) AS t
+                FROM documents
+            )
+            WHERE t != ''
+            GROUP BY source, t
+        )
+        SELECT source,
+               CAST(sum(tf) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS vocab,
+               CAST(count(*) FILTER (WHERE tf = 1) AS BIGINT) AS hapax,
+               round(CAST(count(*) AS DOUBLE) / CAST(sum(tf) AS DOUBLE), 6)
+                   AS ttr
+        FROM terms
+        GROUP BY source
     """,
     "ab_test": """
         WITH tagged AS (

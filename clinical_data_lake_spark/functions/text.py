@@ -606,3 +606,47 @@ def gopher_quality(
         n_stop.alias("n_stop_hits"),
         F.coalesce(passed, F.lit(False)).alias("pass_gopher"),
     )
+
+
+def vocab_growth(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    digits: int = 6,
+) -> DataFrame:
+    """Lexical-diversity profile per corpus slice: token count, vocab
+    size, hapax-legomena count (terms seen exactly once) and type-token
+    ratio — the Heaps-law inputs a pretraining-mix curator reads to
+    spot template-heavy or near-duplicate sources (low TTR, thin hapax
+    tail) before sampling weights are chosen. All integer-exact except
+    the single rounded TTR division.
+
+    Scale shape: one explode over normalized whitespace tokens, one
+    (group, term) count (the only fact-sized shuffle, map-side
+    combinable), then a group rollup of the term table. No token
+    strings leave the first aggregation.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    terms = (
+        docs.select(F.col(group_col), F.explode(F.split(norm, " ")).alias("__t__"))
+        .filter(F.col("__t__") != "")
+        .groupBy(group_col, "__t__")
+        .agg(F.count(F.lit(1)).alias("__tf__"))
+    )
+    return (
+        terms.groupBy(group_col)
+        .agg(
+            F.sum("__tf__").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("vocab"),
+            F.sum((F.col("__tf__") == 1).cast("long")).cast("long").alias("hapax"),
+        )
+        .select(
+            group_col,
+            "n_tokens",
+            "vocab",
+            "hapax",
+            F.round(F.col("vocab").cast("double") / F.col("n_tokens"), digits).alias(
+                "ttr"
+            ),
+        )
+    )

@@ -382,6 +382,185 @@ def lsh_topk(
     )
 
 
+def pq_centroids(
+    corpus: DataFrame,
+    k_cent: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic PQ codebook source: the ``k_cent`` corpus vectors
+    with the smallest md5("seed:id") — the same bounded TakeOrdered
+    sample ``ivf_topk`` uses, so any SQL engine rebuilds the identical
+    codebook (subspace j of centroid c is just a slice of vector c).
+    At scale the collect is k_cent x dim floats, independent of corpus
+    size."""
+    h = F.md5(
+        F.concat_ws(":", F.lit(seed).cast("string"), F.col(id_col).cast("string"))
+    )
+    rows = (
+        corpus.select(
+            _as_double(vec_col).alias("e"), h.alias("h"), F.col(id_col).alias("i")
+        )
+        .orderBy("h", "i")
+        .limit(k_cent)
+        .collect()
+    )
+    return [list(r["e"]) for r in rows]
+
+
+def _chain_sum(terms):
+    """Left-associated sum of Column terms — the same IEEE evaluation
+    order a SQL engine gives `t1 + t2 + ... + tn`, so oracle twins can
+    reproduce the doubles bit-for-bit."""
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def _subdist_col(vec_col: Column, cent_col: Column, offset: int, d_sub: int) -> Column:
+    """Squared L2 between aligned subvectors of two array columns
+    (1-based ``offset``), as a fixed left-associated chain."""
+    terms = []
+    for t in range(d_sub):
+        d = F.element_at(vec_col, offset + t + 1) - F.element_at(
+            cent_col, offset + t + 1
+        )
+        terms.append(d * d)
+    return _chain_sum(terms)
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    k_cent: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011) with asymmetric
+    distance computation, expressed entirely in codegen'd column
+    expressions — no UDF anywhere:
+
+    1. ENCODE: each corpus vector becomes ``m`` one-byte codes, the
+       argmin centroid per subspace (``array_min`` over
+       struct(dist, c) — deterministic (d, c) tiebreak). At 100 TB
+       this is the point: the corpus is scanned once and reduced to
+       m bytes/vector; the original vectors never enter the search.
+    2. LUT: each QUERY row precomputes its m x k_cent table of
+       subspace distances once (queries are few; the heavy expression
+       runs per query row, not per pair).
+    3. ADC: a pair's approximate distance is the m-way left-assoc sum
+       of LUT entries picked by the corpus codes — one array index +
+       one add per subspace per pair.
+
+    Codebook determinism: centroids come from ``pq_centroids`` (md5
+    TakeOrdered), so the driver's DuckDB oracle replays encode + LUT +
+    ADC verbatim — unlike trained-KMeans IVF, PQ here is fully
+    SQL-certifiable. Returns (query_id, neighbor_id, adist, rnk) for
+    the top ``k`` by (adist, neighbor_id)."""
+    if centroids is None:
+        centroids = pq_centroids(corpus, k_cent, seed, id_col, vec_col)
+    k_cent = len(centroids)
+    dim = len(centroids[0])
+    if dim % m:
+        raise ValueError(f"pq_topk: dim {dim} not divisible by m {m}")
+    d_sub = dim // m
+
+    # One giant argmin expression per code column blows the codegen
+    # method limit (measured: Janino compile failure -> interpreted
+    # fallback at 8x16x8 = 1024 terms). Instead explode each vector
+    # against a LITERAL array of (c, centroid) structs — m x d_sub
+    # terms per exploded row stays comfortably codegen'd — and take
+    # the per-subspace argmin as a min(struct(d, c)) aggregate (same
+    # (d, c) tiebreak order as the SQL twin's row_number).
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("c"),
+                F.array(*[F.lit(float(x)) for x in centroids[c]]).alias("ce"),
+            )
+            for c in range(k_cent)
+        ]
+    )
+
+    def _dists(df: DataFrame, out_id: str) -> DataFrame:
+        ex = df.select(
+            F.col(id_col).alias(out_id),
+            _as_double(vec_col).alias("__v__"),
+            F.explode(cent_lit).alias("__cent__"),
+        )
+        dcols = [
+            _subdist_col(
+                F.col("__v__"), F.col("__cent__")["ce"], j * d_sub, d_sub
+            ).alias(f"__d{j}__")
+            for j in range(m)
+        ]
+        return ex.select(out_id, F.col("__cent__")["c"].alias("__c__"), *dcols)
+
+    codes = (
+        _dists(corpus, "neighbor_id")
+        .groupBy("neighbor_id")
+        .agg(
+            *[
+                F.min(F.struct(F.col(f"__d{j}__").alias("d"), F.col("__c__").alias("c")))[
+                    "c"
+                ].alias(f"__code{j}__")
+                for j in range(m)
+            ]
+        )
+    )
+    # LUT arrays indexed by c (sort_array orders the (c, d...) structs
+    # by c; 16-element arrays, so the interpreted transform is noise)
+    qd = _dists(queries, "query_id")
+    q = (
+        qd.groupBy("query_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("__c__").alias("c"),
+                        *[F.col(f"__d{j}__").alias(f"d{j}") for j in range(m)],
+                    )
+                )
+            ).alias("__rows__")
+        )
+        .select(
+            "query_id",
+            # note the closure: a two-param lambda would make
+            # F.transform pass the ELEMENT INDEX as the second arg
+            *[
+                F.transform(
+                    F.col("__rows__"), (lambda jj: lambda x: x[f"d{jj}"])(j)
+                ).alias(f"__lut{j}__")
+                for j in range(m)
+            ],
+        )
+    )
+
+    adist = _chain_sum(
+        [
+            F.element_at(F.col(f"__lut{j}__"), F.col(f"__code{j}__") + 1)
+            for j in range(m)
+        ]
+    )
+    pairs = codes.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).select("query_id", "neighbor_id", adist.alias("adist"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    return (
+        pairs.select("*", F.row_number().over(w).cast("long").alias("rnk"))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round(F.col("adist"), 6).alias("adist"), "rnk"
+        )
+    )
+
+
 def maxabs_scale(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """1-row DataFrame holding the corpus-wide max |component| — the
     symmetric-quantization scale. A full-scan agg that reduces to one

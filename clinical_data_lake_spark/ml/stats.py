@@ -950,3 +950,67 @@ def dashboard_assoc(
         F.lit(str(b_lbl)).alias("cond_b"),
         "n_11", "n_10", "n_01", "n_00", "chi2",
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Spearman rank correlation per group: Pearson's formula over
+    AVERAGE ranks (the tie-correct form), computed entirely in integer
+    arithmetic until the final division — doubled average ranks
+    a = 2*min_rank + tie_count - 1 are integers, every moment
+    accumulates as DECIMAL(38,0), so the statistic is exact and
+    partition-invariant; rho is invariant under the doubling (Pearson
+    is scale-free).
+
+    Scale shape: two rank windows partitioned BY GROUP AND ordered by
+    the value (never a global sort), tie counts ride a window over
+    (group, value), then one map-side-combinable moment aggregate per
+    group. Returns (group..., n, rho); constant x or y yields NULL
+    rho. Monotonic-association screen: where ``corr_matrix`` answers
+    "linear?", this answers "monotone?" — robust to outliers and any
+    monotone transform of either variable.
+    """
+    gcols = list(group_cols)
+    base = df.select(
+        *gcols,
+        F.col(x_col).cast("double").alias("__x__"),
+        F.col(y_col).cast("double").alias("__y__"),
+    ).filter(F.col("__x__").isNotNull() & F.col("__y__").isNotNull())
+    wx = Window.partitionBy(*gcols).orderBy("__x__")
+    wy = Window.partitionBy(*gcols).orderBy("__y__")
+    wtx = Window.partitionBy(*gcols, "__x__")
+    wty = Window.partitionBy(*gcols, "__y__")
+    ranked = base.select(
+        *gcols,
+        (2 * F.rank().over(wx) + F.count(F.lit(1)).over(wtx) - 1)
+        .cast("long")
+        .alias("__a__"),
+        (2 * F.rank().over(wy) + F.count(F.lit(1)).over(wty) - 1)
+        .cast("long")
+        .alias("__b__"),
+    )
+    d = "decimal(38,0)"
+    a, b = F.col("__a__"), F.col("__b__")
+    mom = ranked.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(a.cast(d)).alias("__sa__"),
+        F.sum(b.cast(d)).alias("__sb__"),
+        F.sum((a * a).cast(d)).alias("__saa__"),
+        F.sum((b * b).cast(d)).alias("__sbb__"),
+        F.sum((a * b).cast(d)).alias("__sab__"),
+    )
+    n = F.col("n").cast(d)
+    num = (n * F.col("__sab__") - F.col("__sa__") * F.col("__sb__")).cast("double")
+    da = (n * F.col("__saa__") - F.col("__sa__") * F.col("__sa__")).cast("double")
+    db = (n * F.col("__sbb__") - F.col("__sb__") * F.col("__sb__")).cast("double")
+    rho = F.when(
+        (da > 0.0) & (db > 0.0), num / F.sqrt(da * db)
+    ).otherwise(F.lit(None).cast("double"))
+    return mom.select(
+        *gcols, "n", (F.round(rho, digits) + F.lit(0.0)).alias("rho")
+    )

@@ -599,3 +599,93 @@ def theil_sen(
             ).alias("intercept"),
         )
     )
+
+
+def mann_kendall(
+    events: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    digits: int = 6,
+    max_points: int = 1000,
+) -> DataFrame:
+    """Mann-Kendall trend test per series: S = sum over time-ordered
+    pairs of sign(y_j - y_i), the tie-corrected variance
+    var(S) = [n(n-1)(2n+5) - SUM_t t(t-1)(2t+5)] / 18 over the y-tie
+    groups, and the continuity-corrected normal score z — the
+    distribution-free "is there a monotonic trend" companion to
+    ``theil_sen``'s "how steep is it". Pairs with EQUAL x carry no
+    time order and are excluded from S (the standard treatment; the
+    variance's x-tie term is omitted and documented as such).
+
+    Everything up to z is exact integer arithmetic (sign cast to
+    long, tie products in bigint), so the result is
+    partition-invariant by construction; z is the only float.
+
+    Scale shape: the pair join is within each series key (quadratic
+    per series — same loud in-plan ``max_points`` guard as
+    ``theil_sen``, riding a column the join consumes so Catalyst
+    cannot prune it); the tie correction is one (key, y) groupBy.
+    Returns (key, n, s_stat, var_s, z); series with n < 2 or zero
+    variance yield NULL z.
+    """
+    base = events.select(
+        F.col(key_col),
+        F.col(x_col).cast("double").alias("__x__"),
+        F.col(y_col).cast("double").alias("__y__"),
+    ).filter(F.col("__x__").isNotNull() & F.col("__y__").isNotNull())
+    counts = base.groupBy(key_col).agg(F.count(F.lit(1)).alias("__n__"))
+    guard_msg = F.concat(
+        F.lit(
+            f"mann_kendall: series over {max_points} points (pair join "
+            f"is quadratic per series); bucket x first or raise "
+            f"max_points; offending key: "
+        ),
+        F.col(key_col).cast("string"),
+    )
+    a = base.join(counts, on=key_col).select(
+        key_col,
+        F.when(F.col("__n__") <= F.lit(max_points), F.col("__x__"))
+        .otherwise(F.raise_error(guard_msg))
+        .alias("__xa__"),
+        F.col("__y__").alias("__ya__"),
+    )
+    b = base.select(key_col, F.col("__x__").alias("__xb__"), F.col("__y__").alias("__yb__"))
+    s_tab = (
+        a.join(b, on=key_col)
+        .filter(F.col("__xa__") < F.col("__xb__"))
+        .groupBy(key_col)
+        .agg(
+            F.sum(F.signum(F.col("__yb__") - F.col("__ya__")).cast("long"))
+            .alias("__s__")
+        )
+    )
+    t = F.col("__t__")
+    ties = (
+        base.groupBy(key_col, "__y__")
+        .agg(F.count(F.lit(1)).alias("__t__"))
+        .groupBy(key_col)
+        .agg(F.sum(t * (t - 1) * (2 * t + 5)).alias("__tie__"))
+    )
+    n = F.col("__n__")
+    var_s = (
+        (n * (n - 1) * (2 * n + 5) - F.col("__tie__")).cast("double") / F.lit(18.0)
+    )
+    s = F.col("__s__")
+    z = (
+        F.when(var_s <= 0.0, F.lit(None).cast("double"))
+        .when(s > 0, (s - 1).cast("double") / F.sqrt(var_s))
+        .when(s < 0, (s + 1).cast("double") / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        counts.join(ties, on=key_col)
+        .join(s_tab, on=key_col, how="left")
+        .select(
+            key_col,
+            n.cast("long").alias("n"),
+            F.coalesce(s, F.lit(0)).cast("long").alias("s_stat"),
+            F.round(var_s, digits).alias("var_s"),
+            (F.round(z, digits) + F.lit(0.0)).alias("z"),
+        )
+    )

@@ -1,0 +1,103 @@
+"""r9 LLM-pipeline operators: product-quantization ANN."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from clinical_data_lake_spark.llm.similarity import pq_centroids, pq_topk
+
+
+def _np_pq_adc(queries, corpus, centroids, m, k):
+    """Reference ADC in numpy: encode corpus by per-subspace argmin
+    (ties -> smallest centroid index), LUT per query, left-assoc sums
+    (numpy float64 ops on the same doubles match Spark's chains here
+    because each chain is summed in the same order)."""
+    cents = np.asarray(centroids, float)
+    dim = cents.shape[1]
+    d_sub = dim // m
+    out = {}
+    codes = {}
+    for nid, v in corpus:
+        v = np.asarray(v, float)
+        cs = []
+        for j in range(m):
+            sub = v[j * d_sub : (j + 1) * d_sub]
+            csub = cents[:, j * d_sub : (j + 1) * d_sub]
+            d = ((csub - sub) ** 2).sum(axis=1)
+            cs.append(int(np.lexsort((np.arange(len(d)), d))[0]))
+        codes[nid] = cs
+    for qid, qv in queries:
+        qv = np.asarray(qv, float)
+        scored = []
+        for nid, _ in corpus:
+            if nid == qid:
+                continue
+            tot = 0.0
+            for j in range(m):
+                c = codes[nid][j]
+                sub = qv[j * d_sub : (j + 1) * d_sub]
+                csub = cents[c, j * d_sub : (j + 1) * d_sub]
+                tot += float(((csub - sub) ** 2).sum())
+            scored.append((tot, nid))
+        scored.sort()
+        out[qid] = [(nid, round(t, 6), r + 1) for r, (t, nid) in enumerate(scored[:k])]
+    return out
+
+
+def test_pq_topk_matches_numpy_adc(spark):
+    rnd = random.Random(5)
+    dim, m = 8, 4
+    rows = [
+        Row(vec_id=i, embedding=[rnd.uniform(-1, 1) for _ in range(dim)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows)
+    centroids = [list(rows[i].embedding) for i in (3, 11, 19, 27)]
+    got = pq_topk(
+        emb.filter(F.col("vec_id") < 3), emb, k=5, m=m, centroids=centroids
+    ).collect()
+    data = [(r.vec_id, r.embedding) for r in rows]
+    want = _np_pq_adc([d for d in data if d[0] < 3], data, centroids, m, 5)
+    got_by_q = {}
+    for r in got:
+        got_by_q.setdefault(r.query_id, []).append((r.neighbor_id, r.adist, r.rnk))
+    for qid, items in want.items():
+        got_items = sorted(got_by_q[qid], key=lambda x: x[2])
+        assert [(n, r) for n, _, r in got_items] == [(n, r) for n, _, r in items]
+        for (gn, ga, _), (wn, wa, _) in zip(got_items, items):
+            assert ga == pytest.approx(wa, abs=1e-6), (qid, gn, wn)
+
+
+def test_pq_topk_recovers_planted_clusters(spark):
+    """Well-separated clusters: with one centroid landing in each
+    cluster, every query's top neighbors are its own cluster."""
+    rnd = random.Random(9)
+    dim = 16
+    centers = {0: [4.0] * 8 + [0.0] * 8, 1: [0.0] * 8 + [4.0] * 8}
+    rows = []
+    for i in range(60):
+        c = centers[i % 2]
+        rows.append(
+            Row(vec_id=i, embedding=[x + rnd.gauss(0, 0.05) for x in c])
+        )
+    emb = spark.createDataFrame(rows)
+    out = pq_topk(
+        emb.filter(F.col("vec_id") < 4), emb, k=8, m=4, k_cent=8, seed=1
+    ).collect()
+    for r in out:
+        assert r.neighbor_id % 2 == r.query_id % 2, r
+
+
+def test_pq_centroids_deterministic_and_bounded(spark):
+    rows = [
+        Row(vec_id=i, embedding=[float(i), float(i % 3)]) for i in range(50)
+    ]
+    emb = spark.createDataFrame(rows)
+    a = pq_centroids(emb, k_cent=4, seed=7)
+    b = pq_centroids(emb.repartition(7), k_cent=4, seed=7)
+    assert a == b and len(a) == 4

@@ -1,0 +1,137 @@
+"""r9 stats operators: Mann-Kendall, Spearman, vocab growth."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from clinical_data_lake_spark.functions.text import vocab_growth
+from clinical_data_lake_spark.ml.stats import spearman_corr
+from clinical_data_lake_spark.operators.timeseries import mann_kendall
+
+
+def test_mann_kendall_monotone_series(spark):
+    # strictly increasing, no ties: S = n(n-1)/2, varS = n(n-1)(2n+5)/18
+    n = 10
+    df = spark.createDataFrame(
+        [("k", float(i), float(i * 2)) for i in range(n)],
+        "k string, x double, y double",
+    )
+    r = mann_kendall(df, "k", "x", "y").collect()[0]
+    assert r.n == n
+    assert r.s_stat == n * (n - 1) // 2 == 45
+    want_var = n * (n - 1) * (2 * n + 5) / 18.0
+    assert r.var_s == pytest.approx(want_var)
+    assert r.z == pytest.approx(round((45 - 1) / math.sqrt(want_var), 6))
+    # reversed: S = -45, continuity correction flips
+    rev = spark.createDataFrame(
+        [("k", float(i), float(-3 * i)) for i in range(n)],
+        "k string, x double, y double",
+    )
+    r2 = mann_kendall(rev, "k", "x", "y").collect()[0]
+    assert r2.s_stat == -45
+    assert r2.z == pytest.approx(round((-45 + 1) / math.sqrt(want_var), 6))
+
+
+def test_mann_kendall_tie_correction_and_degenerate(spark):
+    # y ties: groups {2,2,1} -> tie term = 2*1*9 * 2 groups of 2? ->
+    # two groups of size 2: each contributes 2*1*9 = 18
+    df = spark.createDataFrame(
+        [("k", 1.0, 5.0), ("k", 2.0, 5.0), ("k", 3.0, 7.0),
+         ("k", 4.0, 7.0), ("k", 5.0, 9.0)],
+        "k string, x double, y double",
+    )
+    r = mann_kendall(df, "k", "x", "y").collect()[0]
+    n = 5
+    want_var = (n * (n - 1) * (2 * n + 5) - 2 * (2 * 1 * 9)) / 18.0
+    assert r.var_s == pytest.approx(want_var)
+    # S: pairs with equal y contribute 0; increasing otherwise
+    # pairs: (1,2)=0 (2,3)=+ (2,4)=+ (2,5)=+ (1,3)=+ (1,4)=+ (1,5)=+
+    # (3,4)=0 (3,5)=+ (4,5)=+  -> S = 8
+    assert r.s_stat == 8
+    # constant y: S=0, varS has full tie correction -> may be 0 -> z NULL
+    const = spark.createDataFrame(
+        [("c", float(i), 4.0) for i in range(4)],
+        "k string, x double, y double",
+    )
+    rc = mann_kendall(const, "k", "x", "y").collect()[0]
+    assert rc.s_stat == 0 and rc.z is None
+
+
+def test_mann_kendall_guard_in_plan(spark):
+    big = spark.range(40).select(
+        F.lit("k").alias("k"),
+        F.col("id").cast("double").alias("x"),
+        F.col("id").cast("double").alias("y"),
+    )
+    spark.sparkContext.setJobGroup("mk_guard_probe", "plan-lock")
+    try:
+        guarded = mann_kendall(big, "k", "x", "y", max_points=10)
+        tracker = spark.sparkContext.statusTracker()
+        assert tracker.getJobIdsForGroup("mk_guard_probe") == []
+    finally:
+        spark.sparkContext.setJobGroup("", "")
+    with pytest.raises(Exception, match="quadratic"):
+        guarded.collect()
+
+
+def test_spearman_perfect_monotone_and_ties(spark):
+    # any monotone transform -> rho = +1 / -1
+    rows = [("g", float(i), math.exp(i / 3.0)) for i in range(12)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    assert spearman_corr(df, ["g"], "x", "y").collect()[0].rho == 1.0
+    df2 = spark.createDataFrame(
+        [("g", x, -y) for (_, x, y) in rows], "g string, x double, y double"
+    )
+    assert spearman_corr(df2, ["g"], "x", "y").collect()[0].rho == -1.0
+    # hand-computed tie case: x = 1,2,3,4; y = 10,10,20,30
+    # avg ranks x: 1,2,3,4 ; y: 1.5,1.5,3,4
+    # pearson on ranks = cov/sd: compute expected
+    xs = [1.0, 2.0, 3.0, 4.0]
+    ys = [1.5, 1.5, 3.0, 4.0]
+    n = 4
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(v * v for v in xs)
+    syy = sum(v * v for v in ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    want = (n * sxy - sx * sy) / math.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    df3 = spark.createDataFrame(
+        [("g", 1.0, 10.0), ("g", 2.0, 10.0), ("g", 3.0, 20.0), ("g", 4.0, 30.0)],
+        "g string, x double, y double",
+    )
+    got = spearman_corr(df3, ["g"], "x", "y").collect()[0]
+    assert got.rho == pytest.approx(round(want, 6))
+    # constant y -> NULL
+    dfc = spark.createDataFrame(
+        [("g", float(i), 1.0) for i in range(5)], "g string, x double, y double"
+    )
+    assert spearman_corr(dfc, ["g"], "x", "y").collect()[0].rho is None
+
+
+def test_spearman_partition_invariant(spark):
+    rows = [("g", float(i % 17), float((i * 7) % 13)) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    a = spearman_corr(df, ["g"], "x", "y").collect()[0].rho
+    b = spearman_corr(df.repartition(13), ["g"], "x", "y").collect()[0].rho
+    assert a == b
+
+
+def test_vocab_growth_closed_form(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, source="a", text="x y x z"),
+            Row(doc_id=2, source="a", text="x q"),
+            Row(doc_id=3, source="b", text="m m m"),
+        ]
+    )
+    rows = {r.source: r for r in vocab_growth(docs, "source", "text").collect()}
+    a = rows["a"]
+    assert (a.n_tokens, a.vocab, a.hapax) == (6, 4, 3)  # x:3 y:1 z:1 q:1
+    assert a.ttr == pytest.approx(round(4 / 6, 6))
+    b = rows["b"]
+    assert (b.n_tokens, b.vocab, b.hapax) == (3, 1, 0)
