@@ -3062,6 +3062,53 @@ def q_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
     return text.vocab_growth(read_table(spark, sf, "documents"))
 
 
+def q_knn_classify(spark: SparkSession, sf: str) -> DataFrame:
+    """k-NN majority-vote label propagation (llm/similarity.py:
+    knn_classify): vectors vec_id < 20 classified from the labeled
+    rest — exact cosine top-10 with a broadcast query side, one vote
+    count, deterministic (votes desc, label asc) winner."""
+    emb = read_table(spark, sf, "embeddings")
+    return similarity.knn_classify(
+        emb.filter(F.col("vec_id") < 20), emb.filter(F.col("vec_id") >= 20), k=10
+    )
+
+
+def q_silhouette(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label simplified silhouette (llm/similarity.py:
+    silhouette_simplified): centroid-based cluster-quality score with
+    decimal-exact residual accumulation — the labeled-embedding
+    separation read-out."""
+    return similarity.silhouette_simplified(read_table(spark, sf, "embeddings"))
+
+
+def q_cumulative_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Users-ever-seen curve (operators/cohort.py:cumulative_distinct):
+    first-seen attribution + a calendar-bounded cumsum — the exact
+    reformulation of COUNT(DISTINCT) over a growing window."""
+    return cohort.cumulative_distinct(read_table(spark, sf, "events"))
+
+
+def q_sla_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Order SLA conformance per status (operators/quality.py:
+    sla_rollup): bool_and over each order's lineitems (ALL shipped
+    within 90 days) — the all-quantifier twin of tpch_q4's EXISTS."""
+    from .operators import quality as dq
+
+    return dq.sla_rollup(
+        read_table(spark, sf, "orders"), read_table(spark, sf, "lineitem"), days=90
+    )
+
+
+def q_cooc_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Windowed token co-occurrence (functions/text.py:
+    cooccurrence_counts): the GloVe counting pass — distance-banded
+    position self-join, alphabetic pair canonicalization, decimal 1/d
+    decay weights."""
+    return text.cooccurrence_counts(
+        read_table(spark, sf, "documents"), window=4, min_count=2
+    )
+
+
 def q_ab_test(spark: SparkSession, sf: str) -> DataFrame:
     """Two-proportion A/B read-out (ml/stats.py:ab_test): even vs odd
     user ids, conversion = purchase event; pooled z + Wilson 95%
@@ -3439,6 +3486,11 @@ QUERIES = {
     "mann_kendall": q_mann_kendall,
     "spearman": q_spearman,
     "vocab_growth": q_vocab_growth,
+    "knn_classify": q_knn_classify,
+    "silhouette": q_silhouette,
+    "cumulative_distinct": q_cumulative_distinct,
+    "sla_rollup": q_sla_rollup,
+    "cooc_counts": q_cooc_counts,
 }
 
 # -- r9 certification window (ROTATION.md): the driver checks the FIRST
@@ -7312,6 +7364,104 @@ FROM final f JOIN ordered o USING (doc_id) JOIN packed p USING (doc_id)
         SELECT m.user_id, m.n, ms.slope,
                round(m.my - ms.slope * m.mx, 6) + 0.0 AS intercept
         FROM meds m LEFT JOIN ms ON ms.user_id = m.user_id
+    """,
+    "knn_classify": f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+                   FROM embeddings WHERE vec_id < 20),
+        c AS (SELECT vec_id AS neighbor_id, label, embedding::DOUBLE[] AS ce
+              FROM embeddings WHERE vec_id >= 20 AND label IS NOT NULL),
+        topk AS (
+            SELECT query_id, neighbor_id, label FROM (
+                SELECT q.query_id, c.neighbor_id, c.label,
+                       row_number() OVER (PARTITION BY q.query_id
+                           ORDER BY {_cos_sql("qe", "ce")} DESC,
+                                    c.neighbor_id) AS rnk
+                FROM q, c WHERE q.query_id != c.neighbor_id)
+            WHERE rnk <= 10),
+        votes AS (SELECT query_id, label, count(*) AS votes
+                  FROM topk GROUP BY 1, 2)
+        SELECT query_id, label AS pred_label, CAST(votes AS BIGINT) AS votes
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY votes DESC, label ASC) AS rn FROM votes)
+        WHERE rn = 1
+    """,
+    "silhouette": """
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                   FROM embeddings WHERE label IS NOT NULL),
+        x AS (SELECT vec_id, label, i - 1 AS pos, v[i] AS val
+              FROM e, UNNEST(generate_series(1, len(v))) AS t(i)),
+        pd AS (SELECT label AS plbl, pos,
+                      round(CAST(sum(CAST(val AS DECIMAL(27,18))) AS DOUBLE)
+                            / count(*), 6) AS mean
+               FROM x GROUP BY label, pos),
+        d AS (SELECT x.vec_id, x.label, pd.plbl,
+                     sum(CAST((x.val - pd.mean) * (x.val - pd.mean)
+                              AS DECIMAL(27,18))) AS dd
+              FROM x JOIN pd ON pd.pos = x.pos
+              GROUP BY 1, 2, 3),
+        pp AS (SELECT vec_id, label,
+                      min(CASE WHEN plbl = label THEN dd END) AS a,
+                      min(CASE WHEN plbl != label THEN dd END) AS b
+               FROM d GROUP BY 1, 2),
+        s AS (SELECT label,
+                     CAST(CASE WHEN greatest(CAST(a AS DOUBLE),
+                                             CAST(b AS DOUBLE)) <= 0
+                          THEN 0.0
+                          ELSE (CAST(b AS DOUBLE) - CAST(a AS DOUBLE))
+                               / greatest(CAST(a AS DOUBLE),
+                                          CAST(b AS DOUBLE)) END
+                          AS DECIMAL(18,12)) AS sv
+              FROM pp)
+        SELECT label, CAST(count(*) AS BIGINT) AS n_points,
+               round(CAST(sum(sv) AS DOUBLE) / count(*), 6)
+                   AS mean_silhouette
+        FROM s GROUP BY label
+    """,
+    "cumulative_distinct": """
+        WITH fd AS (SELECT user_id, min(CAST(ts AS DATE)) AS day
+                    FROM events GROUP BY user_id),
+        d AS (SELECT day, CAST(count(*) AS BIGINT) AS new_entities
+              FROM fd GROUP BY day)
+        SELECT day, new_entities,
+               CAST(sum(new_entities) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_entities
+        FROM d ORDER BY day
+    """,
+    "sla_rollup": """
+        WITH per_order AS (
+            SELECT o_orderkey, o_orderstatus,
+                   bool_and(l_shipdate <= o_orderdate + INTERVAL 90 DAY)
+                       AS met
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            GROUP BY 1, 2)
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CASE WHEN met THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_met,
+               round(CAST(sum(CASE WHEN met THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 6) AS met_pct
+        FROM per_order GROUP BY 1
+    """,
+    "cooc_counts": """
+        WITH toks AS (
+            SELECT doc_id, i - 1 AS pos, w[i] AS w
+            FROM (SELECT doc_id,
+                         string_split(regexp_replace(lower(trim(text)),
+                                                     '\\s+', ' ', 'g'),
+                                      ' ') AS w
+                  FROM documents),
+                 UNNEST(range(1, len(w) + 1)) AS t(i)
+            WHERE w[i] != ''),
+        pairs AS (
+            SELECT least(a.w, b.w) AS term_a, greatest(a.w, b.w) AS term_b,
+                   CAST(round(1.0 / (b.pos - a.pos), 9) AS DECIMAL(18,9))
+                       AS wt
+            FROM toks a JOIN toks b ON a.doc_id = b.doc_id
+             AND b.pos > a.pos AND b.pos <= a.pos + 4)
+        SELECT term_a, term_b, CAST(count(*) AS BIGINT) AS n,
+               round(CAST(sum(wt) AS DOUBLE), 6) AS w_sum
+        FROM pairs GROUP BY 1, 2 HAVING count(*) >= 2
     """,
     "mann_kendall": """
         WITH base AS (

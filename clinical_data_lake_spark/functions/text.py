@@ -650,3 +650,60 @@ def vocab_growth(
             ),
         )
     )
+
+
+def cooccurrence_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 4,
+    min_count: int = 2,
+    digits: int = 6,
+) -> DataFrame:
+    """Token co-occurrence within a sliding window (the GloVe/PMI
+    counting pass): every ordered token pair at distance 1..``window``
+    inside a document, canonicalized alphabetically, with the
+    distance-decay weight sum GloVe uses (1/d, rounded to 9 dp and
+    accumulated as DECIMAL so the result is partition-invariant).
+    Returns (term_a, term_b, n, w_sum) for pairs seen >= ``min_count``
+    times.
+
+    Scale shape: the position self-join is keyed by the document and
+    banded to ``window`` positions — O(tokens x window) rows, never
+    all-pairs; the (term_a, term_b) rollup is the only vocab-sized
+    shuffle and is map-side combinable. At 100 TB this is the
+    embedding-pretraining co-occurrence builder: text never shuffles,
+    only (doc, pos, token) triples and pair counts do."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    toks = (
+        docs.select(F.col(id_col), F.posexplode(F.split(norm, " ")).alias("pos", "w"))
+        .filter(F.col("w") != "")
+    )
+    a = toks.select(
+        F.col(id_col), F.col("pos").alias("__pa__"), F.col("w").alias("__wa__")
+    )
+    b = toks.select(
+        F.col(id_col), F.col("pos").alias("__pb__"), F.col("w").alias("__wb__")
+    )
+    pairs = (
+        a.join(b, on=id_col)
+        .filter(
+            (F.col("__pb__") > F.col("__pa__"))
+            & (F.col("__pb__") <= F.col("__pa__") + window)
+        )
+        .select(
+            F.least("__wa__", "__wb__").alias("term_a"),
+            F.greatest("__wa__", "__wb__").alias("term_b"),
+            F.round(F.lit(1.0) / (F.col("__pb__") - F.col("__pa__")), 9)
+            .cast("decimal(18,9)")
+            .alias("__w__"),
+        )
+    )
+    return (
+        pairs.groupBy("term_a", "term_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("__w__").cast("double"), digits).alias("w_sum"),
+        )
+        .filter(F.col("n") >= min_count)
+    )

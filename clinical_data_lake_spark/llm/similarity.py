@@ -820,3 +820,102 @@ def semantic_dedup(
         .select("doc_a", "doc_b")
     )
     return near_dedup_canonical(assigned.select(id_col, "cell"), pairs, id_col=id_col)
+
+
+def knn_classify(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN majority-vote classification: exact cosine top-k against
+    the labeled corpus (broadcast query side — corpus scanned once),
+    then one (query, label) vote count and a deterministic winner pick
+    (votes desc, label asc). Returns (query_id, pred_label, votes).
+
+    The workhorse for label propagation over an embedded corpus —
+    weak-label expansion, split-leakage checks, pseudo-labeling
+    unlabeled slices from a curated seed set."""
+    labeled = corpus.filter(F.col(label_col).isNotNull())
+    topk = cosine_topk(queries, labeled, k, id_col, vec_col)
+    labels = labeled.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("__lbl__")
+    )
+    votes = (
+        topk.join(F.broadcast(labels), on="neighbor_id")
+        .groupBy("query_id", "__lbl__")
+        .agg(F.count(F.lit(1)).cast("long").alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("__lbl__"))
+    return (
+        votes.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .select("query_id", F.col("__lbl__").alias("pred_label"), "votes")
+    )
+
+
+def silhouette_simplified(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    digits: int = 6,
+) -> DataFrame:
+    """Simplified silhouette per label (centroid-based, the scalable
+    variant every clustering library offers): for each point,
+    a = squared L2 to its OWN class centroid, b = min squared L2 to
+    any OTHER class centroid, s = (b - a) / max(a, b); report the
+    per-label mean and count. The labeled-cluster quality read-out —
+    separation per class, mislabeled-slice detection — without the
+    O(n²) pair matrix of true silhouette.
+
+    Determinism: centroids are ``class_prototypes``' round-6 means;
+    per-dimension squared residuals accumulate as DECIMAL(27,18)
+    (sums associate), and the per-point scores average through
+    DECIMAL(18,12) — no float merge-order anywhere. One posexplode,
+    one broadcast join on dimension, two groupBys.
+    """
+    protos = class_prototypes(embeddings, label_col, vec_col).select(
+        F.col(label_col).alias("__plbl__"), "pos", "mean"
+    )
+    pts = (
+        embeddings.filter(F.col(label_col).isNotNull())
+        .select(
+            F.col("vec_id") if "vec_id" in embeddings.columns else F.monotonically_increasing_id().alias("vec_id"),
+            F.col(label_col),
+            F.posexplode(_as_double(vec_col)).alias("pos", "val"),
+        )
+    )
+    term = (
+        (F.col("val") - F.col("mean")) * (F.col("val") - F.col("mean"))
+    ).cast("decimal(27,18)")
+    d = (
+        pts.join(F.broadcast(protos), on="pos")
+        .groupBy("vec_id", label_col, "__plbl__")
+        .agg(F.sum(term).alias("__d__"))
+    )
+    per_point = d.groupBy("vec_id", label_col).agg(
+        F.min(F.when(F.col("__plbl__") == F.col(label_col), F.col("__d__"))).alias(
+            "__a__"
+        ),
+        F.min(F.when(F.col("__plbl__") != F.col(label_col), F.col("__d__"))).alias(
+            "__b__"
+        ),
+    )
+    a, b = F.col("__a__").cast("double"), F.col("__b__").cast("double")
+    s = F.when(F.greatest(a, b) <= 0.0, F.lit(0.0)).otherwise(
+        (b - a) / F.greatest(a, b)
+    )
+    return (
+        per_point.select(
+            F.col(label_col), s.cast("decimal(18,12)").alias("__s__")
+        )
+        .groupBy(label_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.round(
+                F.sum("__s__").cast("double") / F.count(F.lit(1)), digits
+            ).alias("mean_silhouette"),
+        )
+    )

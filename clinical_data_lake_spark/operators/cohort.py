@@ -399,3 +399,33 @@ def cohort_ltv(
         F.round(F.col("__pv__").cast("double"), digits).alias("period_value"),
         F.round(F.sum("__pv__").over(w).cast("double"), digits).alias("cum_value"),
     )
+
+
+def cumulative_distinct(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cumulative distinct entities per day — the "total users ever
+    seen" dashboard curve. COUNT(DISTINCT) over a growing window is
+    unbounded state; the exact-equivalent reformulation is first-seen
+    attribution: each entity counts once, on its first active day, and
+    the running total is a cumsum over the per-day first-seen counts.
+
+    Scale shape: one (key) min-day aggregation over the facts, one
+    per-day count, then a cumsum window over the DAY table — bounded
+    by the calendar (rows = distinct days), never by the fact table;
+    waived as such in the plan audit. Returns
+    (day, new_entities, cum_entities)."""
+    first_day = events.groupBy(key_col).agg(
+        F.min(F.to_date(F.col(ts_col))).alias("day")
+    )
+    daily = first_day.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("new_entities")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day",
+        "new_entities",
+        F.sum("new_entities").over(w).cast("long").alias("cum_entities"),
+    ).orderBy("day")

@@ -499,3 +499,48 @@ def profile_table(
             )
         )
     return stats.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+def sla_rollup(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    days: int = 90,
+    order_key: str = "o_orderkey",
+    line_key: str = "l_orderkey",
+    order_ts: str = "o_orderdate",
+    ship_ts: str = "l_shipdate",
+    group_col: str = "o_orderstatus",
+    digits: int = 6,
+) -> DataFrame:
+    """Order-level SLA conformance: an order MEETS the SLA iff EVERY
+    lineitem shipped within ``days`` of the order date (``bool_and``
+    — the all-quantifier aggregation, the operational-quality twin of
+    Q4's EXISTS). Rolled up per ``group_col``:
+    (group, n_orders, n_met, met_pct).
+
+    Scale shape: one fact-to-fact join shuffling on the order key, one
+    per-order bool_and (map-side combinable), one small rollup."""
+    j = orders.select(order_key, order_ts, group_col).join(
+        lineitem.select(line_key, ship_ts),
+        F.col(order_key) == F.col(line_key),
+    )
+    per_order = j.groupBy(order_key, group_col).agg(
+        F.bool_and(
+            F.col(ship_ts) <= F.col(order_ts) + F.expr(f"INTERVAL {int(days)} DAYS")
+        ).alias("__met__")
+    )
+    return (
+        per_order.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("__met__").cast("long")).cast("long").alias("n_met"),
+        )
+        .select(
+            group_col,
+            "n_orders",
+            "n_met",
+            F.round(
+                F.col("n_met").cast("double") / F.col("n_orders"), digits
+            ).alias("met_pct"),
+        )
+    )

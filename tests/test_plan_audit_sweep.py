@@ -40,6 +40,7 @@ WAIVERS = {
         "pr_curve": "n_bins-row decile table (rides lift_gain's walk)",
         "benford": "9-row digit table (total-count window)",
         "seq_gaps": "256-row bucket boundary table (last/first handoff)",
+        "cumulative_distinct": "per-day first-seen table (one row per calendar day)",
     },
 }
 

@@ -101,3 +101,54 @@ def test_pq_centroids_deterministic_and_bounded(spark):
     a = pq_centroids(emb, k_cent=4, seed=7)
     b = pq_centroids(emb.repartition(7), k_cent=4, seed=7)
     assert a == b and len(a) == 4
+
+
+def test_knn_classify_majority_and_tiebreak(spark):
+    from clinical_data_lake_spark.llm.similarity import knn_classify
+
+    # corpus: 6 labeled points in 2D; query at origin-ish nearest to
+    # three 'a' and one 'b' within k=4
+    rows = [
+        Row(vec_id=10, label="a", embedding=[1.0, 0.1]),
+        Row(vec_id=11, label="a", embedding=[1.0, -0.1]),
+        Row(vec_id=12, label="a", embedding=[0.9, 0.0]),
+        Row(vec_id=13, label="b", embedding=[0.5, 0.5]),
+        Row(vec_id=14, label="b", embedding=[-1.0, 0.2]),
+        Row(vec_id=15, label="b", embedding=[-1.0, -0.2]),
+    ]
+    corpus = spark.createDataFrame(rows)
+    qschema = "vec_id int, label string, embedding array<double>"
+    q = spark.createDataFrame([(1, None, [1.0, 0.0])], qschema)
+    r = knn_classify(q, corpus, k=4).collect()[0]
+    assert (r.query_id, r.pred_label, r.votes) == (1, "a", 3)
+    # exact tie at k=2 between a (1 vote) and b (1 vote)? build one:
+    q2 = spark.createDataFrame([(2, None, [0.0, 1.0])], qschema)
+    r2 = knn_classify(q2, corpus, k=2).collect()[0]
+    assert r2.pred_label in ("a", "b")  # deterministic winner exists
+    again = knn_classify(q2, corpus, k=2).collect()[0]
+    assert r2.pred_label == again.pred_label
+
+
+def test_silhouette_separated_vs_mixed(spark):
+    from clinical_data_lake_spark.llm.similarity import silhouette_simplified
+
+    import random as _r
+
+    rnd = _r.Random(3)
+    rows = []
+    vid = 0
+    for lbl, center in (("x", [5.0, 0.0]), ("y", [0.0, 5.0])):
+        for _ in range(20):
+            rows.append(Row(
+                vec_id=vid, label=lbl,
+                embedding=[c + rnd.gauss(0, 0.1) for c in center],
+            ))
+            vid += 1
+    sep = {r.label: r for r in
+           silhouette_simplified(spark.createDataFrame(rows)).collect()}
+    assert sep["x"].mean_silhouette > 0.9 and sep["y"].mean_silhouette > 0.9
+    # fully mixed labels -> silhouette near 0 or negative
+    mixed = [Row(vec_id=i, label="x" if i % 2 else "y",
+                 embedding=[rnd.gauss(0, 1), rnd.gauss(0, 1)]) for i in range(40)]
+    ms = silhouette_simplified(spark.createDataFrame(mixed)).collect()
+    assert all(r.mean_silhouette < 0.5 for r in ms)

@@ -135,3 +135,58 @@ def test_vocab_growth_closed_form(spark):
     assert a.ttr == pytest.approx(round(4 / 6, 6))
     b = rows["b"]
     assert (b.n_tokens, b.vocab, b.hapax) == (3, 1, 0)
+
+
+def test_cumulative_distinct_first_seen(spark):
+    from clinical_data_lake_spark.operators.cohort import cumulative_distinct
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00"), (1, "2024-01-03 10:00:00"),
+            (2, "2024-01-01 11:00:00"), (3, "2024-01-02 09:00:00"),
+            (3, "2024-01-05 09:00:00"), (4, "2024-01-05 09:00:00"),
+        ],
+        "user_id int, ts string",
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    rows = cumulative_distinct(df).collect()
+    got = [(str(r.day), r.new_entities, r.cum_entities) for r in rows]
+    assert got == [
+        ("2024-01-01", 2, 2), ("2024-01-02", 1, 3), ("2024-01-05", 1, 4),
+    ]
+
+
+def test_sla_rollup_all_quantifier(spark):
+    from clinical_data_lake_spark.operators.quality import sla_rollup
+
+    orders = spark.createDataFrame(
+        [(1, "O", "2024-01-01"), (2, "O", "2024-01-01"), (3, "F", "2024-01-01")],
+        "o_orderkey int, o_orderstatus string, o_orderdate string",
+    ).select("o_orderkey", "o_orderstatus",
+             F.col("o_orderdate").cast("timestamp").alias("o_orderdate"))
+    li = spark.createDataFrame(
+        [(1, "2024-01-15"), (1, "2024-02-20"),   # both within 90d -> met
+         (2, "2024-01-10"), (2, "2024-06-01"),   # one late -> not met
+         (3, "2024-02-01")],                      # met
+        "l_orderkey int, l_shipdate string",
+    ).select("l_orderkey", F.col("l_shipdate").cast("timestamp").alias("l_shipdate"))
+    rows = {r.o_orderstatus: r for r in sla_rollup(orders, li, days=90).collect()}
+    assert (rows["O"].n_orders, rows["O"].n_met) == (2, 1)
+    assert rows["O"].met_pct == 0.5
+    assert (rows["F"].n_orders, rows["F"].n_met) == (1, 1)
+
+
+def test_cooc_counts_window_and_weights(spark):
+    from clinical_data_lake_spark.functions.text import cooccurrence_counts
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a b a"), Row(doc_id=2, text="a b c")]
+    )
+    rows = {(r.term_a, r.term_b): r for r in
+            cooccurrence_counts(docs, window=2, min_count=1).collect()}
+    # doc1 pairs: (a,b,d1) (a,a,d2) (b,a,d1); doc2: (a,b,d1) (a,c,d2) (b,c,d1)
+    ab = rows[("a", "b")]
+    assert ab.n == 3 and ab.w_sum == 3.0  # three distance-1 pairs
+    aa = rows[("a", "a")]
+    assert aa.n == 1 and aa.w_sum == 0.5
+    ac = rows[("a", "c")]
+    assert ac.n == 1 and ac.w_sum == 0.5
