@@ -2981,6 +2981,34 @@ def q_degree_dist(spark: SparkSession, sf: str) -> DataFrame:
 
 
 
+def q_khop(spark: SparkSession, sf: str) -> DataFrame:
+    """3-hop BFS neighborhood of the 5 smallest edge endpoints over
+    the near-dup graph
+    (operators/graph.py:khop_neighbors): per-hop frontier joins with
+    visited anti-join — work per hop is frontier-degree, not graph
+    size. Min-hop semantics match the oracle's bounded recursive CTE."""
+    pairs = dedup.ngram_jaccard_pairs(
+        read_table(spark, sf, "documents"), threshold=0.2, max_doc_freq=100
+    )
+    from .operators.caching import track_persist
+
+    pairs = track_persist(pairs)
+    seeds = pairs.select(F.col("doc_a").alias("doc_id")).distinct().orderBy(
+        "doc_id"
+    ).limit(5)
+    return graph.khop_neighbors(
+        pairs, seeds, k=3, src="doc_a", dst="doc_b", node_col="doc_id"
+    )
+
+
+def q_forecast_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Seasonal-naive backtest of daily event value per type
+    (operators/timeseries.py:forecast_eval): predict each day by the
+    same weekday last week, score MAE/RMSE/MAPE decimal-exactly."""
+    ev = read_table(spark, sf, "events")
+    return timeseries.forecast_eval(ev, "event_type", "ts", "value", period_days=7)
+
+
 def q_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
     """Modified z-score outlier flags on order totals per priority
     (ml/featurize.py:mad_outliers): two bounded median passes, fact
@@ -3491,6 +3519,8 @@ QUERIES = {
     "cumulative_distinct": q_cumulative_distinct,
     "sla_rollup": q_sla_rollup,
     "cooc_counts": q_cooc_counts,
+    "khop": q_khop,
+    "forecast_eval": q_forecast_eval,
 }
 
 # -- r9 certification window (ROTATION.md): the driver checks the FIRST
@@ -7364,6 +7394,54 @@ FROM final f JOIN ordered o USING (doc_id) JOIN packed p USING (doc_id)
         SELECT m.user_id, m.n, ms.slope,
                round(m.my - ms.slope * m.mx, 6) + 0.0 AS intercept
         FROM meds m LEFT JOIN ms ON ms.user_id = m.user_id
+    """,
+    "khop": f"""
+        WITH RECURSIVE pairs AS (
+            SELECT doc_a, doc_b FROM ({_NGRAM_PAIRS_SQL})
+        ),
+        edges AS (
+            SELECT doc_a AS s, doc_b AS d FROM pairs
+            UNION
+            SELECT doc_b AS s, doc_a AS d FROM pairs
+        ),
+        seeds AS (
+            SELECT DISTINCT doc_a AS doc_id FROM pairs
+            ORDER BY doc_id LIMIT 5
+        ),
+        walk(node, hop) AS (
+            SELECT doc_id, 0 FROM seeds
+            UNION
+            SELECT e.d, w.hop + 1
+            FROM walk w JOIN edges e ON e.s = w.node
+            WHERE w.hop < 3
+        )
+        SELECT node, CAST(min(hop) AS INTEGER) AS hop
+        FROM walk GROUP BY node
+    """,
+    "forecast_eval": """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   sum(CAST(value AS DECIMAL(18,3))) AS actual
+            FROM events GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT a.event_type,
+                   abs(a.actual - p.actual) AS err,
+                   CASE WHEN a.actual != 0 THEN
+                       CAST(round(CAST(abs(a.actual - p.actual) AS DOUBLE)
+                                  / CAST(abs(a.actual) AS DOUBLE), 9)
+                            AS DECIMAL(18,9)) END AS ape
+            FROM daily a
+            JOIN daily p ON p.event_type = a.event_type
+                        AND p.day + INTERVAL 7 DAY = a.day
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_evals,
+               round(CAST(sum(err) AS DOUBLE) / count(*), 6) AS mae,
+               round(sqrt(CAST(sum(err * err) AS DOUBLE) / count(*)), 6)
+                   AS rmse,
+               round(CAST(sum(ape) AS DOUBLE) / count(ape), 6) AS mape
+        FROM scored GROUP BY event_type
     """,
     "knn_classify": f"""
         WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe

@@ -271,3 +271,52 @@ def degree_distribution(
         deg.groupBy("degree")
         .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
     )
+
+
+def khop_neighbors(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    undirected: bool = True,
+) -> DataFrame:
+    """Breadth-first k-hop neighborhood from a seed set: every node
+    reachable within ``k`` edges, tagged with its MINIMUM hop distance
+    — the ego-network / blast-radius primitive (contact tracing,
+    fraud-ring expansion, feature neighborhoods for graph ML).
+
+    Fixed-k frontier expansion, one join + min-aggregate per hop — the
+    standard distributed BFS: at each step only the NEW frontier joins
+    the edge table (visited nodes are anti-joined away), so work per
+    hop is frontier-out-degree, not graph size. ``k`` is a bounded
+    constant (the loop unrolls into the plan); for unbounded closure
+    use ``dedup.duplicate_clusters``' label propagation.
+
+    Returns (node, hop) with hop 0 for the seeds themselves; a node
+    first reached at two hops simultaneously dedupes via the min.
+    """
+    e = edges.select(F.col(src).alias("__s__"), F.col(dst).alias("__d__"))
+    if undirected:
+        e = e.union(
+            edges.select(F.col(dst).alias("__s__"), F.col(src).alias("__d__"))
+        )
+    e = e.distinct()
+    visited = seeds.select(F.col(node_col).alias("node")).distinct().select(
+        "node", F.lit(0).alias("hop")
+    )
+    frontier = visited
+    for hop in range(1, k + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["__s__"])
+            .select(F.col("__d__").alias("node"))
+            .distinct()
+            .join(visited.select("node"), on="node", how="left_anti")
+            .select("node", F.lit(hop).alias("hop"))
+        )
+        visited = visited.union(nxt)
+        # re-derive the frontier lazily from the union: only nodes at
+        # exactly this hop expand next round
+        frontier = nxt
+    return visited.select("node", F.col("hop").cast("int").alias("hop"))

@@ -689,3 +689,58 @@ def mann_kendall(
             (F.round(z, digits) + F.lit(0.0)).alias("z"),
         )
     )
+
+
+def forecast_eval(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    period_days: int = 7,
+    digits: int = 6,
+) -> DataFrame:
+    """Seasonal-naive backtest per series: predict each day's total by
+    the value ``period_days`` earlier and score MAE / RMSE / MAPE —
+    the benchmark every real forecaster must beat, and the cheapest
+    possible drift monitor for daily aggregates. Returns
+    (key, n_evals, mae, rmse, mape); MAPE averages only days with a
+    non-zero actual (undefined otherwise), NULL if none.
+
+    Determinism: daily totals are exact decimals, absolute errors and
+    squared errors stay decimal through the aggregates, and per-day
+    APE ratios round to 9 dp before their decimal sum — no float
+    merge-order anywhere. One (key, day) rollup, one self-join shifted
+    by the period (same key partitioning), one final rollup.
+    """
+    daily = events.groupBy(
+        F.col(key_col), F.to_date(F.col(ts_col)).alias("__day__")
+    ).agg(F.sum(F.col(value_col).cast("decimal(18,3)")).alias("__actual__"))
+    prior = daily.select(
+        F.col(key_col),
+        F.date_add(F.col("__day__"), period_days).alias("__day__"),
+        F.col("__actual__").alias("__pred__"),
+    )
+    scored = daily.join(prior, on=[key_col, "__day__"])
+    err = F.abs(F.col("__actual__") - F.col("__pred__"))
+    ape = F.when(
+        F.col("__actual__") != 0,
+        F.round(
+            err.cast("double") / F.abs(F.col("__actual__")).cast("double"), 9
+        ).cast("decimal(18,9)"),
+    )
+    return (
+        scored.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_evals"),
+            F.round(
+                F.sum(err).cast("double") / F.count(F.lit(1)), digits
+            ).alias("mae"),
+            F.round(
+                F.sqrt(F.sum(err * err).cast("double") / F.count(F.lit(1))),
+                digits,
+            ).alias("rmse"),
+            F.round(
+                F.sum(ape).cast("double") / F.count(ape), digits
+            ).alias("mape"),
+        )
+    )

@@ -190,3 +190,44 @@ def test_cooc_counts_window_and_weights(spark):
     assert aa.n == 1 and aa.w_sum == 0.5
     ac = rows[("a", "c")]
     assert ac.n == 1 and ac.w_sum == 0.5
+
+
+def test_khop_min_hop_and_frontier(spark):
+    from clinical_data_lake_spark.operators.graph import khop_neighbors
+
+    # path graph 1-2-3-4-5 plus a shortcut 1-4: node 4 is hop 2 via
+    # shortcut? no — 1-4 direct edge makes it hop 1; 5 becomes hop 2
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (1, 4)], "src int, dst int"
+    )
+    seeds = spark.createDataFrame([(1,)], "node int")
+    got = {r.node: r.hop for r in khop_neighbors(edges, seeds, k=2).collect()}
+    assert got == {1: 0, 2: 1, 4: 1, 3: 2, 5: 2}
+    # k=1 stops the frontier
+    got1 = {r.node: r.hop for r in khop_neighbors(edges, seeds, k=1).collect()}
+    assert got1 == {1: 0, 2: 1, 4: 1}
+    # isolated seed stays at hop 0
+    seeds2 = spark.createDataFrame([(99,)], "node int")
+    assert {r.node: r.hop for r in khop_neighbors(edges, seeds2, k=3).collect()} == {99: 0}
+
+
+def test_forecast_eval_seasonal_naive(spark):
+    from clinical_data_lake_spark.operators.timeseries import forecast_eval
+
+    rows = []
+    # key "a": day d value = 10 + d (daily), period 2 -> err = 2 always
+    for d in range(6):
+        rows.append(("a", f"2024-01-0{d+1} 00:00:00", 10.0 + d))
+    df = spark.createDataFrame(rows, "k string, ts string, v double").select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+    r = forecast_eval(df, "k", "ts", "v", period_days=2).collect()[0]
+    assert r.n_evals == 4  # days 3..6 have a 2-day prior
+    assert r.mae == 2.0 and r.rmse == 2.0
+    # mape = mean(2/12, 2/13, 2/14, 2/15) rounded
+    import statistics
+
+    want = round(statistics.mean(
+        round(2.0 / a, 9) for a in (12.0, 13.0, 14.0, 15.0)
+    ), 6)
+    assert r.mape == pytest.approx(want, abs=1e-6)
