@@ -126,6 +126,23 @@ BENCH_QUERIES = [
     "ab_test",
     "snapshot_cdc",
     "seq_gaps",
+    # r9 additions (appended — keep the comparable prefix): deep TPC-H
+    # composites, the SQL-certifiable PQ ANN, trend/association stats,
+    # and the GloVe-style co-occurrence builder
+    "tpch_q9",
+    "tpch_q13",
+    "tpch_q17",
+    "tpch_q18",
+    "ann_pq_topk",
+    "mann_kendall",
+    "spearman",
+    "vocab_growth",
+    "cooc_counts",
+    "knn_classify",
+    "silhouette",
+    "khop",
+    "forecast_eval",
+    "sla_rollup",
 ]
 
 # Scope the measured set without editing the file (drift A/B testing,
