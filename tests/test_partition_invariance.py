@@ -81,6 +81,26 @@ R8_NEW = [
 R9_EXACT = ["agg_cube", "agg_rollup"]
 R9_APPROX = ["agg_approx_distinct", "agg_approx_percentile"]
 
+# r9-new operators bound for the r10 window whose determinism leans on
+# decimal sums, IEEE chain ordering, argmin tiebreaks, min-hop BFS, or
+# rank arithmetic — certified before the driver ever sees them.
+R9_NEW = [
+    "ann_pq_topk",
+    "mann_kendall",
+    "spearman",
+    "vocab_growth",
+    "cooc_counts",
+    "knn_classify",
+    "silhouette",
+    "khop",
+    "forecast_eval",
+    "sla_rollup",
+    "cumulative_distinct",
+    "tpch_q9",
+    "tpch_q15",
+    "tpch_q17",
+]
+
 
 def _canon(v):
     if v is None:
@@ -143,7 +163,7 @@ def test_partition_invariant_approx(spark, name):
     )
 
 
-@pytest.mark.parametrize("name", ROTATED_IN + R8_NEW + R9_EXACT)
+@pytest.mark.parametrize("name", ROTATED_IN + R8_NEW + R9_EXACT + R9_NEW)
 def test_partition_invariant(spark, name):
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     hashes = {}
