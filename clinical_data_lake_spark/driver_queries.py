@@ -2981,6 +2981,15 @@ def q_degree_dist(spark: SparkSession, sf: str) -> DataFrame:
 
 
 
+def q_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact frequent parts (operators/aggregates.py:heavy_hitters):
+    per-partition Misra-Gries candidates (lossless above threshold) +
+    exact recount — sketch-accelerated, value-exact. Parts on >=0.06%
+    of lineitems."""
+    li = read_table(spark, sf, "lineitem")
+    return agg.heavy_hitters(li, "l_partkey", threshold=0.0006)
+
+
 def q_khop(spark: SparkSession, sf: str) -> DataFrame:
     """3-hop BFS neighborhood of the 5 smallest edge endpoints over
     the near-dup graph
@@ -3521,6 +3530,7 @@ QUERIES = {
     "cooc_counts": q_cooc_counts,
     "khop": q_khop,
     "forecast_eval": q_forecast_eval,
+    "heavy_hitters": q_heavy_hitters,
 }
 
 # -- r9 certification window (ROTATION.md): the driver checks the FIRST
@@ -7394,6 +7404,18 @@ FROM final f JOIN ordered o USING (doc_id) JOIN packed p USING (doc_id)
         SELECT m.user_id, m.n, ms.slope,
                round(m.my - ms.slope * m.mx, 6) + 0.0 AS intercept
         FROM meds m LEFT JOIN ms ON ms.user_id = m.user_id
+    """,
+    "heavy_hitters": """
+        WITH counts AS (
+            SELECT CAST(l_partkey AS VARCHAR) AS value,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM lineitem WHERE l_partkey IS NOT NULL
+            GROUP BY 1
+        ),
+        tot AS (SELECT count(l_partkey) AS n FROM lineitem)
+        SELECT value, cnt, round(CAST(cnt AS DOUBLE) / n, 6) AS share
+        FROM counts, tot
+        WHERE cnt >= 0.0006 * n
     """,
     "khop": f"""
         WITH RECURSIVE pairs AS (

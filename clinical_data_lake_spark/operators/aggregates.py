@@ -646,3 +646,79 @@ def label_entropy(
         ).alias("norm_entropy"),
     )
     return out
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    threshold: float = 0.001,
+    digits: int = 6,
+) -> DataFrame:
+    """EXACT frequent-item mining, sketch-accelerated: every value with
+    frequency >= ``threshold`` of the table, as (value, cnt, share) —
+    with counts that are exact, not estimates.
+
+    Two passes. Pass 1 runs Misra-Gries with ceil(1/threshold)
+    counters PER PARTITION (mapInPandas — partition-wide dict state
+    over the Arrow batch iterator, never a per-row Python call) and
+    emits each partition's surviving candidate values. The guarantee
+    composes: a value with global count >= t*N has, by pigeonhole,
+    count >= t*N_p in some partition, and MG with k = ceil(1/t)
+    counters retains every local value with count > N_p/(k+1) —
+    since k+1 > 1/t, t*N_p > N_p/(k+1), so every true heavy hitter
+    SURVIVES in at least one partition. Lossless candidate
+    generation; false candidates are fine. Pass 2 exactly counts the
+    candidate set (a semi join bounded by partitions x k values, never
+    the full value cardinality) and filters on the exact total.
+
+    The 100 TB point: the full (value, count) table for a
+    high-cardinality column is itself huge; this touches the data
+    twice but shuffles only candidates — the classic
+    candidate-then-verify shape shared with the dedup stack.
+    """
+    import math
+
+    k = int(math.ceil(1.0 / float(threshold)))
+    src = df.select(F.col(col).cast("string").alias("__v__"))
+
+    def mg_partition(batches):
+        # batch-weighted Misra-Gries (Berinde et al. reduction): merge
+        # each Arrow batch's value_counts, then if over capacity
+        # subtract the (k+1)-th largest count from everything and drop
+        # the non-positive — each reduction of size m removes
+        # >= (k+1)*m total mass, so any value's total decrement is
+        # <= N_p/(k+1): the same survival guarantee as per-row MG,
+        # vectorized instead of a per-row Python loop
+        import numpy as np
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            for v, c in pdf["__v__"].dropna().value_counts().items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > k:
+                vals = np.fromiter(counters.values(), dtype=np.int64)
+                m = int(np.partition(vals, len(vals) - (k + 1))[len(vals) - (k + 1)])
+                counters = {
+                    key: cnt - m for key, cnt in counters.items() if cnt > m
+                }
+        yield pd.DataFrame({"__v__": list(counters.keys())})
+
+    cand = src.mapInPandas(mg_partition, "__v__ string").distinct()
+    total = src.agg(F.count("__v__").alias("__n__"))
+    exact = (
+        src.join(F.broadcast(cand), on="__v__", how="left_semi")
+        .groupBy("__v__")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return (
+        exact.join(F.broadcast(total))
+        .filter(F.col("cnt") >= F.lit(float(threshold)) * F.col("__n__"))
+        .select(
+            F.col("__v__").alias("value"),
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("__n__"), digits).alias(
+                "share"
+            ),
+        )
+    )

@@ -231,3 +231,24 @@ def test_forecast_eval_seasonal_naive(spark):
         round(2.0 / a, 9) for a in (12.0, 13.0, 14.0, 15.0)
     ), 6)
     assert r.mape == pytest.approx(want, abs=1e-6)
+
+
+def test_heavy_hitters_lossless_above_threshold(spark):
+    from clinical_data_lake_spark.operators.aggregates import heavy_hitters
+
+    # 10k rows: value "hot" 5%, "warm" 1.2%, long tail of singletons
+    rows = (["hot"] * 500 + ["warm"] * 120
+            + [f"tail{i}" for i in range(9380)])
+    df = spark.createDataFrame([(v,) for v in rows], "v string").repartition(16)
+    got = {r.value: (r.cnt, r.share) for r in
+           heavy_hitters(df, "v", threshold=0.01).collect()}
+    assert got["hot"] == (500, 0.05)
+    assert got["warm"] == (120, 0.012)
+    # nothing below threshold sneaks in (exact recount filters false
+    # candidates) and counts are exact, not estimates
+    assert all(cnt >= 100 for cnt, _ in got.values())
+    # adversarial partitioning: all hot values crammed into one
+    # partition must still surface them
+    df1 = spark.createDataFrame([(v,) for v in rows], "v string").coalesce(1)
+    got1 = {r.value for r in heavy_hitters(df1, "v", threshold=0.01).collect()}
+    assert {"hot", "warm"} <= got1
