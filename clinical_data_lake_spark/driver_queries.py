@@ -2981,6 +2981,15 @@ def q_degree_dist(spark: SparkSession, sf: str) -> DataFrame:
 
 
 
+def q_tumble_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct active users per tumbling 10-minute window
+    (streaming/events.py:windowed_distinct_users): COUNT(DISTINCT)
+    reformulated as watermark-evictable dedup-then-count — the same
+    plan builder runs incrementally (parity pinned in
+    test_streaming.py); the batch twin is oracle-certified here."""
+    return streaming_events.windowed_distinct_users(read_table(spark, sf, "events"))
+
+
 def q_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     """Exact frequent parts (operators/aggregates.py:heavy_hitters):
     per-partition Misra-Gries candidates (lossless above threshold) +
@@ -3531,6 +3540,7 @@ QUERIES = {
     "khop": q_khop,
     "forecast_eval": q_forecast_eval,
     "heavy_hitters": q_heavy_hitters,
+    "tumble_distinct": q_tumble_distinct,
 }
 
 # -- r9 certification window (ROTATION.md): the driver checks the FIRST
@@ -7404,6 +7414,12 @@ FROM final f JOIN ordered o USING (doc_id) JOIN packed p USING (doc_id)
         SELECT m.user_id, m.n, ms.slope,
                round(m.my - ms.slope * m.mx, 6) + 0.0 AS intercept
         FROM meds m LEFT JOIN ms ON ms.user_id = m.user_id
+    """,
+    "tumble_distinct": """
+        SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
+        FROM events
+        GROUP BY 1
     """,
     "heavy_hitters": """
         WITH counts AS (

@@ -476,3 +476,42 @@ def session_stats(
         )
     )
     return out
+
+
+def windowed_distinct_users(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    width: str = "10 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Distinct active users per tumbling window:
+    (window_start, distinct_users) — the DAU/WAU-style reach metric.
+
+    COUNT(DISTINCT) is not an incremental streaming aggregate, so the
+    plan is the two-stage exact reformulation that IS: first a
+    (window, user) aggregate (streaming state = one row per active
+    user per window, exactly the information any exact distinct count
+    must hold; the watermark evicts closed windows), then a per-window
+    count. Spark >= 3.4 chains the two stateful aggregates in append
+    mode. The batch twin runs the identical plan — certified by the
+    driver oracle; streaming parity pinned in tests.
+    """
+    if watermark is not None:
+        events = events.withWatermark(ts_col, watermark)
+    # dedup-then-aggregate, NOT aggregate-then-aggregate: streaming
+    # dropDuplicates emits each first (window, user) occurrence
+    # immediately — it introduces no watermark-delayed rows, so the
+    # downstream windowed count is the long-supported single stateful
+    # aggregation (chained window aggregates trip the global-watermark
+    # correctness check and, in append mode, withhold unclosed
+    # windows). The event-time column rides through the dedup so the
+    # final window groups on real event time.
+    deduped = events.withColumn(
+        "__ws__", F.window(ts_col, width)["start"]
+    ).dropDuplicates([user_col, "__ws__"])
+    return (
+        deduped.groupBy(F.window(ts_col, width).alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("distinct_users"))
+        .select(F.col("w.start").cast("long").alias("window_start"), "distinct_users")
+    )

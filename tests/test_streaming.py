@@ -502,3 +502,20 @@ def test_streaming_session_stats_equals_batch(spark, events_stream_setup):
     cols = ["user_id", "session_start", "n_events", "duration_s",
             "is_bounce", "sum_value"]
     assert _sorted_rows(got, cols) == _sorted_rows(batch, cols)
+
+
+def test_windowed_distinct_users_stream_equals_batch(spark, events_stream_setup):
+    """Two chained stateful aggregates (window-user dedup -> window
+    count) must produce the same distinct-user counts incrementally as
+    in batch."""
+    ev, root, schema = events_stream_setup
+    batch = se.windowed_distinct_users(ev)
+    # replay files aren't event-time-ordered: a tight horizon would
+    # drop "late" rows at the dedup (same rationale as the sessionize
+    # parity test); 60 days > the event range
+    stream = se.windowed_distinct_users(
+        se.stream_from_batch_dir(spark, root, schema), watermark="60 days"
+    )
+    se.run_to_memory_sink(stream, "wdu_sink", output_mode="complete")
+    cols = ["window_start", "distinct_users"]
+    assert _sorted_rows(spark.table("wdu_sink"), cols) == _sorted_rows(batch, cols)
