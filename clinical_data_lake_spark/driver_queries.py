@@ -2981,6 +2981,17 @@ def q_degree_dist(spark: SparkSession, sf: str) -> DataFrame:
 
 
 
+def q_winnow_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """MOSS-style winnowing near-dup candidates (llm/dedup.py:
+    winnow_dup_pairs): rightmost-min fingerprint selection per sliding
+    gram-hash window, boilerplate-capped fingerprint join — the
+    position-robust LOCAL sampling complement to MinHash's global
+    sampling."""
+    return dedup.winnow_dup_pairs(
+        read_table(spark, sf, "documents"), n=3, window=4, min_shared=2
+    )
+
+
 def q_tumble_distinct(spark: SparkSession, sf: str) -> DataFrame:
     """Distinct active users per tumbling 10-minute window
     (streaming/events.py:windowed_distinct_users): COUNT(DISTINCT)
@@ -3541,6 +3552,7 @@ QUERIES = {
     "forecast_eval": q_forecast_eval,
     "heavy_hitters": q_heavy_hitters,
     "tumble_distinct": q_tumble_distinct,
+    "winnow_pairs": q_winnow_pairs,
 }
 
 # -- r9 certification window (ROTATION.md): the driver checks the FIRST
@@ -7414,6 +7426,43 @@ FROM final f JOIN ordered o USING (doc_id) JOIN packed p USING (doc_id)
         SELECT m.user_id, m.n, ms.slope,
                round(m.my - ms.slope * m.mx, 6) + 0.0 AS intercept
         FROM meds m LEFT JOIN ms ON ms.user_id = m.user_id
+    """,
+    "winnow_pairs": """
+        WITH toks AS (
+            SELECT doc_id,
+                   string_split(regexp_replace(lower(trim(text)),
+                                               '\\s+', ' ', 'g'), ' ') AS w
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, i - 1 AS p,
+                   md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS h
+            FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+            WHERE len(w) >= 3
+        ),
+        mx AS (SELECT doc_id, max(p) AS mp FROM grams GROUP BY doc_id),
+        sel AS (
+            SELECT g.doc_id, m.p, m.h,
+                   row_number() OVER (PARTITION BY g.doc_id, g.p
+                                      ORDER BY m.h ASC, m.p DESC) AS rn
+            FROM grams g
+            JOIN grams m ON m.doc_id = g.doc_id
+                        AND m.p >= g.p AND m.p < g.p + 4
+            JOIN mx ON mx.doc_id = g.doc_id
+            WHERE g.p + 3 <= mx.mp
+        ),
+        fps AS (
+            SELECT DISTINCT doc_id, h FROM sel WHERE rn = 1
+        ),
+        rare AS (
+            SELECT h FROM fps GROUP BY h HAVING count(*) <= 100
+        ),
+        kept AS (SELECT doc_id, h FROM fps WHERE h IN (SELECT h FROM rare))
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
     """,
     "tumble_distinct": """
         SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,

@@ -1219,3 +1219,117 @@ def ngram_probe_pairs(
         .select(id_col, probe_alias, jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003
+    — the MOSS algorithm): hash every word ``n``-gram, slide a window
+    of ``window`` consecutive gram hashes, and select each window's
+    RIGHTMOST MINIMUM. Guarantees: any shared substring of at least
+    n + window - 1 words produces at least one shared fingerprint, and
+    fingerprint density is ~2/(window+1) — position-robust local
+    sampling, unlike MinHash's global sampling.
+
+    Exactly the published selection rule: window anchors join their
+    member positions (banded self-join keyed by doc, O(tokens*window)
+    rows, no all-pairs), each window takes min(struct(hash, -pos)) —
+    the (value, rightmost) tie-break — and selections dedupe to
+    (id, pos, fp). Everything is integer/hash arithmetic, so the SQL
+    twin replays it verbatim.
+
+    Returns (id_col, pos, fp): the selected gram position and its
+    xxhash64 fingerprint.
+    """
+    # positions come from posexplode over the same zipped-slice gram
+    # construction word_shingles uses — deterministic in-doc order
+    # straight from the text, no row_number over physical row order
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    toks = F.split(norm, " ")
+    win = F.greatest(F.size("__t__") - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice("__t__", j + 1, win) for j in range(n)])
+    grams = (
+        docs.select(F.col(id_col), toks.alias("__t__"))
+        .filter(F.size("__t__") >= n)
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    zipped,
+                    lambda t: F.concat_ws(" ", *[t[str(j)] for j in range(n)]),
+                )
+            ).alias("__p__", "__g__"),
+        )
+        .select(id_col, "__p__", F.md5("__g__").alias("__h__"))
+    )
+    anchors = grams.select(F.col(id_col), F.col("__p__").alias("__j__"))
+    members = grams.select(
+        F.col(id_col), F.col("__p__"), F.col("__h__")
+    )
+    return (
+        anchors.join(members, on=id_col)
+        .filter(
+            (F.col("__p__") >= F.col("__j__"))
+            & (F.col("__p__") < F.col("__j__") + window)
+        )
+        .groupBy(id_col, "__j__")
+        .agg(
+            F.min(
+                F.struct(F.col("__h__").alias("h"), (-F.col("__p__")).alias("np"))
+            ).alias("__m__")
+        )
+        # drop windows that overrun the doc end (fewer than `window`
+        # members): the published scheme fingerprints full windows only
+        .join(
+            grams.groupBy(id_col).agg(F.max("__p__").alias("__mx__")), on=id_col
+        )
+        .filter(F.col("__j__") + window - 1 <= F.col("__mx__"))
+        .select(
+            id_col,
+            (-F.col("__m__")["np"]).cast("int").alias("pos"),
+            F.col("__m__")["h"].alias("fp"),
+        )
+        .distinct()
+    )
+
+
+def winnow_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    max_fp_freq: int = 100,
+) -> DataFrame:
+    """Near-dup candidate pairs by shared winnowing fingerprints:
+    (doc_a, doc_b, n_shared) for pairs sharing >= ``min_shared``
+    DISTINCT fingerprint values. ``max_fp_freq`` drops boilerplate
+    fingerprints appearing in more than that many documents before the
+    pair join — the same hot-key cap as the n-gram inverted index, and
+    the reason this scales: join fan-out is bounded per fingerprint.
+    """
+    fps = winnow_fingerprints(docs, id_col, text_col, n, window).select(
+        id_col, "fp"
+    ).distinct()
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__df__"))
+        .filter(F.col("__df__") <= max_fp_freq)
+        .select("fp")
+    )
+    fps = fps.join(rare, on="fp", how="left_semi")
+    a = fps.select(F.col(id_col).alias("doc_a"), "fp")
+    b = fps.select(F.col(id_col).alias("doc_b"), "fp")
+    return (
+        a.join(b, on="fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -152,3 +152,51 @@ def test_silhouette_separated_vs_mixed(spark):
                  embedding=[rnd.gauss(0, 1), rnd.gauss(0, 1)]) for i in range(40)]
     ms = silhouette_simplified(spark.createDataFrame(mixed)).collect()
     assert all(r.mean_silhouette < 0.5 for r in ms)
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """Schleimer et al. guarantees: (1) any shared run of at least
+    n + window - 1 words yields a shared fingerprint; (2) selection is
+    position-robust (a distinct prefix shifts positions but shared
+    content still fingerprints); (3) density is bounded by the number
+    of full windows."""
+    from clinical_data_lake_spark.llm.dedup import (
+        winnow_dup_pairs,
+        winnow_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 words >= 3+4-1
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="one two three four five " + shared + " tail1 x y"),
+            Row(doc_id=2, text=shared + " completely different ending here now"),
+            Row(doc_id=3, text="nothing in common with anything else at all ok"),
+        ]
+    )
+    fps = winnow_fingerprints(docs, n=3, window=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared 6-word run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+    # density: fingerprints <= full windows; and > 0
+    for d, n_words in ((1, 14), (2, 11), (3, 9)):
+        n_grams = n_words - 2
+        n_windows = n_grams - 3
+        assert 0 < len(by_doc[d]) <= n_windows
+    pairs = winnow_dup_pairs(docs, n=3, window=4, min_shared=1).collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {(1, 2)}
+
+
+def test_winnowing_rightmost_min_tiebreak(spark):
+    """A doc that is one repeated gram everywhere: every window's min
+    ties, the rightmost must win — fingerprint positions are the LAST
+    position of each window, and all fps are the single gram hash."""
+    from clinical_data_lake_spark.llm.dedup import winnow_fingerprints
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="a a a a a a a a a a")])
+    rows = winnow_fingerprints(docs, n=3, window=4).collect()
+    # 10 words -> 8 grams (pos 0..7) -> full windows j=0..4, rightmost
+    # min of window [j, j+3] is pos j+3 -> positions {3,4,5,6,7}
+    assert sorted(r.pos for r in rows) == [3, 4, 5, 6, 7]
+    assert len({r.fp for r in rows}) == 1
