@@ -2981,6 +2981,31 @@ def q_degree_dist(spark: SparkSession, sf: str) -> DataFrame:
 
 
 
+def q_bpe_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """One BPE counting step (llm/corpus.py:bpe_pair_counts over
+    word_symbol_table): frequency-weighted adjacent-symbol pair counts
+    — the SQL-certifiable proxy for the iterative ``bpe_merges``
+    trainer that reuses exactly this machinery each round."""
+    from .llm import corpus as llm_corpus
+
+    return llm_corpus.bpe_pair_counts(
+        llm_corpus.word_symbol_table(read_table(spark, sf, "documents"))
+    )
+
+
+def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """Learned BPE merge table (llm/corpus.py:bpe_train, 10 merges) —
+    iterative and hence rows-only for the driver; certified by (a) the
+    oracle-twinned ``bpe_pairs`` counting proxy and (b) the exact
+    pure-Python-reference unit in tests/test_r9_llm_ops.py."""
+    from .llm import corpus as llm_corpus
+
+    merges = llm_corpus.bpe_train(read_table(spark, sf, "documents"), n_merges=10)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, cnt long"
+    )
+
+
 def q_winnow_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """MOSS-style winnowing near-dup candidates (llm/dedup.py:
     winnow_dup_pairs): rightmost-min fingerprint selection per sliding
@@ -3553,6 +3578,8 @@ QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "tumble_distinct": q_tumble_distinct,
     "winnow_pairs": q_winnow_pairs,
+    "bpe_pairs": q_bpe_pairs,
+    "bpe_merges": q_bpe_merges,
 }
 
 # -- r9 certification window (ROTATION.md): the driver checks the FIRST
@@ -7426,6 +7453,26 @@ FROM final f JOIN ordered o USING (doc_id) JOIN packed p USING (doc_id)
         SELECT m.user_id, m.n, ms.slope,
                round(m.my - ms.slope * m.mx, 6) + 0.0 AS intercept
         FROM meds m LEFT JOIN ms ON ms.user_id = m.user_id
+    """,
+    "bpe_pairs": """
+        WITH words AS (
+            SELECT w, count(*) AS freq FROM (
+                SELECT unnest(string_split(regexp_replace(lower(trim(text)),
+                                                          '\\s+', ' ', 'g'),
+                                           ' ')) AS w
+                FROM documents)
+            WHERE w != '' GROUP BY w
+        ),
+        pairs AS (
+            SELECT substr(w, i, 1) AS l,
+                   CASE WHEN i < length(w) THEN substr(w, i + 1, 1)
+                        ELSE '</w>' END AS r,
+                   freq
+            FROM words, UNNEST(range(1, length(w) + 1)) AS t(i)
+        )
+        SELECT l AS "left", r AS "right",
+               CAST(sum(freq) AS BIGINT) AS cnt
+        FROM pairs GROUP BY 1, 2
     """,
     "winnow_pairs": """
         WITH toks AS (

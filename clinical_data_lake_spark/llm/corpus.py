@@ -463,3 +463,106 @@ def contamination_fraction(
             F.round(F.col("n_hit") / F.col("n_shingles"), 6).alias("contamination"),
         )
     )
+
+
+def word_symbol_table(
+    docs: DataFrame, text_col: str = "text", end_mark: str = "</w>"
+) -> DataFrame:
+    """Word-frequency table with initial BPE symbolization: each
+    distinct normalized word with its corpus frequency and its
+    character array terminated by ``end_mark`` (the Sennrich et al.
+    2016 end-of-word sentinel, so merges cannot cross words).
+    Vocab-sized — every BPE iteration runs on THIS table, never on
+    the corpus."""
+    words = (
+        _ensure_parallelism(docs)
+        .select(F.explode(F.split(_normalized(text_col), " ")).alias("__w__"))
+        .filter(F.col("__w__") != "")
+        .groupBy("__w__")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    chars = F.filter(F.split(F.col("__w__"), ""), lambda c: c != "")
+    return words.select(
+        F.col("__w__").alias("word"),
+        "freq",
+        F.concat(chars, F.array(F.lit(end_mark))).alias("symbols"),
+    )
+
+
+def bpe_pair_counts(state: DataFrame) -> DataFrame:
+    """Frequency-weighted adjacent-symbol pair counts over a
+    symbolization state — ONE BPE iteration's counting step, exposed
+    standalone because it is SQL-expressible and serves as the
+    oracle-twinned proxy certifying the machinery the iterative
+    ``bpe_train`` loop reuses. Returns (left, right, cnt)."""
+    n = F.size("symbols")
+    pairs = F.zip_with(
+        F.slice("symbols", 1, n - 1),
+        F.slice("symbols", 2, n - 1),
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+    )
+    return (
+        state.filter(n >= 2)
+        .select("freq", F.explode(pairs).alias("__p__"))
+        .groupBy(
+            F.col("__p__")["l"].alias("left"), F.col("__p__")["r"].alias("right")
+        )
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 20,
+) -> list[tuple[int, str, str, int]]:
+    """Learn ``n_merges`` byte-pair-encoding merges over the corpus
+    (Sennrich et al. 2016): repeatedly count frequency-weighted
+    adjacent symbol pairs, take the most frequent (ties broken
+    lexicographically — fully deterministic), and merge it everywhere
+    with standard leftmost-first non-overlapping application.
+
+    The 100 TB shape: the corpus is touched ONCE (the word-frequency
+    rollup); all ``n_merges`` iterations run on the vocab-sized symbol
+    table. Each iteration is one pair count + one bounded collect of a
+    single row (the argmax — the only driver round-trip, k rows total)
+    + one fold-based merge apply, with an eager localCheckpoint per
+    iteration so plan depth stays constant instead of nesting k
+    lambdas. Returns [(rank, left, right, cnt)] — the merge table a
+    tokenizer ships.
+    """
+    state = word_symbol_table(docs, text_col).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        top = (
+            bpe_pair_counts(state)
+            .orderBy(F.desc("cnt"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["cnt"] < 2:
+            break
+        left, right, cnt = top[0]["left"], top[0]["right"], top[0]["cnt"]
+        merges.append((rank, left, right, int(cnt)))
+        merged = left + right
+        # leftmost-first non-overlapping merge via a fold: append each
+        # symbol, collapsing when the accumulator tail is `left` and
+        # the incoming symbol is `right`. 'aaa' under (a,a) correctly
+        # becomes [aa, a]: after collapsing the first pair the tail is
+        # 'aa', which no longer matches.
+        apply_merge = F.aggregate(
+            F.col("symbols"),
+            F.expr("CAST(array() AS array<string>)"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (x == F.lit(right)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        state = state.select(
+            "word", "freq", apply_merge.alias("symbols")
+        ).localCheckpoint(eager=True)
+    return merges

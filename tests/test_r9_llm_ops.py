@@ -200,3 +200,68 @@ def test_winnowing_rightmost_min_tiebreak(spark):
     # min of window [j, j+3] is pos j+3 -> positions {3,4,5,6,7}
     assert sorted(r.pos for r in rows) == [3, 4, 5, 6, 7]
     assert len({r.fp for r in rows}) == 1
+
+
+def _py_bpe(texts, n_merges):
+    import collections
+    import re as _re
+
+    freqs = collections.Counter()
+    for t in texts:
+        for w in _re.sub(r"\s+", " ", t.strip().lower()).split(" "):
+            if w:
+                freqs[w] += 1
+    state = {w: [*w, "</w>"] for w in freqs}
+    merges = []
+    for rank in range(n_merges):
+        pc = collections.Counter()
+        for w, syms in state.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += freqs[w]
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if cnt < 2:
+            break
+        merges.append((rank, a, b, cnt))
+        for w, syms in state.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            state[w] = out
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    from clinical_data_lake_spark.llm.corpus import bpe_train
+
+    texts = [
+        "low low low low low",
+        "lower lower newer",
+        "newest newest newest widest widest",
+        "new new newer wider",
+    ]
+    docs = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    got = bpe_train(docs, n_merges=12)
+    want = _py_bpe(texts, 12)
+    assert got == want, (got, want)
+    assert len(got) >= 8  # the corpus genuinely supports many merges
+    # classic BPE behavior: an early merge builds a frequent suffix
+    merged_syms = {l + r for _, l, r, _ in got}
+    assert any(s in merged_syms for s in ("es", "est", "ne", "new"))
+
+
+def test_bpe_pair_counts_closed_form(spark):
+    from clinical_data_lake_spark.llm.corpus import (
+        bpe_pair_counts,
+        word_symbol_table,
+    )
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="ab ab b")])
+    got = {(r.left, r.right): r.cnt for r in
+           bpe_pair_counts(word_symbol_table(docs)).collect()}
+    # "ab" freq 2 -> (a,b):2, (b,</w>):2 ; "b" freq 1 -> (b,</w>):1
+    assert got == {("a", "b"): 2, ("b", "</w>"): 3}
