@@ -2831,6 +2831,109 @@ def q_tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_tpch_q7(spark: SparkSession, sf: str) -> DataFrame:
+    """Volume shipping (TPC-H Q7 shape): bilateral trade revenue
+    between two nations by ship year — the symmetric two-nation
+    predicate over a double nation join, both dims broadcast."""
+    n1 = read_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("__sk__"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = read_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("__ck__"), F.col("n_name").alias("cust_nation")
+    )
+    supp = read_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    cust = read_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    orders = read_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = read_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(n1), supp["s_nationkey"] == n1["__sk__"])
+        .join(F.broadcast(n2), cust["c_nationkey"] == n2["__ck__"])
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q_tpch_q8(spark: SparkSession, sf: str) -> DataFrame:
+    """National market share (TPC-H Q8 shape): one nation's share of a
+    region's ECONOMY-part order revenue per year — conditional
+    aggregation ratio over the full snowflake, exact decimal numerator
+    and denominator rendered as one rounded double."""
+    part = read_table(spark, sf, "part").filter(F.col("p_type") == "ECONOMY").select(
+        "p_partkey"
+    )
+    supp = read_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nat_s = read_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("__sk__"), F.col("n_name").alias("supp_nation")
+    )
+    cust = read_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    nat_c = read_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("__ck__"), F.col("n_regionkey").alias("__crk__")
+    )
+    reg = read_table(spark, sf, "region").filter(F.col("r_name") == "AMERICA").select(
+        "r_regionkey"
+    )
+    orders = read_table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = read_table(spark, sf, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nat_s), supp["s_nationkey"] == nat_s["__sk__"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nat_c), cust["c_nationkey"] == nat_c["__ck__"])
+        .join(F.broadcast(reg), nat_c["__crk__"] == reg["r_regionkey"])
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(zero)
+                ).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def q_tpch_q12(spark: SparkSession, sf: str) -> DataFrame:
+    """Shipping-priority classes (TPC-H Q12 shape, adapted — no
+    shipmode column): per lineitem return flag, count lines from
+    URGENT/HIGH orders vs the rest for one ship year — the join +
+    CASE-sum categorical rollup."""
+    orders = read_table(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    li = read_table(spark, sf, "lineitem").filter(
+        F.year("l_shipdate") == 1997
+    ).select("l_orderkey", "l_returnflag")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(high.cast("long")).cast("long").alias("high_line_count"),
+            F.sum((~high).cast("long")).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def q_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
     """Bucketed co-located join as a certified artifact
     (operators/bucketing.py): write orders and customer bucketed by
@@ -3580,6 +3683,9 @@ QUERIES = {
     "winnow_pairs": q_winnow_pairs,
     "bpe_pairs": q_bpe_pairs,
     "bpe_merges": q_bpe_merges,
+    "tpch_q7": q_tpch_q7,
+    "tpch_q8": q_tpch_q8,
+    "tpch_q12": q_tpch_q12,
 }
 
 # -- r9 certification window (ROTATION.md): the driver checks the FIRST
@@ -6944,6 +7050,56 @@ FROM final f JOIN ordered o USING (doc_id) JOIN packed p USING (doc_id)
         WHERE year(l_shipdate) = 1998
           AND l_discount >= 0.05 AND l_discount <= 0.07
           AND l_quantity < 24
+    """,
+    "tpch_q7": """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON n1.n_nationkey = s_nationkey
+        JOIN nation n2 ON n2.n_nationkey = c_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3
+    """,
+    "tpch_q8": """
+        SELECT year(o_orderdate) AS o_year,
+               round(CAST(sum(CASE WHEN n1.n_name = 'NATION_3'
+                     THEN CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,4))
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(18,4))) AS DOUBLE),
+               6) AS mkt_share
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation n1 ON n1.n_nationkey = s_nationkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n2 ON n2.n_nationkey = c_nationkey
+        JOIN region ON r_regionkey = n2.n_regionkey
+        WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    "tpch_q12": """
+        SELECT l_returnflag,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE year(l_shipdate) = 1997
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
     """,
     "tpch_q9": """
         SELECT n_name, year(o_orderdate) AS o_year,

@@ -99,6 +99,13 @@ R9_NEW = [
     "tpch_q9",
     "tpch_q15",
     "tpch_q17",
+    # late-r9 additions: MG sketch candidates must not change the exact
+    # recount; winnowing's min-selection and BPE's weighted counts are
+    # pure hash/integer arithmetic; tumble_distinct is dedup+count
+    "heavy_hitters",
+    "winnow_pairs",
+    "bpe_pairs",
+    "tumble_distinct",
 ]
 
 
