@@ -3084,6 +3084,55 @@ def q_degree_dist(spark: SparkSession, sf: str) -> DataFrame:
 
 
 
+def _fs_pair_cols(spark: SparkSession, sf: str):
+    """Shared blocked customer-pair construction for the FS queries."""
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    a = c.select(*[F.col(x).alias(f"{x}_a") for x in c.columns])
+    b = c.select(*[F.col(x).alias(f"{x}_b") for x in c.columns])
+    pairs = a.join(
+        b,
+        on=[
+            a["c_nationkey_a"] == b["c_nationkey_b"],
+            a["c_mktsegment_a"] == b["c_mktsegment_b"],
+            a["c_custkey_a"] < b["c_custkey_b"],
+        ],
+    )
+    cols = {
+        "last_char": F.substring("c_name_a", -1, 1)
+        == F.substring("c_name_b", -1, 1),
+        "bal_sign": (F.col("c_acctbal_a") > 0) == (F.col("c_acctbal_b") > 0),
+    }
+    return pairs, cols
+
+
+def q_fs_patterns(spark: SparkSession, sf: str) -> DataFrame:
+    """Agreement-pattern frequencies over the blocked customer pairs
+    (operators/joins.py:fs_pattern_counts) — the bounded <= 2^k-row
+    summary the EM estimator fits; oracle-twinned standalone."""
+    pairs, cols = _fs_pair_cols(spark, sf)
+    return joins.fs_pattern_counts(pairs, cols)
+
+
+def q_fs_em(spark: SparkSession, sf: str) -> DataFrame:
+    """EM-estimated Fellegi-Sunter m/u + log2 weights
+    (operators/joins.py:fs_em_weights) — unsupervised linkage
+    parameter learning; iterative, hence rows-only, certified by the
+    twinned ``fs_patterns`` proxy and the planted-mixture recovery
+    unit."""
+    pairs, cols = _fs_pair_cols(spark, sf)
+    return joins.fs_em_weights(pairs, cols)
+
+
+def q_anova_f(spark: SparkSession, sf: str) -> DataFrame:
+    """One-way ANOVA of event value across event types
+    (ml/stats.py:anova_f): decimal-exact per-group moments, F ratio
+    the only float — the k-sample "does ANY arm differ" companion of
+    ab_test."""
+    return ml_stats.anova_f(read_table(spark, sf, "events"), "event_type", "value")
+
+
 def q_bpe_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """One BPE counting step (llm/corpus.py:bpe_pair_counts over
     word_symbol_table): frequency-weighted adjacent-symbol pair counts
@@ -3686,6 +3735,9 @@ QUERIES = {
     "tpch_q7": q_tpch_q7,
     "tpch_q8": q_tpch_q8,
     "tpch_q12": q_tpch_q12,
+    "anova_f": q_anova_f,
+    "fs_patterns": q_fs_patterns,
+    "fs_em": q_fs_em,
 }
 
 # -- r9 certification window (ROTATION.md): the driver checks the FIRST
@@ -7609,6 +7661,57 @@ FROM final f JOIN ordered o USING (doc_id) JOIN packed p USING (doc_id)
         SELECT m.user_id, m.n, ms.slope,
                round(m.my - ms.slope * m.mx, 6) + 0.0 AS intercept
         FROM meds m LEFT JOIN ms ON ms.user_id = m.user_id
+    """,
+    "fs_patterns": """
+        WITH c AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+                          c_acctbal FROM customer),
+        pairs AS (
+            SELECT (substr(a.c_name, -1, 1) = substr(b.c_name, -1, 1))
+                       AS agree_last_char,
+                   ((a.c_acctbal > 0) = (b.c_acctbal > 0)) AS agree_bal_sign
+            FROM c a JOIN c b
+              ON a.c_nationkey = b.c_nationkey
+             AND a.c_mktsegment = b.c_mktsegment
+             AND a.c_custkey < b.c_custkey)
+        SELECT coalesce(agree_last_char, FALSE) AS agree_last_char,
+               coalesce(agree_bal_sign, FALSE) AS agree_bal_sign,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM pairs GROUP BY 1, 2
+    """,
+    "anova_f": """
+        WITH x AS (
+            SELECT event_type,
+                   CAST(round(CAST(value AS DOUBLE), 6) AS DECIMAL(18,6)) AS v
+            FROM events WHERE value IS NOT NULL
+        ),
+        pg AS (
+            SELECT event_type, count(*) AS n,
+                   sum(CAST(v AS DECIMAL(38,12))) AS s,
+                   sum(CAST(v * v AS DECIMAL(38,12))) AS ss
+            FROM x GROUP BY event_type
+        ),
+        tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS k,
+                   CAST(sum(n) AS BIGINT) AS n,
+                   sum(s) AS S, sum(ss) AS SS,
+                   sum(CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n,
+                                  12) AS DECIMAL(38,12))) AS T
+            FROM pg
+        )
+        SELECT k, n,
+               round(CAST(T AS DOUBLE)
+                     - round(CAST(S AS DOUBLE) * CAST(S AS DOUBLE) / n, 12),
+                     6) AS ss_between,
+               round(CAST(SS AS DOUBLE) - CAST(T AS DOUBLE), 6) AS ss_within,
+               round(CASE WHEN k > 1 AND n > k
+                          AND CAST(SS AS DOUBLE) - CAST(T AS DOUBLE) > 0
+                     THEN ((CAST(T AS DOUBLE)
+                            - round(CAST(S AS DOUBLE) * CAST(S AS DOUBLE) / n,
+                                    12)) / (k - 1))
+                          / ((CAST(SS AS DOUBLE) - CAST(T AS DOUBLE))
+                             / (n - k))
+                     END, 6) + 0.0 AS f_stat
+        FROM tot
     """,
     "bpe_pairs": """
         WITH words AS (

@@ -1014,3 +1014,72 @@ def spearman_corr(
     return mom.select(
         *gcols, "n", (F.round(rho, digits) + F.lit(0.0)).alias("rho")
     )
+
+
+def anova_f(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """One-way ANOVA F statistic across the groups of ``group_col``:
+    between-group vs within-group variance of ``value_col`` — the
+    k-sample generalization of the two-sample t test ("does ANY arm
+    differ"), computed from per-group decimal moments so every sum is
+    exact and partition-invariant; the F ratio is the only float.
+
+    One row: (k, n, ss_between, ss_within, f_stat) — NULL f_stat when
+    within-variance is zero or degrees of freedom vanish. SS terms via
+    the moment identities SSW = Σx² - Σ_g (S_g²/n_g),
+    SSB = Σ_g (S_g²/n_g) - (ΣS_g)²/n, with Decimal-exact Σx, Σx²
+    (inputs rounded to 6 dp first, the same convention as
+    ``corr_matrix``).
+
+    Scale shape: one map-side-combinable groupBy for the per-group
+    moments, then a k-row rollup. Nothing else.
+    """
+    d = "decimal(38,12)"
+    x = F.round(F.col(value_col).cast("double"), 6).cast("decimal(18,6)")
+    per_group = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("__n__"),
+            F.sum(x.cast(d)).alias("__s__"),
+            F.sum((x * x).cast(d)).alias("__ss__"),
+        )
+    )
+    # group-mean terms S_g^2/n_g leave exact decimal space — compute
+    # them as ROUNDED decimals (12 dp) so the k-row rollup still sums
+    # decimally; identical rounding on the oracle side
+    term = F.round(
+        F.col("__s__").cast("double") * F.col("__s__").cast("double")
+        / F.col("__n__"),
+        12,
+    ).cast(d)
+    agg_row = per_group.select(
+        F.lit(1).alias("__one__"), "__n__", "__s__", "__ss__", term.alias("__t__")
+    ).groupBy("__one__").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("__n__").cast("long").alias("n"),
+        F.sum("__s__").alias("__S__"),
+        F.sum("__ss__").alias("__SS__"),
+        F.sum("__t__").alias("__T__"),
+    )
+    grand = F.round(
+        F.col("__S__").cast("double") * F.col("__S__").cast("double") / F.col("n"),
+        12,
+    )
+    ssb = F.col("__T__").cast("double") - grand
+    ssw = F.col("__SS__").cast("double") - F.col("__T__").cast("double")
+    f_stat = F.when(
+        (F.col("k") > 1) & (F.col("n") > F.col("k")) & (ssw > 0.0),
+        (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))),
+    )
+    return agg_row.select(
+        "k",
+        "n",
+        F.round(ssb, digits).alias("ss_between"),
+        F.round(ssw, digits).alias("ss_within"),
+        (F.round(f_stat, digits) + F.lit(0.0)).alias("f_stat"),
+    )

@@ -482,3 +482,103 @@ def nearest_asof_join(
         *[chosen[c].alias(c) for c in right_value_cols],
     )
     return out
+
+
+def fs_pattern_counts(
+    pairs: DataFrame,
+    agreement_cols: Mapping[str, Column],
+) -> DataFrame:
+    """Agreement-pattern frequency table for Fellegi-Sunter parameter
+    estimation: one boolean column per comparison field (NULL counts
+    as disagreement), grouped and counted. At most 2^k rows regardless
+    of pair volume — the bounded summary EM runs on. Oracle-twinned
+    standalone; ``fs_em_weights`` consumes it."""
+    flags = [
+        F.coalesce(col, F.lit(False)).alias(f"agree_{name}")
+        for name, col in agreement_cols.items()
+    ]
+    return (
+        pairs.select(*flags)
+        .groupBy(*[f"agree_{name}" for name in agreement_cols])
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
+def fs_em_weights(
+    pairs: DataFrame,
+    agreement_cols: Mapping[str, Column],
+    max_iter: int = 25,
+    init_p: float = 0.1,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+    digits: int = 6,
+) -> DataFrame:
+    """EM-estimated Fellegi-Sunter m/u probabilities (Winkler 1988):
+    learn, UNSUPERVISED, each comparison field's P(agree | match) and
+    P(agree | non-match) from the candidate pairs themselves, instead
+    of hand-picking them for ``fs_match_score``. Two-class latent
+    mixture over agreement patterns, fitted with a fixed number of EM
+    iterations (deterministic given the fixed init — no RNG).
+
+    Scale shape: the corpus-side work is ONE groupBy producing the
+    <= 2^k-row pattern table (``fs_pattern_counts``); EM itself runs
+    driver-side on that bounded summary — the only collect is 2^k
+    rows, independent of pair volume. k is capped at 12 to keep that
+    claim honest.
+
+    Returns one row per field: (field, m, u, w_agree, w_disagree) —
+    the log2 weights ``fs_match_score`` consumes — plus a final row
+    ('__p_match__', p, NULL, NULL, NULL) with the estimated match
+    prevalence.
+    """
+    import math
+
+    names = list(agreement_cols)
+    if len(names) > 12:
+        raise ValueError("fs_em_weights: more than 12 comparison fields")
+    rows = fs_pattern_counts(pairs, agreement_cols).collect()
+    patterns = [
+        (tuple(1 if r[f"agree_{n}"] else 0 for n in names), int(r["n_pairs"]))
+        for r in rows
+    ]
+    total = sum(c for _, c in patterns) or 1
+    p = float(init_p)
+    m = [float(init_m)] * len(names)
+    u = [float(init_u)] * len(names)
+    for _ in range(max_iter):
+        num_p = 0.0
+        m_num = [0.0] * len(names)
+        u_num = [0.0] * len(names)
+        w_sum = 0.0
+        for gamma, c in patterns:
+            pm = p
+            pu = 1.0 - p
+            for i, g in enumerate(gamma):
+                pm *= m[i] if g else (1.0 - m[i])
+                pu *= u[i] if g else (1.0 - u[i])
+            w = pm / (pm + pu) if (pm + pu) > 0 else 0.0
+            num_p += c * w
+            w_sum += c * w
+            for i, g in enumerate(gamma):
+                if g:
+                    m_num[i] += c * w
+                    u_num[i] += c * (1.0 - w)
+        p = min(max(num_p / total, 1e-9), 1.0 - 1e-9)
+        uw_sum = total - w_sum
+        for i in range(len(names)):
+            m[i] = min(max(m_num[i] / w_sum if w_sum > 0 else init_m, 1e-6), 1 - 1e-6)
+            u[i] = min(max(u_num[i] / uw_sum if uw_sum > 0 else init_u, 1e-6), 1 - 1e-6)
+    spark = pairs.sparkSession
+    out = [
+        (
+            n,
+            round(m[i], digits),
+            round(u[i], digits),
+            round(math.log2(m[i] / u[i]), digits),
+            round(math.log2((1.0 - m[i]) / (1.0 - u[i])), digits),
+        )
+        for i, n in enumerate(names)
+    ] + [("__p_match__", round(p, digits), None, None, None)]
+    return spark.createDataFrame(
+        out, "field string, m double, u double, w_agree double, w_disagree double"
+    )

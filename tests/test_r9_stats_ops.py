@@ -252,3 +252,76 @@ def test_heavy_hitters_lossless_above_threshold(spark):
     df1 = spark.createDataFrame([(v,) for v in rows], "v string").coalesce(1)
     got1 = {r.value for r in heavy_hitters(df1, "v", threshold=0.01).collect()}
     assert {"hot", "warm"} <= got1
+
+
+def test_anova_f_closed_form(spark):
+    from clinical_data_lake_spark.ml.stats import anova_f
+
+    # groups with equal means -> F ~ 0; shifted means -> large F
+    import statistics
+
+    base = [("a", v) for v in (1.0, 2.0, 3.0)] + \
+           [("b", v) for v in (1.0, 2.0, 3.0)] + \
+           [("c", v) for v in (1.0, 2.0, 3.0)]
+    df = spark.createDataFrame(base, "g string, v double")
+    r = anova_f(df, "g", "v").collect()[0]
+    assert r.k == 3 and r.n == 9
+    assert r.ss_between == pytest.approx(0.0, abs=1e-9)
+    assert r.f_stat == pytest.approx(0.0, abs=1e-9)
+
+    shifted = [("a", v) for v in (1.0, 2.0, 3.0)] + \
+              [("b", v + 10) for v in (1.0, 2.0, 3.0)] + \
+              [("c", v + 20) for v in (1.0, 2.0, 3.0)]
+    df2 = spark.createDataFrame(shifted, "g string, v double")
+    r2 = anova_f(df2, "g", "v").collect()[0]
+    # hand computation: group means 2, 12, 22; grand 12
+    # SSB = 3*(100 + 0 + 100) = 600 ; SSW = 3 groups x 2 = 6
+    assert r2.ss_between == pytest.approx(600.0, abs=1e-6)
+    assert r2.ss_within == pytest.approx(6.0, abs=1e-6)
+    want_f = (600.0 / 2) / (6.0 / 6)
+    assert r2.f_stat == pytest.approx(round(want_f, 6))
+    # degenerate: one group -> NULL
+    one = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "g string, v double")
+    assert anova_f(one, "g", "v").collect()[0].f_stat is None
+
+
+def test_fs_em_recovers_planted_mixture(spark):
+    """EM on pairs drawn from a known two-class mixture must recover
+    m/u (and prevalence) to reasonable accuracy, unsupervised."""
+    import random as _r
+
+    from clinical_data_lake_spark.operators.joins import (
+        fs_em_weights,
+        fs_pattern_counts,
+    )
+
+    rnd = _r.Random(13)
+    rows = []
+    # 20% matches: agree1 w.p. 0.95, agree2 w.p. 0.85
+    # 80% non-matches: agree1 w.p. 0.15, agree2 w.p. 0.30
+    for _ in range(5000):
+        if rnd.random() < 0.2:
+            rows.append((rnd.random() < 0.95, rnd.random() < 0.85))
+        else:
+            rows.append((rnd.random() < 0.15, rnd.random() < 0.30))
+    pairs = spark.createDataFrame(rows, "a1 boolean, a2 boolean")
+    cols = {"f1": F.col("a1"), "f2": F.col("a2")}
+    pat = {tuple(r[c] for c in ("agree_f1", "agree_f2")): r.n_pairs
+           for r in fs_pattern_counts(pairs, cols).collect()}
+    assert sum(pat.values()) == 5000 and len(pat) == 4
+    est = {r.field: r for r in fs_em_weights(pairs, cols).collect()}
+    p = est["__p_match__"].m
+    assert 0.1 < p < 0.35, p
+    assert est["f1"].m > 0.8 and est["f1"].u < 0.3
+    assert est["f2"].m > 0.7 and est["f2"].u < 0.45
+    # weights consistent with the estimates
+    import math
+
+    assert est["f1"].w_agree == pytest.approx(
+        round(math.log2(est["f1"].m / est["f1"].u), 6), abs=1e-4
+    )
+    # determinism: rerun identical
+    again = {r.field: r for r in fs_em_weights(pairs, cols).collect()}
+    assert {k: (v.m, v.u) for k, v in est.items()} == {
+        k: (v.m, v.u) for k, v in again.items()
+    }
