@@ -3125,6 +3125,17 @@ def q_fs_em(spark: SparkSession, sf: str) -> DataFrame:
     return joins.fs_em_weights(pairs, cols)
 
 
+def q_decompose(spark: SparkSession, sf: str) -> DataFrame:
+    """Classical additive trend/seasonal/remainder decomposition of
+    daily event value per type (operators/timeseries.py:
+    decompose_daily): centered 7-day MA trend over the gap-filled
+    grid, zero-centered weekday-slot seasonal, staged rounding so no
+    float merges order-dependently."""
+    return timeseries.decompose_daily(
+        read_table(spark, sf, "events"), "event_type", "ts", "value"
+    )
+
+
 def q_anova_f(spark: SparkSession, sf: str) -> DataFrame:
     """One-way ANOVA of event value across event types
     (ml/stats.py:anova_f): decimal-exact per-group moments, F ratio
@@ -3738,6 +3749,7 @@ QUERIES = {
     "anova_f": q_anova_f,
     "fs_patterns": q_fs_patterns,
     "fs_em": q_fs_em,
+    "decompose": q_decompose,
 }
 
 # -- r9 certification window (ROTATION.md): the driver checks the FIRST
@@ -7661,6 +7673,43 @@ FROM final f JOIN ordered o USING (doc_id) JOIN packed p USING (doc_id)
         SELECT m.user_id, m.n, ms.slope,
                round(m.my - ms.slope * m.mx, 6) + 0.0 AS intercept
         FROM meds m LEFT JOIN ms ON ms.user_id = m.user_id
+    """,
+    "decompose": """
+        WITH d AS (SELECT event_type AS k, CAST(ts AS DATE) AS day,
+                          sum(CAST(value AS DECIMAL(18,3))) AS v
+                   FROM events GROUP BY 1, 2),
+        b AS (SELECT k, min(day) AS mn, max(day) AS mx FROM d GROUP BY 1),
+        s AS (SELECT k, CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY))
+                            AS DATE) AS day FROM b),
+        g AS (SELECT s.k, s.day,
+                     coalesce(d.v, CAST(0 AS DECIMAL(18,3))) AS v
+              FROM s LEFT JOIN d ON d.k = s.k AND d.day = s.day),
+        t AS (SELECT k, day, v,
+                     CASE WHEN count(*) OVER w7 = 7
+                          THEN round(CAST(sum(v) OVER w7 AS DOUBLE) / 7, 6)
+                     END AS trend
+              FROM g
+              WINDOW w7 AS (PARTITION BY k ORDER BY day
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        dt AS (SELECT k, day, v, trend, dayofweek(day) AS slot,
+                      CAST(round(CAST(v AS DOUBLE) - trend, 6)
+                           AS DECIMAL(18,6)) AS dd
+               FROM t),
+        sm AS (SELECT k, slot,
+                      round(CAST(sum(dd) AS DOUBLE) / count(*), 6) AS sraw
+               FROM dt WHERE dd IS NOT NULL GROUP BY 1, 2),
+        c AS (SELECT k, slot,
+                     round(sraw
+                           - CAST(sum(CAST(sraw AS DECIMAL(18,6)))
+                                  OVER (PARTITION BY k) AS DOUBLE)
+                             / count(*) OVER (PARTITION BY k),
+                           6) AS seasonal
+              FROM sm)
+        SELECT dt.k AS event_type, dt.day,
+               round(CAST(v AS DOUBLE), 6) AS value,
+               trend, seasonal,
+               round(CAST(v AS DOUBLE) - trend - seasonal, 6) AS remainder
+        FROM dt LEFT JOIN c ON c.k = dt.k AND c.slot = dt.slot
     """,
     "fs_patterns": """
         WITH c AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment,

@@ -744,3 +744,91 @@ def forecast_eval(
             ).alias("mape"),
         )
     )
+
+
+def decompose_daily(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    period: int = 7,
+    digits: int = 6,
+) -> DataFrame:
+    """Classical additive seasonal decomposition of daily totals per
+    series (the moving-average method STL refines): value = trend +
+    seasonal + remainder, with trend a centered ``period``-day moving
+    average over the GAP-FILLED daily grid, seasonal the zero-centered
+    per-weekday-slot mean of the detrended series, remainder the rest.
+    The anomaly-detection preprocessor: alert on remainder, not on raw
+    values that mix weekday rhythm with trend.
+
+    Determinism: daily totals are exact decimals; each derived stage
+    rounds to ``digits`` BEFORE the next decimal accumulation (the
+    corr_matrix staging convention), so no float ever merges in a
+    partition-dependent order. Edge days without a full centered
+    window emit NULL trend/remainder.
+
+    Scale shape: the rollup is the only fact-sized shuffle; the grid,
+    the two windows, and the slot means all run on the (key, day)
+    table, partitioned by key — never a global window.
+    """
+    grid = resample_daily(events, key_col, ts_col, value_col, locf=False).select(
+        key_col,
+        "day",
+        F.coalesce(F.col("day_sum").cast("decimal(18,3)"), F.lit(0).cast("decimal(18,3)")).alias("__v__"),
+    )
+    half = period // 2
+    w_ma = (
+        Window.partitionBy(key_col)
+        .orderBy("day")
+        .rowsBetween(-half, period - 1 - half)
+    )
+    with_trend = grid.select(
+        key_col,
+        "day",
+        "__v__",
+        F.when(
+            F.count(F.lit(1)).over(w_ma) == period,
+            F.round(F.sum("__v__").over(w_ma).cast("double") / period, digits),
+        ).alias("__trend__"),
+    )
+    slot = F.dayofweek("day")
+    detr = F.round(F.col("__v__").cast("double") - F.col("__trend__"), digits)
+    with_detr = with_trend.select(
+        key_col, "day", "__v__", "__trend__", slot.alias("__slot__"),
+        detr.cast("decimal(18,6)").alias("__d__"),
+    )
+    slot_means = (
+        with_detr.filter(F.col("__d__").isNotNull())
+        .groupBy(key_col, "__slot__")
+        .agg(
+            F.round(
+                F.sum("__d__").cast("double") / F.count(F.lit(1)), digits
+            ).alias("__sraw__")
+        )
+    )
+    # center the <= `period` slot means per key to sum to zero
+    w_key = Window.partitionBy(key_col)
+    centered = slot_means.select(
+        key_col, "__slot__",
+        F.round(
+            F.col("__sraw__")
+            - F.sum(F.col("__sraw__").cast("decimal(18,6)")).over(w_key).cast("double")
+            / F.count(F.lit(1)).over(w_key),
+            digits,
+        ).alias("__seasonal__"),
+    )
+    return (
+        with_detr.join(centered, on=[key_col, "__slot__"], how="left")
+        .select(
+            key_col,
+            "day",
+            F.round(F.col("__v__").cast("double"), digits).alias("value"),
+            F.col("__trend__").alias("trend"),
+            F.col("__seasonal__").alias("seasonal"),
+            F.round(
+                F.col("__v__").cast("double") - F.col("__trend__") - F.col("__seasonal__"),
+                digits,
+            ).alias("remainder"),
+        )
+    )

@@ -325,3 +325,36 @@ def test_fs_em_recovers_planted_mixture(spark):
     assert {k: (v.m, v.u) for k, v in est.items()} == {
         k: (v.m, v.u) for k, v in again.items()
     }
+
+
+def test_decompose_daily_identity_and_seasonality(spark):
+    from clinical_data_lake_spark.operators.timeseries import decompose_daily
+
+    # 4 weeks of daily data: value = 100 + slot_effect(dow), no trend
+    import datetime as _dt
+
+    slot_fx = {0: 5.0, 1: -3.0, 2: 0.0, 3: 2.0, 4: -1.0, 5: -2.0, 6: -1.0}
+    rows = []
+    d0 = _dt.datetime(2024, 1, 1)
+    for i in range(28):
+        day = d0 + _dt.timedelta(days=i)
+        rows.append(("k", day, 100.0 + slot_fx[day.weekday()]))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = decompose_daily(df, "k", "ts", "v").collect()
+    by_day = {r.day: r for r in out}
+    # identity: value = trend + seasonal + remainder where trend defined
+    for r in out:
+        if r.trend is not None:
+            assert abs(r.value - (r.trend + r.seasonal + r.remainder)) < 1e-6
+    # flat series: trend ~ 100 (7-day MA cancels the weekly cycle),
+    # remainder ~ 0, and seasonal recovers the slot effects (centered:
+    # effects already sum to 0 across the week)
+    mid = [r for r in out if r.trend is not None]
+    assert len(mid) == 28 - 6
+    for r in mid:
+        assert r.trend == pytest.approx(100.0, abs=1e-6)
+        assert r.remainder == pytest.approx(0.0, abs=1e-5)
+    seasonals = {r.day.weekday(): r.seasonal for r in mid}
+    for dow, fx in slot_fx.items():
+        if dow in seasonals:
+            assert seasonals[dow] == pytest.approx(fx, abs=1e-5)
