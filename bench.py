@@ -143,6 +143,17 @@ BENCH_QUERIES = [
     "khop",
     "forecast_eval",
     "sla_rollup",
+    # late-r9 additions (appended — keep the comparable prefix)
+    "heavy_hitters",
+    "winnow_pairs",
+    "bpe_merges",
+    "tumble_distinct",
+    "anova_f",
+    "fs_em",
+    "decompose",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q12",
 ]
 
 # Scope the measured set without editing the file (drift A/B testing,

@@ -106,6 +106,10 @@ R9_NEW = [
     "winnow_pairs",
     "bpe_pairs",
     "tumble_distinct",
+    "anova_f",
+    "decompose",
+    "fs_patterns",
+    "tpch_q8",
 ]
 
 
