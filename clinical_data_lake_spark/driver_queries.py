@@ -2934,6 +2934,133 @@ def q_tpch_q12(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_tpch_q2(spark: SparkSession, sf: str) -> DataFrame:
+    """Minimum-cost supplier (TPC-H Q2 shape, adapted — no partsupp
+    table, so 'cost' is the supplier's average unit price of the part
+    observed in lineitem): for each size-15 part supplied from one
+    region, the supplier(s) achieving the part's MINIMUM average unit
+    price — the correlated-min subquery planned as one per-(part,
+    supplier) aggregate, one per-part broadcast min, one equality
+    join back."""
+    part = read_table(spark, sf, "part").filter(F.col("p_size") == 15).select(
+        "p_partkey", "p_name"
+    )
+    supp = read_table(spark, sf, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    nat = read_table(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    reg = read_table(spark, sf, "region").filter(F.col("r_name") == "EUROPE").select(
+        "r_regionkey"
+    )
+    li = read_table(spark, sf, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    unit = (
+        F.col("l_extendedprice").cast("decimal(18,6)")
+        / F.col("l_quantity").cast("decimal(18,6)")
+    )
+    per_ps = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "n_name", "s_acctbal")
+        .agg(
+            F.round(
+                F.sum(F.round(unit, 6).cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_unit_price")
+        )
+    )
+    mins = per_ps.groupBy(F.col("p_partkey").alias("__pk__")).agg(
+        F.min("avg_unit_price").alias("__min__")
+    )
+    return (
+        per_ps.join(
+            F.broadcast(mins),
+            (per_ps["p_partkey"] == mins["__pk__"])
+            & (per_ps["avg_unit_price"] == mins["__min__"]),
+        )
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            "avg_unit_price",
+        )
+        .orderBy(F.desc("s_acctbal"), F.asc("s_name"), F.asc("p_partkey"))
+        .limit(100)
+    )
+
+
+def q_tpch_q20(spark: SparkSession, sf: str) -> DataFrame:
+    """Excess-volume suppliers (TPC-H Q20 shape, adapted): suppliers
+    who shipped MORE than 30% of some part's total 1997 volume — the
+    nested semi-join chain planned as per-(part, supplier) and
+    per-part aggregates joined in exact cross-multiplied decimal, then
+    a semi join into the supplier dim."""
+    li = read_table(spark, sf, "lineitem").filter(
+        F.year("l_shipdate") == 1997
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    qty = F.col("l_quantity").cast("decimal(18,6)")
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(F.sum(qty).alias("__sq__"))
+    per_p = per_ps.groupBy(F.col("l_partkey").alias("__pk__")).agg(
+        F.sum("__sq__").alias("__tot__")
+    )
+    excess = (
+        per_ps.join(per_p, per_ps["l_partkey"] == per_p["__pk__"])
+        .filter(F.col("__sq__") * 10 > F.col("__tot__") * 3)
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = read_table(spark, sf, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    return (
+        supp.join(excess, supp["s_suppkey"] == excess["l_suppkey"], "left_semi")
+        .orderBy("s_suppkey")
+        .select("s_suppkey", "s_name", "s_nationkey")
+    )
+
+
+def q_tpch_q21(spark: SparkSession, sf: str) -> DataFrame:
+    """Waiting-orders blame (TPC-H Q21 shape, adapted — lateness is
+    ship-vs-order-date): count, per supplier, multi-supplier orders
+    where THAT supplier shipped late (>60 days) and NO other supplier
+    did — EXISTS + NOT-EXISTS planned as per-order supplier/late
+    aggregates joined once, never per-row subquery probes. Top 20."""
+    orders = read_table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    li = read_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    late = (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    ).cast("long")
+    per_os = j.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(late).alias("__late__")
+    )
+    per_o = per_os.groupBy(F.col("l_orderkey").alias("__ok__")).agg(
+        F.count(F.lit(1)).alias("__nsupp__"),
+        F.sum("__late__").alias("__nlate__"),
+    )
+    blamed = (
+        per_os.join(per_o, per_os["l_orderkey"] == per_o["__ok__"])
+        .filter(
+            (F.col("__late__") == 1)
+            & (F.col("__nsupp__") > 1)
+            & (F.col("__nlate__") == 1)
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
+    supp = read_table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        blamed.join(F.broadcast(supp), blamed["l_suppkey"] == supp["s_suppkey"])
+        .select("s_name", "s_suppkey", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
+        .limit(20)
+    )
+
+
 def q_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
     """Bucketed co-located join as a certified artifact
     (operators/bucketing.py): write orders and customer bucketed by
@@ -3750,6 +3877,9 @@ QUERIES = {
     "fs_patterns": q_fs_patterns,
     "fs_em": q_fs_em,
     "decompose": q_decompose,
+    "tpch_q2": q_tpch_q2,
+    "tpch_q20": q_tpch_q20,
+    "tpch_q21": q_tpch_q21,
 }
 
 # -- r9 certification window (ROTATION.md): the driver checks the FIRST
@@ -7114,6 +7244,72 @@ FROM final f JOIN ordered o USING (doc_id) JOIN packed p USING (doc_id)
         WHERE year(l_shipdate) = 1998
           AND l_discount >= 0.05 AND l_discount <= 0.07
           AND l_quantity < 24
+    """,
+    "tpch_q2": """
+        WITH per_ps AS (
+            SELECT p_partkey, p_name, s_suppkey, s_name, n_name, s_acctbal,
+                   round(CAST(sum(CAST(round(
+                             CAST(l_extendedprice AS DECIMAL(18,6))
+                             / CAST(l_quantity AS DECIMAL(18,6)), 6)
+                           AS DECIMAL(28,6))) AS DOUBLE) / count(*),
+                         6) AS avg_unit_price
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+            JOIN region ON r_regionkey = n_regionkey
+            WHERE p_size = 15 AND r_name = 'EUROPE'
+            GROUP BY 1, 2, 3, 4, 5, 6
+        ),
+        mins AS (
+            SELECT p_partkey AS pk, min(avg_unit_price) AS mn
+            FROM per_ps GROUP BY 1
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name, avg_unit_price
+        FROM per_ps JOIN mins ON p_partkey = pk AND avg_unit_price = mn
+        ORDER BY s_acctbal DESC, s_name ASC, p_partkey ASC
+        LIMIT 100
+    """,
+    "tpch_q20": """
+        WITH li AS (
+            SELECT l_partkey, l_suppkey, CAST(l_quantity AS DECIMAL(18,6)) AS q
+            FROM lineitem WHERE year(l_shipdate) = 1997
+        ),
+        per_ps AS (
+            SELECT l_partkey, l_suppkey, sum(q) AS sq
+            FROM li GROUP BY 1, 2
+        ),
+        per_p AS (SELECT l_partkey, sum(sq) AS tot FROM per_ps GROUP BY 1),
+        excess AS (
+            SELECT DISTINCT l_suppkey
+            FROM per_ps JOIN per_p USING (l_partkey)
+            WHERE sq * 10 > tot * 3
+        )
+        SELECT s_suppkey, s_name, s_nationkey
+        FROM supplier
+        WHERE s_suppkey IN (SELECT l_suppkey FROM excess)
+        ORDER BY s_suppkey
+    """,
+    "tpch_q21": """
+        WITH per_os AS (
+            SELECT l_orderkey, l_suppkey,
+                   max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                            THEN 1 ELSE 0 END) AS late
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            GROUP BY 1, 2
+        ),
+        per_o AS (
+            SELECT l_orderkey, count(*) AS nsupp, sum(late) AS nlate
+            FROM per_os GROUP BY 1
+        )
+        SELECT s_name, s_suppkey, CAST(count(*) AS BIGINT) AS numwait
+        FROM per_os
+        JOIN per_o USING (l_orderkey)
+        JOIN supplier ON s_suppkey = l_suppkey
+        WHERE late = 1 AND nsupp > 1 AND nlate = 1
+        GROUP BY s_name, s_suppkey
+        ORDER BY numwait DESC, s_suppkey ASC
+        LIMIT 20
     """,
     "tpch_q7": """
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
