@@ -3445,6 +3445,15 @@ def q_knn_classify(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Contrastive hard-negative mining (llm/similarity.py:
+    hard_negatives): top-5 most-similar cross-label vectors for
+    anchors vec_id < 20 — the label filter composes into the ranking
+    so same-label neighbors never consume a rank slot."""
+    emb = read_table(spark, sf, "embeddings")
+    return similarity.hard_negatives(emb.filter(F.col("vec_id") < 20), emb, k=5)
+
+
 def q_silhouette(spark: SparkSession, sf: str) -> DataFrame:
     """Per-label simplified silhouette (llm/similarity.py:
     silhouette_simplified): centroid-based cluster-quality score with
@@ -3880,6 +3889,7 @@ QUERIES = {
     "tpch_q2": q_tpch_q2,
     "tpch_q20": q_tpch_q20,
     "tpch_q21": q_tpch_q21,
+    "hard_negatives": q_hard_negatives,
 }
 
 # -- r9 certification window (ROTATION.md): the driver checks the FIRST
@@ -7244,6 +7254,25 @@ FROM final f JOIN ordered o USING (doc_id) JOIN packed p USING (doc_id)
         WHERE year(l_shipdate) = 1998
           AND l_discount >= 0.05 AND l_discount <= 0.07
           AND l_quantity < 24
+    """,
+    "hard_negatives": f"""
+        WITH a AS (SELECT vec_id AS anchor_id, label AS la,
+                          embedding::DOUBLE[] AS qe
+                   FROM embeddings WHERE vec_id < 20 AND label IS NOT NULL),
+        c AS (SELECT vec_id AS negative_id, label AS lc,
+                     embedding::DOUBLE[] AS ce
+              FROM embeddings WHERE label IS NOT NULL)
+        SELECT anchor_id, negative_id,
+               round({_cos_sql("qe", "ce")}, 6) AS sim,
+               CAST(rnk AS BIGINT) AS rnk
+        FROM (
+            SELECT a.anchor_id, c.negative_id, qe, ce,
+                   row_number() OVER (PARTITION BY a.anchor_id
+                       ORDER BY {_cos_sql("qe", "ce")} DESC,
+                                c.negative_id) AS rnk
+            FROM a JOIN c ON a.anchor_id != c.negative_id
+                         AND a.la != c.lc)
+        WHERE rnk <= 5
     """,
     "tpch_q2": """
         WITH per_ps AS (

@@ -919,3 +919,56 @@ def silhouette_simplified(
             ).alias("mean_silhouette"),
         )
     )
+
+
+def hard_negatives(
+    anchors: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the ``k`` most-similar corpus vectors with a DIFFERENT label — the
+    near-boundary examples that make a contrastive batch informative
+    (easy negatives teach nothing; these are the ones the model
+    confuses). Returns (anchor_id, negative_id, sim, rnk).
+
+    Plan: the label filter composes INTO the ranking, not after it —
+    a same-label neighbor must not consume a rank slot — so the
+    window ranks only cross-label pairs. The anchor side broadcasts
+    and the corpus is scanned once (the cosine_topk recipe); at
+    corpus scale feed anchors in shards or LSH-bucket first.
+    """
+    labeled = corpus.filter(F.col(label_col).isNotNull())
+    a = anchors.filter(F.col(label_col).isNotNull()).select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("__la__"),
+        _as_double(vec_col).alias("qe"),
+        l2_norm(_as_double(vec_col)).alias("qn"),
+    )
+    c = labeled.select(
+        F.col(id_col).alias("negative_id"),
+        F.col(label_col).alias("__lc__"),
+        _as_double(vec_col).alias("ce"),
+        l2_norm(_as_double(vec_col)).alias("cn"),
+    )
+    sim = _guarded_ratio(dot(F.col("qe"), F.col("ce")), F.col("qn") * F.col("cn"))
+    pairs = c.join(
+        F.broadcast(a),
+        (F.col("anchor_id") != F.col("negative_id"))
+        & (F.col("__la__") != F.col("__lc__")),
+    ).select("anchor_id", "negative_id", sim.alias("__sim__"))
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("__sim__"), F.asc("negative_id")
+    )
+    return (
+        pairs.select(
+            "anchor_id",
+            "negative_id",
+            F.round("__sim__", 6).alias("sim"),
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= k)
+    )

@@ -110,6 +110,8 @@ R9_NEW = [
     "decompose",
     "fs_patterns",
     "tpch_q8",
+    "tpch_q2",
+    "tpch_q21",
 ]
 
 

@@ -265,3 +265,23 @@ def test_bpe_pair_counts_closed_form(spark):
            bpe_pair_counts(word_symbol_table(docs)).collect()}
     # "ab" freq 2 -> (a,b):2, (b,</w>):2 ; "b" freq 1 -> (b,</w>):1
     assert got == {("a", "b"): 2, ("b", "</w>"): 3}
+
+
+def test_hard_negatives_cross_label_only(spark):
+    from clinical_data_lake_spark.llm.similarity import hard_negatives
+
+    rows = [
+        Row(vec_id=1, label="a", embedding=[1.0, 0.0]),
+        Row(vec_id=2, label="a", embedding=[0.99, 0.1]),   # same-label near
+        Row(vec_id=3, label="b", embedding=[0.95, 0.3]),   # cross-label near
+        Row(vec_id=4, label="b", embedding=[-1.0, 0.0]),   # cross-label far
+        Row(vec_id=5, label=None, embedding=[1.0, 0.01]),  # unlabeled: excluded
+    ]
+    emb = spark.createDataFrame(rows)
+    anchors = emb.filter(F.col("vec_id") == 1)
+    got = hard_negatives(anchors, emb, k=2).collect()
+    assert [(r.negative_id, r.rnk) for r in sorted(got, key=lambda r: r.rnk)] == [
+        (3, 1), (4, 2)
+    ]
+    # same-label vec 2 never consumed a rank slot despite being nearest
+    assert all(r.negative_id != 2 for r in got)
