@@ -178,12 +178,18 @@ def test_partition_invariant_approx(spark, name):
 
 @pytest.mark.parametrize("name", ROTATED_IN + R8_NEW + R9_EXACT + R9_NEW)
 def test_partition_invariant(spark, name):
+    from clinical_data_lake_spark.operators.caching import release_persisted
+
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     hashes = {}
     try:
         for n_part in PARTITIONINGS:
             spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
             hashes[n_part] = _result_hash(QUERIES[name](spark, SF_SMALL))
+            # operators that track_persist intermediates would otherwise
+            # accumulate cached RDDs across the whole parameterized
+            # matrix — enough to flake late entries under full-suite load
+            release_persisted()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
     assert len(set(hashes.values())) == 1, (
