@@ -3252,6 +3252,16 @@ def q_fs_em(spark: SparkSession, sf: str) -> DataFrame:
     return joins.fs_em_weights(pairs, cols)
 
 
+def q_json_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured schema profile of events.props
+    (operators/quality.py:json_profile): per (key, inferred type)
+    counts, distincts, presence rate — the promote-or-alarm read-out
+    for JSON payload columns."""
+    from .operators import quality as dq
+
+    return dq.json_profile(read_table(spark, sf, "events"), "props")
+
+
 def q_decompose(spark: SparkSession, sf: str) -> DataFrame:
     """Classical additive trend/seasonal/remainder decomposition of
     daily event value per type (operators/timeseries.py:
@@ -3890,6 +3900,7 @@ QUERIES = {
     "tpch_q20": q_tpch_q20,
     "tpch_q21": q_tpch_q21,
     "hard_negatives": q_hard_negatives,
+    "json_profile": q_json_profile,
 }
 
 # -- r9 certification window (ROTATION.md): the driver checks the FIRST
@@ -7898,6 +7909,37 @@ FROM final f JOIN ordered o USING (doc_id) JOIN packed p USING (doc_id)
         SELECT m.user_id, m.n, ms.slope,
                round(m.my - ms.slope * m.mx, 6) + 0.0 AS intercept
         FROM meds m LEFT JOIN ms ON ms.user_id = m.user_id
+    """,
+    "json_profile": """
+        WITH n AS (SELECT count(*) AS total FROM events),
+        kv AS (
+            SELECT k AS key,
+                   json_type(props::JSON, '$."' || k || '"') AS jt,
+                   CASE
+                       WHEN json_type(props::JSON, '$."' || k || '"') = 'NULL'
+                           THEN NULL
+                       WHEN json_type(props::JSON, '$."' || k || '"')
+                            = 'VARCHAR'
+                           THEN json_extract_string(props::JSON,
+                                                    '$."' || k || '"')
+                       ELSE CAST(json_extract(props::JSON,
+                                              '$."' || k || '"') AS VARCHAR)
+                   END AS v
+            FROM events, UNNEST(json_keys(props::JSON)) AS t(k)
+        )
+        SELECT key,
+               CASE jt WHEN 'NULL' THEN 'null'
+                       WHEN 'BOOLEAN' THEN 'boolean'
+                       WHEN 'UBIGINT' THEN 'integer'
+                       WHEN 'BIGINT' THEN 'integer'
+                       WHEN 'DOUBLE' THEN 'double'
+                       WHEN 'VARCHAR' THEN 'string'
+                       ELSE 'complex' END AS vtype,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+               round(CAST(count(*) AS DOUBLE) / max(total), 6) AS presence
+        FROM kv, n
+        GROUP BY 1, 2
     """,
     "decompose": """
         WITH d AS (SELECT event_type AS k, CAST(ts AS DATE) AS day,

@@ -544,3 +544,57 @@ def sla_rollup(
             ).alias("met_pct"),
         )
     )
+
+
+def json_profile(
+    df: DataFrame,
+    json_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Schema profile of a semi-structured JSON string column: per
+    (key, inferred scalar type) — occurrence count, distinct values,
+    and presence rate against the row count. The discovery step before
+    promoting JSON props to real columns (and the drift alarm after:
+    a new key or a type flip shows up as a new row here).
+
+    Keys come from ``from_json`` into map<string,string> (engine-side,
+    no UDF); scalar types are classified from the string form
+    (integer / double / boolean / null / string). Arrays/objects
+    classify as 'complex'. One explode + one (key, type) rollup; the
+    JSON parse happens once per row.
+    """
+    total = df.select(F.count(F.lit(1)).alias("__n__"))
+    kv = (
+        df.select(
+            F.explode(
+                F.from_json(F.col(json_col), "map<string,string>")
+            ).alias("key", "__v__")
+        )
+    )
+    v = F.col("__v__")
+    vtype = (
+        F.when(v.isNull(), F.lit("null"))
+        .when(v.rlike(r"^-?\d+$"), F.lit("integer"))
+        .when(v.rlike(r"^-?\d+\.\d+([eE][+-]?\d+)?$"), F.lit("double"))
+        .when(v.isin("true", "false"), F.lit("boolean"))
+        .when(v.rlike(r"^[\[{]"), F.lit("complex"))
+        .otherwise(F.lit("string"))
+    )
+    return (
+        kv.select("key", vtype.alias("vtype"), "__v__")
+        .groupBy("key", "vtype")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count_distinct("__v__").cast("long").alias("n_distinct"),
+        )
+        .join(F.broadcast(total))
+        .select(
+            "key",
+            "vtype",
+            "n",
+            "n_distinct",
+            F.round(F.col("n").cast("double") / F.col("__n__"), digits).alias(
+                "presence"
+            ),
+        )
+    )

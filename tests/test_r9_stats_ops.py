@@ -358,3 +358,26 @@ def test_decompose_daily_identity_and_seasonality(spark):
     for dow, fx in slot_fx.items():
         if dow in seasonals:
             assert seasonals[dow] == pytest.approx(fx, abs=1e-5)
+
+
+def test_json_profile_types_and_presence(spark):
+    from clinical_data_lake_spark.operators.quality import json_profile
+
+    df = spark.createDataFrame(
+        [
+            ('{"a": 1, "b": "x", "c": true}',),
+            ('{"a": 2.5, "b": "y"}',),
+            ('{"a": 3, "d": [1,2]}',),
+            ('{"e": null}',),
+        ],
+        "js string",
+    )
+    rows = {(r.key, r.vtype): r for r in json_profile(df, "js").collect()}
+    assert rows[("a", "integer")].n == 2
+    assert rows[("a", "double")].n == 1
+    assert rows[("b", "string")].n == 2
+    assert rows[("c", "boolean")].n == 1
+    assert ("d", "complex") in rows or ("d", "string") in rows
+    assert rows[("e", "null")].n == 1
+    assert rows[("b", "string")].presence == 0.5
+    assert rows[("b", "string")].n_distinct == 2
