@@ -515,3 +515,74 @@ def windowed_distinct_users(
         .agg(F.count(F.lit(1)).cast("long").alias("distinct_users"))
         .select(F.col("w.start").cast("long").alias("window_start"), "distinct_users")
     )
+
+
+def stream_upsert_parquet(
+    changes: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    keys: list[str],
+    value_cols: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+    timeout_sec: float = 300.0,
+):
+    """Streaming CDC upsert into a parquet state table — the canonical
+    lakehouse ingestion loop: each micro-batch of change rows MERGEs
+    into the current snapshot via ``cdc.apply_changes`` inside
+    ``foreachBatch`` (the pattern every sink without native MERGE
+    uses), written atomically by staged-directory swap. availableNow +
+    checkpoint = an idempotent incremental batch: re-running without
+    new source files changes nothing; crash-restart re-applies only
+    unprocessed batches (apply_changes is deterministic and
+    last-writer-wins by ``seq_col``, so re-applying a batch that
+    already merged is a no-op).
+
+    At 100 TB the state write is the cost — with Delta/Iceberg the
+    foreachBatch body becomes a native MERGE and the rest of this
+    machinery (checkpointing, ordering, idempotence) is unchanged.
+    """
+    from ..operators.cdc import apply_changes
+
+    cols = list(dict.fromkeys([*keys, *value_cols]))
+
+    def merge_batch(batch_df, batch_id: int):
+        spark = batch_df.sparkSession
+        try:
+            snapshot = spark.read.parquet(state_path).select(*cols)
+        except Exception:
+            snapshot = spark.createDataFrame(
+                [], batch_df.select(*cols).schema
+            )
+        new_snap = apply_changes(
+            snapshot, batch_df, keys, seq_col=seq_col, op_col=op_col
+        )
+        staging = state_path.rstrip("/") + ".staging"
+        new_snap.write.mode("overwrite").parquet(staging)
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        dst = jvm.org.apache.hadoop.fs.Path(state_path)
+        src = jvm.org.apache.hadoop.fs.Path(staging)
+        fs = dst.getFileSystem(hconf)
+        bak = jvm.org.apache.hadoop.fs.Path(state_path.rstrip("/") + ".bak")
+        if fs.exists(bak):
+            fs.delete(bak, True)
+        if fs.exists(dst):
+            fs.rename(dst, bak)
+        fs.rename(src, dst)
+        if fs.exists(bak):
+            fs.delete(bak, True)
+
+    q = (
+        changes.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"stream_upsert_parquet drain into {state_path} still running "
+            f"after {timeout_sec}s"
+        )
+    return q

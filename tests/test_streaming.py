@@ -519,3 +519,49 @@ def test_windowed_distinct_users_stream_equals_batch(spark, events_stream_setup)
     se.run_to_memory_sink(stream, "wdu_sink", output_mode="complete")
     cols = ["window_start", "distinct_users"]
     assert _sorted_rows(spark.table("wdu_sink"), cols) == _sorted_rows(batch, cols)
+
+
+def test_stream_upsert_parquet_merges_like_batch(spark, tmp_path):
+    """foreachBatch CDC upsert loop: streamed change batches merged
+    into the parquet state must equal one batch apply_changes over the
+    full feed; re-running with no new files is a no-op; a re-applied
+    batch (crash between state swap and checkpoint commit) would also
+    be a no-op because apply_changes is last-writer-wins by seq."""
+    from clinical_data_lake_spark.operators.cdc import apply_changes
+
+    src = str(tmp_path / "changes")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k long, v string, seq long, op string"
+
+    slices = [
+        [(1, "a1", 1, "U"), (2, "b1", 2, "U"), (3, "c1", 3, "U")],
+        [(1, "a2", 4, "U"), (2, None, 5, "D")],
+        [(2, "b3", 6, "U"), (4, "d1", 7, "U"), (3, None, 8, "D")],
+    ]
+    import time as _time
+
+    for sl in slices:
+        spark.createDataFrame(sl, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        _time.sleep(1.1)  # distinct mtimes -> deterministic file order
+
+    changes_stream = se.stream_from_batch_dir(
+        spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1
+    )
+    se.stream_upsert_parquet(
+        changes_stream, state, ckpt, keys=["k"], value_cols=["v"]
+    )
+    got = {(r.k, r.v) for r in spark.read.parquet(state).collect()}
+    all_changes = spark.createDataFrame(sum(slices, []), schema)
+    empty = spark.createDataFrame([], "k long, v string")
+    want = {(r.k, r.v) for r in
+            apply_changes(empty, all_changes, ["k"]).collect()}
+    assert got == want == {(1, "a2"), (2, "b3"), (4, "d1")}
+    # idempotent re-run: no new files -> state unchanged
+    changes2 = se.stream_from_batch_dir(
+        spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1
+    )
+    se.stream_upsert_parquet(changes2, state, ckpt, keys=["k"], value_cols=["v"])
+    assert {(r.k, r.v) for r in spark.read.parquet(state).collect()} == want
