@@ -3252,6 +3252,35 @@ def q_fs_em(spark: SparkSession, sf: str) -> DataFrame:
     return joins.fs_em_weights(pairs, cols)
 
 
+def q_forget_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Right-to-be-forgotten cascade audit (operators/quality.py:
+    forget_keys): anti-join the deletion set (customers with key % 50
+    == 0) out of customer and orders, report per-table
+    before/removed/after — the erasure-compliance record."""
+    from .operators import quality as dq
+
+    cust = read_table(spark, sf, "customer")
+    orders = read_table(spark, sf, "orders")
+    forget = cust.filter(F.col("c_custkey") % 50 == 0).select("c_custkey")
+    _, audit = dq.forget_keys(
+        {"customer": (cust, "c_custkey"), "orders": (orders, "o_custkey")},
+        forget,
+        "c_custkey",
+    )
+    return audit
+
+
+def q_dp_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Laplace-mechanism event-type counts (operators/aggregates.py:
+    dp_noisy_counts, epsilon=1, seeded md5-uniform inverse CDF) — the
+    DP release mechanism with reproducible noise so both engines
+    replay it bit-for-bit; seed rotation per release is the documented
+    production contract."""
+    return agg.dp_noisy_counts(
+        read_table(spark, sf, "events"), ["event_type"], epsilon=1.0, seed=42
+    )
+
+
 def q_json_profile(spark: SparkSession, sf: str) -> DataFrame:
     """Semi-structured schema profile of events.props
     (operators/quality.py:json_profile): per (key, inferred type)
@@ -3901,6 +3930,8 @@ QUERIES = {
     "tpch_q21": q_tpch_q21,
     "hard_negatives": q_hard_negatives,
     "json_profile": q_json_profile,
+    "forget_audit": q_forget_audit,
+    "dp_counts": q_dp_counts,
 }
 
 # -- r9 certification window (ROTATION.md): the driver checks the FIRST
@@ -7909,6 +7940,42 @@ FROM final f JOIN ordered o USING (doc_id) JOIN packed p USING (doc_id)
         SELECT m.user_id, m.n, ms.slope,
                round(m.my - ms.slope * m.mx, 6) + 0.0 AS intercept
         FROM meds m LEFT JOIN ms ON ms.user_id = m.user_id
+    """,
+    "forget_audit": """
+        WITH fk AS (SELECT DISTINCT c_custkey FROM customer
+                    WHERE c_custkey % 50 = 0)
+        SELECT 'customer' AS table_name,
+               CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_before,
+               CAST((SELECT count(*) FROM customer
+                     WHERE c_custkey IN (SELECT c_custkey FROM fk))
+                    AS BIGINT) AS n_removed,
+               CAST((SELECT count(*) FROM customer
+                     WHERE c_custkey NOT IN (SELECT c_custkey FROM fk))
+                    AS BIGINT) AS n_after
+        UNION ALL
+        SELECT 'orders',
+               CAST((SELECT count(*) FROM orders) AS BIGINT),
+               CAST((SELECT count(*) FROM orders
+                     WHERE o_custkey IN (SELECT c_custkey FROM fk))
+                    AS BIGINT),
+               CAST((SELECT count(*) FROM orders
+                     WHERE o_custkey NOT IN (SELECT c_custkey FROM fk))
+                    AS BIGINT)
+    """,
+    "dp_counts": """
+        WITH g AS (
+            SELECT event_type, count(*) AS n FROM events GROUP BY 1
+        ),
+        u AS (
+            SELECT event_type, n,
+                   (('0x' || substr(md5('42:' || event_type), 1, 13))::BIGINT
+                    + 0.5) / 4503599627370496.0 AS uv
+            FROM g
+        )
+        SELECT event_type,
+               round(n + (-1.0) * sign(uv - 0.5)
+                         * ln(1.0 - 2.0 * abs(uv - 0.5)), 6) AS noisy_count
+        FROM u
     """,
     "json_profile": """
         WITH n AS (SELECT count(*) AS total FROM events),

@@ -722,3 +722,52 @@ def heavy_hitters(
             ),
         )
     )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    epsilon: float = 1.0,
+    seed: int = 42,
+    digits: int = 6,
+) -> DataFrame:
+    """Differentially-private-mechanism group counts: exact counts plus
+    Laplace(1/epsilon) noise generated by the inverse-CDF transform of
+    a SEEDED md5-uniform — noise = -(1/eps)*sign(u-1/2)*ln(1-2|u-1/2|).
+    Returns (group..., noisy_count).
+
+    SEEDED determinism is deliberate and means this specific output is
+    reproducible — which also means a FIXED seed does NOT provide the
+    DP guarantee across releases (an adversary who knows the seed can
+    subtract the noise). Rotate the seed per release in production;
+    the fixed default exists so tests and the SQL twin can replay the
+    mechanism bit-for-bit. Sensitivity 1 (each entity contributes one
+    row per group at most — the caller's contract).
+
+    Plan: one map-side-combinable count, one projection. The uniform
+    comes from the first 13 hex chars of md5(seed:group...) — 52 bits,
+    exactly representable in a double, identical in any engine.
+    """
+    gcols = list(group_cols)
+    h = F.md5(
+        F.concat_ws(
+            ":", F.lit(seed).cast("string"), *[F.col(c).cast("string") for c in gcols]
+        )
+    )
+    u = (F.conv(F.substring(h, 1, 13), 16, 10).cast("double") + 0.5) / F.lit(
+        float(1 << 52)
+    )
+    centered = u - F.lit(0.5)
+    noise = (
+        F.lit(-1.0 / float(epsilon))
+        * F.signum(centered)
+        * F.log(F.lit(1.0) - 2 * F.abs(centered))
+    )
+    return (
+        df.groupBy(*gcols)
+        .agg(F.count(F.lit(1)).alias("__n__"))
+        .select(
+            *gcols,
+            F.round(F.col("__n__") + noise, digits).alias("noisy_count"),
+        )
+    )

@@ -598,3 +598,48 @@ def json_profile(
             ),
         )
     )
+
+
+def forget_keys(
+    tables: Mapping[str, tuple[DataFrame, str]],
+    forget: DataFrame,
+    forget_col: str,
+) -> tuple[dict[str, DataFrame], DataFrame]:
+    """Right-to-be-forgotten cascade: anti-join a deletion key set out
+    of every registered table and report the audit trail. ``tables``
+    maps table name -> (DataFrame, key column matching the forget
+    set); returns ({name: filtered DataFrame}, audit) where audit has
+    one row per table: (table_name, n_before, n_removed, n_after).
+
+    The erasure-compliance primitive: one broadcast of the (small)
+    forget set, one anti join per table, counts exact. Plans stay
+    lazy — callers write the filtered tables and persist the audit as
+    the compliance record. At scale pair with ``compact_table`` so
+    deleted rows leave the physical files too.
+    """
+    keys = forget.select(F.col(forget_col).alias("__fk__")).distinct()
+    filtered: dict[str, DataFrame] = {}
+    for name, (df, key_col) in tables.items():
+        filtered[name] = df.join(
+            F.broadcast(keys), df[key_col] == keys["__fk__"], "left_anti"
+        )
+    # audit counts computed set-wise (no per-row membership of a
+    # collected list): n_removed = n_before - n_after, the two
+    # aggregates sharing the broadcast anti join
+    audit_rows = None
+    for name, (df, key_col) in tables.items():
+        kept = filtered[name]
+        row = (
+            df.agg(F.count(F.lit(1)).cast("long").alias("n_before"))
+            .join(kept.agg(F.count(F.lit(1)).cast("long").alias("n_after")))
+            .select(
+                F.lit(name).alias("table_name"),
+                "n_before",
+                (F.col("n_before") - F.col("n_after")).cast("long").alias(
+                    "n_removed"
+                ),
+                "n_after",
+            )
+        )
+        audit_rows = row if audit_rows is None else audit_rows.unionByName(row)
+    return filtered, audit_rows

@@ -381,3 +381,46 @@ def test_json_profile_types_and_presence(spark):
     assert rows[("e", "null")].n == 1
     assert rows[("b", "string")].presence == 0.5
     assert rows[("b", "string")].n_distinct == 2
+
+
+def test_forget_keys_cascade_and_audit(spark):
+    from clinical_data_lake_spark.operators.quality import forget_keys
+
+    users = spark.createDataFrame([(i, f"u{i}") for i in range(10)], "uid int, name string")
+    acts = spark.createDataFrame(
+        [(i % 10, i) for i in range(40)], "uid int, act int"
+    )
+    forget = spark.createDataFrame([(2,), (7,)], "uid int")
+    filtered, audit = forget_keys(
+        {"users": (users, "uid"), "acts": (acts, "uid")}, forget, "uid"
+    )
+    assert filtered["users"].filter("uid in (2,7)").count() == 0
+    assert filtered["acts"].filter("uid in (2,7)").count() == 0
+    rows = {r.table_name: r for r in audit.collect()}
+    assert (rows["users"].n_before, rows["users"].n_removed, rows["users"].n_after) == (10, 2, 8)
+    assert (rows["acts"].n_before, rows["acts"].n_removed, rows["acts"].n_after) == (40, 8, 32)
+
+
+def test_dp_noisy_counts_mechanism(spark):
+    from clinical_data_lake_spark.operators.aggregates import dp_noisy_counts
+
+    df = spark.createDataFrame(
+        [(chr(97 + i % 20),) for i in range(2000)], "g string"
+    )
+    out = {r.g: r.noisy_count for r in dp_noisy_counts(df, ["g"], epsilon=1.0).collect()}
+    # exact count per group is 100; Laplace(1) noise is almost surely
+    # within +-15 and NEVER exactly zero for all groups
+    assert all(85 < v < 115 for v in out.values())
+    assert any(abs(v - 100.0) > 1e-9 for v in out.values())
+    # deterministic per seed; different seed -> different noise
+    again = {r.g: r.noisy_count for r in dp_noisy_counts(df, ["g"], epsilon=1.0).collect()}
+    assert out == again
+    other = {r.g: r.noisy_count for r in
+             dp_noisy_counts(df, ["g"], epsilon=1.0, seed=7).collect()}
+    assert other != out
+    # epsilon scales the noise: eps=0.1 -> 10x wider
+    wide = {r.g: r.noisy_count for r in
+            dp_noisy_counts(df, ["g"], epsilon=0.1).collect()}
+    import statistics
+    assert statistics.mean(abs(v - 100) for v in wide.values()) > \
+        statistics.mean(abs(v - 100) for v in out.values())
