@@ -154,6 +154,13 @@ BENCH_QUERIES = [
     "tpch_q7",
     "tpch_q8",
     "tpch_q12",
+    "tpch_q2",
+    "tpch_q20",
+    "tpch_q21",
+    "hard_negatives",
+    "json_profile",
+    "forget_audit",
+    "dp_counts",
 ]
 
 # Scope the measured set without editing the file (drift A/B testing,

@@ -112,6 +112,10 @@ R9_NEW = [
     "tpch_q8",
     "tpch_q2",
     "tpch_q21",
+    "hard_negatives",
+    "json_profile",
+    "dp_counts",
+    "forget_audit",
 ]
 
 
