@@ -316,11 +316,16 @@ def khop_neighbors(
     )
     frontier = track_persist(visited)
     for hop in range(1, k + 1):
+        # frontier and visited are id lists, tiny next to the edge
+        # table — broadcast them so each hop is a broadcast join + a
+        # broadcast anti join, never an edge-table shuffle per hop
         nxt = track_persist(
-            frontier.join(e, frontier["node"] == e["__s__"])
+            F.broadcast(frontier).join(e, frontier["node"] == e["__s__"])
             .select(F.col("__d__").alias("node"))
             .distinct()
-            .join(visited.select("node"), on="node", how="left_anti")
+            .join(
+                F.broadcast(visited.select("node")), on="node", how="left_anti"
+            )
             .select("node", F.lit(hop).alias("hop"))
         )
         visited = visited.union(nxt)
