@@ -3252,6 +3252,23 @@ def q_fs_em(spark: SparkSession, sf: str) -> DataFrame:
     return joins.fs_em_weights(pairs, cols)
 
 
+def q_proportion_ci(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type high-value rate with Wilson 95% interval
+    (ml/stats.py:proportion_ci): success = value > 30 — the
+    per-segment companion of ab_test's pooled read-out."""
+    ev = read_table(spark, sf, "events")
+    return ml_stats.proportion_ci(ev, ["event_type"], F.col("value") > 30.0)
+
+
+def q_herfindahl(spark: SparkSession, sf: str) -> DataFrame:
+    """User concentration of event value per type
+    (operators/aggregates.py:herfindahl): sum of squared value shares
+    — the whole-distribution concentration score pairing with
+    pareto's head ranking."""
+    ev = read_table(spark, sf, "events")
+    return agg.herfindahl(ev, ["event_type"], "user_id", "value")
+
+
 def q_forget_audit(spark: SparkSession, sf: str) -> DataFrame:
     """Right-to-be-forgotten cascade audit (operators/quality.py:
     forget_keys): anti-join the deletion set (customers with key % 50
@@ -3932,6 +3949,8 @@ QUERIES = {
     "json_profile": q_json_profile,
     "forget_audit": q_forget_audit,
     "dp_counts": q_dp_counts,
+    "proportion_ci": q_proportion_ci,
+    "herfindahl": q_herfindahl,
 }
 
 # -- r9 certification window (ROTATION.md): the driver checks the FIRST
@@ -7940,6 +7959,61 @@ FROM final f JOIN ordered o USING (doc_id) JOIN packed p USING (doc_id)
         SELECT m.user_id, m.n, ms.slope,
                round(m.my - ms.slope * m.mx, 6) + 0.0 AS intercept
         FROM meds m LEFT JOIN ms ON ms.user_id = m.user_id
+    """,
+    "proportion_ci": """
+        WITH g AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN value > 30.0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS successes
+            FROM events GROUP BY 1
+        )
+        SELECT event_type, n, successes,
+               round(CAST(successes AS DOUBLE) / n, 6) AS p_hat,
+               round(((CAST(successes AS DOUBLE) / n)
+                      + 1.959963984540054 * 1.959963984540054 / (2 * n))
+                     / (1.0 + 1.959963984540054 * 1.959963984540054 / n)
+                     - 1.959963984540054
+                       * sqrt((CAST(successes AS DOUBLE) / n)
+                              * (1.0 - CAST(successes AS DOUBLE) / n) / n
+                              + 1.959963984540054 * 1.959963984540054
+                                / (4.0 * n * n))
+                       / (1.0 + 1.959963984540054 * 1.959963984540054 / n),
+                     6) AS ci_low,
+               round(((CAST(successes AS DOUBLE) / n)
+                      + 1.959963984540054 * 1.959963984540054 / (2 * n))
+                     / (1.0 + 1.959963984540054 * 1.959963984540054 / n)
+                     + 1.959963984540054
+                       * sqrt((CAST(successes AS DOUBLE) / n)
+                              * (1.0 - CAST(successes AS DOUBLE) / n) / n
+                              + 1.959963984540054 * 1.959963984540054
+                                / (4.0 * n * n))
+                       / (1.0 + 1.959963984540054 * 1.959963984540054 / n),
+                     6) AS ci_high
+        FROM g
+    """,
+    "herfindahl": """
+        WITH pe AS (
+            SELECT event_type, user_id,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6))
+                       AS m
+            FROM events GROUP BY 1, 2
+        ),
+        sh AS (
+            SELECT event_type,
+                   CAST(round((CAST(m AS DOUBLE)
+                               / CAST(sum(m) OVER (PARTITION BY event_type)
+                                      AS DOUBLE))
+                              * (CAST(m AS DOUBLE)
+                               / CAST(sum(m) OVER (PARTITION BY event_type)
+                                      AS DOUBLE)), 12)
+                        AS DECIMAL(18,12)) AS s2
+            FROM pe
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_entities,
+               round(CAST(sum(s2) AS DOUBLE), 6) AS hhi
+        FROM sh GROUP BY 1
     """,
     "forget_audit": """
         WITH fk AS (SELECT DISTINCT c_custkey FROM customer

@@ -1083,3 +1083,46 @@ def anova_f(
         F.round(ssw, digits).alias("ss_within"),
         (F.round(f_stat, digits) + F.lit(0.0)).alias("f_stat"),
     )
+
+
+def proportion_ci(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    flag_col: Column | str,
+    z: float = 1.959963984540054,
+    digits: int = 6,
+) -> DataFrame:
+    """Per-group proportion with the Wilson score interval — the CI
+    that stays inside [0,1] and behaves at small n, unlike the normal
+    approximation (the per-segment companion of ``ab_test``'s pooled
+    read-out). ``flag_col`` is a boolean/0-1 success indicator.
+    Returns (group..., n, successes, p_hat, ci_low, ci_high).
+
+    Counts are exact integers; the Wilson algebra is a fixed chain of
+    double ops per group row — deterministic everywhere.
+    """
+    gcols = list(group_cols)
+    f = F.col(flag_col) if isinstance(flag_col, str) else flag_col
+    agg_tbl = df.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(f.cast("long")).cast("long").alias("successes"),
+    )
+    n = F.col("n").cast("double")
+    s = F.col("successes").cast("double")
+    p = s / n
+    z2 = F.lit(float(z) * float(z))
+    denom = F.lit(1.0) + z2 / n
+    center = (p + z2 / (2 * n)) / denom
+    half = (
+        F.lit(float(z))
+        * F.sqrt(p * (F.lit(1.0) - p) / n + z2 / (4 * n * n))
+        / denom
+    )
+    return agg_tbl.select(
+        *gcols,
+        "n",
+        "successes",
+        F.round(p, digits).alias("p_hat"),
+        F.round(center - half, digits).alias("ci_low"),
+        F.round(center + half, digits).alias("ci_high"),
+    )

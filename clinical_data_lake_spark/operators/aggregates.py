@@ -771,3 +771,45 @@ def dp_noisy_counts(
             F.round(F.col("__n__") + noise, digits).alias("noisy_count"),
         )
     )
+
+
+def herfindahl(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    entity_col: str,
+    value_col: str | None = None,
+    digits: int = 6,
+) -> DataFrame:
+    """Herfindahl-Hirschman concentration index per group: the sum of
+    squared entity shares of the group total — 1/N_entities for a
+    perfectly even split, 1.0 for a monopoly. The market/traffic/
+    vendor concentration read-out that pairs with ``pareto_analysis``
+    (which ranks the head; this scores the whole distribution in one
+    number). Returns (group..., n_entities, hhi).
+
+    Determinism: per-entity masses are exact (counts, or decimal sums
+    of ``value_col``); shares square as rounded decimals and the HHI
+    accumulates decimally — the one division per entity happens on
+    exact inputs.
+    """
+    gcols = list(group_cols)
+    mass = (
+        F.count(F.lit(1)).cast("decimal(28,6)")
+        if value_col is None
+        else F.sum(F.col(value_col).cast("decimal(18,6)")).cast("decimal(28,6)")
+    )
+    per_entity = df.groupBy(*gcols, entity_col).agg(mass.alias("__m__"))
+    w_tot = Window.partitionBy(*gcols) if gcols else Window.partitionBy(F.lit(1))
+    ratio = F.col("__m__").cast("double") / F.sum("__m__").over(w_tot).cast(
+        "double"
+    )
+    # plain multiply, not pow(x, 2): engines may differ in pow's ULP
+    share2 = F.round(ratio * ratio, 12).cast("decimal(18,12)")
+    return (
+        per_entity.select(*gcols, share2.alias("__s2__"))
+        .groupBy(*gcols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_entities"),
+            F.round(F.sum("__s2__").cast("double"), digits).alias("hhi"),
+        )
+    )

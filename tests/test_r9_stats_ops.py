@@ -424,3 +424,41 @@ def test_dp_noisy_counts_mechanism(spark):
     import statistics
     assert statistics.mean(abs(v - 100) for v in wide.values()) > \
         statistics.mean(abs(v - 100) for v in out.values())
+
+
+def test_proportion_ci_wilson_closed_form(spark):
+    from clinical_data_lake_spark.ml.stats import proportion_ci
+
+    # 20 of 80 successes: compare to hand-computed Wilson bounds
+    import math
+
+    df = spark.createDataFrame(
+        [("g", 1)] * 20 + [("g", 0)] * 60, "g string, f int"
+    )
+    r = proportion_ci(df, ["g"], F.col("f") == 1).collect()[0]
+    z = 1.959963984540054
+    n, p = 80.0, 0.25
+    denom = 1 + z * z / n
+    center = (p + z * z / (2 * n)) / denom
+    half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / denom
+    assert (r.n, r.successes, r.p_hat) == (80, 20, 0.25)
+    assert r.ci_low == pytest.approx(round(center - half, 6))
+    assert r.ci_high == pytest.approx(round(center + half, 6))
+    assert 0.0 < r.ci_low < 0.25 < r.ci_high < 1.0
+
+
+def test_herfindahl_extremes(spark):
+    from clinical_data_lake_spark.operators.aggregates import herfindahl
+
+    # monopoly -> 1.0 ; even 4-way split -> 0.25
+    mono = spark.createDataFrame([("g", "u1", 5.0)] * 4, "g string, e string, v double")
+    r = herfindahl(mono, ["g"], "e", "v").collect()[0]
+    assert (r.n_entities, r.hhi) == (1, 1.0)
+    even = spark.createDataFrame(
+        [("g", f"u{i}", 5.0) for i in range(4)], "g string, e string, v double"
+    )
+    r2 = herfindahl(even, ["g"], "e", "v").collect()[0]
+    assert (r2.n_entities, r2.hhi) == (4, 0.25)
+    # count-based variant (value_col=None)
+    cnt = herfindahl(even, ["g"], "e").collect()[0]
+    assert cnt.hhi == 0.25
