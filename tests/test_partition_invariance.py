@@ -116,6 +116,8 @@ R9_NEW = [
     "json_profile",
     "dp_counts",
     "forget_audit",
+    "proportion_ci",
+    "herfindahl",
 ]
 
 
