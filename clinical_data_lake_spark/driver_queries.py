@@ -3980,9 +3980,34 @@ _R9_WINDOW = [
     "set_except", "null_fill", "date_diff", "nested_access",
 ]
 assert len(_R9_WINDOW) == 50 and len(set(_R9_WINDOW)) == 50
+
+# -- r10 certification window (ROTATION.md): Priority 1 = the 46
+#    operators added in r9, none of which has a driver CORRECTNESS row
+#    (44 oracle-twinned; bpe_merges/fs_em rows-only, their twinned
+#    proxies bpe_pairs/fs_patterns ride the same window). Priority 2 =
+#    4 fillers from the r5-r6 LLM block, oldest-certified first. Same
+#    invariants as r9: pure permutation, explicit auditable list. --
+_R10_WINDOW = [
+    # Priority 1: the 46 r9-new operators.
+    "tpch_q2", "tpch_q4", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9",
+    "tpch_q10", "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14",
+    "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19",
+    "tpch_q20", "tpch_q21", "tpch_q22", "bucketed_join", "ann_pq_topk",
+    "mann_kendall", "spearman", "vocab_growth", "knn_classify",
+    "silhouette", "cumulative_distinct", "sla_rollup", "cooc_counts",
+    "khop", "forecast_eval", "heavy_hitters", "winnow_pairs",
+    "bpe_pairs", "bpe_merges", "tumble_distinct", "anova_f",
+    "fs_patterns", "fs_em", "decompose", "hard_negatives",
+    "json_profile", "forget_audit", "dp_counts", "proportion_ci",
+    "herfindahl",
+    # Priority 2: 4 fillers from the r5-r6 LLM block (oldest first).
+    "dedup_exact", "dedup_keep_best", "dedup_ngram_jaccard",
+    "dedup_clusters",
+]
+assert len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50
 QUERIES = {
-    **{k: QUERIES[k] for k in _R9_WINDOW},
-    **{k: v for k, v in QUERIES.items() if k not in set(_R9_WINDOW)},
+    **{k: QUERIES[k] for k in _R10_WINDOW},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R10_WINDOW)},
 }
 
 
