@@ -668,36 +668,44 @@ def cooccurrence_counts(
     Returns (term_a, term_b, n, w_sum) for pairs seen >= ``min_count``
     times.
 
-    Scale shape: the position self-join is keyed by the document and
-    banded to ``window`` positions — O(tokens x window) rows, never
-    all-pairs; the (term_a, term_b) rollup is the only vocab-sized
-    shuffle and is map-side combinable. At 100 TB this is the
-    embedding-pretraining co-occurrence builder: text never shuffles,
-    only (doc, pos, token) triples and pair counts do."""
+    Scale shape: each left-side token is expanded into its ``window``
+    target positions BEFORE the join, so the self-join is EQUI on
+    (doc, position) — both rows shipped and comparisons executed are
+    O(tokens x window). (The earlier doc-keyed join with a post-hoc
+    band filter shipped O(tokens x window) rows but ran O(tokens²)
+    comparisons per document — Spark has no band-join optimization, so
+    one long document degraded quadratically.) The (term_a, term_b)
+    rollup is the only vocab-sized shuffle and is map-side
+    combinable. At 100 TB this is the embedding-pretraining
+    co-occurrence builder: text never shuffles, only (doc, pos, token)
+    triples and pair counts do."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     toks = (
         docs.select(F.col(id_col), F.posexplode(F.split(norm, " ")).alias("pos", "w"))
         .filter(F.col("w") != "")
     )
+    # window shifted copies of every token: (doc, pos+d, w, d) for
+    # d in 1..window — the band predicate becomes an equi key
     a = toks.select(
-        F.col(id_col), F.col("pos").alias("__pa__"), F.col("w").alias("__wa__")
+        F.col(id_col),
+        F.col("pos"),
+        F.col("w").alias("__wa__"),
+        F.explode(F.sequence(F.lit(1), F.lit(int(window)))).alias("__d__"),
+    ).select(
+        F.col(id_col),
+        (F.col("pos") + F.col("__d__")).alias("__pb__"),
+        "__wa__",
+        "__d__",
     )
     b = toks.select(
         F.col(id_col), F.col("pos").alias("__pb__"), F.col("w").alias("__wb__")
     )
-    pairs = (
-        a.join(b, on=id_col)
-        .filter(
-            (F.col("__pb__") > F.col("__pa__"))
-            & (F.col("__pb__") <= F.col("__pa__") + window)
-        )
-        .select(
-            F.least("__wa__", "__wb__").alias("term_a"),
-            F.greatest("__wa__", "__wb__").alias("term_b"),
-            F.round(F.lit(1.0) / (F.col("__pb__") - F.col("__pa__")), 9)
-            .cast("decimal(18,9)")
-            .alias("__w__"),
-        )
+    pairs = a.join(b, on=[id_col, "__pb__"]).select(
+        F.least("__wa__", "__wb__").alias("term_a"),
+        F.greatest("__wa__", "__wb__").alias("term_b"),
+        F.round(F.lit(1.0) / F.col("__d__"), 9)
+        .cast("decimal(18,9)")
+        .alias("__w__"),
     )
     return (
         pairs.groupBy("term_a", "term_b")

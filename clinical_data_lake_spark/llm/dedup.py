@@ -1236,15 +1236,19 @@ def winnow_fingerprints(
     fingerprint density is ~2/(window+1) — position-robust local
     sampling, unlike MinHash's global sampling.
 
-    Exactly the published selection rule: window anchors join their
-    member positions (banded self-join keyed by doc, O(tokens*window)
-    rows, no all-pairs), each window takes min(struct(hash, -pos)) —
-    the (value, rightmost) tie-break — and selections dedupe to
-    (id, pos, fp). Everything is integer/hash arithmetic, so the SQL
-    twin replays it verbatim.
+    Exactly the published selection rule: each gram hash is exploded
+    into the <= ``window`` window-anchor positions that contain it (no
+    self-join at all — O(tokens*window) rows AND comparisons; a
+    doc-keyed join with a post-hoc band filter would run
+    O(tokens²) comparisons on a long document), each window takes
+    min(struct(hash, -pos)) — the (value, rightmost) tie-break — and
+    selections dedupe to (id, pos, fp). Everything is integer/hash
+    arithmetic, so the SQL twin replays it verbatim.
 
-    Returns (id_col, pos, fp): the selected gram position and its
-    xxhash64 fingerprint.
+    Returns (id_col, pos, fp): the selected gram position and its md5
+    fingerprint (md5, not xxhash64, deliberately: the SELECTION depends
+    on hash ORDER, and md5 hex strings order identically in Spark and
+    the DuckDB oracle, while xxhash64 is Spark-private and unprovable).
     """
     # positions come from posexplode over the same zipped-slice gram
     # construction word_shingles uses — deterministic in-doc order
@@ -1267,17 +1271,23 @@ def winnow_fingerprints(
         )
         .select(id_col, "__p__", F.md5("__g__").alias("__h__"))
     )
-    anchors = grams.select(F.col(id_col), F.col("__p__").alias("__j__"))
-    members = grams.select(
-        F.col(id_col), F.col("__p__"), F.col("__h__")
+    # gram at position p belongs to window anchors j in
+    # [p - window + 1, p]; explode the membership instead of joining —
+    # gram positions are contiguous 0..max, so every j >= 0 is a real
+    # anchor and the expansion is exactly the band, never all-pairs
+    member_rows = grams.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("__p__") - (window - 1), F.lit(0)),
+                F.col("__p__"),
+            )
+        ).alias("__j__"),
+        "__p__",
+        "__h__",
     )
     return (
-        anchors.join(members, on=id_col)
-        .filter(
-            (F.col("__p__") >= F.col("__j__"))
-            & (F.col("__p__") < F.col("__j__") + window)
-        )
-        .groupBy(id_col, "__j__")
+        member_rows.groupBy(id_col, "__j__")
         .agg(
             F.min(
                 F.struct(F.col("__h__").alias("h"), (-F.col("__p__")).alias("np"))

@@ -879,13 +879,18 @@ def silhouette_simplified(
     protos = class_prototypes(embeddings, label_col, vec_col).select(
         F.col(label_col).alias("__plbl__"), "pos", "mean"
     )
-    pts = (
-        embeddings.filter(F.col(label_col).isNotNull())
-        .select(
-            F.col("vec_id") if "vec_id" in embeddings.columns else F.monotonically_increasing_id().alias("vec_id"),
-            F.col(label_col),
-            F.posexplode(_as_double(vec_col)).alias("pos", "val"),
-        )
+    base = embeddings.filter(F.col(label_col).isNotNull())
+    if "vec_id" not in embeddings.columns:
+        # Assign the id in its OWN select: ExtractGenerator hoists a
+        # non-generator expression sharing a select with posexplode
+        # ABOVE the Generate, so an id minted alongside the explode
+        # would differ per (point, dimension) row — every point would
+        # look like d one-dimensional points.
+        base = base.withColumn("vec_id", F.monotonically_increasing_id())
+    pts = base.select(
+        "vec_id",
+        F.col(label_col),
+        F.posexplode(_as_double(vec_col)).alias("pos", "val"),
     )
     term = (
         (F.col("val") - F.col("mean")) * (F.col("val") - F.col("mean"))

@@ -40,7 +40,10 @@ def write_bucketed_table(
     ephemeral (per-session) metastore, a previous session's table
     directory survives in the warehouse while the catalog entry does
     not, and ``saveAsTable`` then fails LOCATION_ALREADY_EXISTS. Drop
-    the catalog entry and remove an orphaned location before writing.
+    the catalog entry and remove an orphaned location before writing —
+    but ONLY when the directory looks like a prior table write
+    (Spark output files / Hive partition dirs exclusively). A name
+    collision with user-placed data raises instead of destroying it.
     """
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {name}")
@@ -54,6 +57,25 @@ def write_bucketed_table(
         warehouse = spark.conf.get("spark.sql.warehouse.dir")
         fs, loc = _hadoop_fs(spark, f"{warehouse.rstrip('/')}/{parts[-1]}")
         if fs.exists(loc):
+            foreign = [
+                n
+                for n in (
+                    s.getPath().getName() for s in fs.listStatus(loc)
+                )
+                if not (
+                    n.startswith("part-")
+                    or n.startswith("_")  # _SUCCESS/_committed/_temporary
+                    or n.startswith(".")  # .crc and hidden markers
+                    or "=" in n  # Hive partition directories
+                )
+            ]
+            if foreign:
+                raise ValueError(
+                    f"refusing to overwrite {loc}: directory exists but "
+                    f"does not look like a prior managed-table write "
+                    f"(unexpected entries {foreign[:5]}); move it aside "
+                    f"or pick a different table name"
+                )
             fs.delete(loc, True)
     writer = (
         df.write.mode("overwrite").format(fmt).bucketBy(n_buckets, *bucket_cols)

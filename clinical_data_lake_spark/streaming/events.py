@@ -546,25 +546,43 @@ def stream_upsert_parquet(
 
     cols = list(dict.fromkeys([*keys, *value_cols]))
 
+    def _paths(spark):
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        dst = jvm.org.apache.hadoop.fs.Path(state_path)
+        src = jvm.org.apache.hadoop.fs.Path(state_path.rstrip("/") + ".staging")
+        bak = jvm.org.apache.hadoop.fs.Path(state_path.rstrip("/") + ".bak")
+        return dst.getFileSystem(hconf), dst, src, bak
+
     def merge_batch(batch_df, batch_id: int):
         spark = batch_df.sparkSession
-        try:
+        fs, dst, src, bak = _paths(spark)
+        # Crash recovery BEFORE reading: the swap below is two renames
+        # (dst→bak, staging→dst), and a crash between them leaves no
+        # state dir while .bak still holds the committed snapshot. The
+        # checkpoint had NOT committed that batch (foreachBatch commits
+        # on return), so restoring .bak and letting the re-delivered
+        # batch merge again is exactly-once — apply_changes is
+        # deterministic and last-writer-wins. Treating the missing dir
+        # as first-run instead would silently abandon all prior state.
+        if not fs.exists(dst) and fs.exists(bak):
+            fs.rename(bak, dst)
+        if fs.exists(src):
+            fs.delete(src, True)  # stale staging from an interrupted write
+        if fs.exists(dst):
+            # No except here: a CORRUPT state dir must raise loudly,
+            # not masquerade as an empty first-run snapshot.
             snapshot = spark.read.parquet(state_path).select(*cols)
-        except Exception:
+        else:
             snapshot = spark.createDataFrame(
                 [], batch_df.select(*cols).schema
             )
         new_snap = apply_changes(
             snapshot, batch_df, keys, seq_col=seq_col, op_col=op_col
         )
-        staging = state_path.rstrip("/") + ".staging"
-        new_snap.write.mode("overwrite").parquet(staging)
-        jvm = spark.sparkContext._jvm
-        hconf = spark.sparkContext._jsc.hadoopConfiguration()
-        dst = jvm.org.apache.hadoop.fs.Path(state_path)
-        src = jvm.org.apache.hadoop.fs.Path(staging)
-        fs = dst.getFileSystem(hconf)
-        bak = jvm.org.apache.hadoop.fs.Path(state_path.rstrip("/") + ".bak")
+        new_snap.write.mode("overwrite").parquet(
+            state_path.rstrip("/") + ".staging"
+        )
         if fs.exists(bak):
             fs.delete(bak, True)
         if fs.exists(dst):

@@ -69,3 +69,38 @@ def test_bucketed_join_registry_query_plan_locked(spark):
         assert df.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_write_bucketed_refuses_foreign_directory(spark, tmp_path):
+    """ADVICE r9: the default-db self-heal deleted <warehouse>/<table>
+    unconditionally — a name collision with user-placed data destroyed
+    it. Foreign-looking contents must raise; a genuine stale table
+    write (part files + _SUCCESS) must still self-heal."""
+    import os
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    loc = os.path.join(warehouse, "adv_collision")
+    os.makedirs(loc, exist_ok=True)
+    with open(os.path.join(loc, "precious_user_data.csv"), "w") as fh:
+        fh.write("a,b\n1,2\n")
+    df = spark.range(0, 10).selectExpr("id as k", "id * 2 as v")
+    try:
+        with pytest.raises(ValueError, match="refusing to overwrite"):
+            write_bucketed_table(df, "adv_collision", ["k"], 2)
+        assert os.path.exists(os.path.join(loc, "precious_user_data.csv"))
+    finally:
+        import shutil
+
+        shutil.rmtree(loc, ignore_errors=True)
+        spark.sql("DROP TABLE IF EXISTS adv_collision")
+
+    # stale managed-table layout still self-heals
+    loc2 = os.path.join(warehouse, "adv_stale")
+    os.makedirs(loc2, exist_ok=True)
+    open(os.path.join(loc2, "_SUCCESS"), "w").close()
+    open(os.path.join(loc2, "part-00000-old.snappy.parquet"), "w").close()
+    try:
+        write_bucketed_table(df, "adv_stale", ["k"], 2)
+        assert spark.table("adv_stale").count() == 10
+    finally:
+        spark.sql("DROP TABLE IF EXISTS adv_stale")

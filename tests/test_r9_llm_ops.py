@@ -154,6 +154,27 @@ def test_silhouette_separated_vs_mixed(spark):
     assert all(r.mean_silhouette < 0.5 for r in ms)
 
 
+def test_silhouette_without_vec_id_column(spark):
+    """ADVICE r9: the vec_id fallback minted monotonically_increasing_id
+    in the SAME select as posexplode; ExtractGenerator hoists it above
+    Generate, so every (point, dimension) row got a distinct id —
+    n_points doubled and scores were computed per-dimension. The id must
+    be assigned in its own projection BEFORE the explode."""
+    from clinical_data_lake_spark.llm.similarity import silhouette_simplified
+
+    rows = []
+    for i, (lbl, center) in enumerate(
+        [("x", [5.0, 0.0])] * 10 + [("y", [0.0, 5.0])] * 10
+    ):
+        rows.append(Row(label=lbl, embedding=[c + 0.01 * i for c in center]))
+    out = {r.label: r for r in
+           silhouette_simplified(spark.createDataFrame(rows)).collect()}
+    # 10 POINTS per label — not 20 (point, dimension) rows
+    assert out["x"].n_points == 10 and out["y"].n_points == 10
+    # and the well-separated clusters still score high
+    assert out["x"].mean_silhouette > 0.9 and out["y"].mean_silhouette > 0.9
+
+
 def test_winnowing_guarantee_and_density(spark):
     """Schleimer et al. guarantees: (1) any shared run of at least
     n + window - 1 words yields a shared fingerprint; (2) selection is

@@ -565,3 +565,73 @@ def test_stream_upsert_parquet_merges_like_batch(spark, tmp_path):
     )
     se.stream_upsert_parquet(changes2, state, ckpt, keys=["k"], value_cols=["v"])
     assert {(r.k, r.v) for r in spark.read.parquet(state).collect()} == want
+
+
+def test_stream_upsert_parquet_recovers_interrupted_swap(spark, tmp_path):
+    """ADVICE r9: the state swap is two renames (dst→bak, staging→dst);
+    a crash between them leaves no state dir. Restart must restore the
+    committed snapshot from .bak — NOT treat the missing dir as
+    first-run and abandon prior state (permanent data loss, since the
+    checkpoint skips re-delivering already-committed batches)."""
+    import os
+    import shutil
+    import time as _time
+
+    src = str(tmp_path / "changes")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k long, v string, seq long, op string"
+
+    spark.createDataFrame(
+        [(1, "a1", 1, "U"), (2, "b1", 2, "U")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)
+    stream1 = se.stream_from_batch_dir(
+        spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1
+    )
+    se.stream_upsert_parquet(stream1, state, ckpt, keys=["k"], value_cols=["v"])
+    assert {(r.k, r.v) for r in spark.read.parquet(state).collect()} == {
+        (1, "a1"), (2, "b1")
+    }
+
+    # Simulate the crash window: dst has been renamed to .bak, the
+    # staging→dst rename never happened, and a stale staging dir from
+    # the interrupted write is still lying around.
+    os.rename(state, state + ".bak")
+    os.makedirs(state + ".staging", exist_ok=True)
+    with open(state + ".staging/_incomplete", "w") as fh:
+        fh.write("partial")
+
+    # New change batch arrives; restart the loop from the checkpoint.
+    spark.createDataFrame([(2, "b2", 3, "U"), (3, "c1", 4, "U")],
+                          schema).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)
+    stream2 = se.stream_from_batch_dir(
+        spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1
+    )
+    se.stream_upsert_parquet(stream2, state, ckpt, keys=["k"], value_cols=["v"])
+    got = {(r.k, r.v) for r in spark.read.parquet(state).collect()}
+    # key 1 survives ONLY if .bak was recovered; keys 2/3 carry the
+    # re-delivered + new updates
+    assert got == {(1, "a1"), (2, "b2"), (3, "c1")}
+    assert not os.path.exists(state + ".bak")
+    assert not os.path.exists(state + ".staging")
+
+    # Corrupt state must raise loudly, not read as empty first-run.
+    shutil.rmtree(state)
+    os.makedirs(state)
+    with open(os.path.join(state, "part-00000.parquet"), "w") as fh:
+        fh.write("this is not parquet")
+    spark.createDataFrame([(5, "e1", 9, "U")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _time.sleep(1.1)
+    stream3 = se.stream_from_batch_dir(
+        spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        se.stream_upsert_parquet(
+            stream3, state, ckpt, keys=["k"], value_cols=["v"]
+        )
