@@ -304,30 +304,40 @@ def khop_neighbors(
         e = e.union(
             edges.select(F.col(dst).alias("__s__"), F.col(src).alias("__d__"))
         )
-    # the loop references the edge table once PER HOP and each hop's
-    # anti-join re-walks the visited lineage — without these persists
-    # the unrolled plan recomputes the (possibly expensive) upstream
-    # edge derivation k+ times (measured 9.1s -> 2s at sf0.1 on the
-    # near-dup graph). Frontiers are bare id lists — the cheapest
-    # possible cut points.
+    # the loop references the edge table once PER HOP — without this
+    # persist the unrolled plan recomputes the (possibly expensive)
+    # upstream edge derivation k+ times (measured 9.1s -> 2s at sf0.1
+    # on the near-dup graph).
     e = track_persist(e.distinct())
-    visited = seeds.select(F.col(node_col).alias("node")).distinct().select(
-        "node", F.lit(0).alias("hop")
+    # Frontiers use eager localCheckpoint, not persist + broadcast
+    # hints: BFS is inherently one job per hop, and the hint version
+    # paid an extra broadcast-exchange subjob per join on top of the
+    # lazy-persist materialization — measured 3.2-3.8s vs 1.4-1.7s
+    # steady-state for the checkpointed loop on the same 256-edge
+    # graph (the work is pure scheduling at that size). Checkpointing
+    # also truncates the per-hop lineage, so hop j's plan never
+    # re-walks hops 0..j-1. AQE still auto-broadcasts a small frontier
+    # into the edge join and falls back to a shuffle join when the
+    # frontier is genuinely large — the adaptive choice a fixed hint
+    # would have overridden.
+    frontier = (
+        seeds.select(F.col(node_col).alias("node"))
+        .distinct()
+        .select("node", F.lit(0).alias("hop"))
+        .localCheckpoint(eager=True)
     )
-    frontier = track_persist(visited)
+    visited = frontier
     for hop in range(1, k + 1):
-        # frontier and visited are id lists, tiny next to the edge
-        # table — broadcast them so each hop is a broadcast join + a
-        # broadcast anti join, never an edge-table shuffle per hop
-        nxt = track_persist(
-            F.broadcast(frontier).join(e, frontier["node"] == e["__s__"])
+        nxt = (
+            frontier.join(e, frontier["node"] == e["__s__"])
             .select(F.col("__d__").alias("node"))
             .distinct()
-            .join(
-                F.broadcast(visited.select("node")), on="node", how="left_anti"
-            )
+            .join(visited.select("node"), on="node", how="left_anti")
             .select("node", F.lit(hop).alias("hop"))
+            .localCheckpoint(eager=True)
         )
+        # visited stays a plain union of checkpointed frames — cheap
+        # to re-walk, no extra materialization job per hop
         visited = visited.union(nxt)
         # only nodes first reached at exactly this hop expand next round
         frontier = nxt
