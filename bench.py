@@ -161,6 +161,14 @@ BENCH_QUERIES = [
     "json_profile",
     "forget_audit",
     "dp_counts",
+    # r10 additions (appended — keep the comparable prefix): the Lee-
+    # et-al. duplication signal, RFM segmentation, fairness audit, the
+    # distributed Poisson bootstrap, and the l-diversity drill-down
+    "dup_gram_coverage",
+    "rfm_segments",
+    "fairness_audit",
+    "poisson_bootstrap",
+    "l_diversity",
 ]
 
 # Scope the measured set without editing the file (drift A/B testing,

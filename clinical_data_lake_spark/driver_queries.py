@@ -3670,6 +3670,71 @@ def q_dashboard_assoc(spark: SparkSession, sf: str) -> DataFrame:
     return ml_stats.dashboard_assoc(ev, "user_id", "event_type")
 
 
+def q_dup_gram_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document duplicated 5-gram coverage (llm/dedup.py:
+    dup_gram_coverage) — the Lee-et-al.-2022 cross-document
+    exact-substring duplication signal at fixed n: fraction of each
+    doc's gram positions whose gram occurs in >= 2 documents."""
+    return dedup.dup_gram_coverage(
+        read_table(spark, sf, "documents"), n=5, min_docs=2
+    )
+
+
+def q_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM customer segmentation over orders (operators/cohort.py:
+    rfm_segments): recency/frequency/monetary quintile scores against
+    exact interpolated 20/40/60/80th percentiles, monetary summed
+    decimally; every global statistic broadcast, no global window."""
+    return cohort.rfm_segments(read_table(spark, sf, "orders"))
+
+
+def q_fairness_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-market-segment fairness audit (ml/stats.py:fairness_audit)
+    of 'totalprice >= 150000 predicts a fulfilled order': group
+    confusion rates plus demographic-parity and equal-opportunity gaps
+    vs the pooled population."""
+    od = read_table(spark, sf, "orders")
+    cu = read_table(spark, sf, "customer")
+    scored = od.join(
+        cu, od["o_custkey"] == cu["c_custkey"]
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_totalprice").alias("score"),
+        (F.col("o_orderstatus") == "F").alias("label"),
+    )
+    return ml_stats.fairness_audit(
+        scored, "segment", "score", "label", threshold=150000.0
+    )
+
+
+def q_poisson_bootstrap(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic Poisson-bootstrap 95% CI for mean order value
+    (ml/stats.py:poisson_bootstrap_mean): md5-seeded inverse-CDF
+    Poisson(1) weights, decimal replicate sums, exact percentile over
+    200 replicate means — the distributed bootstrap, SQL-replayable."""
+    return ml_stats.poisson_bootstrap_mean(
+        read_table(spark, sf, "orders"), "o_orderkey", "o_totalprice",
+        n_boot=200,
+    )
+
+
+def q_l_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-equivalence-class l-diversity detail (operators/quality.py:
+    l_diversity_classes) on customers: quasi-identifiers (nation,
+    market segment), sensitive = account-balance band; distinct-l and
+    entropy-l (effective number of sensitive values) per class."""
+    from .operators import quality
+
+    cu = read_table(spark, sf, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000.0).cast("int").alias("bal_band"),
+    )
+    return quality.l_diversity_classes(
+        cu, ["c_nationkey", "c_mktsegment"], "bal_band", l=3
+    )
+
+
 QUERIES = {
     # -- r8 certification window (first 50): the 18 queries that have
     #    never had a driver CORRECTNESS row, then the 32 oldest r3-era
@@ -3951,6 +4016,12 @@ QUERIES = {
     "dp_counts": q_dp_counts,
     "proportion_ci": q_proportion_ci,
     "herfindahl": q_herfindahl,
+    # r10 additions
+    "dup_gram_coverage": q_dup_gram_coverage,
+    "rfm_segments": q_rfm_segments,
+    "fairness_audit": q_fairness_audit,
+    "poisson_bootstrap": q_poisson_bootstrap,
+    "l_diversity": q_l_diversity,
 }
 
 # -- r9 certification window (ROTATION.md): the driver checks the FIRST
@@ -8833,3 +8904,195 @@ FROM final f JOIN ordered o USING (doc_id) JOIN packed p USING (doc_id)
         FROM cells
     """,
 }
+
+# -- r10 oracle twins --
+
+ORACLES["dup_gram_coverage"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                       w[i+3] || ' ' || w[i+4]) AS h
+            FROM toks, UNNEST(range(1, len(w) - 3)) AS t(i)
+            WHERE len(w) >= 5
+        ),
+        per_doc AS (
+            SELECT doc_id, h, count(*) AS m FROM grams GROUP BY 1, 2
+        ),
+        dfreq AS (SELECT h, count(*) AS df FROM per_doc GROUP BY 1)
+        SELECT doc_id,
+               CAST(sum(m) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN df >= 2 THEN m ELSE 0 END) AS BIGINT) AS dup_grams,
+               round(CAST(sum(CASE WHEN df >= 2 THEN m ELSE 0 END) AS DOUBLE)
+                     / sum(m), 6) AS dup_fraction
+        FROM per_doc JOIN dfreq USING (h)
+        GROUP BY doc_id
+    """
+
+ORACLES["rfm_segments"] = """
+        WITH per_cust AS (
+            SELECT o_custkey AS key,
+                   max(CAST(o_orderdate AS DATE)) AS last_d,
+                   CAST(count(*) AS BIGINT) AS frequency,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS monetary
+            FROM orders GROUP BY 1
+        ),
+        gm AS (SELECT max(CAST(o_orderdate AS DATE)) AS gmax FROM orders),
+        pc AS (
+            SELECT key,
+                   CAST(date_diff('day', last_d, gmax) AS BIGINT) AS rec_days,
+                   frequency, monetary
+            FROM per_cust, gm
+        ),
+        b AS (
+            SELECT
+              round(quantile_cont(CAST(rec_days AS DOUBLE), 0.2), 6) AS r1,
+              round(quantile_cont(CAST(rec_days AS DOUBLE), 0.4), 6) AS r2,
+              round(quantile_cont(CAST(rec_days AS DOUBLE), 0.6), 6) AS r3,
+              round(quantile_cont(CAST(rec_days AS DOUBLE), 0.8), 6) AS r4,
+              round(quantile_cont(CAST(frequency AS DOUBLE), 0.2), 6) AS f1,
+              round(quantile_cont(CAST(frequency AS DOUBLE), 0.4), 6) AS f2,
+              round(quantile_cont(CAST(frequency AS DOUBLE), 0.6), 6) AS f3,
+              round(quantile_cont(CAST(frequency AS DOUBLE), 0.8), 6) AS f4,
+              round(quantile_cont(monetary, 0.2), 6) AS m1,
+              round(quantile_cont(monetary, 0.4), 6) AS m2,
+              round(quantile_cont(monetary, 0.6), 6) AS m3,
+              round(quantile_cont(monetary, 0.8), 6) AS m4
+            FROM pc
+        ),
+        scored AS (
+            SELECT key, rec_days, frequency,
+                   round(monetary, 2) AS monetary,
+                   CAST(1 + (rec_days < r1)::INT + (rec_days < r2)::INT
+                          + (rec_days < r3)::INT + (rec_days < r4)::INT AS INT) AS r_score,
+                   CAST(1 + (frequency > f1)::INT + (frequency > f2)::INT
+                          + (frequency > f3)::INT + (frequency > f4)::INT AS INT) AS f_score,
+                   CAST(1 + (monetary > m1)::INT + (monetary > m2)::INT
+                          + (monetary > m3)::INT + (monetary > m4)::INT AS INT) AS m_score
+            FROM pc, b
+        )
+        SELECT key, rec_days, frequency, monetary,
+               r_score, f_score, m_score,
+               r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR AS rfm
+        FROM scored
+    """
+
+ORACLES["fairness_audit"] = """
+        WITH scored AS (
+            SELECT c_mktsegment AS segment,
+                   (o_totalprice >= 150000.0) AS pred,
+                   (o_orderstatus = 'F') AS y
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        ),
+        cells AS (
+            SELECT segment, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum((pred AND y)::INT) AS BIGINT) AS tp,
+                   CAST(sum((pred AND NOT y)::INT) AS BIGINT) AS fp,
+                   CAST(sum((NOT pred AND NOT y)::INT) AS BIGINT) AS tn,
+                   CAST(sum((NOT pred AND y)::INT) AS BIGINT) AS fn
+            FROM scored GROUP BY 1
+        ),
+        o AS (
+            SELECT sum(tp) AS otp, sum(fp) AS ofp,
+                   sum(tn) AS otn, sum(fn) AS ofn
+            FROM cells
+        )
+        SELECT segment, n,
+               round((tp + fn) / CAST(n AS DOUBLE), 6) AS base_rate,
+               round((tp + fp) / CAST(n AS DOUBLE), 6) AS pred_pos_rate,
+               CASE WHEN tp + fn > 0
+                    THEN round(tp / CAST(tp + fn AS DOUBLE), 6) END AS tpr,
+               CASE WHEN fp + tn > 0
+                    THEN round(fp / CAST(fp + tn AS DOUBLE), 6) END AS fpr,
+               CASE WHEN tp + fp > 0
+                    THEN round(tp / CAST(tp + fp AS DOUBLE), 6) END AS "precision",
+               round((tp + tn) / CAST(n AS DOUBLE), 6) AS accuracy,
+               round((tp + fp) / CAST(n AS DOUBLE)
+                     - (otp + ofp) / CAST(otp + ofp + otn + ofn AS DOUBLE), 6) AS dp_gap,
+               CASE WHEN tp + fn > 0 AND otp + ofn > 0
+                    THEN round(tp / CAST(tp + fn AS DOUBLE)
+                               - otp / CAST(otp + ofn AS DOUBLE), 6) END AS eo_gap
+        FROM cells, o
+    """
+
+# the Poisson(1) CDF literals are shared with the Spark side so both
+# engines threshold the SAME doubles (ml/stats.py:POISSON1_CDF)
+_P1 = ml_stats.POISSON1_CDF
+_W_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN u <= {_P1[k]!r} THEN {k}" for k in range(len(_P1))
+    )
+    + f" ELSE {len(_P1)} END"
+)
+ORACLES["poisson_bootstrap"] = f"""
+        WITH expanded AS (
+            SELECT t.b,
+                   CAST(o_totalprice AS DECIMAL(18,6)) AS x,
+                   ('0x' || substr(md5(o_orderkey || '|' || t.b), 1, 13))::BIGINT
+                     / 4503599627370496.0 AS u
+            FROM orders, UNNEST(range(1, 201)) AS t(b)
+        ),
+        weighted AS (
+            SELECT b, x, {_W_CASE} AS w FROM expanded
+        ),
+        rep AS (
+            SELECT b,
+                   round(CAST(sum(CAST(x * w AS DECIMAL(28,6))) AS DOUBLE)
+                         / CAST(sum(w) AS DOUBLE), 9) AS mb
+            FROM weighted WHERE w > 0 GROUP BY b
+        ),
+        ci AS (
+            SELECT round(quantile_cont(mb, 0.025), 6) AS ci_lo,
+                   round(quantile_cont(mb, 0.975), 6) AS ci_hi,
+                   CAST(count(*) AS BIGINT) AS n_boot
+            FROM rep
+        ),
+        base AS (
+            SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM orders
+        )
+        SELECT round(sx / CAST(n AS DOUBLE), 6) AS mean,
+               ci_lo, ci_hi, n_boot, n
+        FROM base, ci
+    """
+
+ORACLES["l_diversity"] = """
+        WITH base AS (
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(floor(c_acctbal / 2000.0) AS INT) AS bal_band
+            FROM customer
+        ),
+        cells AS (
+            SELECT c_nationkey, c_mktsegment, bal_band, count(*) AS c
+            FROM base GROUP BY 1, 2, 3
+        ),
+        tots AS (
+            SELECT c_nationkey, c_mktsegment, sum(c) AS cs
+            FROM cells GROUP BY 1, 2
+        ),
+        terms AS (
+            SELECT c.c_nationkey, c.c_mktsegment, t.cs,
+                   CAST(round(-(c.c / CAST(t.cs AS DOUBLE))
+                              * ln(c.c / CAST(t.cs AS DOUBLE)), 6)
+                        AS DECIMAL(28,6)) AS term
+            FROM cells c
+            JOIN tots t USING (c_nationkey, c_mktsegment)
+        ),
+        g AS (
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(max(cs) AS BIGINT) AS class_size,
+                   CAST(count(*) AS BIGINT) AS distinct_l,
+                   CAST(sum(term) AS DOUBLE) AS ent
+            FROM terms GROUP BY 1, 2
+        )
+        SELECT c_nationkey, c_mktsegment, class_size, distinct_l,
+               round(exp(ent), 6) AS entropy_l,
+               (distinct_l >= 3 AND round(exp(ent), 6) >= 2.999999) AS ok
+        FROM g
+    """

@@ -1126,3 +1126,182 @@ def proportion_ci(
         F.round(center - half, digits).alias("ci_low"),
         F.round(center + half, digits).alias("ci_high"),
     )
+
+
+def fairness_audit(
+    scored: DataFrame,
+    group_col: str,
+    score_col: str,
+    label_col: str,
+    threshold: float,
+    digits: int = 6,
+) -> DataFrame:
+    """Per-group classification fairness audit at one decision
+    threshold (predict positive when score >= threshold): for every
+    value of ``group_col`` — n, base_rate, pred_pos_rate, tpr, fpr,
+    precision, accuracy, plus the two standard disparity read-outs
+    against the pooled population: ``dp_gap`` (demographic parity:
+    group pred-positive rate minus overall) and ``eo_gap`` (equal
+    opportunity: group TPR minus overall TPR). Rates whose denominator
+    is 0 are NULL (no silent zeros), and their gaps are NULL too.
+
+    Scale shape: ONE map-side-combinable conditional-count aggregate
+    over the facts keyed by the group; the pooled row re-aggregates
+    the group-cardinality table (no second fact scan) and broadcasts
+    back. Everything is integer counts until the final divisions.
+    """
+    pred = F.col(score_col).cast("double") >= F.lit(float(threshold))
+    y = F.col(label_col).cast("boolean")
+    cells = scored.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((pred & y).cast("long")).alias("tp"),
+        F.sum((pred & ~y).cast("long")).alias("fp"),
+        F.sum((~pred & ~y).cast("long")).alias("tn"),
+        F.sum((~pred & y).cast("long")).alias("fn"),
+    )
+    overall = cells.agg(
+        F.sum("tp").alias("otp"),
+        F.sum("fp").alias("ofp"),
+        F.sum("tn").alias("otn"),
+        F.sum("fn").alias("ofn"),
+    )
+
+    def _rate(num, den):
+        return F.when(den > 0, num / den)
+
+    tp, fp = F.col("tp").cast("double"), F.col("fp").cast("double")
+    tn, fn = F.col("tn").cast("double"), F.col("fn").cast("double")
+    otp, ofp = F.col("otp").cast("double"), F.col("ofp").cast("double")
+    otn, ofn = F.col("otn").cast("double"), F.col("ofn").cast("double")
+    nd = F.col("n").cast("double")
+    ppr = _rate(tp + fp, nd)
+    tpr = _rate(tp, tp + fn)
+    o_ppr = _rate(otp + ofp, otp + ofp + otn + ofn)
+    o_tpr = _rate(otp, otp + ofn)
+    return (
+        cells.crossJoin(F.broadcast(overall))
+        .select(
+            F.col("grp").alias(group_col),
+            "n",
+            F.round(_rate(tp + fn, nd), digits).alias("base_rate"),
+            F.round(ppr, digits).alias("pred_pos_rate"),
+            F.round(tpr, digits).alias("tpr"),
+            F.round(_rate(fp, fp + tn), digits).alias("fpr"),
+            F.round(_rate(tp, tp + fp), digits).alias("precision"),
+            F.round((tp + tn) / nd, digits).alias("accuracy"),
+            F.round(ppr - o_ppr, digits).alias("dp_gap"),
+            F.round(tpr - o_tpr, digits).alias("eo_gap"),
+        )
+    )
+
+
+# Poisson(1) CDF thresholds for inverse-CDF sampling: P(X <= k) for
+# k = 0..8 (mass beyond 8 is ~1.1e-6; weights cap there). Shared with
+# the DuckDB oracle so both engines compare the SAME double literals.
+POISSON1_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+    0.9999897508033253,
+    0.999998874797402,
+]
+
+
+def poisson_bootstrap_mean(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    n_boot: int = 100,
+    lower: float = 0.025,
+    upper: float = 0.975,
+    digits: int = 6,
+) -> DataFrame:
+    """Deterministic Poisson-bootstrap confidence interval for the
+    mean of ``value_col``: ONE row (mean, ci_lo, ci_hi, n_boot, n).
+    The distributed bootstrap (Chamandy et al., "Estimating
+    Uncertainty for Massive Data Streams", Google 2012): instead of
+    resampling n rows with replacement per replicate (impossible
+    without a global index), each row enters replicate b with weight
+    ~ Poisson(1) — the per-replicate weighted means converge to the
+    classical bootstrap distribution.
+
+    Determinism / oracle parity: the Poisson variate is inverse-CDF
+    over u = first-13-hex-chars(md5(id|b)) / 2^52 — 52 bits, exactly
+    representable in a double, bit-identical in Spark and DuckDB —
+    compared against the shared ``POISSON1_CDF`` literals; replicate
+    sums accumulate as DECIMAL so no float merge-order exists
+    anywhere; the CI is the exact interpolated percentile over the
+    ``n_boot`` replicate means.
+
+    Scale shape: the explode is n x n_boot rows but reduces through a
+    map-side-combinable groupBy(b) immediately — shuffle volume is
+    n_boot x partitions, not n x n_boot; zero-weight rows (~36.8%)
+    are filtered before the shuffle. Compute cost IS n_boot x n — the
+    published algorithm's price; pick n_boot to fit the budget.
+    """
+    b = F.explode(F.sequence(F.lit(1), F.lit(int(n_boot)))).alias("b")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col(id_col), F.col("b"))), 1, 13
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(2**52))
+    )
+    w = F.lit(len(POISSON1_CDF)).cast("int")
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u <= F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    x = F.col("__x__")
+    # the explode inflates rows n_boot x: a coarse scan (one small
+    # parquet file) would otherwise pin all n x n_boot md5 evaluations
+    # to one core — lift the NARROW (id, value) projection to full
+    # parallelism first (no-op on an already-parallel 100 TB scan)
+    narrow = df.select(
+        F.col(id_col), F.col(value_col).cast("decimal(18,6)").alias("__x__")
+    )
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < target:
+        narrow = narrow.repartition(target)
+    rep = (
+        narrow.select(F.col(id_col), "__x__", b)
+        .select("b", x, w.cast("long").alias("__w__"))
+        .filter(F.col("__w__") > 0)
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("__w__")).alias("__sw__"),
+            F.sum((x * F.col("__w__")).cast("decimal(28,6)")).alias("__swx__"),
+        )
+        .select(
+            F.round(
+                F.col("__swx__").cast("double") / F.col("__sw__").cast("double"),
+                9,
+            ).alias("__mb__")
+        )
+    )
+    base = df.agg(
+        F.sum(F.col(value_col).cast("decimal(18,6)")).alias("__sx__"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    ci = rep.agg(
+        F.round(F.percentile("__mb__", F.lit(float(lower))), digits).alias("ci_lo"),
+        F.round(F.percentile("__mb__", F.lit(float(upper))), digits).alias("ci_hi"),
+        F.count(F.lit(1)).cast("long").alias("n_boot"),
+    )
+    return (
+        base.crossJoin(F.broadcast(ci)).select(
+            F.round(
+                F.col("__sx__").cast("double") / F.col("n").cast("double"),
+                digits,
+            ).alias("mean"),
+            "ci_lo",
+            "ci_hi",
+            "n_boot",
+            "n",
+        )
+    )

@@ -429,3 +429,99 @@ def cumulative_distinct(
         "new_entities",
         F.sum("new_entities").over(w).cast("long").alias("cum_entities"),
     ).orderBy("day")
+
+
+def rfm_segments(
+    orders: DataFrame,
+    key_col: str = "o_custkey",
+    ts_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    digits: int = 2,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation —
+    the classic retail/CRM scoring: per customer, days since last
+    order (relative to the dataset's latest order), order count, and
+    total spend, each scored 1-5 against the EXACT interpolated
+    20/40/60/80th percentiles of the customer-level distribution
+    (recency inverted: most recent = 5). Returns
+    (key, rec_days, frequency, monetary, r_score, f_score, m_score,
+    rfm) with rfm the concatenated three-digit segment code.
+
+    Scale shape: one fact-table groupBy on the customer key (monetary
+    accumulates as DECIMAL(18,6) — no float merge-order), then every
+    global statistic (max date, three 4-boundary percentile arrays)
+    is a 1-row aggregate broadcast back via cross-join; scores are
+    boundary comparisons, so no global window ever touches a
+    customer-sized table. Exact percentiles (not ntile) keep the SQL
+    twin trivial: Spark percentile == DuckDB quantile_cont, both
+    linear-interpolation.
+    """
+    per_cust = orders.groupBy(F.col(key_col).alias("key")).agg(
+        F.max(F.to_date(F.col(ts_col))).alias("__last__"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(F.col(amount_col).cast("decimal(18,6)")).alias("__mon__"),
+    )
+    global_max = orders.select(
+        F.max(F.to_date(F.col(ts_col))).alias("__gmax__")
+    )
+    per_cust = per_cust.crossJoin(F.broadcast(global_max)).select(
+        "key",
+        F.datediff(F.col("__gmax__"), F.col("__last__"))
+        .cast("long")
+        .alias("rec_days"),
+        "frequency",
+        F.col("__mon__").cast("double").alias("monetary"),
+    )
+    per_cust = track_persist(per_cust)
+    # boundaries round to 6 dp before comparison (the winsorize
+    # pattern): both engines interpolate the same mathematical
+    # quantile but may differ in the last ulp, and a customer sitting
+    # exactly ON a boundary must score identically in both
+    qs = F.array(*[F.lit(p) for p in (0.2, 0.4, 0.6, 0.8)])
+    bounds = per_cust.select(
+        F.transform(
+            F.percentile(F.col("rec_days").cast("double"), qs),
+            lambda b: F.round(b, 6),
+        ).alias("__rb__"),
+        F.transform(
+            F.percentile(F.col("frequency").cast("double"), qs),
+            lambda b: F.round(b, 6),
+        ).alias("__fb__"),
+        F.transform(
+            F.percentile("monetary", qs), lambda b: F.round(b, 6)
+        ).alias("__mb__"),
+    )
+
+    def _score_above(col: str, barr: str):
+        # 1 + number of boundaries strictly below the value
+        return (
+            F.lit(1)
+            + sum(
+                (F.col(col) > F.col(barr)[i]).cast("int") for i in range(4)
+            )
+        ).cast("int")
+
+    def _score_below(col: str, barr: str):
+        # inverted: 1 + number of boundaries strictly above the value
+        return (
+            F.lit(1)
+            + sum(
+                (F.col(col) < F.col(barr)[i]).cast("int") for i in range(4)
+            )
+        ).cast("int")
+
+    scored = per_cust.crossJoin(F.broadcast(bounds)).select(
+        "key",
+        "rec_days",
+        "frequency",
+        F.round("monetary", digits).alias("monetary"),
+        _score_below("rec_days", "__rb__").alias("r_score"),
+        _score_above("frequency", "__fb__").alias("f_score"),
+        _score_above("monetary", "__mb__").alias("m_score"),
+    )
+    return scored.select(
+        "*",
+        F.concat_ws(
+            "", F.col("r_score"), F.col("f_score"), F.col("m_score")
+        ).alias("rfm"),
+    )

@@ -120,6 +120,19 @@ R9_NEW = [
     "herfindahl",
 ]
 
+# r10-new operators (bound for the r11 window): decimal replicate sums
+# + exact percentiles (poisson_bootstrap), broadcast percentile
+# boundaries (rfm), decimal entropy folds (l_diversity), integer
+# gram-multiplicity rollups (dup_gram_coverage), pooled-gap arithmetic
+# (fairness_audit) — certified before the driver ever sees them.
+R10_NEW = [
+    "dup_gram_coverage",
+    "rfm_segments",
+    "fairness_audit",
+    "poisson_bootstrap",
+    "l_diversity",
+]
+
 
 def _canon(v):
     if v is None:
@@ -182,7 +195,7 @@ def test_partition_invariant_approx(spark, name):
     )
 
 
-@pytest.mark.parametrize("name", ROTATED_IN + R8_NEW + R9_EXACT + R9_NEW)
+@pytest.mark.parametrize("name", ROTATED_IN + R8_NEW + R9_EXACT + R9_NEW + R10_NEW)
 def test_partition_invariant(spark, name):
     from clinical_data_lake_spark.operators.caching import release_persisted
 

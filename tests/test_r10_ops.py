@@ -1,0 +1,212 @@
+"""r10 operators: duplicated-gram coverage, RFM segmentation,
+fairness audit, Poisson bootstrap, l-diversity detail."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+
+from clinical_data_lake_spark.llm.dedup import dup_gram_coverage
+from clinical_data_lake_spark.ml.stats import (
+    POISSON1_CDF,
+    fairness_audit,
+    poisson_bootstrap_mean,
+)
+from clinical_data_lake_spark.operators.cohort import rfm_segments
+from clinical_data_lake_spark.operators.quality import l_diversity_classes
+
+
+# -- dup_gram_coverage --------------------------------------------------
+
+
+def test_dup_gram_coverage_closed_form(spark):
+    # doc 1 and doc 2 share the run "a b c d e" exactly once; all other
+    # grams are unique. doc 3 is too short for any 5-gram.
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),  # grams: abcde bcdef cdefg -> 3
+            (2, "x a b c d e y"),  # grams: xabcd abcde bcdey -> 3
+            (3, "p q r s"),  # no 5-gram
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dup_gram_coverage(docs, n=5).collect()}
+    assert set(out) == {1, 2}
+    for d in (1, 2):
+        assert out[d].n_grams == 3
+        assert out[d].dup_grams == 1  # only "a b c d e"
+        assert out[d].dup_fraction == pytest.approx(round(1 / 3, 6))
+
+
+def test_dup_gram_coverage_counts_positions_not_types(spark):
+    # the same duplicated gram occurring twice IN one doc counts both
+    # positions (coverage, not vocabulary)
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e z a b c d e"),  # "a b c d e" at 2 positions
+            (2, "a b c d e"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dup_gram_coverage(docs, n=5).collect()}
+    assert out[1].n_grams == 7
+    assert out[1].dup_grams == 2
+    assert out[2].n_grams == 1 and out[2].dup_grams == 1
+
+
+# -- rfm_segments -------------------------------------------------------
+
+
+def test_rfm_scores_on_five_distinct_customers(spark):
+    # five customers with strictly increasing frequency/monetary and
+    # strictly increasing recency -> scores are exactly 1..5 (and the
+    # recency score inverts)
+    rows = []
+    for i in range(1, 6):  # customer i: i orders, last order day i
+        for j in range(i):
+            rows.append((i, f"2024-01-{i:02d}", 100.0 * i))
+    orders = spark.createDataFrame(
+        rows, "o_custkey long, d string, o_totalprice double"
+    ).selectExpr(
+        "o_custkey", "CAST(d AS TIMESTAMP) AS o_orderdate", "o_totalprice"
+    )
+    out = {r.key: r for r in rfm_segments(orders).collect()}
+    assert len(out) == 5
+    for i in range(1, 6):
+        r = out[i]
+        assert r.frequency == i
+        assert r.monetary == pytest.approx(100.0 * i * i)
+        assert r.f_score == i
+        # most recent (largest day) -> rec_days smallest -> score 5
+        assert r.r_score == i
+        assert r.rfm == f"{r.r_score}{r.f_score}{r.m_score}"
+    # monetary strictly increases with i here (100*i^2), so m_score = i
+    assert [out[i].m_score for i in range(1, 6)] == [1, 2, 3, 4, 5]
+
+
+def test_rfm_identical_customers_all_mid_scores(spark):
+    # all customers identical -> every value sits ON every boundary ->
+    # strict comparisons never fire -> all scores 1 + (inverted) 1
+    orders = spark.createDataFrame(
+        [(i, "2024-03-01", 50.0) for i in range(1, 4)],
+        "o_custkey long, d string, o_totalprice double",
+    ).selectExpr(
+        "o_custkey", "CAST(d AS TIMESTAMP) AS o_orderdate", "o_totalprice"
+    )
+    for r in rfm_segments(orders).collect():
+        assert (r.r_score, r.f_score, r.m_score) == (1, 1, 1)
+
+
+# -- fairness_audit -----------------------------------------------------
+
+
+def test_fairness_audit_closed_form(spark):
+    # group A: 2 TP, 1 FP, 1 TN, 0 FN ; group B: 0 TP, 0 FP, 2 TN, 2 FN
+    rows = [
+        ("A", 1.0, True), ("A", 1.0, True), ("A", 1.0, False), ("A", 0.0, False),
+        ("B", 0.0, True), ("B", 0.0, True), ("B", 0.0, False), ("B", 0.0, False),
+    ]
+    df = spark.createDataFrame(rows, "g string, score double, label boolean")
+    out = {r.g: r for r in
+           fairness_audit(df, "g", "score", "label", threshold=0.5).collect()}
+    a, b = out["A"], out["B"]
+    assert (a.n, b.n) == (4, 4)
+    assert a.pred_pos_rate == pytest.approx(0.75)
+    assert b.pred_pos_rate == pytest.approx(0.0)
+    assert a.tpr == pytest.approx(1.0)
+    assert b.tpr == pytest.approx(0.0)
+    # overall: pred-pos 3/8, tpr 2/4
+    assert a.dp_gap == pytest.approx(0.75 - 3 / 8)
+    assert b.dp_gap == pytest.approx(0.0 - 3 / 8)
+    assert a.eo_gap == pytest.approx(1.0 - 0.5)
+    assert b.eo_gap == pytest.approx(0.0 - 0.5)
+
+
+def test_fairness_audit_null_rates_when_undefined(spark):
+    # group with no positive labels: tpr undefined -> NULL, eo_gap NULL
+    rows = [("A", 1.0, False), ("A", 0.0, False), ("B", 1.0, True)]
+    df = spark.createDataFrame(rows, "g string, score double, label boolean")
+    out = {r.g: r for r in
+           fairness_audit(df, "g", "score", "label", threshold=0.5).collect()}
+    assert out["A"].tpr is None and out["A"].eo_gap is None
+    assert out["A"].fpr == pytest.approx(0.5)
+    assert out["B"].fpr is None  # no negatives in B
+
+
+# -- poisson_bootstrap_mean ---------------------------------------------
+
+
+def _py_poisson_weight(doc_id: int, b: int) -> int:
+    u = int(hashlib.md5(f"{doc_id}|{b}".encode()).hexdigest()[:13], 16) / 2.0**52
+    for k, c in enumerate(POISSON1_CDF):
+        if u <= c:
+            return k
+    return len(POISSON1_CDF)
+
+
+def test_poisson_bootstrap_matches_pure_python_reference(spark):
+    vals = [(i, float(10 + i)) for i in range(1, 31)]
+    df = spark.createDataFrame(vals, "id long, v double")
+    n_boot = 25
+    got = poisson_bootstrap_mean(df, "id", "v", n_boot=n_boot).collect()[0]
+    # replicate means computed independently in pure python
+    means = []
+    for b in range(1, n_boot + 1):
+        sw = swx = 0
+        for i, v in vals:
+            w = _py_poisson_weight(i, b)
+            sw += w
+            swx += w * v
+        means.append(round(swx / sw, 9))
+    means.sort()
+
+    def q_cont(sorted_vals, p):
+        idx = (len(sorted_vals) - 1) * p
+        lo, hi = math.floor(idx), math.ceil(idx)
+        frac = idx - lo
+        return sorted_vals[lo] + (sorted_vals[hi] - sorted_vals[lo]) * frac
+
+    assert got.n == 30 and got.n_boot == n_boot
+    assert got.mean == pytest.approx(round(sum(v for _, v in vals) / 30, 6))
+    assert got.ci_lo == pytest.approx(round(q_cont(means, 0.025), 6), abs=1e-6)
+    assert got.ci_hi == pytest.approx(round(q_cont(means, 0.975), 6), abs=1e-6)
+    assert got.ci_lo <= got.mean <= got.ci_hi
+
+
+def test_poisson_bootstrap_constant_column_degenerate_ci(spark):
+    df = spark.createDataFrame(
+        [(i, 7.5) for i in range(1, 50)], "id long, v double"
+    )
+    got = poisson_bootstrap_mean(df, "id", "v", n_boot=10).collect()[0]
+    assert got.mean == got.ci_lo == got.ci_hi == pytest.approx(7.5)
+
+
+# -- l_diversity_classes ------------------------------------------------
+
+
+def test_l_diversity_flags_and_entropy(spark):
+    rows = (
+        # class (1,'X'): 3 equally likely values -> entropy_l = 3, ok
+        [(1, "X", v) for v in (1, 2, 3)]
+        # class (2,'Y'): one value only -> distinct 1, entropy_l 1, not ok
+        + [(2, "Y", 9)] * 4
+        # class (3,'Z'): skewed 8/1/1 -> distinct 3 but entropy_l < 3
+        + [(3, "Z", 1)] * 8
+        + [(3, "Z", 2), (3, "Z", 3)]
+    )
+    df = spark.createDataFrame(rows, "q1 int, q2 string, s int")
+    out = {(r.q1, r.q2): r for r in
+           l_diversity_classes(df, ["q1", "q2"], "s", l=3).collect()}
+    assert out[(1, "X")].entropy_l == pytest.approx(3.0, abs=1e-5)
+    assert out[(1, "X")].ok is True
+    assert out[(2, "Y")].distinct_l == 1
+    assert out[(2, "Y")].entropy_l == pytest.approx(1.0)
+    assert out[(2, "Y")].ok is False
+    z = out[(3, "Z")]
+    assert z.distinct_l == 3 and z.class_size == 10
+    # entropy of (0.8, 0.1, 0.1) with 6dp-rounded terms
+    terms = [round(-p * math.log(p), 6) for p in (0.8, 0.1, 0.1)]
+    assert z.entropy_l == pytest.approx(round(math.exp(sum(terms)), 6))
+    assert z.ok is False
