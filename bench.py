@@ -169,6 +169,8 @@ BENCH_QUERIES = [
     "fairness_audit",
     "poisson_bootstrap",
     "l_diversity",
+    "graph_lpa",
+    "hist_quantile",
 ]
 
 # Scope the measured set without editing the file (drift A/B testing,

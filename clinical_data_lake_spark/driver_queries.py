@@ -3735,6 +3735,36 @@ def q_l_diversity(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_graph_lpa(spark: SparkSession, sf: str) -> DataFrame:
+    """Label-propagation communities (operators/graph.py:
+    label_propagation) over the part-supplier co-purchase graph from
+    lineitem (supplier ids offset by 1e9 to disjoint the node space):
+    3 synchronous rounds, neighbor-majority labels, min-label
+    tie-break — replayed round-by-round by the SQL twin."""
+    li = read_table(spark, sf, "lineitem").select(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + F.lit(1000000000)).alias("dst"),
+    )
+    return graph.label_propagation(li, k=3)
+
+
+def q_hist_quantile(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable fixed-bin histogram rollup (operators/aggregates.py:
+    histogram_rollup + histogram_quantile): daily per-type histograms
+    of event value merged up to the type level, median estimated by
+    in-bin interpolation — the exact, order-independent counterpart
+    of sketch rollups."""
+    ev = read_table(spark, sf, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    hist = agg.histogram_rollup(
+        ev, ["event_type", "day"], "value", lo=0.0, hi=600.0, n_bins=120
+    )
+    return agg.histogram_quantile(
+        hist, ["event_type"], p=0.5, lo=0.0, hi=600.0, n_bins=120
+    )
+
+
 QUERIES = {
     # -- r8 certification window (first 50): the 18 queries that have
     #    never had a driver CORRECTNESS row, then the 32 oldest r3-era
@@ -4022,6 +4052,8 @@ QUERIES = {
     "fairness_audit": q_fairness_audit,
     "poisson_bootstrap": q_poisson_bootstrap,
     "l_diversity": q_l_diversity,
+    "graph_lpa": q_graph_lpa,
+    "hist_quantile": q_hist_quantile,
 }
 
 # -- r9 certification window (ROTATION.md): the driver checks the FIRST
@@ -9095,4 +9127,93 @@ ORACLES["l_diversity"] = """
                round(exp(ent), 6) AS entropy_l,
                (distinct_l >= 3 AND round(exp(ent), 6) >= 2.999999) AS ok
         FROM g
+    """
+
+ORACLES["graph_lpa"] = """
+        WITH e0 AS (
+            SELECT DISTINCT l_partkey AS s,
+                            l_suppkey + 1000000000 AS d
+            FROM lineitem
+        ),
+        e AS (SELECT s, d FROM e0 UNION SELECT d, s FROM e0),
+        l0 AS (SELECT DISTINCT s AS node, s AS label FROM e),
+        v1 AS (
+            SELECT e.s AS node, l.label, count(*) AS c
+            FROM e JOIN l0 l ON e.d = l.node GROUP BY 1, 2
+        ),
+        l1 AS (
+            SELECT node, label FROM (
+                SELECT node, label,
+                       row_number() OVER (
+                           PARTITION BY node ORDER BY c DESC, label ASC
+                       ) AS rn
+                FROM v1
+            ) WHERE rn = 1
+        ),
+        v2 AS (
+            SELECT e.s AS node, l.label, count(*) AS c
+            FROM e JOIN l1 l ON e.d = l.node GROUP BY 1, 2
+        ),
+        l2 AS (
+            SELECT node, label FROM (
+                SELECT node, label,
+                       row_number() OVER (
+                           PARTITION BY node ORDER BY c DESC, label ASC
+                       ) AS rn
+                FROM v2
+            ) WHERE rn = 1
+        ),
+        v3 AS (
+            SELECT e.s AS node, l.label, count(*) AS c
+            FROM e JOIN l2 l ON e.d = l.node GROUP BY 1, 2
+        )
+        SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (
+                       PARTITION BY node ORDER BY c DESC, label ASC
+                   ) AS rn
+            FROM v3
+        ) WHERE rn = 1
+    """
+
+ORACLES["hist_quantile"] = """
+        WITH binned AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(least(greatest(floor(value / 5.0), 0), 119) AS INT) AS bin
+            FROM events
+        ),
+        hist AS (
+            SELECT event_type, day, bin, count(*) AS cnt
+            FROM binned GROUP BY 1, 2, 3
+        ),
+        merged AS (
+            SELECT event_type, bin, sum(cnt) AS c
+            FROM hist GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT event_type, bin, c,
+                   sum(c) OVER (
+                       PARTITION BY event_type ORDER BY bin
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS cum
+            FROM merged
+        ),
+        tot AS (
+            SELECT event_type, CAST(sum(c) AS BIGINT) AS n
+            FROM merged GROUP BY 1
+        ),
+        hit AS (
+            SELECT c.event_type, c.bin, c.c, c.cum, t.n,
+                   row_number() OVER (
+                       PARTITION BY c.event_type ORDER BY c.bin
+                   ) AS rn
+            FROM cum c JOIN tot t USING (event_type)
+            WHERE CAST(c.cum AS DOUBLE) >= 0.5 * CAST(t.n AS DOUBLE)
+        )
+        SELECT event_type, n,
+               round((CAST(bin AS DOUBLE)
+                      + (0.5 * CAST(n AS DOUBLE)
+                         - CAST(cum - c AS DOUBLE)) / CAST(c AS DOUBLE))
+                     * 5.0, 6) AS q_est
+        FROM hit WHERE rn = 1
     """

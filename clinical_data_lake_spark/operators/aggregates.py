@@ -813,3 +813,97 @@ def herfindahl(
             F.round(F.sum("__s2__").cast("double"), digits).alias("hhi"),
         )
     )
+
+
+def histogram_rollup(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+) -> DataFrame:
+    """Mergeable fixed-bin histogram summaries per group — the EXACT
+    counterpart of ``hll_rollup``'s sketch pattern: with bin edges
+    FIXED globally (``lo``/``hi``/``n_bins`` are part of the contract,
+    not derived per group), per-group bin counts merge to any coarser
+    grouping by plain addition, so a 100 TB backfill of
+    distribution-shaped questions (quantiles, tail mass, drift)
+    becomes a few-KB-per-group integer merge — and unlike HLL/KLL
+    sketches the merge is bit-exact and order-independent.
+
+    Returns (keys..., bin, cnt): only occupied bins, ``bin`` in
+    [0, n_bins-1]; values outside [lo, hi] clamp into the edge bins
+    (count everything, never drop silently). Downstream:
+    ``histogram_quantile`` for estimates, plain sums for coarser
+    rollups.
+    """
+    if not hi > lo:
+        raise ValueError(f"histogram_rollup: need hi > lo, got [{lo}, {hi}]")
+    width = (float(hi) - float(lo)) / int(n_bins)
+    b = F.floor(
+        (F.col(col).cast("double") - F.lit(float(lo))) / F.lit(width)
+    )
+    b = F.least(F.greatest(b, F.lit(0)), F.lit(int(n_bins) - 1))
+    return (
+        df.groupBy(*keys, b.cast("int").alias("bin"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def histogram_quantile(
+    hist: DataFrame,
+    keys: Sequence[str],
+    p: float,
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+    digits: int = 6,
+) -> DataFrame:
+    """Quantile estimate from (possibly finer-keyed) ``histogram_rollup``
+    output, merged up to ``keys``: linear interpolation inside the bin
+    containing the p-th count — max error = one bin width, the
+    documented fixed-bin trade. Returns (keys..., n, q_est).
+
+    Runs entirely on the bin table (group-cardinality x n_bins rows):
+    merge = one integer sum per (keys, bin); the quantile walk is a
+    cumsum window PARTITIONED BY the group over <= n_bins rows — never
+    a fact-sized window. Deterministic: integer counts, one final
+    interpolation per group.
+    """
+    from pyspark.sql import Window
+
+    width = (float(hi) - float(lo)) / int(n_bins)
+    merged = hist.groupBy(*keys, "bin").agg(F.sum("cnt").alias("__c__"))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = merged.select(
+        *keys,
+        "bin",
+        "__c__",
+        F.sum("__c__").over(w).alias("__cum__"),
+    )
+    tot = cum.groupBy(*keys).agg(F.sum("__c__").cast("long").alias("n"))
+    j = cum.join(tot, on=list(keys))
+    target = F.lit(float(p)) * F.col("n").cast("double")
+    # first bin whose cumulative count reaches the target
+    hit = j.filter(F.col("__cum__").cast("double") >= target)
+    w2 = Window.partitionBy(*keys).orderBy("bin")
+    first_hit = hit.withColumn("__rn__", F.row_number().over(w2)).filter(
+        F.col("__rn__") == 1
+    )
+    frac = (
+        target - (F.col("__cum__") - F.col("__c__")).cast("double")
+    ) / F.col("__c__").cast("double")
+    q = (
+        F.lit(float(lo))
+        + (F.col("bin").cast("double") + frac) * F.lit(width)
+    )
+    return first_hit.select(
+        *keys,
+        "n",
+        F.round(q, digits).alias("q_est"),
+    )

@@ -342,3 +342,67 @@ def khop_neighbors(
         # only nodes first reached at exactly this hop expand next round
         frontier = nxt
     return visited.select("node", F.col("hop").cast("int").alias("hop"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    k: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    undirected: bool = True,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007, the LPA variant GraphX ships): every node starts in its
+    own community (label = node id); each round, every node adopts the
+    most frequent label among its NEIGHBORS, ties broken by the
+    smallest label — the deterministic synchronous schedule, so the
+    result is a pure function of the graph, replayable round-by-round
+    in SQL. ``k`` bounded rounds (LPA converges in a handful on real
+    graphs; synchronous LPA can oscillate on bipartite structures,
+    which a fixed round count also bounds).
+
+    Returns (node, label): the community assignment after round ``k``.
+
+    Scale shape: per round, one join of the label table onto the edge
+    list (both keyed by node id) and one (node, label) count-argmax —
+    the same per-round cost as one PageRank step; labels
+    localCheckpoint eagerly per round (the ``khop_neighbors`` lesson:
+    truncated lineage, one job per round, AQE picks the join strategy
+    from real sizes). Community sizes follow with one groupBy on the
+    result.
+    """
+    from .caching import track_persist
+
+    e = edges.select(F.col(src).alias("__s__"), F.col(dst).alias("__d__"))
+    if undirected:
+        e = e.union(
+            edges.select(F.col(dst).alias("__s__"), F.col(src).alias("__d__"))
+        )
+    e = track_persist(e.distinct())
+    labels = (
+        e.select(F.col("__s__").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(int(k)):
+        votes = (
+            e.join(labels, e["__d__"] == labels["node"])
+            .select(F.col("__s__").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("__c__"))
+        )
+        labels = (
+            votes.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("__c__")).alias("nc"),
+                        F.col("label").alias("l"),
+                    )
+                ).alias("__m__")
+            )
+            .select("node", F.col("__m__")["l"].alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels

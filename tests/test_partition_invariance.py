@@ -131,6 +131,10 @@ R10_NEW = [
     "fairness_audit",
     "poisson_bootstrap",
     "l_diversity",
+    # synchronous LPA argmax tie-breaks; fixed-bin integer histogram
+    # merges (mergeability IS the invariance claim)
+    "graph_lpa",
+    "hist_quantile",
 ]
 
 

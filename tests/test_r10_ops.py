@@ -210,3 +210,70 @@ def test_l_diversity_flags_and_entropy(spark):
     terms = [round(-p * math.log(p), 6) for p in (0.8, 0.1, 0.1)]
     assert z.entropy_l == pytest.approx(round(math.exp(sum(terms)), 6))
     assert z.ok is False
+
+
+# -- label_propagation ---------------------------------------------------
+
+
+def test_lpa_two_cliques_with_bridge(spark):
+    from clinical_data_lake_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)],
+        "src long, dst long",
+    )
+    out = {r.node: r.label for r in label_propagation(edges, k=3).collect()}
+    # hand-run of the synchronous min-tie-break schedule: the two
+    # triangles settle into separate communities despite the bridge
+    assert out == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
+
+
+def test_lpa_star_oscillation_is_deterministic(spark):
+    from clinical_data_lake_spark.operators.graph import label_propagation
+
+    star = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "src long, dst long"
+    )
+    # synchronous LPA oscillates on a star: center and leaves swap
+    # labels each round — after k=3 (odd) the swap is in effect; the
+    # POINT is that the schedule is deterministic and replayable
+    out = {r.node: r.label for r in label_propagation(star, k=3).collect()}
+    assert out == {0: 1, 1: 0, 2: 0, 3: 0}
+    again = {r.node: r.label for r in label_propagation(star, k=3).collect()}
+    assert again == out
+
+
+# -- histogram rollup ----------------------------------------------------
+
+
+def test_histogram_rollup_counts_and_clamping(spark):
+    from clinical_data_lake_spark.operators.aggregates import histogram_rollup
+
+    df = spark.createDataFrame(
+        [("a", -5.0), ("a", 0.0), ("a", 3.5), ("a", 9.99), ("a", 42.0)],
+        "k string, v double",
+    )
+    out = {(r.k, r.bin): r.cnt
+           for r in histogram_rollup(df, ["k"], "v", 0.0, 10.0, 10).collect()}
+    # -5 clamps into bin 0 (with 0.0); 42 clamps into bin 9 (with 9.99)
+    assert out == {("a", 0): 2, ("a", 3): 1, ("a", 9): 2}
+
+
+def test_histogram_quantile_closed_form_and_merge_equivalence(spark):
+    from clinical_data_lake_spark.operators.aggregates import (
+        histogram_quantile,
+        histogram_rollup,
+    )
+
+    rows = [("a", "d1" if i <= 5 else "d2", float(i)) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "k string, day string, v double")
+    # direct coarse histogram
+    direct = histogram_rollup(df, ["k"], "v", 0.0, 10.0, 10)
+    q_direct = histogram_quantile(direct, ["k"], 0.5, 0.0, 10.0, 10).collect()[0]
+    # fine (k, day) histograms merged up — must be IDENTICAL (the
+    # mergeability contract: fixed bins => counts just add)
+    fine = histogram_rollup(df, ["k", "day"], "v", 0.0, 10.0, 10)
+    q_merged = histogram_quantile(fine, ["k"], 0.5, 0.0, 10.0, 10).collect()[0]
+    assert (q_direct.n, q_direct.q_est) == (q_merged.n, q_merged.q_est) == (10, 6.0)
+    # closed form: target = 5, bins 1..4 hold 4 values, bin 5 holds
+    # one -> frac = (5-4)/1 -> q = (5 + 1) * width = 6.0
