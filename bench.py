@@ -171,6 +171,8 @@ BENCH_QUERIES = [
     "l_diversity",
     "graph_lpa",
     "hist_quantile",
+    "er_pipeline",
+    "conformal",
 ]
 
 # Scope the measured set without editing the file (drift A/B testing,

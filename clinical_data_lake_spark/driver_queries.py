@@ -3765,6 +3765,45 @@ def q_hist_quantile(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_er_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """Composed entity resolution (operators/er.py:resolve_matches):
+    nation+segment blocked customer pairs -> Fellegi-Sunter scores
+    (q_fs_score's weights/threshold) -> transitive closure -> resolved
+    clusters with sizes. The end-to-end record-linkage artifact; the
+    oracle chains the same block/score SQL into a recursive-CTE
+    closure."""
+    from .operators import er
+
+    pairs, _cols = _fs_pair_cols(spark, sf)
+    scored = joins.fs_match_score(
+        pairs,
+        {
+            "last_char": (
+                F.substring("c_name_a", -1, 1) == F.substring("c_name_b", -1, 1),
+                0.9, 0.1,
+            ),
+            "bal_sign": (
+                (F.col("c_acctbal_a") > 0) == (F.col("c_acctbal_b") > 0),
+                0.7, 0.5,
+            ),
+        },
+        threshold=2.0,
+    )
+    return er.resolve_matches(scored, "c_custkey_a", "c_custkey_b")
+
+
+def q_conformal(spark: SparkSession, sf: str) -> DataFrame:
+    """Split-conformal prediction intervals per event type
+    (ml/stats.py:conformal_interval): md5 train/cal/test thirds,
+    group-mean predictor, finite-sample k-th-order-statistic radius,
+    empirical test coverage — the distribution-free uncertainty
+    read-out."""
+    ev = read_table(spark, sf, "events")
+    return ml_stats.conformal_interval(
+        ev, "event_type", "event_id", "value", alpha=0.1
+    )
+
+
 QUERIES = {
     # -- r8 certification window (first 50): the 18 queries that have
     #    never had a driver CORRECTNESS row, then the 32 oldest r3-era
@@ -4054,6 +4093,8 @@ QUERIES = {
     "l_diversity": q_l_diversity,
     "graph_lpa": q_graph_lpa,
     "hist_quantile": q_hist_quantile,
+    "er_pipeline": q_er_pipeline,
+    "conformal": q_conformal,
 }
 
 # -- r9 certification window (ROTATION.md): the driver checks the FIRST
@@ -9216,4 +9257,104 @@ ORACLES["hist_quantile"] = """
                          - CAST(cum - c AS DOUBLE)) / CAST(c AS DOUBLE))
                      * 5.0, 6) AS q_est
         FROM hit WHERE rn = 1
+    """
+
+_LOG2 = __import__("math").log2
+ORACLES["er_pipeline"] = f"""
+        WITH RECURSIVE a AS (
+            SELECT c_custkey, c_name, c_nationkey, c_mktsegment, c_acctbal
+            FROM customer
+        ),
+        p AS (
+            SELECT x.c_custkey AS ka, y.c_custkey AS kb,
+                   coalesce(substr(x.c_name, -1, 1) = substr(y.c_name, -1, 1),
+                            FALSE) AS ag1,
+                   coalesce((x.c_acctbal > 0) = (y.c_acctbal > 0),
+                            FALSE) AS ag2
+            FROM a x JOIN a y
+              ON x.c_nationkey = y.c_nationkey
+             AND x.c_mktsegment = y.c_mktsegment
+             AND x.c_custkey < y.c_custkey
+        ),
+        m AS (
+            SELECT ka, kb FROM p
+            WHERE round(
+                (CASE WHEN ag1 THEN CAST({_LOG2(0.9 / 0.1)!r} AS DOUBLE)
+                      ELSE CAST({_LOG2(0.1 / 0.9)!r} AS DOUBLE) END)
+              + (CASE WHEN ag2 THEN CAST({_LOG2(0.7 / 0.5)!r} AS DOUBLE)
+                      ELSE CAST({_LOG2(0.3 / 0.5)!r} AS DOUBLE) END), 6)
+                >= 2.0
+        ),
+        edges AS (
+            SELECT ka AS src, kb AS dst FROM m
+            UNION
+            SELECT kb AS src, ka AS dst FROM m
+        ),
+        reach AS (
+            SELECT src AS node, src AS lbl FROM edges
+            UNION
+            SELECT e.src AS node, r.lbl
+            FROM edges e JOIN reach r ON r.node = e.dst
+        ),
+        cl AS (
+            SELECT node AS entity_id, min(lbl) AS cluster_id
+            FROM reach GROUP BY node
+        ),
+        sz AS (
+            SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+            FROM cl GROUP BY 1
+        )
+        SELECT entity_id, cluster_id, cluster_size
+        FROM cl JOIN sz USING (cluster_id)
+    """
+
+ORACLES["conformal"] = """
+        WITH base AS (
+            SELECT event_type AS grp,
+                   CAST(value AS DECIMAL(18,6)) AS y,
+                   ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 13))::BIGINT
+                     / 4503599627370496.0 AS u
+            FROM events
+        ),
+        tr AS (
+            SELECT grp, round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS mu
+            FROM base WHERE u < 1.0/3 GROUP BY grp
+        ),
+        cal AS (
+            SELECT b.grp, round(abs(CAST(b.y AS DOUBLE) - t.mu), 6) AS r
+            FROM base b JOIN tr t ON b.grp = t.grp
+            WHERE b.u >= 1.0/3 AND b.u < 2.0/3
+        ),
+        nc AS (
+            SELECT grp, CAST(count(*) AS BIGINT) AS n_cal
+            FROM cal GROUP BY grp
+        ),
+        rk AS (
+            SELECT grp, r,
+                   row_number() OVER (PARTITION BY grp ORDER BY r) AS rn
+            FROM cal
+        ),
+        q AS (
+            SELECT rk.grp, rk.r AS q_hat
+            FROM rk JOIN nc USING (grp)
+            WHERE rn = CAST(ceil((n_cal + 1) * 0.9) AS BIGINT)
+        ),
+        qt AS (
+            SELECT nc.grp, nc.n_cal, q.q_hat
+            FROM nc LEFT JOIN q USING (grp)
+        ),
+        te AS (
+            SELECT grp, CAST(y AS DOUBLE) AS y FROM base WHERE u >= 2.0/3
+        )
+        SELECT t.grp AS event_type, qt.n_cal, qt.q_hat,
+               CAST(count(*) AS BIGINT) AS n_test,
+               CASE WHEN qt.q_hat IS NOT NULL THEN
+                   round(sum(CASE WHEN abs(t.y - m.mu) <= qt.q_hat
+                             THEN 1 ELSE 0 END)
+                         / CAST(count(*) AS DOUBLE), 6)
+               END AS coverage
+        FROM te t
+        JOIN tr m ON t.grp = m.grp
+        JOIN qt ON t.grp = qt.grp
+        GROUP BY t.grp, qt.n_cal, qt.q_hat
     """

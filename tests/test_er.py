@@ -1,0 +1,90 @@
+"""Composed entity resolution: scored pairs -> transitive clusters."""
+
+from __future__ import annotations
+
+from clinical_data_lake_spark.operators.er import resolve_matches
+
+
+def test_resolve_matches_transitive_closure(spark):
+    # A~B and B~C accepted (A-C never scored): one cluster {A,B,C};
+    # D~E accepted separately; F~G scored but rejected.
+    pairs = spark.createDataFrame(
+        [
+            (1, 2, True),
+            (2, 3, True),
+            (4, 5, True),
+            (6, 7, False),
+        ],
+        "id_a long, id_b long, is_match boolean",
+    )
+    out = {r.entity_id: r for r in
+           resolve_matches(pairs, "id_a", "id_b").collect()}
+    assert set(out) == {1, 2, 3, 4, 5}  # 6/7 absent: no accepted match
+    assert out[1].cluster_id == out[2].cluster_id == out[3].cluster_id == 1
+    assert out[1].cluster_size == 3
+    assert out[4].cluster_id == out[5].cluster_id == 4
+    assert out[4].cluster_size == 2
+
+
+def test_resolve_matches_chain_diameter(spark):
+    # a 6-node chain: closure must label all with the minimum id even
+    # though no pair connects the ends directly
+    pairs = spark.createDataFrame(
+        [(i, i + 1, True) for i in range(10, 15)],
+        "id_a long, id_b long, is_match boolean",
+    )
+    rows = resolve_matches(pairs, "id_a", "id_b").collect()
+    assert {r.entity_id for r in rows} == set(range(10, 16))
+    assert {r.cluster_id for r in rows} == {10}
+    assert all(r.cluster_size == 6 for r in rows)
+
+
+def test_conformal_interval_order_statistic_and_coverage(spark):
+    """Split-conformal closed form on a hand-checkable group: verify
+    q_hat is the exact k-th order statistic of calibration residuals
+    and coverage counts test rows inside [mu - q, mu + q]."""
+    import hashlib
+
+    from clinical_data_lake_spark.ml.stats import conformal_interval
+
+    rows = [("g", i, float(i % 7)) for i in range(1, 61)]
+    df = spark.createDataFrame(rows, "grp string, id long, y double")
+    got = conformal_interval(df, "grp", "id", "y", alpha=0.2).collect()[0]
+
+    # replicate the md5 split + math in pure python
+    def u(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16) / 2.0**52
+
+    train = [(i, y) for _, i, y in rows if u(i) < 1 / 3]
+    cal = [(i, y) for _, i, y in rows if 1 / 3 <= u(i) < 2 / 3]
+    test = [(i, y) for _, i, y in rows if u(i) >= 2 / 3]
+    mu = round(sum(y for _, y in train) / len(train), 6)
+    res = sorted(round(abs(y - mu), 6) for _, y in cal)
+    import math as m
+
+    k = m.ceil((len(cal) + 1) * 0.8)
+    q = res[k - 1]
+    cov = sum(1 for _, y in test if abs(y - mu) <= q) / len(test)
+    assert got.n_cal == len(cal) and got.n_test == len(test)
+    assert got.q_hat == pytest_approx(q)
+    assert got.coverage == pytest_approx(round(cov, 6))
+
+
+def pytest_approx(v):
+    import pytest
+
+    return pytest.approx(v, abs=1e-9)
+
+
+def test_conformal_interval_small_group_null_radius(spark):
+    from clinical_data_lake_spark.ml.stats import conformal_interval
+
+    # 3 rows: k = ceil((n_cal+1)*0.95) almost surely exceeds n_cal
+    df = spark.createDataFrame(
+        [("g", 1, 1.0), ("g", 2, 2.0), ("g", 3, 3.0),
+         ("g", 4, 1.5), ("g", 5, 2.5), ("g", 6, 0.5)],
+        "grp string, id long, y double",
+    )
+    rows = conformal_interval(df, "grp", "id", "y", alpha=0.05).collect()
+    for r in rows:
+        assert r.q_hat is None and r.coverage is None

@@ -135,6 +135,10 @@ R10_NEW = [
     # merges (mergeability IS the invariance claim)
     "graph_lpa",
     "hist_quantile",
+    # composed ER closure (min-label CC over thresholded FS matches);
+    # conformal order statistic + md5 split
+    "er_pipeline",
+    "conformal",
 ]
 
 
