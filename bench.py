@@ -173,6 +173,8 @@ BENCH_QUERIES = [
     "hist_quantile",
     "er_pipeline",
     "conformal",
+    "skyline",
+    "ab_power",
 ]
 
 # Scope the measured set without editing the file (drift A/B testing,

@@ -3804,6 +3804,34 @@ def q_conformal(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_skyline(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-market-segment 2-D skyline (operators/sorts.py:skyline_2d)
+    of customers maximizing (account balance, order count): the Pareto
+    front via the sort-scan closed form — one partitioned window, no
+    dominance self-join."""
+    oc = (
+        read_table(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    cu = read_table(spark, sf, "customer").join(
+        oc, F.col("c_custkey") == F.col("o_custkey")
+    ).select("c_mktsegment", F.col("c_acctbal").alias("acctbal"), "n_orders")
+    return sorts.skyline_2d(cu, ["c_mktsegment"], "acctbal", "n_orders")
+
+
+def q_ab_power(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-priority minimum detectable effect for the fulfilled-order
+    rate (ml/stats.py:ab_power_analysis): normal-approximation MDE at
+    the default alpha=0.05 / power=0.8 design, pooled-rate anchored —
+    the experiment-design companion of ab_test."""
+    od = read_table(spark, sf, "orders").select(
+        F.col("o_orderpriority").alias("variant"),
+        (F.col("o_orderstatus") == "F").alias("success"),
+    )
+    return ml_stats.ab_power_analysis(od, "variant", "success")
+
+
 QUERIES = {
     # -- r8 certification window (first 50): the 18 queries that have
     #    never had a driver CORRECTNESS row, then the 32 oldest r3-era
@@ -4095,6 +4123,8 @@ QUERIES = {
     "hist_quantile": q_hist_quantile,
     "er_pipeline": q_er_pipeline,
     "conformal": q_conformal,
+    "skyline": q_skyline,
+    "ab_power": q_ab_power,
 }
 
 # -- r9 certification window (ROTATION.md): the driver checks the FIRST
@@ -9357,4 +9387,47 @@ ORACLES["conformal"] = """
         JOIN tr m ON t.grp = m.grp
         JOIN qt ON t.grp = qt.grp
         GROUP BY t.grp, qt.n_cal, qt.q_hat
+    """
+
+ORACLES["skyline"] = """
+        WITH oc AS (
+            SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY 1
+        ),
+        pts AS (
+            SELECT DISTINCT c_mktsegment, c_acctbal AS acctbal, n_orders
+            FROM customer JOIN oc ON c_custkey = o_custkey
+        ),
+        m AS (
+            SELECT c_mktsegment, acctbal, n_orders,
+                   max(n_orders) OVER (
+                       PARTITION BY c_mktsegment
+                       ORDER BY acctbal DESC, n_orders DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS pm
+            FROM pts
+        )
+        SELECT c_mktsegment, acctbal, n_orders
+        FROM m WHERE pm IS NULL OR n_orders > pm
+    """
+
+ORACLES["ab_power"] = f"""
+        WITH cells AS (
+            SELECT o_orderpriority AS variant,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum((o_orderstatus = 'F')::INT) AS BIGINT) AS s
+            FROM orders GROUP BY 1
+        ),
+        p AS (SELECT CAST(sum(s) AS DOUBLE) / sum(n) AS pp FROM cells)
+        SELECT variant, n,
+               round(CAST(s AS DOUBLE) / n, 6) AS p_hat,
+               round(pp, 6) AS p_pooled,
+               round(CAST({ml_stats.Z_975 + ml_stats.Z_80!r} AS DOUBLE)
+                     * sqrt(2.0 * pp * (1 - pp) / CAST(n AS DOUBLE)), 6)
+                   AS mde_abs,
+               CASE WHEN pp > 0 THEN
+                   round(CAST({ml_stats.Z_975 + ml_stats.Z_80!r} AS DOUBLE)
+                         * sqrt(2.0 * pp * (1 - pp) / CAST(n AS DOUBLE)) / pp, 6)
+               END AS mde_rel
+        FROM cells, p
     """

@@ -1417,3 +1417,64 @@ def conformal_interval(
             ),
         )
     )
+
+
+# standard normal quantiles for the default (alpha=0.05 two-sided,
+# power=0.80) test design — literals shared with the DuckDB oracle
+# (neither engine has an inverse normal CDF built in)
+Z_975 = 1.959963984540054
+Z_80 = 0.8416212335729143
+
+
+def ab_power_analysis(
+    assignments: DataFrame,
+    group_col: str,
+    success_col: str,
+    z_alpha: float = Z_975,
+    z_power: float = Z_80,
+    digits: int = 6,
+) -> DataFrame:
+    """Per-variant minimum detectable effect for a proportion A/B test
+    — the pre-readout sanity check every experimentation platform
+    surfaces beside ``ab_test``'s result: with this variant's sample
+    size and the pooled baseline rate, what absolute/relative lift
+    COULD the test even detect at the design's alpha and power?
+
+        mde_abs = (z_alpha + z_power) * sqrt(2 p (1-p) / n)
+
+    (normal-approximation two-sample formula with the pooled rate p as
+    the variance anchor). Returns one row per variant:
+    (group, n, p_hat, p_pooled, mde_abs, mde_rel); ``mde_rel`` is NULL
+    when the pooled rate is 0 (no successes anywhere — nothing to
+    scale against).
+
+    Scale shape: ONE conditional-count groupBy over the assignments;
+    the pooled rate re-aggregates the variant-level table and
+    broadcasts back. The z quantiles are fixed literals (shared with
+    the SQL twin) because neither engine has erfinv built in.
+    """
+    cells = assignments.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(success_col).cast("long")).alias("__s__"),
+    )
+    pooled = cells.agg(
+        (F.sum("__s__").cast("double") / F.sum("n")).alias("__p__")
+    )
+    p = F.col("__p__")
+    mde = (
+        F.lit(float(z_alpha) + float(z_power))
+        * F.sqrt(F.lit(2.0) * p * (F.lit(1.0) - p) / F.col("n").cast("double"))
+    )
+    return (
+        cells.crossJoin(F.broadcast(pooled))
+        .select(
+            F.col("grp").alias(group_col),
+            "n",
+            F.round(F.col("__s__").cast("double") / F.col("n"), digits).alias(
+                "p_hat"
+            ),
+            F.round(p, digits).alias("p_pooled"),
+            F.round(mde, digits).alias("mde_abs"),
+            F.when(p > 0, F.round(mde / p, digits)).alias("mde_rel"),
+        )
+    )

@@ -109,3 +109,45 @@ def top_n_with_others(
     if value_col is not None:
         cols.append(F.col("__sv__").cast("double").alias("sum_value"))
     return out.select(*cols)
+
+
+def skyline_2d(
+    df: DataFrame,
+    keys: Sequence[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group 2-D skyline (Pareto front, both dimensions maximized;
+    Borzsony/Kossmann/Stocker 2001): the points no other point in the
+    group weakly dominates with at least one strict improvement — the
+    multi-objective "best trade-offs" query (price-vs-quality,
+    spend-vs-frequency) that single-metric top-k cannot express.
+    Operates on DISTINCT (x, y) pairs per group (coincident points
+    never dominate each other, so the front is a set). Returns
+    (keys..., x_col, y_col).
+
+    The sort-scan closed form exactly, not an O(n²) dominance join:
+    order each group by (x DESC, y DESC); a point is on the front iff
+    its y strictly exceeds every earlier point's y — one partitioned
+    window over the group, one running max. At 100 TB the group is the
+    partition key; within-group data sorts inside its shuffle
+    partition (no global order anywhere).
+    """
+    from pyspark.sql import Window
+
+    pts = df.select(
+        *keys,
+        F.col(x_col).alias("__x__"),
+        F.col(y_col).alias("__y__"),
+    ).distinct()
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.desc("__x__"), F.desc("__y__"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max = F.max("__y__").over(w)
+    return (
+        pts.withColumn("__pm__", prev_max)
+        .filter(F.col("__pm__").isNull() | (F.col("__y__") > F.col("__pm__")))
+        .select(*keys, F.col("__x__").alias(x_col), F.col("__y__").alias(y_col))
+    )

@@ -139,6 +139,9 @@ R10_NEW = [
     # conformal order statistic + md5 split
     "er_pipeline",
     "conformal",
+    # skyline's running-max window; ab_power's pooled re-aggregate
+    "skyline",
+    "ab_power",
 ]
 
 

@@ -277,3 +277,61 @@ def test_histogram_quantile_closed_form_and_merge_equivalence(spark):
     assert (q_direct.n, q_direct.q_est) == (q_merged.n, q_merged.q_est) == (10, 6.0)
     # closed form: target = 5, bins 1..4 hold 4 values, bin 5 holds
     # one -> frac = (5-4)/1 -> q = (5 + 1) * width = 6.0
+
+
+# -- skyline_2d ----------------------------------------------------------
+
+
+def test_skyline_staircase_closed_form(spark):
+    from clinical_data_lake_spark.operators.sorts import skyline_2d
+
+    pts = [(1, 5), (2, 4), (3, 3), (2, 5), (3, 1), (0, 6), (2, 5)]
+    df = spark.createDataFrame(
+        [("g", x, y) for x, y in pts], "k string, x long, y long"
+    )
+    got = {(r.x, r.y) for r in skyline_2d(df, ["k"], "x", "y").collect()}
+    # the classic staircase: (3,3), (2,5), (0,6); (1,5) is weakly
+    # dominated by (2,5), duplicates collapse
+    assert got == {(3, 3), (2, 5), (0, 6)}
+
+
+def test_skyline_per_group_and_single_point(spark):
+    from clinical_data_lake_spark.operators.sorts import skyline_2d
+
+    df = spark.createDataFrame(
+        [("a", 1, 1), ("a", 2, 2), ("b", 9, 9)], "k string, x long, y long"
+    )
+    got = {(r.k, r.x, r.y) for r in skyline_2d(df, ["k"], "x", "y").collect()}
+    # (1,1) dominated inside group a; group b's lone point survives
+    assert got == {("a", 2, 2), ("b", 9, 9)}
+
+
+# -- ab_power_analysis ---------------------------------------------------
+
+
+def test_ab_power_closed_form(spark):
+    from clinical_data_lake_spark.ml.stats import Z_80, Z_975, ab_power_analysis
+
+    rows = [("A", True)] * 30 + [("A", False)] * 70 + \
+           [("B", True)] * 10 + [("B", False)] * 90
+    df = spark.createDataFrame(rows, "variant string, success boolean")
+    out = {r.variant: r for r in
+           ab_power_analysis(df, "variant", "success").collect()}
+    p = 40 / 200
+    for v, n, ph in (("A", 100, 0.3), ("B", 100, 0.1)):
+        r = out[v]
+        assert r.n == n and r.p_hat == pytest.approx(ph)
+        assert r.p_pooled == pytest.approx(p)
+        want = (Z_975 + Z_80) * math.sqrt(2 * p * (1 - p) / n)
+        assert r.mde_abs == pytest.approx(round(want, 6))
+        assert r.mde_rel == pytest.approx(round(want / p, 6))
+
+
+def test_ab_power_zero_rate_null_relative(spark):
+    from clinical_data_lake_spark.ml.stats import ab_power_analysis
+
+    df = spark.createDataFrame(
+        [("A", False)] * 5 + [("B", False)] * 5, "variant string, success boolean"
+    )
+    for r in ab_power_analysis(df, "variant", "success").collect():
+        assert r.p_pooled == 0.0 and r.mde_abs == 0.0 and r.mde_rel is None
