@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "conformal",
     "skyline",
     "ab_power",
+    "mahalanobis",
 ]
 
 # Scope the measured set without editing the file (drift A/B testing,

@@ -3832,6 +3832,25 @@ def q_ab_power(spark: SparkSession, sf: str) -> DataFrame:
     return ml_stats.ab_power_analysis(od, "variant", "success")
 
 
+def q_mahalanobis(spark: SparkSession, sf: str) -> DataFrame:
+    """2-feature Mahalanobis outliers over lineitem
+    (quantity, extendedprice) — combinations univariate z-scores miss
+    (ml/stats.py:mahalanobis2, closed-form 2x2 inverse, decimal-exact
+    moments); returns the flagged rows only."""
+    li = read_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    # threshold 5.0 ~ the p99 tail of this bounded synthetic corpus
+    # (uniform-ish marginals never reach the chi-square 97.5% default
+    # of 7.38 — the default is calibrated for roughly normal features)
+    out = ml_stats.mahalanobis2(
+        li, "l_quantity", "l_extendedprice", threshold=5.0
+    )
+    return out.filter(F.col("is_outlier")).select(
+        "l_orderkey", "l_linenumber", "md2"
+    )
+
+
 QUERIES = {
     # -- r8 certification window (first 50): the 18 queries that have
     #    never had a driver CORRECTNESS row, then the 32 oldest r3-era
@@ -4125,6 +4144,7 @@ QUERIES = {
     "conformal": q_conformal,
     "skyline": q_skyline,
     "ab_power": q_ab_power,
+    "mahalanobis": q_mahalanobis,
 }
 
 # -- r9 certification window (ROTATION.md): the driver checks the FIRST
@@ -9430,4 +9450,44 @@ ORACLES["ab_power"] = f"""
                          * sqrt(2.0 * pp * (1 - pp) / CAST(n AS DOUBLE)) / pp, 6)
                END AS mde_rel
         FROM cells, p
+    """
+
+ORACLES["mahalanobis"] = """
+        WITH stats AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   sum(CAST(l_quantity AS DECIMAL(18,6))) AS sx,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS sy,
+                   sum(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS sxx,
+                   sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) AS syy,
+                   sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6))) AS sxy
+            FROM lineitem
+        ),
+        m AS (
+            SELECT round(CAST(sx AS DOUBLE) / n, 9) AS mx,
+                   round(CAST(sy AS DOUBLE) / n, 9) AS my,
+                   round(CAST(sxx AS DOUBLE) / n
+                         - round(CAST(sx AS DOUBLE) / n, 9)
+                           * round(CAST(sx AS DOUBLE) / n, 9), 9) AS s11,
+                   round(CAST(syy AS DOUBLE) / n
+                         - round(CAST(sy AS DOUBLE) / n, 9)
+                           * round(CAST(sy AS DOUBLE) / n, 9), 9) AS s22,
+                   round(CAST(sxy AS DOUBLE) / n
+                         - round(CAST(sx AS DOUBLE) / n, 9)
+                           * round(CAST(sy AS DOUBLE) / n, 9), 9) AS s12
+            FROM stats
+        ),
+        scored AS (
+            SELECT l_orderkey, l_linenumber,
+                   CASE WHEN s11 * s22 - s12 * s12 > 1e-12 THEN
+                       round((s22 * (l_quantity - mx) * (l_quantity - mx)
+                              - 2 * s12 * (l_quantity - mx)
+                                      * (l_extendedprice - my)
+                              + s11 * (l_extendedprice - my)
+                                      * (l_extendedprice - my))
+                             / (s11 * s22 - s12 * s12), 6)
+                   END AS md2
+            FROM lineitem, m
+        )
+        SELECT l_orderkey, l_linenumber, md2
+        FROM scored WHERE md2 > 5.0
     """

@@ -1478,3 +1478,92 @@ def ab_power_analysis(
             F.when(p > 0, F.round(mde / p, digits)).alias("mde_rel"),
         )
     )
+
+
+# chi-square(2 dof) 97.5th percentile — the conventional multivariate
+# outlier cut for 2 features; literal shared with the SQL twin
+CHI2_2DOF_975 = 7.377758908227871
+
+
+def mahalanobis2(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    threshold: float = CHI2_2DOF_975,
+    digits: int = 6,
+) -> DataFrame:
+    """Squared Mahalanobis distance + outlier flag for TWO features —
+    multivariate outlier detection that catches points univariate
+    z-scores miss (unusual COMBINATIONS: each coordinate typical, the
+    pair impossible). The 2x2 covariance inverse has a closed form, so
+    the whole computation is one sufficient-statistics aggregate
+    broadcast back over the facts — no matrix library, no driver-side
+    linear algebra, and the SQL twin replays it exactly:
+
+        md2 = (s22 dx^2 - 2 s12 dx dy + s11 dy^2) / det(S)
+
+    with population moments from decimal-exact sums (the corr_matrix
+    staging: per-row decimal casts, decimal accumulation, moments
+    rounded before reuse). ``is_outlier`` = md2 > threshold (default:
+    chi-square 2-dof 97.5%). Degenerate covariance (det ~ 0: a
+    constant or collinear feature pair) yields NULL md2/flag rather
+    than a divide-by-noise answer. Appends (md2, is_outlier).
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    # the 6-aggregate decimal pass would otherwise run on the scan's
+    # partitioning — a few-file sf0.1 input pins it to a few cores
+    # (the corr_matrix lesson); lift the NARROW 2-column projection to
+    # full parallelism first (no-op on an already-parallel scan)
+    narrow = df.select(x.alias("__px__"), y.alias("__py__"))
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < target:
+        narrow = narrow.repartition(target)
+    px, py = F.col("__px__"), F.col("__py__")
+    stats = narrow.agg(
+        F.count(F.lit(1)).cast("long").alias("__n__"),
+        F.sum(px.cast("decimal(18,6)")).alias("__sx__"),
+        F.sum(py.cast("decimal(18,6)")).alias("__sy__"),
+        F.sum((px * px).cast("decimal(28,6)")).alias("__sxx__"),
+        F.sum((py * py).cast("decimal(28,6)")).alias("__syy__"),
+        F.sum((px * py).cast("decimal(28,6)")).alias("__sxy__"),
+    )
+    n = F.col("__n__").cast("double")
+    mu_x = F.round(F.col("__sx__").cast("double") / n, 9)
+    mu_y = F.round(F.col("__sy__").cast("double") / n, 9)
+    s11 = F.round(F.col("__sxx__").cast("double") / n - mu_x * mu_x, 9)
+    s22 = F.round(F.col("__syy__").cast("double") / n - mu_y * mu_y, 9)
+    s12 = F.round(F.col("__sxy__").cast("double") / n - mu_x * mu_y, 9)
+    moments = stats.select(
+        mu_x.alias("__mx__"),
+        mu_y.alias("__my__"),
+        s11.alias("__s11__"),
+        s22.alias("__s22__"),
+        s12.alias("__s12__"),
+    )
+    dx = x - F.col("__mx__")
+    dy = y - F.col("__my__")
+    det = (
+        F.col("__s11__") * F.col("__s22__") - F.col("__s12__") * F.col("__s12__")
+    )
+    md2 = F.round(
+        (
+            F.col("__s22__") * dx * dx
+            - 2 * F.col("__s12__") * dx * dy
+            + F.col("__s11__") * dy * dy
+        )
+        / det,
+        digits,
+    )
+    md2_safe = F.when(det > 1e-12, md2)
+    return (
+        df.crossJoin(F.broadcast(moments))
+        .withColumn("md2", md2_safe)
+        .withColumn(
+            "is_outlier",
+            F.when(
+                F.col("md2").isNotNull(), F.col("md2") > F.lit(float(threshold))
+            ),
+        )
+        .drop("__mx__", "__my__", "__s11__", "__s22__", "__s12__")
+    )

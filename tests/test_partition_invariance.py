@@ -142,6 +142,8 @@ R10_NEW = [
     # skyline's running-max window; ab_power's pooled re-aggregate
     "skyline",
     "ab_power",
+    # decimal sufficient-statistics moments broadcast over the facts
+    "mahalanobis",
 ]
 
 

@@ -335,3 +335,31 @@ def test_ab_power_zero_rate_null_relative(spark):
     )
     for r in ab_power_analysis(df, "variant", "success").collect():
         assert r.p_pooled == 0.0 and r.mde_abs == 0.0 and r.mde_rel is None
+
+
+# -- mahalanobis2 --------------------------------------------------------
+
+
+def test_mahalanobis_catches_combination_outlier(spark):
+    """A point typical in each coordinate but impossible as a PAIR
+    must flag; univariate extremes of a correlated cloud must not."""
+    from clinical_data_lake_spark.ml.stats import mahalanobis2
+
+    rows = [(i, float(i), float(2 * i)) for i in range(1, 41)]  # y = 2x
+    rows.append((99, 10.0, 70.0))  # x typical, y typical, pair absurd
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    out = {r.id: r for r in mahalanobis2(df, "x", "y").collect()}
+    assert out[99].is_outlier is True
+    # the extreme-but-on-trend ends of the cloud stay inliers
+    assert out[1].is_outlier is False and out[40].is_outlier is False
+
+
+def test_mahalanobis_degenerate_covariance_nulls(spark):
+    from clinical_data_lake_spark.ml.stats import mahalanobis2
+
+    # y constant: det(S) = 0 -> md2/flag NULL, no divide-by-noise
+    df = spark.createDataFrame(
+        [(i, float(i), 5.0) for i in range(10)], "id long, x double, y double"
+    )
+    for r in mahalanobis2(df, "x", "y").collect():
+        assert r.md2 is None and r.is_outlier is None
