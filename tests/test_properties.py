@@ -418,3 +418,93 @@ def test_pareto_closed_form(spark):
     # head = keys whose cum start is strictly below 0.8 of total
     assert out["a"].in_top and out["b"].in_top
     assert not out["c"].in_top and not out["d"].in_top
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1, max_size=40,
+    ),
+)
+def test_skyline_equals_brute_force_dominance(spark, pts):
+    """For arbitrary point sets, the sort-scan skyline must equal the
+    O(n^2) dominance definition on the distinct point set."""
+    from clinical_data_lake_spark.operators.sorts import skyline_2d
+
+    df = spark.createDataFrame(
+        [Row(k="g", x=x, y=y) for x, y in pts], schema="k string, x long, y long"
+    )
+    got = {(r.x, r.y) for r in skyline_2d(df, ["k"], "x", "y").collect()}
+    uniq = set(pts)
+    want = {
+        p for p in uniq
+        if not any(
+            q != p and q[0] >= p[0] and q[1] >= p[1] for q in uniq
+        )
+    }
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vals=st.lists(st.floats(0.0, 99.0, allow_nan=False), min_size=1, max_size=60),
+    n_bins=st.integers(min_value=2, max_value=16),
+)
+def test_histogram_merge_associativity(spark, vals, n_bins):
+    """Fixed-bin histograms must merge exactly: quantiles from
+    arbitrarily re-keyed sub-histograms equal the direct computation."""
+    from clinical_data_lake_spark.operators.aggregates import (
+        histogram_quantile,
+        histogram_rollup,
+    )
+
+    rows = [Row(k="g", sub=f"s{i % 3}", v=float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, schema="k string, sub string, v double")
+    direct = histogram_quantile(
+        histogram_rollup(df, ["k"], "v", 0.0, 100.0, n_bins),
+        ["k"], 0.5, 0.0, 100.0, n_bins,
+    ).collect()[0]
+    merged = histogram_quantile(
+        histogram_rollup(df, ["k", "sub"], "v", 0.0, 100.0, n_bins),
+        ["k"], 0.5, 0.0, 100.0, n_bins,
+    ).collect()[0]
+    assert (direct.n, direct.q_est) == (merged.n, merged.q_est)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1, max_size=25,
+    ),
+)
+def test_lpa_matches_python_synchronous_schedule(spark, edges):
+    """label_propagation must equal a pure-python synchronous LPA with
+    the same min-tie-break on arbitrary graphs."""
+    from clinical_data_lake_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in edges], schema="src long, dst long"
+    )
+    got = {r.node: r.label for r in label_propagation(df, k=3).collect()}
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = {n: n for n in adj}
+    for _ in range(3):
+        nxt = {}
+        for n, nbrs in adj.items():
+            counts: dict = {}
+            for m in nbrs:
+                counts[labels[m]] = counts.get(labels[m], 0) + 1
+            best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            nxt[n] = best
+        labels = nxt
+    assert got == labels
