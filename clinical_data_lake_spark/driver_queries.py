@@ -9156,8 +9156,11 @@ ORACLES["poisson_bootstrap"] = f"""
         WITH expanded AS (
             SELECT t.b,
                    CAST(o_totalprice AS DECIMAL(18,6)) AS x,
-                   ('0x' || substr(md5(o_orderkey || '|' || t.b), 1, 13))::BIGINT
-                     / 4503599627370496.0 AS u
+                   ('0x' || substr(md5(o_orderkey || '|' ||
+                                       ((t.b - 1) // 4 + 1)),
+                                   CAST(((t.b - 1) % 4) * 8 + 1 AS INT),
+                                   8))::BIGINT
+                     / 4294967296.0 AS u
             FROM orders, UNNEST(range(1, 201)) AS t(b)
         ),
         weighted AS (

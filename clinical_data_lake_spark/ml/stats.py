@@ -1230,12 +1230,17 @@ def poisson_bootstrap_mean(
     classical bootstrap distribution.
 
     Determinism / oracle parity: the Poisson variate is inverse-CDF
-    over u = first-13-hex-chars(md5(id|b)) / 2^52 — 52 bits, exactly
-    representable in a double, bit-identical in Spark and DuckDB —
-    compared against the shared ``POISSON1_CDF`` literals; replicate
-    sums accumulate as DECIMAL so no float merge-order exists
-    anywhere; the CI is the exact interpolated percentile over the
-    ``n_boot`` replicate means.
+    over a 32-bit uniform carved out of md5(id|ceil(b/4)) — each hash
+    yields FOUR disjoint 8-hex-char slots, one per replicate, cutting
+    the hash count 4x while every u stays bit-identical in Spark and
+    DuckDB (32-bit ints are exact doubles; at sf0.1 local the explode
+    + aggregate dominate and wall-clock is unchanged, but hashing is
+    the JVM-side unit cost that scales with n_boot x n). Thresholding is
+    against the shared ``POISSON1_CDF`` literals (their finest gap is
+    ~1.1e-6, far above the 2.3e-10 quantization step); replicate sums
+    accumulate as DECIMAL so no float merge-order exists anywhere;
+    the CI is the exact interpolated percentile over the ``n_boot``
+    replicate means.
 
     Scale shape: the explode is n x n_boot rows but reduces through a
     map-side-combinable groupBy(b) immediately — shuffle volume is
@@ -1244,15 +1249,17 @@ def poisson_bootstrap_mean(
     published algorithm's price; pick n_boot to fit the budget.
     """
     b = F.explode(F.sequence(F.lit(1), F.lit(int(n_boot)))).alias("b")
+    grp = ((F.col("b") - 1) / F.lit(4)).cast("long") + 1
+    pos = ((F.col("b") - 1) % F.lit(4)) * 8 + 1
     u = (
         F.conv(
-            F.substring(
-                F.md5(F.concat_ws("|", F.col(id_col), F.col("b"))), 1, 13
+            F.md5(F.concat_ws("|", F.col(id_col), grp)).substr(
+                pos.cast("int"), F.lit(8)
             ),
             16,
             10,
         ).cast("double")
-        / F.lit(float(2**52))
+        / F.lit(float(2**32))
     )
     w = F.lit(len(POISSON1_CDF)).cast("int")
     for k in range(len(POISSON1_CDF) - 1, -1, -1):

@@ -139,7 +139,10 @@ def test_fairness_audit_null_rates_when_undefined(spark):
 
 
 def _py_poisson_weight(doc_id: int, b: int) -> int:
-    u = int(hashlib.md5(f"{doc_id}|{b}".encode()).hexdigest()[:13], 16) / 2.0**52
+    grp = (b - 1) // 4 + 1
+    slot = (b - 1) % 4
+    h = hashlib.md5(f"{doc_id}|{grp}".encode()).hexdigest()
+    u = int(h[slot * 8:slot * 8 + 8], 16) / 2.0**32
     for k, c in enumerate(POISSON1_CDF):
         if u <= c:
             return k
