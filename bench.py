@@ -176,6 +176,7 @@ BENCH_QUERIES = [
     "skyline",
     "ab_power",
     "mahalanobis",
+    "seq_patterns",
 ]
 
 # Scope the measured set without editing the file (drift A/B testing,

@@ -3851,6 +3851,22 @@ def q_mahalanobis(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_seq_patterns(spark: SparkSession, sf: str) -> DataFrame:
+    """Frequent sequential event-type patterns per user via PrefixSpan
+    (operators/itemsets.py:prefixspan_patterns, max length 2) — the
+    ordered counterpart of fp_itemsets; the oracle replays MLlib's
+    ceil-threshold rule with distinct-user counts and ordered
+    occurrence-pair joins."""
+    from .operators import itemsets
+
+    ev = read_table(spark, sf, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    return itemsets.prefixspan_patterns(
+        ev, "user_id", ["ts", "event_id"], "event_type", min_support=0.3
+    )
+
+
 QUERIES = {
     # -- r8 certification window (first 50): the 18 queries that have
     #    never had a driver CORRECTNESS row, then the 32 oldest r3-era
@@ -4145,6 +4161,7 @@ QUERIES = {
     "skyline": q_skyline,
     "ab_power": q_ab_power,
     "mahalanobis": q_mahalanobis,
+    "seq_patterns": q_seq_patterns,
 }
 
 # -- r9 certification window (ROTATION.md): the driver checks the FIRST
@@ -9493,4 +9510,27 @@ ORACLES["mahalanobis"] = """
         )
         SELECT l_orderkey, l_linenumber, md2
         FROM scored WHERE md2 > 5.0
+    """
+
+ORACLES["seq_patterns"] = """
+        WITH nseq AS (
+            SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM events
+        ),
+        thr AS (SELECT CAST(ceil(0.3 * n) AS BIGINT) AS t FROM nseq),
+        l1 AS (
+            SELECT event_type AS pattern,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS freq
+            FROM events GROUP BY 1
+        ),
+        l2 AS (
+            SELECT a.event_type || '>' || b.event_type AS pattern,
+                   CAST(count(DISTINCT a.user_id) AS BIGINT) AS freq
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+            GROUP BY 1
+        )
+        SELECT pattern, 1 AS n_steps, freq FROM l1, thr WHERE freq >= t
+        UNION ALL
+        SELECT pattern, 2 AS n_steps, freq FROM l2, thr WHERE freq >= t
     """

@@ -25,6 +25,8 @@ Scale shape (the apriori pruning, distributed):
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -218,4 +220,66 @@ def mutual_information(
             F.count(F.lit(1)).cast("long").alias("n_cells"),
             F.round(F.sum(term).cast("double"), 9).alias("mi_nats"),
         )
+    )
+
+
+def prefixspan_patterns(
+    events: DataFrame,
+    key_col: str,
+    order_cols: Sequence[str],
+    item_col: str,
+    min_support: float = 0.1,
+    max_len: int = 2,
+) -> DataFrame:
+    """Frequent SEQUENTIAL patterns via spark.ml's PrefixSpan (Pei et
+    al. 2001) — the ordered counterpart of ``fpgrowth_itemsets``: a
+    pattern a>b is supported by every entity whose event sequence
+    contains an a somewhere BEFORE a b (not necessarily adjacent).
+    Returns (pattern, n_steps, freq) with ``pattern`` the
+    '>'-joined step items — deterministic, engine-comparable.
+
+    Sequences are built per key by sorting events on ``order_cols``
+    (include a unique tiebreaker: collect_list order is otherwise
+    partition-dependent); every step is a singleton itemset, so
+    patterns are pure event-type chains. Support counts are exact and
+    MLlib thresholds at ceil(min_support * n_sequences) — the same
+    rule the SQL twin replays: single steps are distinct-entity type
+    counts, two-step chains are distinct entities with an ordered
+    occurrence pair.
+
+    Scale: PrefixSpan distributes by prefix projection; the input
+    reduces to one sequence table (a per-key sort of that key's own
+    events — partitioned, never global) before mining.
+    """
+    from pyspark.ml.fpm import PrefixSpan
+
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct(
+                *[F.col(c).alias(f"__o{i}__") for i, c in enumerate(order_cols)],
+                F.col(item_col).cast("string").alias("__it__"),
+            )
+        )
+    )
+    seqs = (
+        events.groupBy(F.col(key_col).alias("__k__"))
+        .agg(ordered.alias("__s__"))
+        .select(
+            F.transform("__s__", lambda r: F.array(r["__it__"])).alias(
+                "sequence"
+            )
+        )
+    )
+    ps = PrefixSpan(
+        minSupport=float(min_support),
+        maxPatternLength=int(max_len),
+        sequenceCol="sequence",
+    )
+    out = ps.findFrequentSequentialPatterns(seqs)
+    return out.select(
+        F.concat_ws(
+            ">", F.transform("sequence", lambda step: F.concat_ws(",", step))
+        ).alias("pattern"),
+        F.size("sequence").cast("int").alias("n_steps"),
+        F.col("freq").cast("long").alias("freq"),
     )

@@ -144,6 +144,8 @@ R10_NEW = [
     "ab_power",
     # decimal sufficient-statistics moments broadcast over the facts
     "mahalanobis",
+    # PrefixSpan support counting over per-key sorted sequences
+    "seq_patterns",
 ]
 
 

@@ -366,3 +366,38 @@ def test_mahalanobis_degenerate_covariance_nulls(spark):
     )
     for r in mahalanobis2(df, "x", "y").collect():
         assert r.md2 is None and r.is_outlier is None
+
+
+# -- prefixspan_patterns -------------------------------------------------
+
+
+def test_prefixspan_closed_form(spark):
+    """Hand-checkable sequences: support counts entities, not
+    occurrences; order need not be adjacent; ties break by the id
+    order column."""
+    from clinical_data_lake_spark.operators.itemsets import prefixspan_patterns
+
+    rows = [
+        # user 1: a, x, b  -> supports a, b, x, a>b, a>x, x>b, ...
+        (1, 1, 1, "a"), (1, 2, 2, "x"), (1, 3, 3, "b"),
+        # user 2: a, b
+        (2, 1, 4, "a"), (2, 2, 5, "b"),
+        # user 3: b, a  (b BEFORE a: supports b>a, not a>b)
+        (3, 1, 6, "b"), (3, 2, 7, "a"),
+    ]
+    df = spark.createDataFrame(rows, "u long, ts long, id long, t string")
+    out = {r.pattern: r.freq for r in prefixspan_patterns(
+        df, "u", ["ts", "id"], "t", min_support=0.5, max_len=2
+    ).collect()}
+    # threshold = ceil(0.5 * 3) = 2 sequences
+    assert out["a"] == 3 and out["b"] == 3
+    assert out["a>b"] == 2  # users 1 and 2, NOT 3
+    assert "b>a" not in out  # only user 3
+    assert "x" not in out  # only user 1
+    # repeated occurrences in one sequence count that entity once
+    rows2 = rows + [(1, 4, 8, "b")]  # user 1 has b twice
+    df2 = spark.createDataFrame(rows2, "u long, ts long, id long, t string")
+    out2 = {r.pattern: r.freq for r in prefixspan_patterns(
+        df2, "u", ["ts", "id"], "t", min_support=0.5, max_len=2
+    ).collect()}
+    assert out2["a>b"] == 2
