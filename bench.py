@@ -177,6 +177,7 @@ BENCH_QUERIES = [
     "ab_power",
     "mahalanobis",
     "seq_patterns",
+    "bucketed_agg",
 ]
 
 # Scope the measured set without editing the file (drift A/B testing,

@@ -3867,6 +3867,38 @@ def q_seq_patterns(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_bucketed_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Shuffle-free aggregation on a bucketed table
+    (operators/bucketing.py:agg_bucketed): orders written bucketed by
+    custkey, then per-customer order count + decimal value rolled up
+    with ZERO Exchange in the plan (locked in tests/test_bucketing.py)
+    — the write-time-shuffle trade applied to repeated rollups. The
+    oracle is the plain groupBy: bucketing must be invisible in the
+    result."""
+    from .operators.bucketing import agg_bucketed, write_bucketed_table
+
+    tag = "".join(ch if ch.isalnum() else "_" for ch in sf.rstrip("/").split("/")[-1])
+    tbl = f"bktagg_orders_{tag}"
+    write_bucketed_table(
+        read_table(spark, sf, "orders").select("o_custkey", "o_totalprice"),
+        tbl, ["o_custkey"], 8,
+    )
+    return agg_bucketed(
+        spark,
+        tbl,
+        ["o_custkey"],
+        {
+            "n_orders": F.count(F.lit(1)).cast("long"),
+            "total_value": F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast(
+                    "double"
+                ),
+                2,
+            ),
+        },
+    )
+
+
 QUERIES = {
     # -- r8 certification window (first 50): the 18 queries that have
     #    never had a driver CORRECTNESS row, then the 32 oldest r3-era
@@ -4162,6 +4194,7 @@ QUERIES = {
     "ab_power": q_ab_power,
     "mahalanobis": q_mahalanobis,
     "seq_patterns": q_seq_patterns,
+    "bucketed_agg": q_bucketed_agg,
 }
 
 # -- r9 certification window (ROTATION.md): the driver checks the FIRST
@@ -9533,4 +9566,12 @@ ORACLES["seq_patterns"] = """
         SELECT pattern, 1 AS n_steps, freq FROM l1, thr WHERE freq >= t
         UNION ALL
         SELECT pattern, 2 AS n_steps, freq FROM l2, thr WHERE freq >= t
+    """
+
+ORACLES["bucketed_agg"] = """
+        SELECT o_custkey,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                          AS DOUBLE), 2) AS total_value
+        FROM orders GROUP BY 1
     """

@@ -97,3 +97,27 @@ def join_bucketed(
     bucket counts, the physical plan contains no Exchange on either
     side — verify with ``.explain()``/tests."""
     return spark.table(left_table).join(spark.table(right_table), on=list(keys), how=how)
+
+
+def agg_bucketed(
+    spark: SparkSession,
+    table: str,
+    keys: Sequence[str],
+    aggs: dict,
+) -> DataFrame:
+    """Aggregate a bucketed catalog table on (a prefix of) its bucket
+    key WITHOUT a shuffle: the bucketed scan already reports the hash
+    partitioning the aggregation requires, so the planner runs a
+    single-stage complete aggregation — the same write-time-shuffle
+    trade ``join_bucketed`` exploits, applied to repeated rollups on a
+    stable key (daily per-entity usage, per-key incremental stats).
+    ``aggs``: output name -> aggregate Column. Verify the no-Exchange
+    claim with ``.explain``/tests (plan-locked in
+    tests/test_bucketing.py).
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.table(table)
+    return df.groupBy(*keys).agg(
+        *[c.alias(n) for n, c in aggs.items()]
+    )

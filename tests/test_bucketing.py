@@ -104,3 +104,18 @@ def test_write_bucketed_refuses_foreign_directory(spark, tmp_path):
         assert spark.table("adv_stale").count() == 10
     finally:
         spark.sql("DROP TABLE IF EXISTS adv_stale")
+
+
+def test_bucketed_agg_has_no_exchange(spark, bucketed_tables):
+    from clinical_data_lake_spark.operators.bucketing import agg_bucketed
+
+    facts, _dims = bucketed_tables
+    df = agg_bucketed(
+        spark, facts, ["k"], {"total": F.sum("v"), "n": F.count(F.lit(1))}
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    # values still correct: k in 0..19999, v = 2k, one row each
+    got = {r.k: (r.total, r.n) for r in df.limit(50).collect()}
+    for k, (tot, n) in got.items():
+        assert (tot, n) == (2 * k, 1)

@@ -146,6 +146,8 @@ R10_NEW = [
     "mahalanobis",
     # PrefixSpan support counting over per-key sorted sequences
     "seq_patterns",
+    # bucketed write + shuffle-free rollup must be partitioning-blind
+    "bucketed_agg",
 ]
 
 
