@@ -178,6 +178,7 @@ BENCH_QUERIES = [
     "mahalanobis",
     "seq_patterns",
     "bucketed_agg",
+    "build_eras",
 ]
 
 # Scope the measured set without editing the file (drift A/B testing,

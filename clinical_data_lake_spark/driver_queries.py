@@ -3899,6 +3899,27 @@ def q_bucketed_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_build_eras(spark: SparkSession, sf: str) -> DataFrame:
+    """OMOP-style era construction (operators/cohort.py:build_eras):
+    per (user, event type), 1-day event intervals merged into
+    continuous eras bridging gaps of up to 3 days — the drug_era /
+    condition_era longitudinal primitive."""
+    ev = read_table(spark, sf, "events").select(
+        "user_id",
+        "event_type",
+        F.datediff(
+            F.to_date("ts"), F.lit("1970-01-01").cast("date")
+        ).alias("d"),
+    )
+    iv = ev.select(
+        "user_id",
+        "event_type",
+        F.col("d").alias("s"),
+        (F.col("d") + 1).alias("e"),
+    )
+    return cohort.build_eras(iv, ["user_id", "event_type"], "s", "e", gap=3)
+
+
 QUERIES = {
     # -- r8 certification window (first 50): the 18 queries that have
     #    never had a driver CORRECTNESS row, then the 32 oldest r3-era
@@ -4195,6 +4216,7 @@ QUERIES = {
     "mahalanobis": q_mahalanobis,
     "seq_patterns": q_seq_patterns,
     "bucketed_agg": q_bucketed_agg,
+    "build_eras": q_build_eras,
 }
 
 # -- r9 certification window (ROTATION.md): the driver checks the FIRST
@@ -9574,4 +9596,47 @@ ORACLES["bucketed_agg"] = """
                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
                           AS DOUBLE), 2) AS total_value
         FROM orders GROUP BY 1
+    """
+
+# NOTE the event_id tiebreaker in BOTH window sorts: with duplicate
+# (s, e) rows, two independently-sorted window nodes may order ties
+# differently and hand a row's is-new flag to a different cumulative
+# position, splitting one era in two. Spark's build_eras computes both
+# functions over ONE collapsed Window sort, so it is internally
+# consistent; the SQL needs the total order to be equally consistent.
+ORACLES["build_eras"] = """
+        WITH iv AS (
+            SELECT user_id, event_type, event_id,
+                   date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS s,
+                   date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 1 AS e
+            FROM events
+        ),
+        m AS (
+            SELECT user_id, event_type, event_id, s, e,
+                   max(e) OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY s, e, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS pme
+            FROM iv
+        ),
+        fl AS (
+            SELECT *, CASE WHEN pme IS NULL OR s > pme + 3
+                           THEN 1 ELSE 0 END AS nw
+            FROM m
+        ),
+        isl AS (
+            SELECT *, sum(nw) OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY s, e, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS g
+            FROM fl
+        )
+        SELECT user_id, event_type,
+               CAST(min(s) AS BIGINT) AS era_start,
+               CAST(max(e) AS BIGINT) AS era_end,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(e - s) AS BIGINT) AS covered
+        FROM isl GROUP BY user_id, event_type, g
     """

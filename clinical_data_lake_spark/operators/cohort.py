@@ -525,3 +525,67 @@ def rfm_segments(
             "", F.col("r_score"), F.col("f_score"), F.col("m_score")
         ).alias("rfm"),
     )
+
+
+def build_eras(
+    df: DataFrame,
+    keys: Sequence[str],
+    start_col: str,
+    end_col: str,
+    gap: int = 30,
+) -> DataFrame:
+    """Era construction (the OMOP CDM drug_era / condition_era
+    algorithm): merge a person's exposure/diagnosis intervals into
+    continuous ERAS, bridging gaps of up to ``gap`` units (the
+    persistence window — OMOP's default 30 days for drug eras). The
+    clinical longitudinal primitive: raw prescriptions/diagnoses in,
+    "continuously exposed from X to Y" episodes out. Returns
+    (keys..., era_start, era_end, n_events, covered) where ``covered``
+    is the summed raw interval length (era_end - era_start minus the
+    bridged gaps).
+
+    The ``merge_intervals`` gaps-and-islands plan with the bridge
+    folded into the island predicate: a new era starts iff the start
+    exceeds (running max of previous ends) + gap — the running max,
+    not lag(end), so intervals nested inside earlier longer ones
+    cannot split an era. One window pass + one groupBy per key set;
+    start/end are numeric (days since epoch, epoch seconds — caller's
+    unit, ``gap`` in the same unit). Intervals where end < start are
+    invalid input and raise at the first action (ANSI guard via
+    assert_true).
+    """
+    from pyspark.sql import Window
+
+    klist = list(keys)
+    s, e = F.col(start_col).cast("long"), F.col(end_col).cast("long")
+    base = df.select(
+        *klist,
+        F.when(e >= s, s).otherwise(
+            F.assert_true(F.lit(False), F.lit("build_eras: end < start")).cast(
+                "long"
+            )
+        ).alias("__s__"),
+        e.alias("__e__"),
+    )
+    w = Window.partitionBy(*klist).orderBy(F.col("__s__"), F.col("__e__"))
+    prev_max_end = F.max("__e__").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_new = (
+        prev_max_end.isNull() | (F.col("__s__") > prev_max_end + F.lit(int(gap)))
+    ).cast("long")
+    base = base.withColumn("__new__", is_new)
+    island = F.sum("__new__").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.withColumn("__isl__", island)
+        .groupBy(*klist, "__isl__")
+        .agg(
+            F.min("__s__").alias("era_start"),
+            F.max("__e__").alias("era_end"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("__e__") - F.col("__s__")).cast("long").alias("covered"),
+        )
+        .drop("__isl__")
+    )

@@ -148,6 +148,8 @@ R10_NEW = [
     "seq_patterns",
     # bucketed write + shuffle-free rollup must be partitioning-blind
     "bucketed_agg",
+    # gaps-and-islands era merge with duplicate tie rows
+    "build_eras",
 ]
 
 

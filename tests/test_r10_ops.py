@@ -401,3 +401,50 @@ def test_prefixspan_closed_form(spark):
         df2, "u", ["ts", "id"], "t", min_support=0.5, max_len=2
     ).collect()}
     assert out2["a>b"] == 2
+
+
+# -- build_eras ----------------------------------------------------------
+
+
+def test_build_eras_gap_bridging_and_nesting(spark):
+    from clinical_data_lake_spark.operators.cohort import build_eras
+
+    iv = spark.createDataFrame(
+        [
+            # era 1: 0-10 covers 5-7 (nested); gap 3 bridges 12
+            ("u", "rx", 0, 10), ("u", "rx", 5, 7), ("u", "rx", 12, 14),
+            # 18 > 14 + 3 -> new era
+            ("u", "rx", 18, 20),
+            # other concept untouched
+            ("u", "dx", 0, 1),
+        ],
+        "k string, c string, s long, e long",
+    )
+    out = {(r.k, r.c, r.era_start): r
+           for r in build_eras(iv, ["k", "c"], "s", "e", gap=3).collect()}
+    e1 = out[("u", "rx", 0)]
+    assert (e1.era_end, e1.n_events, e1.covered) == (14, 3, 14)
+    e2 = out[("u", "rx", 18)]
+    assert (e2.era_end, e2.n_events, e2.covered) == (20, 1, 2)
+    assert out[("u", "dx", 0)].n_events == 1
+
+
+def test_build_eras_duplicate_rows_merge(spark):
+    from clinical_data_lake_spark.operators.cohort import build_eras
+
+    iv = spark.createDataFrame(
+        [("u", 1, 2), ("u", 1, 2), ("u", 1, 2)], "k string, s long, e long"
+    )
+    rows = build_eras(iv, ["k"], "s", "e", gap=0).collect()
+    assert len(rows) == 1
+    assert (rows[0].n_events, rows[0].covered) == (3, 3)
+
+
+def test_build_eras_invalid_interval_raises(spark):
+    import pytest as _pytest
+
+    from clinical_data_lake_spark.operators.cohort import build_eras
+
+    iv = spark.createDataFrame([("u", 5, 3)], "k string, s long, e long")
+    with _pytest.raises(Exception):
+        build_eras(iv, ["k"], "s", "e").collect()
