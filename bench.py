@@ -179,6 +179,7 @@ BENCH_QUERIES = [
     "seq_patterns",
     "bucketed_agg",
     "build_eras",
+    "windowed_hist",
 ]
 
 # Scope the measured set without editing the file (drift A/B testing,

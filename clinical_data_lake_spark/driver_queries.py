@@ -3920,6 +3920,15 @@ def q_build_eras(spark: SparkSession, sf: str) -> DataFrame:
     return cohort.build_eras(iv, ["user_id", "event_type"], "s", "e", gap=3)
 
 
+def q_windowed_hist(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-window fixed-bin value histograms (streaming/events.py:
+    windowed_histogram, batch twin of the watermarked streaming
+    producer — parity pinned in tests/test_streaming.py): 10-minute
+    windows x event type x 120 bins over [0, 600), clamped edges."""
+    ev = read_table(spark, sf, "events")
+    return streaming_events.windowed_histogram(ev)
+
+
 QUERIES = {
     # -- r8 certification window (first 50): the 18 queries that have
     #    never had a driver CORRECTNESS row, then the 32 oldest r3-era
@@ -4217,6 +4226,7 @@ QUERIES = {
     "seq_patterns": q_seq_patterns,
     "bucketed_agg": q_bucketed_agg,
     "build_eras": q_build_eras,
+    "windowed_hist": q_windowed_hist,
 }
 
 # -- r9 certification window (ROTATION.md): the driver checks the FIRST
@@ -9639,4 +9649,13 @@ ORACLES["build_eras"] = """
                CAST(count(*) AS BIGINT) AS n_events,
                CAST(sum(e - s) AS BIGINT) AS covered
         FROM isl GROUP BY user_id, event_type, g
+    """
+
+ORACLES["windowed_hist"] = """
+        SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
+               event_type,
+               CAST(least(greatest(floor(value / 5.0), 0), 119) AS INT) AS bin,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events
+        GROUP BY 1, 2, 3
     """

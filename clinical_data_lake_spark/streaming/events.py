@@ -44,6 +44,56 @@ def tumbling_counts(
     return out.select(*cols, "cnt")
 
 
+def windowed_histogram(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    width: str = "10 minutes",
+    lo: float = 0.0,
+    hi: float = 600.0,
+    n_bins: int = 120,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-window fixed-bin value histograms:
+    (window_start, key, bin, cnt) — the STREAMING producer for
+    ``operators.aggregates.histogram_rollup``'s mergeable summaries:
+    because the bin edges are fixed globally, window histograms merge
+    downstream into any coarser rollup (daily, per-key, all-time) by
+    integer addition, bit-exactly — the streaming-then-batch
+    distribution pipeline without a sketch's merge-order caveats.
+    Out-of-range values clamp into the edge bins (count everything).
+
+    One watermarked streaming aggregation keyed by
+    (window, key, bin); state per key is bounded by n_bins x windows
+    inside the watermark horizon. Batch twin: the same expression on a
+    static frame (the parity test's oracle).
+    """
+    if watermark is not None:
+        events = events.withWatermark(ts_col, watermark)
+    if not hi > lo:
+        raise ValueError(f"windowed_histogram: need hi > lo, got [{lo}, {hi}]")
+    bin_width = (float(hi) - float(lo)) / int(n_bins)
+    b = F.floor(
+        (F.col(value_col).cast("double") - F.lit(float(lo))) / F.lit(bin_width)
+    )
+    b = F.least(F.greatest(b, F.lit(0)), F.lit(int(n_bins) - 1))
+    return (
+        events.groupBy(
+            F.window(ts_col, width).alias("w"),
+            F.col(key_col),
+            b.cast("int").alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            key_col,
+            "bin",
+            "cnt",
+        )
+    )
+
+
 def sliding_agg(
     events: DataFrame,
     ts_col: str = "ts",

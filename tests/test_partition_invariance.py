@@ -150,6 +150,8 @@ R10_NEW = [
     "bucketed_agg",
     # gaps-and-islands era merge with duplicate tie rows
     "build_eras",
+    # windowed fixed-bin counts (streaming-mergeable summary)
+    "windowed_hist",
 ]
 
 

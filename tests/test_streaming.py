@@ -635,3 +635,36 @@ def test_stream_upsert_parquet_recovers_interrupted_swap(spark, tmp_path):
         se.stream_upsert_parquet(
             stream3, state, ckpt, keys=["k"], value_cols=["v"]
         )
+
+
+def test_streaming_windowed_histogram_equals_batch(spark, events_stream_setup):
+    """Fixed-bin window histograms: streaming counts must equal the
+    batch twin, and merging the per-window bins up to per-type totals
+    must equal a direct batch histogram over the same rows — the
+    streaming-then-batch mergeable-summary pipeline."""
+    from clinical_data_lake_spark.operators.aggregates import histogram_rollup
+
+    ev, root, schema = events_stream_setup
+    batch = se.windowed_histogram(ev)
+    stream = se.windowed_histogram(
+        se.stream_from_batch_dir(spark, root, schema), watermark="1 hour"
+    )
+    se.run_to_memory_sink(stream, "whist_test")
+    got = spark.table("whist_test")
+    cols = ["window_start", "event_type", "bin", "cnt"]
+    assert _sorted_rows(got, cols) == _sorted_rows(batch, cols)
+    # merge the streamed window histograms up to per-type and compare
+    # with the direct batch histogram_rollup — bit-exact, no sketch
+    merged = {
+        (r.event_type, r.bin): r.total
+        for r in got.groupBy("event_type", "bin")
+        .agg(F.sum("cnt").cast("long").alias("total"))
+        .collect()
+    }
+    direct = {
+        (r.event_type, r.bin): r.cnt
+        for r in histogram_rollup(
+            ev, ["event_type"], "value", 0.0, 600.0, 120
+        ).collect()
+    }
+    assert merged == direct
