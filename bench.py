@@ -180,6 +180,8 @@ BENCH_QUERIES = [
     "bucketed_agg",
     "build_eras",
     "windowed_hist",
+    "cohens_kappa",
+    "odds_ratio",
 ]
 
 # Scope the measured set without editing the file (drift A/B testing,

@@ -3929,6 +3929,29 @@ def q_windowed_hist(spark: SparkSession, sf: str) -> DataFrame:
     return streaming_events.windowed_histogram(ev)
 
 
+def q_cohens_kappa(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohen's kappa between two derived 'raters' over orders
+    (ml/stats.py:cohens_kappa): status-implied fulfillment vs a
+    price-threshold rule — chance-corrected agreement from one
+    contingency pass."""
+    od = read_table(spark, sf, "orders").select(
+        (F.col("o_orderstatus") == "F").alias("ra"),
+        (F.col("o_totalprice") >= 150000.0).alias("rb"),
+    )
+    return ml_stats.cohens_kappa(od, "ra", "rb")
+
+
+def q_odds_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """2x2 odds ratio with Wald CI (ml/stats.py:odds_ratio): exposure =
+    high-priority order, outcome = fulfilled — the case-control effect
+    measure as one conditional-count aggregate."""
+    od = read_table(spark, sf, "orders").select(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("exposed"),
+        (F.col("o_orderstatus") == "F").alias("outcome"),
+    )
+    return ml_stats.odds_ratio(od, "exposed", "outcome")
+
+
 QUERIES = {
     # -- r8 certification window (first 50): the 18 queries that have
     #    never had a driver CORRECTNESS row, then the 32 oldest r3-era
@@ -4227,6 +4250,8 @@ QUERIES = {
     "bucketed_agg": q_bucketed_agg,
     "build_eras": q_build_eras,
     "windowed_hist": q_windowed_hist,
+    "cohens_kappa": q_cohens_kappa,
+    "odds_ratio": q_odds_ratio,
 }
 
 # -- r9 certification window (ROTATION.md): the driver checks the FIRST
@@ -9658,4 +9683,65 @@ ORACLES["windowed_hist"] = """
                CAST(count(*) AS BIGINT) AS cnt
         FROM events
         GROUP BY 1, 2, 3
+    """
+
+ORACLES["cohens_kappa"] = """
+        WITH lab AS (
+            SELECT (o_orderstatus = 'F') AS ra,
+                   (o_totalprice >= 150000.0) AS rb
+            FROM orders
+        ),
+        cells AS (SELECT ra, rb, count(*) AS c FROM lab GROUP BY 1, 2),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+        agree AS (
+            SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS ag
+            FROM cells WHERE ra = rb
+        ),
+        ma AS (SELECT ra AS v, sum(c) AS na FROM cells GROUP BY 1),
+        mb AS (SELECT rb AS v, sum(c) AS nb FROM cells GROUP BY 1),
+        pe AS (
+            SELECT CAST(coalesce(sum(CAST(na * nb AS DECIMAL(28,0))), 0)
+                        AS DOUBLE) AS pe_num
+            FROM ma JOIN mb USING (v)
+        )
+        SELECT n,
+               round(CAST(ag AS DOUBLE) / n, 6) AS p_o,
+               round(pe_num / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS p_e,
+               CASE WHEN pe_num / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) < 1.0
+                    THEN round((CAST(ag AS DOUBLE) / n
+                                - pe_num / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                               / (1.0 - pe_num / (CAST(n AS DOUBLE)
+                                                  * CAST(n AS DOUBLE))), 6)
+               END AS kappa
+        FROM tot, agree, pe
+    """
+
+ORACLES["odds_ratio"] = f"""
+        WITH lab AS (
+            SELECT (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS ex,
+                   (o_orderstatus = 'F') AS oc
+            FROM orders
+        ),
+        cells AS (
+            SELECT CAST(sum((ex AND oc)::INT) AS BIGINT) AS a,
+                   CAST(sum((ex AND NOT oc)::INT) AS BIGINT) AS b,
+                   CAST(sum((NOT ex AND oc)::INT) AS BIGINT) AS c,
+                   CAST(sum((NOT ex AND NOT oc)::INT) AS BIGINT) AS d
+            FROM lab
+        )
+        SELECT a, b, c, d,
+               CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+                   round(exp(ln((CAST(a AS DOUBLE) * d) / (CAST(b AS DOUBLE) * c))), 6)
+               END AS odds_ratio,
+               CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+                   round(exp(ln((CAST(a AS DOUBLE) * d) / (CAST(b AS DOUBLE) * c))
+                             - CAST({ml_stats.Z_975!r} AS DOUBLE)
+                               * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)), 6)
+               END AS ci_lo,
+               CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+                   round(exp(ln((CAST(a AS DOUBLE) * d) / (CAST(b AS DOUBLE) * c))
+                             + CAST({ml_stats.Z_975!r} AS DOUBLE)
+                               * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)), 6)
+               END AS ci_hi
+        FROM cells
     """

@@ -1574,3 +1574,103 @@ def mahalanobis2(
         )
         .drop("__mx__", "__my__", "__s11__", "__s22__", "__s12__")
     )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a: str,
+    rater_b: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Cohen's kappa inter-rater agreement over two categorical label
+    columns — the chance-corrected agreement read-out for double-coded
+    clinical charts / annotation QA:
+
+        kappa = (p_o - p_e) / (1 - p_e)
+
+    with p_o the observed agreement rate and p_e the chance agreement
+    from the raters' marginal distributions. ONE row
+    (n, p_o, p_e, kappa); kappa is NULL when p_e = 1 (both raters
+    constant — agreement is undefined, not perfect).
+
+    Scale shape: one (a, b) group-count (the only fact shuffle, label-
+    cardinality output), then marginals and the statistic fold on that
+    contingency table — integer counts until the final divisions.
+    """
+    cells = df.groupBy(
+        F.col(rater_a).alias("__a__"), F.col(rater_b).alias("__b__")
+    ).agg(F.count(F.lit(1)).alias("__c__"))
+    tot = cells.agg(F.sum("__c__").cast("long").alias("n"))
+    po = (
+        cells.filter(F.col("__a__").eqNullSafe(F.col("__b__")))
+        .agg(F.sum("__c__").cast("long").alias("__agree__"))
+    )
+    ma = cells.groupBy("__a__").agg(F.sum("__c__").alias("__na__"))
+    mb = cells.groupBy("__b__").agg(F.sum("__c__").alias("__nb__"))
+    pe_terms = ma.join(
+        mb, ma["__a__"].eqNullSafe(mb["__b__"])
+    ).agg(
+        F.sum(
+            (F.col("__na__") * F.col("__nb__")).cast("decimal(28,0)")
+        ).alias("__pe_num__")
+    )
+    out = (
+        tot.crossJoin(F.broadcast(po))
+        .crossJoin(F.broadcast(pe_terms))
+    )
+    nn = F.col("n").cast("double")
+    p_o = F.coalesce(F.col("__agree__"), F.lit(0)).cast("double") / nn
+    p_e = F.coalesce(F.col("__pe_num__"), F.lit(0)).cast("double") / (nn * nn)
+    kappa = F.when(p_e < 1.0, (p_o - p_e) / (1.0 - p_e))
+    return out.select(
+        "n",
+        F.round(p_o, digits).alias("p_o"),
+        F.round(p_e, digits).alias("p_e"),
+        F.round(kappa, digits).alias("kappa"),
+    )
+
+
+def odds_ratio(
+    df: DataFrame,
+    exposure_col: str,
+    outcome_col: str,
+    z: float = Z_975,
+    digits: int = 6,
+) -> DataFrame:
+    """2x2 odds ratio with a Wald 95% CI — the case-control effect
+    measure (exposure vs outcome, both boolean):
+
+        OR = (a d) / (b c),   log-CI = ln OR ± z sqrt(1/a+1/b+1/c+1/d)
+
+    ONE row (a, b, c, d, odds_ratio, ci_lo, ci_hi): a = exposed cases,
+    b = exposed non-cases, c = unexposed cases, d = unexposed
+    non-cases. Any zero cell makes the OR/CI undefined -> NULLs (use
+    a continuity correction upstream if you need estimates there; the
+    silent +0.5 default would change every published number).
+
+    One conditional-count aggregate; the z quantile is the shared
+    literal (``Z_975``).
+    """
+    ex = F.col(exposure_col).cast("boolean")
+    oc = F.col(outcome_col).cast("boolean")
+    cells = df.agg(
+        F.sum((ex & oc).cast("long")).alias("a"),
+        F.sum((ex & ~oc).cast("long")).alias("b"),
+        F.sum((~ex & oc).cast("long")).alias("c"),
+        F.sum((~ex & ~oc).cast("long")).alias("d"),
+    )
+    a, b = F.col("a").cast("double"), F.col("b").cast("double")
+    c, d = F.col("c").cast("double"), F.col("d").cast("double")
+    ok = (a > 0) & (b > 0) & (c > 0) & (d > 0)
+    lor = F.log((a * d) / (b * c))
+    se = F.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+    return cells.select(
+        "a", "b", "c", "d",
+        F.round(F.when(ok, F.exp(lor)), digits).alias("odds_ratio"),
+        F.round(F.when(ok, F.exp(lor - F.lit(float(z)) * se)), digits).alias(
+            "ci_lo"
+        ),
+        F.round(F.when(ok, F.exp(lor + F.lit(float(z)) * se)), digits).alias(
+            "ci_hi"
+        ),
+    )

@@ -152,6 +152,9 @@ R10_NEW = [
     "build_eras",
     # windowed fixed-bin counts (streaming-mergeable summary)
     "windowed_hist",
+    # contingency folds with decimal marginal products / log-CI math
+    "cohens_kappa",
+    "odds_ratio",
 ]
 
 

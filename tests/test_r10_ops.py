@@ -448,3 +448,55 @@ def test_build_eras_invalid_interval_raises(spark):
     iv = spark.createDataFrame([("u", 5, 3)], "k string, s long, e long")
     with _pytest.raises(Exception):
         build_eras(iv, ["k"], "s", "e").collect()
+
+
+# -- cohens_kappa / odds_ratio -------------------------------------------
+
+
+def test_cohens_kappa_closed_forms(spark):
+    from clinical_data_lake_spark.ml.stats import cohens_kappa
+
+    # perfect agreement -> kappa 1
+    df = spark.createDataFrame(
+        [("x", "x")] * 5 + [("y", "y")] * 5, "ra string, rb string"
+    )
+    r = cohens_kappa(df, "ra", "rb").collect()[0]
+    assert (r.p_o, r.kappa) == (1.0, 1.0)
+    # the textbook 2x2: a=20 agree-yes, d=15 agree-no, b=5, c=10
+    rows = ([("y", "y")] * 20 + [("y", "n")] * 5
+            + [("n", "y")] * 10 + [("n", "n")] * 15)
+    r2 = cohens_kappa(
+        spark.createDataFrame(rows, "ra string, rb string"), "ra", "rb"
+    ).collect()[0]
+    po = 35 / 50
+    pe = (25 / 50) * (30 / 50) + (25 / 50) * (20 / 50)
+    import pytest as _p
+    assert r2.p_o == _p.approx(po) and r2.p_e == _p.approx(pe)
+    assert r2.kappa == _p.approx(round((po - pe) / (1 - pe), 6))
+    # both raters constant -> p_e = 1 -> kappa NULL, not 1
+    const = spark.createDataFrame([("x", "x")] * 4, "ra string, rb string")
+    assert cohens_kappa(const, "ra", "rb").collect()[0].kappa is None
+
+
+def test_odds_ratio_closed_form_and_zero_cell(spark):
+    import math as m
+
+    from clinical_data_lake_spark.ml.stats import Z_975, odds_ratio
+
+    rows = ([(True, True)] * 20 + [(True, False)] * 10
+            + [(False, True)] * 5 + [(False, False)] * 15)
+    df = spark.createDataFrame(rows, "ex boolean, oc boolean")
+    r = odds_ratio(df, "ex", "oc").collect()[0]
+    want = (20 * 15) / (10 * 5)
+    import pytest as _p
+    assert (r.a, r.b, r.c, r.d) == (20, 10, 5, 15)
+    assert r.odds_ratio == _p.approx(round(want, 6))
+    se = m.sqrt(1 / 20 + 1 / 10 + 1 / 5 + 1 / 15)
+    assert r.ci_lo == _p.approx(round(m.exp(m.log(want) - Z_975 * se), 6))
+    assert r.ci_hi == _p.approx(round(m.exp(m.log(want) + Z_975 * se), 6))
+    # zero cell -> undefined, NULLs (no silent continuity correction)
+    z = spark.createDataFrame(
+        [(True, True)] * 3 + [(False, False)] * 3, "ex boolean, oc boolean"
+    )
+    rz = odds_ratio(z, "ex", "oc").collect()[0]
+    assert rz.odds_ratio is None and rz.ci_lo is None and rz.ci_hi is None
