@@ -60,3 +60,31 @@ def test_explain_findings_formats(spark):
     df = spark.range(100).withColumn("rn", F.row_number().over(Window.orderBy("id")))
     text = explain_findings(df)
     assert "[warn] single-partition-window" in text
+
+
+def test_plan_stats_counts_features(spark, tmp_path):
+    from clinical_data_lake_spark.plans.audit import plan_stats
+
+    import pyspark.sql.functions as F
+
+    p = str(tmp_path / "ps")
+    spark.range(0, 1000).selectExpr("id as k", "id * 2 as v").write.mode(
+        "overwrite"
+    ).parquet(p)
+    df = spark.read.parquet(p).filter(F.col("v") > 100)
+    dim = spark.range(0, 10).selectExpr("id as k", "id as label")
+    joined = df.join(F.broadcast(dim), on="k")
+    joined.collect()  # finalize THIS frame's AQE plan (count() would
+    # plan a different query and leave joined's execution initial)
+    s = plan_stats(joined)
+    assert s["n_broadcast_joins"] == 1
+    assert s["n_cartesian"] == 0 and s["n_python_eval"] == 0
+    assert s["n_scans"] >= 1
+    assert s["pushed_filter_scans"] >= 1  # v > 100 reaches the scan
+    assert s["n_codegen_spans"] >= 1
+    # a groupBy adds an Exchange
+    agg = spark.read.parquet(p).groupBy("k").count()
+    assert plan_stats(agg)["n_exchanges"] >= 1
+    # a global 1-row aggregate ends in a SinglePartition exchange
+    g = spark.read.parquet(p).agg(F.sum("v"))
+    assert plan_stats(g)["n_single_partition_exchanges"] >= 1
