@@ -182,6 +182,7 @@ BENCH_QUERIES = [
     "windowed_hist",
     "cohens_kappa",
     "odds_ratio",
+    "growth_accounting",
 ]
 
 # Scope the measured set without editing the file (drift A/B testing,

@@ -3952,6 +3952,14 @@ def q_odds_ratio(spark: SparkSession, sf: str) -> DataFrame:
     return ml_stats.odds_ratio(od, "exposed", "outcome")
 
 
+def q_growth_accounting(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly growth accounting over events (operators/cohort.py:
+    growth_accounting): new/retained/resurrected classification per
+    entity-week plus churn from lagged aggregate counts and the quick
+    ratio — the standard engagement decomposition."""
+    return cohort.growth_accounting(read_table(spark, sf, "events"))
+
+
 QUERIES = {
     # -- r8 certification window (first 50): the 18 queries that have
     #    never had a driver CORRECTNESS row, then the 32 oldest r3-era
@@ -4252,6 +4260,7 @@ QUERIES = {
     "windowed_hist": q_windowed_hist,
     "cohens_kappa": q_cohens_kappa,
     "odds_ratio": q_odds_ratio,
+    "growth_accounting": q_growth_accounting,
 }
 
 # -- r9 certification window (ROTATION.md): the driver checks the FIRST
@@ -9744,4 +9753,41 @@ ORACLES["odds_ratio"] = f"""
                                * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)), 6)
                END AS ci_hi
         FROM cells
+    """
+
+ORACLES["growth_accounting"] = """
+        WITH uw AS (
+            SELECT DISTINCT user_id AS k,
+                   CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week
+            FROM events
+        ),
+        cl AS (
+            SELECT week,
+                   CASE WHEN prev IS NULL THEN 'new'
+                        WHEN date_diff('day', prev, week) <= 7 THEN 'retained'
+                        ELSE 'resurrected' END AS cls
+            FROM (
+                SELECT k, week,
+                       lag(week) OVER (PARTITION BY k ORDER BY week) AS prev
+                FROM uw
+            )
+        ),
+        weekly AS (
+            SELECT week,
+                   CAST(count(*) AS BIGINT) AS n_active,
+                   CAST(sum((cls = 'new')::INT) AS BIGINT) AS n_new,
+                   CAST(sum((cls = 'retained')::INT) AS BIGINT) AS n_retained,
+                   CAST(sum((cls = 'resurrected')::INT) AS BIGINT) AS n_resurrected
+            FROM cl GROUP BY 1
+        ),
+        prev AS (
+            SELECT week + 7 AS week, n_active AS pa FROM weekly
+        )
+        SELECT w.week, n_active, n_new, n_retained, n_resurrected,
+               CAST(coalesce(pa - n_retained, 0) AS BIGINT) AS n_churned,
+               CASE WHEN coalesce(pa - n_retained, 0) > 0 THEN
+                   round((n_new + n_resurrected)
+                         / CAST(pa - n_retained AS DOUBLE), 6)
+               END AS quick_ratio
+        FROM weekly w LEFT JOIN prev USING (week)
     """

@@ -589,3 +589,91 @@ def build_eras(
         )
         .drop("__isl__")
     )
+
+
+def growth_accounting(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    digits: int = 6,
+) -> DataFrame:
+    """Weekly growth accounting (the Social-Capital/a16z standard
+    decomposition every engagement dashboard carries): each active
+    entity-week is classified as NEW (first week ever), RETAINED
+    (also active the previous week), or RESURRECTED (active before,
+    but not last week); CHURNED(t) = active(t-1) - retained(t) —
+    entities who didn't come back. Returns per ISO week
+
+        (week, n_active, n_new, n_retained, n_resurrected,
+         n_churned, quick_ratio)
+
+    with quick_ratio = (new + resurrected) / churned — the classic
+    "is growth outpacing leakage" read-out; NULL when churned = 0
+    (nothing left, nothing to outpace).
+
+    Scale shape: one distinct over (entity, week) — the only
+    entity-scale shuffle; classification is a lag window PARTITIONED
+    BY the entity over its own weeks; everything after is arithmetic
+    on the week-cardinality table (churn comes from lagged aggregate
+    counts, not a second entity pass).
+    """
+    from pyspark.sql import Window
+
+    uw = (
+        events.select(
+            F.col(key_col).alias("k"),
+            F.date_trunc("week", F.col(ts_col)).cast("date").alias("week"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("k").orderBy("week")
+    classified = uw.select(
+        "k",
+        "week",
+        F.lag("week").over(w).alias("__prev__"),
+    ).select(
+        "week",
+        F.when(F.col("__prev__").isNull(), "new")
+        .when(F.datediff(F.col("week"), F.col("__prev__")) <= 7, "retained")
+        .otherwise("resurrected")
+        .alias("__cls__"),
+    )
+    weekly = classified.groupBy("week").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active"),
+        F.sum((F.col("__cls__") == "new").cast("long")).alias("n_new"),
+        F.sum((F.col("__cls__") == "retained").cast("long")).alias(
+            "n_retained"
+        ),
+        F.sum((F.col("__cls__") == "resurrected").cast("long")).alias(
+            "n_resurrected"
+        ),
+    )
+    # churn needs the PREVIOUS CALENDAR week's active count — weeks with
+    # zero activity would be skipped by a plain lag over existing rows,
+    # so join the shifted week explicitly (the week table is tiny)
+    prev = weekly.select(
+        F.date_add(F.col("week"), 7).alias("week"),
+        F.col("n_active").alias("__prev_active__"),
+    )
+    out = weekly.join(prev, on="week", how="left").select(
+        "week",
+        "n_active",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        F.coalesce(
+            F.col("__prev_active__") - F.col("n_retained"), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_churned"),
+    )
+    churned = F.col("n_churned").cast("double")
+    return out.select(
+        "*",
+        F.when(
+            churned > 0,
+            F.round(
+                (F.col("n_new") + F.col("n_resurrected")) / churned, digits
+            ),
+        ).alias("quick_ratio"),
+    )

@@ -155,6 +155,8 @@ R10_NEW = [
     # contingency folds with decimal marginal products / log-CI math
     "cohens_kappa",
     "odds_ratio",
+    # per-entity lag classification + lagged aggregate churn
+    "growth_accounting",
 ]
 
 

@@ -500,3 +500,35 @@ def test_odds_ratio_closed_form_and_zero_cell(spark):
     )
     rz = odds_ratio(z, "ex", "oc").collect()[0]
     assert rz.odds_ratio is None and rz.ci_lo is None and rz.ci_hi is None
+
+
+# -- growth_accounting ---------------------------------------------------
+
+
+def test_growth_accounting_closed_form(spark):
+    from clinical_data_lake_spark.operators.cohort import growth_accounting
+
+    # weeks W1 (Jan 6 2025, a Monday), W2, W4:
+    #   u1 active W1, W2        -> new@W1, retained@W2
+    #   u2 active W1, W4        -> new@W1, resurrected@W4
+    #   u3 active W2            -> new@W2, churned into W3 (no W3 row)
+    rows = [
+        (1, "2025-01-06"), (1, "2025-01-14"),
+        (2, "2025-01-07"), (2, "2025-01-29"),
+        (3, "2025-01-15"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, d string").selectExpr(
+        "user_id", "CAST(d AS TIMESTAMP) AS ts"
+    )
+    out = {str(r.week): r for r in growth_accounting(ev).collect()}
+    w1, w2, w4 = "2025-01-06", "2025-01-13", "2025-01-27"
+    assert (out[w1].n_new, out[w1].n_retained, out[w1].n_churned) == (2, 0, 0)
+    r2 = out[w2]
+    # W2: u1 retained, u3 new; churned = active(W1)=2 - retained(W2)=1
+    assert (r2.n_active, r2.n_new, r2.n_retained, r2.n_resurrected) == (2, 1, 1, 0)
+    assert r2.n_churned == 1
+    assert r2.quick_ratio == pytest.approx(1.0)  # (1 new + 0 res) / 1 churned
+    r4 = out[w4]
+    # W4: only u2 resurrected; W3 had zero active -> churned 0 -> NULL ratio
+    assert (r4.n_active, r4.n_resurrected, r4.n_churned) == (1, 1, 0)
+    assert r4.quick_ratio is None
