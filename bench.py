@@ -183,6 +183,7 @@ BENCH_QUERIES = [
     "cohens_kappa",
     "odds_ratio",
     "growth_accounting",
+    "cuped",
 ]
 
 # Scope the measured set without editing the file (drift A/B testing,

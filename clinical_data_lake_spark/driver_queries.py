@@ -3960,6 +3960,21 @@ def q_growth_accounting(spark: SparkSession, sf: str) -> DataFrame:
     return cohort.growth_accounting(read_table(spark, sf, "events"))
 
 
+def q_cuped(spark: SparkSession, sf: str) -> DataFrame:
+    """CUPED variance-reduced experiment read-out (ml/stats.py:
+    cuped_adjust): order value adjusted by the customer's account
+    balance as the pre-experiment covariate, per market segment —
+    pooled theta, decimal moments, staged rounding."""
+    od = read_table(spark, sf, "orders")
+    cu = read_table(spark, sf, "customer")
+    j = od.join(cu, od["o_custkey"] == cu["c_custkey"]).select(
+        "c_mktsegment", "o_totalprice", "c_acctbal"
+    )
+    return ml_stats.cuped_adjust(
+        j, "c_mktsegment", "o_totalprice", "c_acctbal"
+    )
+
+
 QUERIES = {
     # -- r8 certification window (first 50): the 18 queries that have
     #    never had a driver CORRECTNESS row, then the 32 oldest r3-era
@@ -4261,6 +4276,7 @@ QUERIES = {
     "cohens_kappa": q_cohens_kappa,
     "odds_ratio": q_odds_ratio,
     "growth_accounting": q_growth_accounting,
+    "cuped": q_cuped,
 }
 
 # -- r9 certification window (ROTATION.md): the driver checks the FIRST
@@ -9790,4 +9806,68 @@ ORACLES["growth_accounting"] = """
                          / CAST(pa - n_retained AS DOUBLE), 6)
                END AS quick_ratio
         FROM weekly w LEFT JOIN prev USING (week)
+    """
+
+ORACLES["cuped"] = """
+        WITH j AS (
+            SELECT c_mktsegment, o_totalprice AS y, c_acctbal AS x
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        ),
+        stats AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   sum(CAST(x AS DECIMAL(18,6))) AS sx,
+                   sum(CAST(y AS DECIMAL(18,6))) AS sy,
+                   sum(CAST(x * x AS DECIMAL(28,6))) AS sxx,
+                   sum(CAST(x * y AS DECIMAL(28,6))) AS sxy
+            FROM j
+        ),
+        m AS (
+            SELECT round(CAST(sx AS DOUBLE) / n, 9) AS mx,
+                   round(CAST(sxx AS DOUBLE) / n
+                         - round(CAST(sx AS DOUBLE) / n, 9)
+                           * round(CAST(sx AS DOUBLE) / n, 9), 9) AS vx,
+                   round(CAST(sxy AS DOUBLE) / n
+                         - round(CAST(sx AS DOUBLE) / n, 9)
+                           * round(CAST(sy AS DOUBLE) / n, 9), 9) AS cxy
+            FROM stats
+        ),
+        th AS (
+            SELECT mx,
+                   CASE WHEN vx > 1e-12 THEN round(cxy / vx, 9)
+                        ELSE 0.0 END AS theta
+            FROM m
+        ),
+        per_unit AS (
+            SELECT c_mktsegment AS grp, y,
+                   round(y - theta * (x - mx), 9) AS ya
+            FROM j, th
+        ),
+        g AS (
+            SELECT grp, CAST(count(*) AS BIGINT) AS n,
+                   sum(CAST(y AS DECIMAL(18,6))) AS gsy,
+                   sum(CAST(ya AS DECIMAL(18,6))) AS gsya,
+                   sum(CAST(y * y AS DECIMAL(28,6))) AS gsyy,
+                   sum(CAST(ya * ya AS DECIMAL(28,6))) AS gsyaya
+            FROM per_unit GROUP BY 1
+        )
+        , v AS (
+            SELECT grp, n,
+                   CAST(gsy AS DOUBLE) / n AS m_raw,
+                   CAST(gsya AS DOUBLE) / n AS m_adj,
+                   CAST(gsyy AS DOUBLE) / n
+                     - (CAST(gsy AS DOUBLE) / n)
+                       * (CAST(gsy AS DOUBLE) / n) AS v_raw,
+                   CAST(gsyaya AS DOUBLE) / n
+                     - (CAST(gsya AS DOUBLE) / n)
+                       * (CAST(gsya AS DOUBLE) / n) AS v_adj
+            FROM g
+        )
+        SELECT grp AS c_mktsegment, n,
+               round(m_raw, 6) AS mean_raw,
+               round(m_adj, 6) AS mean_adj,
+               round(sqrt(greatest(v_raw, 0.0)), 6) AS sd_raw,
+               round(sqrt(greatest(v_adj, 0.0)), 6) AS sd_adj,
+               CASE WHEN v_raw > 0 THEN round(1.0 - v_adj / v_raw, 6)
+                    ELSE 0.0 END AS var_reduction
+        FROM v
     """

@@ -1674,3 +1674,98 @@ def odds_ratio(
             "ci_hi"
         ),
     )
+
+
+def cuped_adjust(
+    df: DataFrame,
+    group_col: str,
+    metric_col: str,
+    covariate_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """CUPED variance reduction for experiment read-outs (Deng et al.
+    2013, "Improving the Sensitivity of Online Controlled
+    Experiments"): per unit, adjust the metric with a pre-experiment
+    covariate X,
+
+        y_adj = y - theta (x - mean(x)),   theta = cov(x, y) / var(x)
+
+    (theta pooled across ALL units — the standard single-theta CUPED,
+    which preserves the between-group mean difference in expectation
+    while removing the covariate-explained variance). Returns one row
+    per group:
+
+        (group, n, mean_raw, mean_adj, sd_raw, sd_adj, var_reduction)
+
+    ``var_reduction`` = 1 - var_adj/var_raw (fraction of metric
+    variance the covariate explained — equals the squared pooled
+    correlation when groups are balanced). Dispersion is reported as
+    STANDARD DEVIATIONS (sd_raw/sd_adj): rounding a 1e10-magnitude
+    variance to fixed decimals goes through engine-specific float
+    paths (Spark rounds via BigDecimal, DuckDB multiplies past the
+    53-bit integer range) and breaks cross-engine parity; sqrt first
+    keeps the magnitude inside the exactly-roundable range, and the
+    reduction ratio uses the UNROUNDED variances. Degenerate
+    covariate (var(x) ~ 0) -> theta 0, adjustment a no-op,
+    var_reduction 0.
+
+    Scale shape: one pooled decimal sufficient-statistics aggregate
+    (the ``mahalanobis2`` staging) broadcast back, then one per-group
+    conditional aggregate over the adjusted projection — two scans,
+    no window, no join wider than a 1-row broadcast. Moments are
+    rounded before reuse so both engines adjust with identical
+    doubles.
+    """
+    x = F.col(covariate_col).cast("double")
+    y = F.col(metric_col).cast("double")
+    stats = df.agg(
+        F.count(F.lit(1)).cast("long").alias("__n__"),
+        F.sum(x.cast("decimal(18,6)")).alias("__sx__"),
+        F.sum(y.cast("decimal(18,6)")).alias("__sy__"),
+        F.sum((x * x).cast("decimal(28,6)")).alias("__sxx__"),
+        F.sum((x * y).cast("decimal(28,6)")).alias("__sxy__"),
+    )
+    n = F.col("__n__").cast("double")
+    mu_x = F.round(F.col("__sx__").cast("double") / n, 9)
+    mu_y = F.round(F.col("__sy__").cast("double") / n, 9)
+    var_x = F.round(F.col("__sxx__").cast("double") / n - mu_x * mu_x, 9)
+    cov_xy = F.round(F.col("__sxy__").cast("double") / n - mu_x * mu_y, 9)
+    theta = F.when(var_x > 1e-12, F.round(cov_xy / var_x, 9)).otherwise(
+        F.lit(0.0)
+    )
+    moments = stats.select(mu_x.alias("__mx__"), theta.alias("__th__"))
+    adj = F.round(
+        y - F.col("__th__") * (x - F.col("__mx__")), 9
+    )
+    per_unit = df.crossJoin(F.broadcast(moments)).select(
+        F.col(group_col).alias("grp"),
+        y.alias("__y__"),
+        adj.alias("__ya__"),
+    )
+    g = per_unit.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("__y__").cast("decimal(18,6)")).alias("__gsy__"),
+        F.sum(F.col("__ya__").cast("decimal(18,6)")).alias("__gsya__"),
+        F.sum((F.col("__y__") * F.col("__y__")).cast("decimal(28,6)")).alias(
+            "__gsyy__"
+        ),
+        F.sum(
+            (F.col("__ya__") * F.col("__ya__")).cast("decimal(28,6)")
+        ).alias("__gsyaya__"),
+    )
+    gn = F.col("n").cast("double")
+    m_raw = F.col("__gsy__").cast("double") / gn
+    m_adj = F.col("__gsya__").cast("double") / gn
+    v_raw = F.col("__gsyy__").cast("double") / gn - m_raw * m_raw
+    v_adj = F.col("__gsyaya__").cast("double") / gn - m_adj * m_adj
+    return g.select(
+        F.col("grp").alias(group_col),
+        "n",
+        F.round(m_raw, digits).alias("mean_raw"),
+        F.round(m_adj, digits).alias("mean_adj"),
+        F.round(F.sqrt(F.greatest(v_raw, F.lit(0.0))), digits).alias("sd_raw"),
+        F.round(F.sqrt(F.greatest(v_adj, F.lit(0.0))), digits).alias("sd_adj"),
+        F.when(
+            v_raw > 0, F.round(1.0 - v_adj / v_raw, digits)
+        ).otherwise(F.lit(0.0)).alias("var_reduction"),
+    )

@@ -157,6 +157,8 @@ R10_NEW = [
     "odds_ratio",
     # per-entity lag classification + lagged aggregate churn
     "growth_accounting",
+    # pooled decimal moments broadcast into per-group adjusted aggs
+    "cuped",
 ]
 
 

@@ -532,3 +532,48 @@ def test_growth_accounting_closed_form(spark):
     # W4: only u2 resurrected; W3 had zero active -> churned 0 -> NULL ratio
     assert (r4.n_active, r4.n_resurrected, r4.n_churned) == (1, 1, 0)
     assert r4.quick_ratio is None
+
+
+# -- cuped_adjust --------------------------------------------------------
+
+
+def test_cuped_removes_covariate_variance(spark):
+    """With y = 2x + group_effect + small noise, CUPED must recover a
+    large variance reduction and keep group means' DIFFERENCE intact
+    (pooled theta preserves the contrast)."""
+    import random as _r
+
+    from clinical_data_lake_spark.ml.stats import cuped_adjust
+
+    rnd = _r.Random(7)
+    rows = []
+    for g, lift in (("A", 0.0), ("B", 5.0)):
+        for _ in range(400):
+            x = rnd.gauss(50, 10)
+            y = 2 * x + lift + rnd.gauss(0, 1)
+            rows.append((g, y, x))
+    df = spark.createDataFrame(rows, "g string, y double, x double")
+    out = {r.g: r for r in cuped_adjust(df, "g", "y", "x").collect()}
+    for g in ("A", "B"):
+        assert out[g].var_reduction > 0.9  # x explains ~99.75% here
+        assert out[g].sd_adj < out[g].sd_raw * 0.35
+    raw_diff = out["B"].mean_raw - out["A"].mean_raw
+    adj_diff = out["B"].mean_adj - out["A"].mean_adj
+    # the adjusted contrast stays near the true lift of 5 and is much
+    # CLOSER to it than the raw contrast is allowed to wander
+    assert abs(adj_diff - 5.0) < 0.5
+    assert abs(adj_diff - raw_diff) < abs(raw_diff) + 5  # sanity
+
+
+def test_cuped_degenerate_covariate_noop(spark):
+    from clinical_data_lake_spark.ml.stats import cuped_adjust
+
+    df = spark.createDataFrame(
+        [("A", float(v), 3.0) for v in (1, 2, 3, 4)],
+        "g string, y double, x double",
+    )
+    r = cuped_adjust(df, "g", "y", "x").collect()[0]
+    # constant covariate: theta 0 -> adjusted == raw, reduction 0
+    assert r.mean_adj == r.mean_raw
+    assert r.sd_adj == r.sd_raw
+    assert r.var_reduction == 0.0
