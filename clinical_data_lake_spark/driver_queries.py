@@ -3975,6 +3975,64 @@ def q_cuped(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_risk_measures(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort-study 2x2 effect measures (ml/stats.py:risk_measures):
+    risk ratio / risk difference / NNT with Wald CIs for high-value
+    orders vs fulfillment — odds_ratio's prospective siblings from the
+    same single conditional-count aggregate."""
+    od = read_table(spark, sf, "orders").select(
+        (F.col("o_totalprice") >= 100000.0).alias("exposed"),
+        (F.col("o_orderstatus") == "F").alias("outcome"),
+    )
+    return ml_stats.risk_measures(od, "exposed", "outcome")
+
+
+def q_mcnemar(spark: SparkSession, sf: str) -> DataFrame:
+    """McNemar's paired test (ml/stats.py:mcnemar_test) over the same
+    two derived 'raters' cohens_kappa grades: discordant-cell
+    chi-square, no continuity correction."""
+    od = read_table(spark, sf, "orders").select(
+        (F.col("o_orderstatus") == "F").alias("ra"),
+        (F.col("o_totalprice") >= 150000.0).alias("rb"),
+    )
+    return ml_stats.mcnemar_test(od, "ra", "rb")
+
+
+def q_cmh(spark: SparkSession, sf: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel stratified 2x2 (ml/stats.py:cmh_test):
+    priority-exposure vs fulfillment adjusted for market segment —
+    pooled MH odds ratio + 1-dof chi-square from per-stratum
+    conditional counts, decimal-summed terms."""
+    od = read_table(spark, sf, "orders")
+    cu = read_table(spark, sf, "customer")
+    j = od.join(cu, od["o_custkey"] == cu["c_custkey"]).select(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("exposed"),
+        (F.col("o_orderstatus") == "F").alias("outcome"),
+        "c_mktsegment",
+    )
+    return ml_stats.cmh_test(j, "exposed", "outcome", "c_mktsegment")
+
+
+def q_cochran_armitage(spark: SparkSession, sf: str) -> DataFrame:
+    """Cochran-Armitage trend test (ml/stats.py:cochran_armitage):
+    does fulfillment probability trend across the ordered priority
+    tiers (1-URGENT .. 5-LOW)? Level scores from the tier digit."""
+    od = read_table(spark, sf, "orders").select(
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("tier"),
+        (F.col("o_orderstatus") == "F").alias("outcome"),
+    )
+    return ml_stats.cochran_armitage(od, "tier", "outcome")
+
+
+def q_nelson_aalen(spark: SparkSession, sf: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard per arm (ml/stats.py:
+    nelson_aalen) over the shared survival subject table — the
+    additive counterpart of survival_km on identical risk sets."""
+    return ml_stats.nelson_aalen(
+        _km_subjects(spark, sf), "duration", "event", ["arm"]
+    )
+
+
 QUERIES = {
     # -- r8 certification window (first 50): the 18 queries that have
     #    never had a driver CORRECTNESS row, then the 32 oldest r3-era
@@ -4277,6 +4335,12 @@ QUERIES = {
     "odds_ratio": q_odds_ratio,
     "growth_accounting": q_growth_accounting,
     "cuped": q_cuped,
+    # r10 session-2 additions (clinical/epi statistics pack)
+    "risk_measures": q_risk_measures,
+    "mcnemar": q_mcnemar,
+    "cmh": q_cmh,
+    "cochran_armitage": q_cochran_armitage,
+    "nelson_aalen": q_nelson_aalen,
 }
 
 # -- r9 certification window (ROTATION.md): the driver checks the FIRST
@@ -9870,4 +9934,205 @@ ORACLES["cuped"] = """
                CASE WHEN v_raw > 0 THEN round(1.0 - v_adj / v_raw, 6)
                     ELSE 0.0 END AS var_reduction
         FROM v
+    """
+
+ORACLES["risk_measures"] = f"""
+        WITH lab AS (
+            SELECT (o_totalprice >= 100000.0) AS ex,
+                   (o_orderstatus = 'F') AS oc
+            FROM orders
+        ),
+        cells AS (
+            SELECT CAST(sum((ex AND oc)::INT) AS BIGINT) AS a,
+                   CAST(sum((ex AND NOT oc)::INT) AS BIGINT) AS b,
+                   CAST(sum((NOT ex AND oc)::INT) AS BIGINT) AS c,
+                   CAST(sum((NOT ex AND NOT oc)::INT) AS BIGINT) AS d
+            FROM lab
+        ),
+        m AS (
+            SELECT a, b, c, d,
+                   CAST(a AS DOUBLE) + b AS n1,
+                   CAST(c AS DOUBLE) + d AS n0,
+                   CASE WHEN CAST(a AS DOUBLE) + b > 0
+                        THEN CAST(a AS DOUBLE) / (CAST(a AS DOUBLE) + b) END AS p1,
+                   CASE WHEN CAST(c AS DOUBLE) + d > 0
+                        THEN CAST(c AS DOUBLE) / (CAST(c AS DOUBLE) + d) END AS p0
+            FROM cells
+        ),
+        e AS (
+            SELECT a, b, c, d, n1, n0, p1, p0,
+                   (a > 0 AND c > 0) AS rr_ok,
+                   ln(p1 / p0) AS lrr,
+                   sqrt(CAST(b AS DOUBLE) / (a * n1)
+                        + CAST(d AS DOUBLE) / (c * n0)) AS se_lrr,
+                   p1 - p0 AS rd,
+                   sqrt(p1 * (1.0 - p1) / n1 + p0 * (1.0 - p0) / n0) AS se_rd,
+                   CAST({ml_stats.Z_975!r} AS DOUBLE) AS zz
+            FROM m
+        )
+        SELECT a, b, c, d,
+               round(p1, 6) AS risk_exposed,
+               round(p0, 6) AS risk_unexposed,
+               CASE WHEN rr_ok THEN round(exp(lrr), 6) END AS risk_ratio,
+               CASE WHEN rr_ok THEN round(exp(lrr - zz * se_lrr), 6) END AS rr_lo,
+               CASE WHEN rr_ok THEN round(exp(lrr + zz * se_lrr), 6) END AS rr_hi,
+               round(rd, 6) AS risk_diff,
+               round(rd - zz * se_rd, 6) AS rd_lo,
+               round(rd + zz * se_rd, 6) AS rd_hi,
+               CASE WHEN abs(rd) > 0 THEN round(1.0 / abs(rd), 6) END AS nnt
+        FROM e
+    """
+
+ORACLES["mcnemar"] = """
+        WITH lab AS (
+            SELECT (o_orderstatus = 'F') AS fa,
+                   (o_totalprice >= 150000.0) AS fb
+            FROM orders
+        ),
+        cells AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum((fa AND NOT fb)::INT) AS BIGINT) AS n_discordant_a,
+                   CAST(sum((NOT fa AND fb)::INT) AS BIGINT) AS n_discordant_b
+            FROM lab
+        )
+        SELECT n, n_discordant_a, n_discordant_b,
+               CASE WHEN n_discordant_a + n_discordant_b > 0 THEN
+                   round((CAST(n_discordant_a AS DOUBLE) - n_discordant_b)
+                         * (CAST(n_discordant_a AS DOUBLE) - n_discordant_b)
+                         / (CAST(n_discordant_a AS DOUBLE) + n_discordant_b), 6)
+               END AS chi2
+        FROM cells
+    """
+
+ORACLES["cmh"] = """
+        WITH lab AS (
+            SELECT (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS ex,
+                   (o_orderstatus = 'F') AS oc,
+                   c_mktsegment AS s
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        ),
+        cells AS (
+            SELECT s,
+                   CAST(sum((ex AND oc)::INT) AS BIGINT) AS a,
+                   CAST(sum((ex AND NOT oc)::INT) AS BIGINT) AS b,
+                   CAST(sum((NOT ex AND oc)::INT) AS BIGINT) AS c,
+                   CAST(sum((NOT ex AND NOT oc)::INT) AS BIGINT) AS d
+            FROM lab GROUP BY s
+        ),
+        terms AS (
+            SELECT CAST(round(CAST(a AS DOUBLE) * d
+                              / (CAST(a AS DOUBLE) + b + c + d), 9)
+                        AS DECIMAL(28,9)) AS num,
+                   CAST(round(CAST(b AS DOUBLE) * c
+                              / (CAST(a AS DOUBLE) + b + c + d), 9)
+                        AS DECIMAL(28,9)) AS den,
+                   a AS ai,
+                   CAST(round((CAST(a AS DOUBLE) + b) * (CAST(a AS DOUBLE) + c)
+                              / (CAST(a AS DOUBLE) + b + c + d), 9)
+                        AS DECIMAL(28,9)) AS e,
+                   CAST(round((CAST(a AS DOUBLE) + b) * (CAST(c AS DOUBLE) + d)
+                              * (CAST(a AS DOUBLE) + c) * (CAST(b AS DOUBLE) + d)
+                              / ((CAST(a AS DOUBLE) + b + c + d)
+                                 * (CAST(a AS DOUBLE) + b + c + d)
+                                 * (CAST(a AS DOUBLE) + b + c + d - 1.0)), 9)
+                        AS DECIMAL(28,9)) AS v,
+                   a + b + c + d AS ni
+            FROM cells
+            WHERE CAST(a AS DOUBLE) + b + c + d >= 2
+        ),
+        s AS (
+            SELECT CAST(count(*) AS BIGINT) AS k,
+                   CAST(sum(ni) AS BIGINT) AS n,
+                   sum(num) AS snum, sum(den) AS sden,
+                   CAST(sum(ai) AS BIGINT) AS sa,
+                   sum(e) AS se, sum(v) AS sv
+            FROM terms
+        )
+        SELECT k, n,
+               CASE WHEN CAST(sden AS DOUBLE) > 0
+                    THEN round(CAST(snum AS DOUBLE) / CAST(sden AS DOUBLE), 6)
+               END AS or_mh,
+               CASE WHEN CAST(sv AS DOUBLE) > 0
+                    THEN round((CAST(sa AS DOUBLE) - CAST(se AS DOUBLE))
+                               * (CAST(sa AS DOUBLE) - CAST(se AS DOUBLE))
+                               / CAST(sv AS DOUBLE), 6)
+               END AS chi2_mh
+        FROM s
+    """
+
+ORACLES["cochran_armitage"] = """
+        WITH lab AS (
+            SELECT CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS tier,
+                   (o_orderstatus = 'F') AS oc
+            FROM orders
+        ),
+        lv AS (
+            SELECT tier,
+                   CAST(count(*) AS BIGINT) AS n_i,
+                   CAST(sum(oc::INT) AS BIGINT) AS r_i
+            FROM lab GROUP BY tier
+        ),
+        sums AS (
+            SELECT CAST(sum(n_i) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS k_levels,
+                   CAST(sum(r_i) AS BIGINT) AS r,
+                   sum(CAST(tier AS DECIMAL(18,6)) * r_i) AS t,
+                   sum(CAST(tier AS DECIMAL(18,6)) * n_i) AS s1,
+                   sum(CAST(tier AS DECIMAL(18,6))
+                       * CAST(tier AS DECIMAL(18,6)) * n_i) AS s2
+            FROM lv
+        ),
+        calc AS (
+            SELECT n, k_levels,
+                   CAST(r AS DOUBLE) / CAST(n AS DOUBLE) AS pbar,
+                   CAST(t AS DOUBLE) AS td,
+                   CAST(s1 AS DOUBLE) AS s1d,
+                   CAST(s2 AS DOUBLE) AS s2d
+            FROM sums
+        )
+        SELECT n, k_levels,
+               CASE WHEN pbar * (1.0 - pbar)
+                         * (s2d - s1d * s1d / CAST(n AS DOUBLE)) > 0
+                    THEN round((td - pbar * s1d)
+                               / sqrt(pbar * (1.0 - pbar)
+                                      * (s2d - s1d * s1d / CAST(n AS DOUBLE))), 6)
+               END AS z
+        FROM calc
+    """
+
+ORACLES["nelson_aalen"] = """
+        WITH per_user AS (
+            SELECT user_id, min(ts) AS t0, max(ts) AS t1,
+                   min(CASE WHEN event_type = 'error' THEN ts END) AS te
+            FROM events GROUP BY user_id
+        ),
+        subj AS (
+            SELECT CAST(user_id % 2 AS INTEGER) AS arm,
+                   CAST(date_diff('day', CAST(t0 AS DATE),
+                                  CAST(coalesce(te, t1) AS DATE)) AS BIGINT) AS duration,
+                   CASE WHEN te IS NOT NULL THEN 1 ELSE 0 END AS event
+            FROM per_user
+        ),
+        exits AS (
+            SELECT arm, duration AS t,
+                   CAST(sum(event) AS BIGINT) AS n_event,
+                   CAST(count(*) - sum(event) AS BIGINT) AS n_censor
+            FROM subj GROUP BY arm, duration
+        ),
+        risk AS (
+            SELECT arm, t, n_event, n_censor,
+                   CAST(sum(n_event + n_censor) OVER (PARTITION BY arm)
+                        - coalesce(sum(n_event + n_censor) OVER (
+                              PARTITION BY arm ORDER BY t
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS n_risk
+            FROM exits
+        )
+        SELECT arm, t, n_risk, n_event, n_censor,
+               round(CAST(sum(CAST(round(
+                         CAST(n_event AS DOUBLE) / CAST(n_risk AS DOUBLE), 6)
+                     AS DECIMAL(28,6))) OVER w AS DOUBLE), 6) AS cum_hazard
+        FROM risk
+        WINDOW w AS (PARTITION BY arm ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """

@@ -1769,3 +1769,305 @@ def cuped_adjust(
             v_raw > 0, F.round(1.0 - v_adj / v_raw, digits)
         ).otherwise(F.lit(0.0)).alias("var_reduction"),
     )
+
+
+def risk_measures(
+    df: DataFrame,
+    exposure_col: str,
+    outcome_col: str,
+    z: float = Z_975,
+    digits: int = 6,
+) -> DataFrame:
+    """2x2 risk ratio / risk difference / NNT with Wald 95% CIs — the
+    cohort-study effect measures that complement ``odds_ratio``'s
+    case-control view (the RWE dashboard reports raw co-occurrence
+    proportions, 01-rwe-dashboard.r:103-110; these are the standard
+    epidemiological read-outs over the same 2x2). ONE row:
+
+        (a, b, c, d, risk_exposed, risk_unexposed,
+         risk_ratio, rr_lo, rr_hi, risk_diff, rd_lo, rd_hi, nnt)
+
+    a = exposed cases, b = exposed non-cases, c = unexposed cases,
+    d = unexposed non-cases.
+
+        RR = (a/n1) / (c/n0),  log-CI = ln RR +- z sqrt(b/(a n1) + d/(c n0))
+        RD = a/n1 - c/n0,      CI = RD +- z sqrt(p1 q1/n1 + p0 q0/n0)
+        NNT = 1 / |RD|  (NULL when RD = 0 — no effect, no NNT)
+
+    RR and its CI are NULL when a = 0 or c = 0 (log undefined); RD is
+    defined whenever both margins are non-empty. No continuity
+    correction anywhere — a silent +0.5 would change every published
+    number; correct upstream if needed.
+
+    Scale shape: ONE conditional-count aggregate (4 longs leave the
+    cluster); every derived measure is pure column arithmetic on that
+    single row. The z quantile is the shared literal (``Z_975``) so
+    the oracle adds identical doubles.
+    """
+    ex = F.col(exposure_col).cast("boolean")
+    oc = F.col(outcome_col).cast("boolean")
+    cells = df.agg(
+        F.sum((ex & oc).cast("long")).alias("a"),
+        F.sum((ex & ~oc).cast("long")).alias("b"),
+        F.sum((~ex & oc).cast("long")).alias("c"),
+        F.sum((~ex & ~oc).cast("long")).alias("d"),
+    )
+    a, b = F.col("a").cast("double"), F.col("b").cast("double")
+    c, d = F.col("c").cast("double"), F.col("d").cast("double")
+    n1, n0 = a + b, c + d
+    p1 = F.when(n1 > 0, a / n1)
+    p0 = F.when(n0 > 0, c / n0)
+    zz = F.lit(float(z))
+    rr_ok = (a > 0) & (c > 0)
+    lrr = F.log(p1 / p0)
+    se_lrr = F.sqrt(b / (a * n1) + d / (c * n0))
+    rd = p1 - p0
+    se_rd = F.sqrt(p1 * (1.0 - p1) / n1 + p0 * (1.0 - p0) / n0)
+    return cells.select(
+        "a", "b", "c", "d",
+        F.round(p1, digits).alias("risk_exposed"),
+        F.round(p0, digits).alias("risk_unexposed"),
+        F.round(F.when(rr_ok, F.exp(lrr)), digits).alias("risk_ratio"),
+        F.round(F.when(rr_ok, F.exp(lrr - zz * se_lrr)), digits).alias("rr_lo"),
+        F.round(F.when(rr_ok, F.exp(lrr + zz * se_lrr)), digits).alias("rr_hi"),
+        F.round(rd, digits).alias("risk_diff"),
+        F.round(rd - zz * se_rd, digits).alias("rd_lo"),
+        F.round(rd + zz * se_rd, digits).alias("rd_hi"),
+        F.round(
+            F.when(F.abs(rd) > 0, 1.0 / F.abs(rd)), digits
+        ).alias("nnt"),
+    )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    flag_a: str,
+    flag_b: str,
+    digits: int = 6,
+) -> DataFrame:
+    """McNemar's test for paired binary outcomes — marginal-homogeneity
+    check for before/after flags or two classifiers on the SAME units
+    (the paired counterpart of ``chisq_2x2``, which assumes
+    independent groups; pairs with ``cohens_kappa`` the way chi-square
+    pairs with Cramer's V). ONE row:
+
+        (n, n_discordant_a, n_discordant_b, chi2)
+        chi2 = (b - c)^2 / (b + c)
+
+    over the discordant cells only: b = a-only (A=1, B=0), c = B-only.
+    NO continuity correction (Edwards' -1 would shift every value;
+    documented, apply upstream if wanted). chi2 is NULL when b + c = 0
+    — the statistic is undefined with zero discordant pairs, not 0.
+
+    Scale shape: one conditional-count aggregate; integer arithmetic
+    until the final division.
+    """
+    fa = F.col(flag_a).cast("boolean")
+    fb = F.col(flag_b).cast("boolean")
+    cells = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((fa & ~fb).cast("long")).alias("n_discordant_a"),
+        F.sum((~fa & fb).cast("long")).alias("n_discordant_b"),
+    )
+    b = F.col("n_discordant_a").cast("double")
+    c = F.col("n_discordant_b").cast("double")
+    chi2 = F.when((b + c) > 0, (b - c) * (b - c) / (b + c))
+    return cells.select(
+        "n", "n_discordant_a", "n_discordant_b",
+        F.round(chi2, digits).alias("chi2"),
+    )
+
+
+def cmh_test(
+    df: DataFrame,
+    exposure_col: str,
+    outcome_col: str,
+    stratum_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Cochran-Mantel-Haenszel stratified 2x2 analysis — the
+    confounder-adjusted effect estimate (exposure vs outcome within
+    strata of e.g. site / age band / segment), the standard
+    epidemiological upgrade of the dashboard's crude chi-square
+    association (01-rwe-dashboard.r:110-124). ONE row:
+
+        (k, n, or_mh, chi2_mh)
+
+    or_mh = Mantel-Haenszel pooled odds ratio
+          = sum_i(a_i d_i / n_i) / sum_i(b_i c_i / n_i)
+    chi2_mh = (sum a_i - sum E_i)^2 / sum V_i        (1 dof)
+        E_i = n1_i m1_i / n_i
+        V_i = n1_i n0_i m1_i m0_i / (n_i^2 (n_i - 1))
+
+    NO continuity correction (documented; the -0.5 variant would
+    change published values). Strata with n_i < 2 are EXCLUDED from
+    all sums (their variance term is undefined — 0/0); or_mh is NULL
+    when the denominator sum is 0, chi2 NULL when sum V = 0.
+
+    Scale shape: the only fact-scale operation is ONE group-count on
+    the stratum (4 conditional longs per stratum); E/V/OR terms are
+    computed per stratum as doubles ROUNDED to 9 digits and summed as
+    decimals — the cross-stratum reduction is order-independent, so
+    the result is partition-invariant and the oracle replays it
+    exactly.
+    """
+    ex = F.col(exposure_col).cast("boolean")
+    oc = F.col(outcome_col).cast("boolean")
+    cells = df.groupBy(F.col(stratum_col).alias("__s__")).agg(
+        F.sum((ex & oc).cast("long")).alias("__a__"),
+        F.sum((ex & ~oc).cast("long")).alias("__b__"),
+        F.sum((~ex & oc).cast("long")).alias("__c__"),
+        F.sum((~ex & ~oc).cast("long")).alias("__d__"),
+    )
+    a, b = F.col("__a__").cast("double"), F.col("__b__").cast("double")
+    c, d = F.col("__c__").cast("double"), F.col("__d__").cast("double")
+    n = a + b + c + d
+    n1, n0 = a + b, c + d
+    m1, m0 = a + c, b + d
+    ok = n >= 2
+    dec = "decimal(28,9)"
+    terms = cells.filter(ok).select(
+        F.round(a * d / n, 9).cast(dec).alias("__num__"),
+        F.round(b * c / n, 9).cast(dec).alias("__den__"),
+        F.col("__a__").alias("__ai__"),
+        F.round(n1 * m1 / n, 9).cast(dec).alias("__e__"),
+        F.round(n1 * n0 * m1 * m0 / (n * n * (n - 1.0)), 9).cast(dec).alias(
+            "__v__"
+        ),
+        (F.col("__a__") + F.col("__b__") + F.col("__c__") + F.col("__d__"))
+        .alias("__n__"),
+    )
+    s = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("__n__").cast("long").alias("n"),
+        F.sum("__num__").alias("__snum__"),
+        F.sum("__den__").alias("__sden__"),
+        F.sum("__ai__").cast("long").alias("__sa__"),
+        F.sum("__e__").alias("__se__"),
+        F.sum("__v__").alias("__sv__"),
+    )
+    snum = F.col("__snum__").cast("double")
+    sden = F.col("__sden__").cast("double")
+    sa = F.col("__sa__").cast("double")
+    se = F.col("__se__").cast("double")
+    sv = F.col("__sv__").cast("double")
+    return s.select(
+        "k", "n",
+        F.round(F.when(sden > 0, snum / sden), digits).alias("or_mh"),
+        F.round(
+            F.when(sv > 0, (sa - se) * (sa - se) / sv), digits
+        ).alias("chi2_mh"),
+    )
+
+
+def cochran_armitage(
+    df: DataFrame,
+    score_col: str,
+    outcome_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Cochran-Armitage test for trend — does outcome probability rise
+    or fall MONOTONICALLY across ordered exposure levels (dose bands,
+    severity grades, priority tiers)? The ordered-exposure upgrade of
+    the r x c chi-square (``chisq_rc``), which ignores level order.
+    ONE row:
+
+        (n, k_levels, z)
+        z = (T - pbar S1) / sqrt(pbar (1 - pbar) (S2 - S1^2 / N))
+
+    with T = sum_i s_i r_i, S1 = sum_i s_i n_i, S2 = sum_i s_i^2 n_i
+    over levels i (n_i subjects, r_i cases, numeric score s_i), and
+    pbar = R / N the pooled outcome rate. Positive z = outcome rate
+    increases with the score. z is NULL when the variance term is 0
+    (constant score or degenerate outcome).
+
+    Scale shape: one group-count on the level column (k rows), then
+    integer/decimal sufficient sums over the bounded level table —
+    scores cast to decimal(18,6) so T/S1/S2 are exact and
+    order-independent; one final double division.
+    """
+    lv = df.groupBy(F.col(score_col).alias("__s__")).agg(
+        F.count(F.lit(1)).cast("long").alias("__n__"),
+        F.sum(F.col(outcome_col).cast("long")).alias("__r__"),
+    )
+    sdec = F.col("__s__").cast("decimal(18,6)")
+    sums = lv.agg(
+        F.sum("__n__").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k_levels"),
+        F.sum(F.col("__r__")).cast("long").alias("__R__"),
+        F.sum(sdec * F.col("__r__")).alias("__T__"),
+        F.sum(sdec * F.col("__n__")).alias("__S1__"),
+        F.sum(sdec * sdec * F.col("__n__")).alias("__S2__"),
+    )
+    nn = F.col("n").cast("double")
+    pbar = F.col("__R__").cast("double") / nn
+    t = F.col("__T__").cast("double")
+    s1 = F.col("__S1__").cast("double")
+    s2 = F.col("__S2__").cast("double")
+    var = pbar * (1.0 - pbar) * (s2 - s1 * s1 / nn)
+    return sums.select(
+        "n", "k_levels",
+        F.round(
+            F.when(var > 0, (t - pbar * s1) / F.sqrt(var)), digits
+        ).alias("z"),
+    )
+
+
+def nelson_aalen(
+    subjects: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "event",
+    group_cols: Sequence[str] | None = None,
+    digits: int = 6,
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator — ``kaplan_meier``'s
+    additive sibling (same subject table contract: one row per subject
+    with numeric duration + 0/1 event flag + optional arm columns):
+
+        (group..., t, n_risk, n_event, n_censor, cum_hazard)
+        H(t) = sum_{s <= t} d_s / n_s
+
+    Preferred over -ln S(t) when comparing hazards directly or feeding
+    a hazard-based model; KM and NA ride the identical risk-set
+    machinery, so any discrepancy between the two outputs is a data
+    problem, not an estimator problem.
+
+    Distributed shape: identical to ``kaplan_meier`` — one subject-
+    scale groupBy on (group, duration), then windows over the bounded
+    exit-time table. The running sum adds per-step hazard increments
+    d/n ROUNDED to ``digits`` as decimals, so the cumulative value is
+    order-independent and SQL-replayable exactly.
+    """
+    groups = list(group_cols or [])
+    exits = subjects.groupBy(*groups, duration_col).agg(
+        F.sum(F.col(event_col).cast("long")).alias("n_event"),
+        (F.count(F.lit(1)) - F.sum(F.col(event_col).cast("long"))).alias(
+            "n_censor"
+        ),
+    )
+    w_all = Window.partitionBy(*groups) if groups else Window.partitionBy()
+    w_prior = (
+        w_all.orderBy(duration_col).rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = w_all.orderBy(duration_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    n_total = F.sum(F.col("n_event") + F.col("n_censor")).over(w_all)
+    n_prior = F.coalesce(
+        F.sum(F.col("n_event") + F.col("n_censor")).over(w_prior), F.lit(0)
+    )
+    at_risk = exits.withColumn("n_risk", (n_total - n_prior).cast("long"))
+    inc = F.round(
+        F.col("n_event").cast("double") / F.col("n_risk").cast("double"),
+        digits,
+    ).cast("decimal(28,6)")
+    return at_risk.select(
+        *groups,
+        F.col(duration_col).alias("t"),
+        "n_risk",
+        "n_event",
+        "n_censor",
+        F.round(F.sum(inc).over(w_cum).cast("double"), digits).alias(
+            "cum_hazard"
+        ),
+    )

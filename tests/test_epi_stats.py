@@ -1,0 +1,209 @@
+"""Clinical/epidemiology statistics pack: risk measures, McNemar,
+Cochran-Mantel-Haenszel, Cochran-Armitage trend, Nelson-Aalen."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from clinical_data_lake_spark.ml.stats import (
+    Z_975,
+    cmh_test,
+    cochran_armitage,
+    mcnemar_test,
+    nelson_aalen,
+    risk_measures,
+)
+
+
+def _rows(n, ex, oc):
+    return [(bool(ex), bool(oc))] * n
+
+
+# -- risk_measures ------------------------------------------------------
+
+
+def test_risk_measures_closed_form(spark):
+    # a=10 exposed cases, b=40, c=5, d=45: p1=0.2, p0=0.1
+    data = (
+        _rows(10, 1, 1) + _rows(40, 1, 0) + _rows(5, 0, 1) + _rows(45, 0, 0)
+    )
+    df = spark.createDataFrame(data, "ex boolean, oc boolean")
+    r = risk_measures(df, "ex", "oc").collect()[0]
+    assert (r.a, r.b, r.c, r.d) == (10, 40, 5, 45)
+    assert r.risk_exposed == pytest.approx(0.2)
+    assert r.risk_unexposed == pytest.approx(0.1)
+    assert r.risk_ratio == pytest.approx(2.0)
+    # Wald log-CI: ln2 +- z*sqrt(40/(10*50) + 45/(5*50))
+    se = math.sqrt(40 / (10 * 50) + 45 / (5 * 50))
+    assert r.rr_lo == pytest.approx(
+        round(math.exp(math.log(2.0) - Z_975 * se), 6)
+    )
+    assert r.rr_hi == pytest.approx(
+        round(math.exp(math.log(2.0) + Z_975 * se), 6)
+    )
+    assert r.risk_diff == pytest.approx(0.1)
+    assert r.nnt == pytest.approx(10.0)
+
+
+def test_risk_measures_zero_cell_nulls(spark):
+    # no unexposed cases -> RR/CI NULL, RD still defined
+    data = _rows(10, 1, 1) + _rows(40, 1, 0) + _rows(50, 0, 0)
+    df = spark.createDataFrame(data, "ex boolean, oc boolean")
+    r = risk_measures(df, "ex", "oc").collect()[0]
+    assert r.risk_ratio is None and r.rr_lo is None and r.rr_hi is None
+    assert r.risk_diff == pytest.approx(0.2)
+    assert r.nnt == pytest.approx(5.0)
+
+
+def test_risk_measures_no_effect_nnt_null(spark):
+    data = _rows(5, 1, 1) + _rows(5, 1, 0) + _rows(5, 0, 1) + _rows(5, 0, 0)
+    df = spark.createDataFrame(data, "ex boolean, oc boolean")
+    r = risk_measures(df, "ex", "oc").collect()[0]
+    assert r.risk_diff == 0.0
+    assert r.nnt is None
+
+
+# -- mcnemar ------------------------------------------------------------
+
+
+def test_mcnemar_closed_form(spark):
+    # concordant 30+40, discordant b=12 (A only), c=4 (B only)
+    data = (
+        [(True, True)] * 30
+        + [(False, False)] * 40
+        + [(True, False)] * 12
+        + [(False, True)] * 4
+    )
+    df = spark.createDataFrame(data, "fa boolean, fb boolean")
+    r = mcnemar_test(df, "fa", "fb").collect()[0]
+    assert r.n == 86
+    assert (r.n_discordant_a, r.n_discordant_b) == (12, 4)
+    assert r.chi2 == pytest.approx(round((12 - 4) ** 2 / 16, 6))
+
+
+def test_mcnemar_no_discordance_null(spark):
+    df = spark.createDataFrame(
+        [(True, True)] * 5 + [(False, False)] * 5, "fa boolean, fb boolean"
+    )
+    assert mcnemar_test(df, "fa", "fb").collect()[0].chi2 is None
+
+
+# -- cmh ----------------------------------------------------------------
+
+
+def _stratum(s, a, b, c, d):
+    return (
+        [(s, True, True)] * a
+        + [(s, True, False)] * b
+        + [(s, False, True)] * c
+        + [(s, False, False)] * d
+    )
+
+
+def test_cmh_single_stratum_matches_crude(spark):
+    # one stratum: MH OR = crude OR = ad/bc
+    df = spark.createDataFrame(
+        _stratum("x", 10, 20, 5, 40), "s string, ex boolean, oc boolean"
+    )
+    r = cmh_test(df, "ex", "oc", "s").collect()[0]
+    assert r.k == 1 and r.n == 75
+    assert r.or_mh == pytest.approx(round((10 * 40) / (20 * 5), 6))
+    # chi2 equals the 1-dof MH formula on the single table
+    e = 30 * 15 / 75
+    v = 30 * 45 * 15 * 60 / (75 * 75 * 74)
+    assert r.chi2_mh == pytest.approx(round((10 - e) ** 2 / v, 6), abs=1e-6)
+
+
+def test_cmh_two_strata_textbook(spark):
+    # Agresti-style: identical OR=1 within strata -> or_mh = 1, chi2 ~ 0
+    df = spark.createDataFrame(
+        _stratum("u", 10, 10, 10, 10) + _stratum("v", 20, 5, 20, 5),
+        "s string, ex boolean, oc boolean",
+    )
+    r = cmh_test(df, "ex", "oc", "s").collect()[0]
+    assert r.k == 2
+    assert r.or_mh == pytest.approx(1.0)
+    assert r.chi2_mh == pytest.approx(0.0, abs=1e-6)
+
+
+def test_cmh_tiny_stratum_excluded(spark):
+    # a 1-row stratum has an undefined variance term -> dropped from sums
+    df = spark.createDataFrame(
+        _stratum("big", 10, 20, 5, 40) + [("tiny", True, True)],
+        "s string, ex boolean, oc boolean",
+    )
+    r = cmh_test(df, "ex", "oc", "s").collect()[0]
+    assert r.k == 1 and r.n == 75
+
+
+# -- cochran_armitage ---------------------------------------------------
+
+
+def test_cochran_armitage_monotone_trend(spark):
+    # outcome rate rises with level: strong positive z
+    rows = []
+    for lvl, k in [(1, 1), (2, 3), (3, 5), (4, 7)]:
+        rows += [(lvl, True)] * k + [(lvl, False)] * (10 - k)
+    df = spark.createDataFrame(rows, "lvl int, oc boolean")
+    r = cochran_armitage(df, "lvl", "oc").collect()[0]
+    assert r.n == 40 and r.k_levels == 4
+    # closed form
+    n_i = {1: 10, 2: 10, 3: 10, 4: 10}
+    r_i = {1: 1, 2: 3, 3: 5, 4: 7}
+    big_n = 40
+    big_r = 16
+    t = sum(s * r_i[s] for s in n_i)
+    s1 = sum(s * n_i[s] for s in n_i)
+    s2 = sum(s * s * n_i[s] for s in n_i)
+    pbar = big_r / big_n
+    var = pbar * (1 - pbar) * (s2 - s1 * s1 / big_n)
+    assert r.z == pytest.approx(
+        round((t - pbar * s1) / math.sqrt(var), 6), abs=1e-6
+    )
+    assert r.z > 2.5
+
+
+def test_cochran_armitage_constant_score_null(spark):
+    df = spark.createDataFrame(
+        [(3, True)] * 5 + [(3, False)] * 5, "lvl int, oc boolean"
+    )
+    assert cochran_armitage(df, "lvl", "oc").collect()[0].z is None
+
+
+# -- nelson_aalen -------------------------------------------------------
+
+
+def test_nelson_aalen_closed_form(spark):
+    # durations: events at t=1 (2 of 5 at risk), t=3 (1 of 2); censored
+    # at t=2 (1). H(1)=2/5, H(3)=2/5+1/2=0.9
+    subj = spark.createDataFrame(
+        [(1.0, 1), (1.0, 1), (2.0, 0), (3.0, 1), (3.0, 0)],
+        "duration double, event int",
+    )
+    rows = {r.t: r for r in nelson_aalen(subj).collect()}
+    assert rows[1.0].n_risk == 5 and rows[1.0].n_event == 2
+    assert rows[1.0].cum_hazard == pytest.approx(0.4)
+    assert rows[2.0].cum_hazard == pytest.approx(0.4)  # censoring adds 0
+    assert rows[3.0].n_risk == 2
+    assert rows[3.0].cum_hazard == pytest.approx(0.9)
+
+
+def test_nelson_aalen_matches_km_risk_sets(spark):
+    # NA and KM must agree on (n_risk, n_event, n_censor) row for row
+    from clinical_data_lake_spark.ml.stats import kaplan_meier
+
+    subj = spark.createDataFrame(
+        [(0, float(d % 7), d % 3 != 0) for d in range(100)],
+        "arm int, duration double, event boolean",
+    )
+    na = {
+        (r.arm, r.t): (r.n_risk, r.n_event, r.n_censor)
+        for r in nelson_aalen(subj, "duration", "event", ["arm"]).collect()
+    }
+    km = {
+        (r.arm, r.t): (r.n_risk, r.n_event, r.n_censor)
+        for r in kaplan_meier(subj, "duration", "event", ["arm"]).collect()
+    }
+    assert na == km

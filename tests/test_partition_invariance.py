@@ -159,6 +159,13 @@ R10_NEW = [
     "growth_accounting",
     # pooled decimal moments broadcast into per-group adjusted aggs
     "cuped",
+    # clinical/epi pack: per-stratum decimal term sums (CMH), decimal
+    # score moments (trend test), decimal hazard cumsum (Nelson-Aalen)
+    "risk_measures",
+    "mcnemar",
+    "cmh",
+    "cochran_armitage",
+    "nelson_aalen",
 ]
 
 
