@@ -4024,6 +4024,33 @@ def q_cochran_armitage(spark: SparkSession, sf: str) -> DataFrame:
     return ml_stats.cochran_armitage(od, "tier", "outcome")
 
 
+def q_smd_balance(spark: SparkSession, sf: str) -> DataFrame:
+    """Covariate balance table (ml/stats.py:smd_balance): standardized
+    mean differences of order value and account balance between
+    high-priority and other orders — one conditional-aggregate pass,
+    one row per covariate."""
+    od = read_table(spark, sf, "orders")
+    cu = read_table(spark, sf, "customer")
+    j = od.join(cu, od["o_custkey"] == cu["c_custkey"]).select(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("treated"),
+        "o_totalprice", "c_acctbal",
+    )
+    return ml_stats.smd_balance(j, "treated", ["o_totalprice", "c_acctbal"])
+
+
+def q_psm_match(spark: SparkSession, sf: str) -> DataFrame:
+    """Nearest-score matching with replacement (ml/stats.py:
+    score_match): each high-priority order matched to the
+    closest-value other order — bucketed backward/forward carries with
+    bounded cross-bucket handoff; the oracle replays the pure global
+    nearest definition."""
+    od = read_table(spark, sf, "orders").select(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("treated"),
+        "o_totalprice", "o_orderkey",
+    )
+    return ml_stats.score_match(od, "treated", "o_totalprice", "o_orderkey")
+
+
 def q_nelson_aalen(spark: SparkSession, sf: str) -> DataFrame:
     """Nelson-Aalen cumulative hazard per arm (ml/stats.py:
     nelson_aalen) over the shared survival subject table — the
@@ -4341,6 +4368,8 @@ QUERIES = {
     "cmh": q_cmh,
     "cochran_armitage": q_cochran_armitage,
     "nelson_aalen": q_nelson_aalen,
+    "smd_balance": q_smd_balance,
+    "psm_match": q_psm_match,
 }
 
 # -- r9 certification window (ROTATION.md): the driver checks the FIRST
@@ -10135,4 +10164,89 @@ ORACLES["nelson_aalen"] = """
         FROM risk
         WINDOW w AS (PARTITION BY arm ORDER BY t
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """
+
+ORACLES["smd_balance"] = """
+        WITH lab AS (
+            SELECT (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS g,
+                   CAST(o_totalprice AS DOUBLE) AS x1,
+                   CAST(c_acctbal AS DOUBLE) AS x2
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        ),
+        red AS (
+            SELECT CAST(sum(g::INT) AS BIGINT) AS n1,
+                   CAST(sum((NOT g)::INT) AS BIGINT) AS n0,
+                   sum(CASE WHEN g THEN CAST(x1 AS DECIMAL(28,6)) END) AS s1_1,
+                   sum(CASE WHEN NOT g THEN CAST(x1 AS DECIMAL(28,6)) END) AS s0_1,
+                   sum(CASE WHEN g THEN CAST(x1 * x1 AS DECIMAL(38,6)) END) AS q1_1,
+                   sum(CASE WHEN NOT g THEN CAST(x1 * x1 AS DECIMAL(38,6)) END) AS q0_1,
+                   sum(CASE WHEN g THEN CAST(x2 AS DECIMAL(28,6)) END) AS s1_2,
+                   sum(CASE WHEN NOT g THEN CAST(x2 AS DECIMAL(28,6)) END) AS s0_2,
+                   sum(CASE WHEN g THEN CAST(x2 * x2 AS DECIMAL(38,6)) END) AS q1_2,
+                   sum(CASE WHEN NOT g THEN CAST(x2 * x2 AS DECIMAL(38,6)) END) AS q0_2
+            FROM lab
+        ),
+        per_cov AS (
+            SELECT 'o_totalprice' AS covariate, n1, n0,
+                   s1_1 AS s1, s0_1 AS s0, q1_1 AS q1, q0_1 AS q0 FROM red
+            UNION ALL
+            SELECT 'c_acctbal', n1, n0, s1_2, s0_2, q1_2, q0_2 FROM red
+        ),
+        m AS (
+            SELECT covariate, n1, n0,
+                   CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+                   CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS m0,
+                   CAST(q1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                     - (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                       * (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) AS v1,
+                   CAST(q0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                     - (CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                       * (CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)) AS v0
+            FROM per_cov
+        )
+        SELECT covariate, n1 AS n_treat, n0 AS n_ctrl,
+               round(m1, 6) AS mean_treat,
+               round(m0, 6) AS mean_ctrl,
+               CASE WHEN (v1 + v0) / 2.0 > 0
+                    THEN round((m1 - m0) / sqrt((v1 + v0) / 2.0), 6)
+               END AS smd
+        FROM m
+    """
+
+# The oracle replays the PURE nearest-neighbor definition (one global
+# window over the score order) — certifying score_match's bucketed
+# handoff machinery against brute force, the prefix_filter pattern.
+ORACLES["psm_match"] = """
+        WITH u AS (
+            SELECT (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS t,
+                   CAST(o_totalprice AS DOUBLE) AS s,
+                   o_orderkey AS id
+            FROM orders
+        ),
+        c AS (
+            SELECT t, s, id,
+                   last_value(CASE WHEN NOT t THEN {'cs': s, 'cid': id} END
+                              IGNORE NULLS)
+                       OVER (ORDER BY s, t::INT, id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS wb,
+                   first_value(CASE WHEN NOT t THEN {'cs': s, 'cid': id} END
+                               IGNORE NULLS)
+                       OVER (ORDER BY s, t::INT, id
+                             ROWS BETWEEN CURRENT ROW
+                                      AND UNBOUNDED FOLLOWING) AS wf
+            FROM u
+        ),
+        pick AS (
+            SELECT s, id,
+                   CASE WHEN wf IS NULL
+                             OR (wb IS NOT NULL
+                                 AND (s - wb.cs) <= (wf.cs - s))
+                        THEN wb ELSE wf END AS ch
+            FROM c WHERE t
+        )
+        SELECT id AS treated_id, s AS treated_score,
+               ch.cid AS control_id, ch.cs AS control_score,
+               abs(s - ch.cs) AS match_dist
+        FROM pick
     """

@@ -2071,3 +2071,180 @@ def nelson_aalen(
             "cum_hazard"
         ),
     )
+
+
+def smd_balance(
+    df: DataFrame,
+    group_col: str,
+    covariate_cols: Sequence[str],
+    digits: int = 6,
+) -> DataFrame:
+    """Standardized-mean-difference covariate balance table — the
+    first table of every observational/comparative study (is the
+    treated group comparable to the controls before/after matching?).
+    One row per covariate:
+
+        (covariate, n_treat, n_ctrl, mean_treat, mean_ctrl, smd)
+        SMD = (m_t - m_c) / sqrt((v_t + v_c) / 2)
+
+    with v the POPULATION variances (the Austin 2011 convention).
+    |SMD| > 0.1 is the usual imbalance flag. SMD is NULL when the
+    pooled variance is 0 (constant covariate).
+
+    Scale shape: ONE conditional-aggregate pass computes every
+    covariate's per-arm decimal sufficient statistics (2 counts +
+    4 sums per covariate, all map-side combinable); the per-covariate
+    rows are then exploded from that single reduced row — the fact
+    table is scanned once regardless of covariate count.
+    """
+    g = F.col(group_col).cast("boolean")
+    aggs = [
+        F.sum(g.cast("long")).alias("__n1__"),
+        F.sum((~g).cast("long")).alias("__n0__"),
+    ]
+    for c in covariate_cols:
+        x = F.col(c).cast("double")
+        aggs += [
+            F.sum(F.when(g, x).cast("decimal(28,6)")).alias(f"__s1_{c}__"),
+            F.sum(F.when(~g, x).cast("decimal(28,6)")).alias(f"__s0_{c}__"),
+            F.sum(F.when(g, x * x).cast("decimal(38,6)")).alias(f"__q1_{c}__"),
+            F.sum(F.when(~g, x * x).cast("decimal(38,6)")).alias(f"__q0_{c}__"),
+        ]
+    red = df.agg(*aggs)
+    per_cov = red.select(
+        F.col("__n1__"), F.col("__n0__"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("covariate"),
+                    F.col(f"__s1_{c}__").alias("s1"),
+                    F.col(f"__s0_{c}__").alias("s0"),
+                    F.col(f"__q1_{c}__").alias("q1"),
+                    F.col(f"__q0_{c}__").alias("q0"),
+                )
+                for c in covariate_cols
+            ])
+        ).alias("__c__"),
+    )
+    n1 = F.col("__n1__").cast("double")
+    n0 = F.col("__n0__").cast("double")
+    m1 = F.col("__c__.s1").cast("double") / n1
+    m0 = F.col("__c__.s0").cast("double") / n0
+    v1 = F.col("__c__.q1").cast("double") / n1 - m1 * m1
+    v0 = F.col("__c__.q0").cast("double") / n0 - m0 * m0
+    pooled = (v1 + v0) / 2.0
+    return per_cov.select(
+        F.col("__c__.covariate").alias("covariate"),
+        F.col("__n1__").alias("n_treat"),
+        F.col("__n0__").alias("n_ctrl"),
+        F.round(m1, digits).alias("mean_treat"),
+        F.round(m0, digits).alias("mean_ctrl"),
+        F.round(
+            F.when(pooled > 0, (m1 - m0) / F.sqrt(pooled)), digits
+        ).alias("smd"),
+    )
+
+
+def score_match(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Nearest-neighbor score matching WITH replacement — the
+    propensity-score matching step (each treated unit gets the control
+    whose score is closest; ties at equal distance resolve to the
+    lower-score side, equal-score ties to the highest control id —
+    fully deterministic). One output row per treated unit:
+
+        (treated_id, treated_score, control_id, control_score,
+         match_dist)
+
+    Scale shape — NO global sort: units land in ``n_buckets`` score-
+    range buckets (range from one tiny min/max pre-aggregate,
+    broadcast). Within a bucket, backward/forward nearest controls
+    ride ONE bucket-partitioned window sort (order: score, side, id;
+    controls sort before treated at equal scores, so an exact-score
+    match is the backward candidate at distance 0). Cross-bucket
+    fallback comes from a bucket-boundary summary table (2 rows of
+    state per bucket, cumulative carries over that ``n_buckets``-row
+    table only) broadcast back — the same bounded-handoff pattern as
+    ``seq_gaps``/``budget_select``. The oracle replays the pure
+    definition with one global window instead, certifying the bucket
+    machinery against brute force.
+    """
+    g = F.col(group_col).cast("boolean")
+    s = F.col(score_col).cast("double")
+    rng = df.agg(
+        F.min(s).alias("__lo__"), F.max(s).alias("__hi__")
+    )
+    u = df.crossJoin(F.broadcast(rng)).select(
+        g.alias("__t__"),
+        s.alias("__s__"),
+        F.col(id_col).alias("__id__"),
+        F.least(
+            F.lit(n_buckets - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (s - F.col("__lo__"))
+                    / F.when(
+                        F.col("__hi__") > F.col("__lo__"),
+                        F.col("__hi__") - F.col("__lo__"),
+                    ).otherwise(F.lit(1.0))
+                    * n_buckets
+                ).cast("int"),
+            ),
+        ).alias("__b__"),
+    )
+    ctrl_struct = F.when(
+        ~F.col("__t__"), F.struct(F.col("__s__"), F.col("__id__"))
+    )
+    order = [F.col("__s__"), F.col("__t__").cast("int"), F.col("__id__")]
+    w_back = (
+        Window.partitionBy("__b__").orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("__b__").orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = u.select(
+        "__t__", "__s__", "__id__", "__b__",
+        F.last(ctrl_struct, ignorenulls=True).over(w_back).alias("__wb__"),
+        F.first(ctrl_struct, ignorenulls=True).over(w_fwd).alias("__wf__"),
+    )
+    # bucket-boundary summary: last/first control per bucket, then
+    # cumulative carries over the bounded bucket table (n_buckets rows)
+    edges = u.groupBy("__b__").agg(
+        F.max(ctrl_struct).alias("__bmax__"),
+        F.min(ctrl_struct).alias("__bmin__"),
+    )
+    w_prev = Window.orderBy("__b__").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_next = Window.orderBy("__b__").rowsBetween(1, Window.unboundedFollowing)
+    buckets = edges.select(
+        "__b__",
+        F.last("__bmax__", ignorenulls=True).over(w_prev).alias("__prev__"),
+        F.first("__bmin__", ignorenulls=True).over(w_next).alias("__next__"),
+    )
+    j = carried.filter(F.col("__t__")).join(
+        F.broadcast(buckets), on="__b__", how="left"
+    )
+    back = F.coalesce(F.col("__wb__"), F.col("__prev__"))
+    fwd = F.coalesce(F.col("__wf__"), F.col("__next__"))
+    ts = F.col("__s__")
+    back_wins = fwd.isNull() | (
+        back.isNotNull()
+        & ((ts - back["__s__"]) <= (fwd["__s__"] - ts))
+    )
+    chosen = F.when(back_wins, back).otherwise(fwd)
+    return j.select(
+        F.col("__id__").alias("treated_id"),
+        F.col("__s__").alias("treated_score"),
+        chosen["__id__"].alias("control_id"),
+        chosen["__s__"].alias("control_score"),
+        F.abs(ts - chosen["__s__"]).alias("match_dist"),
+    )

@@ -207,3 +207,99 @@ def test_nelson_aalen_matches_km_risk_sets(spark):
         for r in kaplan_meier(subj, "duration", "event", ["arm"]).collect()
     }
     assert na == km
+
+
+# -- smd_balance --------------------------------------------------------
+
+
+def test_smd_balance_closed_form(spark):
+    # treated x: 1,2,3 (m=2, v=2/3); control x: 5,7 (m=6, v=1)
+    df = spark.createDataFrame(
+        [(True, 1.0), (True, 2.0), (True, 3.0), (False, 5.0), (False, 7.0)],
+        "g boolean, x double",
+    )
+    from clinical_data_lake_spark.ml.stats import smd_balance
+
+    r = smd_balance(df, "g", ["x"]).collect()[0]
+    assert (r.covariate, r.n_treat, r.n_ctrl) == ("x", 3, 2)
+    assert r.mean_treat == pytest.approx(2.0)
+    assert r.mean_ctrl == pytest.approx(6.0)
+    pooled = (2 / 3 + 1.0) / 2
+    assert r.smd == pytest.approx(round(-4.0 / math.sqrt(pooled), 6))
+
+
+def test_smd_balance_constant_covariate_null(spark):
+    from clinical_data_lake_spark.ml.stats import smd_balance
+
+    df = spark.createDataFrame(
+        [(True, 5.0), (True, 5.0), (False, 5.0), (False, 5.0)],
+        "g boolean, x double",
+    )
+    assert smd_balance(df, "g", ["x"]).collect()[0].smd is None
+
+
+# -- score_match --------------------------------------------------------
+
+
+def _brute_nearest(units):
+    """Pure-python reference: nearest control per treated; distance tie
+    -> lower score; equal-score tie -> highest control id (backward) /
+    lowest (forward)."""
+    controls = sorted(
+        [(s, i) for t, s, i in units if not t], key=lambda p: (p[0], p[1])
+    )
+    out = {}
+    for t, s, i in units:
+        if not t:
+            continue
+        back = max(
+            ((cs, ci) for cs, ci in controls if cs <= s), default=None
+        )
+        fwd = min(((cs, ci) for cs, ci in controls if cs > s), default=None)
+        if fwd is None or (back is not None and (s - back[0]) <= (fwd[0] - s)):
+            ch = back
+        else:
+            ch = fwd
+        out[i] = ch
+    return out
+
+
+def test_score_match_matches_brute_force(spark):
+    from clinical_data_lake_spark.ml.stats import score_match
+
+    # deterministic scattered scores incl. exact-score ties and wide
+    # empty regions (forces cross-bucket handoff at n_buckets=8)
+    units = []
+    for i in range(60):
+        treated = i % 3 == 0
+        score = float((i * 37) % 100) if i % 7 else 950.0 + i
+        units.append((treated, score, i))
+    df = spark.createDataFrame(units, "t boolean, s double, id long")
+    got = {
+        r.treated_id: (r.control_score, r.control_id)
+        for r in score_match(df, "t", "s", "id", n_buckets=8).collect()
+    }
+    want = _brute_nearest(units)
+    assert got == {k: v if v else (None, None) for k, v in want.items()}
+
+
+def test_score_match_exact_tie_is_distance_zero(spark):
+    from clinical_data_lake_spark.ml.stats import score_match
+
+    df = spark.createDataFrame(
+        [(True, 10.0, 1), (False, 10.0, 2), (False, 10.0, 3), (False, 30.0, 4)],
+        "t boolean, s double, id long",
+    )
+    r = score_match(df, "t", "s", "id", n_buckets=4).collect()[0]
+    assert r.match_dist == 0.0
+    assert r.control_id == 3  # highest id among equal-score controls
+
+
+def test_score_match_no_controls_emits_nulls(spark):
+    from clinical_data_lake_spark.ml.stats import score_match
+
+    df = spark.createDataFrame(
+        [(True, 1.0, 1), (True, 2.0, 2)], "t boolean, s double, id long"
+    )
+    rows = score_match(df, "t", "s", "id").collect()
+    assert len(rows) == 2 and all(r.control_id is None for r in rows)

@@ -166,6 +166,10 @@ R10_NEW = [
     "cmh",
     "cochran_armitage",
     "nelson_aalen",
+    # causal pack: single-pass conditional decimal moments; bucketed
+    # nearest-match carries with cross-bucket handoff
+    "smd_balance",
+    "psm_match",
 ]
 
 

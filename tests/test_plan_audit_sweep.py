@@ -41,6 +41,7 @@ WAIVERS = {
         "benford": "9-row digit table (total-count window)",
         "seq_gaps": "256-row bucket boundary table (last/first handoff)",
         "cumulative_distinct": "per-day first-seen table (one row per calendar day)",
+        "psm_match": "n_buckets-row boundary table (cross-bucket nearest handoff)",
     },
 }
 
