@@ -4024,6 +4024,37 @@ def q_cochran_armitage(spark: SparkSession, sf: str) -> DataFrame:
     return ml_stats.cochran_armitage(od, "tier", "outcome")
 
 
+def q_trimmed_mean(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-priority 10%-trimmed mean order value (operators/
+    aggregates.py:trimmed_mean): robust location via group-partitioned
+    ranks, decimal-summed kept slice."""
+    od = read_table(spark, sf, "orders")
+    return agg.trimmed_mean(
+        od, ["o_orderpriority"], "o_totalprice", "o_orderkey", alpha=0.1
+    )
+
+
+def q_lorenz_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """Customer-spend Lorenz curve (operators/aggregates.py:
+    lorenz_curve): decile cumulative value shares over per-customer
+    totals via the bucketed prefix-sum global rank — gini's plottable
+    companion."""
+    od = read_table(spark, sf, "orders")
+    per_cust = od.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("spend")
+    )
+    return agg.lorenz_curve(per_cust, "spend", "o_custkey", n_points=10)
+
+
+def q_attribution_credit(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-touch attribution over events (operators/windows.py:
+    attribution_credit): linear and 40/20/40 position credit from
+    view/click touches to each purchase, per channel."""
+    return windows.attribution_credit(read_table(spark, sf, "events"))
+
+
 def q_smd_balance(spark: SparkSession, sf: str) -> DataFrame:
     """Covariate balance table (ml/stats.py:smd_balance): standardized
     mean differences of order value and account balance between
@@ -4370,6 +4401,9 @@ QUERIES = {
     "nelson_aalen": q_nelson_aalen,
     "smd_balance": q_smd_balance,
     "psm_match": q_psm_match,
+    "trimmed_mean": q_trimmed_mean,
+    "lorenz_curve": q_lorenz_curve,
+    "attribution_credit": q_attribution_credit,
 }
 
 # -- r9 certification window (ROTATION.md): the driver checks the FIRST
@@ -10249,4 +10283,98 @@ ORACLES["psm_match"] = """
                ch.cid AS control_id, ch.cs AS control_score,
                abs(s - ch.cs) AS match_dist
         FROM pick
+    """
+
+ORACLES["trimmed_mean"] = """
+        WITH r AS (
+            SELECT o_orderpriority,
+                   CAST(o_totalprice AS DOUBLE) AS x,
+                   row_number() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice, o_orderkey) AS rk,
+                   count(*) OVER (PARTITION BY o_orderpriority) AS n
+            FROM orders
+        ),
+        kept AS (
+            SELECT * FROM r
+            WHERE rk > CAST(floor(0.1 * n) AS BIGINT)
+              AND rk <= n - CAST(floor(0.1 * n) AS BIGINT)
+        )
+        SELECT o_orderpriority,
+               CAST(max(n) AS BIGINT) AS n,
+               CAST(max(n) - count(*) AS BIGINT) AS n_trimmed,
+               round(CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE)
+                     / count(*), 6) AS trimmed_mean
+        FROM kept GROUP BY o_orderpriority
+    """
+
+ORACLES["lorenz_curve"] = """
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+            FROM orders GROUP BY o_custkey
+        ),
+        r AS (
+            SELECT spend AS x,
+                   row_number() OVER (ORDER BY spend, o_custkey) AS rk,
+                   count(*) OVER () AS n
+            FROM per_cust
+        ),
+        segs AS (
+            SELECT CAST(floor(CAST(rk * 10 - 1 AS DOUBLE)
+                              / CAST(n AS DOUBLE)) + 1 AS INTEGER) AS s,
+                   x, n
+            FROM r
+        ),
+        per_seg AS (
+            SELECT s, sum(CAST(x AS DECIMAL(28,6))) AS sv, max(n) AS n
+            FROM segs GROUP BY s
+        )
+        SELECT CAST(s AS DOUBLE) / 10 AS point,
+               CAST(n AS BIGINT) AS n_entities,
+               round(CAST(sum(sv) OVER w AS DOUBLE), 6) AS cum_value,
+               round(CAST(sum(sv) OVER w AS DOUBLE)
+                     / CAST(sum(sv) OVER () AS DOUBLE), 6) AS value_share
+        FROM per_seg
+        WINDOW w AS (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW)
+    """
+
+ORACLES["attribution_credit"] = """
+        WITH tagged AS (
+            SELECT user_id, ts, event_type, event_id,
+                   coalesce(sum((event_type = 'purchase')::INT) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS j
+            FROM events
+        ),
+        convs AS (
+            SELECT DISTINCT user_id, j FROM tagged
+            WHERE event_type = 'purchase'
+        ),
+        touch AS (
+            SELECT t.user_id, t.ts, t.event_type, t.event_id, t.j
+            FROM tagged t
+            JOIN convs c ON t.user_id = c.user_id AND t.j = c.j
+            WHERE t.event_type IN ('view', 'click')
+        ),
+        sized AS (
+            SELECT event_type AS channel,
+                   row_number() OVER (PARTITION BY user_id, j
+                                      ORDER BY ts, event_id) AS pos,
+                   count(*) OVER (PARTITION BY user_id, j) AS k
+            FROM touch
+        )
+        SELECT channel,
+               CAST(count(*) AS BIGINT) AS n_touches,
+               round(CAST(sum(CAST(round(
+                   CAST(1.0 AS DOUBLE) / CAST(k AS DOUBLE), 9)
+                   AS DECIMAL(28,9))) AS DOUBLE), 6) AS credit_linear,
+               round(CAST(sum(CAST(round(
+                   CASE WHEN k = 1 THEN CAST(1.0 AS DOUBLE)
+                        WHEN k = 2 THEN CAST(0.5 AS DOUBLE)
+                        WHEN pos = 1 OR pos = k THEN CAST(0.4 AS DOUBLE)
+                        ELSE CAST(0.2 AS DOUBLE) / (CAST(k AS DOUBLE) - 2.0)
+                   END, 9) AS DECIMAL(28,9))) AS DOUBLE), 6) AS credit_u
+        FROM sized GROUP BY channel
     """

@@ -907,3 +907,154 @@ def histogram_quantile(
         "n",
         F.round(q, digits).alias("q_est"),
     )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    id_col: str,
+    alpha: float = 0.1,
+    digits: int = 6,
+) -> DataFrame:
+    """Per-group alpha-trimmed mean — the robust location estimate
+    between the mean (alpha=0) and the median (alpha->0.5): drop the
+    lowest and highest floor(alpha*n) observations, average the rest.
+    The dashboard's plain averages (01-rwe-dashboard.r:36-40) are
+    outlier-dominated on skewed cost data; this is the standard
+    robustification that, unlike ``winsorize``, removes rather than
+    clamps. One row per group:
+
+        (group..., n, n_trimmed, trimmed_mean)
+
+    with n_trimmed = 2*floor(alpha*n) (both tails). Deterministic
+    under ties: ranks order by (value, id).
+
+    Scale shape: ONE group-partitioned window sort assigns in-group
+    ranks (the shuffle is on the group key, never a global order),
+    then one aggregate with decimal sums. alpha in [0, 0.5).
+    """
+    if not 0 <= alpha < 0.5:
+        raise ValueError(f"alpha must be in [0, 0.5), got {alpha}")
+    groups = list(group_cols)
+    w = Window.partitionBy(*groups).orderBy(
+        F.col(value_col).asc(), F.col(id_col).asc()
+    )
+    ranked = df.select(
+        *groups,
+        F.col(value_col).cast("double").alias("__x__"),
+        F.row_number().over(w).alias("__rk__"),
+        F.count(F.lit(1)).over(Window.partitionBy(*groups)).alias("__n__"),
+    )
+    k = F.floor(F.lit(float(alpha)) * F.col("__n__")).cast("long")
+    kept = ranked.filter(
+        (F.col("__rk__") > k) & (F.col("__rk__") <= F.col("__n__") - k)
+    )
+    return kept.groupBy(*groups).agg(
+        F.max("__n__").cast("long").alias("n"),
+        (F.max("__n__") - F.count(F.lit(1))).cast("long").alias("n_trimmed"),
+        F.round(
+            F.sum(F.col("__x__").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)),
+            digits,
+        ).alias("trimmed_mean"),
+    )
+
+
+def lorenz_curve(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_points: int = 10,
+    num_buckets: int = 64,
+    digits: int = 6,
+) -> DataFrame:
+    """Lorenz-curve points — ``gini_concentration``'s plottable
+    companion: for k = 1..n_points, the share of total value held by
+    the bottom floor(k*n/n_points) entities ranked ascending. One row
+    per point:
+
+        (point, n_entities, cum_value, value_share)
+
+    point = k/n_points; the curve hugging y=x means even distribution,
+    bowing to the bottom-right means concentration (area between =
+    Gini/2).
+
+    Scale shape: the SAME bucketed prefix-sum global rank as
+    ``gini_concentration`` (range buckets + window over the bounded
+    bucket table + in-bucket row_number — no entity-scale
+    SinglePartition exchange); each entity maps to segment
+    ceil(rank*n_points/n), per-segment decimal sums roll up
+    cumulatively over the n_points-row segment table.
+    """
+    vals = df.select(
+        F.col(id_col).alias("__id__"),
+        F.col(value_col).cast("double").alias("__x__"),
+    )
+    bounds = vals.agg(F.min("__x__").alias("__lo__"), F.max("__x__").alias("__hi__"))
+    width = F.greatest(
+        (F.col("__hi__") - F.col("__lo__")) / F.lit(float(num_buckets)),
+        F.lit(1e-12),
+    )
+    bucketed = (
+        vals.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "__bkt__",
+            F.least(
+                F.floor((F.col("__x__") - F.col("__lo__")) / width),
+                F.lit(num_buckets - 1),
+            ),
+        )
+        .drop("__lo__", "__hi__")
+    )
+    counts = bucketed.groupBy("__bkt__").agg(F.count(F.lit(1)).alias("__bn__"))
+    w_off = Window.orderBy("__bkt__").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__bkt__",
+        F.coalesce(F.sum("__bn__").over(w_off), F.lit(0)).cast("long").alias("__off__"),
+        F.sum("__bn__").over(
+            Window.orderBy("__bkt__").rangeBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("long").alias("__n__"),
+    )
+    w_local = Window.partitionBy("__bkt__").orderBy("__x__", "__id__")
+    ranked = (
+        bucketed.join(F.broadcast(offsets), on="__bkt__")
+        .withColumn("__rk__", F.row_number().over(w_local) + F.col("__off__"))
+    )
+    # ceil(rk*P/n) via floor((rk*P - 1)/n) + 1: rk*P stays far inside
+    # the double-exact integer range, identical in both engines
+    seg = (
+        F.floor(
+            (F.col("__rk__") * n_points - 1).cast("double")
+            / F.col("__n__").cast("double")
+        )
+        + 1
+    ).cast("int")
+    per_seg = ranked.select(
+        seg.alias("__seg__"),
+        F.col("__x__"),
+        F.col("__n__"),
+    ).groupBy("__seg__").agg(
+        F.sum(F.col("__x__").cast("decimal(28,6)")).alias("__sv__"),
+        F.max("__n__").alias("__n__"),
+    )
+    w_cum = Window.orderBy("__seg__").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_tot = Window.orderBy("__seg__").rangeBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per_seg.select(
+        (F.col("__seg__").cast("double") / n_points).alias("point"),
+        F.col("__n__").alias("n_entities"),
+        F.round(F.sum("__sv__").over(w_cum).cast("double"), digits).alias(
+            "cum_value"
+        ),
+        F.round(
+            F.sum("__sv__").over(w_cum).cast("double")
+            / F.sum("__sv__").over(w_tot).cast("double"),
+            digits,
+        ).alias("value_share"),
+    )

@@ -520,3 +520,84 @@ def event_streaks(
         .drop("__isl__")
     )
     return runs
+
+
+def attribution_credit(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    touch_types: Sequence[str] = ("view", "click"),
+    conversion_type: str = "purchase",
+    digits: int = 6,
+) -> DataFrame:
+    """Multi-touch attribution — split each conversion's credit across
+    the touch events that preceded it in the same journey (the
+    marketing/product counterpart of ``funnel_conversion``, which only
+    counts; this APPORTIONS). A journey = the touches between two
+    consecutive conversions of one user; trailing touches with no
+    conversion after them earn nothing; a conversion with zero
+    preceding touches credits nobody (both documented, not silent).
+    One row per touch channel:
+
+        (channel, n_touches, credit_linear, credit_u)
+
+    credit_linear splits 1.0 evenly over the journey's k touches;
+    credit_u is the position-based 40/20/40 rule (first 0.4, last 0.4,
+    middle k-2 split 0.2; k=1 -> 1.0, k=2 -> 0.5/0.5).
+
+    Scale shape: ONE user-partitioned window sort assigns journey ids
+    (running conversion count) — the only fact-scale shuffle; touches
+    then join conversions on (user, journey) (equi, co-partitioned)
+    and position/size ride a (user, journey)-partitioned window.
+    Per-touch credits are rounded then decimal-summed per channel —
+    partition-invariant. Order ties break on the event id.
+    """
+    is_conv = F.col(type_col) == conversion_type
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    tagged = events.select(
+        user_col, ts_col, type_col, id_col,
+        F.coalesce(
+            F.sum(is_conv.cast("long")).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("__j__"),
+    )
+    touches = tagged.filter(F.col(type_col).isin(*touch_types))
+    convs = tagged.filter(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("__cu__"), F.col("__j__").alias("__cj__")
+    )
+    credited = touches.join(
+        convs,
+        (touches[user_col] == convs["__cu__"])
+        & (touches["__j__"] == convs["__cj__"]),
+    )
+    w2 = Window.partitionBy(user_col, "__j__").orderBy(ts_col, id_col)
+    sized = credited.select(
+        F.col(type_col).alias("channel"),
+        F.row_number().over(w2).alias("__pos__"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(user_col, "__j__")
+        ).alias("__k__"),
+    )
+    k = F.col("__k__").cast("double")
+    pos = F.col("__pos__")
+    linear = 1.0 / k
+    u = (
+        F.when(F.col("__k__") == 1, F.lit(1.0))
+        .when(F.col("__k__") == 2, F.lit(0.5))
+        .when((pos == 1) | (pos == F.col("__k__")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (k - 2.0))
+    )
+    dec = "decimal(28,9)"
+    return sized.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.round(
+            F.sum(F.round(linear, 9).cast(dec)).cast("double"), digits
+        ).alias("credit_linear"),
+        F.round(
+            F.sum(F.round(u, 9).cast(dec)).cast("double"), digits
+        ).alias("credit_u"),
+    )

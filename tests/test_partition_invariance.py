@@ -170,6 +170,11 @@ R10_NEW = [
     # nearest-match carries with cross-bucket handoff
     "smd_balance",
     "psm_match",
+    # reporting: in-group rank trims, bucketed Lorenz ranks, rounded
+    # per-touch credit decimal sums
+    "trimmed_mean",
+    "lorenz_curve",
+    "attribution_credit",
 ]
 
 

@@ -42,6 +42,7 @@ WAIVERS = {
         "seq_gaps": "256-row bucket boundary table (last/first handoff)",
         "cumulative_distinct": "per-day first-seen table (one row per calendar day)",
         "psm_match": "n_buckets-row boundary table (cross-bucket nearest handoff)",
+        "lorenz_curve": "bucket-count offset + n_points-row segment tables",
     },
 }
 
