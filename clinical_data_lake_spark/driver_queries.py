@@ -4024,6 +4024,53 @@ def q_cochran_armitage(spark: SparkSession, sf: str) -> DataFrame:
     return ml_stats.cochran_armitage(od, "tier", "outcome")
 
 
+def q_permutation_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Randomization test for the priority effect on order value
+    (ml/stats.py:permutation_test): 200 md5-seeded binomial
+    reassignment replicates, decimal-summed; add-one p-value."""
+    od = read_table(spark, sf, "orders").select(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("treated"),
+        "o_totalprice", "o_orderkey",
+    )
+    return ml_stats.permutation_test(
+        od, "treated", "o_totalprice", "o_orderkey", n_perm=200
+    )
+
+
+def q_info_gain(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-feature information gain for the high-value-order label
+    (ml/stats.py:info_gain): mutual information of priority, status,
+    and order month with the label, one unpivoted pass."""
+    od = read_table(spark, sf, "orders").select(
+        (F.col("o_totalprice") >= 150000.0).alias("label"),
+        "o_orderpriority", "o_orderstatus",
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+    )
+    return ml_stats.info_gain(
+        od, "label", ["o_orderpriority", "o_orderstatus", "order_month"]
+    )
+
+
+def q_js_divergence(spark: SparkSession, sf: str) -> DataFrame:
+    """Jensen-Shannon divergence between the en and fr document
+    unigram distributions (functions/text.py:js_divergence) — the
+    lexical drift read-out, decimal-summed vocabulary fold."""
+    return text.js_divergence(
+        read_table(spark, sf, "documents"), "lang", "en", "fr"
+    )
+
+
+def q_blocklist(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style blocklist gate (functions/text.py:blocklist_scores):
+    per-doc blocked-token ratio against a literal list, keep flag at
+    a 2% tolerance — zero-shuffle projection."""
+    return text.blocklist_scores(
+        read_table(spark, sf, "documents"),
+        ["slow", "big"],
+        max_ratio=0.02,
+    )
+
+
 def q_trimmed_mean(spark: SparkSession, sf: str) -> DataFrame:
     """Per-priority 10%-trimmed mean order value (operators/
     aggregates.py:trimmed_mean): robust location via group-partitioned
@@ -4404,6 +4451,10 @@ QUERIES = {
     "trimmed_mean": q_trimmed_mean,
     "lorenz_curve": q_lorenz_curve,
     "attribution_credit": q_attribution_credit,
+    "permutation_test": q_permutation_test,
+    "info_gain": q_info_gain,
+    "js_divergence": q_js_divergence,
+    "blocklist": q_blocklist,
 }
 
 # -- r9 certification window (ROTATION.md): the driver checks the FIRST
@@ -10377,4 +10428,176 @@ ORACLES["attribution_credit"] = """
                         ELSE CAST(0.2 AS DOUBLE) / (CAST(k AS DOUBLE) - 2.0)
                    END, 9) AS DECIMAL(28,9))) AS DOUBLE), 6) AS credit_u
         FROM sized GROUP BY channel
+    """
+
+ORACLES["permutation_test"] = """
+        WITH base AS (
+            SELECT (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS g,
+                   CAST(o_totalprice AS DOUBLE) AS x,
+                   o_orderkey AS id
+            FROM orders
+        ),
+        stats AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(g::INT) AS BIGINT) AS n_treat,
+                   sum(CASE WHEN g THEN CAST(x AS DECIMAL(28,6)) END) AS s1,
+                   sum(CASE WHEN NOT g THEN CAST(x AS DECIMAL(28,6)) END) AS s0
+            FROM base
+        ),
+        obs AS (
+            SELECT n, n_treat,
+                   round(CAST(n_treat AS DOUBLE) / CAST(n AS DOUBLE), 9) AS p1,
+                   round(CAST(s1 AS DOUBLE) / CAST(n_treat AS DOUBLE)
+                         - CAST(s0 AS DOUBLE)
+                           / (CAST(n AS DOUBLE) - CAST(n_treat AS DOUBLE)),
+                         9) AS dobs
+            FROM stats
+        ),
+        expanded AS (
+            SELECT t.b, x,
+                   (('0x' || substr(md5(id || '|' || ((t.b - 1) // 4 + 1)),
+                                    CAST(((t.b - 1) % 4) * 8 + 1 AS INT),
+                                    8))::BIGINT / 4294967296.0
+                    < (SELECT p1 FROM obs)) AS tr
+            FROM base, UNNEST(range(1, 201)) AS t(b)
+        ),
+        rep AS (
+            SELECT b,
+                   CAST(sum(tr::INT) AS BIGINT) AS k1,
+                   sum(CASE WHEN tr THEN CAST(x AS DECIMAL(28,6)) END) AS r1,
+                   sum(CASE WHEN NOT tr THEN CAST(x AS DECIMAL(28,6)) END) AS r0,
+                   CAST(count(*) AS BIGINT) AS nb
+            FROM expanded GROUP BY b
+        ),
+        db AS (
+            SELECT CASE WHEN k1 > 0 AND k1 < nb THEN
+                       round(CAST(r1 AS DOUBLE) / CAST(k1 AS DOUBLE)
+                             - CAST(r0 AS DOUBLE)
+                               / (CAST(nb AS DOUBLE) - CAST(k1 AS DOUBLE)), 9)
+                   END AS d
+            FROM rep
+        ),
+        ext AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_perm,
+                   CAST(coalesce(sum(CASE WHEN abs(d) >= abs((SELECT dobs FROM obs))
+                                          THEN 1 END), 0) AS BIGINT) AS n_extreme
+            FROM db
+        )
+        SELECT n, n_treat,
+               round(dobs, 6) AS diff_obs,
+               n_perm, n_extreme,
+               round((1.0 + CAST(n_extreme AS DOUBLE))
+                     / (CAST(n_perm AS DOUBLE) + 1.0), 6) AS p_value
+        FROM obs, ext
+    """
+
+ORACLES["info_gain"] = """
+        WITH lab AS (
+            SELECT (o_totalprice >= 150000.0) AS y,
+                   o_orderpriority, o_orderstatus,
+                   strftime(o_orderdate, '%Y-%m') AS order_month
+            FROM orders
+        ),
+        stacked AS (
+            SELECT CAST(y AS VARCHAR) AS y, 'o_orderpriority' AS f,
+                   coalesce(o_orderpriority, chr(0) || 'null') AS v FROM lab
+            UNION ALL
+            SELECT CAST(y AS VARCHAR), 'o_orderstatus',
+                   coalesce(o_orderstatus, chr(0) || 'null') FROM lab
+            UNION ALL
+            SELECT CAST(y AS VARCHAR), 'order_month',
+                   coalesce(order_month, chr(0) || 'null') FROM lab
+        ),
+        cells AS (
+            SELECT f, v, y, count(*) AS n_xy FROM stacked GROUP BY f, v, y
+        ),
+        mx AS (SELECT f, v, sum(n_xy) AS n_x FROM cells GROUP BY f, v),
+        my AS (SELECT f, y, sum(n_xy) AS n_y FROM cells GROUP BY f, y),
+        tot AS (SELECT f, sum(n_xy) AS n FROM cells GROUP BY f),
+        terms AS (
+            SELECT c.f,
+                   CAST(round((CAST(c.n_xy AS DOUBLE) / t.n)
+                              * ln((CAST(c.n_xy AS DOUBLE) * t.n)
+                                   / (CAST(mx.n_x AS DOUBLE) * my.n_y)), 14)
+                        AS DECIMAL(28,14)) AS term,
+                   c.v
+            FROM cells c
+            JOIN mx ON c.f = mx.f AND c.v = mx.v
+            JOIN my ON c.f = my.f AND c.y = my.y
+            JOIN tot t ON c.f = t.f
+        )
+        SELECT f AS feature,
+               CAST(count(DISTINCT v) AS BIGINT) AS n_values,
+               round(CAST(sum(term) AS DOUBLE), 9) AS mi_nats
+        FROM terms GROUP BY f
+    """
+
+ORACLES["js_divergence"] = """
+        WITH toks AS (
+            SELECT (lang = 'en') AS a,
+                   UNNEST(string_split(regexp_replace(lower(trim(text)),
+                                                      '\\s+', ' ', 'g'),
+                                       ' ')) AS t
+            FROM documents WHERE lang IN ('en', 'fr')
+        ),
+        terms AS (
+            SELECT t,
+                   CAST(sum(a::INT) AS BIGINT) AS ca,
+                   CAST(sum((NOT a)::INT) AS BIGINT) AS cb
+            FROM toks WHERE t <> '' GROUP BY t
+        ),
+        tot AS (
+            SELECT CAST(sum(ca) AS BIGINT) AS na,
+                   CAST(sum(cb) AS BIGINT) AS nb
+            FROM terms
+        ),
+        contrib AS (
+            SELECT CAST(round(
+                CASE WHEN ca > 0 THEN
+                    (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)) / 2.0
+                    * ln((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+                         / (((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+                             + (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))) / 2.0))
+                ELSE 0.0 END
+                + CASE WHEN cb > 0 THEN
+                    (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) / 2.0
+                    * ln((CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+                         / (((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+                             + (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))) / 2.0))
+                ELSE 0.0 END, 14) AS DECIMAL(28,14)) AS term,
+                na, nb
+            FROM terms, tot
+        )
+        SELECT CAST(max(na) AS BIGINT) AS n_tokens_a,
+               CAST(max(nb) AS BIGINT) AS n_tokens_b,
+               CAST(count(*) AS BIGINT) AS vocab,
+               round(CAST(sum(term) AS DOUBLE), 9) AS jsd_nats
+        FROM contrib
+    """
+
+ORACLES["blocklist"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(regexp_replace(lower(trim(text)),
+                                                           '\\s+', ' ', 'g'),
+                                            ' '), t -> t <> '') AS tk
+            FROM documents
+        ),
+        counted AS (
+            SELECT doc_id,
+                   CAST(len(tk) AS BIGINT) AS n_tokens,
+                   CAST(len(list_filter(tk, t -> t IN ('slow', 'big')))
+                        AS BIGINT) AS n_blocked
+            FROM toks
+        )
+        SELECT doc_id, n_tokens, n_blocked,
+               CASE WHEN n_tokens > 0
+                    THEN round(CAST(n_blocked AS DOUBLE)
+                               / CAST(n_tokens AS DOUBLE), 6)
+                    ELSE 0.0 END AS blocked_ratio,
+               (CASE WHEN n_tokens > 0
+                     THEN round(CAST(n_blocked AS DOUBLE)
+                                / CAST(n_tokens AS DOUBLE), 6)
+                     ELSE 0.0 END) <= CAST(0.02 AS DOUBLE) AS keep
+        FROM counted
     """

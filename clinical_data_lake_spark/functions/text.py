@@ -715,3 +715,107 @@ def cooccurrence_counts(
         )
         .filter(F.col("n") >= min_count)
     )
+
+
+def js_divergence(
+    docs: DataFrame,
+    slice_col: str,
+    slice_a: str,
+    slice_b: str,
+    text_col: str = "text",
+    digits: int = 9,
+) -> DataFrame:
+    """Jensen-Shannon divergence between the unigram distributions of
+    two corpus slices — the symmetric, bounded [0, ln 2] drift measure
+    a mix curator reads before/after a re-crawl or between sources
+    (``population_stability``'s lexical counterpart: PSI bins a
+    numeric score; JSD compares whole token distributions). ONE row:
+
+        (n_tokens_a, n_tokens_b, vocab, jsd_nats)
+
+        JSD = 0.5 KL(P||M) + 0.5 KL(Q||M),  M = (P + Q) / 2
+
+    computed per vocabulary term with p = tf_a/N_a, q = tf_b/N_b
+    (0 where absent — those terms contribute p/2*ln2 exactly).
+
+    Scale shape: one explode + (slice, term) count (the only
+    fact-scale shuffle, map-side combinable — ``vocab_growth``'s
+    normalization verbatim so profiles agree); the divergence folds
+    over the vocabulary table with per-term contributions rounded to
+    14 and decimal-summed (partition-invariant, SQL-replayable).
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    terms = (
+        docs.filter(F.col(slice_col).isin(slice_a, slice_b))
+        .select(
+            (F.col(slice_col) == slice_a).alias("__a__"),
+            F.explode(F.split(norm, " ")).alias("__t__"),
+        )
+        .filter(F.col("__t__") != "")
+        .groupBy("__t__")
+        .agg(
+            F.sum(F.col("__a__").cast("long")).alias("__ca__"),
+            F.sum((~F.col("__a__")).cast("long")).alias("__cb__"),
+        )
+    )
+    tot = terms.agg(
+        F.sum("__ca__").cast("long").alias("__na__"),
+        F.sum("__cb__").cast("long").alias("__nb__"),
+    )
+    p = F.col("__ca__").cast("double") / F.col("__na__").cast("double")
+    q = F.col("__cb__").cast("double") / F.col("__nb__").cast("double")
+    m = (p + q) / 2.0
+    term = F.round(
+        F.when(F.col("__ca__") > 0, p / 2.0 * F.log(p / m)).otherwise(0.0)
+        + F.when(F.col("__cb__") > 0, q / 2.0 * F.log(q / m)).otherwise(0.0),
+        14,
+    ).cast("decimal(28,14)")
+    return (
+        terms.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("__na__").alias("n_tokens_a"),
+            F.max("__nb__").alias("n_tokens_b"),
+            F.count(F.lit(1)).cast("long").alias("vocab"),
+            F.round(F.sum(term).cast("double"), digits).alias("jsd_nats"),
+        )
+    )
+
+
+def blocklist_scores(
+    docs: DataFrame,
+    blocklist: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_ratio: float = 0.0,
+    digits: int = 6,
+) -> DataFrame:
+    """Blocklist-token filter — the C4-style "bad words" gate (Raffel
+    et al. 2020 drop any page containing a listed word; ``max_ratio``
+    generalizes to a tolerance). Per document:
+
+        (doc_id, n_tokens, n_blocked, blocked_ratio, keep)
+
+    counted with multiplicity over the SAME whitespace normalization
+    as the other text signals; keep = blocked_ratio <= max_ratio
+    (so the default 0.0 is the strict C4 rule). Empty documents have
+    ratio 0 and are kept.
+
+    Scale shape: pure zero-shuffle projection — the blocklist is a
+    literal array, counting is a codegen'd array filter; composes
+    with ``quality_score``/``gopher_rules`` in one scan.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    toks = F.filter(F.split(norm, " "), lambda t: t != "")
+    blocked = F.filter(
+        toks, lambda t: t.isin([w.lower() for w in blocklist])
+    )
+    n = F.size(toks).cast("long")
+    nb = F.size(blocked).cast("long")
+    ratio = F.when(n > 0, F.round(nb.cast("double") / n.cast("double"), digits)).otherwise(0.0)
+    return docs.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        nb.alias("n_blocked"),
+        ratio.alias("blocked_ratio"),
+        (ratio <= F.lit(float(max_ratio))).alias("keep"),
+    )

@@ -2248,3 +2248,185 @@ def score_match(
         chosen["__s__"].alias("control_score"),
         F.abs(ts - chosen["__s__"]).alias("match_dist"),
     )
+
+
+def permutation_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    n_perm: int = 200,
+    digits: int = 6,
+) -> DataFrame:
+    """Randomization test for a difference in group means — the
+    distribution-free p-value for an A/B read-out (``ab_test_proportions``'
+    continuous-metric sibling without the normality assumption). ONE
+    row:
+
+        (n, n_treat, diff_obs, n_perm, n_extreme, p_value)
+
+    Each replicate REASSIGNS every unit to 'treated' independently
+    with probability n1/n (the binomial approximation to the exact
+    permutation distribution — the standard distributed relaxation;
+    exact label-permutation needs a global shuffle per replicate) and
+    recomputes the mean difference; p = (1 + #{|d_b| >= |d_obs|}) /
+    (n_perm + 1), the add-one rule that keeps p > 0.
+
+    Determinism / oracle parity: assignment uniforms ride the SAME
+    md5 4-slot carving as ``poisson_bootstrap_mean`` (u =
+    md5(id|ceil(b/4)) slot / 2^32, bit-identical in both engines);
+    the threshold n1/n and each replicate difference are rounded to 9
+    before comparison, replicate sums accumulate as decimals — no
+    float merge-order anywhere. Replicates with a degenerate
+    assignment (all units one arm) contribute |d| = NULL and count as
+    NOT extreme (documented).
+
+    Scale shape: same as the bootstrap — explode n x n_perm, collapse
+    immediately through a map-side-combinable groupBy(b); shuffle
+    volume is n_perm x partitions. The narrow projection lifts to
+    full parallelism first so a coarse scan cannot pin the hashing.
+    """
+    g = F.col(group_col).cast("boolean")
+    base = df.select(
+        F.col(id_col).alias("__id__"),
+        F.col(value_col).cast("double").alias("__x__"),
+        g.alias("__g__"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("__g__").cast("long")).alias("n_treat"),
+        F.sum(F.when(F.col("__g__"), F.col("__x__")).cast("decimal(28,6)")).alias("__s1__"),
+        F.sum(F.when(~F.col("__g__"), F.col("__x__")).cast("decimal(28,6)")).alias("__s0__"),
+    )
+    nn = F.col("n").cast("double")
+    n1 = F.col("n_treat").cast("double")
+    d_obs = F.round(
+        F.col("__s1__").cast("double") / n1
+        - F.col("__s0__").cast("double") / (nn - n1),
+        9,
+    )
+    obs = stats.select(
+        "n", "n_treat",
+        F.round(n1 / nn, 9).alias("__p1__"),
+        d_obs.alias("__dobs__"),
+    )
+    target = df.sparkSession.sparkContext.defaultParallelism
+    narrow = base.select("__id__", "__x__")
+    if narrow.rdd.getNumPartitions() < target:
+        narrow = narrow.repartition(target)
+    b = F.explode(F.sequence(F.lit(1), F.lit(int(n_perm)))).alias("b")
+    grp = ((F.col("b") - 1) / F.lit(4)).cast("long") + 1
+    pos = ((F.col("b") - 1) % F.lit(4)) * 8 + 1
+    u = (
+        F.conv(
+            F.md5(F.concat_ws("|", F.col("__id__"), grp)).substr(
+                pos.cast("int"), F.lit(8)
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(2**32))
+    )
+    rep = (
+        narrow.crossJoin(F.broadcast(obs.select("__p1__")))
+        .select("__id__", "__x__", "__p1__", b)
+        .select("b", F.col("__x__"), (u < F.col("__p1__")).alias("__t__"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("__t__").cast("long")).alias("__k1__"),
+            F.sum(F.when(F.col("__t__"), F.col("__x__")).cast("decimal(28,6)")).alias("__r1__"),
+            F.sum(F.when(~F.col("__t__"), F.col("__x__")).cast("decimal(28,6)")).alias("__r0__"),
+            F.count(F.lit(1)).alias("__nb__"),
+        )
+    )
+    k1 = F.col("__k1__").cast("double")
+    nb = F.col("__nb__").cast("double")
+    d_b = F.when(
+        (F.col("__k1__") > 0) & (F.col("__k1__") < F.col("__nb__")),
+        F.round(
+            F.col("__r1__").cast("double") / k1
+            - F.col("__r0__").cast("double") / (nb - k1),
+            9,
+        ),
+    )
+    # join the observed diff in to count extremes in the same reduction
+    ext = (
+        rep.crossJoin(F.broadcast(obs.select("__dobs__")))
+        .select(
+            (F.abs(d_b) >= F.abs(F.col("__dobs__"))).cast("long").alias("__e__")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_perm"),
+            F.coalesce(F.sum("__e__"), F.lit(0)).cast("long").alias("n_extreme"),
+        )
+    )
+    return (
+        obs.crossJoin(F.broadcast(ext))
+        .select(
+            "n", "n_treat",
+            F.round(F.col("__dobs__"), digits).alias("diff_obs"),
+            "n_perm", "n_extreme",
+            F.round(
+                (1.0 + F.col("n_extreme")) / (F.col("n_perm") + 1.0), digits
+            ).alias("p_value"),
+        )
+    )
+
+
+def info_gain(
+    df: DataFrame,
+    label_col: str,
+    feature_cols: Sequence[str],
+    digits: int = 9,
+) -> DataFrame:
+    """Per-feature mutual information with a label — the filter-style
+    feature ranking (information gain = I(feature; label) in nats),
+    ``mutual_information`` generalized to many candidate columns in
+    one pass. One row per feature, descending MI:
+
+        (feature, n_values, mi_nats)
+
+    NULL feature values form their own level (missingness is
+    informative); the label must be non-null.
+
+    Scale shape: ONE unpivot projection (k rows per input row, k =
+    feature count) into a single (feature, value, label) group-count —
+    the only fact-scale shuffle; marginals and the decimal-summed
+    rounded cell terms run on the bounded (feature x value x label)
+    table, exactly the certified mutual_information discipline.
+    """
+    stacked = df.filter(F.col(label_col).isNotNull()).select(
+        F.col(label_col).cast("string").alias("__y__"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("f"),
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00null")).alias("v"),
+                )
+                for c in feature_cols
+            ])
+        ).alias("__fv__"),
+    ).select("__y__", F.col("__fv__.f").alias("__f__"), F.col("__fv__.v").alias("__v__"))
+    cells = stacked.groupBy("__f__", "__v__", "__y__").agg(
+        F.count(F.lit(1)).alias("n_xy")
+    )
+    mx = cells.groupBy("__f__", "__v__").agg(F.sum("n_xy").alias("n_x"))
+    my = cells.groupBy("__f__", "__y__").agg(F.sum("n_xy").alias("n_y"))
+    tot = cells.groupBy("__f__").agg(F.sum("n_xy").alias("__n__"))
+    pmi = F.log(
+        (F.col("n_xy") * F.col("__n__")) / (F.col("n_x") * F.col("n_y"))
+    )
+    term = F.round((F.col("n_xy") / F.col("__n__")) * pmi, 14).cast(
+        "decimal(28,14)"
+    )
+    return (
+        cells.join(F.broadcast(mx), on=["__f__", "__v__"])
+        .join(F.broadcast(my), on=["__f__", "__y__"])
+        .join(F.broadcast(tot), on="__f__")
+        .groupBy("__f__")
+        .agg(
+            F.count_distinct(F.col("__v__")).cast("long").alias("n_values"),
+            F.round(F.sum(term).cast("double"), digits).alias("mi_nats"),
+        )
+        .select(F.col("__f__").alias("feature"), "n_values", "mi_nats")
+    )

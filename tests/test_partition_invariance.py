@@ -175,6 +175,11 @@ R10_NEW = [
     "trimmed_mean",
     "lorenz_curve",
     "attribution_credit",
+    # eval/divergence: md5-replayed replicates, decimal MI/JSD folds
+    "permutation_test",
+    "info_gain",
+    "js_divergence",
+    "blocklist",
 ]
 
 
