@@ -184,6 +184,20 @@ BENCH_QUERIES = [
     "odds_ratio",
     "growth_accounting",
     "cuped",
+    # r10 session-2 additions (appended — keep the comparable prefix):
+    # clinical/epi pack, causal matching/balance, analytics, and the
+    # eval/divergence pack
+    "cmh",
+    "nelson_aalen",
+    "psm_match",
+    "smd_balance",
+    "trimmed_mean",
+    "lorenz_curve",
+    "attribution_credit",
+    "permutation_test",
+    "info_gain",
+    "js_divergence",
+    "blocklist",
 ]
 
 # Scope the measured set without editing the file (drift A/B testing,
