@@ -198,6 +198,10 @@ BENCH_QUERIES = [
     "info_gain",
     "js_divergence",
     "blocklist",
+    "brier_ece",
+    "kendall_tau",
+    "time_to_convert",
+    "stickiness",
 ]
 
 # Scope the measured set without editing the file (drift A/B testing,

@@ -4024,6 +4024,48 @@ def q_cochran_armitage(spark: SparkSession, sf: str) -> DataFrame:
     return ml_stats.cochran_armitage(od, "tier", "outcome")
 
 
+def q_brier_ece(spark: SparkSession, sf: str) -> DataFrame:
+    """Brier score + expected calibration error of 'value predicts
+    error' (ml/train.py:brier_ece) — the scalar pair over the same
+    deciles the calibration query plots."""
+    ev = read_table(spark, sf, "events").select(
+        F.col("value").alias("score"),
+        (F.col("event_type") == "error").cast("int").alias("label"),
+    )
+    return ml_train.brier_ece(ev, "score", "label", n_bins=10)
+
+
+def q_kendall_tau(spark: SparkSession, sf: str) -> DataFrame:
+    """Kendall tau-b between event value and hour-of-day per event
+    type (operators/timeseries.py:kendall_tau): integer-exact
+    concordance counts from the guarded within-key pair join."""
+    ev = read_table(spark, sf, "events").select(
+        "event_type",
+        F.col("value").alias("x"),
+        F.hour("ts").cast("double").alias("y"),
+        "event_id",
+    )
+    # deterministic 1-in-50 thinning keeps the quadratic pair join
+    # bounded at every sf (the operator's guard stays armed)
+    ev = ev.filter(F.pmod(F.col("event_id"), F.lit(50)) == 0)
+    return timeseries.kendall_tau(
+        ev, "event_type", "x", "y", "event_id", max_points=100000
+    )
+
+
+def q_time_to_convert(spark: SparkSession, sf: str) -> DataFrame:
+    """Signup-to-purchase latency distribution
+    (operators/cohort.py:time_to_convert): exact quartile hours over
+    converters, conversion rate over all signed-up users."""
+    return cohort.time_to_convert(read_table(spark, sf, "events"))
+
+
+def q_stickiness(spark: SparkSession, sf: str) -> DataFrame:
+    """Monthly DAU/MAU stickiness (operators/cohort.py:stickiness)
+    from one distinct user-day reduction."""
+    return cohort.stickiness(read_table(spark, sf, "events"))
+
+
 def q_permutation_test(spark: SparkSession, sf: str) -> DataFrame:
     """Randomization test for the priority effect on order value
     (ml/stats.py:permutation_test): 200 md5-seeded binomial
@@ -4455,6 +4497,10 @@ QUERIES = {
     "info_gain": q_info_gain,
     "js_divergence": q_js_divergence,
     "blocklist": q_blocklist,
+    "brier_ece": q_brier_ece,
+    "kendall_tau": q_kendall_tau,
+    "time_to_convert": q_time_to_convert,
+    "stickiness": q_stickiness,
 }
 
 # -- r9 certification window (ROTATION.md): the driver checks the FIRST
@@ -10600,4 +10646,143 @@ ORACLES["blocklist"] = """
                                 / CAST(n_tokens AS DOUBLE), 6)
                      ELSE 0.0 END) <= CAST(0.02 AS DOUBLE) AS keep
         FROM counted
+    """
+
+ORACLES["brier_ece"] = """
+        WITH brier AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   round(CAST(sum(CAST(round(
+                       (CAST(value AS DOUBLE)
+                        - CAST(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END
+                               AS DOUBLE))
+                       * (CAST(value AS DOUBLE)
+                          - CAST(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END
+                                 AS DOUBLE)), 9) AS DECIMAL(28,9)))
+                       AS DOUBLE) / count(*), 6) AS brier
+            FROM events
+        ),
+        edges AS (
+            SELECT list_transform(
+                quantile_cont(CAST(value AS DOUBLE),
+                    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+                e -> round(e, 6)) AS ed
+            FROM events
+        ),
+        binned AS (
+            SELECT len(list_filter(ed, e -> CAST(value AS DOUBLE) > e)) AS bin,
+                   CAST(round(CAST(value AS DOUBLE), 6) AS DECIMAL(28,6)) AS s,
+                   CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y
+            FROM events, edges
+        ),
+        bins AS (
+            SELECT bin, count(*) AS n,
+                   round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS mean_score,
+                   round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS frac_pos
+            FROM binned GROUP BY bin
+        ),
+        ece AS (
+            SELECT round(
+                CAST(sum(CAST(round(CAST(n AS DOUBLE)
+                                    * abs(frac_pos - mean_score), 9)
+                              AS DECIMAL(28,9))) AS DOUBLE)
+                / CAST(sum(n) AS DOUBLE), 6) AS ece
+            FROM bins
+        )
+        SELECT n, brier.brier AS brier, ece.ece AS ece FROM brier, ece
+    """
+
+ORACLES["kendall_tau"] = """
+        WITH base AS (
+            SELECT event_type,
+                   CAST(value AS DOUBLE) AS x,
+                   CAST(hour(ts) AS DOUBLE) AS y,
+                   event_id AS i
+            FROM events
+            WHERE event_id % 50 = 0
+              AND value IS NOT NULL
+        ),
+        cnt AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n
+            FROM base GROUP BY event_type
+        ),
+        pairs AS (
+            SELECT a.event_type,
+                   CASE WHEN (b.x - a.x) * (b.y - a.y) > 0 THEN 1 ELSE 0 END AS c,
+                   CASE WHEN (b.x - a.x) * (b.y - a.y) < 0 THEN 1 ELSE 0 END AS d,
+                   CASE WHEN b.x - a.x = 0 THEN 1 ELSE 0 END AS tx,
+                   CASE WHEN b.y - a.y = 0 THEN 1 ELSE 0 END AS ty
+            FROM base a JOIN base b
+              ON a.event_type = b.event_type AND a.i < b.i
+        ),
+        s AS (
+            SELECT event_type,
+                   CAST(sum(c) AS BIGINT) AS concordant,
+                   CAST(sum(d) AS BIGINT) AS discordant,
+                   CAST(sum(tx) AS BIGINT) AS stx,
+                   CAST(sum(ty) AS BIGINT) AS sty,
+                   CAST(count(*) AS BIGINT) AS p
+            FROM pairs GROUP BY event_type
+        )
+        SELECT cnt.event_type, cnt.n,
+               coalesce(concordant, 0) AS concordant,
+               coalesce(discordant, 0) AS discordant,
+               CASE WHEN CAST(p - stx AS DOUBLE) > 0
+                         AND CAST(p - sty AS DOUBLE) > 0
+                    THEN round(CAST(concordant - discordant AS DOUBLE)
+                               / sqrt(CAST(p - stx AS DOUBLE)
+                                      * CAST(p - sty AS DOUBLE)), 6) + 0.0
+               END AS tau_b
+        FROM cnt LEFT JOIN s USING (event_type)
+    """
+
+ORACLES["time_to_convert"] = """
+        WITH per_user AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'signup' THEN ts END) AS t0
+            FROM events GROUP BY user_id
+        ),
+        conv AS (
+            SELECT user_id, ts AS tc FROM events WHERE event_type = 'purchase'
+        ),
+        per AS (
+            SELECT p.user_id,
+                   min(CASE WHEN c.tc >= p.t0 THEN c.tc END) AS tc,
+                   min(p.t0) AS t0
+            FROM per_user p LEFT JOIN conv c ON p.user_id = c.user_id
+            WHERE p.t0 IS NOT NULL
+            GROUP BY p.user_id
+        ),
+        lat AS (
+            SELECT CASE WHEN tc IS NOT NULL THEN
+                       CAST(epoch_us(tc) - epoch_us(t0) AS DOUBLE) / 3600000000.0
+                   END AS h
+            FROM per
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_users,
+               CAST(count(h) AS BIGINT) AS n_converted,
+               round(CAST(count(h) AS DOUBLE) / count(*), 6) AS conversion_rate,
+               round(quantile_cont(h, 0.25), 6) AS p25_hours,
+               round(quantile_cont(h, 0.5), 6) AS p50_hours,
+               round(quantile_cont(h, 0.75), 6) AS p75_hours
+        FROM lat
+    """
+
+ORACLES["stickiness"] = """
+        WITH ud AS (
+            SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events
+        ),
+        daily AS (SELECT d, count(*) AS dau FROM ud GROUP BY d),
+        monthly AS (
+            SELECT strftime(d, '%Y-%m') AS month,
+                   CAST(count(DISTINCT u) AS BIGINT) AS mau
+            FROM ud GROUP BY 1
+        ),
+        dau_m AS (
+            SELECT strftime(d, '%Y-%m') AS month,
+                   round(CAST(sum(dau) AS DOUBLE) / count(*), 6) AS avg_dau
+            FROM daily GROUP BY 1
+        )
+        SELECT month, avg_dau, mau,
+               round(avg_dau / CAST(mau AS DOUBLE), 6) AS stickiness
+        FROM monthly JOIN dau_m USING (month)
     """

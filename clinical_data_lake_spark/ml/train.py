@@ -377,3 +377,56 @@ def calibrate_isotonic(
     )
     model = ir.fit(scored)
     return model.transform(scored), model
+
+
+def brier_ece(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    digits: int = 6,
+) -> DataFrame:
+    """Brier score + expected calibration error in ONE read-out — the
+    proper-scoring-rule summary (Brier = mean squared probability
+    error) and the reliability-diagram scalar (ECE = population-
+    weighted |observed rate - mean score| over the same
+    equal-population deciles ``calibration_curve`` plots). ONE row:
+
+        (n, brier, ece)
+
+    Brier decomposes into calibration + refinement; tracking both
+    catches a model that ranks well (AUC) but drifts in probability
+    scale.
+
+    Scale shape: the Brier term is one decimal-summed aggregate over
+    the scan; ECE folds ``calibration_curve``'s n_bins-row output
+    (same edge broadcast, same binning expression) with rounded
+    decimal terms — two scans total, both map-side combinable.
+    """
+    from pyspark.sql import functions as SF
+
+    s = SF.col(score_col).cast("double")
+    y = SF.col(label_col).cast("double")
+    brier = df.agg(
+        SF.count(SF.lit(1)).cast("long").alias("n"),
+        SF.round(
+            SF.sum(
+                SF.round((s - y) * (s - y), 9).cast("decimal(28,9)")
+            ).cast("double")
+            / SF.count(SF.lit(1)),
+            digits,
+        ).alias("brier"),
+    )
+    bins = calibration_curve(df, score_col, label_col, n_bins, digits)
+    term = SF.round(
+        SF.col("n").cast("double")
+        * SF.abs(SF.col("frac_pos") - SF.col("mean_score")),
+        9,
+    ).cast("decimal(28,9)")
+    ece = bins.agg(
+        (
+            SF.sum(term).cast("double")
+            / SF.sum(SF.col("n")).cast("double")
+        ).alias("__e__")
+    ).select(SF.round(SF.col("__e__"), digits).alias("ece"))
+    return brier.crossJoin(SF.broadcast(ece))

@@ -677,3 +677,123 @@ def growth_accounting(
             ),
         ).alias("quick_ratio"),
     )
+
+
+def time_to_convert(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    start_type: str = "signup",
+    convert_type: str = "purchase",
+    digits: int = 6,
+) -> DataFrame:
+    """Conversion-latency distribution — time from each user's FIRST
+    ``start_type`` event to their first ``convert_type`` event at or
+    after it (the activation read-out next to ``funnel_conversion``'s
+    step counts: not IF users convert but HOW FAST). ONE row:
+
+        (n_users, n_converted, conversion_rate,
+         p25_hours, p50_hours, p75_hours)
+
+    Users without a start event are excluded; conversions BEFORE the
+    first start don't count (re-activation belongs to a different
+    question). Percentiles are exact, over converters only.
+
+    Scale shape: one user-key aggregate (conditional min timestamps —
+    the only fact shuffle), then a 1-row percentile reduction over the
+    per-user latency table.
+    """
+    per_user = events.groupBy(user_col).agg(
+        F.min(
+            F.when(F.col(type_col) == start_type, F.col(ts_col))
+        ).alias("__t0__"),
+    )
+    conv = events.filter(F.col(type_col) == convert_type).select(
+        F.col(user_col), F.col(ts_col).alias("__tc__")
+    )
+    lat = (
+        per_user.filter(F.col("__t0__").isNotNull())
+        .join(conv, on=user_col, how="left")
+        .groupBy(user_col)
+        .agg(
+            # conversions BEFORE the first start null out here, so a
+            # user whose only purchases predate signup still counts in
+            # n_users (as unconverted) rather than vanishing
+            F.min(
+                F.when(F.col("__tc__") >= F.col("__t0__"), F.col("__tc__"))
+            ).alias("__tc__"),
+            F.min("__t0__").alias("__t0__"),
+        )
+        .select(
+            F.when(
+                F.col("__tc__").isNotNull(),
+                (
+                    F.unix_micros(F.col("__tc__"))
+                    - F.unix_micros(F.col("__t0__"))
+                ).cast("double")
+                / 3.6e9,
+            ).alias("__h__")
+        )
+    )
+    return lat.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.count("__h__").cast("long").alias("n_converted"),
+        F.round(
+            F.count("__h__").cast("double") / F.count(F.lit(1)), digits
+        ).alias("conversion_rate"),
+        F.round(F.percentile(F.col("__h__"), F.lit(0.25)), digits).alias(
+            "p25_hours"
+        ),
+        F.round(F.percentile(F.col("__h__"), F.lit(0.5)), digits).alias(
+            "p50_hours"
+        ),
+        F.round(F.percentile(F.col("__h__"), F.lit(0.75)), digits).alias(
+            "p75_hours"
+        ),
+    )
+
+
+def stickiness(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    digits: int = 6,
+) -> DataFrame:
+    """DAU/MAU stickiness per calendar month — the engagement-depth
+    ratio next to ``activity_rollup``'s growth counts (how many of the
+    month's users show up on an average day). One row per month:
+
+        (month, avg_dau, mau, stickiness)
+
+    avg_dau averages the month's ACTIVE-day counts over days that had
+    any activity (the convention that doesn't punish short first/last
+    calendar months; zero-activity days inside a month are a calendar
+    question — see ``growth_accounting`` for the shifted-week
+    treatment).
+
+    Scale shape: one distinct (user, day) reduction — the only
+    fact-scale work; daily counts, monthly distincts, and the ratio
+    all run on the bounded day/month tables.
+    """
+    ud = events.select(
+        F.col(user_col).alias("__u__"),
+        F.col(ts_col).cast("date").alias("__d__"),
+    ).distinct()
+    daily = ud.groupBy("__d__").agg(F.count(F.lit(1)).alias("__dau__"))
+    monthly = ud.select(
+        F.date_format("__d__", "yyyy-MM").alias("month"), "__u__"
+    ).groupBy("month").agg(F.count_distinct("__u__").cast("long").alias("mau"))
+    dau_m = daily.select(
+        F.date_format("__d__", "yyyy-MM").alias("month"), "__dau__"
+    ).groupBy("month").agg(
+        F.round(
+            F.sum("__dau__").cast("double") / F.count(F.lit(1)), digits
+        ).alias("avg_dau")
+    )
+    return monthly.join(dau_m, on="month").select(
+        "month", "avg_dau", "mau",
+        F.round(F.col("avg_dau") / F.col("mau").cast("double"), digits).alias(
+            "stickiness"
+        ),
+    )

@@ -832,3 +832,99 @@ def decompose_daily(
             ).alias("remainder"),
         )
     )
+
+
+def kendall_tau(
+    events: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+    digits: int = 6,
+    max_points: int = 1000,
+) -> DataFrame:
+    """Kendall's tau-b rank correlation per series — the robust,
+    tie-corrected monotone-association measure (``spearman``'s
+    sibling; ``mann_kendall`` is this against time). One row per key:
+
+        (key, n, concordant, discordant, tau_b)
+
+        tau_b = (C - D) / sqrt((P - Tx)(P - Ty))
+
+    with P = n(n-1)/2 pairs, Tx/Ty = pairs tied on x / y. All counts
+    are integer-exact; NULL tau when either factor is 0 (a constant
+    margin has no ranking to correlate).
+
+    Scale shape: the pair join is WITHIN each key (shuffle on the key
+    only; cost sum n_k^2 — the statistic's definition) with the SAME
+    in-plan ``max_points`` raise_error guard as ``theil_sen``: no
+    pre-flight job, oversized series fail loudly from the single job.
+    Unique ``id_col`` orders pairs so each unordered pair is counted
+    exactly once.
+    """
+    base = events.select(
+        F.col(key_col),
+        F.col(x_col).cast("double").alias("__x__"),
+        F.col(y_col).cast("double").alias("__y__"),
+        F.col(id_col).alias("__i__"),
+    ).filter(F.col("__x__").isNotNull() & F.col("__y__").isNotNull())
+    counts = base.groupBy(key_col).agg(F.count(F.lit(1)).alias("__n__"))
+    guard_msg = F.concat(
+        F.lit(
+            f"kendall_tau: series over {max_points} points (pair join is "
+            f"quadratic per series); sample first or raise max_points; "
+            f"offending key: "
+        ),
+        F.col(key_col).cast("string"),
+    )
+    a = base.join(counts, on=key_col).select(
+        key_col,
+        F.when(F.col("__n__") <= F.lit(max_points), F.col("__x__"))
+        .otherwise(F.raise_error(guard_msg))
+        .alias("__xa__"),
+        F.col("__y__").alias("__ya__"),
+        F.col("__i__").alias("__ia__"),
+    )
+    b = base.select(
+        key_col,
+        F.col("__x__").alias("__xb__"),
+        F.col("__y__").alias("__yb__"),
+        F.col("__i__").alias("__ib__"),
+    )
+    dx = F.col("__xb__") - F.col("__xa__")
+    dy = F.col("__yb__") - F.col("__ya__")
+    prod = dx * dy
+    pairs = (
+        a.join(b, on=key_col)
+        .filter(F.col("__ia__") < F.col("__ib__"))
+        .select(
+            key_col,
+            (prod > 0).cast("long").alias("__c__"),
+            (prod < 0).cast("long").alias("__d__"),
+            (dx == 0).cast("long").alias("__tx__"),
+            (dy == 0).cast("long").alias("__ty__"),
+        )
+    )
+    s = pairs.groupBy(key_col).agg(
+        F.sum("__c__").cast("long").alias("concordant"),
+        F.sum("__d__").cast("long").alias("discordant"),
+        F.sum("__tx__").cast("long").alias("__stx__"),
+        F.sum("__ty__").cast("long").alias("__sty__"),
+        F.count(F.lit(1)).cast("long").alias("__p__"),
+    )
+    fx = (F.col("__p__") - F.col("__stx__")).cast("double")
+    fy = (F.col("__p__") - F.col("__sty__")).cast("double")
+    tau = F.when(
+        (fx > 0) & (fy > 0),
+        (F.col("concordant") - F.col("discordant")).cast("double")
+        / F.sqrt(fx * fy),
+    )
+    n_out = counts.select(
+        F.col(key_col), F.col("__n__").cast("long").alias("n")
+    )
+    return n_out.join(s, on=key_col, how="left").select(
+        key_col, "n",
+        F.coalesce("concordant", F.lit(0)).alias("concordant"),
+        F.coalesce("discordant", F.lit(0)).alias("discordant"),
+        (F.round(tau, digits) + F.lit(0.0)).alias("tau_b"),
+    )

@@ -180,6 +180,12 @@ R10_NEW = [
     "info_gain",
     "js_divergence",
     "blocklist",
+    # product metrics: decile decimal folds, integer pair counts,
+    # exact percentiles, distinct-day reductions
+    "brier_ece",
+    "kendall_tau",
+    "time_to_convert",
+    "stickiness",
 ]
 
 

@@ -1,0 +1,166 @@
+"""brier/ECE, Kendall tau-b, conversion latency, stickiness."""
+
+from __future__ import annotations
+
+import datetime
+import itertools
+import math
+
+import pytest
+
+from clinical_data_lake_spark.ml.train import brier_ece
+from clinical_data_lake_spark.operators.cohort import (
+    stickiness,
+    time_to_convert,
+)
+from clinical_data_lake_spark.operators.timeseries import kendall_tau
+
+
+# -- brier_ece ----------------------------------------------------------
+
+
+def test_brier_perfect_predictions_zero(spark):
+    df = spark.createDataFrame(
+        [(1.0, 1), (0.0, 0)] * 20, "score double, label int"
+    )
+    r = brier_ece(df, "score", "label", n_bins=2).collect()[0]
+    assert r.brier == pytest.approx(0.0)
+    assert r.ece == pytest.approx(0.0)
+
+
+def test_brier_closed_form(spark):
+    # constant score 0.5, half positives: brier = 0.25, ece = 0
+    df = spark.createDataFrame(
+        [(0.5, 1), (0.5, 0)] * 10, "score double, label int"
+    )
+    r = brier_ece(df, "score", "label", n_bins=2).collect()[0]
+    assert r.n == 20
+    assert r.brier == pytest.approx(0.25)
+    assert r.ece == pytest.approx(0.0)
+
+
+def test_ece_detects_miscalibration(spark):
+    # score always 0.9 but only 10% positives: ece ~ 0.8, brier high
+    rows = [(0.9, 1)] * 2 + [(0.9, 0)] * 18
+    df = spark.createDataFrame(rows, "score double, label int")
+    r = brier_ece(df, "score", "label", n_bins=2).collect()[0]
+    assert r.ece == pytest.approx(0.8, abs=1e-6)
+
+
+# -- kendall_tau --------------------------------------------------------
+
+
+def _py_tau(points):
+    c = d = tx = ty = 0
+    for (x1, y1), (x2, y2) in itertools.combinations(points, 2):
+        p = (x2 - x1) * (y2 - y1)
+        if p > 0:
+            c += 1
+        elif p < 0:
+            d += 1
+        if x2 == x1:
+            tx += 1
+        if y2 == y1:
+            ty += 1
+    n0 = len(points) * (len(points) - 1) // 2
+    den = math.sqrt((n0 - tx) * (n0 - ty))
+    return c, d, (c - d) / den if den > 0 else None
+
+
+def test_kendall_tau_matches_reference_with_ties(spark):
+    points = [(1.0, 2.0), (2.0, 2.0), (2.0, 5.0), (3.0, 1.0), (4.0, 4.0),
+              (5.0, 4.0), (6.0, 7.0)]
+    rows = [("k", x, y, i) for i, (x, y) in enumerate(points)]
+    df = spark.createDataFrame(rows, "k string, x double, y double, id long")
+    r = kendall_tau(df, "k", "x", "y", "id").collect()[0]
+    c, d, tau = _py_tau(points)
+    assert (r.concordant, r.discordant) == (c, d)
+    assert r.tau_b == pytest.approx(round(tau, 6))
+
+
+def test_kendall_tau_perfect_and_constant(spark):
+    rows = [("up", float(i), float(i * 2), i) for i in range(10)]
+    rows += [("const", float(i), 3.0, i) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string, x double, y double, id long")
+    out = {r.k: r for r in kendall_tau(df, "k", "x", "y", "id").collect()}
+    assert out["up"].tau_b == pytest.approx(1.0)
+    assert out["const"].tau_b is None  # constant y margin
+
+
+def test_kendall_tau_guard_raises(spark):
+    rows = [("k", float(i), float(i), i) for i in range(20)]
+    df = spark.createDataFrame(rows, "k string, x double, y double, id long")
+    with pytest.raises(Exception, match="kendall_tau: series over"):
+        kendall_tau(df, "k", "x", "y", "id", max_points=10).collect()
+
+
+# -- time_to_convert ----------------------------------------------------
+
+
+def _e(eid, uid, sec, et):
+    return (eid, datetime.datetime(2026, 3, 1, 0, 0, 0)
+            + datetime.timedelta(seconds=sec), uid, et)
+
+
+def test_time_to_convert_closed_form(spark):
+    rows = [
+        _e(1, 1, 0, "signup"), _e(2, 1, 7200, "purchase"),      # 2h
+        _e(3, 2, 0, "signup"), _e(4, 2, 3600, "purchase"),      # 1h
+        _e(5, 3, 0, "signup"),                                   # never
+        _e(6, 4, 3600, "purchase"), _e(7, 4, 7200, "signup"),   # pre-signup only
+        _e(8, 5, 0, "purchase"),                                 # no signup
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    r = time_to_convert(df).collect()[0]
+    assert r.n_users == 4          # users 1,2,3,4 signed up; 5 excluded
+    assert r.n_converted == 2      # users 1 and 2 only
+    assert r.conversion_rate == pytest.approx(0.5)
+    assert r.p50_hours == pytest.approx(1.5)
+    assert r.p25_hours == pytest.approx(1.25)
+
+
+def test_time_to_convert_same_instant_counts(spark):
+    rows = [_e(1, 1, 0, "signup"), _e(2, 1, 0, "purchase")]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    r = time_to_convert(df).collect()[0]
+    assert r.n_converted == 1 and r.p50_hours == pytest.approx(0.0)
+
+
+# -- stickiness ---------------------------------------------------------
+
+
+def test_stickiness_closed_form(spark):
+    # month 2026-01: user 1 active 2 days, user 2 active 1 day
+    # daily actives: d1 -> {1,2}=2, d2 -> {1}=1 ; avg_dau=1.5, mau=2
+    rows = [
+        _e(1, 1, 0, "view"),
+        _e(2, 2, 60, "view"),
+        _e(3, 1, 86400, "view"),
+        _e(4, 1, 86400 + 60, "click"),  # same user-day, dedups
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    r = stickiness(df).collect()[0]
+    assert r.month == "2026-03"
+    assert r.avg_dau == pytest.approx(1.5)
+    assert r.mau == 2
+    assert r.stickiness == pytest.approx(0.75)
+
+
+def test_stickiness_everyone_every_day_is_one(spark):
+    rows = []
+    eid = 0
+    for day in range(5):
+        for u in range(3):
+            eid += 1
+            rows.append(_e(eid, u, day * 86400, "view"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    r = stickiness(df).collect()[0]
+    assert r.stickiness == pytest.approx(1.0)
