@@ -202,6 +202,8 @@ BENCH_QUERIES = [
     "kendall_tau",
     "time_to_convert",
     "stickiness",
+    "ols2",
+    "lm_cross_score",
 ]
 
 # Scope the measured set without editing the file (drift A/B testing,

@@ -4024,6 +4024,27 @@ def q_cochran_armitage(spark: SparkSession, sf: str) -> DataFrame:
     return ml_stats.cochran_armitage(od, "tier", "outcome")
 
 
+def q_ols2(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-returnflag two-regressor OLS (ml/stats.py:ols2): price on
+    quantity + discount, closed-form normal-equation solve from one
+    decimal sufficient-statistics aggregate."""
+    li = read_table(spark, sf, "lineitem")
+    return ml_stats.ols2(
+        li, "l_returnflag", "l_extendedprice", "l_quantity", "l_discount"
+    )
+
+
+def q_lm_cross_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-corpus LM scoring (functions/text.py:
+    bigram_lm_cross_scores): bigram model trained on the en slice
+    scores the fr docs — unseen-mass backoff exercised for real."""
+    docs = read_table(spark, sf, "documents")
+    return text.bigram_lm_cross_scores(
+        docs.filter(F.col("lang") == "en"),
+        docs.filter(F.col("lang") == "fr"),
+    )
+
+
 def q_brier_ece(spark: SparkSession, sf: str) -> DataFrame:
     """Brier score + expected calibration error of 'value predicts
     error' (ml/train.py:brier_ece) — the scalar pair over the same
@@ -4501,6 +4522,8 @@ QUERIES = {
     "kendall_tau": q_kendall_tau,
     "time_to_convert": q_time_to_convert,
     "stickiness": q_stickiness,
+    "ols2": q_ols2,
+    "lm_cross_score": q_lm_cross_score,
 }
 
 # -- r9 certification window (ROTATION.md): the driver checks the FIRST
@@ -10785,4 +10808,116 @@ ORACLES["stickiness"] = """
         SELECT month, avg_dau, mau,
                round(avg_dau / CAST(mau AS DOUBLE), 6) AS stickiness
         FROM monthly JOIN dau_m USING (month)
+    """
+
+ORACLES["ols2"] = """
+        WITH g AS (
+            SELECT l_returnflag AS grp,
+                   CAST(count(*) AS BIGINT) AS n,
+                   sum(CAST(l_quantity AS DECIMAL(18,6))) AS s1,
+                   sum(CAST(l_discount AS DECIMAL(18,6))) AS s2,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS sy,
+                   sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS s11,
+                   sum(CAST(l_quantity * l_discount AS DECIMAL(38,6))) AS s12,
+                   sum(CAST(l_discount * l_discount AS DECIMAL(38,6))) AS s22,
+                   sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS s1y,
+                   sum(CAST(l_discount * l_extendedprice AS DECIMAL(38,6))) AS s2y,
+                   sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS syy
+            FROM lineitem GROUP BY l_returnflag
+        ),
+        m AS (
+            SELECT grp, n,
+                   round(CAST(s1 AS DOUBLE) / n, 9) AS m1,
+                   round(CAST(s2 AS DOUBLE) / n, 9) AS m2,
+                   round(CAST(sy AS DOUBLE) / n, 9) AS my,
+                   round(CAST(s11 AS DOUBLE) / n
+                         - round(CAST(s1 AS DOUBLE) / n, 9)
+                           * round(CAST(s1 AS DOUBLE) / n, 9), 9) AS c11,
+                   round(CAST(s12 AS DOUBLE) / n
+                         - round(CAST(s1 AS DOUBLE) / n, 9)
+                           * round(CAST(s2 AS DOUBLE) / n, 9), 9) AS c12,
+                   round(CAST(s22 AS DOUBLE) / n
+                         - round(CAST(s2 AS DOUBLE) / n, 9)
+                           * round(CAST(s2 AS DOUBLE) / n, 9), 9) AS c22,
+                   round(CAST(s1y AS DOUBLE) / n
+                         - round(CAST(s1 AS DOUBLE) / n, 9)
+                           * round(CAST(sy AS DOUBLE) / n, 9), 9) AS c1y,
+                   round(CAST(s2y AS DOUBLE) / n
+                         - round(CAST(s2 AS DOUBLE) / n, 9)
+                           * round(CAST(sy AS DOUBLE) / n, 9), 9) AS c2y,
+                   round(CAST(syy AS DOUBLE) / n
+                         - round(CAST(sy AS DOUBLE) / n, 9)
+                           * round(CAST(sy AS DOUBLE) / n, 9), 9) AS cyy
+            FROM g
+        ),
+        s AS (
+            SELECT grp, n, m1, m2, my, c11, c12, c22, c1y, c2y, cyy,
+                   c11 * c22 - c12 * c12 AS det,
+                   greatest(abs(c11 * c22), abs(c12 * c12),
+                            CAST(1e-12 AS DOUBLE)) AS scale
+            FROM m
+        ),
+        b AS (
+            SELECT grp, n, my, m1, m2, c1y, c2y, cyy,
+                   (n >= 3 AND abs(det) > 1e-9 * scale) AS ok,
+                   (c1y * c22 - c2y * c12) / det AS b1,
+                   (c2y * c11 - c1y * c12) / det AS b2
+            FROM s
+        )
+        SELECT grp AS l_returnflag, n,
+               CASE WHEN ok THEN round(my - b1 * m1 - b2 * m2, 6) END + 0.0 AS b0,
+               CASE WHEN ok THEN round(b1, 6) END + 0.0 AS b1,
+               CASE WHEN ok THEN round(b2, 6) END + 0.0 AS b2,
+               CASE WHEN ok AND cyy > 0
+                    THEN round(1.0 - (cyy - b1 * c1y - b2 * c2y) / cyy, 6)
+               END + 0.0 AS r2
+        FROM b
+    """
+
+ORACLES["lm_cross_score"] = """
+        WITH train_toks AS (
+            SELECT string_split(regexp_replace(lower(trim(text)),
+                                               '\\s+', ' ', 'g'), ' ') AS t
+            FROM documents WHERE lang = 'en'
+        ),
+        bc AS (
+            SELECT bigram, count(*) AS c12 FROM (
+                SELECT t[i] || ' ' || t[i + 1] AS bigram
+                FROM train_toks, unnest(range(1, len(t))) AS u(i)
+            ) GROUP BY bigram
+        ),
+        uni AS (
+            SELECT w1, count(*) AS c1
+            FROM (SELECT unnest(t) AS w1 FROM train_toks)
+            GROUP BY w1
+        ),
+        v AS (SELECT count(*) AS vsz FROM uni),
+        score_toks AS (
+            SELECT doc_id,
+                   string_split(regexp_replace(lower(trim(text)),
+                                               '\\s+', ' ', 'g'), ' ') AS t
+            FROM documents WHERE lang = 'fr'
+        ),
+        pairs AS (
+            SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i + 1] AS bigram
+            FROM score_toks, unnest(range(1, len(t))) AS u(i)
+        ),
+        scored AS (
+            SELECT p.doc_id,
+                   count(*) AS n_bigrams,
+                   round(CAST(sum(CAST(round(
+                       ln((coalesce(c12, 0) + CAST(0.5 AS DOUBLE))
+                          / (coalesce(c1, 0) + CAST(0.5 AS DOUBLE) * vsz)), 6
+                   ) AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS avg_logprob
+            FROM pairs p
+            LEFT JOIN bc USING (bigram)
+            LEFT JOIN uni USING (w1)
+            CROSS JOIN v
+            GROUP BY p.doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(s.n_bigrams, 0) AS n_bigrams,
+               s.avg_logprob
+        FROM (SELECT doc_id FROM documents WHERE lang = 'fr') d
+        LEFT JOIN scored s USING (doc_id)
     """

@@ -819,3 +819,101 @@ def blocklist_scores(
         ratio.alias("blocked_ratio"),
         (ratio <= F.lit(float(max_ratio))).alias("keep"),
     )
+
+
+def bigram_lm_cross_scores(
+    train_docs,
+    score_docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.5,
+    round_to: int = 6,
+):
+    """Cross-corpus bigram LM scoring — ``bigram_lm_scores`` with the
+    model trained on ONE corpus and applied to ANOTHER: the KenLM/
+    CCNet domain-filter shape (train on trusted text, keep crawl docs
+    the model finds predictable) and the LM-space drift probe next to
+    ``js_divergence``'s token-space one. Returns (id, n_bigrams,
+    avg_logprob) for every scoring document;
+
+        ln( (c_train(w1 w2) + k) / (c_train(w1) + k * V_train) )
+
+    with UNSEEN bigrams/unigrams backing off to counts of 0 under the
+    same add-k smoothing (the in-corpus variant never hits that path;
+    here it is the point). Docs with < 2 tokens: n_bigrams 0, NULL
+    score.
+
+    Scale shape: identical to the in-corpus operator — model tables
+    are train-vocabulary-bounded; the scoring explode joins LEFT on
+    the bigram key (the only fact-scale shuffle), unigrams and V
+    broadcast.
+    """
+    from ..operators.caching import track_persist
+
+    def _norm(c):
+        return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+    def _bigrams(c):
+        t = F.split(_norm(c), " ")
+        n = F.size(t)
+        return F.when(
+            n >= 2,
+            F.zip_with(
+                F.slice(t, 1, n - 1),
+                F.slice(t, 2, n - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    bigram_counts = (
+        train_docs.select(F.explode(_bigrams(F.col(text_col))).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    unigram_counts = track_persist(
+        train_docs.select(
+            F.explode(F.split(_norm(F.col(text_col)), " ")).alias("w1")
+        )
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = unigram_counts.agg(F.count(F.lit(1)).alias("__v__"))
+    pairs = score_docs.select(
+        F.col(id_col),
+        F.explode(_bigrams(F.col(text_col))).alias("bigram"),
+    ).withColumn("w1", F.split(F.col("bigram"), " ").getItem(0))
+    logp = F.round(
+        F.log(
+            (F.coalesce(F.col("c12"), F.lit(0)).cast("double") + F.lit(float(k)))
+            / (
+                F.coalesce(F.col("c1"), F.lit(0)).cast("double")
+                + F.lit(float(k)) * F.col("__v__").cast("double")
+            )
+        ),
+        round_to,
+    )
+    scored = (
+        pairs.join(bigram_counts, on="bigram", how="left")
+        .join(F.broadcast(unigram_counts), on="w1", how="left")
+        .join(F.broadcast(vocab), how="cross")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(logp.cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1)),
+                round_to,
+            ).alias("avg_logprob"),
+        )
+    )
+    return (
+        score_docs.select(id_col)
+        .join(scored, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias(
+                "n_bigrams"
+            ),
+            F.col("avg_logprob"),
+        )
+    )

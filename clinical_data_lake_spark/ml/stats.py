@@ -2430,3 +2430,79 @@ def info_gain(
         )
         .select(F.col("__f__").alias("feature"), "n_values", "mi_nats")
     )
+
+
+def ols2(
+    df: DataFrame,
+    group_col: str,
+    y_col: str,
+    x1_col: str,
+    x2_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Per-group two-regressor OLS via the normal equations —
+    covariate-ADJUSTED effect estimation in closed form (the
+    multivariable step past ``fit_linear_per_group``'s single
+    regressor, without an iterative solver): solve
+
+        X'X beta = X'y,   X = [1, x1, x2]
+
+    by Cramer's rule on the 3x3 sufficient-statistics matrix. One row
+    per group:
+
+        (group, n, b0, b1, b2, r2)
+
+    with r2 = 1 - SSE/SST (the computational identity
+    SSE = Syy - b0 Sy - b1 Sx1y - b2 Sx2y). Collinear or degenerate
+    groups (|det| ~ 0 relative to scale, or n < 3, or zero outcome
+    variance for r2) yield NULLs rather than exploded coefficients.
+
+    Scale shape: ONE map-side-combinable aggregate per group collects
+    the 10 decimal sufficient sums (nothing but group rows shuffles);
+    the solve is pure column arithmetic on the reduced row. Moments
+    are divided once into doubles ROUNDED to 9 before the determinant
+    algebra so both engines run identical fp sequences.
+    """
+    y = F.col(y_col).cast("double")
+    x1 = F.col(x1_col).cast("double")
+    x2 = F.col(x2_col).cast("double")
+    d6, d28 = "decimal(18,6)", "decimal(38,6)"
+    g = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x1.cast(d6)).alias("__s1__"),
+        F.sum(x2.cast(d6)).alias("__s2__"),
+        F.sum(y.cast(d6)).alias("__sy__"),
+        F.sum((x1 * x1).cast(d28)).alias("__s11__"),
+        F.sum((x1 * x2).cast(d28)).alias("__s12__"),
+        F.sum((x2 * x2).cast(d28)).alias("__s22__"),
+        F.sum((x1 * y).cast(d28)).alias("__s1y__"),
+        F.sum((x2 * y).cast(d28)).alias("__s2y__"),
+        F.sum((y * y).cast(d28)).alias("__syy__"),
+    )
+    nn = F.col("n").cast("double")
+    # centered second moments (per-observation scale), rounded once
+    m1 = F.round(F.col("__s1__").cast("double") / nn, 9)
+    m2 = F.round(F.col("__s2__").cast("double") / nn, 9)
+    my = F.round(F.col("__sy__").cast("double") / nn, 9)
+    c11 = F.round(F.col("__s11__").cast("double") / nn - m1 * m1, 9)
+    c12 = F.round(F.col("__s12__").cast("double") / nn - m1 * m2, 9)
+    c22 = F.round(F.col("__s22__").cast("double") / nn - m2 * m2, 9)
+    c1y = F.round(F.col("__s1y__").cast("double") / nn - m1 * my, 9)
+    c2y = F.round(F.col("__s2y__").cast("double") / nn - m2 * my, 9)
+    cyy = F.round(F.col("__syy__").cast("double") / nn - my * my, 9)
+    det = c11 * c22 - c12 * c12
+    scale = F.greatest(F.abs(c11 * c22), F.abs(c12 * c12), F.lit(1e-12))
+    ok = (F.col("n") >= 3) & (F.abs(det) > 1e-9 * scale)
+    b1 = (c1y * c22 - c2y * c12) / det
+    b2 = (c2y * c11 - c1y * c12) / det
+    b0 = my - b1 * m1 - b2 * m2
+    sse_over_n = cyy - b1 * c1y - b2 * c2y
+    r2 = F.when(cyy > 0, 1.0 - sse_over_n / cyy)
+    return g.select(
+        F.col("grp").alias(group_col),
+        "n",
+        (F.round(F.when(ok, b0), digits) + F.lit(0.0)).alias("b0"),
+        (F.round(F.when(ok, b1), digits) + F.lit(0.0)).alias("b1"),
+        (F.round(F.when(ok, b2), digits) + F.lit(0.0)).alias("b2"),
+        (F.round(F.when(ok, r2), digits) + F.lit(0.0)).alias("r2"),
+    )

@@ -186,6 +186,9 @@ R10_NEW = [
     "kendall_tau",
     "time_to_convert",
     "stickiness",
+    # closed-form normal-equation solve; cross-corpus LM backoff join
+    "ols2",
+    "lm_cross_score",
 ]
 
 

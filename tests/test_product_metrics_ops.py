@@ -164,3 +164,95 @@ def test_stickiness_everyone_every_day_is_one(spark):
     )
     r = stickiness(df).collect()[0]
     assert r.stickiness == pytest.approx(1.0)
+
+
+# -- ols2 ---------------------------------------------------------------
+
+
+def test_ols2_exact_recovery(spark):
+    # y = 2 + 3 x1 - 5 x2 exactly -> coefficients recovered, r2 = 1
+    rows = []
+    for i in range(40):
+        x1, x2 = float(i % 7), float((i * 3) % 5)
+        rows.append(("g", 2.0 + 3.0 * x1 - 5.0 * x2, x1, x2))
+    from clinical_data_lake_spark.ml.stats import ols2
+
+    df = spark.createDataFrame(rows, "g string, y double, x1 double, x2 double")
+    r = ols2(df, "g", "y", "x1", "x2").collect()[0]
+    assert r.b0 == pytest.approx(2.0, abs=1e-4)
+    assert r.b1 == pytest.approx(3.0, abs=1e-4)
+    assert r.b2 == pytest.approx(-5.0, abs=1e-4)
+    assert r.r2 == pytest.approx(1.0, abs=1e-6)
+
+
+def test_ols2_collinear_nulls(spark):
+    from clinical_data_lake_spark.ml.stats import ols2
+
+    rows = [("g", float(i), float(i), float(2 * i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "g string, y double, x1 double, x2 double")
+    r = ols2(df, "g", "y", "x1", "x2").collect()[0]
+    assert r.b1 is None and r.b2 is None and r.r2 is None
+
+
+def test_ols2_matches_numpy(spark):
+    import numpy as np
+
+    from clinical_data_lake_spark.ml.stats import ols2
+
+    rng_rows = []
+    for i in range(60):
+        x1 = float((i * 37) % 11)
+        x2 = float((i * 17) % 13)
+        noise = float(((i * 7919) % 100) - 50) / 25.0
+        rng_rows.append(("g", 1.5 - 2.0 * x1 + 0.75 * x2 + noise, x1, x2))
+    df = spark.createDataFrame(
+        rng_rows, "g string, y double, x1 double, x2 double"
+    )
+    r = ols2(df, "g", "y", "x1", "x2").collect()[0]
+    x = np.array([[1.0, a, b] for _, _, a, b in rng_rows])
+    yv = np.array([y for _, y, _, _ in rng_rows])
+    beta = np.linalg.lstsq(x, yv, rcond=None)[0]
+    assert r.b0 == pytest.approx(beta[0], abs=1e-3)
+    assert r.b1 == pytest.approx(beta[1], abs=1e-3)
+    assert r.b2 == pytest.approx(beta[2], abs=1e-3)
+
+
+# -- bigram_lm_cross_scores ---------------------------------------------
+
+
+def test_lm_cross_backoff_on_unseen(spark):
+    from clinical_data_lake_spark.functions.text import (
+        bigram_lm_cross_scores,
+    )
+    import math
+
+    train = spark.createDataFrame(
+        [(1, "a b a b a b")], "doc_id long, text string"
+    )
+    score = spark.createDataFrame(
+        [(10, "a b"), (11, "z q")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in bigram_lm_cross_scores(train, score).collect()}
+    # train counts: c(a b)=3, c(a)=3, c(b)=3, V=2
+    assert out[10].avg_logprob == pytest.approx(
+        round(math.log((3 + 0.5) / (3 + 0.5 * 2)), 6)
+    )
+    # fully unseen: (0+0.5)/(0+0.5*2) = 0.5
+    assert out[11].avg_logprob == pytest.approx(round(math.log(0.5), 6))
+
+
+def test_lm_cross_in_domain_scores_higher(spark):
+    from clinical_data_lake_spark.functions.text import (
+        bigram_lm_cross_scores,
+    )
+
+    train = spark.createDataFrame(
+        [(i, "the quick brown fox jumps") for i in range(5)],
+        "doc_id long, text string",
+    )
+    score = spark.createDataFrame(
+        [(100, "the quick brown fox"), (101, "totally novel phrasing here")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bigram_lm_cross_scores(train, score).collect()}
+    assert out[100].avg_logprob > out[101].avg_logprob
