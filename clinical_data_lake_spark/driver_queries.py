@@ -10817,12 +10817,12 @@ ORACLES["ols2"] = """
                    sum(CAST(l_quantity AS DECIMAL(18,6))) AS s1,
                    sum(CAST(l_discount AS DECIMAL(18,6))) AS s2,
                    sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS sy,
-                   sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS s11,
-                   sum(CAST(l_quantity * l_discount AS DECIMAL(38,6))) AS s12,
-                   sum(CAST(l_discount * l_discount AS DECIMAL(38,6))) AS s22,
-                   sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS s1y,
-                   sum(CAST(l_discount * l_extendedprice AS DECIMAL(38,6))) AS s2y,
-                   sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS syy
+                   sum(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS s11,
+                   sum(CAST(l_quantity * l_discount AS DECIMAL(18,6))) AS s12,
+                   sum(CAST(l_discount * l_discount AS DECIMAL(18,6))) AS s22,
+                   sum(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS s1y,
+                   sum(CAST(l_discount * l_extendedprice AS DECIMAL(18,6))) AS s2y,
+                   sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,6))) AS syy
             FROM lineitem GROUP BY l_returnflag
         ),
         m AS (

