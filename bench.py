@@ -204,6 +204,9 @@ BENCH_QUERIES = [
     "stickiness",
     "ols2",
     "lm_cross_score",
+    "rmst",
+    "fd_check",
+    "bpe_encode",
 ]
 
 # Scope the measured set without editing the file (drift A/B testing,

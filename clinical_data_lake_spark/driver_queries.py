@@ -4024,6 +4024,52 @@ def q_cochran_armitage(spark: SparkSession, sf: str) -> DataFrame:
     return ml_stats.cochran_armitage(od, "tier", "outcome")
 
 
+def q_rmst(spark: SparkSession, sf: str) -> DataFrame:
+    """Restricted mean survival time to a 30-day horizon per arm
+    (ml/stats.py:rmst) — area under the same KM curve survival_km
+    certifies, decimal-summed step areas."""
+    return ml_stats.rmst(
+        _km_subjects(spark, sf), 30.0, "duration", "event", ["arm"]
+    )
+
+
+def q_fd_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Functional-dependency audit over the order lines
+    (operators/quality.py:fd_check): l_orderkey->o_custkey must hold
+    on the join; l_partkey->l_suppkey and l_orderkey->l_returnflag
+    measure real multi-valued dependencies."""
+    li = read_table(spark, sf, "lineitem")
+    od = read_table(spark, sf, "orders")
+    from .operators import quality as dq
+
+    j = li.join(od, li["l_orderkey"] == od["o_orderkey"]).select(
+        "l_orderkey", "o_custkey", "l_partkey", "l_suppkey", "l_returnflag"
+    )
+    return dq.fd_check(
+        j,
+        [
+            ("l_orderkey", "o_custkey"),
+            ("l_partkey", "l_suppkey"),
+            ("l_orderkey", "l_returnflag"),
+        ],
+    )
+
+
+def q_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE encoding of the corpus under its own 10-merge table
+    (llm/corpus.py:bpe_encode) — rows-only (iterative merge folds have
+    no SQL twin); certified by the bpe_pairs proxy and the exact
+    pure-Python reference unit in tests."""
+    from .llm import corpus as llm_corpus
+
+    docs = read_table(spark, sf, "documents")
+    merges = [
+        (r, lft, rgt)
+        for r, lft, rgt, _ in llm_corpus.bpe_train(docs, n_merges=10)
+    ]
+    return llm_corpus.bpe_encode(docs, merges)
+
+
 def q_ols2(spark: SparkSession, sf: str) -> DataFrame:
     """Per-returnflag two-regressor OLS (ml/stats.py:ols2): price on
     quantity + discount, closed-form normal-equation solve from one
@@ -4524,6 +4570,9 @@ QUERIES = {
     "stickiness": q_stickiness,
     "ols2": q_ols2,
     "lm_cross_score": q_lm_cross_score,
+    "rmst": q_rmst,
+    "fd_check": q_fd_check,
+    "bpe_encode": q_bpe_encode,
 }
 
 # -- r9 certification window (ROTATION.md): the driver checks the FIRST
@@ -10920,4 +10969,128 @@ ORACLES["lm_cross_score"] = """
                s.avg_logprob
         FROM (SELECT doc_id FROM documents WHERE lang = 'fr') d
         LEFT JOIN scored s USING (doc_id)
+    """
+
+ORACLES["rmst"] = """
+        WITH per_user AS (
+            SELECT user_id, min(ts) AS t0, max(ts) AS t1,
+                   min(CASE WHEN event_type = 'error' THEN ts END) AS te
+            FROM events GROUP BY user_id
+        ),
+        subj AS (
+            SELECT CAST(user_id % 2 AS INTEGER) AS arm,
+                   CAST(date_diff('day', CAST(t0 AS DATE),
+                                  CAST(coalesce(te, t1) AS DATE)) AS BIGINT) AS duration,
+                   CASE WHEN te IS NOT NULL THEN 1 ELSE 0 END AS event
+            FROM per_user
+        ),
+        exits AS (
+            SELECT arm, duration AS t,
+                   CAST(sum(event) AS BIGINT) AS n_event,
+                   CAST(count(*) - sum(event) AS BIGINT) AS n_censor
+            FROM subj GROUP BY arm, duration
+        ),
+        risk AS (
+            SELECT arm, t, n_event, n_censor,
+                   CAST(sum(n_event + n_censor) OVER (PARTITION BY arm)
+                        - coalesce(sum(n_event + n_censor) OVER (
+                              PARTITION BY arm ORDER BY t
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS n_risk
+            FROM exits
+        ),
+        calc AS (
+            SELECT arm, t, n_risk, n_event, n_censor,
+                   1.0 - CAST(n_event AS DOUBLE) / CAST(n_risk AS DOUBLE) AS factor
+            FROM risk
+        ),
+        km AS (
+            SELECT arm, t,
+                   CASE WHEN max(CASE WHEN factor = 0 THEN 1 ELSE 0 END) OVER w = 1
+                        THEN 0.0
+                        ELSE round(exp(CAST(sum(CAST(round(
+                                 ln(CASE WHEN factor > 0 THEN factor END), 6)
+                             AS DECIMAL(28,6))) OVER w AS DOUBLE)), 6)
+                   END AS survival
+            FROM calc
+            WINDOW w AS (PARTITION BY arm ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        steps AS (
+            SELECT arm, survival,
+                   CAST(t AS DOUBLE) AS tc,
+                   coalesce(lead(CAST(t AS DOUBLE)) OVER w2,
+                            CAST(30.0 AS DOUBLE)) AS tn,
+                   row_number() OVER w2 AS rn
+            FROM km
+            WINDOW w2 AS (PARTITION BY arm ORDER BY t)
+        ),
+        areas AS (
+            SELECT arm,
+                   CAST(round(
+                       survival * greatest(least(tn, CAST(30.0 AS DOUBLE))
+                                           - least(tc, CAST(30.0 AS DOUBLE)),
+                                           CAST(0.0 AS DOUBLE))
+                       + CASE WHEN rn = 1
+                              THEN round(least(tc, CAST(30.0 AS DOUBLE)), 9)
+                              ELSE 0.0 END, 9) AS DECIMAL(28,9)) AS area
+            FROM steps
+        )
+        SELECT arm, CAST(30.0 AS DOUBLE) AS tau,
+               round(CAST(sum(area) AS DOUBLE), 6) AS rmst
+        FROM areas GROUP BY arm
+    """
+
+ORACLES["fd_check"] = """
+        WITH j AS (
+            SELECT l_orderkey, o_custkey, l_partkey, l_suppkey, l_returnflag
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        p1 AS (
+            SELECT CAST(l_orderkey AS VARCHAR) AS k,
+                   coalesce(CAST(o_custkey AS VARCHAR), chr(0) || 'null') AS v
+            FROM j WHERE l_orderkey IS NOT NULL
+        ),
+        a1 AS (SELECT k, count(DISTINCT v) AS nv FROM p1 GROUP BY k),
+        r1 AS (
+            SELECT 'l_orderkey' AS determinant, 'o_custkey' AS dependent,
+                   CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_violating_keys,
+                   round(CAST(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                         / count(*), 6) AS violation_rate,
+                   CAST(max(nv) AS BIGINT) AS max_variants
+            FROM a1
+        ),
+        p2 AS (
+            SELECT CAST(l_partkey AS VARCHAR) AS k,
+                   coalesce(CAST(l_suppkey AS VARCHAR), chr(0) || 'null') AS v
+            FROM j WHERE l_partkey IS NOT NULL
+        ),
+        a2 AS (SELECT k, count(DISTINCT v) AS nv FROM p2 GROUP BY k),
+        r2 AS (
+            SELECT 'l_partkey', 'l_suppkey',
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                   round(CAST(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                         / count(*), 6),
+                   CAST(max(nv) AS BIGINT)
+            FROM a2
+        ),
+        p3 AS (
+            SELECT CAST(l_orderkey AS VARCHAR) AS k,
+                   coalesce(CAST(l_returnflag AS VARCHAR), chr(0) || 'null') AS v
+            FROM j WHERE l_orderkey IS NOT NULL
+        ),
+        a3 AS (SELECT k, count(DISTINCT v) AS nv FROM p3 GROUP BY k),
+        r3 AS (
+            SELECT 'l_orderkey', 'l_returnflag',
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                   round(CAST(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                         / count(*), 6),
+                   CAST(max(nv) AS BIGINT)
+            FROM a3
+        )
+        SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
     """

@@ -566,3 +566,87 @@ def bpe_train(
             "word", "freq", apply_merge.alias("symbols")
         ).localCheckpoint(eager=True)
     return merges
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: Sequence[tuple[int, str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Apply a learned BPE merge table to a corpus — ``bpe_train``'s
+    other half, completing the tokenizer loop (train on one corpus,
+    ENCODE any corpus; Sennrich et al. 2016 §3). Returns per document:
+
+        (id, n_words, n_tokens, chars_per_token)
+
+    with n_tokens the BPE symbol count after applying every merge in
+    rank order (leftmost-first non-overlapping — the training
+    semantics, replayed by the exact pure-Python reference unit).
+
+    Scale shape: merges are applied to the DISTINCT-WORD table only
+    (vocab-sized — the corpus is never touched by the merge folds),
+    with an eager localCheckpoint every ``checkpoint_every`` merges so
+    plan depth stays bounded; documents then join word -> token-count
+    (the only fact-scale shuffle) and reduce per doc. Rows-only for
+    the driver (the iterative fold has no SQL twin); certified by the
+    ``bpe_pairs`` proxy plus the exact reference unit.
+    """
+    words = (
+        _ensure_parallelism(docs)
+        .select(F.explode(F.split(_normalized(text_col), " ")).alias("__w__"))
+        .filter(F.col("__w__") != "")
+        .groupBy("__w__")
+        .agg(F.count(F.lit(1)).alias("__f__"))
+    )
+    chars = F.filter(F.split(F.col("__w__"), ""), lambda c: c != "")
+    state = words.select(
+        "__w__", "__f__",
+        F.concat(chars, F.array(F.lit("</w>"))).alias("__sym__"),
+    )
+    ordered = sorted(merges, key=lambda m: m[0])
+    for i, (_, left, right) in enumerate(ordered):
+        merged = left + right
+        apply_merge = F.aggregate(
+            F.col("__sym__"),
+            F.expr("CAST(array() AS array<string>)"),
+            (
+                lambda lv, rv, mv: lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(lv))
+                    & (x == F.lit(rv)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.lit(mv)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(x)))
+            )(left, right, merged),
+        )
+        state = state.select("__w__", "__f__", apply_merge.alias("__sym__"))
+        if (i + 1) % checkpoint_every == 0:
+            state = state.localCheckpoint(eager=True)
+    word_tokens = state.select(
+        "__w__",
+        F.size("__sym__").alias("__nt__"),
+        (F.length("__w__") + F.lit(4)).alias("__nc__"),  # incl. </w>
+    )
+    per_doc_words = (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.split(_normalized(text_col), " ")).alias("__w__"),
+        )
+        .filter(F.col("__w__") != "")
+    )
+    return (
+        per_doc_words.join(word_tokens, on="__w__")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("__nt__").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum("__nc__").cast("double") / F.sum("__nt__").cast("double"),
+                6,
+            ).alias("chars_per_token"),
+        )
+    )

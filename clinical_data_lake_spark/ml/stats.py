@@ -2516,3 +2516,60 @@ def ols2(
         (F.round(F.when(ok, b2), digits) + F.lit(0.0)).alias("b2"),
         (F.round(F.when(ok, r2), digits) + F.lit(0.0)).alias("r2"),
     )
+
+
+def rmst(
+    subjects: DataFrame,
+    tau: float,
+    duration_col: str = "duration",
+    event_col: str = "event",
+    group_cols: Sequence[str] | None = None,
+    digits: int = 6,
+) -> DataFrame:
+    """Restricted mean survival time — the area under the Kaplan-Meier
+    curve up to horizon ``tau``: "average event-free time over the
+    next tau days", the effect measure clinical guidance increasingly
+    prefers to hazard ratios when proportional hazards is doubtful
+    (Royston & Parmar 2013). One row per group:
+
+        (group..., tau, rmst)
+
+        RMST = sum over KM steps of S(t_i) * (min(t_{i+1}, tau) - t_i)
+
+    with the leading segment S=1 on [0, t_1) and steps at/after tau
+    truncated. Uses the SAME ``kaplan_meier`` output (identical risk
+    sets — any KM/RMST inconsistency is a data bug, not an estimator
+    one).
+
+    Scale shape: everything beyond KM's one subject-scale groupBy runs
+    on the bounded exit-time table: one lead window per group, decimal
+    sums of rounded step areas.
+    """
+    groups = list(group_cols or [])
+    km = kaplan_meier(subjects, duration_col, event_col, groups, digits)
+    w = Window.partitionBy(*groups) if groups else Window.partitionBy()
+    w_lead = w.orderBy("t")
+    t_next = F.coalesce(
+        F.lead(F.col("t").cast("double")).over(w_lead), F.lit(float(tau))
+    )
+    t_cur = F.col("t").cast("double")
+    # segment [t_i, min(t_{i+1}, tau)) carries S(t_i); the pre-first
+    # segment [0, t_1) carries S = 1 via the lagged survival at row 1
+    first_seg = F.when(
+        F.row_number().over(w_lead) == 1,
+        F.round(F.least(t_cur, F.lit(float(tau))), 9),
+    ).otherwise(F.lit(0.0))
+    width = F.greatest(
+        F.least(t_next, F.lit(float(tau))) - F.least(t_cur, F.lit(float(tau))),
+        F.lit(0.0),
+    )
+    area = F.round(F.col("survival") * width + first_seg, 9).cast(
+        "decimal(28,9)"
+    )
+    # windows materialize in their own select — they cannot ride
+    # inside the aggregate expression
+    areas = km.select(*groups, area.alias("__area__"))
+    return areas.groupBy(*groups).agg(
+        F.lit(float(tau)).alias("tau"),
+        F.round(F.sum("__area__").cast("double"), digits).alias("rmst"),
+    )

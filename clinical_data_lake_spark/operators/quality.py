@@ -700,3 +700,61 @@ def l_diversity_classes(
             & (entropy_l >= F.lit(float(l) - 1e-6))
         ).alias("ok"),
     )
+
+
+def fd_check(
+    df: DataFrame,
+    dependencies: Sequence[tuple[str, str]],
+    digits: int = 6,
+) -> DataFrame:
+    """Functional-dependency audit — does A determine B in the data
+    (order -> customer, code -> description)? The schema-level
+    integrity check next to ``fk_orphan_counts``' row-level one; a
+    violated FD usually means a dirty merge or a mis-keyed load. One
+    row per declared dependency:
+
+        (determinant, dependent, n_keys, n_violating_keys,
+         violation_rate, max_variants)
+
+    A key "violates" A -> B when it maps to more than one distinct B
+    (NULL counts as a value variant: a key with B in {x, NULL} is a
+    real inconsistency).
+
+    Scale shape: one (determinant, dependent-value) distinct-style
+    aggregate per declared pair — each is a single map-side-combinable
+    shuffle on the determinant; the per-pair summaries (1 row each)
+    union into the report.
+    """
+    outs = []
+    for det, dep in dependencies:
+        per_key = (
+            df.select(
+                F.col(det).cast("string").alias("__k__"),
+                F.coalesce(
+                    F.col(dep).cast("string"), F.lit("\x00null")
+                ).alias("__v__"),
+            )
+            .filter(F.col("__k__").isNotNull())
+            .groupBy("__k__")
+            .agg(F.count_distinct("__v__").alias("__nv__"))
+        )
+        outs.append(
+            per_key.agg(
+                F.lit(det).alias("determinant"),
+                F.lit(dep).alias("dependent"),
+                F.count(F.lit(1)).cast("long").alias("n_keys"),
+                F.sum((F.col("__nv__") > 1).cast("long"))
+                .cast("long")
+                .alias("n_violating_keys"),
+                F.round(
+                    F.sum((F.col("__nv__") > 1).cast("long")).cast("double")
+                    / F.count(F.lit(1)),
+                    digits,
+                ).alias("violation_rate"),
+                F.max("__nv__").cast("long").alias("max_variants"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

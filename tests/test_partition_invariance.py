@@ -189,6 +189,11 @@ R10_NEW = [
     # closed-form normal-equation solve; cross-corpus LM backoff join
     "ols2",
     "lm_cross_score",
+    # KM-step area fold; per-pair distinct reductions; vocab-table
+    # merge folds joined back to the corpus
+    "rmst",
+    "fd_check",
+    "bpe_encode",
 ]
 
 

@@ -256,3 +256,113 @@ def test_lm_cross_in_domain_scores_higher(spark):
     )
     out = {r.doc_id: r for r in bigram_lm_cross_scores(train, score).collect()}
     assert out[100].avg_logprob > out[101].avg_logprob
+
+
+# -- rmst ---------------------------------------------------------------
+
+
+def test_rmst_no_events_equals_tau(spark):
+    # everyone censored beyond tau: S=1 through tau -> RMST = tau
+    subj = spark.createDataFrame(
+        [(0, 50.0, 0)] * 5, "arm int, duration double, event int"
+    )
+    from clinical_data_lake_spark.ml.stats import rmst
+
+    r = rmst(subj, 30.0, "duration", "event", ["arm"]).collect()[0]
+    assert r.rmst == pytest.approx(30.0)
+
+
+def test_rmst_closed_form(spark):
+    # 4 subjects, events at t=10 (2 of 4) and t=20 (1 of 2), one
+    # censored at 20. S: [0,10)=1, [10,20)=0.5, [20,30)=0.25
+    # RMST(30) = 10 + 0.5*10 + 0.25*10 = 17.5
+    subj = spark.createDataFrame(
+        [(0, 10.0, 1), (0, 10.0, 1), (0, 20.0, 1), (0, 20.0, 0)],
+        "arm int, duration double, event int",
+    )
+    from clinical_data_lake_spark.ml.stats import rmst
+
+    r = rmst(subj, 30.0, "duration", "event", ["arm"]).collect()[0]
+    assert r.rmst == pytest.approx(17.5)
+
+
+def test_rmst_truncates_beyond_tau(spark):
+    # event at 40 is beyond tau=30: curve is flat 1.0 through tau
+    subj = spark.createDataFrame(
+        [(0, 40.0, 1), (0, 40.0, 0)], "arm int, duration double, event int"
+    )
+    from clinical_data_lake_spark.ml.stats import rmst
+
+    r = rmst(subj, 30.0, "duration", "event", ["arm"]).collect()[0]
+    assert r.rmst == pytest.approx(30.0)
+
+
+# -- fd_check -----------------------------------------------------------
+
+
+def test_fd_check_holds_and_violates(spark):
+    from clinical_data_lake_spark.operators.quality import fd_check
+
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (1, "a", "y"), (2, "b", "z"), (2, "b", "z")],
+        "k int, good string, bad string",
+    )
+    out = {r.dependent: r for r in fd_check(df, [("k", "good"), ("k", "bad")]).collect()}
+    assert out["good"].n_violating_keys == 0
+    assert out["good"].violation_rate == 0.0
+    assert out["bad"].n_violating_keys == 1  # k=1 -> {x, y}
+    assert out["bad"].max_variants == 2
+    assert out["bad"].violation_rate == pytest.approx(0.5)
+
+
+def test_fd_check_null_is_a_variant(spark):
+    from clinical_data_lake_spark.operators.quality import fd_check
+
+    df = spark.createDataFrame(
+        [(1, "x"), (1, None)], "k int, v string"
+    )
+    r = fd_check(df, [("k", "v")]).collect()[0]
+    assert r.n_violating_keys == 1
+
+
+# -- bpe_encode ---------------------------------------------------------
+
+
+def _py_bpe_encode(word, merges):
+    syms = list(word) + ["</w>"]
+    for _, left, right in sorted(merges):
+        out = []
+        for s in syms:
+            if out and out[-1] == left and s == right:
+                out[-1] = left + right
+            else:
+                out.append(s)
+        syms = out
+    return syms
+
+
+def test_bpe_encode_matches_python_reference(spark):
+    from clinical_data_lake_spark.llm.corpus import bpe_encode, bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "new newer newest new")],
+        "doc_id long, text string",
+    )
+    merges_full = bpe_train(docs, n_merges=6)
+    merges = [(r, lft, rgt) for r, lft, rgt, _ in merges_full]
+    out = {r.doc_id: r for r in bpe_encode(docs, merges).collect()}
+    for did, textv in [(1, "low lower lowest low low"),
+                       (2, "new newer newest new")]:
+        words = textv.split()
+        want_tokens = sum(len(_py_bpe_encode(w, merges)) for w in words)
+        assert out[did].n_words == len(words)
+        assert out[did].n_tokens == want_tokens, did
+
+
+def test_bpe_encode_no_merges_is_chars(spark):
+    from clinical_data_lake_spark.llm.corpus import bpe_encode
+
+    docs = spark.createDataFrame([(1, "ab c")], "doc_id long, text string")
+    r = bpe_encode(docs, []).collect()[0]
+    # 'ab' -> a b </w> (3), 'c' -> c </w> (2)
+    assert r.n_tokens == 5 and r.n_words == 2
