@@ -207,6 +207,8 @@ BENCH_QUERIES = [
     "rmst",
     "fd_check",
     "bpe_encode",
+    "embed_pool",
+    "ann_filtered",
 ]
 
 # Scope the measured set without editing the file (drift A/B testing,

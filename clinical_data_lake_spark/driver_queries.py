@@ -4024,6 +4024,31 @@ def q_cochran_armitage(spark: SparkSession, sf: str) -> DataFrame:
     return ml_stats.cochran_armitage(od, "tier", "outcome")
 
 
+def q_embed_pool(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label mean-pooled unit embeddings (llm/similarity.py:
+    pool_embeddings): decimal per-dimension accumulation, sorted-dim
+    reassembly, L2 renormalization. Emitted in exploded
+    (label, n_members, pos, value) form — the class_prototypes
+    convention, since the driver compares scalar columns."""
+    pooled = similarity.pool_embeddings(
+        read_table(spark, sf, "embeddings"), "label"
+    )
+    return pooled.select(
+        "label", "n_members",
+        F.posexplode("embedding").alias("pos", "value"),
+    )
+
+
+def q_ann_filtered(spark: SparkSession, sf: str) -> DataFrame:
+    """Metadata-filtered exact cosine top-k (llm/similarity.py:
+    cosine_topk_filtered): neighbors constrained to the query's own
+    label, filter composed into the join predicate."""
+    em = read_table(spark, sf, "embeddings")
+    return similarity.cosine_topk_filtered(
+        em.filter(F.col("vec_id") < 5), em, k=10
+    )
+
+
 def q_rmst(spark: SparkSession, sf: str) -> DataFrame:
     """Restricted mean survival time to a 30-day horizon per arm
     (ml/stats.py:rmst) — area under the same KM curve survival_km
@@ -4573,6 +4598,8 @@ QUERIES = {
     "rmst": q_rmst,
     "fd_check": q_fd_check,
     "bpe_encode": q_bpe_encode,
+    "embed_pool": q_embed_pool,
+    "ann_filtered": q_ann_filtered,
 }
 
 # -- r9 certification window (ROTATION.md): the driver checks the FIRST
@@ -11093,4 +11120,73 @@ ORACLES["fd_check"] = """
             FROM a3
         )
         SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
+    """
+
+ORACLES["embed_pool"] = """
+        WITH ex AS (
+            SELECT label AS g, CAST(i - 1 AS INTEGER) AS d,
+                   CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS v
+            FROM embeddings,
+                 UNNEST(range(1, len(embedding) + 1)) AS t(i)
+        ),
+        per_dim AS (
+            SELECT g, d,
+                   sum(CAST(round(CAST(1.0 AS DOUBLE) * v, 12)
+                            AS DECIMAL(38,12))) AS sv,
+                   sum(CAST(round(CAST(1.0 AS DOUBLE), 12)
+                            AS DECIMAL(38,12))) AS sw
+            FROM ex GROUP BY g, d
+        ),
+        means AS (
+            SELECT g, d,
+                   round(CAST(sv AS DOUBLE) / CAST(sw AS DOUBLE), 9) AS m
+            FROM per_dim WHERE CAST(sw AS DOUBLE) > 0
+        ),
+        vecs AS (
+            SELECT g, list(m ORDER BY d) AS vec FROM means GROUP BY g
+        ),
+        members AS (
+            SELECT label AS g, CAST(count(*) AS BIGINT) AS n_members
+            FROM embeddings GROUP BY label
+        ),
+        norm AS (
+            SELECT v.g AS label, m.n_members,
+                   CASE WHEN sqrt(list_dot_product(vec, vec)) > 0
+                        THEN list_transform(vec,
+                            x -> round(x / sqrt(list_dot_product(vec, vec)), 9))
+                        ELSE vec END AS emb
+            FROM vecs v JOIN members m USING (g)
+        )
+        SELECT label, n_members,
+               CAST(i - 1 AS INTEGER) AS pos,
+               emb[CAST(i AS INTEGER)] AS value
+        FROM norm, UNNEST(range(1, len(emb) + 1)) AS t(i)
+    """
+
+ORACLES["ann_filtered"] = """
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe, label AS qf
+            FROM embeddings WHERE vec_id < 5
+        ),
+        c AS (
+            SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ce,
+                   label AS cf
+            FROM embeddings
+        ),
+        pairs AS (
+            SELECT query_id, neighbor_id,
+                   list_dot_product(qe, ce)
+                   / (sqrt(list_dot_product(qe, qe))
+                      * sqrt(list_dot_product(ce, ce))) AS s
+            FROM q JOIN c
+              ON qf IS NOT DISTINCT FROM cf AND query_id != neighbor_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, round(s, 6) AS sim,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY s DESC, neighbor_id) AS BIGINT) AS rnk
+            FROM pairs
+        )
+        SELECT query_id, neighbor_id, sim, rnk FROM ranked WHERE rnk <= 10
     """

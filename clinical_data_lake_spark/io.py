@@ -159,6 +159,39 @@ def write_table(
     writer.save(path)
 
 
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    fmt: str = "parquet",
+) -> None:
+    """Dynamic partition overwrite — replace ONLY the hive partitions
+    present in ``df``, leaving every other partition untouched: the
+    idempotent incremental-load primitive (re-running yesterday's batch
+    rewrites yesterday's directories and nothing else). A plain
+    ``mode('overwrite')`` with partitionBy would truncate the WHOLE
+    table — the classic 100 TB footgun this wrapper exists to remove.
+
+    Implemented with Spark's native
+    ``spark.sql.sources.partitionOverwriteMode=dynamic`` scoped to this
+    write (set and restored around it, so session behavior elsewhere
+    is unchanged).
+    """
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        (
+            df.write.format(fmt)
+            .mode("overwrite")
+            .partitionBy(*partition_by)
+            .save(path)
+        )
+    finally:
+        spark.conf.set(key, prev)
+
+
 def read_jsonl(
     spark: SparkSession,
     path: str,

@@ -977,3 +977,151 @@ def hard_negatives(
         )
         .filter(F.col("rnk") <= k)
     )
+
+
+def pool_embeddings(
+    chunks: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    weight_col: str | None = None,
+    normalize: bool = True,
+    round_to: int = 9,
+) -> DataFrame:
+    """Mean-pool chunk/member embeddings into one vector per group —
+    the standard doc-from-chunks (or class-from-members) pooling step
+    of a RAG/curation pipeline; ``class_prototypes``' general form
+    with optional weights and L2 renormalization. One row per group:
+
+        (group, n_members, embedding)
+
+    Per-dimension accumulation follows the certified prototype
+    discipline: (group, dim)-keyed decimal sums of ROUNDED
+    contributions — partition-invariant, no float merge-order.
+    Weighted pooling uses sum(w*v)/sum(w); NULL/zero total weight
+    yields no row (documented). ``normalize=True`` rescales the pooled
+    vector to unit L2 (zero vectors stay zero).
+
+    Scale shape: one posexplode + (group, dim) aggregate (the only
+    fact-scale shuffle, map-side combinable), one (group)-keyed
+    collect of the DIM-bounded vector via array_agg over a sorted
+    struct — no driver collect, no window over fact rows.
+    """
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col
+        else F.lit(1.0)
+    )
+    exploded = chunks.select(
+        F.col(group_col).alias("__g__"),
+        w.alias("__w__"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+            "__d__", "__v__"
+        ),
+    )
+    per_dim = exploded.groupBy("__g__", "__d__").agg(
+        F.sum(
+            F.round(F.col("__w__") * F.col("__v__"), 12).cast("decimal(38,12)")
+        ).alias("__sv__"),
+        F.sum(F.round(F.col("__w__"), 12).cast("decimal(38,12)")).alias(
+            "__sw__"
+        ),
+    )
+    mean = F.round(
+        F.col("__sv__").cast("double") / F.col("__sw__").cast("double"),
+        round_to,
+    )
+    vecs = (
+        per_dim.filter(F.col("__sw__").cast("double") > 0)
+        .select("__g__", F.struct("__d__", mean.alias("__m__")).alias("__s__"))
+        .groupBy("__g__")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("__s__")), lambda s: s["__m__"]
+            ).alias("__vec__")
+        )
+    )
+    members = chunks.groupBy(F.col(group_col).alias("__g__")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    if normalize:
+        nrm = F.sqrt(
+            F.aggregate(
+                F.col("__vec__"),
+                F.lit(0.0),
+                lambda acc, x: acc + x * x,
+            )
+        )
+        out_vec = F.when(
+            nrm > 0,
+            F.transform(F.col("__vec__"), lambda x: F.round(x / nrm, round_to)),
+        ).otherwise(F.col("__vec__"))
+    else:
+        out_vec = F.col("__vec__")
+    return (
+        vecs.join(members, on="__g__")
+        .select(
+            F.col("__g__").alias(group_col),
+            "n_members",
+            out_vec.alias("embedding"),
+        )
+    )
+
+
+def cosine_topk_filtered(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    filter_col: str = "label",
+    round_to: int = 6,
+) -> DataFrame:
+    """Filtered exact cosine top-k — nearest neighbors WITHIN the
+    query's own filter value (label / tenant / language): the
+    metadata-filtered retrieval every production vector search needs,
+    expressed as the filter composed INTO the join predicate so
+    Catalyst prunes non-matching pairs before any similarity math
+    (the ``hard_negatives`` lesson applied to the positive case).
+
+    (query_id, neighbor_id, rnk, sim) — self-pairs excluded, ties by
+    neighbor id; queries broadcast, corpus scanned once, per-query
+    window keeps k.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qe"),
+        F.col(filter_col).alias("qf"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("ce"),
+        F.col(filter_col).alias("cf"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("ce"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    qn = F.sqrt(
+        F.aggregate(F.col("qe"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    cn = F.sqrt(
+        F.aggregate(F.col("ce"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    sim = F.when(qn * cn > 0, dot / (qn * cn)).otherwise(F.lit(0.0))
+    pairs = c.join(
+        F.broadcast(q),
+        (F.col("qf").eqNullSafe(F.col("cf")))
+        & (F.col("query_id") != F.col("neighbor_id")),
+    ).select("query_id", "neighbor_id", sim.alias("sim_raw"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim_raw"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.select(
+            "query_id", "neighbor_id",
+            F.round("sim_raw", round_to).alias("sim"),
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= k)
+    )

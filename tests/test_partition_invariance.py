@@ -194,6 +194,9 @@ R10_NEW = [
     "rmst",
     "fd_check",
     "bpe_encode",
+    # decimal per-dim pooling; filtered top-k rank determinism
+    "embed_pool",
+    "ann_filtered",
 ]
 
 
