@@ -209,6 +209,8 @@ BENCH_QUERIES = [
     "bpe_encode",
     "embed_pool",
     "ann_filtered",
+    "pdc",
+    "person_time",
 ]
 
 # Scope the measured set without editing the file (drift A/B testing,

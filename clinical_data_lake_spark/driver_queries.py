@@ -4024,6 +4024,47 @@ def q_cochran_armitage(spark: SparkSession, sf: str) -> DataFrame:
     return ml_stats.cochran_armitage(od, "tier", "outcome")
 
 
+def q_pdc(spark: SparkSession, sf: str) -> DataFrame:
+    """Proportion of days covered (operators/cohort.py:pdc_adherence):
+    each purchase is a 7-day supply; window = [first event day, last
+    event day + 1) per user; overlapping fills collapse via the
+    certified island pass."""
+    ev = read_table(spark, sf, "events")
+    epoch = F.lit("1970-01-01")
+    win = ev.groupBy("user_id").agg(
+        F.datediff(F.min("ts").cast("date"), epoch).alias("ws"),
+        (F.datediff(F.max("ts").cast("date"), epoch) + 1).alias("we"),
+    )
+    sup = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.datediff(F.col("ts").cast("date"), epoch).alias("s"),
+            (F.datediff(F.col("ts").cast("date"), epoch) + 7).alias("e"),
+        )
+        .join(win, on="user_id")
+    )
+    return cohort.pdc_adherence(sup, "user_id", "s", "e", "ws", "we")
+
+
+def q_person_time(spark: SparkSession, sf: str) -> DataFrame:
+    """Error incidence per 1000 person-days by arm
+    (operators/cohort.py:person_time_rate): per-user observed days and
+    error counts reduced to rates with Wald log CIs."""
+    ev = read_table(spark, sf, "events")
+    per_user = ev.groupBy("user_id").agg(
+        (
+            F.datediff(F.max("ts").cast("date"), F.min("ts").cast("date")) + 1
+        ).cast("double").alias("days"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("n_err"),
+    )
+    subj = per_user.select(
+        F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("arm"),
+        "days", "n_err",
+    )
+    return cohort.person_time_rate(subj, "days", "n_err", ["arm"])
+
+
 def q_embed_pool(spark: SparkSession, sf: str) -> DataFrame:
     """Per-label mean-pooled unit embeddings (llm/similarity.py:
     pool_embeddings): decimal per-dimension accumulation, sorted-dim
@@ -4600,6 +4641,8 @@ QUERIES = {
     "bpe_encode": q_bpe_encode,
     "embed_pool": q_embed_pool,
     "ann_filtered": q_ann_filtered,
+    "pdc": q_pdc,
+    "person_time": q_person_time,
 }
 
 # -- r9 certification window (ROTATION.md): the driver checks the FIRST
@@ -11189,4 +11232,97 @@ ORACLES["ann_filtered"] = """
             FROM pairs
         )
         SELECT query_id, neighbor_id, sim, rnk FROM ranked WHERE rnk <= 10
+    """
+
+ORACLES["pdc"] = """
+        WITH win AS (
+            SELECT user_id,
+                   date_diff('day', DATE '1970-01-01',
+                             CAST(min(ts) AS DATE)) AS ws,
+                   date_diff('day', DATE '1970-01-01',
+                             CAST(max(ts) AS DATE)) + 1 AS we
+            FROM events GROUP BY user_id
+        ),
+        sup AS (
+            SELECT e.user_id,
+                   greatest(date_diff('day', DATE '1970-01-01',
+                                      CAST(e.ts AS DATE)), w.ws) AS s,
+                   least(date_diff('day', DATE '1970-01-01',
+                                   CAST(e.ts AS DATE)) + 7, w.we) AS e,
+                   w.ws, w.we
+            FROM events e JOIN win w ON e.user_id = w.user_id
+            WHERE e.event_type = 'purchase'
+        ),
+        clipped AS (SELECT * FROM sup WHERE s < e),
+        flagged AS (
+            SELECT user_id, s, e, ws, we,
+                   CASE WHEN max(e) OVER wprev IS NULL
+                             OR s > max(e) OVER wprev
+                        THEN 1 ELSE 0 END AS is_new
+            FROM clipped
+            WINDOW wprev AS (PARTITION BY user_id ORDER BY s, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING)
+        ),
+        islands AS (
+            SELECT user_id, s, e,
+                   sum(is_new) OVER (PARTITION BY user_id ORDER BY s, e
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND CURRENT ROW) AS isl
+            FROM flagged
+        ),
+        merged AS (
+            SELECT user_id, min(s) AS ms, max(e) AS me
+            FROM islands GROUP BY user_id, isl
+        ),
+        cov AS (
+            SELECT user_id, CAST(sum(me - ms) AS BIGINT) AS covered_days
+            FROM merged GROUP BY user_id
+        )
+        SELECT w.user_id,
+               CAST(w.we - w.ws AS BIGINT) AS window_days,
+               coalesce(c.covered_days, 0) AS covered_days,
+               round(CAST(coalesce(c.covered_days, 0) AS DOUBLE)
+                     / CAST(greatest(w.we - w.ws, 1) AS DOUBLE), 6) AS pdc
+        FROM win w LEFT JOIN cov c ON w.user_id = c.user_id
+    """
+
+ORACLES["person_time"] = f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST(date_diff('day', CAST(min(ts) AS DATE),
+                                  CAST(max(ts) AS DATE)) + 1 AS DOUBLE) AS days,
+                   CAST(sum((event_type = 'error')::INT) AS BIGINT) AS n_err
+            FROM events GROUP BY user_id
+        ),
+        subj AS (
+            SELECT CAST(user_id % 2 AS INTEGER) AS arm, days, n_err
+            FROM per_user
+        ),
+        g AS (
+            SELECT arm,
+                   CAST(count(*) AS BIGINT) AS n_subjects,
+                   round(CAST(sum(CAST(days AS DECIMAL(28,6))) AS DOUBLE), 6)
+                       AS person_time,
+                   CAST(sum(n_err) AS BIGINT) AS n_events
+            FROM subj GROUP BY arm
+        )
+        SELECT arm, n_subjects, person_time, n_events,
+               CASE WHEN person_time > 0 THEN
+                   round(CAST(1000.0 AS DOUBLE) * CAST(n_events AS DOUBLE)
+                         / person_time, 6)
+               END AS rate,
+               CASE WHEN person_time > 0 AND CAST(n_events AS DOUBLE) > 0 THEN
+                   round(exp(ln(CAST(1000.0 AS DOUBLE)
+                                * CAST(n_events AS DOUBLE) / person_time)
+                             - CAST({ml_stats.Z_975!r} AS DOUBLE)
+                               / sqrt(CAST(n_events AS DOUBLE))), 6)
+               END AS rate_lo,
+               CASE WHEN person_time > 0 AND CAST(n_events AS DOUBLE) > 0 THEN
+                   round(exp(ln(CAST(1000.0 AS DOUBLE)
+                                * CAST(n_events AS DOUBLE) / person_time)
+                             + CAST({ml_stats.Z_975!r} AS DOUBLE)
+                               / sqrt(CAST(n_events AS DOUBLE))), 6)
+               END AS rate_hi
+        FROM g
     """

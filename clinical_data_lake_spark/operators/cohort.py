@@ -797,3 +797,123 @@ def stickiness(
             "stickiness"
         ),
     )
+
+
+def pdc_adherence(
+    supplies: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    window_start_col: str,
+    window_end_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Proportion of days covered (PDC) — THE claims-data medication-
+    adherence metric (PQA specification): per patient, the fraction of
+    the observation window covered by at least one supply interval,
+    with overlapping fills collapsed (not double-counted) and supply
+    clipped to the window. One row per key:
+
+        (key, window_days, covered_days, pdc)
+
+    Day semantics: intervals are half-open [start, end) in DAYS
+    (integer day numbers or dates cast upstream); window_days =
+    window_end - window_start. PDC > 0.8 is the conventional
+    "adherent" threshold.
+
+    Scale shape: ``merge_intervals``' island pass per key (ONE key
+    shuffle, window partitioned by key) after clipping to the window;
+    covered days sum per key as integers — exact.
+    """
+    from .timeseries import merge_intervals
+
+    clipped = supplies.select(
+        F.col(key_col).alias("__k__"),
+        F.greatest(F.col(start_col), F.col(window_start_col)).alias("__s__"),
+        F.least(F.col(end_col), F.col(window_end_col)).alias("__e__"),
+        F.col(window_start_col).alias("__ws__"),
+        F.col(window_end_col).alias("__we__"),
+    ).filter(F.col("__s__") < F.col("__e__"))
+    merged = merge_intervals(clipped, "__k__", "__s__", "__e__")
+    windows = supplies.groupBy(F.col(key_col).alias("__k__")).agg(
+        F.min(window_start_col).alias("__ws__"),
+        F.min(window_end_col).alias("__we__"),
+    )
+    covered = merged.groupBy("__k__").agg(
+        F.sum(
+            F.col("end").cast("long") - F.col("start").cast("long")
+        ).alias("covered_days")
+    )
+    return (
+        windows.join(covered, on="__k__", how="left")
+        .select(
+            F.col("__k__").alias(key_col),
+            (F.col("__we__").cast("long") - F.col("__ws__").cast("long")).alias(
+                "window_days"
+            ),
+            F.coalesce("covered_days", F.lit(0)).cast("long").alias(
+                "covered_days"
+            ),
+            F.round(
+                F.coalesce("covered_days", F.lit(0)).cast("double")
+                / F.greatest(
+                    F.col("__we__").cast("long") - F.col("__ws__").cast("long"),
+                    F.lit(1),
+                ).cast("double"),
+                digits,
+            ).alias("pdc"),
+        )
+    )
+
+
+def person_time_rate(
+    subjects: DataFrame,
+    time_col: str,
+    events_col: str,
+    group_cols: Sequence[str] | None = None,
+    per: float = 1000.0,
+    z: float = 1.959963984540054,
+    digits: int = 6,
+) -> DataFrame:
+    """Incidence rate per person-time — events per ``per`` person-time
+    units with a Wald CI on the log rate (the epidemiological
+    denominator done right: rates over TIME AT RISK, not headcounts —
+    ``incidence_prevalence`` counts people, this counts exposure). One
+    row per group:
+
+        (group..., n_subjects, person_time, n_events,
+         rate, rate_lo, rate_hi)
+
+        rate = per * E / T,  log-CI = ln rate +- z / sqrt(E)
+
+    Input: one row per subject with their time at risk and event
+    count. Rate/CI NULL when T = 0; CI NULL when E = 0 (log CI
+    undefined — report the rate with no interval rather than invent
+    one).
+
+    Scale shape: one group aggregate, decimal person-time sum.
+    """
+    groups = list(group_cols or [])
+    t = F.col(time_col).cast("double")
+    e = F.col(events_col).cast("long")
+    g = subjects.groupBy(*groups).agg(
+        F.count(F.lit(1)).cast("long").alias("n_subjects"),
+        F.round(
+            F.sum(t.cast("decimal(28,6)")).cast("double"), digits
+        ).alias("person_time"),
+        F.sum(e).cast("long").alias("n_events"),
+    )
+    tt = F.col("person_time")
+    ee = F.col("n_events").cast("double")
+    rate = F.lit(float(per)) * ee / tt
+    half = F.lit(float(z)) / F.sqrt(ee)
+    return g.select(
+        *groups, "n_subjects", "person_time", "n_events",
+        F.round(F.when(tt > 0, rate), digits).alias("rate"),
+        F.round(
+            F.when((tt > 0) & (ee > 0), F.exp(F.log(rate) - half)), digits
+        ).alias("rate_lo"),
+        F.round(
+            F.when((tt > 0) & (ee > 0), F.exp(F.log(rate) + half)), digits
+        ).alias("rate_hi"),
+    )

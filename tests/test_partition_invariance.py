@@ -197,6 +197,9 @@ R10_NEW = [
     # decimal per-dim pooling; filtered top-k rank determinism
     "embed_pool",
     "ann_filtered",
+    # island-merge day sums; decimal person-time reductions
+    "pdc",
+    "person_time",
 ]
 
 

@@ -366,3 +366,71 @@ def test_bpe_encode_no_merges_is_chars(spark):
     r = bpe_encode(docs, []).collect()[0]
     # 'ab' -> a b </w> (3), 'c' -> c </w> (2)
     assert r.n_tokens == 5 and r.n_words == 2
+
+
+# -- pdc_adherence ------------------------------------------------------
+
+
+def test_pdc_closed_form(spark):
+    from clinical_data_lake_spark.operators.cohort import pdc_adherence
+
+    # window [0, 30); supplies [0,7) and [5,12) overlap -> covered 12;
+    # [20,27) adds 7 -> 19 covered; pdc = 19/30
+    rows = [
+        (1, 0, 7, 0, 30),
+        (1, 5, 12, 0, 30),
+        (1, 20, 27, 0, 30),
+    ]
+    df = spark.createDataFrame(rows, "k int, s int, e int, ws int, we int")
+    r = pdc_adherence(df, "k", "s", "e", "ws", "we").collect()[0]
+    assert (r.window_days, r.covered_days) == (30, 19)
+    assert r.pdc == pytest.approx(round(19 / 30, 6))
+
+
+def test_pdc_clips_to_window(spark):
+    from clinical_data_lake_spark.operators.cohort import pdc_adherence
+
+    # supply [25, 40) clipped to window end 30 -> 5 days
+    df = spark.createDataFrame(
+        [(1, 25, 40, 0, 30)], "k int, s int, e int, ws int, we int"
+    )
+    r = pdc_adherence(df, "k", "s", "e", "ws", "we").collect()[0]
+    assert r.covered_days == 5
+
+
+def test_pdc_duplicate_fills_not_double_counted(spark):
+    from clinical_data_lake_spark.operators.cohort import pdc_adherence
+
+    df = spark.createDataFrame(
+        [(1, 0, 7, 0, 30), (1, 0, 7, 0, 30)],
+        "k int, s int, e int, ws int, we int",
+    )
+    r = pdc_adherence(df, "k", "s", "e", "ws", "we").collect()[0]
+    assert r.covered_days == 7
+
+
+# -- person_time_rate ---------------------------------------------------
+
+
+def test_person_time_closed_form(spark):
+    from clinical_data_lake_spark.operators.cohort import person_time_rate
+
+    # 2 subjects, 100 + 300 days, 4 events total: 1000*4/400 = 10 per
+    # 1000 person-days
+    df = spark.createDataFrame(
+        [("a", 100.0, 1), ("a", 300.0, 3)], "g string, t double, e int"
+    )
+    r = person_time_rate(df, "t", "e", ["g"]).collect()[0]
+    assert (r.n_subjects, r.n_events) == (2, 4)
+    assert r.person_time == pytest.approx(400.0)
+    assert r.rate == pytest.approx(10.0)
+    assert r.rate_lo < 10.0 < r.rate_hi
+
+
+def test_person_time_zero_events_no_ci(spark):
+    from clinical_data_lake_spark.operators.cohort import person_time_rate
+
+    df = spark.createDataFrame([("a", 50.0, 0)], "g string, t double, e int")
+    r = person_time_rate(df, "t", "e", ["g"]).collect()[0]
+    assert r.rate == 0.0
+    assert r.rate_lo is None and r.rate_hi is None
