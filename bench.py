@@ -211,6 +211,8 @@ BENCH_QUERIES = [
     "ann_filtered",
     "pdc",
     "person_time",
+    "funnel_timeboxed",
+    "header_detail",
 ]
 
 # Scope the measured set without editing the file (drift A/B testing,

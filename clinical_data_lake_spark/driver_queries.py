@@ -4024,6 +4024,36 @@ def q_cochran_armitage(spark: SparkSession, sf: str) -> DataFrame:
     return ml_stats.cochran_armitage(od, "tier", "outcome")
 
 
+def q_funnel_timeboxed(spark: SparkSession, sf: str) -> DataFrame:
+    """view -> click -> purchase funnel where each step must follow
+    within 72 hours (operators/windows.py:funnel_steps max_gap_s) —
+    the constraint folds into the same conditional group-mins."""
+    ev = read_table(spark, sf, "events")
+    return windows.funnel_steps(
+        ev, "user_id", "ts", "event_type", ["view", "click", "purchase"],
+        max_gap_s=72 * 3600,
+    )
+
+
+def q_header_detail(spark: SparkSession, sf: str) -> DataFrame:
+    """Order header vs line reconciliation (operators/quality.py:
+    header_detail_check): o_totalprice against the discounted line
+    sum at a $20k tolerance — the discrepancy distribution is the
+    point, not zero diffs (synthetic totals are independent)."""
+    from .operators import quality as dq
+
+    od = read_table(spark, sf, "orders")
+    li = read_table(spark, sf, "lineitem")
+    amount = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    out = dq.header_detail_check(
+        od.select(F.col("o_orderkey").alias("k"), "o_totalprice"),
+        li.select(F.col("l_orderkey").alias("k"),
+                  "l_extendedprice", "l_discount"),
+        "k", "o_totalprice", amount, tolerance=20000.0,
+    )
+    return out
+
+
 def q_pdc(spark: SparkSession, sf: str) -> DataFrame:
     """Proportion of days covered (operators/cohort.py:pdc_adherence):
     each purchase is a 7-day supply; window = [first event day, last
@@ -4643,6 +4673,8 @@ QUERIES = {
     "ann_filtered": q_ann_filtered,
     "pdc": q_pdc,
     "person_time": q_person_time,
+    "funnel_timeboxed": q_funnel_timeboxed,
+    "header_detail": q_header_detail,
 }
 
 # -- r9 certification window (ROTATION.md): the driver checks the FIRST
@@ -11325,4 +11357,71 @@ ORACLES["person_time"] = f"""
                                / sqrt(CAST(n_events AS DOUBLE))), 6)
                END AS rate_hi
         FROM g
+    """
+
+ORACLES["funnel_timeboxed"] = """
+        WITH s0 AS (
+            SELECT user_id AS k, min(ts) AS t0 FROM events
+            WHERE event_type = 'view' GROUP BY 1
+        ),
+        s1 AS (
+            SELECT s0.k, s0.t0,
+                   min(CASE WHEN e.ts > s0.t0
+                             AND epoch_us(e.ts) - epoch_us(s0.t0)
+                                 <= 259200000000
+                            THEN e.ts END) AS t1
+            FROM s0 LEFT JOIN events e
+              ON e.user_id = s0.k AND e.event_type = 'click'
+            GROUP BY s0.k, s0.t0
+        ),
+        s2 AS (
+            SELECT s1.k, s1.t0, s1.t1,
+                   min(CASE WHEN e.ts > s1.t1
+                             AND epoch_us(e.ts) - epoch_us(s1.t1)
+                                 <= 259200000000
+                            THEN e.ts END) AS t2
+            FROM s1 LEFT JOIN events e
+              ON e.user_id = s1.k AND e.event_type = 'purchase'
+            GROUP BY s1.k, s1.t0, s1.t1
+        ),
+        c AS (SELECT count(t0) AS n0, count(t1) AS n1, count(t2) AS n2 FROM s2)
+        SELECT 1 AS step_idx, 'view' AS step, CAST(n0 AS BIGINT) AS n_entities,
+               CASE WHEN n0 > 0 THEN round(CAST(n0 AS DOUBLE) / n0, 6) END AS conv_from_prev,
+               CASE WHEN n0 > 0 THEN round(CAST(n0 AS DOUBLE) / n0, 6) END AS conv_from_first
+        FROM c
+        UNION ALL
+        SELECT 2, 'click', CAST(n1 AS BIGINT),
+               CASE WHEN n0 > 0 THEN round(CAST(n1 AS DOUBLE) / n0, 6) END,
+               CASE WHEN n0 > 0 THEN round(CAST(n1 AS DOUBLE) / n0, 6) END
+        FROM c
+        UNION ALL
+        SELECT 3, 'purchase', CAST(n2 AS BIGINT),
+               CASE WHEN n1 > 0 THEN round(CAST(n2 AS DOUBLE) / n1, 6) END,
+               CASE WHEN n0 > 0 THEN round(CAST(n2 AS DOUBLE) / n0, 6) END
+        FROM c
+    """
+
+ORACLES["header_detail"] = """
+        WITH d AS (
+            SELECT l_orderkey AS k,
+                   sum(CAST(l_extendedprice * (1.0 - l_discount)
+                            AS DECIMAL(28,6))) AS dt,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem GROUP BY l_orderkey
+        ),
+        h AS (
+            SELECT o_orderkey AS k,
+                   CAST(o_totalprice AS DOUBLE) AS header_total
+            FROM orders
+        )
+        SELECT h.k,
+               round(h.header_total, 6) AS header_total,
+               round(coalesce(CAST(d.dt AS DOUBLE), 0.0), 6) AS detail_total,
+               coalesce(d.n_lines, 0) AS n_lines,
+               abs(round(h.header_total
+                         - coalesce(CAST(d.dt AS DOUBLE), 0.0), 6)) AS abs_diff,
+               abs(round(h.header_total
+                         - coalesce(CAST(d.dt AS DOUBLE), 0.0), 6))
+                   <= CAST(20000.0 AS DOUBLE) AS balanced
+        FROM h LEFT JOIN d ON h.k = d.k
     """

@@ -758,3 +758,49 @@ def fd_check(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def header_detail_check(
+    headers: DataFrame,
+    details: DataFrame,
+    key_col: str,
+    header_total_col: str,
+    detail_amount,
+    tolerance: float = 0.01,
+    digits: int = 6,
+) -> DataFrame:
+    """Header/detail reconciliation — does each header's stated total
+    match the sum of its detail lines (invoice vs line items, claim
+    header vs service lines)? The row-level sibling of ``table_diff``
+    (which compares two tables; this audits an invariant WITHIN one
+    pair). One row per header:
+
+        (key, header_total, detail_total, n_lines, abs_diff, balanced)
+
+    ``detail_amount`` is a Column so callers express the line formula
+    (e.g. price * (1 - discount)); sums are decimal-exact and
+    headers with NO lines report detail_total 0 (not NULL — a missing
+    detail set is exactly the discrepancy this finds).
+
+    Scale shape: one detail-side groupBy on the key + one left join —
+    both shuffle on the header key; the comparison is pure column
+    arithmetic.
+    """
+    d = details.groupBy(F.col(key_col).alias("__k__")).agg(
+        F.sum(detail_amount.cast("decimal(28,6)")).alias("__dt__"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+    h = headers.select(
+        F.col(key_col).alias("__k__"),
+        F.col(header_total_col).cast("double").alias("header_total"),
+    )
+    dt = F.coalesce(F.col("__dt__").cast("double"), F.lit(0.0))
+    diff = F.abs(F.round(F.col("header_total") - dt, digits))
+    return h.join(d, on="__k__", how="left").select(
+        F.col("__k__").alias(key_col),
+        F.round("header_total", digits).alias("header_total"),
+        F.round(dt, digits).alias("detail_total"),
+        F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+        diff.alias("abs_diff"),
+        (diff <= F.lit(float(tolerance))).alias("balanced"),
+    )

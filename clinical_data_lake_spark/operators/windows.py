@@ -413,6 +413,7 @@ def funnel_steps(
     type_col: str,
     steps: Sequence[str],
     digits: int = 6,
+    max_gap_s: float | None = None,
 ) -> DataFrame:
     """Multi-step funnel: for an ordered sequence of event types, how
     many entities reached each step IN ORDER (each step's first
@@ -425,6 +426,14 @@ def funnel_steps(
     key-shuffles total, never an event-to-event pair join (no hot-user
     quadratic fan-out). The final summary aggregates the per-entity
     timestamps to ONE row and unpivots driver-free via posexplode.
+
+    ``max_gap_s`` adds the time-boxed variant (each step must follow
+    the previous within that many seconds — "converted within an
+    hour"): the constraint folds into the same conditional group-min,
+    so the plan shape is unchanged. A greedy caveat applies, as in
+    every first-occurrence funnel: each step takes its EARLIEST valid
+    occurrence, which can forfeit a completion a later occurrence
+    would have allowed.
     """
     if len(steps) < 2:
         raise ValueError("funnel_steps needs at least 2 steps")
@@ -439,13 +448,20 @@ def funnel_steps(
             F.col(key_col), ts.alias("__e__")
         )
         prev_cols = [f"__t{j}__" for j in range(i)]
+        in_order = F.col("__e__") > F.col(f"__t{i - 1}__")
+        if max_gap_s is not None:
+            in_order = in_order & (
+                (
+                    F.unix_micros(F.col("__e__"))
+                    - F.unix_micros(F.col(f"__t{i - 1}__"))
+                )
+                <= F.lit(int(max_gap_s * 1_000_000))
+            )
         cur = (
             cur.join(nxt, on=key_col, how="left")
             .groupBy(key_col, *prev_cols)
             .agg(
-                F.min(
-                    F.when(F.col("__e__") > F.col(f"__t{i - 1}__"), F.col("__e__"))
-                ).alias(f"__t{i}__")
+                F.min(F.when(in_order, F.col("__e__"))).alias(f"__t{i}__")
             )
         )
     counts = cur.agg(

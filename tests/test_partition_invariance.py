@@ -200,6 +200,9 @@ R10_NEW = [
     # island-merge day sums; decimal person-time reductions
     "pdc",
     "person_time",
+    # gap-constrained conditional group-mins; decimal line-sum joins
+    "funnel_timeboxed",
+    "header_detail",
 ]
 
 

@@ -434,3 +434,62 @@ def test_person_time_zero_events_no_ci(spark):
     r = person_time_rate(df, "t", "e", ["g"]).collect()[0]
     assert r.rate == 0.0
     assert r.rate_lo is None and r.rate_hi is None
+
+
+# -- funnel_steps max_gap_s / header_detail_check -----------------------
+
+
+def test_funnel_timeboxed_drops_slow_step(spark):
+    from clinical_data_lake_spark.operators.windows import funnel_steps
+
+    rows = [
+        _e(1, 1, 0, "view"), _e(2, 1, 100, "click"),          # fast
+        _e(3, 2, 0, "view"), _e(4, 2, 90000, "click"),        # >1 day
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {r.step: r for r in funnel_steps(
+        df, "user_id", "ts", "event_type", ["view", "click"],
+        max_gap_s=86400,
+    ).collect()}
+    assert out["view"].n_entities == 2
+    assert out["click"].n_entities == 1  # user 2's click was too late
+
+
+def test_funnel_unbounded_unchanged(spark):
+    from clinical_data_lake_spark.operators.windows import funnel_steps
+
+    rows = [
+        _e(1, 1, 0, "view"), _e(2, 1, 100, "click"),
+        _e(3, 2, 0, "view"), _e(4, 2, 90000, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {r.step: r for r in funnel_steps(
+        df, "user_id", "ts", "event_type", ["view", "click"]
+    ).collect()}
+    assert out["click"].n_entities == 2
+
+
+def test_header_detail_check_closed_form(spark):
+    import pyspark.sql.functions as SF
+
+    from clinical_data_lake_spark.operators.quality import (
+        header_detail_check,
+    )
+
+    h = spark.createDataFrame(
+        [(1, 100.0), (2, 50.0), (3, 10.0)], "k int, total double"
+    )
+    d = spark.createDataFrame(
+        [(1, 60.0), (1, 40.0), (2, 49.995)], "k int, amt double"
+    )
+    out = {r.k: r for r in header_detail_check(
+        h, d, "k", "total", SF.col("amt"), tolerance=0.01
+    ).collect()}
+    assert out[1].balanced and out[1].abs_diff == 0.0
+    assert out[2].balanced  # within tolerance
+    assert not out[3].balanced and out[3].n_lines == 0
+    assert out[3].detail_total == 0.0
