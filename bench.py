@@ -213,6 +213,9 @@ BENCH_QUERIES = [
     "person_time",
     "funnel_timeboxed",
     "header_detail",
+    "cem_match",
+    "did",
+    "evalue",
 ]
 
 # Scope the measured set without editing the file (drift A/B testing,

@@ -4024,6 +4024,43 @@ def q_cochran_armitage(spark: SparkSession, sf: str) -> DataFrame:
     return ml_stats.cochran_armitage(od, "tier", "outcome")
 
 
+def q_cem_match(spark: SparkSession, sf: str) -> DataFrame:
+    """Coarsened exact matching of high-priority orders to the rest
+    (ml/stats.py:cem_match): strata = (status, value quartile band),
+    CEM control weights on matched strata."""
+    od = read_table(spark, sf, "orders").select(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("treated"),
+        F.col("o_orderstatus").alias("status"),
+        F.floor(F.col("o_totalprice") / 100000.0).cast("int").alias(
+            "value_band"
+        ),
+    )
+    return ml_stats.cem_match(od, "treated", ["status", "value_band"])
+
+
+def q_did(spark: SparkSession, sf: str) -> DataFrame:
+    """Difference-in-differences of order value: high-priority vs
+    other orders, before vs from 1997 (ml/stats.py:did_estimate) —
+    one conditional decimal aggregate, Wald CI."""
+    od = read_table(spark, sf, "orders").select(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("treated"),
+        (F.year("o_orderdate") >= 1997).alias("post"),
+        "o_totalprice",
+    )
+    return ml_stats.did_estimate(od, "treated", "post", "o_totalprice")
+
+
+def q_evalue(spark: SparkSession, sf: str) -> DataFrame:
+    """E-value sensitivity of the high-value -> fulfilled risk ratio
+    (ml/stats.py:evalue) — how strong unmeasured confounding must be
+    to nullify it."""
+    od = read_table(spark, sf, "orders").select(
+        (F.col("o_totalprice") >= 100000.0).alias("exposed"),
+        (F.col("o_orderstatus") == "F").alias("outcome"),
+    )
+    return ml_stats.evalue(od, "exposed", "outcome")
+
+
 def q_funnel_timeboxed(spark: SparkSession, sf: str) -> DataFrame:
     """view -> click -> purchase funnel where each step must follow
     within 72 hours (operators/windows.py:funnel_steps max_gap_s) —
@@ -4675,6 +4712,9 @@ QUERIES = {
     "person_time": q_person_time,
     "funnel_timeboxed": q_funnel_timeboxed,
     "header_detail": q_header_detail,
+    "cem_match": q_cem_match,
+    "did": q_did,
+    "evalue": q_evalue,
 }
 
 # -- r9 certification window (ROTATION.md): the driver checks the FIRST
@@ -11424,4 +11464,129 @@ ORACLES["header_detail"] = """
                          - coalesce(CAST(d.dt AS DOUBLE), 0.0), 6))
                    <= CAST(20000.0 AS DOUBLE) AS balanced
         FROM h LEFT JOIN d ON h.k = d.k
+    """
+
+ORACLES["cem_match"] = """
+        WITH lab AS (
+            SELECT (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS g,
+                   o_orderstatus AS status,
+                   CAST(floor(o_totalprice / 100000.0) AS INTEGER) AS value_band
+            FROM orders
+        ),
+        cells AS (
+            SELECT status, value_band,
+                   CAST(sum(g::INT) AS BIGINT) AS n_treat,
+                   CAST(sum((NOT g)::INT) AS BIGINT) AS n_ctrl
+            FROM lab GROUP BY status, value_band
+        ),
+        totals AS (
+            SELECT CAST(sum(n_treat) AS BIGINT) AS mt,
+                   CAST(sum(n_ctrl) AS BIGINT) AS mc
+            FROM cells WHERE n_treat > 0 AND n_ctrl > 0
+        )
+        SELECT status, value_band, n_treat, n_ctrl,
+               (n_treat > 0 AND n_ctrl > 0) AS matched,
+               CASE WHEN n_treat > 0 AND n_ctrl > 0 THEN
+                   round((CAST(n_treat AS DOUBLE) / CAST(n_ctrl AS DOUBLE))
+                         * (CAST(mc AS DOUBLE) / CAST(mt AS DOUBLE)), 6)
+               END AS control_weight
+        FROM cells, totals
+    """
+
+ORACLES["did"] = f"""
+        WITH lab AS (
+            SELECT (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS g,
+                   (year(o_orderdate) >= 1997) AS p,
+                   CAST(o_totalprice AS DOUBLE) AS x
+            FROM orders
+        ),
+        red AS (
+            SELECT
+                CAST(sum((g AND NOT p)::INT) AS BIGINT) AS n_tpre,
+                sum(CASE WHEN g AND NOT p THEN CAST(x AS DECIMAL(28,6)) END) AS s_tpre,
+                sum(CASE WHEN g AND NOT p THEN CAST(x * x AS DECIMAL(38,6)) END) AS q_tpre,
+                CAST(sum((g AND p)::INT) AS BIGINT) AS n_tpost,
+                sum(CASE WHEN g AND p THEN CAST(x AS DECIMAL(28,6)) END) AS s_tpost,
+                sum(CASE WHEN g AND p THEN CAST(x * x AS DECIMAL(38,6)) END) AS q_tpost,
+                CAST(sum((NOT g AND NOT p)::INT) AS BIGINT) AS n_cpre,
+                sum(CASE WHEN NOT g AND NOT p THEN CAST(x AS DECIMAL(28,6)) END) AS s_cpre,
+                sum(CASE WHEN NOT g AND NOT p THEN CAST(x * x AS DECIMAL(38,6)) END) AS q_cpre,
+                CAST(sum((NOT g AND p)::INT) AS BIGINT) AS n_cpost,
+                sum(CASE WHEN NOT g AND p THEN CAST(x AS DECIMAL(28,6)) END) AS s_cpost,
+                sum(CASE WHEN NOT g AND p THEN CAST(x * x AS DECIMAL(38,6)) END) AS q_cpost
+            FROM lab
+        ),
+        m AS (
+            SELECT *,
+                CAST(s_tpre AS DOUBLE) / n_tpre AS m_tpre,
+                CAST(q_tpre AS DOUBLE) / n_tpre
+                  - (CAST(s_tpre AS DOUBLE) / n_tpre)
+                    * (CAST(s_tpre AS DOUBLE) / n_tpre) AS v_tpre,
+                CAST(s_tpost AS DOUBLE) / n_tpost AS m_tpost,
+                CAST(q_tpost AS DOUBLE) / n_tpost
+                  - (CAST(s_tpost AS DOUBLE) / n_tpost)
+                    * (CAST(s_tpost AS DOUBLE) / n_tpost) AS v_tpost,
+                CAST(s_cpre AS DOUBLE) / n_cpre AS m_cpre,
+                CAST(q_cpre AS DOUBLE) / n_cpre
+                  - (CAST(s_cpre AS DOUBLE) / n_cpre)
+                    * (CAST(s_cpre AS DOUBLE) / n_cpre) AS v_cpre,
+                CAST(s_cpost AS DOUBLE) / n_cpost AS m_cpost,
+                CAST(q_cpost AS DOUBLE) / n_cpost
+                  - (CAST(s_cpost AS DOUBLE) / n_cpost)
+                    * (CAST(s_cpost AS DOUBLE) / n_cpost) AS v_cpost,
+                (n_tpre > 0 AND n_tpost > 0 AND n_cpre > 0 AND n_cpost > 0) AS ok
+            FROM red
+        ),
+        e AS (
+            SELECT *,
+                (m_tpost - m_tpre) - (m_cpost - m_cpre) AS did,
+                sqrt(v_tpre / n_tpre + v_tpost / n_tpost
+                     + v_cpre / n_cpre + v_cpost / n_cpost) AS se
+            FROM m
+        )
+        SELECT CAST(n_tpre + n_tpost + n_cpre + n_cpost AS BIGINT) AS n,
+               CASE WHEN ok THEN round(did, 6) END AS diff_in_diff,
+               CASE WHEN ok THEN
+                   round(did - CAST({ml_stats.Z_975!r} AS DOUBLE) * se, 6)
+               END AS ci_lo,
+               CASE WHEN ok THEN
+                   round(did + CAST({ml_stats.Z_975!r} AS DOUBLE) * se, 6)
+               END AS ci_hi,
+               CASE WHEN ok THEN round(m_tpre - m_cpre, 6) END AS pre_gap,
+               CASE WHEN ok THEN round(m_tpost - m_cpost, 6) END AS post_gap,
+               CASE WHEN ok THEN round(m_tpost - m_tpre, 6) END AS treat_change,
+               CASE WHEN ok THEN round(m_cpost - m_cpre, 6) END AS ctrl_change
+        FROM e
+    """
+
+ORACLES["evalue"] = """
+        WITH lab AS (
+            SELECT (o_totalprice >= 100000.0) AS ex,
+                   (o_orderstatus = 'F') AS oc
+            FROM orders
+        ),
+        cells AS (
+            SELECT CAST(sum((ex AND oc)::INT) AS BIGINT) AS a,
+                   CAST(sum((ex AND NOT oc)::INT) AS BIGINT) AS b,
+                   CAST(sum((NOT ex AND oc)::INT) AS BIGINT) AS c,
+                   CAST(sum((NOT ex AND NOT oc)::INT) AS BIGINT) AS d
+            FROM lab
+        ),
+        e AS (
+            SELECT a, b, c, d,
+                   (a > 0 AND c > 0 AND a + b > 0 AND c + d > 0) AS ok,
+                   (CAST(a AS DOUBLE) / (CAST(a AS DOUBLE) + b))
+                   / (CAST(c AS DOUBLE) / (CAST(c AS DOUBLE) + d)) AS rr
+            FROM cells
+        ),
+        s AS (
+            SELECT a, b, c, d, ok, rr,
+                   CASE WHEN rr >= 1.0 THEN rr ELSE 1.0 / rr END AS rrs
+            FROM e
+        )
+        SELECT a, b, c, d,
+               CASE WHEN ok THEN round(rr, 6) END AS risk_ratio,
+               CASE WHEN ok THEN round(rrs + sqrt(rrs * (rrs - 1.0)), 6)
+               END AS evalue
+        FROM s
     """

@@ -2573,3 +2573,181 @@ def rmst(
         F.lit(float(tau)).alias("tau"),
         F.round(F.sum("__area__").cast("double"), digits).alias("rmst"),
     )
+
+
+def cem_match(
+    df: DataFrame,
+    group_col: str,
+    strata_cols: Sequence[str],
+    digits: int = 6,
+) -> DataFrame:
+    """Coarsened exact matching (Iacus, King & Porro 2012) — the
+    scalable alternative to pairwise propensity matching: units match
+    when their COARSENED covariates agree exactly, so matching is a
+    pure groupBy (embarrassingly distributed — ``score_match`` needs a
+    sort; this needs a shuffle on the stratum key only). Callers
+    coarsen upstream (bin ages, band scores); one row per stratum:
+
+        (strata..., n_treat, n_ctrl, matched, control_weight)
+
+    ``matched`` marks strata with BOTH arms (unmatched strata are
+    pruned from the analysis — that pruning IS the method); CEM
+    weights reweight matched controls to the treated distribution:
+
+        w_c(s) = (n_treat(s) / n_ctrl(s)) * (M_ctrl / M_treat)
+
+    with M_* the matched-arm totals (treated units keep weight 1, and
+    sum of control weights = M_ctrl — the standard normalization).
+    Weights are NULL for unmatched strata.
+
+    Scale shape: one stratum group-count + a 1-row broadcast of the
+    matched totals — two scans of the reduced table, none of the
+    facts.
+    """
+    g = F.col(group_col).cast("boolean")
+    strata = list(strata_cols)
+    cells = df.groupBy(*strata).agg(
+        F.sum(g.cast("long")).alias("n_treat"),
+        F.sum((~g).cast("long")).alias("n_ctrl"),
+    )
+    matched = (F.col("n_treat") > 0) & (F.col("n_ctrl") > 0)
+    totals = cells.filter(matched).agg(
+        F.sum("n_treat").cast("long").alias("__mt__"),
+        F.sum("n_ctrl").cast("long").alias("__mc__"),
+    )
+    w = (
+        F.col("n_treat").cast("double") / F.col("n_ctrl").cast("double")
+    ) * (
+        F.col("__mc__").cast("double") / F.col("__mt__").cast("double")
+    )
+    return (
+        cells.crossJoin(F.broadcast(totals))
+        .select(
+            *strata, "n_treat", "n_ctrl",
+            matched.alias("matched"),
+            F.round(F.when(matched, w), digits).alias("control_weight"),
+        )
+    )
+
+
+def did_estimate(
+    df: DataFrame,
+    group_col: str,
+    period_col: str,
+    value_col: str,
+    z: float = Z_975,
+    digits: int = 6,
+) -> DataFrame:
+    """Difference-in-differences — the two-group two-period causal
+    read-out (treated/control x pre/post):
+
+        DiD = (m_t,post - m_t,pre) - (m_c,post - m_c,pre)
+
+    with a Wald CI from the four cell variances
+    (se^2 = sum of v_i/n_i, the independent-means normal
+    approximation; the parallel-trends assumption is the caller's to
+    defend). ONE row:
+
+        (n, diff_in_diff, ci_lo, ci_hi,
+         pre_gap, post_gap, treat_change, ctrl_change)
+
+    ``pre_gap`` (treated - control before) is the read-out that lets
+    a reader eyeball baseline imbalance next to the effect. NULL CI
+    when any cell is empty.
+
+    Scale shape: ONE conditional decimal aggregate (4 cells x 3
+    sufficient sums); everything else is arithmetic on the single
+    reduced row.
+    """
+    g = F.col(group_col).cast("boolean")
+    p = F.col(period_col).cast("boolean")  # True = post
+    x = F.col(value_col).cast("double")
+    cells = {}
+    aggs = []
+    for name, cond in [
+        ("tpre", g & ~p), ("tpost", g & p),
+        ("cpre", ~g & ~p), ("cpost", ~g & p),
+    ]:
+        aggs += [
+            F.sum(cond.cast("long")).alias(f"__n_{name}__"),
+            F.sum(F.when(cond, x).cast("decimal(28,6)")).alias(f"__s_{name}__"),
+            F.sum(F.when(cond, x * x).cast("decimal(38,6)")).alias(
+                f"__q_{name}__"
+            ),
+        ]
+        cells[name] = None
+    red = df.agg(*aggs)
+    m, v, n = {}, {}, {}
+    for name in ("tpre", "tpost", "cpre", "cpost"):
+        nn = F.col(f"__n_{name}__").cast("double")
+        mm = F.col(f"__s_{name}__").cast("double") / nn
+        n[name] = nn
+        m[name] = mm
+        v[name] = F.col(f"__q_{name}__").cast("double") / nn - mm * mm
+    ok = (
+        (n["tpre"] > 0) & (n["tpost"] > 0) & (n["cpre"] > 0) & (n["cpost"] > 0)
+    )
+    did = (m["tpost"] - m["tpre"]) - (m["cpost"] - m["cpre"])
+    se = F.sqrt(
+        v["tpre"] / n["tpre"] + v["tpost"] / n["tpost"]
+        + v["cpre"] / n["cpre"] + v["cpost"] / n["cpost"]
+    )
+    zz = F.lit(float(z))
+    return red.select(
+        (
+            F.col("__n_tpre__") + F.col("__n_tpost__")
+            + F.col("__n_cpre__") + F.col("__n_cpost__")
+        ).cast("long").alias("n"),
+        F.round(F.when(ok, did), digits).alias("diff_in_diff"),
+        F.round(F.when(ok, did - zz * se), digits).alias("ci_lo"),
+        F.round(F.when(ok, did + zz * se), digits).alias("ci_hi"),
+        F.round(F.when(ok, m["tpre"] - m["cpre"]), digits).alias("pre_gap"),
+        F.round(F.when(ok, m["tpost"] - m["cpost"]), digits).alias(
+            "post_gap"
+        ),
+        F.round(F.when(ok, m["tpost"] - m["tpre"]), digits).alias(
+            "treat_change"
+        ),
+        F.round(F.when(ok, m["cpost"] - m["cpre"]), digits).alias(
+            "ctrl_change"
+        ),
+    )
+
+
+def evalue(
+    df: DataFrame,
+    exposure_col: str,
+    outcome_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """VanderWeele & Ding's E-value — the unmeasured-confounding
+    sensitivity read-out for an observational risk ratio: the minimum
+    strength of association an unmeasured confounder would need with
+    BOTH exposure and outcome to explain the estimate away,
+
+        E = RR + sqrt(RR (RR - 1))        (RR >= 1; else use 1/RR)
+
+    ONE row (a, b, c, d, risk_ratio, evalue) over the same 2x2 cells
+    as ``risk_measures``; E = 1 when RR = 1 (no association needs no
+    confounder). NULL when a zero margin makes RR undefined.
+    """
+    ex = F.col(exposure_col).cast("boolean")
+    oc = F.col(outcome_col).cast("boolean")
+    cells = df.agg(
+        F.sum((ex & oc).cast("long")).alias("a"),
+        F.sum((ex & ~oc).cast("long")).alias("b"),
+        F.sum((~ex & oc).cast("long")).alias("c"),
+        F.sum((~ex & ~oc).cast("long")).alias("d"),
+    )
+    a, b = F.col("a").cast("double"), F.col("b").cast("double")
+    c, d = F.col("c").cast("double"), F.col("d").cast("double")
+    n1, n0 = a + b, c + d
+    ok = (a > 0) & (c > 0) & (n1 > 0) & (n0 > 0)
+    rr = (a / n1) / (c / n0)
+    rr_star = F.when(rr >= 1.0, rr).otherwise(1.0 / rr)
+    ev = rr_star + F.sqrt(rr_star * (rr_star - 1.0))
+    return cells.select(
+        "a", "b", "c", "d",
+        F.round(F.when(ok, rr), digits).alias("risk_ratio"),
+        F.round(F.when(ok, ev), digits).alias("evalue"),
+    )

@@ -303,3 +303,98 @@ def test_score_match_no_controls_emits_nulls(spark):
     )
     rows = score_match(df, "t", "s", "id").collect()
     assert len(rows) == 2 and all(r.control_id is None for r in rows)
+
+
+# -- cem_match ----------------------------------------------------------
+
+
+def test_cem_weights_rebalance_controls(spark):
+    from clinical_data_lake_spark.ml.stats import cem_match
+
+    # stratum A: 2 treated, 4 ctrl; stratum B: 1 treated, 1 ctrl;
+    # stratum C: ctrl only (unmatched)
+    rows = (
+        [(True, "A")] * 2 + [(False, "A")] * 4
+        + [(True, "B")] + [(False, "B")]
+        + [(False, "C")] * 3
+    )
+    df = spark.createDataFrame(rows, "g boolean, s string")
+    out = {r.s: r for r in cem_match(df, "g", ["s"]).collect()}
+    assert out["C"].matched is False and out["C"].control_weight is None
+    # matched totals: Mt=3, Mc=5
+    wa = (2 / 4) * (5 / 3)
+    wb = (1 / 1) * (5 / 3)
+    assert out["A"].control_weight == pytest.approx(round(wa, 6))
+    assert out["B"].control_weight == pytest.approx(round(wb, 6))
+    # control weights x counts sum back to Mc
+    assert out["A"].control_weight * 4 + out["B"].control_weight * 1 == (
+        pytest.approx(5.0, abs=1e-4)
+    )
+
+
+# -- did_estimate -------------------------------------------------------
+
+
+def test_did_closed_form(spark):
+    from clinical_data_lake_spark.ml.stats import did_estimate
+
+    # treated: 10 -> 25 (+15); control: 10 -> 12 (+2): DiD = 13
+    rows = (
+        [(True, False, 10.0)] * 20 + [(True, True, 25.0)] * 20
+        + [(False, False, 10.0)] * 20 + [(False, True, 12.0)] * 20
+    )
+    df = spark.createDataFrame(rows, "g boolean, p boolean, x double")
+    r = did_estimate(df, "g", "p", "x").collect()[0]
+    assert r.diff_in_diff == pytest.approx(13.0)
+    assert r.treat_change == pytest.approx(15.0)
+    assert r.ctrl_change == pytest.approx(2.0)
+    assert r.pre_gap == pytest.approx(0.0)
+    # constant cells -> zero variance -> degenerate but exact CI
+    assert r.ci_lo == pytest.approx(13.0) and r.ci_hi == pytest.approx(13.0)
+
+
+def test_did_empty_cell_nulls(spark):
+    from clinical_data_lake_spark.ml.stats import did_estimate
+
+    rows = [(True, True, 5.0), (False, False, 3.0), (False, True, 4.0)]
+    df = spark.createDataFrame(rows, "g boolean, p boolean, x double")
+    r = did_estimate(df, "g", "p", "x").collect()[0]
+    assert r.diff_in_diff is None  # no treated-pre cell
+
+
+# -- evalue -------------------------------------------------------------
+
+
+def test_evalue_closed_form(spark):
+    from clinical_data_lake_spark.ml.stats import evalue
+
+    # RR = 2 -> E = 2 + sqrt(2) ~ 3.414214
+    data = (
+        _rows(10, 1, 1) + _rows(40, 1, 0) + _rows(5, 0, 1) + _rows(45, 0, 0)
+    )
+    df = spark.createDataFrame(data, "ex boolean, oc boolean")
+    r = evalue(df, "ex", "oc").collect()[0]
+    assert r.risk_ratio == pytest.approx(2.0)
+    assert r.evalue == pytest.approx(round(2 + math.sqrt(2), 6))
+
+
+def test_evalue_protective_uses_reciprocal(spark):
+    from clinical_data_lake_spark.ml.stats import evalue
+
+    # RR = 0.5 -> use 1/RR = 2 -> same E as RR = 2
+    data = (
+        _rows(5, 1, 1) + _rows(45, 1, 0) + _rows(10, 0, 1) + _rows(40, 0, 0)
+    )
+    df = spark.createDataFrame(data, "ex boolean, oc boolean")
+    r = evalue(df, "ex", "oc").collect()[0]
+    assert r.risk_ratio == pytest.approx(0.5)
+    assert r.evalue == pytest.approx(round(2 + math.sqrt(2), 6))
+
+
+def test_evalue_null_association_is_one(spark):
+    from clinical_data_lake_spark.ml.stats import evalue
+
+    data = _rows(5, 1, 1) + _rows(5, 1, 0) + _rows(5, 0, 1) + _rows(5, 0, 0)
+    df = spark.createDataFrame(data, "ex boolean, oc boolean")
+    r = evalue(df, "ex", "oc").collect()[0]
+    assert r.evalue == pytest.approx(1.0)

@@ -203,6 +203,11 @@ R10_NEW = [
     # gap-constrained conditional group-mins; decimal line-sum joins
     "funnel_timeboxed",
     "header_detail",
+    # causal completions: stratum reweighting, four-cell decimal DiD,
+    # sensitivity arithmetic on the shared 2x2
+    "cem_match",
+    "did",
+    "evalue",
 ]
 
 
