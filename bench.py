@@ -216,6 +216,8 @@ BENCH_QUERIES = [
     "cem_match",
     "did",
     "evalue",
+    "meta_pool",
+    "std_rate",
 ]
 
 # Scope the measured set without editing the file (drift A/B testing,

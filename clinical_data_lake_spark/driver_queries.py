@@ -4024,6 +4024,40 @@ def q_cochran_armitage(spark: SparkSession, sf: str) -> DataFrame:
     return ml_stats.cochran_armitage(od, "tier", "outcome")
 
 
+def q_meta_pool(spark: SparkSession, sf: str) -> DataFrame:
+    """Inverse-variance pooled odds ratio across market-segment
+    'sites' with Q and I^2 (ml/stats.py:meta_pool_or) — cmh's
+    precision-weighted complement over the same strata."""
+    od = read_table(spark, sf, "orders")
+    cu = read_table(spark, sf, "customer")
+    j = od.join(cu, od["o_custkey"] == cu["c_custkey"]).select(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("exposed"),
+        (F.col("o_orderstatus") == "F").alias("outcome"),
+        "c_mktsegment",
+    )
+    return ml_stats.meta_pool_or(j, "exposed", "outcome", "c_mktsegment")
+
+
+def q_std_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Directly standardized error rates per arm with the weekday mix
+    held at the pooled distribution (ml/stats.py:std_rate): per-user
+    person-days and error counts per (arm, weekday-of-first-event)
+    stratum."""
+    ev = read_table(spark, sf, "events")
+    per_user = ev.groupBy("user_id").agg(
+        (
+            F.datediff(F.max("ts").cast("date"), F.min("ts").cast("date")) + 1
+        ).cast("double").alias("days"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("n_err"),
+        F.dayofweek(F.min("ts")).cast("int").alias("stratum"),
+    )
+    subj = per_user.select(
+        F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("arm"),
+        "stratum", "days", "n_err",
+    )
+    return ml_stats.std_rate(subj, "arm", "stratum", "days", "n_err")
+
+
 def q_cem_match(spark: SparkSession, sf: str) -> DataFrame:
     """Coarsened exact matching of high-priority orders to the rest
     (ml/stats.py:cem_match): strata = (status, value quartile band),
@@ -4715,6 +4749,8 @@ QUERIES = {
     "cem_match": q_cem_match,
     "did": q_did,
     "evalue": q_evalue,
+    "meta_pool": q_meta_pool,
+    "std_rate": q_std_rate,
 }
 
 # -- r9 certification window (ROTATION.md): the driver checks the FIRST
@@ -11589,4 +11625,121 @@ ORACLES["evalue"] = """
                CASE WHEN ok THEN round(rrs + sqrt(rrs * (rrs - 1.0)), 6)
                END AS evalue
         FROM s
+    """
+
+ORACLES["meta_pool"] = f"""
+        WITH lab AS (
+            SELECT (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS ex,
+                   (o_orderstatus = 'F') AS oc,
+                   c_mktsegment AS s
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        ),
+        cells AS (
+            SELECT s,
+                   CAST(sum((ex AND oc)::INT) AS BIGINT) AS a,
+                   CAST(sum((ex AND NOT oc)::INT) AS BIGINT) AS b,
+                   CAST(sum((NOT ex AND oc)::INT) AS BIGINT) AS c,
+                   CAST(sum((NOT ex AND NOT oc)::INT) AS BIGINT) AS d
+            FROM lab GROUP BY s
+        ),
+        terms AS (
+            SELECT round(ln((CAST(a AS DOUBLE) * d)
+                            / (CAST(b AS DOUBLE) * c)), 9) AS l,
+                   round(1.0 / (1.0 / CAST(a AS DOUBLE)
+                                + 1.0 / CAST(b AS DOUBLE)
+                                + 1.0 / CAST(c AS DOUBLE)
+                                + 1.0 / CAST(d AS DOUBLE)), 9) AS w
+            FROM cells WHERE a > 0 AND b > 0 AND c > 0 AND d > 0
+        ),
+        tdec AS (
+            SELECT l, w,
+                   CAST(round(w * l, 9) AS DECIMAL(28,9)) AS wl,
+                   CAST(w AS DECIMAL(28,9)) AS wd
+            FROM terms
+        ),
+        pooled AS (
+            SELECT CAST(count(*) AS BIGINT) AS k,
+                   round(CAST(sum(wl) AS DOUBLE)
+                         / CAST(sum(wd) AS DOUBLE), 9) AS mu,
+                   CAST(sum(wd) AS DOUBLE) AS swd
+            FROM tdec
+        ),
+        qsum AS (
+            SELECT k, mu, swd,
+                   CAST(sum(CAST(round(w * (l - mu) * (l - mu), 9)
+                                 AS DECIMAL(28,9))) AS DOUBLE) AS q
+            FROM tdec, pooled
+            GROUP BY k, mu, swd
+        )
+        SELECT k,
+               round(exp(mu), 6) AS or_pooled,
+               round(exp(mu - CAST({ml_stats.Z_975!r} AS DOUBLE)
+                              * (1.0 / sqrt(swd))), 6) AS ci_lo,
+               round(exp(mu + CAST({ml_stats.Z_975!r} AS DOUBLE)
+                              * (1.0 / sqrt(swd))), 6) AS ci_hi,
+               round(q, 6) AS q,
+               round(CASE WHEN q > 0
+                          THEN greatest(CAST(0.0 AS DOUBLE),
+                                        (q - (CAST(k AS DOUBLE) - 1.0)) / q)
+                          ELSE 0.0 END, 6) AS i2
+        FROM qsum
+    """
+
+ORACLES["std_rate"] = """
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST(date_diff('day', CAST(min(ts) AS DATE),
+                                  CAST(max(ts) AS DATE)) + 1 AS DOUBLE) AS days,
+                   CAST(sum((event_type = 'error')::INT) AS BIGINT) AS n_err,
+                   CAST(dayofweek(min(ts)) + 1 AS INTEGER) AS stratum
+            FROM events GROUP BY user_id
+        ),
+        subj AS (
+            SELECT CAST(user_id % 2 AS INTEGER) AS arm, stratum, days, n_err
+            FROM per_user
+        ),
+        gs AS (
+            SELECT arm, stratum,
+                   sum(CAST(days AS DECIMAL(28,6))) AS t,
+                   CAST(sum(n_err) AS BIGINT) AS e
+            FROM subj GROUP BY arm, stratum
+        ),
+        std AS (SELECT stratum, sum(t) AS ts FROM gs GROUP BY stratum),
+        tot AS (SELECT sum(ts) AS tt FROM std),
+        weights AS (
+            SELECT stratum,
+                   round(CAST(ts AS DOUBLE) / CAST(tt AS DOUBLE), 9) AS w
+            FROM std, tot
+        ),
+        grid AS (
+            SELECT g.arm, w.stratum, w.w, gs.t, gs.e
+            FROM (SELECT DISTINCT arm FROM gs) g
+            CROSS JOIN weights w
+            LEFT JOIN gs ON gs.arm = g.arm AND gs.stratum = w.stratum
+        ),
+        terms AS (
+            SELECT arm,
+                   coalesce(t, CAST(0 AS DECIMAL(28,6))) AS t,
+                   coalesce(e, 0) AS e,
+                   CAST(round(w * (CASE WHEN CAST(t AS DOUBLE) > 0
+                                        THEN CAST(e AS DOUBLE)
+                                             / CAST(t AS DOUBLE)
+                                        ELSE 0.0 END), 12)
+                        AS DECIMAL(28,12)) AS wr
+            FROM grid
+        ),
+        o AS (
+            SELECT arm,
+                   round(CAST(sum(t) AS DOUBLE), 6) AS person_time,
+                   CAST(sum(e) AS BIGINT) AS n_events,
+                   CAST(sum(wr) AS DOUBLE) AS adj
+            FROM terms GROUP BY arm
+        )
+        SELECT arm, person_time, n_events,
+               CASE WHEN person_time > 0 THEN
+                   round(CAST(1000.0 AS DOUBLE)
+                         * CAST(n_events AS DOUBLE) / person_time, 6)
+               END AS crude_rate,
+               round(CAST(1000.0 AS DOUBLE) * adj, 6) AS adj_rate
+        FROM o
     """

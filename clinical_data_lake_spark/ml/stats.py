@@ -2751,3 +2751,182 @@ def evalue(
         F.round(F.when(ok, rr), digits).alias("risk_ratio"),
         F.round(F.when(ok, ev), digits).alias("evalue"),
     )
+
+
+def meta_pool_or(
+    df: DataFrame,
+    exposure_col: str,
+    outcome_col: str,
+    stratum_col: str,
+    z: float = Z_975,
+    digits: int = 6,
+) -> DataFrame:
+    """Fixed-effect inverse-variance meta-analysis of per-stratum odds
+    ratios — the multi-site pooling read-out (each site/stratum
+    contributes ln OR weighted by 1/var), with Cochran's Q and
+    Higgins' I^2 heterogeneity:
+
+        (k, or_pooled, ci_lo, ci_hi, q, i2)
+
+        w_i = 1 / (1/a + 1/b + 1/c + 1/d)
+        ln OR_pool = sum w_i ln OR_i / sum w_i
+        Q = sum w_i (ln OR_i - ln OR_pool)^2,  I2 = max(0, (Q-k+1)/Q)
+
+    Strata with any zero cell are EXCLUDED (their log-variance is
+    undefined; no silent 0.5 correction — ``cmh_test`` handles sparse
+    strata, this is the complementary estimator that also yields
+    heterogeneity). Contrast the two: MH weights by n, IV by
+    precision; divergence between them is itself a sparse-data
+    signal.
+
+    Scale shape: one stratum group-count; per-stratum terms rounded
+    to 9 and decimal-summed (two bounded passes over the k-row cell
+    table: one for the pooled mean, one for Q against it).
+    """
+    ex = F.col(exposure_col).cast("boolean")
+    oc = F.col(outcome_col).cast("boolean")
+    cells = df.groupBy(F.col(stratum_col).alias("__s__")).agg(
+        F.sum((ex & oc).cast("long")).alias("__a__"),
+        F.sum((ex & ~oc).cast("long")).alias("__b__"),
+        F.sum((~ex & oc).cast("long")).alias("__c__"),
+        F.sum((~ex & ~oc).cast("long")).alias("__d__"),
+    )
+    a, b = F.col("__a__").cast("double"), F.col("__b__").cast("double")
+    c, d = F.col("__c__").cast("double"), F.col("__d__").cast("double")
+    ok = (a > 0) & (b > 0) & (c > 0) & (d > 0)
+    lor = F.round(F.log((a * d) / (b * c)), 9)
+    wt = F.round(1.0 / (1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d), 9)
+    terms = cells.filter(ok).select(
+        lor.alias("__l__"),
+        wt.alias("__w__"),
+        F.round(wt * lor, 9).cast("decimal(28,9)").alias("__wl__"),
+        wt.cast("decimal(28,9)").alias("__wd__"),
+    )
+    pooled = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("__wl__").alias("__swl__"),
+        F.sum("__wd__").alias("__sw__"),
+    ).select(
+        "k",
+        F.round(
+            F.col("__swl__").cast("double") / F.col("__sw__").cast("double"),
+            9,
+        ).alias("__mu__"),
+        F.col("__sw__").cast("double").alias("__swd__"),
+    )
+    qterms = terms.crossJoin(F.broadcast(pooled)).select(
+        "k", "__mu__", "__swd__",
+        F.round(
+            F.col("__w__")
+            * (F.col("__l__") - F.col("__mu__"))
+            * (F.col("__l__") - F.col("__mu__")),
+            9,
+        ).cast("decimal(28,9)").alias("__q__"),
+    )
+    zz = F.lit(float(z))
+    se = 1.0 / F.sqrt(F.col("__swd__"))
+    q = F.col("__qsum__").cast("double")
+    kk = F.col("k").cast("double")
+    return (
+        qterms.groupBy("k", "__mu__", "__swd__")
+        .agg(F.sum("__q__").alias("__qsum__"))
+        .select(
+            "k",
+            F.round(F.exp(F.col("__mu__")), digits).alias("or_pooled"),
+            F.round(F.exp(F.col("__mu__") - zz * se), digits).alias("ci_lo"),
+            F.round(F.exp(F.col("__mu__") + zz * se), digits).alias("ci_hi"),
+            F.round(q, digits).alias("q"),
+            F.round(
+                F.when(q > 0, F.greatest(F.lit(0.0), (q - (kk - 1.0)) / q))
+                .otherwise(F.lit(0.0)),
+                digits,
+            ).alias("i2"),
+        )
+    )
+
+
+def std_rate(
+    df: DataFrame,
+    group_col: str,
+    stratum_col: str,
+    time_col: str,
+    events_col: str,
+    per: float = 1000.0,
+    digits: int = 6,
+) -> DataFrame:
+    """Directly standardized rates — compare groups' event rates with
+    the stratum mix (age bands, case-mix) held fixed at the POOLED
+    person-time distribution: the standard epidemiological adjustment
+    when crude rates mislead because groups differ in composition
+    (``person_time_rate``'s crude output, adjusted). One row per
+    group:
+
+        (group, person_time, n_events, crude_rate, adj_rate)
+
+        adj_rate = per * sum_s W_s r_gs,  W_s = T_s / T,
+        r_gs = events_gs / time_gs
+
+    Groups missing a stratum contribute that stratum's weight at rate
+    0 (explicitly — absence of exposure is a zero rate, not a skipped
+    weight, so weights always sum to 1 and groups stay comparable).
+
+    Scale shape: one (group, stratum) aggregate; the standard weights
+    are a broadcast stratum-table join; per-stratum terms rounded to
+    9 and decimal-summed.
+    """
+    t = F.col(time_col).cast("double")
+    e = F.col(events_col).cast("long")
+    gs = df.groupBy(
+        F.col(group_col).alias("__g__"), F.col(stratum_col).alias("__s__")
+    ).agg(
+        F.sum(t.cast("decimal(28,6)")).alias("__t__"),
+        F.sum(e).alias("__e__"),
+    )
+    std = gs.groupBy("__s__").agg(
+        F.sum("__t__").alias("__ts__")
+    )
+    tot = std.agg(F.sum("__ts__").alias("__tt__"))
+    weights = std.crossJoin(F.broadcast(tot)).select(
+        "__s__",
+        F.round(
+            F.col("__ts__").cast("double") / F.col("__tt__").cast("double"), 9
+        ).alias("__w__"),
+    )
+    # every (group x stratum) cell exists: absent cells = rate 0
+    grid = (
+        gs.select("__g__").distinct()
+        .crossJoin(F.broadcast(weights))
+        .join(gs, on=["__g__", "__s__"], how="left")
+    )
+    r_gs = F.when(
+        F.col("__t__").cast("double") > 0,
+        F.col("__e__").cast("double") / F.col("__t__").cast("double"),
+    ).otherwise(F.lit(0.0))
+    terms = grid.select(
+        "__g__",
+        F.coalesce(F.col("__t__"), F.lit(0).cast("decimal(28,6)")).alias(
+            "__t__"
+        ),
+        F.coalesce(F.col("__e__"), F.lit(0)).cast("long").alias("__e__"),
+        F.round(F.col("__w__") * r_gs, 12).cast("decimal(28,12)").alias(
+            "__wr__"
+        ),
+    )
+    out = terms.groupBy("__g__").agg(
+        F.round(F.sum("__t__").cast("double"), digits).alias("person_time"),
+        F.sum("__e__").cast("long").alias("n_events"),
+        F.sum("__wr__").alias("__adj__"),
+    )
+    crude = F.when(
+        F.col("person_time") > 0,
+        F.lit(float(per)) * F.col("n_events").cast("double")
+        / F.col("person_time"),
+    )
+    return out.select(
+        F.col("__g__").alias(group_col),
+        "person_time", "n_events",
+        F.round(crude, digits).alias("crude_rate"),
+        F.round(
+            F.lit(float(per)) * F.col("__adj__").cast("double"), digits
+        ).alias("adj_rate"),
+    )

@@ -398,3 +398,73 @@ def test_evalue_null_association_is_one(spark):
     df = spark.createDataFrame(data, "ex boolean, oc boolean")
     r = evalue(df, "ex", "oc").collect()[0]
     assert r.evalue == pytest.approx(1.0)
+
+
+# -- meta_pool_or -------------------------------------------------------
+
+
+def test_meta_pool_single_stratum_is_crude(spark):
+    from clinical_data_lake_spark.ml.stats import meta_pool_or
+
+    df = spark.createDataFrame(
+        _stratum("x", 10, 20, 5, 40), "s string, ex boolean, oc boolean"
+    )
+    r = meta_pool_or(df, "ex", "oc", "s").collect()[0]
+    assert r.k == 1
+    assert r.or_pooled == pytest.approx((10 * 40) / (20 * 5), abs=1e-4)
+    assert r.q == pytest.approx(0.0)
+    assert r.i2 == 0.0
+
+
+def test_meta_pool_homogeneous_low_i2(spark):
+    from clinical_data_lake_spark.ml.stats import meta_pool_or
+
+    # identical ORs across strata -> Q ~ 0, I2 = 0
+    df = spark.createDataFrame(
+        _stratum("u", 10, 20, 5, 40) + _stratum("v", 20, 40, 10, 80),
+        "s string, ex boolean, oc boolean",
+    )
+    r = meta_pool_or(df, "ex", "oc", "s").collect()[0]
+    assert r.k == 2
+    assert r.or_pooled == pytest.approx(4.0, abs=1e-3)
+    assert r.i2 == pytest.approx(0.0, abs=1e-6)
+
+
+def test_meta_pool_zero_cell_stratum_excluded(spark):
+    from clinical_data_lake_spark.ml.stats import meta_pool_or
+
+    df = spark.createDataFrame(
+        _stratum("u", 10, 20, 5, 40) + _stratum("v", 3, 7, 0, 10),
+        "s string, ex boolean, oc boolean",
+    )
+    assert meta_pool_or(df, "ex", "oc", "s").collect()[0].k == 1
+
+
+# -- std_rate -----------------------------------------------------------
+
+
+def test_std_rate_adjustment_removes_mix_effect(spark):
+    from clinical_data_lake_spark.ml.stats import std_rate
+
+    # Both arms have identical WITHIN-stratum rates (young 0.1/day,
+    # old 0.4/day) but opposite stratum mixes -> crude rates differ,
+    # adjusted rates are EQUAL.
+    rows = []
+    # arm A: mostly young;  arm B: mostly old
+    rows += [("A", "young", 100.0, 10)] * 9 + [("A", "old", 100.0, 40)] * 1
+    rows += [("B", "young", 100.0, 10)] * 1 + [("B", "old", 100.0, 40)] * 9
+    df = spark.createDataFrame(rows, "g string, s string, t double, e int")
+    out = {r.g: r for r in std_rate(df, "g", "s", "t", "e").collect()}
+    assert out["A"].crude_rate != pytest.approx(out["B"].crude_rate)
+    assert out["A"].adj_rate == pytest.approx(out["B"].adj_rate, abs=1e-4)
+
+
+def test_std_rate_missing_stratum_counts_as_zero(spark):
+    from clinical_data_lake_spark.ml.stats import std_rate
+
+    rows = [("A", "s1", 100.0, 10), ("B", "s1", 100.0, 10),
+            ("B", "s2", 100.0, 0)]
+    df = spark.createDataFrame(rows, "g string, s string, t double, e int")
+    out = {r.g: r for r in std_rate(df, "g", "s", "t", "e").collect()}
+    # A lacks s2: its adjusted rate = W_s1*0.1 + W_s2*0 < crude 0.1/day
+    assert out["A"].adj_rate < out["A"].crude_rate

@@ -208,6 +208,9 @@ R10_NEW = [
     "cem_match",
     "did",
     "evalue",
+    # precision-weighted decimal pooling; standardized-rate grid sums
+    "meta_pool",
+    "std_rate",
 ]
 
 
