@@ -218,6 +218,13 @@ BENCH_QUERIES = [
     "evalue",
     "meta_pool",
     "std_rate",
+    "weighted_corr",
+    "partial_corr",
+    "srm_check",
+    "ratio_metric_ci",
+    "graph_hits",
+    "graph_assort",
+    "graph_modularity",
 ]
 
 # Scope the measured set without editing the file (drift A/B testing,

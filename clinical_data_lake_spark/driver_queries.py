@@ -4414,6 +4414,110 @@ def q_nelson_aalen(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+def q_weighted_corr(spark: SparkSession, sf: str) -> DataFrame:
+    """Exposure-weighted Pearson correlation of quantity and discount
+    per return flag, each line weighted by its extended price
+    (ml/stats.py:weighted_corr) — one map-side-combinable decimal
+    moment aggregate, sums divided once into round-9 doubles."""
+    return ml_stats.weighted_corr(
+        read_table(spark, sf, "lineitem"),
+        ["l_returnflag"], "l_quantity", "l_discount", "l_extendedprice",
+    )
+
+
+def q_partial_corr(spark: SparkSession, sf: str) -> DataFrame:
+    """Partial correlation of quantity and extended price CONTROLLING
+    for discount, per line status (ml/stats.py:partial_corr): all
+    three pairwise correlations from ONE nine-sum decimal aggregate;
+    the confounder-adjusted association screen."""
+    return ml_stats.partial_corr(
+        read_table(spark, sf, "lineitem"),
+        ["l_linestatus"], "l_quantity", "l_extendedprice", "l_discount",
+    )
+
+
+def q_srm_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Sample-ratio-mismatch audit (ml/stats.py:srm_check) of an
+    md5-deterministic 50/25/25 three-arm assignment over distinct
+    event users: per-arm observed vs designed counts with the
+    chi-square goodness-of-fit decomposition. The pre-read validity
+    gate for ab_test/cuped; unknown arms raise in-plan."""
+    users = read_table(spark, sf, "events").select("user_id").distinct()
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 13),
+               16, 10)
+        .cast("long") % 4
+    )
+    tagged = users.select(
+        F.when(bucket <= 1, "a").when(bucket == 2, "b").otherwise("c")
+        .alias("variant")
+    )
+    return ml_stats.srm_check(
+        tagged, "variant", {"a": 0.5, "b": 0.25, "c": 0.25}
+    )
+
+
+def q_ratio_metric_ci(spark: SparkSession, sf: str) -> DataFrame:
+    """Delta-method CI for the ratio metric `purchase revenue per
+    event` with USERS as the randomization unit
+    (ml/stats.py:ratio_metric_ci): per-user decimal totals, then one
+    moment aggregate — the correlated-rows-within-unit-aware CI."""
+    ev = read_table(spark, sf, "events").select(
+        "user_id",
+        F.when(F.col("event_type") == "purchase", F.col("value"))
+        .otherwise(F.lit(0.0)).alias("rev"),
+        F.lit(1.0).alias("one"),
+    )
+    return ml_stats.ratio_metric_ci(ev, "user_id", "rev", "one")
+
+
+
+
+def _copurchase_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Directed part -> supplier co-purchase edges from lineitem
+    (supplier ids offset by 1e9 to disjoint the node space — the
+    q_graph_lpa convention)."""
+    return read_table(spark, sf, "lineitem").select(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + F.lit(1000000000)).alias("dst"),
+    )
+
+
+def q_graph_hits(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-round HITS hubs/authorities (operators/graph.py:hits) over
+    the directed part->supplier co-purchase graph: exact integer
+    iteration (linearity lets the normalization factor out), one L1
+    normalization at the end — replayed round-by-round by the twin."""
+    from .operators import graph
+
+    return graph.hits(_copurchase_edges(spark, sf), k=2)
+
+
+def q_graph_assort(spark: SparkSession, sf: str) -> DataFrame:
+    """Degree assortativity (operators/graph.py:assortativity) of the
+    part<->supplier co-purchase graph: Pearson r of endpoint degrees
+    over the symmetrized edge list, integer-exact moments — negative
+    here (bipartite hub-leaf attachment), the pre-flight shape check
+    before any pair join over the graph."""
+    from .operators import graph
+
+    return graph.assortativity(_copurchase_edges(spark, sf))
+
+
+def q_graph_modularity(spark: SparkSession, sf: str) -> DataFrame:
+    """Modularity Q (operators/graph.py:modularity) of the 1-round
+    label-propagation partition of the co-purchase graph — the
+    community-quality score for LPA output, integer counts with one
+    rounded division per community; scalar totals broadcast back via
+    cross join, never a community-scale window."""
+    from .operators import graph
+
+    e = _copurchase_edges(spark, sf)
+    labels = graph.label_propagation(e, k=1)
+    return graph.modularity(e, labels)
+
+
 QUERIES = {
     # -- r8 certification window (first 50): the 18 queries that have
     #    never had a driver CORRECTNESS row, then the 32 oldest r3-era
@@ -4751,7 +4855,16 @@ QUERIES = {
     "evalue": q_evalue,
     "meta_pool": q_meta_pool,
     "std_rate": q_std_rate,
+    # r10 session-3 additions (experimentation/statistics pack)
+    "weighted_corr": q_weighted_corr,
+    "partial_corr": q_partial_corr,
+    "srm_check": q_srm_check,
+    "ratio_metric_ci": q_ratio_metric_ci,
+    "graph_hits": q_graph_hits,
+    "graph_assort": q_graph_assort,
+    "graph_modularity": q_graph_modularity,
 }
+
 
 # -- r9 certification window (ROTATION.md): the driver checks the FIRST
 #    50 registry entries each round. Priority 1 = the 40 operators added
@@ -11742,4 +11855,380 @@ ORACLES["std_rate"] = """
                END AS crude_rate,
                round(CAST(1000.0 AS DOUBLE) * adj, 6) AS adj_rate
         FROM o
+    """
+
+ORACLES["weighted_corr"] = """
+        WITH base AS (
+            SELECT l_returnflag,
+                   CAST(l_quantity AS DOUBLE) AS x,
+                   CAST(l_discount AS DOUBLE) AS y,
+                   CAST(l_extendedprice AS DOUBLE) AS w
+            FROM lineitem
+            WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+              AND l_extendedprice IS NOT NULL AND l_extendedprice > 0
+        ),
+        mom AS (
+            SELECT l_returnflag,
+                   CAST(count(*) AS BIGINT) AS n,
+                   sum(CAST(w AS DECIMAL(18,6))) AS sw,
+                   sum(CAST(w * x AS DECIMAL(18,6))) AS swx,
+                   sum(CAST(w * y AS DECIMAL(18,6))) AS swy,
+                   sum(CAST(w * x * x AS DECIMAL(18,6))) AS swxx,
+                   sum(CAST(w * y * y AS DECIMAL(18,6))) AS swyy,
+                   sum(CAST(w * x * y AS DECIMAL(18,6))) AS swxy
+            FROM base GROUP BY l_returnflag
+        ),
+        m AS (
+            SELECT l_returnflag, n, CAST(sw AS DOUBLE) AS swd,
+                   round(CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE), 9) AS mx,
+                   round(CAST(swy AS DOUBLE) / CAST(sw AS DOUBLE), 9) AS my,
+                   CAST(swxx AS DOUBLE) AS swxx,
+                   CAST(swyy AS DOUBLE) AS swyy,
+                   CAST(swxy AS DOUBLE) AS swxy
+            FROM mom
+        ),
+        c AS (
+            SELECT l_returnflag, n, swd,
+                   round(swxx / swd - mx * mx, 9) AS cxx,
+                   round(swyy / swd - my * my, 9) AS cyy,
+                   round(swxy / swd - mx * my, 9) AS cxy
+            FROM m
+        )
+        SELECT l_returnflag, n, swd AS w_sum,
+               round(CASE WHEN cxx > 0.0 AND cyy > 0.0
+                          THEN cxy / sqrt(cxx * cyy) END, 6) + 0.0 AS r_w
+        FROM c
+    """
+
+ORACLES["partial_corr"] = """
+        WITH base AS (
+            SELECT l_linestatus,
+                   CAST(l_quantity AS DOUBLE) AS x,
+                   CAST(l_extendedprice AS DOUBLE) AS y,
+                   CAST(l_discount AS DOUBLE) AS z
+            FROM lineitem
+            WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+              AND l_discount IS NOT NULL
+        ),
+        mom AS (
+            SELECT l_linestatus,
+                   CAST(count(*) AS BIGINT) AS n,
+                   sum(CAST(x AS DECIMAL(18,6))) AS sx,
+                   sum(CAST(y AS DECIMAL(18,6))) AS sy,
+                   sum(CAST(z AS DECIMAL(18,6))) AS sz,
+                   sum(CAST(x * x AS DECIMAL(18,6))) AS sxx,
+                   sum(CAST(y * y AS DECIMAL(18,6))) AS syy,
+                   sum(CAST(z * z AS DECIMAL(18,6))) AS szz,
+                   sum(CAST(x * y AS DECIMAL(18,6))) AS sxy,
+                   sum(CAST(x * z AS DECIMAL(18,6))) AS sxz,
+                   sum(CAST(y * z AS DECIMAL(18,6))) AS syz
+            FROM base GROUP BY l_linestatus
+        ),
+        m AS (
+            SELECT l_linestatus, n,
+                   round(CAST(sx AS DOUBLE) / n, 9) AS mx,
+                   round(CAST(sy AS DOUBLE) / n, 9) AS my,
+                   round(CAST(sz AS DOUBLE) / n, 9) AS mz,
+                   CAST(sxx AS DOUBLE) AS sxx, CAST(syy AS DOUBLE) AS syy,
+                   CAST(szz AS DOUBLE) AS szz, CAST(sxy AS DOUBLE) AS sxy,
+                   CAST(sxz AS DOUBLE) AS sxz, CAST(syz AS DOUBLE) AS syz
+            FROM mom
+        ),
+        r AS (
+            SELECT l_linestatus, n,
+                   CASE WHEN round(sxx / n - mx * mx, 9) > 0.0
+                         AND round(syy / n - my * my, 9) > 0.0
+                        THEN round(round(sxy / n - mx * my, 9)
+                                   / sqrt(round(sxx / n - mx * mx, 9)
+                                          * round(syy / n - my * my, 9)), 9)
+                   END AS r_xy,
+                   CASE WHEN round(sxx / n - mx * mx, 9) > 0.0
+                         AND round(szz / n - mz * mz, 9) > 0.0
+                        THEN round(round(sxz / n - mx * mz, 9)
+                                   / sqrt(round(sxx / n - mx * mx, 9)
+                                          * round(szz / n - mz * mz, 9)), 9)
+                   END AS r_xz,
+                   CASE WHEN round(syy / n - my * my, 9) > 0.0
+                         AND round(szz / n - mz * mz, 9) > 0.0
+                        THEN round(round(syz / n - my * mz, 9)
+                                   / sqrt(round(syy / n - my * my, 9)
+                                          * round(szz / n - mz * mz, 9)), 9)
+                   END AS r_yz
+            FROM m
+        )
+        SELECT l_linestatus, n,
+               round(r_xy, 6) + 0.0 AS r_xy,
+               round(CASE WHEN (1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz) > 0.0
+                          THEN (r_xy - r_xz * r_yz)
+                               / sqrt((1.0 - r_xz * r_xz)
+                                      * (1.0 - r_yz * r_yz)) END, 6) + 0.0
+                   AS r_xy_z
+        FROM r
+    """
+
+ORACLES["srm_check"] = """
+        WITH users AS (
+            SELECT DISTINCT user_id FROM events
+        ),
+        tagged AS (
+            SELECT CASE
+                     WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT % 4 <= 1 THEN 'a'
+                     WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT % 4 = 2 THEN 'b'
+                     ELSE 'c'
+                   END AS variant
+            FROM users
+        ),
+        design AS (
+            SELECT * FROM (VALUES ('a', CAST(0.5 AS DOUBLE)),
+                                  ('b', CAST(0.25 AS DOUBLE)),
+                                  ('c', CAST(0.25 AS DOUBLE)))
+                   AS t(variant, share)
+        ),
+        obs AS (
+            SELECT variant, CAST(count(*) AS BIGINT) AS observed
+            FROM tagged GROUP BY variant
+        ),
+        joined AS (
+            SELECT d.variant, COALESCE(o.observed, 0) AS observed, d.share
+            FROM design d LEFT JOIN obs o USING (variant)
+        ),
+        tot AS (
+            SELECT variant, observed,
+                   CAST(sum(observed) OVER () AS DOUBLE) * share AS exp_
+            FROM joined
+        ),
+        con AS (
+            SELECT variant, observed,
+                   round(exp_, 6) + 0.0 AS expected,
+                   round((CAST(observed AS DOUBLE) - exp_)
+                         * (CAST(observed AS DOUBLE) - exp_) / exp_, 6) + 0.0
+                       AS contrib
+            FROM tot
+        )
+        SELECT variant, observed, expected, contrib,
+               round(CAST(sum(CAST(contrib AS DECIMAL(18,6))) OVER ()
+                          AS DOUBLE), 6) + 0.0 AS chi2_total,
+               CAST(2 AS INT) AS dof
+        FROM con
+    """
+
+ORACLES["ratio_metric_ci"] = """
+        WITH per_unit AS (
+            SELECT user_id,
+                   sum(CAST(CASE WHEN event_type = 'purchase' THEN value
+                                 ELSE 0.0 END AS DECIMAL(18,6))) AS sn,
+                   sum(CAST(1.0 AS DECIMAL(18,6))) AS sd
+            FROM events GROUP BY user_id
+        ),
+        ab AS (
+            SELECT COALESCE(CAST(sn AS DOUBLE), 0.0) AS a,
+                   COALESCE(CAST(sd AS DOUBLE), 0.0) AS b
+            FROM per_unit
+        ),
+        mom AS (
+            SELECT CAST(count(*) AS BIGINT) AS k,
+                   sum(CAST(a AS DECIMAL(18,6))) AS sn,
+                   sum(CAST(b AS DECIMAL(18,6))) AS sd,
+                   sum(CAST(a * a AS DECIMAL(18,6))) AS snn,
+                   sum(CAST(b * b AS DECIMAL(18,6))) AS sdd,
+                   sum(CAST(a * b AS DECIMAL(18,6))) AS snd
+            FROM ab
+        ),
+        m AS (
+            SELECT k,
+                   round(CAST(sn AS DOUBLE) / k, 9) AS mn,
+                   round(CAST(sd AS DOUBLE) / k, 9) AS md,
+                   round(CAST(snn AS DOUBLE) / k
+                         - round(CAST(sn AS DOUBLE) / k, 9)
+                           * round(CAST(sn AS DOUBLE) / k, 9), 9) AS vn,
+                   round(CAST(sdd AS DOUBLE) / k
+                         - round(CAST(sd AS DOUBLE) / k, 9)
+                           * round(CAST(sd AS DOUBLE) / k, 9), 9) AS vd,
+                   round(CAST(snd AS DOUBLE) / k
+                         - round(CAST(sn AS DOUBLE) / k, 9)
+                           * round(CAST(sd AS DOUBLE) / k, 9), 9) AS cnd
+            FROM mom
+        ),
+        s AS (
+            SELECT k,
+                   CASE WHEN md != 0.0 THEN mn / md END AS ratio,
+                   CASE WHEN k >= 2 AND md != 0.0
+                         AND (vn + (mn / md) * (mn / md) * vd
+                              - 2.0 * (mn / md) * cnd)
+                             / (CAST(k AS DOUBLE) - 1.0) / (md * md) >= 0.0
+                        THEN
+                        sqrt((vn + (mn / md) * (mn / md) * vd
+                              - 2.0 * (mn / md) * cnd)
+                             / (CAST(k AS DOUBLE) - 1.0) / (md * md))
+                   END AS se
+            FROM m
+        )
+        SELECT k,
+               round(ratio, 6) + 0.0 AS ratio,
+               round(se, 6) + 0.0 AS se,
+               round(ratio - 1.959963984540054 * se, 6) + 0.0 AS ci_lo,
+               round(ratio + 1.959963984540054 * se, 6) + 0.0 AS ci_hi
+        FROM s
+    """
+
+ORACLES["graph_hits"] = """
+        WITH e AS (
+            SELECT DISTINCT l_partkey AS s,
+                            l_suppkey + 1000000000 AS d
+            FROM lineitem
+            WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+        ),
+        nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e),
+        h0 AS (SELECT node, 1 AS hub FROM nodes),
+        a1 AS (
+            SELECT e.d AS node, sum(h.hub) AS authority
+            FROM e JOIN h0 h ON e.s = h.node GROUP BY 1
+        ),
+        h1 AS (
+            SELECT e.s AS node, sum(a.authority) AS hub
+            FROM e JOIN a1 a ON e.d = a.node GROUP BY 1
+        ),
+        a2 AS (
+            SELECT e.d AS node, sum(h.hub) AS authority
+            FROM e JOIN h1 h ON e.s = h.node GROUP BY 1
+        ),
+        h2 AS (
+            SELECT e.s AS node, sum(a.authority) AS hub
+            FROM e JOIN a2 a ON e.d = a.node GROUP BY 1
+        ),
+        scored AS (
+            SELECT n.node,
+                   COALESCE(h2.hub, 0) AS h,
+                   COALESCE(a2.authority, 0) AS a
+            FROM nodes n
+            LEFT JOIN h2 ON n.node = h2.node
+            LEFT JOIN a2 ON n.node = a2.node
+        ),
+        tot AS (SELECT sum(h) AS th, sum(a) AS ta FROM scored)
+        SELECT node,
+               round(CAST(h AS DOUBLE) / CAST(th AS DOUBLE), 9) + 0.0 AS hub,
+               round(CAST(a AS DOUBLE) / CAST(ta AS DOUBLE), 9) + 0.0
+                   AS authority
+        FROM scored, tot
+    """
+
+ORACLES["graph_assort"] = """
+        WITH e AS (
+            SELECT DISTINCT l_partkey AS a,
+                            l_suppkey + 1000000000 AS b
+            FROM lineitem
+            WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+        ),
+        deg AS (
+            SELECT node, count(*) AS degree
+            FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+            GROUP BY node
+        ),
+        sym AS (SELECT a AS u, b AS v FROM e
+                UNION ALL SELECT b AS u, a AS v FROM e),
+        paired AS (
+            SELECT du.degree AS du, dv.degree AS dv
+            FROM sym
+            JOIN deg du ON sym.u = du.node
+            JOIN deg dv ON sym.v = dv.node
+        ),
+        mom AS (
+            SELECT CAST(count(*) AS BIGINT) AS m2,
+                   sum(du) AS su, sum(dv) AS sv,
+                   sum(du * du) AS suu, sum(dv * dv) AS svv,
+                   sum(du * dv) AS suv
+            FROM paired
+        ),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+        SELECT n_nodes,
+               CAST(m2 / 2 AS BIGINT) AS n_edges,
+               round(CASE WHEN CAST(suu AS DOUBLE)
+                               - CAST(su AS DOUBLE) * CAST(su AS DOUBLE)
+                                 / CAST(m2 AS DOUBLE) > 0.0
+                           AND CAST(svv AS DOUBLE)
+                               - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+                                 / CAST(m2 AS DOUBLE) > 0.0
+                          THEN (CAST(suv AS DOUBLE)
+                                - CAST(su AS DOUBLE) * CAST(sv AS DOUBLE)
+                                  / CAST(m2 AS DOUBLE))
+                               / sqrt((CAST(suu AS DOUBLE)
+                                       - CAST(su AS DOUBLE)
+                                         * CAST(su AS DOUBLE)
+                                         / CAST(m2 AS DOUBLE))
+                                      * (CAST(svv AS DOUBLE)
+                                         - CAST(sv AS DOUBLE)
+                                           * CAST(sv AS DOUBLE)
+                                           / CAST(m2 AS DOUBLE)))
+                     END, 6) + 0.0 AS r
+        FROM nn, mom
+    """
+
+ORACLES["graph_modularity"] = """
+        WITH e AS (
+            SELECT DISTINCT l_partkey AS a,
+                            l_suppkey + 1000000000 AS b
+            FROM lineitem
+            WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+        ),
+        sym AS (SELECT a AS s, b AS d FROM e
+                UNION SELECT b AS s, a AS d FROM e),
+        l0 AS (SELECT DISTINCT s AS node, s AS label FROM sym),
+        v1 AS (
+            SELECT sym.s AS node, l.label, count(*) AS c
+            FROM sym JOIN l0 l ON sym.d = l.node GROUP BY 1, 2
+        ),
+        l1 AS (
+            SELECT node, label FROM (
+                SELECT node, label,
+                       row_number() OVER (
+                           PARTITION BY node ORDER BY c DESC, label ASC
+                       ) AS rn
+                FROM v1
+            ) WHERE rn = 1
+        ),
+        deg AS (
+            SELECT node, count(*) AS degree
+            FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+            GROUP BY node
+        ),
+        intra AS (
+            SELECT la.label, count(*) AS m_intra
+            FROM e
+            JOIN l1 la ON e.a = la.node
+            JOIN l1 lb ON e.b = lb.node
+            WHERE la.label = lb.label
+            GROUP BY la.label
+        ),
+        comm AS (
+            SELECT l.label,
+                   CAST(count(*) AS BIGINT) AS n_nodes,
+                   CAST(sum(d.degree) AS BIGINT) AS d_total
+            FROM l1 l JOIN deg d ON l.node = d.node
+            GROUP BY l.label
+        ),
+        base AS (
+            SELECT c.label, c.n_nodes,
+                   CAST(COALESCE(i.m_intra, 0) AS BIGINT) AS m_intra,
+                   c.d_total
+            FROM comm c LEFT JOIN intra i USING (label)
+        ),
+        mt AS (SELECT CAST(sum(d_total) / 2 AS BIGINT) AS m FROM base),
+        per AS (
+            SELECT label, n_nodes, m_intra, d_total,
+                   round(CAST(m_intra AS DOUBLE) / CAST(m AS DOUBLE)
+                         - (CAST(d_total AS DOUBLE)
+                            / (2.0 * CAST(m AS DOUBLE)))
+                           * (CAST(d_total AS DOUBLE)
+                              / (2.0 * CAST(m AS DOUBLE))), 6) + 0.0
+                       AS q_contrib
+            FROM base, mt
+        ),
+        qt AS (
+            SELECT round(CAST(sum(CAST(q_contrib AS DECIMAL(18,6)))
+                              AS DOUBLE), 6) AS q_total
+            FROM per
+        )
+        SELECT label, n_nodes, m_intra, d_total, q_contrib,
+               q_total + 0.0 AS q_total
+        FROM per, qt
     """

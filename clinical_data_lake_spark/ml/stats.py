@@ -2930,3 +2930,312 @@ def std_rate(
             F.lit(float(per)) * F.col("__adj__").cast("double"), digits
         ).alias("adj_rate"),
     )
+
+
+def weighted_corr(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+    w_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Per-group WEIGHTED Pearson correlation — the exposure-aware
+    association read-out (e.g. correlate price and discount weighting
+    each line by its quantity, so a 50-unit line counts 50x a 1-unit
+    line). Reference parity: generalizes the unweighted association
+    screens (``corr_matrix``; 01-rwe-dashboard.r:110-124's association
+    step) to frequency/exposure weights.
+
+        r_w = cov_w(x,y) / sqrt(var_w(x) var_w(y)),
+        cov_w(x,y) = Swxy/Sw - (Swx/Sw)(Swy/Sw)
+
+    Scale shape: ONE map-side-combinable aggregate per group collects
+    six decimal sufficient sums (long-backed decimal(18,6) per-row
+    terms — the ols2/corr_matrix lesson); the sums divide once into
+    round-9 doubles before the moment algebra so both engines run
+    identical fp sequences. Nothing but group rows shuffles, so the
+    plan is a scan + partial agg + exchange on the group key. Zero
+    weighted variance (constant x or y) yields NULL.
+    Returns (group..., n, w_sum, r_w).
+    """
+    gcols = list(group_cols)
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    w = F.col(w_col).cast("double")
+    d6 = "decimal(18,6)"
+    base = df.select(*gcols, x_col, y_col, w_col).filter(
+        x.isNotNull() & y.isNotNull() & w.isNotNull() & (w > 0)
+    )
+    mom = base.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(w.cast(d6)).alias("__sw__"),
+        F.sum((w * x).cast(d6)).alias("__swx__"),
+        F.sum((w * y).cast(d6)).alias("__swy__"),
+        F.sum((w * x * x).cast(d6)).alias("__swxx__"),
+        F.sum((w * y * y).cast(d6)).alias("__swyy__"),
+        F.sum((w * x * y).cast(d6)).alias("__swxy__"),
+    )
+    # decimal sums divide once into round-9 doubles BEFORE the moment
+    # algebra (the ols2 lesson — decimal x decimal cross-products
+    # overflow the 38-digit cap differently per engine)
+    sw = F.col("__sw__").cast("double")
+    mx = F.round(F.col("__swx__").cast("double") / sw, 9)
+    my = F.round(F.col("__swy__").cast("double") / sw, 9)
+    cxx = F.round(F.col("__swxx__").cast("double") / sw - mx * mx, 9)
+    cyy = F.round(F.col("__swyy__").cast("double") / sw - my * my, 9)
+    cxy = F.round(F.col("__swxy__").cast("double") / sw - mx * my, 9)
+    r = F.when(
+        (cxx > 0.0) & (cyy > 0.0), cxy / F.sqrt(cxx * cyy)
+    ).otherwise(F.lit(None).cast("double"))
+    return mom.select(
+        *gcols,
+        "n",
+        F.col("__sw__").cast("double").alias("w_sum"),
+        (F.round(r, digits) + F.lit(0.0)).alias("r_w"),
+    )
+
+
+def partial_corr(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+    z_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Per-group PARTIAL Pearson correlation of x and y CONTROLLING
+    for z — the confounder-adjusted association screen (does price
+    still track quantity once discount is held fixed?):
+
+        r_xy.z = (r_xy - r_xz*r_yz) / sqrt((1-r_xz^2)(1-r_yz^2))
+
+    All three pairwise correlations come from ONE map-side-combinable
+    aggregate of nine decimal sufficient sums — a single scan, one
+    exchange on the group key (vs three separate corr passes). The
+    pairwise r's are rounded to 9 digits BEFORE the partial formula so
+    both engines run identical fp sequences (the ols2 lesson).
+    Degenerate groups (any zero variance, |r_xz| or |r_yz| = 1) yield
+    NULL. Returns (group..., n, r_xy, r_xy_z).
+    """
+    gcols = list(group_cols)
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    z = F.col(z_col).cast("double")
+    d6 = "decimal(18,6)"
+    base = df.select(*gcols, x_col, y_col, z_col).filter(
+        x.isNotNull() & y.isNotNull() & z.isNotNull()
+    )
+    mom = base.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x.cast(d6)).alias("__sx__"),
+        F.sum(y.cast(d6)).alias("__sy__"),
+        F.sum(z.cast(d6)).alias("__sz__"),
+        F.sum((x * x).cast(d6)).alias("__sxx__"),
+        F.sum((y * y).cast(d6)).alias("__syy__"),
+        F.sum((z * z).cast(d6)).alias("__szz__"),
+        F.sum((x * y).cast(d6)).alias("__sxy__"),
+        F.sum((x * z).cast(d6)).alias("__sxz__"),
+        F.sum((y * z).cast(d6)).alias("__syz__"),
+    )
+    n = F.col("n").cast("double")
+    # round-9 means/covariances in doubles (the ols2 lesson; see
+    # weighted_corr) — both engines then run identical fp sequences
+    means = {
+        c: F.round(F.col(f"__s{c}__").cast("double") / n, 9)
+        for c in ("x", "y", "z")
+    }
+
+    def _r(ab, a, b):
+        cab = F.round(
+            F.col(f"__s{ab}__").cast("double") / n - means[a] * means[b], 9
+        )
+        caa = F.round(
+            F.col(f"__s{a}{a}__").cast("double") / n
+            - means[a] * means[a],
+            9,
+        )
+        cbb = F.round(
+            F.col(f"__s{b}{b}__").cast("double") / n
+            - means[b] * means[b],
+            9,
+        )
+        return F.when(
+            (caa > 0.0) & (cbb > 0.0), F.round(cab / F.sqrt(caa * cbb), 9)
+        ).otherwise(F.lit(None).cast("double"))
+
+    r_xy = _r("xy", "x", "y")
+    r_xz = _r("xz", "x", "z")
+    r_yz = _r("yz", "y", "z")
+    den = (1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz)
+    pc = F.when(den > 0.0, (r_xy - r_xz * r_yz) / F.sqrt(den)).otherwise(
+        F.lit(None).cast("double")
+    )
+    return mom.select(
+        *gcols,
+        "n",
+        (F.round(r_xy, digits) + F.lit(0.0)).alias("r_xy"),
+        (F.round(pc, digits) + F.lit(0.0)).alias("r_xy_z"),
+    )
+
+
+def srm_check(
+    df: DataFrame,
+    group_col: str,
+    expected_shares: dict[str, float],
+    digits: int = 6,
+) -> DataFrame:
+    """Sample-ratio-mismatch audit for experiment assignment: compare
+    each variant's observed unit count against its DESIGNED allocation
+    share with a chi-square goodness-of-fit decomposition — the
+    standard pre-read validity gate before any A/B read-out
+    (``ab_test``/``cuped``): a biased assignment invalidates the
+    experiment regardless of the effect estimate.
+
+    Returns one row per EXPECTED variant: (variant, observed, expected,
+    contrib, chi2_total, dof) where contrib = (O-E)^2/E and chi2_total
+    repeats the full statistic on every row. Variants observed in the
+    data but absent from the design are NOT silently dropped — they
+    raise, because unknown arms are exactly the bug this audit exists
+    to catch.
+
+    Scale shape: one group-count over the fact table (the only data
+    shuffle), joined to a LITERAL design table; the chi2 rollup windows
+    over the bounded variant table only.
+    """
+    if abs(sum(expected_shares.values()) - 1.0) > 1e-9:
+        raise ValueError("expected_shares must sum to 1")
+    spark = df.sparkSession
+    design = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(expected_shares.items())],
+        schema=f"{group_col} string, __share__ double",
+    )
+    obs = df.groupBy(F.col(group_col).cast("string").alias(group_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("observed")
+    )
+    # Unknown-arm guard rides IN the plan (the theil_sen pattern): a
+    # variant observed in the data but absent from the design surfaces
+    # as a NULL share after the full join and raises from the same
+    # single job — no eager pre-flight scan. The guard rides the
+    # `observed` column the output actually consumes, so Catalyst
+    # cannot prune it.
+    guard_msg = F.concat(
+        F.lit("srm_check: observed variant not in the design: "),
+        F.col(group_col).cast("string"),
+    )
+    w = Window.partitionBy()
+    joined = design.join(obs, on=group_col, how="full").select(
+        group_col,
+        F.when(
+            F.col("__share__").isNotNull(),
+            F.coalesce(F.col("observed"), F.lit(0)).cast("long"),
+        )
+        .otherwise(F.raise_error(guard_msg).cast("long"))
+        .alias("observed"),
+        "__share__",
+    )
+    tot = joined.select(
+        group_col,
+        "observed",
+        (F.sum("observed").over(w).cast("double") * F.col("__share__")).alias(
+            "__exp__"
+        ),
+    )
+    contrib = (
+        (F.col("observed").cast("double") - F.col("__exp__"))
+        * (F.col("observed").cast("double") - F.col("__exp__"))
+        / F.col("__exp__")
+    )
+    out = tot.select(
+        group_col,
+        "observed",
+        (F.round(F.col("__exp__"), digits) + F.lit(0.0)).alias("expected"),
+        (F.round(contrib, digits) + F.lit(0.0)).alias("contrib"),
+    )
+    # the chi2 rollup sums the ROUNDED per-arm contribs as decimals so
+    # the total is independent of the window's evaluation order
+    return out.select(
+        group_col,
+        "observed",
+        "expected",
+        "contrib",
+        (
+            F.round(
+                F.sum(F.col("contrib").cast("decimal(18,6)"))
+                .over(w)
+                .cast("double"),
+                digits,
+            )
+            + F.lit(0.0)
+        ).alias("chi2_total"),
+        F.lit(len(expected_shares) - 1).cast("int").alias("dof"),
+    )
+
+
+def ratio_metric_ci(
+    df: DataFrame,
+    unit_col: str,
+    num_col,
+    den_col,
+    group_cols: Sequence[str] = (),
+    z: float = 1.959963984540054,
+    digits: int = 6,
+) -> DataFrame:
+    """Delta-method confidence interval for a RATIO metric (revenue
+    per session, clicks per user, ...) where the randomization unit is
+    ``unit_col`` but the metric is a ratio of totals — naive per-row
+    CIs are wrong because rows within a unit are correlated (the
+    classic experimentation pitfall; Deng et al., KDD'18 formulation).
+
+        R = sum(num)/sum(den),
+        Var(R) ~ (var_n + R^2 var_d - 2 R cov_nd) / (k * mean_d^2)
+
+    computed over PER-UNIT totals (k = #units). Two map-side-combinable
+    aggregates (unit rollup, then decimal moment collection) — the only
+    shuffles are on (group, unit) then group. num/den accept column
+    expressions (e.g. conditional sums). Returns
+    (group..., k, ratio, se, ci_lo, ci_hi); degenerate groups (k < 2 or
+    zero denominator) yield NULL se/CI.
+    """
+    gcols = list(group_cols)
+    num_c = F.col(num_col) if isinstance(num_col, str) else num_col
+    den_c = F.col(den_col) if isinstance(den_col, str) else den_col
+    # per-unit totals accumulate as decimal(18,6) — exact and
+    # partition-invariant — then convert once to double for the moments
+    per_unit = df.groupBy(*gcols, F.col(unit_col).alias("__u__")).agg(
+        F.sum(num_c.cast("decimal(18,6)")).alias("__n__"),
+        F.sum(den_c.cast("decimal(18,6)")).alias("__d__"),
+    )
+    a = F.coalesce(F.col("__n__").cast("double"), F.lit(0.0))
+    b = F.coalesce(F.col("__d__").cast("double"), F.lit(0.0))
+    d6 = "decimal(18,6)"
+    mom = per_unit.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(a.cast(d6)).alias("__sn__"),
+        F.sum(b.cast(d6)).alias("__sd__"),
+        F.sum((a * a).cast(d6)).alias("__snn__"),
+        F.sum((b * b).cast(d6)).alias("__sdd__"),
+        F.sum((a * b).cast(d6)).alias("__snd__"),
+    )
+    kk = F.col("k").cast("double")
+    mn = F.round(F.col("__sn__").cast("double") / kk, 9)
+    md = F.round(F.col("__sd__").cast("double") / kk, 9)
+    vn = F.round(F.col("__snn__").cast("double") / kk - mn * mn, 9)
+    vd = F.round(F.col("__sdd__").cast("double") / kk - md * md, 9)
+    cnd = F.round(F.col("__snd__").cast("double") / kk - mn * md, 9)
+    ratio = F.when(md != 0.0, mn / md)
+    var_r = F.when(
+        (F.col("k") >= 2) & (md != 0.0),
+        (vn + ratio * ratio * vd - 2.0 * ratio * cnd)
+        / (kk - 1.0)
+        / (md * md),
+    )
+    se = F.when(var_r >= 0.0, F.sqrt(var_r))
+    return mom.select(
+        *gcols,
+        "k",
+        (F.round(ratio, digits) + F.lit(0.0)).alias("ratio"),
+        (F.round(se, digits) + F.lit(0.0)).alias("se"),
+        (F.round(ratio - F.lit(z) * se, digits) + F.lit(0.0)).alias("ci_lo"),
+        (F.round(ratio + F.lit(z) * se, digits) + F.lit(0.0)).alias("ci_hi"),
+    )

@@ -406,3 +406,295 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def hits(
+    edges: DataFrame,
+    k: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    digits: int = 9,
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999): hub and authority scores
+    over a DIRECTED edge list — the bipartite-ranking companion to
+    ``pagerank`` (who points at the good things / what is pointed at
+    by the good pointers). Returns (node, hub, authority) for every
+    node incident to an edge; nodes with no out-edges carry hub 0,
+    no in-edges authority 0.
+
+    Because every HITS step is LINEAR, per-round normalization
+    constants factor out completely — so the iteration runs UNSCALED
+    in exact integer arithmetic (hub_0 = 1; authority = sum of hub
+    over in-neighbors; hub = sum of authority over out-neighbors; all
+    DECIMAL(38,0) counts) and L1-normalizes ONCE at the end. That
+    makes the fixed-k result partition-invariant with no float
+    summation anywhere, replayable round-by-round in SQL, and avoids
+    any per-round global pass.
+
+    Scale shape: one equi-join of the score vector onto the edge list
+    plus one groupBy per half-round (identical per-round cost to one
+    PageRank step), eager localCheckpoint per round (truncated
+    lineage, AQE picks join strategies from real sizes); the two L1
+    totals are scalar aggregates cross-joined back (broadcast, never a
+    node-scale window).
+    """
+    from .caching import track_persist
+
+    e = track_persist(
+        edges.select(F.col(src).alias("__s__"), F.col(dst).alias("__d__"))
+        .filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .distinct()
+    )
+    d0 = "decimal(38,0)"
+    nodes = (
+        e.select(F.col("__s__").alias("node"))
+        .union(e.select(F.col("__d__").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hub = nodes.select("node", F.lit(1).cast(d0).alias("hub"))
+    auth = None
+    for _ in range(int(k)):
+        auth = (
+            e.join(hub, e["__s__"] == hub["node"])
+            .groupBy(F.col("__d__").alias("node"))
+            .agg(F.sum(F.col("hub")).cast(d0).alias("authority"))
+            .localCheckpoint(eager=True)
+        )
+        hub = (
+            e.join(auth, e["__d__"] == auth["node"])
+            .groupBy(F.col("__s__").alias("node"))
+            .agg(F.sum(F.col("authority")).cast(d0).alias("hub"))
+            .localCheckpoint(eager=True)
+        )
+    scored = (
+        nodes.join(hub, on="node", how="left")
+        .join(auth, on="node", how="left")
+        .select(
+            "node",
+            F.coalesce("hub", F.lit(0).cast(d0)).alias("__h__"),
+            F.coalesce("authority", F.lit(0).cast(d0)).alias("__a__"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    totals = scored.agg(
+        F.sum("__h__").cast(d0).alias("__th__"),
+        F.sum("__a__").cast(d0).alias("__ta__"),
+    )
+    # divide in doubles: decimal/decimal quantizes to scale 6 and
+    # would truncate the normalized scores below `digits`
+    return scored.crossJoin(totals).select(
+        "node",
+        (
+            F.round(
+                F.col("__h__").cast("double") / F.col("__th__").cast("double"),
+                digits,
+            )
+            + F.lit(0.0)
+        ).alias("hub"),
+        (
+            F.round(
+                F.col("__a__").cast("double") / F.col("__ta__").cast("double"),
+                digits,
+            )
+            + F.lit(0.0)
+        ).alias("authority"),
+    )
+
+
+def assortativity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    digits: int = 6,
+) -> DataFrame:
+    """Degree assortativity of an undirected graph (Newman 2002): the
+    Pearson correlation of endpoint degrees over the symmetrized edge
+    list — one number answering "do hubs attach to hubs (r > 0,
+    social-network shape) or to leaves (r < 0, hub-and-spoke /
+    bipartite shape)?". That sign decides whether a pair-join over the
+    graph explodes (assortative cores) before anyone runs it.
+
+    All moments are INTEGER-exact: degrees are counts, so the six
+    sufficient sums accumulate as DECIMAL(38,0) with no float
+    summation anywhere (the ``spearman_corr`` certification pattern);
+    the one division happens on the reduced row. Returns a single row
+    (n_nodes, n_edges, r); degree-regular graphs (zero variance)
+    yield NULL r.
+
+    Scale shape: canonicalize + distinct (one shuffle), a degree
+    groupBy, two joins of the bounded degree table back onto edges on
+    the node key, one global moment aggregate.
+    """
+    from .caching import track_persist
+
+    e = track_persist(
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    # each undirected edge contributes BOTH (da,db) and (db,da), making
+    # the correlation symmetric without special-casing
+    sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    paired = (
+        sym.join(deg.withColumnRenamed("node", "u"), on="u")
+        .withColumnRenamed("degree", "du")
+        .join(
+            deg.withColumnRenamed("node", "v").withColumnRenamed(
+                "degree", "dv"
+            ),
+            on="v",
+        )
+    )
+    d0 = "decimal(38,0)"
+    du, dv = F.col("du"), F.col("dv")
+    mom = paired.agg(
+        F.count(F.lit(1)).cast("long").alias("m2"),
+        F.sum(du.cast(d0)).alias("__su__"),
+        F.sum(dv.cast(d0)).alias("__sv__"),
+        F.sum((du * du).cast(d0)).alias("__suu__"),
+        F.sum((dv * dv).cast(d0)).alias("__svv__"),
+        F.sum((du * dv).cast(d0)).alias("__suv__"),
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    m = F.col("m2").cast("double")
+    su = F.col("__su__").cast("double")
+    sv = F.col("__sv__").cast("double")
+    num = F.col("__suv__").cast("double") - su * sv / m
+    da = F.col("__suu__").cast("double") - su * su / m
+    db = F.col("__svv__").cast("double") - sv * sv / m
+    r = F.when((da > 0.0) & (db > 0.0), num / F.sqrt(da * db)).otherwise(
+        F.lit(None).cast("double")
+    )
+    return n_nodes.crossJoin(
+        mom.select(
+            (F.col("m2") / 2).cast("long").alias("n_edges"),
+            (F.round(r, digits) + F.lit(0.0)).alias("r"),
+        )
+    )
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+    digits: int = 6,
+) -> DataFrame:
+    """Newman modularity Q of a node partition over an undirected
+    graph — the quality score for ``label_propagation``/``dup_clusters``
+    output (Q near 0: the partition is no better than random; Q > 0.3:
+    real community structure):
+
+        Q = sum_c [ m_c/m  -  (d_c / 2m)^2 ]
+
+    with m total edges, m_c intra-community edges, d_c the community's
+    total degree. Every input is an integer COUNT, so per-community
+    terms are computed from exact integers and rounded once; the total
+    Q sums the bounded community table's rounded contributions as
+    decimals (partition-invariant, the ``srm_check`` pattern).
+
+    Returns one row per community: (label, n_nodes, m_intra, d_total,
+    q_contrib, q_total) with q_total repeated — the per-community
+    detail IS the diagnostic (which communities carry the structure).
+
+    Scale shape: two label joins onto the canonical edge list (node
+    key), one degree groupBy; the two global reductions (total edges,
+    total Q) are scalar aggregates cross-joined back (broadcast) —
+    never a window over the community table, which is node-scale in
+    the worst case (all-singleton partitions).
+    """
+    from .caching import track_persist
+
+    e = track_persist(
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    lab = labels.select(
+        F.col(node_col).alias("node"), F.col(label_col).alias("__lab__")
+    )
+    # intra-community edge counts
+    la = lab.withColumnRenamed("node", "a").withColumnRenamed(
+        "__lab__", "__la__"
+    )
+    lb = lab.withColumnRenamed("node", "b").withColumnRenamed(
+        "__lab__", "__lb__"
+    )
+    tagged = e.join(la, on="a").join(lb, on="b")
+    m_intra = (
+        tagged.filter(F.col("__la__") == F.col("__lb__"))
+        .groupBy(F.col("__la__").alias("label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("m_intra"))
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    comm = (
+        lab.join(deg, on="node", how="inner")
+        .groupBy(F.col("__lab__").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("degree").cast("long").alias("d_total"),
+        )
+    )
+    base = (
+        comm.join(m_intra, on="label", how="left")
+        .select(
+            "label",
+            "n_nodes",
+            F.coalesce("m_intra", F.lit(0)).cast("long").alias("m_intra"),
+            "d_total",
+        )
+        .localCheckpoint(eager=True)
+    )
+    # total edge count derives from total degree: m = sum(d)/2 — a
+    # 1-row scalar aggregate broadcast back via cross join
+    m_tot = base.agg((F.sum("d_total") / 2).cast("long").alias("__m__"))
+    per = base.crossJoin(m_tot)
+    mm = F.col("__m__").cast("double")
+    q = (
+        F.col("m_intra").cast("double") / mm
+        - (F.col("d_total").cast("double") / (2.0 * mm))
+        * (F.col("d_total").cast("double") / (2.0 * mm))
+    )
+    per = per.select(
+        "label",
+        "n_nodes",
+        "m_intra",
+        "d_total",
+        (F.round(q, digits) + F.lit(0.0)).alias("q_contrib"),
+    ).localCheckpoint(eager=True)
+    q_tot = per.agg(
+        F.round(
+            F.sum(F.col("q_contrib").cast("decimal(18,6)")).cast("double"),
+            digits,
+        ).alias("__qt__")
+    )
+    return per.crossJoin(q_tot).select(
+        "label",
+        "n_nodes",
+        "m_intra",
+        "d_total",
+        "q_contrib",
+        (F.col("__qt__") + F.lit(0.0)).alias("q_total"),
+    )

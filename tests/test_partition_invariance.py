@@ -211,6 +211,17 @@ R10_NEW = [
     # precision-weighted decimal pooling; standardized-rate grid sums
     "meta_pool",
     "std_rate",
+    # round-9 double moment folds over decimal sufficient sums;
+    # decimal per-unit rollups; decimal chi2 window sum
+    "weighted_corr",
+    "partial_corr",
+    "srm_check",
+    "ratio_metric_ci",
+    # integer-exact HITS iteration + single L1 normalization;
+    # integer assortativity moments; per-community rounded divisions
+    "graph_hits",
+    "graph_assort",
+    "graph_modularity",
 ]
 
 

@@ -43,6 +43,7 @@ WAIVERS = {
         "cumulative_distinct": "per-day first-seen table (one row per calendar day)",
         "psm_match": "n_buckets-row boundary table (cross-bucket nearest handoff)",
         "lorenz_curve": "bucket-count offset + n_points-row segment tables",
+        "srm_check": "design-arm table (one row per experiment variant)",
     },
 }
 
