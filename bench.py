@@ -225,6 +225,11 @@ BENCH_QUERIES = [
     "graph_hits",
     "graph_assort",
     "graph_modularity",
+    "readability",
+    "fertility",
+    "t_closeness",
+    "spatial_nearest",
+    "partition_stats",
 ]
 
 # Scope the measured set without editing the file (drift A/B testing,

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions import scalar, text
+from .io import partition_stats_report as io_partition_stats
 from .io import read_table, register_views
 from .llm import dedup, multimodal, similarity
 from .ml import featurize as ml_featurize
@@ -4518,6 +4519,105 @@ def q_graph_modularity(spark: SparkSession, sf: str) -> DataFrame:
     return graph.modularity(e, labels)
 
 
+
+def q_readability(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source readability profile (functions/text.py:
+    readability_profile): vowel-run syllable estimation, complex-word
+    share, Flesch reading-ease with documents as the sentence unit —
+    the corpus-quality lens length heuristics miss."""
+    return text.readability_profile(read_table(spark, sf, "documents"))
+
+
+def q_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer fertility by language (functions/text.py:
+    tokenizer_fertility): BPE-ish subword tokens per whitespace word
+    per labeled language — the multilingual mixture-budgeting input
+    (a 2x-fertility language burns 2x token budget per word)."""
+    return text.tokenizer_fertility(
+        read_table(spark, sf, "documents"), lang_col="lang"
+    )
+
+
+def q_t_closeness(spark: SparkSession, sf: str) -> DataFrame:
+    """t-closeness privacy audit (operators/quality.py:
+    t_closeness_report) of (nation, segment) equivalence classes
+    against the account-balance distribution bucketed to thousands —
+    the ordered-EMD rung above k_anonymity/l_diversity."""
+    from .operators import quality as dq
+
+    cu = read_table(spark, sf, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long").alias(
+            "bal_kbucket"
+        ),
+    )
+    return dq.t_closeness_report(
+        cu, ["c_nationkey", "c_mktsegment"], "bal_kbucket"
+    )
+
+
+def _md5_coord(prefix: str, key) -> F.Column:
+    """Deterministic uniform [0,10) coordinate from md5(prefix||key) —
+    the md5-inverse-CDF convention (13 hex chars = 52 bits, exactly
+    representable in a double; SQL-replayable)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(prefix), key.cast("string"))), 1, 13),
+        16, 10,
+    ).cast("double")
+    return h / F.lit(4503599627370496.0) * F.lit(10.0)
+
+
+def q_spatial_nearest(spark: SparkSession, sf: str) -> DataFrame:
+    """Grid-bucketed nearest-neighbor spatial join (operators/joins.py:
+    grid_nearest_join): every 31st customer to its closest supplier
+    within radius 1.0 on md5-derived planar coordinates — candidates
+    meet in an equi join on 3x3 grid cells, never a cross join; the
+    oracle brute-forces the same bounded-radius argmin."""
+    cu = read_table(spark, sf, "customer").filter(
+        F.col("c_custkey") % 31 == 0
+    ).select(
+        "c_custkey",
+        _md5_coord("cx", F.col("c_custkey")).alias("x"),
+        _md5_coord("cy", F.col("c_custkey")).alias("y"),
+    )
+    su = read_table(spark, sf, "supplier").select(
+        "s_suppkey",
+        _md5_coord("sx", F.col("s_suppkey")).alias("x"),
+        _md5_coord("sy", F.col("s_suppkey")).alias("y"),
+    )
+    return joins.grid_nearest_join(
+        cu, su, "c_custkey", "s_suppkey", radius=1.0
+    )
+
+
+def q_partition_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Layout/pruning audit (io.py:partition_stats_report): write the
+    events table day-partitioned, then report per-partition row counts
+    and value/epoch min-max with a would-skip flag for a one-week
+    timestamp predicate — the manifest-stats read-out that measures
+    whether the layout actually clusters the hot filter column."""
+    import os as _os
+
+    tag = "".join(
+        ch if ch.isalnum() else "_" for ch in sf.rstrip("/").split("/")[-1]
+    )
+    path = _os.path.join("spark-warehouse", f"pstats_events_{tag}")
+    ev = read_table(spark, sf, "events").select(
+        F.to_date("ts").alias("day"),
+        "value",
+        F.col("ts").cast("double").cast("long").alias("ts_s"),
+    )
+    ev.repartition("day").write.mode("overwrite").partitionBy("day").parquet(
+        path
+    )
+    return io_partition_stats(
+        spark, path, ["value", "ts_s"],
+        predicate_col="ts_s",
+        predicate_lo=1704672000, predicate_hi=1705276799,
+    )
+
+
 QUERIES = {
     # -- r8 certification window (first 50): the 18 queries that have
     #    never had a driver CORRECTNESS row, then the 32 oldest r3-era
@@ -4863,6 +4963,11 @@ QUERIES = {
     "graph_hits": q_graph_hits,
     "graph_assort": q_graph_assort,
     "graph_modularity": q_graph_modularity,
+    "readability": q_readability,
+    "fertility": q_fertility,
+    "t_closeness": q_t_closeness,
+    "spatial_nearest": q_spatial_nearest,
+    "partition_stats": q_partition_stats,
 }
 
 
@@ -12231,4 +12336,178 @@ ORACLES["graph_modularity"] = """
         SELECT label, n_nodes, m_intra, d_total, q_contrib,
                q_total + 0.0 AS q_total
         FROM per, qt
+    """
+
+ORACLES["readability"] = """
+        WITH toks AS (
+            SELECT source, doc_id, t.tok
+            FROM (
+                SELECT source, doc_id,
+                       string_split(regexp_replace(lower(trim(text)),
+                                                   '\\s+', ' ', 'g'),
+                                    ' ') AS w
+                FROM documents
+            ), UNNEST(w) AS t(tok)
+            WHERE t.tok != ''
+        ),
+        per_tok AS (
+            SELECT source, doc_id,
+                   greatest(len(regexp_extract_all(tok, '[aeiouy]+')), 1)
+                       AS syll,
+                   CASE WHEN len(regexp_extract_all(tok, '[aeiouy]+')) >= 3
+                        THEN 1 ELSE 0 END AS cx
+            FROM toks
+        ),
+        agg AS (
+            SELECT source,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(syll) AS BIGINT) AS s,
+                   CAST(sum(cx) AS BIGINT) AS c
+            FROM per_tok GROUP BY source
+        )
+        SELECT source, n_docs, n_words,
+               round(CAST(s AS DOUBLE) / CAST(n_words AS DOUBLE), 6) + 0.0
+                   AS syll_per_word,
+               round(CAST(c AS DOUBLE) / CAST(n_words AS DOUBLE), 6) + 0.0
+                   AS complex_share,
+               round(CAST(206.835 AS DOUBLE)
+                     - CAST(1.015 AS DOUBLE)
+                       * (CAST(n_words AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                     - CAST(84.6 AS DOUBLE)
+                       * (CAST(s AS DOUBLE) / CAST(n_words AS DOUBLE)),
+                     6) + 0.0 AS flesch
+        FROM agg
+    """
+
+ORACLES["fertility"] = """
+        WITH per_doc AS (
+            SELECT lang,
+                   CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)
+                       AS w,
+                   CAST(list_sum(list_transform(
+                            string_split_regex(text, '\\s+'),
+                            t -> CAST(ceil(length(t) / 4.0) AS BIGINT)))
+                        AS BIGINT) AS sw
+            FROM documents
+        ),
+        agg AS (
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(w) AS BIGINT) AS n_words,
+                   CAST(sum(sw) AS BIGINT) AS n_subwords
+            FROM per_doc GROUP BY lang
+        )
+        SELECT lang, n_docs, n_words, n_subwords,
+               round(CAST(n_subwords AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+                   + 0.0 AS fertility
+        FROM agg
+    """
+
+ORACLES["t_closeness"] = """
+        WITH base AS (
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS v
+            FROM customer
+            WHERE c_acctbal IS NOT NULL
+        ),
+        gdist AS (SELECT v, count(*) AS gc FROM base GROUP BY v),
+        classes AS (
+            SELECT c_nationkey, c_mktsegment, count(*) AS sz
+            FROM base GROUP BY 1, 2
+        ),
+        cell AS (
+            SELECT c_nationkey, c_mktsegment, v, count(*) AS cc
+            FROM base GROUP BY 1, 2, 3
+        ),
+        grid AS (
+            SELECT cl.c_nationkey, cl.c_mktsegment, g.v, cl.sz, g.gc,
+                   COALESCE(ce.cc, 0) AS cc
+            FROM classes cl
+            CROSS JOIN gdist g
+            LEFT JOIN cell ce
+              ON ce.c_nationkey = cl.c_nationkey
+             AND ce.c_mktsegment = cl.c_mktsegment
+             AND ce.v = g.v
+        ),
+        ntot AS (SELECT sum(gc) AS n FROM gdist),
+        walked AS (
+            SELECT c_nationkey, c_mktsegment, sz,
+                   abs(sum(round(CAST(cc AS DOUBLE) / CAST(sz AS DOUBLE)
+                                 - CAST(gc AS DOUBLE)
+                                   / CAST(n AS DOUBLE), 12))
+                       OVER (PARTITION BY c_nationkey, c_mktsegment
+                             ORDER BY v)) AS cum,
+                   count(*) OVER (
+                       PARTITION BY c_nationkey, c_mktsegment
+                   ) AS nv
+            FROM grid, ntot
+        )
+        SELECT c_nationkey, c_mktsegment,
+               CAST(max(sz) AS BIGINT) AS class_size,
+               round(CASE WHEN max(nv) > 1
+                          THEN CAST(sum(CAST(round(cum, 12)
+                                             AS DECIMAL(28,12))) AS DOUBLE)
+                               / (CAST(max(nv) AS DOUBLE) - 1.0)
+                          ELSE 0.0 END, 6) + 0.0 AS t
+        FROM walked
+        GROUP BY c_nationkey, c_mktsegment
+    """
+
+ORACLES["spatial_nearest"] = """
+        WITH cu AS (
+            SELECT c_custkey,
+                   ('0x' || substr(md5('cx' || CAST(c_custkey AS VARCHAR)),
+                                   1, 13))::BIGINT::DOUBLE
+                       / 4503599627370496.0 * 10.0 AS x,
+                   ('0x' || substr(md5('cy' || CAST(c_custkey AS VARCHAR)),
+                                   1, 13))::BIGINT::DOUBLE
+                       / 4503599627370496.0 * 10.0 AS y
+            FROM customer WHERE c_custkey % 31 = 0
+        ),
+        su AS (
+            SELECT s_suppkey,
+                   ('0x' || substr(md5('sx' || CAST(s_suppkey AS VARCHAR)),
+                                   1, 13))::BIGINT::DOUBLE
+                       / 4503599627370496.0 * 10.0 AS x,
+                   ('0x' || substr(md5('sy' || CAST(s_suppkey AS VARCHAR)),
+                                   1, 13))::BIGINT::DOUBLE
+                       / 4503599627370496.0 * 10.0 AS y
+            FROM supplier
+        ),
+        cand AS (
+            SELECT cu.c_custkey, su.s_suppkey,
+                   round((cu.x - su.x) * (cu.x - su.x)
+                         + (cu.y - su.y) * (cu.y - su.y), 9) AS d2
+            FROM cu CROSS JOIN su
+        ),
+        ranked AS (
+            SELECT c_custkey, s_suppkey, d2,
+                   row_number() OVER (
+                       PARTITION BY c_custkey ORDER BY d2, s_suppkey
+                   ) AS rn
+            FROM cand WHERE d2 <= 1.0
+        )
+        SELECT c_custkey, s_suppkey, d2 + 0.0 AS dist_sq
+        FROM ranked WHERE rn = 1
+    """
+
+ORACLES["partition_stats"] = """
+        WITH ev AS (
+            SELECT 'day=' || strftime(ts, '%Y-%m-%d') AS part_key,
+                   value,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+            FROM events
+        ),
+        agg AS (
+            SELECT part_key,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   min(value) AS min_value, max(value) AS max_value,
+                   min(ts_s) AS min_ts_s, max(ts_s) AS max_ts_s
+            FROM ev GROUP BY part_key
+        )
+        SELECT part_key, n_rows, min_value, max_value, min_ts_s, max_ts_s,
+               NOT (min_ts_s <= 1705276799 AND max_ts_s >= 1704672000)
+                   AS would_skip
+        FROM agg
     """

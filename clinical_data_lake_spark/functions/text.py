@@ -917,3 +917,126 @@ def bigram_lm_cross_scores(
             F.col("avg_logprob"),
         )
     )
+
+
+def readability_profile(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    digits: int = 6,
+) -> DataFrame:
+    """Per-group readability statistics from vowel-group syllable
+    estimation — the classic text-quality lens (Flesch 1948) the
+    length/punctuation heuristics in ``quality_score`` don't see:
+    token-soup with inflated word lengths scores the same on length
+    but very differently on syllables-per-word.
+
+    Syllables are estimated as maximal ``[aeiouy]+`` runs per word
+    (floored at 1 — every word carries at least one), complex words
+    are those with >= 3 runs, and the Flesch reading-ease formula is
+    applied with DOCUMENTS as the sentence unit (this corpus carries
+    no sentence punctuation; the docstring constant names the
+    substitution):
+
+        flesch = 206.835 - 1.015 * (words/doc) - 84.6 * (syll/word)
+
+    Returns (group, n_docs, n_words, syll_per_word, complex_share,
+    flesch). All counts are integers aggregated in one pass over the
+    exploded token stream (ONE shuffle on the group key); the three
+    divisions happen on the reduced per-group row and round once.
+    """
+    doc_key = (
+        F.col("doc_id") if "doc_id" in docs.columns
+        else F.monotonically_increasing_id()
+    )
+    # doc key minted in its OWN select before the explode (the
+    # ExtractGenerator gotcha: ids beside a generator are assigned per
+    # exploded row)
+    keyed = docs.select(
+        F.col(group_col).alias("grp"),
+        doc_key.alias("__doc__"),
+        F.col(text_col).alias("__t__"),
+    )
+    toks = keyed.select(
+        "grp",
+        "__doc__",
+        F.explode(
+            F.split(F.regexp_replace(F.lower(F.trim(F.col("__t__"))),
+                                     r"\s+", " "), " ")
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    vg = F.size(F.expr("regexp_extract_all(tok, '[aeiouy]+', 0)"))
+    per = toks.select(
+        "grp",
+        "__doc__",
+        F.greatest(vg, F.lit(1)).cast("long").alias("__syll__"),
+        (vg >= 3).cast("long").alias("__cx__"),
+    ).groupBy("grp").agg(
+        F.countDistinct("__doc__").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("__syll__").cast("long").alias("__s__"),
+        F.sum("__cx__").cast("long").alias("__c__"),
+    )
+    wpd = F.col("n_words").cast("double") / F.col("n_docs").cast("double")
+    spw = F.col("__s__").cast("double") / F.col("n_words").cast("double")
+    cxs = F.col("__c__").cast("double") / F.col("n_words").cast("double")
+    return per.select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        "n_words",
+        (F.round(spw, digits) + F.lit(0.0)).alias("syll_per_word"),
+        (F.round(cxs, digits) + F.lit(0.0)).alias("complex_share"),
+        (
+            F.round(
+                F.lit(206.835) - F.lit(1.015) * wpd - F.lit(84.6) * spw,
+                digits,
+            )
+            + F.lit(0.0)
+        ).alias("flesch"),
+    )
+
+
+def tokenizer_fertility(
+    docs: DataFrame,
+    text_col: str = "text",
+    lang_col: str | None = None,
+    digits: int = 6,
+) -> DataFrame:
+    """Tokenizer fertility by language: subword tokens emitted per
+    whitespace word — THE mixture-budgeting input for multilingual
+    pretraining (a language whose tokenizer fertility is 2x consumes
+    2x the token budget per word; XLM-R/mC4 weight corpora by exactly
+    this). Uses the scan-speed BPE-ish estimator (``bpe_ish_token_count``,
+    the ``text_stats`` machinery) so the read-out is deterministic and
+    SQL-replayable; swap in a real tokenizer UDF for production
+    calibration.
+
+    Returns (lang, n_docs, n_words, n_subwords, fertility) — pure
+    projections feeding ONE group aggregate; integer counts, one
+    rounded division.
+    """
+    lang = F.col(lang_col) if lang_col else lang_id(text_col)
+    base = docs.select(
+        lang.alias("lang"),
+        token_count(text_col).alias("__w__"),
+        bpe_ish_token_count(text_col).alias("__sw__"),
+    )
+    agg = base.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__w__").cast("long").alias("n_words"),
+        F.sum("__sw__").cast("long").alias("n_subwords"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_subwords",
+        (
+            F.round(
+                F.col("n_subwords").cast("double")
+                / F.col("n_words").cast("double"),
+                digits,
+            )
+            + F.lit(0.0)
+        ).alias("fertility"),
+    )

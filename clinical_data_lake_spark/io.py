@@ -250,3 +250,51 @@ def read_binary_dir(
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(path)
+
+
+def partition_stats_report(
+    spark: SparkSession,
+    path: str,
+    stat_cols: list[str],
+    key_pattern: str = r"([^/=]+=[^/]+)",
+    predicate_col: str | None = None,
+    predicate_lo=None,
+    predicate_hi=None,
+) -> DataFrame:
+    """Per-file/partition min-max statistics report over a parquet
+    layout — the manifest a format like Delta/Iceberg keeps, derived
+    directly from the data: for every file (keyed by the hive
+    ``dir=value`` segment of its path, falling back to the basename),
+    row count plus min/max of each ``stat_cols`` entry, and — when a
+    predicate range is given — a ``would_skip`` flag marking files a
+    stats-pruning scan would never open.
+
+    This is the 100 TB LAYOUT AUDIT: the fraction of files skippable
+    for the hot predicate tells you whether the table's partitioning /
+    Z-ordering actually clusters the filter column (``optimize_table``'s
+    effect, measured), before you pay for a full re-cluster.
+
+    Scale shape: one scan with ``input_file_name()`` grouped by the
+    extracted key — min/max/count are order-insensitive, so the report
+    is exact and partition-invariant; nothing driver-side.
+    """
+    df = spark.read.parquet(path)
+    key = F.regexp_extract(F.input_file_name(), key_pattern, 1)
+    key = F.when(key != "", key).otherwise(
+        F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1)
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c in stat_cols:
+        aggs.append(F.min(F.col(c)).alias(f"min_{c}"))
+        aggs.append(F.max(F.col(c)).alias(f"max_{c}"))
+    out = df.groupBy(key.alias("part_key")).agg(*aggs)
+    if predicate_col is not None:
+        lo = F.lit(predicate_lo) if predicate_lo is not None else None
+        hi = F.lit(predicate_hi) if predicate_hi is not None else None
+        overlap = F.lit(True)
+        if hi is not None:
+            overlap = overlap & (F.col(f"min_{predicate_col}") <= hi)
+        if lo is not None:
+            overlap = overlap & (F.col(f"max_{predicate_col}") >= lo)
+        out = out.withColumn("would_skip", ~overlap)
+    return out

@@ -582,3 +582,98 @@ def fs_em_weights(
     return spark.createDataFrame(
         out, "field string, m double, u double, w_agree double, w_disagree double"
     )
+
+
+def grid_nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    x_col: str = "x",
+    y_col: str = "y",
+    radius: float = 1.0,
+    digits: int = 9,
+) -> DataFrame:
+    """Bounded-radius nearest-neighbor SPATIAL join on planar
+    coordinates: for each left point, the single closest right point
+    within ``radius`` (squared-Euclidean metric; for lat/lon at city
+    scale use an equirectangular projection upstream — the metric
+    stays pure arithmetic, so the operator is exactly replayable; a
+    haversine variant would only reorder near-ties at these scales).
+
+    Never a cross join: both sides bucket into a ``radius``-sized
+    grid, left cells explode to their 3x3 neighbor ring (9 rows per
+    left point, a constant), and candidates meet in an EQUI join on
+    the cell key — the standard distributed spatial-join plan
+    (points-in-cells + halo). A right point within ``radius`` is
+    always inside the ring, so the bounded-radius semantics are
+    LOSSLESS; per-left argmin via one min(struct(d2, right_id))
+    aggregate (deterministic id tie-break), no window over candidate
+    rows. Left points with no right point in range are absent from
+    the output (the caller left-joins back if needed).
+
+    Scale shape: two scans, one equi-join shuffling on cell keys
+    (candidate volume = ring density, not n_left x n_right), one
+    groupBy on the left id. Skewed cells (urban cores) spread via the
+    usual salting upstream if needed.
+    """
+    if radius <= 0:
+        raise ValueError("radius must be positive")
+    r = float(radius)
+    lx, ly = F.col(x_col).cast("double"), F.col(y_col).cast("double")
+    l_pts = left.select(
+        F.col(left_id).alias("__lid__"),
+        lx.alias("__lx__"),
+        ly.alias("__ly__"),
+        F.floor(lx / r).cast("long").alias("__cx__"),
+        F.floor(ly / r).cast("long").alias("__cy__"),
+    )
+    ring = F.array(*[F.lit(i) for i in (-1, 0, 1)])
+    l_cells = (
+        l_pts.select(
+            "__lid__", "__lx__", "__ly__",
+            F.explode(ring).alias("__dx__"), "__cx__", "__cy__",
+        )
+        .select(
+            "__lid__", "__lx__", "__ly__",
+            (F.col("__cx__") + F.col("__dx__")).alias("__cx__"),
+            F.explode(ring).alias("__dy__"),
+            "__cy__",
+        )
+        .select(
+            "__lid__", "__lx__", "__ly__",
+            "__cx__",
+            (F.col("__cy__") + F.col("__dy__")).alias("__cy__"),
+        )
+    )
+    rx, ry = F.col(x_col).cast("double"), F.col(y_col).cast("double")
+    r_pts = right.select(
+        F.col(right_id).alias("__rid__"),
+        rx.alias("__rx__"),
+        ry.alias("__ry__"),
+        F.floor(rx / r).cast("long").alias("__cx__"),
+        F.floor(ry / r).cast("long").alias("__cy__"),
+    )
+    d2 = (
+        (F.col("__lx__") - F.col("__rx__"))
+        * (F.col("__lx__") - F.col("__rx__"))
+        + (F.col("__ly__") - F.col("__ry__"))
+        * (F.col("__ly__") - F.col("__ry__"))
+    )
+    cand = (
+        l_cells.join(r_pts, on=["__cx__", "__cy__"])
+        .select(
+            "__lid__",
+            "__rid__",
+            F.round(d2, digits).alias("__d2__"),
+        )
+        .filter(F.col("__d2__") <= F.lit(r * r))
+    )
+    best = cand.groupBy("__lid__").agg(
+        F.min(F.struct(F.col("__d2__"), F.col("__rid__"))).alias("__b__")
+    )
+    return best.select(
+        F.col("__lid__").alias(left_id),
+        F.col("__b__.__rid__").alias(right_id),
+        (F.col("__b__.__d2__") + F.lit(0.0)).alias("dist_sq"),
+    )

@@ -804,3 +804,89 @@ def header_detail_check(
         diff.alias("abs_diff"),
         (diff <= F.lit(float(tolerance))).alias("balanced"),
     )
+
+
+def t_closeness_report(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) for
+    an ORDERED sensitive attribute — the strictest rung of the
+    k-anonymity / l-diversity ladder ``k_anonymity_report`` /
+    ``l_diversity`` climb: an equivalence class can be k-anonymous and
+    l-diverse yet still leak (all its salaries in the top decile).
+    t is the Earth-Mover's Distance between the class's sensitive
+    distribution P and the global distribution Q over the ordered
+    value domain:
+
+        t = (1/(v-1)) * sum_i |cumsum_i(P - Q)|
+
+    with v the number of distinct sensitive values globally (the
+    published normalization). Returns one row per equivalence class:
+    (quasi..., class_size, t) — publish-gate by ``t <= threshold``.
+
+    Scale shape: one groupBy to the (class x value) count grid and one
+    to the bounded global value table; the grid is completed with a
+    class-by-value cross join (the t-closeness cost model — grid size
+    = classes x distinct values, NOT raw rows); the CDF walk is a
+    window partitioned BY CLASS ordered by value (never a
+    single-partition window), and per-class |diff| terms sum as
+    round-12 decimals so t is partition-invariant.
+    """
+    q = list(quasi_cols)
+    vals = F.col(sensitive_col)
+    base = df.select(*q, vals.alias("__v__")).filter(F.col("__v__").isNotNull())
+    # global distribution Q over the ordered domain (bounded table)
+    gdist = base.groupBy("__v__").agg(F.count(F.lit(1)).alias("__gc__"))
+    classes = base.groupBy(*q).agg(F.count(F.lit(1)).alias("__sz__"))
+    cell = base.groupBy(*q, "__v__").agg(F.count(F.lit(1)).alias("__cc__"))
+    # complete the grid so missing cells carry P = 0 (their Q mass
+    # still moves the cumulative difference)
+    grid = (
+        classes.crossJoin(gdist)
+        .join(cell, on=[*q, "__v__"], how="left")
+        .select(
+            *q,
+            "__v__",
+            "__sz__",
+            "__gc__",
+            F.coalesce(F.col("__cc__"), F.lit(0)).alias("__cc__"),
+        )
+    )
+    n_tot = F.sum("__gc__").over(Window.partitionBy(*q))
+    p = F.col("__cc__").cast("double") / F.col("__sz__").cast("double")
+    qq = F.col("__gc__").cast("double") / n_tot.cast("double")
+    diff = F.round(p - qq, 12)
+    w = Window.partitionBy(*q).orderBy("__v__")
+    walked = grid.select(
+        *q,
+        "__sz__",
+        F.abs(F.sum(diff).over(w)).alias("__cum__"),
+        F.count(F.lit(1)).over(Window.partitionBy(*q)).alias("__nv__"),
+    )
+    return (
+        walked.groupBy(*q)
+        .agg(
+            F.max("__sz__").cast("long").alias("class_size"),
+            F.sum(F.round(F.col("__cum__"), 12).cast("decimal(28,12)"))
+            .alias("__s__"),
+            F.max("__nv__").cast("long").alias("__v_n__"),
+        )
+        .select(
+            *q,
+            "class_size",
+            (
+                F.round(
+                    F.when(
+                        F.col("__v_n__") > 1,
+                        F.col("__s__").cast("double")
+                        / (F.col("__v_n__").cast("double") - 1.0),
+                    ).otherwise(F.lit(0.0)),
+                    digits,
+                )
+                + F.lit(0.0)
+            ).alias("t"),
+        )
+    )

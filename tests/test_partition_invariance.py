@@ -222,6 +222,14 @@ R10_NEW = [
     "graph_hits",
     "graph_assort",
     "graph_modularity",
+    # exploded-token integer counts; class-by-value EMD grid walk
+    # (round-12 decimal sums); grid-cell argmin determinism; hive-key
+    # stats (min/max/count only)
+    "readability",
+    "fertility",
+    "t_closeness",
+    "spatial_nearest",
+    "partition_stats",
 ]
 
 
