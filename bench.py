@@ -230,6 +230,14 @@ BENCH_QUERIES = [
     "t_closeness",
     "spatial_nearest",
     "partition_stats",
+    "kmeans_step",
+    "iptw",
+    "rollup_topn",
+    "cum_crossover",
+    "log_odds",
+    "vocab_overlap",
+    "seasonal_anomaly",
+    "sir",
 ]
 
 # Scope the measured set without editing the file (drift A/B testing,

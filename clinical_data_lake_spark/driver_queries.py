@@ -4618,6 +4618,133 @@ def q_partition_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+def q_kmeans_step(spark: SparkSession, sf: str) -> DataFrame:
+    """One exact Lloyd iteration from md5-deterministic seeds
+    (llm/similarity.py:kmeans_lloyd_step) — the SQL-certifiable
+    single-step proxy for the spark.ml KMeans behind
+    fit_ivf_centroids: broadcast seed distances via sequential dot
+    folds, decimal per-dimension means, decimal inertia."""
+    return similarity.kmeans_lloyd_step(
+        read_table(spark, sf, "embeddings"), k=4
+    )
+
+
+def q_iptw(spark: SparkSession, sf: str) -> DataFrame:
+    """Stabilized IPTW average treatment effect
+    (ml/stats.py:iptw_ate): purchase events as 'treatment' on event
+    value, stratified propensity over user-id buckets — the
+    reweighting counterpart of psm_match/cem_match, off-support
+    strata excluded and counted."""
+    ev = read_table(spark, sf, "events").select(
+        F.pmod(F.col("user_id"), F.lit(4)).alias("s"),
+        (F.col("event_type") == "purchase").alias("t"),
+        "value",
+    )
+    return ml_stats.iptw_ate(ev, "t", "value", ["s"])
+
+
+def q_rollup_topn(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-DS Q67-shaped composite: quantity rollup over
+    (returnflag, linestatus, ship-month) ranked WITHIN each return
+    flag across ALL rollup levels, top 3 per flag — subtotal rows
+    compete with detail rows, the classic category-leaderboard shape.
+    Decimal-exact sums; rank order fully specified (NULLS FIRST
+    pinned on both engines)."""
+    li = read_table(spark, sf, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.month("l_shipdate").cast("int").alias("mon"),
+        "l_quantity",
+    )
+    rolled = li.rollup("l_returnflag", "l_linestatus", "mon").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("l_returnflag").orderBy(
+        F.col("sum_qty").desc(),
+        F.col("l_linestatus").asc_nulls_first(),
+        F.col("mon").asc_nulls_first(),
+    )
+    return (
+        rolled.select(
+            "l_returnflag", "l_linestatus", "mon", "sum_qty", "n_lines",
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+def q_cum_crossover(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-DS Q51-shaped cumulative race
+    (operators/timeseries.py:cumulative_compare): daily purchase vs
+    error counts, running totals full-outer-joined on the calendar
+    day, per-day lead margin — integer counts end to end."""
+    from .operators import timeseries as ts
+
+    return ts.cumulative_compare(
+        read_table(spark, sf, "events"), "ts", "event_type",
+        "purchase", "error",
+    )
+
+
+
+def q_log_odds(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted log-odds distinctive terms per language (functions/
+    text.py:log_odds_terms, Monroe et al. 2008) — the z-scored,
+    prior-shrunk upgrade of class_keywords; top 10 per language."""
+    return text.log_odds_terms(
+        read_table(spark, sf, "documents"), "lang", top_k=10
+    )
+
+
+def q_vocab_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise top-200 vocabulary Jaccard between sources
+    (functions/text.py:vocab_overlap) — the domain-similarity matrix
+    for mixture planning and duplicate-source detection."""
+    return text.vocab_overlap(
+        read_table(spark, sf, "documents"), top_k=200
+    )
+
+
+def q_seasonal_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    """Seasonal-baseline volume anomalies per event type
+    (operators/timeseries.py:seasonal_anomaly): zero-filled
+    (type, day, hour) grid vs the same-hour baseline, |z| >= 2
+    flagged — 'was 3am abnormal FOR 3am?'."""
+    from .operators import timeseries as ts
+
+    return ts.seasonal_anomaly(
+        read_table(spark, sf, "events"), "ts", "event_type",
+        z_threshold=2.0,
+    )
+
+
+def q_sir(spark: SparkSession, sf: str) -> DataFrame:
+    """Standardized incidence ratio via indirect standardization
+    (ml/stats.py:sir_indirect): error events per active-day person-time
+    by arm, reference rates from user-bucket strata, Byar exact-Poisson
+    CI — std_rate's complement."""
+    ev = read_table(spark, sf, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.countDistinct(F.to_date("ts")).cast("double").alias("days"),
+        F.sum((F.col("event_type") == "error").cast("long"))
+        .cast("long")
+        .alias("n_err"),
+    )
+    subj = per_user.select(
+        F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("arm"),
+        F.pmod(F.col("user_id"), F.lit(4)).cast("int").alias("s"),
+        "days",
+        "n_err",
+    )
+    return ml_stats.sir_indirect(subj, "arm", ["s"], "days", "n_err")
+
+
 QUERIES = {
     # -- r8 certification window (first 50): the 18 queries that have
     #    never had a driver CORRECTNESS row, then the 32 oldest r3-era
@@ -4968,6 +5095,14 @@ QUERIES = {
     "t_closeness": q_t_closeness,
     "spatial_nearest": q_spatial_nearest,
     "partition_stats": q_partition_stats,
+    "kmeans_step": q_kmeans_step,
+    "iptw": q_iptw,
+    "rollup_topn": q_rollup_topn,
+    "cum_crossover": q_cum_crossover,
+    "log_odds": q_log_odds,
+    "vocab_overlap": q_vocab_overlap,
+    "seasonal_anomaly": q_seasonal_anomaly,
+    "sir": q_sir,
 }
 
 
@@ -12510,4 +12645,381 @@ ORACLES["partition_stats"] = """
                NOT (min_ts_s <= 1705276799 AND max_ts_s >= 1704672000)
                    AS would_skip
         FROM agg
+    """
+
+ORACLES["kmeans_step"] = """
+        WITH pts AS (
+            SELECT vec_id AS id, embedding::DOUBLE[] AS v
+            FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        seeds AS (
+            SELECT id AS sid, v AS c FROM pts
+            ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 4
+        ),
+        cand AS (
+            SELECT p.id, p.sid,
+                   round(list_dot_product(p.v, p.v)
+                         - 2.0 * list_dot_product(p.v, s.c)
+                         + list_dot_product(s.c, s.c), 9) AS d2
+            FROM (SELECT pts.id, pts.v, seeds.sid, seeds.c
+                  FROM pts CROSS JOIN seeds) AS p
+            JOIN seeds s ON p.sid = s.sid
+        ),
+        assigned AS (
+            SELECT id, sid AS cluster, d2 FROM (
+                SELECT id, sid, d2,
+                       row_number() OVER (
+                           PARTITION BY id ORDER BY d2, sid
+                       ) AS rn
+                FROM cand
+            ) WHERE rn = 1
+        ),
+        stats AS (
+            SELECT cluster,
+                   CAST(count(*) AS BIGINT) AS n_members,
+                   round(CAST(sum(CAST(d2 AS DECIMAL(28,9))) AS DOUBLE), 6)
+                       AS inertia
+            FROM assigned GROUP BY cluster
+        ),
+        dims AS (
+            SELECT a.cluster, CAST(t.i - 1 AS INT) AS pos,
+                   CAST(p.v[CAST(t.i AS INTEGER)] AS DOUBLE) AS val
+            FROM assigned a
+            JOIN pts p ON a.id = p.id,
+            UNNEST(range(1, len(p.v) + 1)) AS t(i)
+        ),
+        per_dim AS (
+            SELECT cluster, pos,
+                   round(CAST(sum(CAST(val AS DECIMAL(27,18))) AS DOUBLE)
+                         / count(*), 6) AS mean
+            FROM dims GROUP BY cluster, pos
+        )
+        SELECT s.cluster, s.n_members, s.inertia + 0.0 AS inertia,
+               d.pos, d.mean + 0.0 AS mean
+        FROM stats s JOIN per_dim d USING (cluster)
+    """
+
+ORACLES["iptw"] = """
+        WITH base AS (
+            SELECT user_id % 4 AS s,
+                   event_type = 'purchase' AS t,
+                   CAST(value AS DOUBLE) AS y
+            FROM events
+            WHERE event_type IS NOT NULL AND value IS NOT NULL
+        ),
+        strata AS (
+            SELECT s, count(*) AS n,
+                   sum(CASE WHEN t THEN 1 ELSE 0 END) AS nt
+            FROM base GROUP BY s
+        ),
+        gtot AS (
+            SELECT count(*) AS gn,
+                   sum(CASE WHEN t THEN 1 ELSE 0 END) AS gnt
+            FROM base
+        ),
+        j AS (
+            SELECT b.t, b.y, st.n, st.nt,
+                   (st.nt > 0 AND st.nt < st.n) AS on_support,
+                   round(CAST(st.nt AS DOUBLE) / CAST(st.n AS DOUBLE), 9)
+                       AS e,
+                   round(CAST(g.gnt AS DOUBLE) / CAST(g.gn AS DOUBLE), 9)
+                       AS pt
+            FROM base b JOIN strata st USING (s) CROSS JOIN gtot g
+        ),
+        wtd AS (
+            SELECT t, y, on_support, pt,
+                   round((CASE WHEN t THEN 1.0 / e
+                               ELSE 1.0 / (1.0 - e) END)
+                         * (CASE WHEN t THEN pt ELSE 1.0 - pt END), 9) AS w
+            FROM j
+        ),
+        agg AS (
+            SELECT CAST(sum(CASE WHEN on_support THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_used,
+                   CAST(sum(CASE WHEN on_support THEN 0 ELSE 1 END)
+                        AS BIGINT) AS n_off_support,
+                   max(pt) AS pt,
+                   sum(CASE WHEN on_support AND t
+                            THEN CAST(w * y AS DECIMAL(28,9)) END) AS swy_t,
+                   sum(CASE WHEN on_support AND t
+                            THEN CAST(w AS DECIMAL(28,9)) END) AS sw_t,
+                   sum(CASE WHEN on_support AND NOT t
+                            THEN CAST(w * y AS DECIMAL(28,9)) END) AS swy_c,
+                   sum(CASE WHEN on_support AND NOT t
+                            THEN CAST(w AS DECIMAL(28,9)) END) AS sw_c
+            FROM wtd
+        )
+        SELECT n_used, n_off_support,
+               round(pt, 6) + 0.0 AS p_treated,
+               round(CAST(swy_t AS DOUBLE) / CAST(sw_t AS DOUBLE), 6) + 0.0
+                   AS mean_treated,
+               round(CAST(swy_c AS DOUBLE) / CAST(sw_c AS DOUBLE), 6) + 0.0
+                   AS mean_control,
+               round(CAST(swy_t AS DOUBLE) / CAST(sw_t AS DOUBLE)
+                     - CAST(swy_c AS DOUBLE) / CAST(sw_c AS DOUBLE), 6)
+                   + 0.0 AS ate
+        FROM agg
+    """
+
+ORACLES["rollup_topn"] = """
+        WITH rolled AS (
+            SELECT l_returnflag, l_linestatus,
+                   CAST(month(l_shipdate) AS INT) AS mon,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_qty,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus,
+                             CAST(month(l_shipdate) AS INT))
+        ),
+        ranked AS (
+            SELECT l_returnflag, l_linestatus, mon, sum_qty, n_lines,
+                   CAST(row_number() OVER (
+                       PARTITION BY l_returnflag
+                       ORDER BY sum_qty DESC,
+                                l_linestatus ASC NULLS FIRST,
+                                mon ASC NULLS FIRST
+                   ) AS BIGINT) AS rnk
+            FROM rolled
+        )
+        SELECT * FROM ranked WHERE rnk <= 3
+    """
+
+ORACLES["cum_crossover"] = """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, event_type AS k,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events
+            WHERE event_type IN ('purchase', 'error')
+            GROUP BY 1, 2
+        ),
+        a AS (SELECT day, c AS n_a FROM daily WHERE k = 'purchase'),
+        b AS (SELECT day, c AS n_b FROM daily WHERE k = 'error'),
+        merged AS (
+            SELECT COALESCE(a.day, b.day) AS day,
+                   CAST(COALESCE(n_a, 0) AS BIGINT) AS n_a,
+                   CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b
+            FROM a FULL OUTER JOIN b ON a.day = b.day
+        ),
+        cum AS (
+            SELECT day, n_a, n_b,
+                   CAST(sum(n_a) OVER (
+                       ORDER BY day ROWS UNBOUNDED PRECEDING
+                   ) AS BIGINT) AS cum_a,
+                   CAST(sum(n_b) OVER (
+                       ORDER BY day ROWS UNBOUNDED PRECEDING
+                   ) AS BIGINT) AS cum_b
+            FROM merged
+        )
+        SELECT day, n_a, n_b, cum_a, cum_b,
+               cum_a > cum_b AS a_leads,
+               CAST(cum_a - cum_b AS BIGINT) AS lead_margin
+        FROM cum
+    """
+
+ORACLES["log_odds"] = """
+        WITH toks AS (
+            SELECT lang AS cls, t.term
+            FROM (
+                SELECT lang,
+                       string_split(regexp_replace(lower(trim(text)),
+                                                   '\\s+', ' ', 'g'),
+                                    ' ') AS w
+                FROM documents
+            ), UNNEST(w) AS t(term)
+            WHERE t.term != ''
+        ),
+        tf AS (
+            SELECT cls, term, CAST(count(*) AS BIGINT) AS y
+            FROM toks GROUP BY cls, term
+        ),
+        mass AS (SELECT cls, CAST(sum(y) AS BIGINT) AS nc FROM tf GROUP BY cls),
+        fts AS (SELECT term, CAST(sum(y) AS BIGINT) AS tft FROM tf GROUP BY term),
+        tot AS (SELECT CAST(sum(tft) AS BIGINT) AS n FROM fts),
+        base AS (
+            SELECT tf.cls, tf.term, tf.y, m.nc, f.tft, t.n,
+                   round(CAST(100.0 AS DOUBLE) * CAST(f.tft AS DOUBLE)
+                         / CAST(t.n AS DOUBLE), 12) AS at
+            FROM tf
+            JOIN mass m USING (cls)
+            JOIN fts f USING (term)
+            CROSS JOIN tot t
+        ),
+        calc AS (
+            SELECT cls, term,
+                   ln(round((CAST(y AS DOUBLE) + at)
+                            / (CAST(nc AS DOUBLE) + CAST(100.0 AS DOUBLE)
+                               - CAST(y AS DOUBLE) - at), 12))
+                   - ln(round((CAST(tft - y AS DOUBLE) + at)
+                              / (CAST(n - nc AS DOUBLE)
+                                 + CAST(100.0 AS DOUBLE)
+                                 - CAST(tft - y AS DOUBLE) - at), 12))
+                       AS delta,
+                   1.0 / (CAST(y AS DOUBLE) + at)
+                   + 1.0 / (CAST(tft - y AS DOUBLE) + at) AS var
+            FROM base
+        ),
+        scored AS (
+            SELECT cls, term,
+                   round(delta, 6) + 0.0 AS delta,
+                   round(delta / sqrt(var), 6) + 0.0 AS z
+            FROM calc
+        ),
+        ranked AS (
+            SELECT cls, term, delta, z,
+                   CAST(row_number() OVER (
+                       PARTITION BY cls ORDER BY z DESC, term ASC
+                   ) AS BIGINT) AS rnk
+            FROM scored
+        )
+        SELECT cls AS lang, term, delta, z, rnk FROM ranked WHERE rnk <= 10
+    """
+
+ORACLES["vocab_overlap"] = """
+        WITH toks AS (
+            SELECT source AS g, t.term
+            FROM (
+                SELECT source,
+                       string_split(regexp_replace(lower(trim(text)),
+                                                   '\\s+', ' ', 'g'),
+                                    ' ') AS w
+                FROM documents
+            ), UNNEST(w) AS t(term)
+            WHERE t.term != ''
+        ),
+        tf AS (SELECT g, term, count(*) AS tf FROM toks GROUP BY g, term),
+        ranked AS (
+            SELECT g, term,
+                   row_number() OVER (
+                       PARTITION BY g ORDER BY tf DESC, term ASC
+                   ) AS rnk
+            FROM tf
+        ),
+        top AS (SELECT g, term FROM ranked WHERE rnk <= 200),
+        sizes AS (SELECT g, CAST(count(*) AS BIGINT) AS k FROM top GROUP BY g),
+        common AS (
+            SELECT a.g AS src_a, b.g AS src_b,
+                   CAST(count(*) AS BIGINT) AS n_common
+            FROM top a JOIN top b ON a.term = b.term AND a.g < b.g
+            GROUP BY a.g, b.g
+        ),
+        pairs AS (
+            SELECT sa.g AS src_a, sa.k AS k_a, sb.g AS src_b, sb.k AS k_b
+            FROM sizes sa CROSS JOIN sizes sb
+            WHERE sa.g < sb.g
+        )
+        SELECT p.src_a, p.src_b, p.k_a, p.k_b,
+               CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
+               round(CAST(COALESCE(c.n_common, 0) AS DOUBLE)
+                     / CAST(p.k_a + p.k_b - COALESCE(c.n_common, 0)
+                            AS DOUBLE), 6) + 0.0 AS jaccard
+        FROM pairs p
+        LEFT JOIN common c
+          ON p.src_a = c.src_a AND p.src_b = c.src_b
+    """
+
+ORACLES["seasonal_anomaly"] = """
+        WITH counts AS (
+            SELECT event_type AS key, CAST(ts AS DATE) AS day,
+                   CAST(hour(ts) AS INT) AS hour,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2, 3
+        ),
+        keys AS (SELECT DISTINCT event_type AS key FROM events),
+        days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+        hours AS (SELECT CAST(h AS INT) AS hour FROM range(0, 24) t(h)),
+        grid AS (
+            SELECT k.key, d.day, h.hour,
+                   CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+            FROM keys k
+            CROSS JOIN days d
+            CROSS JOIN hours h
+            LEFT JOIN counts c
+              ON c.key = k.key AND c.day = d.day AND c.hour = h.hour
+        ),
+        base AS (
+            SELECT key, hour,
+                   CAST(count(*) AS BIGINT) AS d,
+                   sum(n) AS s, sum(n * n) AS ss
+            FROM grid GROUP BY key, hour
+        ),
+        mom AS (
+            SELECT key, hour,
+                   round(CAST(s AS DOUBLE) / CAST(d AS DOUBLE), 9) AS mu,
+                   round(CAST(ss AS DOUBLE) / CAST(d AS DOUBLE)
+                         - round(CAST(s AS DOUBLE) / CAST(d AS DOUBLE), 9)
+                           * round(CAST(s AS DOUBLE) / CAST(d AS DOUBLE), 9),
+                         9) AS var
+            FROM base
+        ),
+        scored AS (
+            SELECT g.key, g.day, g.hour, g.n,
+                   m.mu,
+                   CASE WHEN m.var > 0.0 THEN sqrt(m.var) END AS sigma
+            FROM grid g JOIN mom m ON g.key = m.key AND g.hour = m.hour
+        )
+        SELECT key, day, hour, n,
+               round(mu, 6) + 0.0 AS mu,
+               round(sigma, 6) + 0.0 AS sigma,
+               round((CAST(n AS DOUBLE) - mu) / sigma, 6) + 0.0 AS z
+        FROM scored
+        WHERE abs(round((CAST(n AS DOUBLE) - mu) / sigma, 6)) >= 2.0
+    """
+
+ORACLES["sir"] = """
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST(count(DISTINCT CAST(ts AS DATE)) AS DOUBLE) AS days,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_err
+            FROM events GROUP BY user_id
+        ),
+        subj AS (
+            SELECT CAST(user_id % 2 AS INT) AS arm,
+                   CAST(user_id % 4 AS INT) AS s,
+                   days, n_err
+            FROM per_user
+        ),
+        cells AS (
+            SELECT arm, s,
+                   sum(CAST(days AS DECIMAL(28,9))) AS pt,
+                   CAST(sum(n_err) AS BIGINT) AS o
+            FROM subj GROUP BY arm, s
+        ),
+        ref AS (
+            SELECT s,
+                   round(CAST(sum(o) AS DOUBLE)
+                         / CAST(sum(pt) AS DOUBLE), 12) AS lam
+            FROM cells GROUP BY s
+        ),
+        expected AS (
+            SELECT c.arm,
+                   CAST(sum(c.o) AS BIGINT) AS observed,
+                   CAST(sum(c.pt) AS DOUBLE) AS person_time,
+                   round(CAST(sum(CAST(round(CAST(c.pt AS DOUBLE) * r.lam, 9)
+                                       AS DECIMAL(28,9))) AS DOUBLE), 9)
+                       AS ee
+            FROM cells c JOIN ref r USING (s)
+            GROUP BY c.arm
+        ),
+        factors AS (
+            SELECT arm, observed, person_time, ee,
+                   1.0 - 1.0 / (9.0 * CAST(observed AS DOUBLE))
+                       - 1.959963984540054
+                         / (3.0 * sqrt(CAST(observed AS DOUBLE))) AS lf,
+                   1.0 - 1.0 / (9.0 * (CAST(observed AS DOUBLE) + 1.0))
+                       + 1.959963984540054
+                         / (3.0 * sqrt(CAST(observed AS DOUBLE) + 1.0)) AS hf
+            FROM expected
+        )
+        SELECT arm, observed,
+               round(person_time, 6) + 0.0 AS person_time,
+               round(ee, 6) + 0.0 AS expected,
+               round(CAST(observed AS DOUBLE) / ee, 6) + 0.0 AS sir,
+               round(CASE WHEN observed > 0 THEN
+                     CAST(observed AS DOUBLE) / ee * lf * lf * lf
+                     END, 6) + 0.0 AS sir_lo,
+               round((CAST(observed AS DOUBLE) + 1.0) / ee * hf * hf * hf,
+                     6) + 0.0 AS sir_hi
+        FROM factors
     """

@@ -1040,3 +1040,161 @@ def tokenizer_fertility(
             + F.lit(0.0)
         ).alias("fertility"),
     )
+
+
+def log_odds_terms(
+    docs,
+    class_col: str,
+    text_col: str = "text",
+    top_k: int = 10,
+    alpha0: float = 100.0,
+    round_to: int = 6,
+):
+    """Weighted log-odds with an informative Dirichlet prior (Monroe,
+    Colaresi & Quinn 2008, "Fightin' Words") — the statistically
+    grounded upgrade of ``class_tfidf_terms``: c-TF-IDF over-weights
+    rare terms, while the z-scored log-odds-ratio shrinks low-count
+    terms toward zero via the corpus-wide prior:
+
+        d(t,c) = ln((y_tc + a_t)/(n_c + a0 - y_tc - a_t))
+               - ln((y_t~ + a_t)/(n_~ + a0 - y_t~ - a_t))
+        z      = d / sqrt(1/(y_tc + a_t) + 1/(y_t~ + a_t))
+
+    with ``~`` the rest of the corpus and a_t = a0 * f_t / f_total
+    (the prior spends ``alpha0`` pseudo-tokens along the global term
+    distribution). Returns the top ``top_k`` (class, term, delta, z,
+    rnk) per class by z (desc, term asc tiebreak).
+
+    Scale shape: ONE corpus scan to (class, term) counts; the rest
+    (term totals, class masses, rest-of-corpus complements, the z
+    ranking window partitioned by class) runs on the
+    vocabulary-by-classes table. Counts stay integers until the four
+    divisions; ratios round to 12 before the logs so both engines run
+    identical fp sequences.
+    """
+    from ..operators.caching import track_persist
+    from pyspark.sql import Window
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    tf = track_persist(
+        docs.select(
+            F.col(class_col).alias("cls"),
+            F.explode(F.split(norm, " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("cls", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    mass = tf.groupBy("cls").agg(F.sum("y").cast("long").alias("__nc__"))
+    ft = tf.groupBy("term").agg(F.sum("y").cast("long").alias("__ft__"))
+    tot = ft.agg(F.sum("__ft__").cast("long").alias("__n__"))
+    base = (
+        tf.join(F.broadcast(mass), on="cls")
+        .join(ft, on="term")
+        .crossJoin(F.broadcast(tot))
+    )
+    a0 = F.lit(float(alpha0))
+    at = F.round(
+        a0 * F.col("__ft__").cast("double") / F.col("__n__").cast("double"),
+        12,
+    )
+    y_c = F.col("y").cast("double")
+    y_rest = (F.col("__ft__") - F.col("y")).cast("double")
+    n_c = F.col("__nc__").cast("double")
+    n_rest = (F.col("__n__") - F.col("__nc__")).cast("double")
+    r1 = F.round((y_c + at) / (n_c + a0 - y_c - at), 12)
+    r2 = F.round((y_rest + at) / (n_rest + a0 - y_rest - at), 12)
+    delta = F.log(r1) - F.log(r2)
+    var = 1.0 / (y_c + at) + 1.0 / (y_rest + at)
+    z = F.round(delta / F.sqrt(var), round_to)
+    scored = base.select(
+        F.col("cls").alias(class_col),
+        "term",
+        (F.round(delta, round_to) + F.lit(0.0)).alias("delta"),
+        (z + F.lit(0.0)).alias("z"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy(class_col).orderBy(F.desc("z"), F.asc("term"))
+    )
+    return (
+        scored.withColumn("rnk", rk)
+        .filter(F.col("rnk") <= top_k)
+        .select(
+            class_col, "term", "delta", "z",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+def vocab_overlap(
+    docs,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_k: int = 200,
+    round_to: int = 6,
+):
+    """Pairwise vocabulary overlap between corpus slices: Jaccard of
+    each pair's top-``top_k`` term sets — the domain-similarity matrix
+    that drives mixture planning (two sources with 0.9 vocabulary
+    overlap are redundant; a low-overlap source adds diversity) and
+    duplicate-SOURCE detection, one level above the per-document
+    dedup operators.
+
+    Top-k sets are deterministic (count desc, term asc). Returns one
+    row per unordered pair (src_a < src_b): (src_a, src_b, k_a, k_b,
+    n_common, jaccard).
+
+    Scale shape: one corpus scan to (group, term) counts; the top-k
+    window and the pair self-join run on the k-bounded per-group term
+    sets (pairs x k rows, never corpus-scale); group-pair sizes come
+    from a bounded cross join of the group list.
+    """
+    from ..operators.caching import track_persist
+    from pyspark.sql import Window
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    tf = (
+        docs.select(
+            F.col(group_col).alias("g"),
+            F.explode(F.split(norm, " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("g", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("g").orderBy(F.desc("tf"), F.asc("term"))
+    )
+    top = track_persist(
+        tf.withColumn("rnk", rk).filter(F.col("rnk") <= top_k).select("g", "term")
+    )
+    sizes = top.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    a = top.select(F.col("g").alias("src_a"), "term")
+    b = top.select(F.col("g").alias("src_b"), "term")
+    common = (
+        a.join(b, on="term")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    pairs = (
+        sizes.select(F.col("g").alias("src_a"), F.col("k").alias("k_a"))
+        .crossJoin(
+            sizes.select(F.col("g").alias("src_b"), F.col("k").alias("k_b"))
+        )
+        .filter(F.col("src_a") < F.col("src_b"))
+    )
+    out = pairs.join(common, on=["src_a", "src_b"], how="left").select(
+        "src_a",
+        "src_b",
+        "k_a",
+        "k_b",
+        F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("k_a") + F.col("k_b") - F.col("n_common")
+    ).cast("double")
+    return out.select(
+        "src_a", "src_b", "k_a", "k_b", "n_common",
+        (F.round(jac, round_to) + F.lit(0.0)).alias("jaccard"),
+    )

@@ -1125,3 +1125,95 @@ def cosine_topk_filtered(
         )
         .filter(F.col("rnk") <= k)
     )
+
+
+def kmeans_lloyd_step(
+    embeddings: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    digits: int = 6,
+) -> DataFrame:
+    """ONE exact Lloyd iteration from md5-deterministic seeds — the
+    SQL-certifiable single-step proxy for the spark.ml KMeans training
+    behind ``fit_ivf_centroids`` (the bpe_pairs/bpe_merges certification
+    pattern: the iterative trainer is rows-only, its per-iteration
+    counting step is oracle-twinned): seeds are the ``k`` vectors with
+    the smallest md5(id) (order-identical hex in any engine), every
+    point assigns to its nearest seed by squared L2 (sequential
+    left-to-right fold — deterministic fp, replayed verbatim by the
+    twin), and the step emits the UPDATED centroids in exploded
+    (cluster, n_members, inertia, pos, mean) form with per-dimension
+    DECIMAL(27,18) means (the ``class_prototypes`` convention).
+
+    Scale shape: the k seed vectors broadcast (k bounded); the corpus
+    is touched once for assignment (n x k distance terms, never a
+    corpus self-join) and once more as the exploded (cluster, pos)
+    mean aggregate — the exact per-iteration cost profile of
+    distributed Lloyd at any scale.
+    """
+    pts = embeddings.select(
+        F.col(id_col).alias("__id__"), _as_double(vec_col).alias("__v__")
+    ).filter(F.col("__v__").isNotNull())
+    seeds = (
+        pts.withColumn("__h__", F.md5(F.col("__id__").cast("string")))
+        .orderBy("__h__", "__id__")
+        .limit(int(k))
+        .select(
+            F.col("__id__").alias("__sid__"), F.col("__v__").alias("__c__")
+        )
+    )
+    # d2 = <v,v> - 2<v,c> + <c,c>: three sequential left-to-right dot
+    # folds — the exact chain DuckDB's list_dot_product replays (the
+    # ann_cosine_topk certification idiom); a zip-and-square fold has
+    # no bit-replayable DuckDB twin
+    v, c = F.col("__v__"), F.col("__c__")
+    d2 = dot(v, v) - 2.0 * dot(v, c) + dot(c, c)
+    assigned = (
+        pts.crossJoin(F.broadcast(seeds))
+        .select(
+            "__id__",
+            "__v__",
+            "__sid__",
+            F.round(d2, 9).alias("__d2__"),
+        )
+        .groupBy("__id__")
+        .agg(
+            F.min(F.struct(F.col("__d2__"), F.col("__sid__"))).alias("__b__"),
+            F.first("__v__").alias("__v__"),
+        )
+        .select(
+            "__id__",
+            "__v__",
+            F.col("__b__.__sid__").alias("cluster"),
+            F.col("__b__.__d2__").alias("__d2__"),
+        )
+    )
+    from ..operators.caching import track_persist as _tp
+
+    assigned = _tp(assigned)
+    stats = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.round(
+            F.sum(F.col("__d2__").cast("decimal(28,9)")).cast("double"),
+            digits,
+        ).alias("inertia"),
+    )
+    per_dim = (
+        assigned.select("cluster", F.posexplode("__v__").alias("pos", "val"))
+        .groupBy("cluster", "pos")
+        .agg(
+            F.round(
+                F.sum(F.col("val").cast("decimal(27,18)")).cast("double")
+                / F.count(F.lit(1)),
+                digits,
+            ).alias("mean")
+        )
+    )
+    return stats.join(per_dim, on="cluster").select(
+        "cluster",
+        "n_members",
+        (F.col("inertia") + F.lit(0.0)).alias("inertia"),
+        F.col("pos").cast("int").alias("pos"),
+        (F.col("mean") + F.lit(0.0)).alias("mean"),
+    )

@@ -3239,3 +3239,181 @@ def ratio_metric_ci(
         (F.round(ratio - F.lit(z) * se, digits) + F.lit(0.0)).alias("ci_lo"),
         (F.round(ratio + F.lit(z) * se, digits) + F.lit(0.0)).alias("ci_hi"),
     )
+
+
+def iptw_ate(
+    df: DataFrame,
+    treat_col,
+    outcome_col: str,
+    strata_cols: Sequence[str],
+    stabilized: bool = True,
+    digits: int = 6,
+) -> DataFrame:
+    """Inverse-probability-of-treatment-weighted average treatment
+    effect with STRATIFIED propensity scores — the reweighting
+    counterpart of the matching estimators (``psm_match``/``cem_match``):
+    instead of discarding unmatched rows, every row is kept and
+    weighted by 1/P(its own treatment | stratum), which balances the
+    strata composition between arms.
+
+        e(s) = P(T=1 | stratum s)   (exact counts, no model)
+        w    = T/e + (1-T)/(1-e)    (x P(T)/1-P(T) when stabilized)
+        ATE  = weighted mean outcome (treated) - (control)
+
+    Off-support strata (e = 0 or 1 — positivity violations) are
+    EXCLUDED from the estimate and COUNTED in the read-out, the
+    standard epidemiology practice made visible. Returns one row:
+    (n_used, n_off_support, p_treated, mean_treated, mean_control,
+    ate).
+
+    Scale shape: one groupBy to the stratum propensity table
+    (bounded), broadcast back onto the facts, one decimal-weighted
+    global aggregate. Weights round to 9 before the decimal products
+    so both engines run identical fp sequences.
+    """
+    t = (
+        (F.col(treat_col) if isinstance(treat_col, str) else treat_col)
+        .cast("boolean")
+    )
+    y = F.col(outcome_col).cast("double")
+    gcols = list(strata_cols)
+    base = df.select(
+        *gcols, t.alias("__t__"), y.alias("__y__")
+    ).filter(F.col("__t__").isNotNull() & F.col("__y__").isNotNull())
+    strata = base.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("__n__"),
+        F.sum(F.col("__t__").cast("long")).cast("long").alias("__nt__"),
+    )
+    joined = base.join(F.broadcast(strata), on=gcols)
+    on_support = (F.col("__nt__") > 0) & (F.col("__nt__") < F.col("__n__"))
+    e = F.round(
+        F.col("__nt__").cast("double") / F.col("__n__").cast("double"), 9
+    )
+    # the global treated share for stabilization: a scalar aggregate
+    # cross-joined back (broadcast)
+    glob = base.agg(
+        F.count(F.lit(1)).cast("long").alias("__gn__"),
+        F.sum(F.col("__t__").cast("long")).cast("long").alias("__gnt__"),
+    )
+    joined = joined.crossJoin(glob)
+    pt = F.round(
+        F.col("__gnt__").cast("double") / F.col("__gn__").cast("double"), 9
+    )
+    w_raw = F.when(F.col("__t__"), 1.0 / e).otherwise(1.0 / (1.0 - e))
+    if stabilized:
+        w_raw = w_raw * F.when(F.col("__t__"), pt).otherwise(1.0 - pt)
+    w = F.round(w_raw, 9)
+    d6 = "decimal(28,9)"
+    agg = joined.agg(
+        F.sum(F.when(on_support, 1).otherwise(0)).cast("long").alias("n_used"),
+        F.sum(F.when(~on_support, 1).otherwise(0))
+        .cast("long")
+        .alias("n_off_support"),
+        F.max(pt).alias("__pt__"),
+        F.sum(F.when(on_support & F.col("__t__"), (w * F.col("__y__")).cast(d6))).alias("__swy_t__"),
+        F.sum(F.when(on_support & F.col("__t__"), w.cast(d6))).alias("__sw_t__"),
+        F.sum(F.when(on_support & ~F.col("__t__"), (w * F.col("__y__")).cast(d6))).alias("__swy_c__"),
+        F.sum(F.when(on_support & ~F.col("__t__"), w.cast(d6))).alias("__sw_c__"),
+    )
+    mt = F.col("__swy_t__").cast("double") / F.col("__sw_t__").cast("double")
+    mc = F.col("__swy_c__").cast("double") / F.col("__sw_c__").cast("double")
+    return agg.select(
+        "n_used",
+        "n_off_support",
+        (F.round(F.col("__pt__"), digits) + F.lit(0.0)).alias("p_treated"),
+        (F.round(mt, digits) + F.lit(0.0)).alias("mean_treated"),
+        (F.round(mc, digits) + F.lit(0.0)).alias("mean_control"),
+        (F.round(mt - mc, digits) + F.lit(0.0)).alias("ate"),
+    )
+
+
+def sir_indirect(
+    df: DataFrame,
+    group_col: str,
+    strata_cols: Sequence[str],
+    time_col: str,
+    event_col: str,
+    digits: int = 6,
+    z: float = 1.959963984540054,
+) -> DataFrame:
+    """Standardized incidence/mortality ratio via INDIRECT
+    standardization — ``std_rate``'s complement (direct standardization
+    reweights each group's rates onto a standard population; indirect
+    applies REFERENCE rates to each group's composition, the right
+    tool when group-stratum cells are too sparse for stable rates):
+
+        E_g = sum_s PT_gs * lambda_s,   lambda_s = sum_g O_gs / PT_s
+        SIR = O_g / E_g
+
+    with Byar's approximation for the exact-Poisson CI (pure
+    arithmetic — cube roots via x^(1/3) avoided: the bound uses only
+    squares/roots, replayable):
+
+        lo = O/E * (1 - 1/(9O) - z/(3*sqrt(O)))^3
+        hi = (O+1)/E * (1 - 1/(9(O+1)) + z/(3*sqrt(O+1)))^3
+
+    Returns (group, observed, person_time, expected, sir, sir_lo,
+    sir_hi); groups with O = 0 carry NULL sir_lo.
+
+    Scale shape: two map-side-combinable aggregates — (group, strata)
+    cells, then the bounded strata reference table joins back onto the
+    bounded cell table; everything after the first groupBy is
+    stratum-scale. Sums accumulate as decimals; the reference rate
+    rounds to 12 before E.
+    """
+    gcols = [group_col] + list(strata_cols)
+    d = "decimal(28,9)"
+    cells = df.groupBy(*gcols).agg(
+        F.sum(F.col(time_col).cast(d)).alias("__pt__"),
+        F.sum(F.col(event_col).cast("long")).cast("long").alias("__o__"),
+    )
+    ref = cells.groupBy(*strata_cols).agg(
+        F.sum("__pt__").alias("__pts__"),
+        F.sum("__o__").cast("long").alias("__os__"),
+    ).select(
+        *strata_cols,
+        F.round(
+            F.col("__os__").cast("double") / F.col("__pts__").cast("double"),
+            12,
+        ).alias("__lam__"),
+    )
+    expected = (
+        cells.join(F.broadcast(ref), on=list(strata_cols))
+        .select(
+            F.col(group_col),
+            "__pt__",
+            "__o__",
+            (F.col("__pt__").cast("double") * F.col("__lam__")).alias("__e__"),
+        )
+        .groupBy(group_col)
+        .agg(
+            F.sum("__o__").cast("long").alias("observed"),
+            F.sum("__pt__").cast("double").alias("person_time"),
+            F.round(
+                F.sum(F.round(F.col("__e__"), 9).cast(d)).cast("double"), 9
+            ).alias("__ee__"),
+        )
+    )
+    o = F.col("observed").cast("double")
+    e = F.col("__ee__")
+    zz = F.lit(float(z))
+    lo_f = (
+        F.lit(1.0) - 1.0 / (9.0 * o) - zz / (3.0 * F.sqrt(o))
+    )
+    hi_f = (
+        F.lit(1.0) - 1.0 / (9.0 * (o + 1.0)) + zz / (3.0 * F.sqrt(o + 1.0))
+    )
+    sir = F.when(e > 0.0, o / e)
+    lo = F.when((e > 0.0) & (o > 0), o / e * lo_f * lo_f * lo_f)
+    hi = F.when(e > 0.0, (o + 1.0) / e * hi_f * hi_f * hi_f)
+    return expected.select(
+        group_col,
+        "observed",
+        (F.round(F.col("person_time"), digits) + F.lit(0.0)).alias(
+            "person_time"
+        ),
+        (F.round(e, digits) + F.lit(0.0)).alias("expected"),
+        (F.round(sir, digits) + F.lit(0.0)).alias("sir"),
+        (F.round(lo, digits) + F.lit(0.0)).alias("sir_lo"),
+        (F.round(hi, digits) + F.lit(0.0)).alias("sir_hi"),
+    )

@@ -928,3 +928,145 @@ def kendall_tau(
         F.coalesce("discordant", F.lit(0)).alias("discordant"),
         (F.round(tau, digits) + F.lit(0.0)).alias("tau_b"),
     )
+
+
+def cumulative_compare(
+    df: DataFrame,
+    ts_col: str,
+    kind_col: str,
+    a_kind: str,
+    b_kind: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Cumulative race between two event series (the TPC-DS Q51
+    pattern: web vs store cumulative sales, here kind A vs kind B):
+    daily counts of each kind full-outer-joined on the calendar day,
+    running totals, and the per-day lead read-out — "when did A
+    overtake B, and by how much?".
+
+    Returns (day, n_a, n_b, cum_a, cum_b, a_leads, lead_margin) for
+    every day either kind fired. Counts are integers end-to-end; the
+    margin is an integer difference (no floats anywhere).
+
+    Scale shape: the fact table reduces to per-(day, kind) counts in
+    ONE map-side-combinable aggregate; everything after (full outer
+    join, running sums) rides the bounded calendar-day table — the
+    single-partition window is waived against that boundedness, the
+    fact table itself never windows.
+    """
+    day = F.to_date(F.col(ts_col)).alias("day")
+    daily = (
+        df.filter(F.col(kind_col).isin([a_kind, b_kind]))
+        .select(day, F.col(kind_col).alias("__k__"))
+        .groupBy("day", "__k__")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c__"))
+    )
+    a = daily.filter(F.col("__k__") == a_kind).select(
+        "day", F.col("__c__").alias("n_a")
+    )
+    b = daily.filter(F.col("__k__") == b_kind).select(
+        "day", F.col("__c__").alias("n_b")
+    )
+    merged = a.join(b, on="day", how="full").select(
+        "day",
+        F.coalesce("n_a", F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    out = merged.select(
+        "day",
+        "n_a",
+        "n_b",
+        F.sum("n_a").over(w).cast("long").alias("cum_a"),
+        F.sum("n_b").over(w).cast("long").alias("cum_b"),
+    )
+    return out.select(
+        "day",
+        "n_a",
+        "n_b",
+        "cum_a",
+        "cum_b",
+        (F.col("cum_a") > F.col("cum_b")).alias("a_leads"),
+        (F.col("cum_a") - F.col("cum_b")).cast("long").alias("lead_margin"),
+    )
+
+
+def seasonal_anomaly(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    z_threshold: float = 2.0,
+    digits: int = 6,
+) -> DataFrame:
+    """Seasonal-baseline anomaly detection on event VOLUME: for every
+    (key, calendar day, hour-of-day) cell, compare the observed count
+    against that key's same-hour-of-day baseline (mean/std across all
+    days, ZERO-FILLED — silence is data) and flag cells beyond
+    ``z_threshold`` standard deviations. The ops-monitoring read-out
+    ``seasonal_profile`` (the baseline) and ``rolling_zscore`` (the
+    trailing variant) bracket: "was 3am Tuesday abnormal FOR 3am?".
+
+    Returns flagged cells only: (key, day, hour, n, mu, sigma, z).
+    Counts are integers; baseline moments accumulate as integer
+    decimals over the bounded (key x day x hour) grid; mean/std round
+    to 9 before the z division.
+
+    Scale shape: the fact table reduces to per-(key, day, hour) counts
+    in ONE map-side-combinable aggregate; the zero-filled grid (keys x
+    days x 24 — bounded by the calendar, not by data volume) is built
+    from two small distinct tables crossed with a literal hour range;
+    the baseline is a second aggregate of the grid keyed by
+    (key, hour). No windows anywhere.
+    """
+    day = F.to_date(F.col(ts_col)).alias("day")
+    hour = F.hour(F.col(ts_col)).cast("int").alias("hour")
+    counts = (
+        df.select(F.col(key_col).alias("key"), day, hour)
+        .groupBy("key", "day", "hour")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    keys = df.select(F.col(key_col).alias("key")).distinct()
+    days = df.select(F.to_date(F.col(ts_col)).alias("day")).distinct()
+    hours = df.sparkSession.range(1).select(
+        F.explode(F.sequence(F.lit(0), F.lit(23))).alias("hour")
+    ).select(F.col("hour").cast("int").alias("hour"))
+    grid = (
+        keys.crossJoin(days)
+        .crossJoin(hours)
+        .join(counts, on=["key", "day", "hour"], how="left")
+        .select(
+            "key", "day",
+            F.col("hour").cast("int").alias("hour"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        )
+    )
+    d0 = "decimal(38,0)"
+    base = grid.groupBy("key", "hour").agg(
+        F.count(F.lit(1)).cast("long").alias("__d__"),
+        F.sum(F.col("n").cast(d0)).alias("__s__"),
+        F.sum((F.col("n") * F.col("n")).cast(d0)).alias("__ss__"),
+    )
+    dd = F.col("__d__").cast("double")
+    mu = F.round(F.col("__s__").cast("double") / dd, 9)
+    var = F.round(F.col("__ss__").cast("double") / dd - mu * mu, 9)
+    sigma = F.when(var > 0.0, F.sqrt(var))
+    scored = grid.join(F.broadcast(base), on=["key", "hour"]).select(
+        "key",
+        "day",
+        "hour",
+        "n",
+        mu.alias("__mu__"),
+        sigma.alias("__sg__"),
+    )
+    z = F.round(
+        (F.col("n").cast("double") - F.col("__mu__")) / F.col("__sg__"), digits
+    )
+    return scored.select(
+        "key",
+        "day",
+        "hour",
+        "n",
+        (F.round(F.col("__mu__"), digits) + F.lit(0.0)).alias("mu"),
+        (F.round(F.col("__sg__"), digits) + F.lit(0.0)).alias("sigma"),
+        (z + F.lit(0.0)).alias("z"),
+    ).filter(F.abs(F.col("z")) >= F.lit(float(z_threshold)))

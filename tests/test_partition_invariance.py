@@ -230,6 +230,18 @@ R10_NEW = [
     "t_closeness",
     "spatial_nearest",
     "partition_stats",
+    # broadcast-seed argmin + decimal means; round-9 decimal IPTW
+    # weights; rollup-rank NULLS-FIRST contract; integer cum race
+    "kmeans_step",
+    "iptw",
+    "rollup_topn",
+    "cum_crossover",
+    # round-12 prior/ratio folds before logs; top-k set determinism;
+    # zero-filled grid moments; decimal person-time / Byar arithmetic
+    "log_odds",
+    "vocab_overlap",
+    "seasonal_anomaly",
+    "sir",
 ]
 
 

@@ -44,6 +44,7 @@ WAIVERS = {
         "psm_match": "n_buckets-row boundary table (cross-bucket nearest handoff)",
         "lorenz_curve": "bucket-count offset + n_points-row segment tables",
         "srm_check": "design-arm table (one row per experiment variant)",
+        "cum_crossover": "calendar-day rollup table (one row per day)",
     },
 }
 
