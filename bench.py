@@ -238,6 +238,9 @@ BENCH_QUERIES = [
     "vocab_overlap",
     "seasonal_anomaly",
     "sir",
+    "welch_t",
+    "sign_test",
+    "event_study",
 ]
 
 # Scope the measured set without editing the file (drift A/B testing,

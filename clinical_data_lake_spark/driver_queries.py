@@ -4745,6 +4745,53 @@ def q_sir(spark: SparkSession, sf: str) -> DataFrame:
     return ml_stats.sir_indirect(subj, "arm", ["s"], "days", "n_err")
 
 
+
+def q_welch_t(spark: SparkSession, sf: str) -> DataFrame:
+    """Welch unequal-variance t read-out per event type
+    (ml/stats.py:welch_t): even vs odd user arms on event value —
+    ab_test's continuous-metric sibling, statistic + Satterthwaite df
+    (no CDF, bit-replayable)."""
+    ev = read_table(spark, sf, "events").select(
+        "event_type",
+        F.when(F.pmod(F.col("user_id"), F.lit(2)) == 0, "a")
+        .otherwise("b")
+        .alias("arm"),
+        "value",
+    )
+    return ml_stats.welch_t(ev, ["event_type"], "arm", "a", "b", "value")
+
+
+def q_sign_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Paired sign test per user bucket (ml/stats.py:sign_test): does
+    a user click more than they error? Integer pair counts, continuity
+    -corrected z — mcnemar's continuous-ordering sibling."""
+    per_user = (
+        read_table(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum((F.col("event_type") == "click").cast("long")).alias("x"),
+            F.sum((F.col("event_type") == "error").cast("long")).alias("y"),
+        )
+        .select(
+            F.pmod(F.col("user_id"), F.lit(3)).cast("int").alias("grp"),
+            "x",
+            "y",
+        )
+    )
+    return ml_stats.sign_test(per_user, ["grp"], "x", "y")
+
+
+def q_event_study(spark: SparkSession, sf: str) -> DataFrame:
+    """Event-study curve around first signup
+    (operators/cohort.py:event_study): mean weekly purchases per
+    anchored user at relative weeks -2..+2, zero-filled — did's
+    dynamic completion, with the pre-trend placebo visible."""
+    return cohort.event_study(
+        read_table(spark, sf, "events"), "user_id", "ts",
+        "signup", "purchase", max_lag_weeks=2,
+    )
+
+
 QUERIES = {
     # -- r8 certification window (first 50): the 18 queries that have
     #    never had a driver CORRECTNESS row, then the 32 oldest r3-era
@@ -5103,6 +5150,9 @@ QUERIES = {
     "vocab_overlap": q_vocab_overlap,
     "seasonal_anomaly": q_seasonal_anomaly,
     "sir": q_sir,
+    "welch_t": q_welch_t,
+    "sign_test": q_sign_test,
+    "event_study": q_event_study,
 }
 
 
@@ -13022,4 +13072,136 @@ ORACLES["sir"] = """
                round((CAST(observed AS DOUBLE) + 1.0) / ee * hf * hf * hf,
                      6) + 0.0 AS sir_hi
         FROM factors
+    """
+
+ORACLES["welch_t"] = """
+        WITH base AS (
+            SELECT event_type,
+                   CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS arm,
+                   CAST(value AS DOUBLE) AS y
+            FROM events WHERE value IS NOT NULL
+        ),
+        mom AS (
+            SELECT event_type,
+                   CAST(sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_a,
+                   CAST(sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_b,
+                   sum(CASE WHEN arm = 'a'
+                            THEN CAST(y AS DECIMAL(18,6)) END) AS sa,
+                   sum(CASE WHEN arm = 'b'
+                            THEN CAST(y AS DECIMAL(18,6)) END) AS sb,
+                   sum(CASE WHEN arm = 'a'
+                            THEN CAST(y * y AS DECIMAL(18,6)) END) AS saa,
+                   sum(CASE WHEN arm = 'b'
+                            THEN CAST(y * y AS DECIMAL(18,6)) END) AS sbb
+            FROM base GROUP BY event_type
+        ),
+        m AS (
+            SELECT event_type, n_a, n_b,
+                   round(CAST(sa AS DOUBLE) / n_a, 9) AS ma,
+                   round(CAST(sb AS DOUBLE) / n_b, 9) AS mb,
+                   round((CAST(saa AS DOUBLE)
+                          - n_a * round(CAST(sa AS DOUBLE) / n_a, 9)
+                                * round(CAST(sa AS DOUBLE) / n_a, 9))
+                         / (CAST(n_a AS DOUBLE) - 1.0), 9) AS va,
+                   round((CAST(sbb AS DOUBLE)
+                          - n_b * round(CAST(sb AS DOUBLE) / n_b, 9)
+                                * round(CAST(sb AS DOUBLE) / n_b, 9))
+                         / (CAST(n_b AS DOUBLE) - 1.0), 9) AS vb
+            FROM mom
+        ),
+        s AS (
+            SELECT event_type, n_a, n_b, ma, mb, va, vb,
+                   va / n_a + vb / n_b AS se2,
+                   (n_a >= 2 AND n_b >= 2
+                    AND va / n_a + vb / n_b > 0.0) AS ok
+            FROM m
+        )
+        SELECT event_type, n_a, n_b,
+               round(ma, 6) + 0.0 AS mean_a,
+               round(mb, 6) + 0.0 AS mean_b,
+               round(ma - mb, 6) + 0.0 AS diff,
+               round(CASE WHEN vb > 0.0 AND va >= 0.0
+                          THEN va / vb END, 6) + 0.0 AS var_ratio,
+               round(CASE WHEN ok THEN (ma - mb) / sqrt(se2) END, 6) + 0.0
+                   AS t,
+               round(CASE WHEN ok AND va > 0.0 AND vb > 0.0
+                          THEN (se2 * se2)
+                               / ((va / n_a) * (va / n_a)
+                                  / (CAST(n_a AS DOUBLE) - 1.0)
+                                  + (vb / n_b) * (vb / n_b)
+                                    / (CAST(n_b AS DOUBLE) - 1.0))
+                     END, 6) + 0.0 AS df
+        FROM s
+    """
+
+ORACLES["sign_test"] = """
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS x,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS y
+            FROM events GROUP BY user_id
+        ),
+        mom AS (
+            SELECT CAST(user_id % 3 AS INT) AS grp,
+                   CAST(sum(CASE WHEN x > y THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_pos,
+                   CAST(sum(CASE WHEN x < y THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_neg,
+                   CAST(sum(CASE WHEN x = y THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_tie
+            FROM per_user GROUP BY 1
+        )
+        SELECT grp, n_pos, n_neg, n_tie,
+               round(CASE WHEN n_pos + n_neg > 0
+                          THEN CAST(n_pos AS DOUBLE)
+                               / CAST(n_pos + n_neg AS DOUBLE) END, 6) + 0.0
+                   AS share_pos,
+               round(CASE WHEN n_pos + n_neg >= 2 THEN
+                     sign(CAST(n_pos - n_neg AS DOUBLE))
+                     * greatest(abs(CAST(n_pos - n_neg AS DOUBLE)) - 1.0, 0.0)
+                     / sqrt(CAST(n_pos + n_neg AS DOUBLE)) END, 6) + 0.0
+                   AS z
+        FROM mom
+    """
+
+ORACLES["event_study"] = """
+        WITH anchors AS (
+            SELECT user_id AS u, min(CAST(ts AS DATE)) AS t0
+            FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        outc AS (
+            SELECT user_id AS u, CAST(ts AS DATE) AS d
+            FROM events WHERE event_type = 'purchase'
+        ),
+        counted AS (
+            SELECT u, rw, CAST(count(*) AS BIGINT) AS c
+            FROM (
+                SELECT a.u,
+                       CAST(floor(date_diff('day', a.t0, o.d) / 7.0)
+                            AS INT) AS rw
+                FROM anchors a JOIN outc o ON a.u = o.u
+            )
+            WHERE rw BETWEEN -2 AND 2
+            GROUP BY u, rw
+        ),
+        offs AS (
+            SELECT a.u, CAST(t.k AS INT) AS rw
+            FROM anchors a
+            CROSS JOIN (SELECT unnest(range(-2, 3)) AS k) t
+        ),
+        grid AS (
+            SELECT o.u, o.rw, CAST(COALESCE(c.c, 0) AS BIGINT) AS c
+            FROM offs o
+            LEFT JOIN counted c ON o.u = c.u AND o.rw = c.rw
+        )
+        SELECT rw AS rel_week,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(c) AS BIGINT) AS n_events,
+               round(CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+                   + 0.0 AS mean_events
+        FROM grid GROUP BY rw
     """

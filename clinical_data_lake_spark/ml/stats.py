@@ -2967,6 +2967,12 @@ def weighted_corr(
     base = df.select(*gcols, x_col, y_col, w_col).filter(
         x.isNotNull() & y.isNotNull() & w.isNotNull() & (w > 0)
     )
+    # lift the narrow projection to full parallelism: a coarse 3-file
+    # scan pins the six decimal aggregates to 3 cores (the
+    # corr_matrix/ols2 lesson; no-op on real multi-split scans)
+    target = base.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < target:
+        base = base.repartition(target)
     mom = base.groupBy(*gcols).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(w.cast(d6)).alias("__sw__"),
@@ -3026,6 +3032,11 @@ def partial_corr(
     base = df.select(*gcols, x_col, y_col, z_col).filter(
         x.isNotNull() & y.isNotNull() & z.isNotNull()
     )
+    # coarse-scan guard: nine decimal aggregates want all cores (the
+    # corr_matrix/ols2 lesson; no-op on real multi-split scans)
+    target = base.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < target:
+        base = base.repartition(target)
     mom = base.groupBy(*gcols).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(x.cast(d6)).alias("__sx__"),
@@ -3416,4 +3427,141 @@ def sir_indirect(
         (F.round(sir, digits) + F.lit(0.0)).alias("sir"),
         (F.round(lo, digits) + F.lit(0.0)).alias("sir_lo"),
         (F.round(hi, digits) + F.lit(0.0)).alias("sir_hi"),
+    )
+
+
+def welch_t(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    arm_col: str,
+    a_label,
+    b_label,
+    value_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t read-out per group — the
+    CONTINUOUS-metric counterpart of ``ab_test`` (proportions) and the
+    pre-CUPED sanity read-out for mean metrics:
+
+        t  = (m_a - m_b) / sqrt(s2_a/n_a + s2_b/n_b)
+        df = (s2_a/n_a + s2_b/n_b)^2
+             / ((s2_a/n_a)^2/(n_a-1) + (s2_b/n_b)^2/(n_b-1))
+
+    with SAMPLE variances (n-1). Reports the statistic and
+    Satterthwaite df, not a p-value (no normal/t CDF is replayable
+    bit-exactly across engines); the variance ratio rides along as the
+    equal-variance diagnostic. Degenerate groups (either arm n < 2 or
+    zero variance in both) yield NULL t.
+
+    Scale shape: ONE map-side-combinable aggregate per group collects
+    both arms' decimal moments via conditional sums (the ab_test
+    pattern); sums divide once into round-9 doubles (the ols2
+    discipline). Returns (group..., n_a, n_b, mean_a, mean_b, diff,
+    var_ratio, t, df).
+    """
+    gcols = list(group_cols)
+    arm = F.col(arm_col)
+    y = F.col(value_col).cast("double")
+    is_a = arm == F.lit(a_label)
+    is_b = arm == F.lit(b_label)
+    d6 = "decimal(18,6)"
+    base = df.select(*gcols, arm_col, value_col).filter(
+        (is_a | is_b) & y.isNotNull()
+    )
+    mom = base.groupBy(*gcols).agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(is_b, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(is_a, y.cast(d6))).alias("__sa__"),
+        F.sum(F.when(is_b, y.cast(d6))).alias("__sb__"),
+        F.sum(F.when(is_a, (y * y).cast(d6))).alias("__saa__"),
+        F.sum(F.when(is_b, (y * y).cast(d6))).alias("__sbb__"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    # every division is when-guarded: ANSI mode raises on ANY divide
+    # by zero (empty or singleton arms), it does not return Inf/NULL
+    ma = F.when(na > 0.0, F.round(F.col("__sa__").cast("double") / na, 9))
+    mb = F.when(nb > 0.0, F.round(F.col("__sb__").cast("double") / nb, 9))
+    # sample variance: (ss - n*m^2) / (n-1), rounded once
+    va = F.when(
+        na >= 2.0,
+        F.round(
+            (F.col("__saa__").cast("double") - na * ma * ma) / (na - 1.0), 9
+        ),
+    )
+    vb = F.when(
+        nb >= 2.0,
+        F.round(
+            (F.col("__sbb__").cast("double") - nb * mb * mb) / (nb - 1.0), 9
+        ),
+    )
+    sea = va / na
+    seb = vb / nb
+    se2 = sea + seb
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (se2 > 0.0)
+    t = F.when(ok, (ma - mb) / F.sqrt(se2))
+    dof = F.when(
+        ok & (va > 0.0) & (vb > 0.0),
+        (se2 * se2) / (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0)),
+    )
+    vr = F.when((vb > 0.0) & (va >= 0.0), va / vb)
+    return mom.select(
+        *gcols,
+        "n_a",
+        "n_b",
+        (F.round(ma, digits) + F.lit(0.0)).alias("mean_a"),
+        (F.round(mb, digits) + F.lit(0.0)).alias("mean_b"),
+        (F.round(ma - mb, digits) + F.lit(0.0)).alias("diff"),
+        (F.round(vr, digits) + F.lit(0.0)).alias("var_ratio"),
+        (F.round(t, digits) + F.lit(0.0)).alias("t"),
+        (F.round(dof, digits) + F.lit(0.0)).alias("df"),
+    )
+
+
+def sign_test(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Paired sign test per group — the distribution-free paired
+    read-out (``mcnemar_test``'s continuous sibling): count pairs
+    where x > y vs x < y (ties dropped, the standard treatment) and
+    report the normal-approximation z with continuity correction:
+
+        z = (|n_pos - n_neg| - 1) / sqrt(n_pos + n_neg)   (signed)
+
+    Everything is integer counts until the final division. Returns
+    (group..., n_pos, n_neg, n_tie, share_pos, z); fewer than 2
+    informative pairs yields NULL z.
+
+    Scale shape: one conditional-count aggregate per group — a single
+    scan, one exchange on the group key.
+    """
+    gcols = list(group_cols)
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.select(*gcols, x_col, y_col).filter(
+        x.isNotNull() & y.isNotNull()
+    )
+    mom = base.groupBy(*gcols).agg(
+        F.sum(F.when(x > y, 1).otherwise(0)).cast("long").alias("n_pos"),
+        F.sum(F.when(x < y, 1).otherwise(0)).cast("long").alias("n_neg"),
+        F.sum(F.when(x == y, 1).otherwise(0)).cast("long").alias("n_tie"),
+    )
+    m = (F.col("n_pos") + F.col("n_neg")).cast("double")
+    raw = F.col("n_pos").cast("double") - F.col("n_neg").cast("double")
+    corrected = F.signum(raw) * F.greatest(
+        F.abs(raw) - 1.0, F.lit(0.0)
+    )
+    z = F.when(m >= 2.0, corrected / F.sqrt(m))
+    share = F.when(m > 0.0, F.col("n_pos").cast("double") / m)
+    return mom.select(
+        *gcols,
+        "n_pos",
+        "n_neg",
+        "n_tie",
+        (F.round(share, digits) + F.lit(0.0)).alias("share_pos"),
+        (F.round(z, digits) + F.lit(0.0)).alias("z"),
     )

@@ -917,3 +917,85 @@ def person_time_rate(
             F.when((tt > 0) & (ee > 0), F.exp(F.log(rate) + half)), digits
         ).alias("rate_hi"),
     )
+
+
+def event_study(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    treat_event,
+    outcome_event,
+    event_col: str = "event_type",
+    max_lag_weeks: int = 2,
+    digits: int = 6,
+) -> DataFrame:
+    """Event-study curve around first exposure — the dynamic
+    completion of ``did_estimate`` (one pooled effect) and
+    ``cuped_adjust`` (variance reduction): for every user whose first
+    ``treat_event`` anchors week 0, the mean WEEKLY ``outcome_event``
+    count at each relative week in [-max_lag, +max_lag], ZERO-FILLED
+    (a user contributes 0 to every in-window week without outcomes —
+    silence is the counterfactual's whole point). Pre-period rows are
+    the placebo check: a visible pre-trend invalidates the design.
+
+    Returns (rel_week, n_users, n_events, mean_events) for each
+    relative week; n_users is constant across rows by construction
+    (every anchored user spans the full window — edge weeks outside
+    the observed calendar simply carry their true zero counts, which
+    is the honest intention-to-treat read).
+
+    Scale shape: one groupBy for the per-user anchor (min treat time),
+    one join of outcomes onto anchors (user key), the zero-fill grid
+    is anchors x (2*max_lag+1) literal offsets (user-scale x small
+    constant), and one final rollup on the bounded rel_week table.
+    Day arithmetic is integer (datediff // 7 with floor semantics for
+    negative lags).
+    """
+    anchors = (
+        df.filter(F.col(event_col) == treat_event)
+        .groupBy(F.col(user_col).alias("__u__"))
+        .agg(F.min(F.to_date(F.col(ts_col))).alias("__t0__"))
+    )
+    outcomes = df.filter(F.col(event_col) == outcome_event).select(
+        F.col(user_col).alias("__u__"),
+        F.to_date(F.col(ts_col)).alias("__d__"),
+    )
+    k = int(max_lag_weeks)
+    # floor division keeps day -1 in week -1, not week 0
+    rel = F.floor(
+        F.datediff(F.col("__d__"), F.col("__t0__")) / F.lit(7)
+    ).cast("int")
+    counted = (
+        anchors.join(outcomes, on="__u__")
+        .select("__u__", rel.alias("rel_week"))
+        .filter((F.col("rel_week") >= -k) & (F.col("rel_week") <= k))
+        .groupBy("__u__", "rel_week")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c__"))
+    )
+    offsets = anchors.select("__u__").crossJoin(
+        anchors.sparkSession.range(1).select(
+            F.explode(F.sequence(F.lit(-k), F.lit(k))).alias("rel_week")
+        ).select(F.col("rel_week").cast("int").alias("rel_week"))
+    )
+    grid = offsets.join(counted, on=["__u__", "rel_week"], how="left").select(
+        "__u__",
+        "rel_week",
+        F.coalesce("__c__", F.lit(0)).cast("long").alias("__c__"),
+    )
+    out = grid.groupBy("rel_week").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("__c__").cast("long").alias("n_events"),
+    )
+    return out.select(
+        "rel_week",
+        "n_users",
+        "n_events",
+        (
+            F.round(
+                F.col("n_events").cast("double")
+                / F.col("n_users").cast("double"),
+                digits,
+            )
+            + F.lit(0.0)
+        ).alias("mean_events"),
+    )

@@ -242,6 +242,11 @@ R10_NEW = [
     "vocab_overlap",
     "seasonal_anomaly",
     "sir",
+    # conditional decimal arm moments; integer pair counts;
+    # zero-filled relative-week grid
+    "welch_t",
+    "sign_test",
+    "event_study",
 ]
 
 
