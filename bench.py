@@ -241,6 +241,9 @@ BENCH_QUERIES = [
     "welch_t",
     "sign_test",
     "event_study",
+    "qte",
+    "wasserstein",
+    "future_label",
 ]
 
 # Scope the measured set without editing the file (drift A/B testing,

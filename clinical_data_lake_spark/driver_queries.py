@@ -4792,6 +4792,47 @@ def q_event_study(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+def q_qte(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantile treatment effects on event value between user arms
+    (ml/stats.py:quantile_treatment_effects): per-quantile arm
+    differences via ONE conditional-percentile aggregate — what a
+    mean shift hides, the tail shows."""
+    ev = read_table(spark, sf, "events").select(
+        F.when(F.pmod(F.col("user_id"), F.lit(2)) == 0, "a")
+        .otherwise("b")
+        .alias("arm"),
+        "value",
+    )
+    return ml_stats.quantile_treatment_effects(ev, "arm", "a", "b", "value")
+
+
+def q_wasserstein(spark: SparkSession, sf: str) -> DataFrame:
+    """Binned Wasserstein-1 distance between the arms' value
+    distributions (ml/stats.py:wasserstein_binned): the integrated CDF
+    gap in value units over 120 fixed bins — ks_separation's drift
+    MAGNITUDE sibling."""
+    ev = read_table(spark, sf, "events").select(
+        F.when(F.pmod(F.col("user_id"), F.lit(2)) == 0, "a")
+        .otherwise("b")
+        .alias("arm"),
+        "value",
+    )
+    return ml_stats.wasserstein_binned(
+        ev, "arm", "a", "b", "value", lo=0.0, hi=600.0, n_bins=120
+    )
+
+
+def q_future_label(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe churn-label training matrix
+    (ml/featurize.py:future_activity_labels): zero-filled user-week
+    grid, strictly-forward one-week activity label, horizon-truncated
+    tail weeks dropped — the temporal label builder."""
+    return ml_featurize.future_activity_labels(
+        read_table(spark, sf, "events"), "user_id", "ts", horizon_weeks=1
+    )
+
+
 QUERIES = {
     # -- r8 certification window (first 50): the 18 queries that have
     #    never had a driver CORRECTNESS row, then the 32 oldest r3-era
@@ -5153,6 +5194,9 @@ QUERIES = {
     "welch_t": q_welch_t,
     "sign_test": q_sign_test,
     "event_study": q_event_study,
+    "qte": q_qte,
+    "wasserstein": q_wasserstein,
+    "future_label": q_future_label,
 }
 
 
@@ -13204,4 +13248,125 @@ ORACLES["event_study"] = """
                round(CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
                    + 0.0 AS mean_events
         FROM grid GROUP BY rw
+    """
+
+ORACLES["qte"] = """
+        WITH base AS (
+            SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS arm,
+                   CAST(value AS DOUBLE) AS y
+            FROM events WHERE value IS NOT NULL
+        ),
+        agg AS (
+            SELECT
+                round(quantile_cont(CASE WHEN arm = 'a' THEN y END, 0.10), 6) AS a10,
+                round(quantile_cont(CASE WHEN arm = 'b' THEN y END, 0.10), 6) AS b10,
+                round(quantile_cont(CASE WHEN arm = 'a' THEN y END, 0.25), 6) AS a25,
+                round(quantile_cont(CASE WHEN arm = 'b' THEN y END, 0.25), 6) AS b25,
+                round(quantile_cont(CASE WHEN arm = 'a' THEN y END, 0.50), 6) AS a50,
+                round(quantile_cont(CASE WHEN arm = 'b' THEN y END, 0.50), 6) AS b50,
+                round(quantile_cont(CASE WHEN arm = 'a' THEN y END, 0.75), 6) AS a75,
+                round(quantile_cont(CASE WHEN arm = 'b' THEN y END, 0.75), 6) AS b75,
+                round(quantile_cont(CASE WHEN arm = 'a' THEN y END, 0.90), 6) AS a90,
+                round(quantile_cont(CASE WHEN arm = 'b' THEN y END, 0.90), 6) AS b90
+            FROM base
+        )
+        SELECT CAST(0.10 AS DOUBLE) AS q, a10 + 0.0 AS q_a, b10 + 0.0 AS q_b,
+               round(a10 - b10, 6) + 0.0 AS qte FROM agg
+        UNION ALL
+        SELECT CAST(0.25 AS DOUBLE), a25 + 0.0, b25 + 0.0,
+               round(a25 - b25, 6) + 0.0 FROM agg
+        UNION ALL
+        SELECT CAST(0.50 AS DOUBLE), a50 + 0.0, b50 + 0.0,
+               round(a50 - b50, 6) + 0.0 FROM agg
+        UNION ALL
+        SELECT CAST(0.75 AS DOUBLE), a75 + 0.0, b75 + 0.0,
+               round(a75 - b75, 6) + 0.0 FROM agg
+        UNION ALL
+        SELECT CAST(0.90 AS DOUBLE), a90 + 0.0, b90 + 0.0,
+               round(a90 - b90, 6) + 0.0 FROM agg
+    """
+
+ORACLES["wasserstein"] = """
+        WITH base AS (
+            SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS arm,
+                   CAST(value AS DOUBLE) AS y
+            FROM events WHERE value IS NOT NULL
+        ),
+        counts AS (
+            SELECT CAST(least(greatest(floor((y - 0.0) / 5.0), 0), 119)
+                        AS INT) AS bin,
+                   CAST(sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS c_a,
+                   CAST(sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS c_b
+            FROM base GROUP BY 1
+        ),
+        grid AS (
+            SELECT CAST(t.b AS INT) AS bin,
+                   CAST(COALESCE(c.c_a, 0) AS BIGINT) AS c_a,
+                   CAST(COALESCE(c.c_b, 0) AS BIGINT) AS c_b
+            FROM (SELECT unnest(range(0, 120)) AS b) t
+            LEFT JOIN counts c ON c.bin = CAST(t.b AS INT)
+        ),
+        cum AS (
+            SELECT sum(c_a) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+                       AS cum_a,
+                   sum(c_b) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+                       AS cum_b,
+                   sum(c_a) OVER () AS n_a,
+                   sum(c_b) OVER () AS n_b
+            FROM grid
+        )
+        SELECT CAST(max(n_a) AS BIGINT) AS n_a,
+               CAST(max(n_b) AS BIGINT) AS n_b,
+               round(CAST(5.0 AS DOUBLE)
+                     * CAST(sum(CAST(round(abs(
+                           CAST(cum_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                           - CAST(cum_b AS DOUBLE) / CAST(n_b AS DOUBLE)),
+                           12) AS DECIMAL(28,12))) AS DOUBLE), 6) + 0.0
+                   AS w1
+        FROM cum
+    """
+
+ORACLES["future_label"] = """
+        WITH acts AS (
+            SELECT user_id AS user,
+                   CAST(date_trunc('week', ts) AS DATE) AS week,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2
+        ),
+        users AS (SELECT DISTINCT user_id AS user FROM events),
+        bounds AS (
+            SELECT min(CAST(date_trunc('week', ts) AS DATE)) AS lo,
+                   max(CAST(date_trunc('week', ts) AS DATE)) AS hi
+            FROM events
+        ),
+        weeks AS (
+            SELECT CAST(unnest(generate_series(lo, hi,
+                                               INTERVAL 7 DAY)) AS DATE)
+                       AS week
+            FROM bounds
+        ),
+        grid AS (
+            SELECT u.user, w.week,
+                   CAST(COALESCE(a.n_events, 0) AS BIGINT) AS n_events
+            FROM users u
+            CROSS JOIN weeks w
+            LEFT JOIN acts a ON a.user = u.user AND a.week = w.week
+        ),
+        labeled AS (
+            SELECT user, week,
+                   n_events > 0 AS active_now,
+                   n_events,
+                   COALESCE(max(n_events) OVER (
+                       PARTITION BY user ORDER BY week
+                       ROWS BETWEEN 1 FOLLOWING AND 1 FOLLOWING
+                   ), 0) > 0 AS label,
+                   row_number() OVER (
+                       PARTITION BY user ORDER BY week DESC
+                   ) AS from_end
+            FROM grid
+        )
+        SELECT user, week, active_now, n_events, label
+        FROM labeled WHERE from_end > 1
     """

@@ -504,3 +504,81 @@ def mad_outliers(
         )
         .drop("__med__", "__mad__")
     )
+
+
+def future_activity_labels(
+    df,
+    user_col: str,
+    ts_col: str,
+    horizon_weeks: int = 1,
+) -> "DataFrame":
+    """Leakage-safe temporal LABEL BUILDER for churn/retention models:
+    a (user, week) training matrix where ``label`` = "was the user
+    active in ANY of the next ``horizon_weeks`` weeks" — built so no
+    feature row can see its own future:
+
+    - the grid is users x ALL observed calendar weeks (zero-filled —
+      an inactive week is a negative example, not a missing row);
+    - the label looks strictly FORWARD (window frame [+1, +h] over the
+      per-user week sequence);
+    - the last ``horizon_weeks`` weeks are DROPPED — their horizon
+      extends past the observed data, and labeling them "inactive"
+      would teach the model the dataset boundary (the classic silent
+      leakage bug this builder exists to prevent).
+
+    Returns (user, week, active_now, n_events, label).
+
+    Scale shape: one groupBy to (user, week) counts, a users x weeks
+    grid (users x bounded-calendar rows — the training-matrix cost,
+    linear in users), and ONE window partitioned BY USER ordered by
+    week. No self-joins, no global windows.
+    """
+    from pyspark.sql import Window
+
+    week = F.date_trunc("week", F.col(ts_col)).cast("date").alias("week")
+    acts = (
+        df.select(F.col(user_col).alias("user"), week)
+        .groupBy("user", "week")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    users = df.select(F.col(user_col).alias("user")).distinct()
+    # the week axis is a COMPLETE calendar from first to last observed
+    # week — a week nobody was active in still exists (and is exactly
+    # the kind of week churn labels care about); deriving weeks from
+    # observed events would silently skip it
+    bounds = df.agg(
+        F.min(F.date_trunc("week", F.col(ts_col)).cast("date")).alias("__lo__"),
+        F.max(F.date_trunc("week", F.col(ts_col)).cast("date")).alias("__hi__"),
+    )
+    weeks = bounds.select(
+        F.explode(
+            F.sequence(
+                F.col("__lo__"), F.col("__hi__"), F.expr("interval 7 days")
+            )
+        ).alias("week")
+    )
+    grid = (
+        users.crossJoin(weeks)
+        .join(acts, on=["user", "week"], how="left")
+        .select(
+            "user",
+            "week",
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        )
+    )
+    h = int(horizon_weeks)
+    w_fwd = (
+        Window.partitionBy("user").orderBy("week").rowsBetween(1, h)
+    )
+    w_rank = Window.partitionBy("user").orderBy(F.desc("week"))
+    labeled = grid.select(
+        "user",
+        "week",
+        (F.col("n_events") > 0).alias("active_now"),
+        "n_events",
+        (F.coalesce(F.max("n_events").over(w_fwd), F.lit(0)) > 0).alias(
+            "label"
+        ),
+        F.row_number().over(w_rank).alias("__from_end__"),
+    )
+    return labeled.filter(F.col("__from_end__") > h).drop("__from_end__")

@@ -3565,3 +3565,157 @@ def sign_test(
         (F.round(share, digits) + F.lit(0.0)).alias("share_pos"),
         (F.round(z, digits) + F.lit(0.0)).alias("z"),
     )
+
+
+def quantile_treatment_effects(
+    df: DataFrame,
+    arm_col: str,
+    a_label,
+    b_label,
+    value_col: str,
+    quantiles: Sequence[float] = (0.1, 0.25, 0.5, 0.75, 0.9),
+    digits: int = 6,
+) -> DataFrame:
+    """Quantile treatment effects: the per-quantile difference between
+    two arms' outcome distributions — the read-out that catches what a
+    mean shift hides (``welch_t``/``cuped`` report ONE number; a
+    treatment that helps the median but hurts the tail shows up only
+    here). Exact linear-interpolated percentiles (ANSI
+    percentile_cont semantics, the ``agg_percentile`` certification).
+
+    Returns one row per quantile: (q, q_a, q_b, qte).
+
+    Scale shape: ONE aggregate computes every quantile for both arms
+    via null-skipping conditional percentiles (no join, no second
+    scan); the reshape to rows explodes a |quantiles|-sized literal
+    struct array on the single reduced row. Exact percentiles buffer
+    per-group values on the reducer — the agg_percentile trade;
+    swap in approx_percentile at extreme scale.
+    """
+    arm = F.col(arm_col)
+    v = F.col(value_col).cast("double")
+    is_a, is_b = arm == F.lit(a_label), arm == F.lit(b_label)
+    qs = [float(q) for q in quantiles]
+    aggs = []
+    for i, q in enumerate(qs):
+        aggs.append(
+            F.round(
+                F.percentile(F.when(is_a, v), F.lit(q)).cast("double"),
+                digits,
+            ).alias(f"__a{i}__")
+        )
+        aggs.append(
+            F.round(
+                F.percentile(F.when(is_b, v), F.lit(q)).cast("double"),
+                digits,
+            ).alias(f"__b{i}__")
+        )
+    row = df.filter((is_a | is_b) & v.isNotNull()).agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(q).cast("double").alias("q"),
+                F.col(f"__a{i}__").alias("q_a"),
+                F.col(f"__b{i}__").alias("q_b"),
+            )
+            for i, q in enumerate(qs)
+        ]
+    )
+    ex = row.select(F.explode(pairs).alias("__p__"))
+    return ex.select(
+        F.col("__p__.q").alias("q"),
+        (F.col("__p__.q_a") + F.lit(0.0)).alias("q_a"),
+        (F.col("__p__.q_b") + F.lit(0.0)).alias("q_b"),
+        (
+            F.round(F.col("__p__.q_a") - F.col("__p__.q_b"), digits)
+            + F.lit(0.0)
+        ).alias("qte"),
+    )
+
+
+def wasserstein_binned(
+    df: DataFrame,
+    arm_col: str,
+    a_label,
+    b_label,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+    digits: int = 6,
+) -> DataFrame:
+    """Earth-Mover's (Wasserstein-1) distance between two arms' value
+    distributions, fixed-bin estimator — ``ks_test`` reports the WORST
+    CDF gap, this integrates ALL of it (W1 = integral |F_a - F_b|):
+    the drift magnitude in value units, the metric behind
+    drift-monitor SLOs ("score distribution moved by <= 0.02").
+
+        W1 ~ binwidth * sum_bins |cumshare_a - cumshare_b|
+
+    exact for the binned distributions (the ``histogram_rollup`` /
+    ``js_divergence`` fixed-bin discipline; values outside [lo, hi]
+    clamp to the edge bins). Returns ONE row (n_a, n_b, w1).
+
+    Scale shape: one conditional group-count to the <= ``n_bins`` bin
+    table (the only data-scale shuffle); the zero-filled bin grid, the
+    cumulative walk (window over the bounded bin table — waived), and
+    the round-12 decimal |gap| sum all run at bin scale.
+    """
+    if not hi > lo:
+        raise ValueError("need hi > lo")
+    if n_bins < 2:
+        raise ValueError("need n_bins >= 2")
+    arm = F.col(arm_col)
+    v = F.col(value_col).cast("double")
+    is_a, is_b = arm == F.lit(a_label), arm == F.lit(b_label)
+    width = (float(hi) - float(lo)) / int(n_bins)
+    b = F.least(
+        F.greatest(
+            F.floor((v - F.lit(float(lo))) / F.lit(width)), F.lit(0)
+        ),
+        F.lit(int(n_bins) - 1),
+    ).cast("int")
+    counts = (
+        df.filter((is_a | is_b) & v.isNotNull())
+        .select(b.alias("bin"), is_a.alias("__a__"))
+        .groupBy("bin")
+        .agg(
+            F.sum(F.col("__a__").cast("long")).cast("long").alias("c_a"),
+            F.sum((~F.col("__a__")).cast("long")).cast("long").alias("c_b"),
+        )
+    )
+    bins = df.sparkSession.range(1).select(
+        F.explode(F.sequence(F.lit(0), F.lit(int(n_bins) - 1))).alias("bin")
+    ).select(F.col("bin").cast("int").alias("bin"))
+    grid = bins.join(counts, on="bin", how="left").select(
+        "bin",
+        F.coalesce("c_a", F.lit(0)).cast("long").alias("c_a"),
+        F.coalesce("c_b", F.lit(0)).cast("long").alias("c_b"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    cum = grid.select(
+        F.sum("c_a").over(w).alias("cum_a"),
+        F.sum("c_b").over(w).alias("cum_b"),
+        F.sum("c_a").over(wt).alias("n_a"),
+        F.sum("c_b").over(wt).alias("n_b"),
+    )
+    gap = F.round(
+        F.abs(
+            F.col("cum_a").cast("double") / F.col("n_a").cast("double")
+            - F.col("cum_b").cast("double") / F.col("n_b").cast("double")
+        ),
+        12,
+    )
+    return cum.agg(
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+        (
+            F.round(
+                F.lit(width)
+                * F.sum(gap.cast("decimal(28,12)")).cast("double"),
+                digits,
+            )
+            + F.lit(0.0)
+        ).alias("w1"),
+    )

@@ -247,6 +247,11 @@ R10_NEW = [
     "welch_t",
     "sign_test",
     "event_study",
+    # exact conditional percentiles; zero-filled bin CDF (round-12
+    # decimal gap sum); complete-calendar label grid
+    "qte",
+    "wasserstein",
+    "future_label",
 ]
 
 

@@ -45,6 +45,7 @@ WAIVERS = {
         "lorenz_curve": "bucket-count offset + n_points-row segment tables",
         "srm_check": "design-arm table (one row per experiment variant)",
         "cum_crossover": "calendar-day rollup table (one row per day)",
+        "wasserstein": "n_bins-row zero-filled bin grid (CDF walk + totals)",
     },
 }
 
