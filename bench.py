@@ -244,6 +244,8 @@ BENCH_QUERIES = [
     "qte",
     "wasserstein",
     "future_label",
+    "span_dedup",
+    "stream_anomaly",
 ]
 
 # Scope the measured set without editing the file (drift A/B testing,

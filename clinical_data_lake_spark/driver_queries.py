@@ -4833,6 +4833,38 @@ def q_future_label(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+def q_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Span-level duplicate-text removal (llm/dedup.py:
+    dedup_span_removal, Lee et al. 2022's remediation): token positions
+    covered by cross-document 5-grams are dropped, survivors rejoin in
+    order; fully-duplicated docs surface with empty text."""
+    return dedup.dedup_span_removal(
+        read_table(spark, sf, "documents"), n=5, min_docs=2
+    )
+
+
+def q_stream_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    """Offline-train / online-score volume anomaly (streaming/events.py:
+    volume_anomaly + operators/timeseries.py:seasonal_baseline): the
+    seasonal baseline trains on the first 20 days, hourly windows from
+    day 21 on score against the broadcast baseline — the batch
+    expression of the streaming scorer (parity pinned in
+    tests/test_streaming.py)."""
+    from .operators import timeseries as ts
+
+    ev = read_table(spark, sf, "events")
+    cutoff = F.lit("2024-01-21").cast("date")
+    hist = ev.filter(F.to_date("ts") < cutoff)
+    live = ev.filter(F.to_date("ts") >= cutoff)
+    baseline = ts.seasonal_baseline(
+        hist, "ts", "event_type"
+    ).withColumnRenamed("key", "event_type")
+    return streaming_events.volume_anomaly(
+        live, baseline, z_threshold=1.5
+    )
+
+
 QUERIES = {
     # -- r8 certification window (first 50): the 18 queries that have
     #    never had a driver CORRECTNESS row, then the 32 oldest r3-era
@@ -5197,6 +5229,8 @@ QUERIES = {
     "qte": q_qte,
     "wasserstein": q_wasserstein,
     "future_label": q_future_label,
+    "span_dedup": q_span_dedup,
+    "stream_anomaly": q_stream_anomaly,
 }
 
 
@@ -13369,4 +13403,125 @@ ORACLES["future_label"] = """
         )
         SELECT user, week, active_now, n_events, label
         FROM labeled WHERE from_end > 1
+    """
+
+ORACLES["span_dedup"] = """
+        WITH base AS (
+            SELECT doc_id,
+                   string_split(regexp_replace(lower(trim(text)),
+                                               '\\s+', ' ', 'g'),
+                                ' ') AS w
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, CAST(t.i - 1 AS INT) AS pos,
+                   w[CAST(t.i AS INTEGER)] AS word
+            FROM base, UNNEST(range(1, len(w) + 1)) AS t(i)
+        ),
+        grams AS (
+            SELECT doc_id, CAST(t.i - 1 AS INT) AS p,
+                   md5(array_to_string(
+                       w[CAST(t.i AS INTEGER):CAST(t.i + 4 AS INTEGER)],
+                       ' ')) AS h
+            FROM base, UNNEST(range(1, len(w) - 3)) AS t(i)
+            WHERE len(w) >= 5
+        ),
+        dfreq AS (
+            SELECT h FROM (
+                SELECT h, count(DISTINCT doc_id) AS nd FROM grams GROUP BY h
+            ) WHERE nd >= 2
+        ),
+        cov AS (
+            SELECT DISTINCT g.doc_id, CAST(u.k AS INT) AS pos
+            FROM grams g
+            JOIN dfreq d USING (h),
+            UNNEST(range(g.p, g.p + 5)) AS u(k)
+        ),
+        kept AS (
+            SELECT t.doc_id, t.pos, t.word
+            FROM toks t
+            LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+            WHERE c.pos IS NULL
+        ),
+        reb AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                   string_agg(word, ' ' ORDER BY pos) AS cleaned
+            FROM kept GROUP BY doc_id
+        ),
+        tot AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words FROM base)
+        SELECT t.doc_id, t.n_words,
+               CAST(t.n_words - COALESCE(r.n_kept, 0) AS BIGINT)
+                   AS n_removed,
+               COALESCE(r.cleaned, '') AS cleaned_text
+        FROM tot t LEFT JOIN reb r USING (doc_id)
+    """
+
+ORACLES["stream_anomaly"] = """
+        WITH hist AS (
+            SELECT * FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-21'
+        ),
+        live AS (
+            SELECT * FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-21'
+        ),
+        counts AS (
+            SELECT event_type AS key, CAST(ts AS DATE) AS day,
+                   CAST(hour(ts) AS INT) AS hour,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM hist GROUP BY 1, 2, 3
+        ),
+        keys AS (SELECT DISTINCT event_type AS key FROM hist),
+        days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM hist),
+        hours AS (SELECT CAST(h AS INT) AS hour FROM range(0, 24) t(h)),
+        grid AS (
+            SELECT k.key, d.day, h.hour,
+                   CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+            FROM keys k
+            CROSS JOIN days d
+            CROSS JOIN hours h
+            LEFT JOIN counts c
+              ON c.key = k.key AND c.day = d.day AND c.hour = h.hour
+        ),
+        baseline AS (
+            SELECT key, hour,
+                   round(CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE),
+                         9) AS mu,
+                   CASE WHEN round(CAST(sum(n * n) AS DOUBLE)
+                                   / CAST(count(*) AS DOUBLE)
+                                   - round(CAST(sum(n) AS DOUBLE)
+                                           / CAST(count(*) AS DOUBLE), 9)
+                                     * round(CAST(sum(n) AS DOUBLE)
+                                             / CAST(count(*) AS DOUBLE), 9),
+                                   9) > 0.0
+                        THEN sqrt(round(CAST(sum(n * n) AS DOUBLE)
+                                        / CAST(count(*) AS DOUBLE)
+                                        - round(CAST(sum(n) AS DOUBLE)
+                                                / CAST(count(*) AS DOUBLE), 9)
+                                          * round(CAST(sum(n) AS DOUBLE)
+                                                  / CAST(count(*) AS DOUBLE),
+                                                  9),
+                                        9))
+                   END AS sigma
+            FROM grid GROUP BY key, hour
+        ),
+        wins AS (
+            SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)
+                       AS window_start,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM live GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT w.window_start, w.event_type, w.n, b.mu, b.sigma,
+                   round((CAST(w.n AS DOUBLE) - b.mu) / b.sigma, 6) AS z
+            FROM wins w
+            JOIN baseline b
+              ON b.key = w.event_type
+             AND b.hour = CAST(hour(to_timestamp(w.window_start)) AS INT)
+            WHERE b.sigma IS NOT NULL AND b.sigma > 0.0
+        )
+        SELECT window_start, event_type, n,
+               round(mu, 6) + 0.0 AS mu,
+               round(sigma, 6) + 0.0 AS sigma,
+               z + 0.0 AS z
+        FROM scored WHERE abs(z) >= 1.5
     """

@@ -1404,3 +1404,104 @@ def winnow_dup_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def dedup_span_removal(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Span-level duplicate-text REMOVAL — the remediation step
+    ``dup_gram_coverage`` only measures ("Deduplicating Training Data
+    Makes Language Models Better", Lee et al. 2022: drop the duplicated
+    spans, keep the unique remainder, instead of deleting whole
+    documents): every token position covered by an n-gram that occurs
+    in >= ``min_docs`` distinct documents is removed; the survivors
+    rejoin in order. Operates on the NORMALIZED token stream (lower,
+    trimmed, whitespace-collapsed — the shared shingling convention).
+
+    Returns (id_col, n_words, n_removed, cleaned_text) for EVERY input
+    document (fully-duplicated docs surface with empty text rather
+    than disappearing — the caller decides whether to drop them).
+
+    Scale shape: positional n-grams reduce immediately to (doc,
+    position, gram-md5) — raw text never rides the doc-frequency pass
+    (hash-keyed, the dup_gram_coverage plan); covered positions come
+    back as (doc, pos) pairs via one hash join; the only text-bearing
+    shuffle is the final rebuild, which moves each surviving (doc,
+    pos, word) tuple ONCE to its doc's reducer — unavoidable when the
+    output is rewritten text. Mirrors the published algorithm's
+    counting semantics at fixed n (see dup_gram_coverage on the
+    variable-length suffix-array trade).
+    """
+    from ..operators.caching import track_persist
+
+    toks = F.split(_normalized(text_col), " ")
+    base = track_persist(
+        _ensure_parallelism(docs).select(F.col(id_col), toks.alias("t"))
+    )
+    win = F.greatest(F.size("t") - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice("t", j + 1, win) for j in range(n)])
+    grams = (
+        base.filter(F.size("t") >= n)
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    zipped,
+                    lambda t: F.concat_ws(
+                        " ", *[t[str(j)] for j in range(n)]
+                    ),
+                )
+            ).alias("__p__", "__g__"),
+        )
+        .select(id_col, "__p__", F.md5("__g__").alias("__h__"))
+    )
+    grams = track_persist(grams)
+    dup_hashes = (
+        grams.select("__h__", id_col)
+        .distinct()
+        .groupBy("__h__")
+        .agg(F.count(F.lit(1)).alias("__nd__"))
+        .filter(F.col("__nd__") >= min_docs)
+        .select("__h__")
+    )
+    covered = (
+        grams.join(dup_hashes, on="__h__")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("__p__"), F.col("__p__") + F.lit(n - 1))
+            ).alias("__pos__"),
+        )
+        .distinct()
+    )
+    tokens = base.select(
+        id_col, F.posexplode("t").alias("__pos__", "__w__")
+    )
+    kept = tokens.join(covered, on=[id_col, "__pos__"], how="left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__nk__"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__pos__"), F.col("__w__")))
+                ),
+                lambda s: s["__w__"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    totals = base.select(
+        id_col, F.size("t").cast("long").alias("n_words")
+    )
+    return totals.join(rebuilt, on=id_col, how="left").select(
+        id_col,
+        "n_words",
+        (F.col("n_words") - F.coalesce(F.col("__nk__"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+    )

@@ -1070,3 +1070,56 @@ def seasonal_anomaly(
         (F.round(F.col("__sg__"), digits) + F.lit(0.0)).alias("sigma"),
         (z + F.lit(0.0)).alias("z"),
     ).filter(F.abs(F.col("z")) >= F.lit(float(z_threshold)))
+
+
+def seasonal_baseline(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+) -> DataFrame:
+    """Batch-train the (key, hour-of-day) volume baseline
+    ``streaming.events.volume_anomaly`` scores against: per-key
+    same-hour mean/std of the zero-filled daily count grid — exactly
+    ``seasonal_anomaly``'s baseline stage, exposed as the offline
+    trainer of the online scorer. Returns (key, hour, n_days, mu,
+    sigma); sigma is NULL for zero-variance cells (the scorer skips
+    them). Integer-decimal moments, round-9 mean/std.
+    """
+    day = F.to_date(F.col(ts_col)).alias("day")
+    hour = F.hour(F.col(ts_col)).cast("int").alias("hour")
+    counts = (
+        df.select(F.col(key_col).alias("key"), day, hour)
+        .groupBy("key", "day", "hour")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    keys = df.select(F.col(key_col).alias("key")).distinct()
+    days = df.select(F.to_date(F.col(ts_col)).alias("day")).distinct()
+    hours = df.sparkSession.range(1).select(
+        F.explode(F.sequence(F.lit(0), F.lit(23))).alias("hour")
+    ).select(F.col("hour").cast("int").alias("hour"))
+    grid = (
+        keys.crossJoin(days)
+        .crossJoin(hours)
+        .join(counts, on=["key", "day", "hour"], how="left")
+        .select(
+            "key", "day",
+            F.col("hour").cast("int").alias("hour"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        )
+    )
+    d0 = "decimal(38,0)"
+    base = grid.groupBy("key", "hour").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.col("n").cast(d0)).alias("__s__"),
+        F.sum((F.col("n") * F.col("n")).cast(d0)).alias("__ss__"),
+    )
+    dd = F.col("n_days").cast("double")
+    mu = F.round(F.col("__s__").cast("double") / dd, 9)
+    var = F.round(F.col("__ss__").cast("double") / dd - mu * mu, 9)
+    return base.select(
+        F.col("key"),
+        "hour",
+        "n_days",
+        mu.alias("mu"),
+        F.when(var > 0.0, F.sqrt(var)).alias("sigma"),
+    )

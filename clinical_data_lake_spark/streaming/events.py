@@ -654,3 +654,60 @@ def stream_upsert_parquet(
             f"after {timeout_sec}s"
         )
     return q
+
+
+def volume_anomaly(
+    events: DataFrame,
+    baseline: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    width: str = "1 hour",
+    z_threshold: float = 2.0,
+    watermark: str | None = None,
+    digits: int = 6,
+) -> DataFrame:
+    """Streaming volume-anomaly scoring against a BATCH-TRAINED
+    seasonal baseline — the production shape of
+    ``operators.timeseries.seasonal_anomaly``: the baseline (key,
+    hour-of-day, mu, sigma) comes from history offline; the live
+    stream only aggregates tumbling window counts and scores each
+    closed window against the broadcast baseline. One stateful
+    windowed aggregation + one stream-static broadcast join — no
+    stream-side history, state bounded by the watermark horizon.
+
+    Emits flagged windows only: (window_start, key, n, mu, sigma, z)
+    with z = (n - mu)/sigma rounded to ``digits``. Batch twin: same
+    builder on a static frame (the parity test's oracle). Windows with
+    no baseline row (unseen key) are dropped — score only what history
+    can judge.
+    """
+    counts = tumbling_counts(
+        events, ts_col=ts_col, key_col=key_col, width=width,
+        watermark=watermark,
+    )
+    hour = F.hour(F.timestamp_seconds(F.col("window_start"))).cast("int")
+    base = baseline.select(
+        F.col(key_col),
+        F.col("hour").cast("int").alias("__bh__"),
+        F.col("mu").cast("double").alias("__mu__"),
+        F.col("sigma").cast("double").alias("__sg__"),
+    ).filter(F.col("__sg__").isNotNull() & (F.col("__sg__") > 0.0))
+    scored = counts.withColumn("__h__", hour).join(
+        F.broadcast(base),
+        on=[
+            counts[key_col] == base[key_col],
+            F.col("__h__") == F.col("__bh__"),
+        ],
+    )
+    z = F.round(
+        (F.col("cnt").cast("double") - F.col("__mu__")) / F.col("__sg__"),
+        digits,
+    )
+    return scored.select(
+        "window_start",
+        counts[key_col].alias(key_col),
+        F.col("cnt").cast("long").alias("n"),
+        (F.round(F.col("__mu__"), digits) + F.lit(0.0)).alias("mu"),
+        (F.round(F.col("__sg__"), digits) + F.lit(0.0)).alias("sigma"),
+        (z + F.lit(0.0)).alias("z"),
+    ).filter(F.abs(F.col("z")) >= F.lit(float(z_threshold)))

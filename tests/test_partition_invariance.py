@@ -252,6 +252,10 @@ R10_NEW = [
     "qte",
     "wasserstein",
     "future_label",
+    # hash-keyed covered-position joins + ordered rebuild; windowed
+    # counts scored against broadcast round-9 baseline
+    "span_dedup",
+    "stream_anomaly",
 ]
 
 

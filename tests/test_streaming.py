@@ -668,3 +668,32 @@ def test_streaming_windowed_histogram_equals_batch(spark, events_stream_setup):
         ).collect()
     }
     assert merged == direct
+
+
+def test_streaming_volume_anomaly_equals_batch(spark, events_stream_setup):
+    """Stream-scored volume anomalies against a batch-trained seasonal
+    baseline must equal the same scorer run on the static frame — the
+    offline-train / online-score split, with the baseline broadcast
+    into the stream."""
+    from clinical_data_lake_spark.operators.timeseries import (
+        seasonal_baseline,
+    )
+
+    ev, root, schema = events_stream_setup
+    baseline = seasonal_baseline(ev, "ts", "event_type").withColumnRenamed(
+        "key", "event_type"
+    )
+    # low threshold so the tiny sf0.001 stream actually emits rows
+    batch = se.volume_anomaly(ev, baseline, z_threshold=0.5)
+    stream = se.volume_anomaly(
+        se.stream_from_batch_dir(spark, root, schema),
+        baseline,
+        z_threshold=0.5,
+        watermark="1 hour",
+    )
+    se.run_to_memory_sink(stream, "vanom_test")
+    got = spark.table("vanom_test")
+    cols = ["window_start", "event_type", "n", "mu", "sigma", "z"]
+    rows = _sorted_rows(got, cols)
+    assert rows == _sorted_rows(batch, cols)
+    assert len(rows) > 0
