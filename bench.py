@@ -246,6 +246,8 @@ BENCH_QUERIES = [
     "future_label",
     "span_dedup",
     "stream_anomaly",
+    "embed_quality",
+    "fk_fanout",
 ]
 
 # Scope the measured set without editing the file (drift A/B testing,

@@ -4865,6 +4865,29 @@ def q_stream_anomaly(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+def q_embed_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-class embedding-health audit (llm/similarity.py:
+    embedding_quality): member counts, mean L2 norm, mean cosine to
+    the class centroid — the pre-flight check before ANN/SemDeDup
+    trusts the vectors; guarded cosine (zero vectors score 0)."""
+    return similarity.embedding_quality(
+        read_table(spark, sf, "embeddings")
+    )
+
+
+def q_fk_fanout(spark: SparkSession, sf: str) -> DataFrame:
+    """FK fan-out profile of lineitem's order key
+    (operators/quality.py:fk_fanout_profile): per-key count
+    distribution with exact interpolated percentiles — the pre-join
+    explosion diagnostic that decides salted_join vs broadcast."""
+    from .operators import quality as dq
+
+    return dq.fk_fanout_profile(
+        read_table(spark, sf, "lineitem"), "l_orderkey"
+    )
+
+
 QUERIES = {
     # -- r8 certification window (first 50): the 18 queries that have
     #    never had a driver CORRECTNESS row, then the 32 oldest r3-era
@@ -5231,6 +5254,8 @@ QUERIES = {
     "future_label": q_future_label,
     "span_dedup": q_span_dedup,
     "stream_anomaly": q_stream_anomaly,
+    "embed_quality": q_embed_quality,
+    "fk_fanout": q_fk_fanout,
 }
 
 
@@ -13524,4 +13549,62 @@ ORACLES["stream_anomaly"] = """
                round(sigma, 6) + 0.0 AS sigma,
                z + 0.0 AS z
         FROM scored WHERE abs(z) >= 1.5
+    """
+
+ORACLES["embed_quality"] = """
+        WITH pts AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v, label
+            FROM embeddings WHERE label IS NOT NULL
+        ),
+        exd AS (
+            SELECT label, CAST(t.i - 1 AS INT) AS pos,
+                   CAST(v[CAST(t.i AS INTEGER)] AS DOUBLE) AS val
+            FROM pts, UNNEST(range(1, len(v) + 1)) AS t(i)
+        ),
+        proto_dim AS (
+            SELECT label, pos,
+                   round(CAST(sum(CAST(val AS DECIMAL(27,18))) AS DOUBLE)
+                         / count(*), 6) AS mean
+            FROM exd GROUP BY label, pos
+        ),
+        protos AS (
+            SELECT label, list(mean ORDER BY pos) AS c
+            FROM proto_dim GROUP BY label
+        ),
+        scored AS (
+            SELECT p.label,
+                   round(sqrt(list_dot_product(p.v, p.v)), 9) AS nrm,
+                   round(CASE WHEN sqrt(list_dot_product(p.v, p.v))
+                                   * sqrt(list_dot_product(pr.c, pr.c))
+                                   > 0.0
+                              THEN list_dot_product(p.v, pr.c)
+                                   / (sqrt(list_dot_product(p.v, p.v))
+                                      * sqrt(list_dot_product(pr.c, pr.c)))
+                              ELSE 0.0 END, 9) AS cos
+            FROM pts p JOIN protos pr USING (label)
+        )
+        SELECT label,
+               CAST(count(*) AS BIGINT) AS n_members,
+               round(CAST(sum(CAST(nrm AS DECIMAL(28,9))) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 6) + 0.0 AS mean_norm,
+               round(CAST(sum(CAST(cos AS DECIMAL(28,9))) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 6) + 0.0 AS mean_cos
+        FROM scored GROUP BY label
+    """
+
+ORACLES["fk_fanout"] = """
+        WITH per_key AS (
+            SELECT l_orderkey, CAST(count(*) AS BIGINT) AS c
+            FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(c) AS BIGINT) AS n_rows,
+               CAST(min(c) AS BIGINT) AS min_fanout,
+               round(quantile_cont(c, 0.5), 6) + 0.0 AS p50,
+               round(quantile_cont(c, 0.9), 6) + 0.0 AS p90,
+               round(quantile_cont(c, 0.99), 6) + 0.0 AS p99,
+               CAST(max(c) AS BIGINT) AS max_fanout,
+               round(CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+                   + 0.0 AS mean_fanout
+        FROM per_key
     """

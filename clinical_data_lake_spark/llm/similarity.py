@@ -1217,3 +1217,57 @@ def kmeans_lloyd_step(
         F.col("pos").cast("int").alias("pos"),
         (F.col("mean") + F.lit(0.0)).alias("mean"),
     )
+
+
+def embedding_quality(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    digits: int = 6,
+) -> DataFrame:
+    """Per-class embedding-health audit — the pre-flight check before
+    any ANN/SemDeDup/nearest-centroid run trusts the vectors: for each
+    label, the member count, the mean L2 norm (collapsed or exploded
+    norms signal a broken encoder or missing normalization), and the
+    mean cosine of members to their class centroid (compactness — a
+    class whose members don't agree with their own prototype will
+    misbehave under nearest-centroid routing and cell-based dedup).
+
+    Returns (label, n_members, mean_norm, mean_cos). Centroids are the
+    ``class_prototypes`` decimal-exact means (rounded 6, broadcast
+    back); per-row norms and cosines are sequential left-to-right dot
+    folds rounded to 9 and decimal-summed, so the audit is
+    partition-invariant and SQL-replayable.
+
+    Scale shape: one posexplode pass for the centroids, one
+    broadcast-join scan for the per-row scores, one final groupBy —
+    the corpus is touched twice, never self-joined.
+    """
+    pv = prototype_vectors(class_prototypes(embeddings, label_col, vec_col),
+                           label_col)
+    base = embeddings.filter(F.col(label_col).isNotNull()).select(
+        F.col(label_col), _as_double(vec_col).alias("__v__")
+    )
+    joined = base.join(F.broadcast(pv), on=label_col)
+    v, c = F.col("__v__"), F.col("proto")
+    norm = F.round(l2_norm(v), 9)
+    # the guarded cosine: zero-norm members (failed embedder rows)
+    # score 0, they must not ANSI-error the audit
+    cos = F.round(cosine(v, c), 9)
+    d = "decimal(28,9)"
+    agg = joined.groupBy(label_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum(norm.cast(d)).alias("__sn__"),
+        F.sum(cos.cast(d)).alias("__sc__"),
+    )
+    nn = F.col("n_members").cast("double")
+    return agg.select(
+        label_col,
+        "n_members",
+        (
+            F.round(F.col("__sn__").cast("double") / nn, digits) + F.lit(0.0)
+        ).alias("mean_norm"),
+        (
+            F.round(F.col("__sc__").cast("double") / nn, digits) + F.lit(0.0)
+        ).alias("mean_cos"),
+    )

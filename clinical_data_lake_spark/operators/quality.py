@@ -890,3 +890,56 @@ def t_closeness_report(
             ).alias("t"),
         )
     )
+
+
+def fk_fanout_profile(
+    facts: DataFrame,
+    fk_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Join fan-out profile of a foreign key: the distribution of
+    per-key row counts — THE pre-join diagnostic (``fk_orphans``
+    answers "does every child have a parent?", this answers "how many
+    children per parent?"): a p99 fan-out of 10^4 says the join output
+    explodes and the hot keys need ``salted_join``; a flat profile
+    says broadcast/bucketing wins.
+
+    Returns ONE row: (n_keys, n_rows, min_fanout, p50, p90, p99,
+    max_fanout, mean_fanout). Exact interpolated percentiles over the
+    per-key count table (key-cardinality scale, not fact scale — the
+    only fact-scale work is the first groupBy).
+    """
+    per_key = facts.groupBy(F.col(fk_col).alias("__k__")).agg(
+        F.count(F.lit(1)).cast("long").alias("__c__")
+    )
+    c = F.col("__c__")
+    return per_key.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(c).cast("long").alias("n_rows"),
+        F.min(c).cast("long").alias("min_fanout"),
+        F.round(F.percentile(c, F.lit(0.5)).cast("double"), digits).alias(
+            "p50"
+        ),
+        F.round(F.percentile(c, F.lit(0.9)).cast("double"), digits).alias(
+            "p90"
+        ),
+        F.round(F.percentile(c, F.lit(0.99)).cast("double"), digits).alias(
+            "p99"
+        ),
+        F.max(c).cast("long").alias("max_fanout"),
+    ).select(
+        "n_keys",
+        "n_rows",
+        "min_fanout",
+        (F.col("p50") + F.lit(0.0)).alias("p50"),
+        (F.col("p90") + F.lit(0.0)).alias("p90"),
+        (F.col("p99") + F.lit(0.0)).alias("p99"),
+        "max_fanout",
+        (
+            F.round(
+                F.col("n_rows").cast("double") / F.col("n_keys").cast("double"),
+                digits,
+            )
+            + F.lit(0.0)
+        ).alias("mean_fanout"),
+    )

@@ -256,6 +256,10 @@ R10_NEW = [
     # counts scored against broadcast round-9 baseline
     "span_dedup",
     "stream_anomaly",
+    # broadcast-prototype guarded cosines, decimal means; per-key
+    # count percentiles
+    "embed_quality",
+    "fk_fanout",
 ]
 
 
