@@ -248,6 +248,7 @@ BENCH_QUERIES = [
     "stream_anomaly",
     "embed_quality",
     "fk_fanout",
+    "item_cf",
 ]
 
 # Scope the measured set without editing the file (drift A/B testing,

@@ -4888,6 +4888,26 @@ def q_fk_fanout(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+def q_item_cf(spark: SparkSession, sf: str) -> DataFrame:
+    """Item-item collaborative filtering over order baskets
+    (operators/itemsets.py:item_cf_neighbors): top-5 co-purchase
+    cosine neighbors per part brand — the "also bought" recommender
+    primitive; basket-keyed self-join, never an item cross join.
+    Brands (25) keep the item vocabulary bounded at sf-independent
+    size while baskets stay realistic."""
+    li = read_table(spark, sf, "lineitem")
+    pt = read_table(spark, sf, "part").select("p_partkey", "p_brand")
+    baskets = li.join(pt, li["l_partkey"] == pt["p_partkey"]).select(
+        F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item")
+    )
+    from .operators import itemsets
+
+    return itemsets.item_cf_neighbors(
+        baskets, "basket", "item", top_k=5, min_cooc=2
+    )
+
+
 QUERIES = {
     # -- r8 certification window (first 50): the 18 queries that have
     #    never had a driver CORRECTNESS row, then the 32 oldest r3-era
@@ -5256,6 +5276,7 @@ QUERIES = {
     "stream_anomaly": q_stream_anomaly,
     "embed_quality": q_embed_quality,
     "fk_fanout": q_fk_fanout,
+    "item_cf": q_item_cf,
 }
 
 
@@ -13607,4 +13628,38 @@ ORACLES["fk_fanout"] = """
                round(CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
                    + 0.0 AS mean_fanout
         FROM per_key
+    """
+
+ORACLES["item_cf"] = """
+        WITH baskets AS (
+            SELECT DISTINCT l_orderkey AS b, p_brand AS i
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand IS NOT NULL
+        ),
+        freq AS (SELECT i, CAST(count(*) AS BIGINT) AS n FROM baskets GROUP BY i),
+        cooc AS (
+            SELECT a.i AS item, c.i AS neighbor,
+                   CAST(count(*) AS BIGINT) AS cooc
+            FROM baskets a JOIN baskets c ON a.b = c.b AND a.i != c.i
+            GROUP BY a.i, c.i
+            HAVING count(*) >= 2
+        ),
+        scored AS (
+            SELECT co.item, co.neighbor, co.cooc,
+                   round(CAST(co.cooc AS DOUBLE)
+                         / sqrt(CAST(fi.n AS DOUBLE)
+                                * CAST(fj.n AS DOUBLE)), 6) AS sim
+            FROM cooc co
+            JOIN freq fi ON co.item = fi.i
+            JOIN freq fj ON co.neighbor = fj.i
+        ),
+        ranked AS (
+            SELECT item, neighbor, cooc, sim,
+                   CAST(row_number() OVER (
+                       PARTITION BY item ORDER BY sim DESC, neighbor ASC
+                   ) AS BIGINT) AS rnk
+            FROM scored
+        )
+        SELECT item, neighbor, cooc, sim + 0.0 AS sim, rnk
+        FROM ranked WHERE rnk <= 5
     """

@@ -283,3 +283,90 @@ def prefixspan_patterns(
         F.size("sequence").cast("int").alias("n_steps"),
         F.col("freq").cast("long").alias("freq"),
     )
+
+
+def item_cf_neighbors(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    top_k: int = 5,
+    min_cooc: int = 2,
+    digits: int = 6,
+) -> DataFrame:
+    """Item-item collaborative filtering: for every item, its top-k
+    most similar items by CO-OCCURRENCE COSINE
+    (cooc(i,j) / sqrt(n_i * n_j)) — the "customers who bought X also
+    bought Y" recommender primitive. Where ``basket_rules`` scores
+    directional confidence/lift for rule mining, the symmetric cosine
+    is the standard item-kNN scoring (Sarwar et al., WWW'01).
+
+    Returns (item, neighbor, cooc, sim, rnk) with rnk over sim desc,
+    neighbor asc — deterministic. Pairs below ``min_cooc`` are pruned
+    (noise floor).
+
+    Scale shape: the classic distributed item-CF plan — distinct
+    (basket, item) pairs self-join ON THE BASKET KEY (fan-out bounded
+    by basket size, never an item-item cross join), integer
+    co-occurrence counts, item frequencies join back onto the bounded
+    pair table, one top-k window partitioned BY ITEM. Skewed mega
+    baskets should be capped upstream (the hub-degree contract
+    documented on link_prediction).
+    """
+    from pyspark.sql import Window
+
+    bi = (
+        baskets.select(
+            F.col(basket_col).alias("__b__"), F.col(item_col).alias("__i__")
+        )
+        .filter(F.col("__i__").isNotNull())
+        .distinct()
+    )
+    from .caching import track_persist
+
+    bi = track_persist(bi)
+    freq = bi.groupBy(F.col("__i__").alias("item")).agg(
+        F.count(F.lit(1)).cast("long").alias("__n__")
+    )
+    a = bi.select("__b__", F.col("__i__").alias("item"))
+    b = bi.select("__b__", F.col("__i__").alias("neighbor"))
+    cooc = (
+        a.join(b, on="__b__")
+        .filter(F.col("item") != F.col("neighbor"))
+        .groupBy("item", "neighbor")
+        .agg(F.count(F.lit(1)).cast("long").alias("cooc"))
+        .filter(F.col("cooc") >= min_cooc)
+    )
+    scored = (
+        cooc.join(F.broadcast(freq), on="item")
+        .withColumnRenamed("__n__", "__ni__")
+        .join(
+            F.broadcast(freq.withColumnRenamed("item", "neighbor")),
+            on="neighbor",
+        )
+        .withColumnRenamed("__n__", "__nj__")
+        .select(
+            "item",
+            "neighbor",
+            "cooc",
+            F.round(
+                F.col("cooc").cast("double")
+                / F.sqrt(
+                    F.col("__ni__").cast("double")
+                    * F.col("__nj__").cast("double")
+                ),
+                digits,
+            ).alias("sim"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("item").orderBy(F.desc("sim"), F.asc("neighbor"))
+    )
+    return (
+        scored.withColumn("rnk", rk)
+        .filter(F.col("rnk") <= top_k)
+        .select(
+            "item", "neighbor", "cooc",
+            (F.col("sim") + F.lit(0.0)).alias("sim"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )

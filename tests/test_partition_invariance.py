@@ -260,6 +260,8 @@ R10_NEW = [
     # count percentiles
     "embed_quality",
     "fk_fanout",
+    # basket-keyed integer co-occurrence + deterministic top-k
+    "item_cf",
 ]
 
 
