@@ -249,6 +249,7 @@ BENCH_QUERIES = [
     "embed_quality",
     "fk_fanout",
     "item_cf",
+    "shapley",
 ]
 
 # Scope the measured set without editing the file (drift A/B testing,

@@ -4908,6 +4908,23 @@ def q_item_cf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+def q_shapley(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact Shapley channel attribution (operators/windows.py:
+    shapley_attribution): click/view/signup coalitions vs purchase
+    conversion — the game-theoretic data-driven-attribution upgrade of
+    attribution_credit's heuristic splits; every Shapley term lives on
+    the 2^3-row pattern table."""
+    ev = read_table(spark, sf, "events").select(
+        "user_id",
+        F.col("event_type").alias("ch"),
+        (F.col("event_type") == "purchase").alias("conv"),
+    )
+    return windows.shapley_attribution(
+        ev, "user_id", "ch", ["click", "view", "signup"], "conv"
+    )
+
+
 QUERIES = {
     # -- r8 certification window (first 50): the 18 queries that have
     #    never had a driver CORRECTNESS row, then the 32 oldest r3-era
@@ -5277,6 +5294,7 @@ QUERIES = {
     "embed_quality": q_embed_quality,
     "fk_fanout": q_fk_fanout,
     "item_cf": q_item_cf,
+    "shapley": q_shapley,
 }
 
 
@@ -13662,4 +13680,70 @@ ORACLES["item_cf"] = """
         )
         SELECT item, neighbor, cooc, sim + 0.0 AS sim, rnk
         FROM ranked WHERE rnk <= 5
+    """
+
+ORACLES["shapley"] = """
+        WITH per_user AS (
+            SELECT user_id,
+                   max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                       AS b0,
+                   max(CASE WHEN event_type = 'view' THEN 2 ELSE 0 END)
+                       AS b1,
+                   max(CASE WHEN event_type = 'signup' THEN 4 ELSE 0 END)
+                       AS b2,
+                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS cv
+            FROM events GROUP BY user_id
+        ),
+        patterns AS (
+            SELECT b0 + b1 + b2 AS m,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(cv) AS BIGINT) AS nc,
+                   round(CAST(sum(cv) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE), 9) AS v
+            FROM per_user WHERE b0 + b1 + b2 > 0
+            GROUP BY 1
+        ),
+        terms AS (
+            SELECT * FROM (VALUES
+                ('click',  0, 1, CAST(2.0/6.0 AS DOUBLE)),
+                ('click',  2, 3, CAST(1.0/6.0 AS DOUBLE)),
+                ('click',  4, 5, CAST(1.0/6.0 AS DOUBLE)),
+                ('click',  6, 7, CAST(2.0/6.0 AS DOUBLE)),
+                ('view',   0, 2, CAST(2.0/6.0 AS DOUBLE)),
+                ('view',   1, 3, CAST(1.0/6.0 AS DOUBLE)),
+                ('view',   4, 6, CAST(1.0/6.0 AS DOUBLE)),
+                ('view',   5, 7, CAST(2.0/6.0 AS DOUBLE)),
+                ('signup', 0, 4, CAST(2.0/6.0 AS DOUBLE)),
+                ('signup', 1, 5, CAST(1.0/6.0 AS DOUBLE)),
+                ('signup', 2, 6, CAST(1.0/6.0 AS DOUBLE)),
+                ('signup', 3, 7, CAST(2.0/6.0 AS DOUBLE))
+            ) AS t(channel, s_mask, si_mask, w)
+        ),
+        phi AS (
+            SELECT t.channel,
+                   round(CAST(sum(CAST(round(t.w
+                           * (COALESCE(vsi.v, 0.0) - COALESCE(vs.v, 0.0)),
+                           12) AS DECIMAL(28,12))) AS DOUBLE), 6) AS shapley
+            FROM terms t
+            LEFT JOIN patterns vs ON vs.m = t.s_mask
+            LEFT JOIN patterns vsi ON vsi.m = t.si_mask
+            GROUP BY t.channel
+        ),
+        bits AS (
+            SELECT * FROM (VALUES ('click', 1), ('view', 2), ('signup', 4))
+                   AS b(channel, b)
+        ),
+        touched AS (
+            SELECT bits.channel,
+                   CAST(sum(p.n) AS BIGINT) AS n_touched,
+                   CAST(sum(p.nc) AS BIGINT) AS conv_touched
+            FROM bits JOIN patterns p
+              ON CAST(floor(p.m / bits.b) AS BIGINT) % 2 = 1
+            GROUP BY bits.channel
+        )
+        SELECT f.channel, f.shapley + 0.0 AS shapley,
+               CAST(COALESCE(t.n_touched, 0) AS BIGINT) AS n_touched,
+               CAST(COALESCE(t.conv_touched, 0) AS BIGINT) AS conv_touched
+        FROM phi f LEFT JOIN touched t USING (channel)
     """

@@ -617,3 +617,151 @@ def attribution_credit(
             F.sum(F.round(u, 9).cast(dec)).cast("double"), digits
         ).alias("credit_u"),
     )
+
+
+def shapley_attribution(
+    df: DataFrame,
+    user_col: str,
+    channel_col: str,
+    channels: Sequence[str],
+    conversion_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """EXACT Shapley-value channel attribution over observed coalition
+    patterns — the game-theoretic upgrade of ``attribution_credit``'s
+    heuristic (linear / 40-20-40) splits, and the closed-form core of
+    "data-driven attribution": each journey is the SET of touch
+    channels a user saw, the coalition value v(S) is the observed
+    conversion rate of journeys with touch set exactly S (v of an
+    unobserved set is 0 — no extrapolation), and channel i earns
+
+        phi_i = sum over S not containing i of
+                |S|! (k-1-|S|)! / k! * (v(S+i) - v(S))
+
+    Set-based by design (order-free; the time-boxed ordering lens is
+    ``funnel_conversion``/``funnel_timeboxed``'s job). ``channels``
+    must be small (k <= 5 guarded — 2^k coalitions; beyond that use
+    sampled Shapley).
+
+    Returns (channel, shapley, n_touched, conv_touched). The shapley
+    values sum to v(grand coalition) - v(empty) over channels when all
+    patterns are observed — pinned in tests.
+
+    Scale shape: ONE pass reduces users to (bitmask, converted)
+    pattern counts (the only data-scale shuffle); every Shapley term
+    lives on the <= 2^k-row pattern table joined against a LITERAL
+    (channel, S, S+i, weight) table built driver-side from k, with
+    round-9 rates so both engines run identical fp sequences.
+    """
+    import math as _math
+
+    chans = list(channels)
+    k = len(chans)
+    if k < 1 or k > 5:
+        raise ValueError("channels must have 1..5 entries (exact Shapley)")
+    if len(set(chans)) != k:
+        raise ValueError("channels must be unique")
+    spark = df.sparkSession
+    bit = {c: 1 << i for i, c in enumerate(chans)}
+    # per-user touch bitmask + conversion flag
+    touch = F.col(channel_col)
+    per_uc = (
+        df.select(
+            F.col(user_col).alias("__u__"),
+            touch.alias("__c__"),
+            F.col(conversion_col).cast("boolean").alias("__conv__"),
+        )
+        .groupBy("__u__")
+        .agg(
+            *[
+                F.max(
+                    F.when(F.col("__c__") == c, F.lit(bit[c])).otherwise(0)
+                ).alias(f"__b{i}__")
+                for i, c in enumerate(chans)
+            ],
+            F.max(F.col("__conv__").cast("int")).alias("__cv__"),
+        )
+    )
+    mask = sum(F.col(f"__b{i}__") for i in range(k))
+    patterns = (
+        per_uc.select(mask.alias("__m__"), "__cv__")
+        .filter(F.col("__m__") > 0)
+        .groupBy("__m__")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n__"),
+            F.sum("__cv__").cast("long").alias("__nc__"),
+        )
+        .select(
+            "__m__",
+            "__n__",
+            "__nc__",
+            F.round(
+                F.col("__nc__").cast("double") / F.col("__n__").cast("double"),
+                9,
+            ).alias("__v__"),
+        )
+    )
+    # literal Shapley-term table: (channel, S mask, S+i mask, weight)
+    terms = []
+    fact = _math.factorial
+    for c in chans:
+        others = [o for o in chans if o != c]
+        for sub in range(1 << len(others)):
+            s_mask = sum(bit[o] for j, o in enumerate(others) if sub >> j & 1)
+            s_size = bin(sub).count("1")
+            w = fact(s_size) * fact(k - 1 - s_size) / fact(k)
+            terms.append((c, s_mask, s_mask + bit[c], float(w)))
+    term_df = spark.createDataFrame(
+        terms, schema="channel string, s_mask long, si_mask long, w double"
+    )
+    v_s = patterns.select(
+        F.col("__m__").alias("s_mask"), F.col("__v__").alias("v_s")
+    )
+    v_si = patterns.select(
+        F.col("__m__").alias("si_mask"), F.col("__v__").alias("v_si")
+    )
+    joined = (
+        term_df.join(v_s, on="s_mask", how="left")
+        .join(v_si, on="si_mask", how="left")
+        .select(
+            "channel",
+            (
+                F.col("w")
+                * (
+                    F.coalesce(F.col("v_si"), F.lit(0.0))
+                    - F.coalesce(F.col("v_s"), F.lit(0.0))
+                )
+            ).alias("__t__"),
+        )
+    )
+    phi = joined.groupBy("channel").agg(
+        F.round(
+            F.sum(F.round(F.col("__t__"), 12).cast("decimal(28,12)"))
+            .cast("double"),
+            digits,
+        ).alias("shapley")
+    )
+    # per-channel touched-journey diagnostics ride the pattern table
+    diag_rows = []
+    for c in chans:
+        diag_rows.append((c, bit[c]))
+    diag_df = spark.createDataFrame(diag_rows, "channel string, b long")
+    touched = (
+        diag_df.join(
+            patterns,
+            F.expr("CAST(__m__ / b AS BIGINT) % 2 = 1"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.sum("__n__").cast("long").alias("n_touched"),
+            F.sum("__nc__").cast("long").alias("conv_touched"),
+        )
+    )
+    return phi.join(touched, on="channel", how="left").select(
+        "channel",
+        (F.col("shapley") + F.lit(0.0)).alias("shapley"),
+        F.coalesce("n_touched", F.lit(0)).cast("long").alias("n_touched"),
+        F.coalesce("conv_touched", F.lit(0)).cast("long").alias(
+            "conv_touched"
+        ),
+    )

@@ -262,6 +262,8 @@ R10_NEW = [
     "fk_fanout",
     # basket-keyed integer co-occurrence + deterministic top-k
     "item_cf",
+    # bitmask pattern rollup + literal-weight decimal Shapley terms
+    "shapley",
 ]
 
 
