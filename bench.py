@@ -250,6 +250,9 @@ BENCH_QUERIES = [
     "fk_fanout",
     "item_cf",
     "shapley",
+    "overdisp",
+    "capture_recapture",
+    "chao1",
 ]
 
 # Scope the measured set without editing the file (drift A/B testing,

@@ -4925,6 +4925,42 @@ def q_shapley(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+def q_overdisp(spark: SparkSession, sf: str) -> DataFrame:
+    """Variance-to-mean dispersion of per-user event counts by type
+    (ml/stats.py:overdispersion): the Poisson-assumption check behind
+    the rate read-outs — VMR >> 1 means the Poisson CIs understate."""
+    per = (
+        read_table(spark, sf, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return ml_stats.overdispersion(per, ["event_type"], "c")
+
+
+def q_capture_recapture(spark: SparkSession, sf: str) -> DataFrame:
+    """Chapman capture-recapture estimate of the active-user
+    population (ml/stats.py:capture_recapture) from week-1 vs week-3
+    activity samples — how many users exist that NEITHER week saw."""
+    ev = read_table(spark, sf, "events")
+    wk1 = ev.filter(
+        (F.to_date("ts") >= F.lit("2024-01-01").cast("date"))
+        & (F.to_date("ts") < F.lit("2024-01-08").cast("date"))
+    ).select("user_id")
+    wk3 = ev.filter(
+        (F.to_date("ts") >= F.lit("2024-01-15").cast("date"))
+        & (F.to_date("ts") < F.lit("2024-01-22").cast("date"))
+    ).select("user_id")
+    return ml_stats.capture_recapture(wk1, wk3, "user_id")
+
+
+def q_chao1(spark: SparkSession, sf: str) -> DataFrame:
+    """Chao1 total-vocabulary richness per source (functions/text.py:
+    chao1_richness): hapax/doubleton extrapolation + sample coverage —
+    'is more data from this source still adding diversity?'."""
+    return text.chao1_richness(read_table(spark, sf, "documents"))
+
+
 QUERIES = {
     # -- r8 certification window (first 50): the 18 queries that have
     #    never had a driver CORRECTNESS row, then the 32 oldest r3-era
@@ -5295,6 +5331,9 @@ QUERIES = {
     "fk_fanout": q_fk_fanout,
     "item_cf": q_item_cf,
     "shapley": q_shapley,
+    "overdisp": q_overdisp,
+    "capture_recapture": q_capture_recapture,
+    "chao1": q_chao1,
 }
 
 
@@ -13746,4 +13785,111 @@ ORACLES["shapley"] = """
                CAST(COALESCE(t.n_touched, 0) AS BIGINT) AS n_touched,
                CAST(COALESCE(t.conv_touched, 0) AS BIGINT) AS conv_touched
         FROM phi f LEFT JOIN touched t USING (channel)
+    """
+
+ORACLES["overdisp"] = """
+        WITH per AS (
+            SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY event_type, user_id
+        ),
+        mom AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   sum(c) AS s, sum(c * c) AS ss
+            FROM per GROUP BY event_type
+        ),
+        m AS (
+            SELECT event_type, n,
+                   round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 9) AS mean,
+                   round(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+                         - round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 9)
+                           * round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 9),
+                         9) AS var
+            FROM mom
+        )
+        SELECT event_type, n,
+               round(mean, 6) + 0.0 AS mean,
+               round(var, 6) + 0.0 AS variance,
+               round(CASE WHEN mean > 0.0 THEN var / mean END, 6) + 0.0
+                   AS vmr
+        FROM m
+    """
+
+ORACLES["capture_recapture"] = """
+        WITH a AS (
+            SELECT DISTINCT user_id FROM events
+            WHERE CAST(ts AS DATE) >= DATE '2024-01-01'
+              AND CAST(ts AS DATE) < DATE '2024-01-08'
+        ),
+        b AS (
+            SELECT DISTINCT user_id FROM events
+            WHERE CAST(ts AS DATE) >= DATE '2024-01-15'
+              AND CAST(ts AS DATE) < DATE '2024-01-22'
+        ),
+        counts AS (
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_a,
+                   (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_b,
+                   (SELECT CAST(count(*) AS BIGINT)
+                    FROM a WHERE user_id IN (SELECT user_id FROM b))
+                       AS n_overlap
+        ),
+        calc AS (
+            SELECT n_a, n_b, n_overlap,
+                   (CAST(n_a AS DOUBLE) + 1.0) * (CAST(n_b AS DOUBLE) + 1.0)
+                       / (CAST(n_overlap AS DOUBLE) + 1.0) - 1.0 AS n_est,
+                   (CAST(n_a AS DOUBLE) + 1.0) * (CAST(n_b AS DOUBLE) + 1.0)
+                       * (CAST(n_a AS DOUBLE) - CAST(n_overlap AS DOUBLE))
+                       * (CAST(n_b AS DOUBLE) - CAST(n_overlap AS DOUBLE))
+                       / ((CAST(n_overlap AS DOUBLE) + 1.0)
+                          * (CAST(n_overlap AS DOUBLE) + 1.0)
+                          * (CAST(n_overlap AS DOUBLE) + 2.0)) AS var
+            FROM counts
+        )
+        SELECT n_a, n_b, n_overlap,
+               round(n_est, 6) + 0.0 AS n_est,
+               round(CASE WHEN var >= 0.0 THEN sqrt(var) END, 6) + 0.0
+                   AS se,
+               round(n_est - 1.959963984540054
+                     * CASE WHEN var >= 0.0 THEN sqrt(var) END, 6) + 0.0
+                   AS ci_lo,
+               round(n_est + 1.959963984540054
+                     * CASE WHEN var >= 0.0 THEN sqrt(var) END, 6) + 0.0
+                   AS ci_hi
+        FROM calc
+    """
+
+ORACLES["chao1"] = """
+        WITH toks AS (
+            SELECT source AS g, t.term
+            FROM (
+                SELECT source,
+                       string_split(regexp_replace(lower(trim(text)),
+                                                   '\\s+', ' ', 'g'),
+                                    ' ') AS w
+                FROM documents
+            ), UNNEST(w) AS t(term)
+            WHERE t.term != ''
+        ),
+        tf AS (SELECT g, term, count(*) AS tf FROM toks GROUP BY g, term),
+        agg AS (
+            SELECT g,
+                   CAST(count(*) AS BIGINT) AS vocab,
+                   CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS f1,
+                   CAST(sum(CASE WHEN tf = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS f2
+            FROM tf GROUP BY g
+        )
+        SELECT g AS source, vocab, f1, f2,
+               round(CAST(vocab AS DOUBLE)
+                     + CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1.0)
+                       / (2.0 * (CAST(f2 AS DOUBLE) + 1.0)), 6) + 0.0
+                   AS chao1,
+               round(CAST(vocab AS DOUBLE)
+                     / round(CAST(vocab AS DOUBLE)
+                             + CAST(f1 AS DOUBLE)
+                               * (CAST(f1 AS DOUBLE) - 1.0)
+                               / (2.0 * (CAST(f2 AS DOUBLE) + 1.0)), 6),
+                     6) + 0.0 AS coverage
+        FROM agg
     """

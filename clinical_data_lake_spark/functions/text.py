@@ -1198,3 +1198,60 @@ def vocab_overlap(
         "src_a", "src_b", "k_a", "k_b", "n_common",
         (F.round(jac, round_to) + F.lit(0.0)).alias("jaccard"),
     )
+
+
+def chao1_richness(
+    docs,
+    group_col: str = "source",
+    text_col: str = "text",
+    digits: int = 6,
+):
+    """Chao1 total-vocabulary estimator per corpus slice (Chao 1984):
+    the nonparametric lower bound on how many distinct terms the slice
+    WOULD show with infinite data, from the observed vocabulary and
+    its rare tail —
+
+        chao1 = V + F1 * (F1 - 1) / (2 * (F2 + 1))
+
+    (the bias-corrected form, defined even when no doubletons exist),
+    with F1/F2 the hapax/doubleton counts ``vocab_growth`` already
+    reports. Coverage = V / chao1 says how much of the slice's
+    vocabulary the sample has actually seen — the corpus-linguistics
+    read-out behind "is more data from this source still adding
+    diversity?" (the mixture-planning question next to
+    ``vocab_overlap``'s redundancy matrix).
+
+    Scale shape: one corpus scan to (group, term) counts, then
+    everything runs on the frequency-of-frequencies table (rows =
+    distinct tf values per group). Integer counts, two rounded
+    divisions. Returns (group, vocab, f1, f2, chao1, coverage).
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    tf = (
+        docs.select(
+            F.col(group_col).alias("g"),
+            F.explode(F.split(norm, " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("g", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    agg = tf.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum((F.col("tf") == 1).cast("long")).cast("long").alias("f1"),
+        F.sum((F.col("tf") == 2).cast("long")).cast("long").alias("f2"),
+    )
+    v = F.col("vocab").cast("double")
+    f1 = F.col("f1").cast("double")
+    f2 = F.col("f2").cast("double")
+    chao1 = F.round(v + f1 * (f1 - 1.0) / (2.0 * (f2 + 1.0)), digits)
+    return agg.select(
+        F.col("g").alias(group_col),
+        "vocab",
+        "f1",
+        "f2",
+        (chao1 + F.lit(0.0)).alias("chao1"),
+        (
+            F.round(v / chao1, digits) + F.lit(0.0)
+        ).alias("coverage"),
+    )

@@ -3719,3 +3719,95 @@ def wasserstein_binned(
             + F.lit(0.0)
         ).alias("w1"),
     )
+
+
+def overdispersion(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    count_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Variance-to-mean ratio (index of dispersion) per group for
+    COUNT data — the Poisson-assumption check behind every rate
+    read-out here (``person_time_rate``/``sir_indirect``/``dp_counts``
+    all model counts): VMR ~ 1 is Poisson, VMR >> 1 is overdispersed
+    (negative-binomial territory — the Poisson CI understates), VMR <
+    1 is underdispersed. Integer-exact decimal moments, population
+    variance, round-9 before the ratio. Returns (group..., n, mean,
+    variance, vmr); zero-mean groups yield NULL vmr.
+    """
+    gcols = list(group_cols)
+    c = F.col(count_col).cast("long")
+    d0 = "decimal(38,0)"
+    mom = df.filter(c.isNotNull()).groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(c.cast(d0)).alias("__s__"),
+        F.sum((c * c).cast(d0)).alias("__ss__"),
+    )
+    nn = F.col("n").cast("double")
+    mean = F.round(F.col("__s__").cast("double") / nn, 9)
+    var = F.round(F.col("__ss__").cast("double") / nn - mean * mean, 9)
+    vmr = F.when(mean > 0.0, var / mean)
+    return mom.select(
+        *gcols,
+        "n",
+        (F.round(mean, digits) + F.lit(0.0)).alias("mean"),
+        (F.round(var, digits) + F.lit(0.0)).alias("variance"),
+        (F.round(vmr, digits) + F.lit(0.0)).alias("vmr"),
+    )
+
+
+def capture_recapture(
+    sample_a: DataFrame,
+    sample_b: DataFrame,
+    id_col: str,
+    digits: int = 6,
+    z: float = 1.959963984540054,
+) -> DataFrame:
+    """Chapman capture-recapture population estimate from two
+    overlapping samples — "how many users/entities exist that NEITHER
+    extract saw?", the coverage audit for any two independent
+    observation channels (two log pipelines, two registries, two
+    crawl snapshots):
+
+        N_hat = (n_a + 1)(n_b + 1) / (m + 1) - 1
+
+    with m the overlap, plus the standard large-sample variance for a
+    Wald CI. Exact integer inputs (two distinct-counts and one semi
+    join), pure arithmetic after — fully replayable. Returns ONE row
+    (n_a, n_b, n_overlap, n_est, se, ci_lo, ci_hi); a zero overlap
+    still yields the (biased-low) Chapman bound rather than dividing
+    by zero.
+    """
+    a = sample_a.select(F.col(id_col).alias("__id__")).distinct()
+    b = sample_b.select(F.col(id_col).alias("__id__")).distinct()
+    counts = (
+        a.agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+        .crossJoin(b.agg(F.count(F.lit(1)).cast("long").alias("n_b")))
+        .crossJoin(
+            a.join(b, on="__id__", how="left_semi")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+        )
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    m = F.col("n_overlap").cast("double")
+    n_est = (na + 1.0) * (nb + 1.0) / (m + 1.0) - 1.0
+    var = (
+        (na + 1.0)
+        * (nb + 1.0)
+        * (na - m)
+        * (nb - m)
+        / ((m + 1.0) * (m + 1.0) * (m + 2.0))
+    )
+    se = F.when(var >= 0.0, F.sqrt(var))
+    zz = F.lit(float(z))
+    return counts.select(
+        "n_a",
+        "n_b",
+        "n_overlap",
+        (F.round(n_est, digits) + F.lit(0.0)).alias("n_est"),
+        (F.round(se, digits) + F.lit(0.0)).alias("se"),
+        (F.round(n_est - zz * se, digits) + F.lit(0.0)).alias("ci_lo"),
+        (F.round(n_est + zz * se, digits) + F.lit(0.0)).alias("ci_hi"),
+    )

@@ -264,6 +264,11 @@ R10_NEW = [
     "item_cf",
     # bitmask pattern rollup + literal-weight decimal Shapley terms
     "shapley",
+    # integer dispersion moments; distinct-count Chapman arithmetic;
+    # frequency-of-frequencies richness
+    "overdisp",
+    "capture_recapture",
+    "chao1",
 ]
 
 
