@@ -5389,9 +5389,35 @@ _R10_WINDOW = [
     "dedup_clusters",
 ]
 assert len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50
+
+# -- r11 certification window (ROTATION.md): the 43 r10 session-1/2
+#    operators (none with a driver row yet; all oracle-twinned and
+#    invariance-certified in r10 except bpe_encode, rows-only with its
+#    bpe_pairs proxy already green in the r10 window), plus the FIRST 7
+#    of the r10 session-3 list — oldest-new-first. Same invariants:
+#    pure permutation, explicit auditable list, registry unchanged. --
+_R11_WINDOW = [
+    # r10 session 1 (20).
+    "dup_gram_coverage", "rfm_segments", "fairness_audit",
+    "poisson_bootstrap", "l_diversity", "graph_lpa", "hist_quantile",
+    "er_pipeline", "conformal", "skyline", "ab_power", "mahalanobis",
+    "seq_patterns", "bucketed_agg", "build_eras", "windowed_hist",
+    "cohens_kappa", "odds_ratio", "growth_accounting", "cuped",
+    # r10 session 2 (23; bpe_encode rows-only, proxy bpe_pairs green r10).
+    "risk_measures", "mcnemar", "cmh", "cochran_armitage",
+    "nelson_aalen", "rmst", "smd_balance", "psm_match",
+    "permutation_test", "trimmed_mean", "lorenz_curve",
+    "attribution_credit", "time_to_convert", "stickiness", "fd_check",
+    "kendall_tau", "ols2", "info_gain", "brier_ece", "js_divergence",
+    "blocklist", "lm_cross_score", "bpe_encode",
+    # First 7 of the r10 session-3 pool (rest scheduled for r12).
+    "embed_pool", "ann_filtered", "pdc", "person_time",
+    "funnel_timeboxed", "header_detail", "cem_match",
+]
+assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
 QUERIES = {
-    **{k: QUERIES[k] for k in _R10_WINDOW},
-    **{k: v for k, v in QUERIES.items() if k not in set(_R10_WINDOW)},
+    **{k: QUERIES[k] for k in _R11_WINDOW},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R11_WINDOW)},
 }
 
 
