@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
+from ..operators.caching import iter_checkpoint
 from .dedup import _ensure_parallelism, _normalized
 
 
@@ -515,6 +516,7 @@ def bpe_train(
     docs: DataFrame,
     text_col: str = "text",
     n_merges: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> list[tuple[int, str, str, int]]:
     """Learn ``n_merges`` byte-pair-encoding merges over the corpus
     (Sennrich et al. 2016): repeatedly count frequency-weighted
@@ -531,7 +533,9 @@ def bpe_train(
     lambdas. Returns [(rank, left, right, cnt)] — the merge table a
     tokenizer ships.
     """
-    state = word_symbol_table(docs, text_col).localCheckpoint(eager=True)
+    state = iter_checkpoint(
+        word_symbol_table(docs, text_col), checkpoint_dir
+    )
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
         top = (
@@ -562,9 +566,10 @@ def bpe_train(
                 ),
             ).otherwise(F.concat(acc, F.array(x))),
         )
-        state = state.select(
-            "word", "freq", apply_merge.alias("symbols")
-        ).localCheckpoint(eager=True)
+        state = iter_checkpoint(
+            state.select("word", "freq", apply_merge.alias("symbols")),
+            checkpoint_dir,
+        )
     return merges
 
 
@@ -574,6 +579,7 @@ def bpe_encode(
     id_col: str = "doc_id",
     text_col: str = "text",
     checkpoint_every: int = 8,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Apply a learned BPE merge table to a corpus — ``bpe_train``'s
     other half, completing the tokenizer loop (train on one corpus,
@@ -625,7 +631,7 @@ def bpe_encode(
         )
         state = state.select("__w__", "__f__", apply_merge.alias("__sym__"))
         if (i + 1) % checkpoint_every == 0:
-            state = state.localCheckpoint(eager=True)
+            state = iter_checkpoint(state, checkpoint_dir)
     word_tokens = state.select(
         "__w__",
         F.size("__sym__").alias("__nt__"),

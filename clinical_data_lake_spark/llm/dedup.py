@@ -25,7 +25,7 @@ import re
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..operators.caching import track_persist
+from ..operators.caching import iter_checkpoint, track_persist
 
 # Mersenne prime 2^31-1 as the universal-hash modulus. The base hash
 # and both coefficients stay below 2^31, so a*h+b < 2^62 — inside the
@@ -822,6 +822,7 @@ def dup_clusters(
     id_alias: str = "doc_id",
     cluster_alias: str = "cluster_id",
     max_iters: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over near-dup pairs: every doc in a cluster
     gets the cluster's minimum doc id as its label. Pair emitters
@@ -841,14 +842,14 @@ def dup_clusters(
         pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
         .union(pairs.select(F.col(right).alias("src"), F.col(left).alias("dst")))
         .distinct()
-        .localCheckpoint(eager=False)
     )
+    edges = iter_checkpoint(edges, checkpoint_dir, eager=False)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
-        .localCheckpoint(eager=False)
     )
+    labels = iter_checkpoint(labels, checkpoint_dir, eager=False)
     for _ in range(max_iters):
         neigh = (
             edges.join(labels, edges["dst"] == labels["node"])
@@ -863,8 +864,8 @@ def dup_clusters(
                     labels["label"], F.coalesce(F.col("neigh_label"), labels["label"])
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
+        new_labels = iter_checkpoint(new_labels, checkpoint_dir)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -1146,7 +1147,7 @@ def ngram_probe_pairs(
         *[F.slice(toks, j + 1, win) for j in range(n)]
     )
 
-    from ..operators.caching import track_persist
+    from ..operators.caching import iter_checkpoint, track_persist
 
     # lift the scan to full parallelism ONCE, for every subtree: the
     # operator builds several corpus-derived branches (match slice,
@@ -1436,7 +1437,7 @@ def dedup_span_removal(
     counting semantics at fixed n (see dup_gram_coverage on the
     variable-length suffix-array trade).
     """
-    from ..operators.caching import track_persist
+    from ..operators.caching import iter_checkpoint, track_persist
 
     toks = F.split(_normalized(text_col), " ")
     base = track_persist(

@@ -75,6 +75,34 @@ def track_persist(
     return df
 
 
+def iter_checkpoint(
+    df: DataFrame, checkpoint_dir: str | None = None, eager: bool = True
+) -> DataFrame:
+    """Per-iteration lineage truncation for loop operators (BFS
+    frontiers, label propagation, PageRank/HITS score vectors, BPE
+    symbol tables) — the one place the local-fast and cluster-safe
+    checkpoint strategies diverge.
+
+    ``checkpoint_dir=None`` (default): executor-local
+    ``localCheckpoint`` — no DFS write, measured ~2x faster per round
+    at bench scale (see khop_neighbors). But localCheckpoint blocks
+    live on executor local storage and are NOT recomputable: losing
+    one executor mid-iteration fails the whole job. Right choice for
+    local mode and short jobs on stable clusters.
+
+    ``checkpoint_dir=<DFS path>``: RELIABLE checkpoint — sets the
+    context checkpoint dir and writes each iteration's state there.
+    Survives executor loss (the job recovers by re-reading the
+    checkpoint files), the correct choice for a 100 TB iterative job
+    on a churning 1000-executor cluster, at the cost of one DFS write
+    per iteration. ``setCheckpointDir`` is idempotent per path.
+    """
+    if checkpoint_dir is None:
+        return df.localCheckpoint(eager=eager)
+    df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint(eager=eager)
+
+
 def release_persisted() -> int:
     """Unpersist every cache registered by ``track_persist`` (idempotent;
     safe while downstream plans still reference them — they recompute).

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .caching import iter_checkpoint
+
 
 def pagerank(
     edges: DataFrame,
@@ -30,6 +32,7 @@ def pagerank(
     damping: float = 0.85,
     undirected: bool = True,
     eager_checkpoint: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank; returns (node, rank).
 
@@ -42,6 +45,10 @@ def pagerank(
     2.9s at sf0.1 on the near-dup graph). Pass
     ``eager_checkpoint=False`` when you only want the plan (e.g. for
     inspection) and accept the recomputation if you then execute it.
+    ``checkpoint_dir`` switches every per-iteration truncation from
+    executor-local blocks to RELIABLE DFS checkpoints — see
+    ``caching.iter_checkpoint`` for the executor-loss trade; pass a
+    DFS path for long iterative runs on a churning cluster.
 
     Per-node form: rank = (1-d) + d * sum(rank_in / deg_out), starting
     from rank 1.0 everywhere — ranks average 1, independent of graph
@@ -78,11 +85,11 @@ def pagerank(
     # See the docstring: eager by default (construction runs jobs, but
     # lazy would recompute the emitter per branch inside the first
     # action's single job — measured 5.0s vs 2.9s at sf0.1).
-    e = e.distinct().localCheckpoint(eager=eager_checkpoint)
+    e = iter_checkpoint(e.distinct(), checkpoint_dir, eager=eager_checkpoint)
     deg = e.groupBy("__s__").agg(F.count(F.lit(1)).alias("__deg__"))
     # (src, dst, out-degree(src)) — reused by every iteration; its own
     # checkpoint is cheap once `e` is materialized
-    ewd = e.join(deg, on="__s__").localCheckpoint(eager=eager_checkpoint)
+    ewd = iter_checkpoint(e.join(deg, on="__s__"), checkpoint_dir, eager=eager_checkpoint)
 
     # init from the materialized edge list so nothing re-derives `edges`
     ranks = (
@@ -100,8 +107,8 @@ def pagerank(
                     + F.lit(damping) * F.sum(F.col("rank") / F.col("__deg__"))
                 ).alias("rank")
             )
-            .localCheckpoint(eager=False)
         )
+        ranks = iter_checkpoint(ranks, checkpoint_dir, eager=False)
     return ranks
 
 
@@ -281,6 +288,7 @@ def khop_neighbors(
     dst: str = "dst",
     node_col: str = "node",
     undirected: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Breadth-first k-hop neighborhood from a seed set: every node
     reachable within ``k`` edges, tagged with its MINIMUM hop distance
@@ -324,8 +332,8 @@ def khop_neighbors(
         seeds.select(F.col(node_col).alias("node"))
         .distinct()
         .select("node", F.lit(0).alias("hop"))
-        .localCheckpoint(eager=True)
     )
+    frontier = iter_checkpoint(frontier, checkpoint_dir)
     visited = frontier
     for hop in range(1, k + 1):
         nxt = (
@@ -334,8 +342,8 @@ def khop_neighbors(
             .distinct()
             .join(visited.select("node"), on="node", how="left_anti")
             .select("node", F.lit(hop).alias("hop"))
-            .localCheckpoint(eager=True)
         )
+        nxt = iter_checkpoint(nxt, checkpoint_dir)
         # visited stays a plain union of checkpointed frames — cheap
         # to re-walk, no extra materialization job per hop
         visited = visited.union(nxt)
@@ -350,6 +358,7 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     undirected: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Synchronous label-propagation community detection (Raghavan et
     al. 2007, the LPA variant GraphX ships): every node starts in its
@@ -383,8 +392,8 @@ def label_propagation(
         e.select(F.col("__s__").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
-        .localCheckpoint(eager=True)
     )
+    labels = iter_checkpoint(labels, checkpoint_dir)
     for _ in range(int(k)):
         votes = (
             e.join(labels, e["__d__"] == labels["node"])
@@ -403,8 +412,8 @@ def label_propagation(
                 ).alias("__m__")
             )
             .select("node", F.col("__m__")["l"].alias("label"))
-            .localCheckpoint(eager=True)
         )
+        labels = iter_checkpoint(labels, checkpoint_dir)
     return labels
 
 
@@ -414,6 +423,7 @@ def hits(
     src: str = "src",
     dst: str = "dst",
     digits: int = 9,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration HITS (Kleinberg 1999): hub and authority scores
     over a DIRECTED edge list — the bipartite-ranking companion to
@@ -450,8 +460,8 @@ def hits(
         e.select(F.col("__s__").alias("node"))
         .union(e.select(F.col("__d__").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    nodes = iter_checkpoint(nodes, checkpoint_dir)
     hub = nodes.select("node", F.lit(1).cast(d0).alias("hub"))
     auth = None
     for _ in range(int(k)):
@@ -459,14 +469,14 @@ def hits(
             e.join(hub, e["__s__"] == hub["node"])
             .groupBy(F.col("__d__").alias("node"))
             .agg(F.sum(F.col("hub")).cast(d0).alias("authority"))
-            .localCheckpoint(eager=True)
         )
+        auth = iter_checkpoint(auth, checkpoint_dir)
         hub = (
             e.join(auth, e["__d__"] == auth["node"])
             .groupBy(F.col("__s__").alias("node"))
             .agg(F.sum(F.col("authority")).cast(d0).alias("hub"))
-            .localCheckpoint(eager=True)
         )
+        hub = iter_checkpoint(hub, checkpoint_dir)
     scored = (
         nodes.join(hub, on="node", how="left")
         .join(auth, on="node", how="left")
@@ -475,8 +485,8 @@ def hits(
             F.coalesce("hub", F.lit(0).cast(d0)).alias("__h__"),
             F.coalesce("authority", F.lit(0).cast(d0)).alias("__a__"),
         )
-        .localCheckpoint(eager=True)
     )
+    scored = iter_checkpoint(scored, checkpoint_dir)
     totals = scored.agg(
         F.sum("__h__").cast(d0).alias("__th__"),
         F.sum("__a__").cast(d0).alias("__ta__"),
