@@ -180,6 +180,7 @@ def link_prediction(
     src: str = "src",
     dst: str = "dst",
     digits: int = 6,
+    max_degree: int = 10_000,
 ) -> DataFrame:
     """Common-neighbors + Adamic-Adar link prediction over an
     undirected graph: for every NON-adjacent pair sharing at least one
@@ -198,9 +199,14 @@ def link_prediction(
     the shared neighbor z (one shuffle keyed by node id); existing
     edges leave via one anti-join; degrees join on z BEFORE the
     per-pair rollup so the Adamic-Adar terms ride the same wedge rows
-    (decimal-summed, merge-order-exact). Hub nodes fan out deg² wedges
-    — cap degrees upstream if the graph has super-hubs, exactly as the
-    shingle index caps document frequency.
+    (decimal-summed, merge-order-exact). Hub nodes fan out deg² wedges,
+    so ``max_degree`` is ENFORCED in-plan (theil_sen-style
+    ``raise_error`` riding the wedge join's own left input, which the
+    degree join reaches on the same node-id shuffle key — no
+    pre-flight job): one super-hub fails the job loudly with its node
+    id named instead of quietly exploding the wedge count. Raise the
+    cap, or drop/sample hub nodes upstream exactly as the shingle
+    index caps document frequency.
     """
     from .caching import track_persist
 
@@ -222,7 +228,27 @@ def link_prediction(
     deg = adj.groupBy(F.col("u").alias("z")).agg(
         F.count(F.lit(1)).cast("long").alias("__deg__")
     )
-    w1 = adj.select(F.col("v").alias("x"), F.col("u").alias("z"))
+    guard_msg = F.concat(
+        F.lit(
+            f"link_prediction: node degree over {max_degree} (wedge "
+            f"join fans out deg^2 pairs per hub); drop or sample hub "
+            f"nodes upstream, or raise max_degree; offending node: "
+        ),
+        F.col("z").cast("string"),
+    )
+    # degrees join the LEFT wedge input (same node-id key the wedge
+    # join shuffles on) rather than the deg^2-sized wedge output: the
+    # guard fires BEFORE the fan-out it protects against, and the
+    # Adamic-Adar degree column rides the wedge rows for free
+    w1 = adj.select(F.col("v").alias("x"), F.col("u").alias("z")).join(
+        deg, on="z"
+    ).select(
+        "z",
+        F.when(F.col("__deg__") <= F.lit(max_degree), F.col("x"))
+        .otherwise(F.raise_error(guard_msg))
+        .alias("x"),
+        "__deg__",
+    )
     w2 = adj.select(F.col("u").alias("z"), F.col("v").alias("y"))
     wedges = (
         w1.join(w2, on="z")
@@ -232,7 +258,6 @@ def link_prediction(
             on=["x", "y"],
             how="left_anti",
         )
-        .join(deg, on="z")
     )
     dec = f"decimal(28,{digits})"
     aa_term = F.round(

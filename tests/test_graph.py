@@ -54,3 +54,27 @@ def test_triangle_counts_chain_has_none(spark):
     df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
     out = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
     assert set(out.values()) == {0}
+
+
+def test_link_prediction_hub_degree_guard_raises(spark):
+    # r10 verdict #4: planted super-hub (star center, degree 6) trips
+    # the in-plan max_degree guard before the deg^2 wedge fan-out
+    import pytest as _pt
+    from clinical_data_lake_spark.operators.graph import link_prediction
+
+    star = spark.createDataFrame(
+        [(0, k) for k in range(1, 7)], "src int, dst int"
+    )
+    with _pt.raises(Exception, match="link_prediction.*degree"):
+        link_prediction(star, max_degree=5).collect()
+
+
+def test_link_prediction_guard_under_cap_matches_uncapped(spark):
+    from clinical_data_lake_spark.operators.graph import link_prediction
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 3)], "src int, dst int"
+    )
+    base = sorted(map(tuple, link_prediction(edges).collect()))
+    capped = sorted(map(tuple, link_prediction(edges, max_degree=3).collect()))
+    assert capped == base and len(base) > 0

@@ -63,3 +63,30 @@ def test_item_cf_duplicate_rows_count_once(spark):
     ).collect()
     r = [x for x in out if x.item == "x"][0]
     assert r.cooc == 1
+
+
+def test_item_cf_mega_basket_guard_raises(spark):
+    # r10 verdict #4: the documented mega-basket contract is now
+    # ENFORCED in-plan — a planted hot basket fails loudly, naming it
+    rows = [(1, f"i{k}") for k in range(6)] + [(2, "i0"), (2, "i1")]
+    with pytest.raises(Exception, match="item_cf_neighbors.*basket"):
+        item_cf_neighbors(
+            _baskets(spark, rows), "b", "i", min_cooc=1, max_basket_size=5
+        ).collect()
+
+
+def test_item_cf_guard_under_cap_matches_uncapped(spark):
+    rows = [
+        (1, "x"), (1, "y"),
+        (2, "x"), (2, "y"),
+        (3, "x"), (3, "z"),
+    ]
+    base = sorted(
+        map(tuple, item_cf_neighbors(_baskets(spark, rows), "b", "i",
+                                     min_cooc=1).collect())
+    )
+    capped = sorted(
+        map(tuple, item_cf_neighbors(_baskets(spark, rows), "b", "i",
+                                     min_cooc=1, max_basket_size=2).collect())
+    )
+    assert capped == base and len(base) > 0
