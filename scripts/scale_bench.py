@@ -1,0 +1,99 @@
+"""Scale-cliff bench (r10 verdict #4): run the heaviest registry
+queries at sf0.1 and at the generated sf1 replica
+(scripts/make_scale_data.py), in the SAME session shape, and write
+``BENCH_SCALE.json`` with per-query times and the measured scaling
+exponent  alpha = log(t_sf1 / t_sf0.1) / log(10)  — alpha ~ 1 is
+linear, ~2 quadratic. Both scales run in one process so JIT/codegen
+warmup cancels out of the ratio.
+
+Run on an idle host:  python scripts/scale_bench.py
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+
+from clinical_data_lake_spark.driver_queries import QUERIES
+from clinical_data_lake_spark.operators.caching import release_persisted
+
+HEAVY = [
+    "poisson_bootstrap", "semantic_dedup", "dedup_prefix_filter",
+    "soft_dedup", "link_predict", "permutation_test", "khop",
+    "graph_lpa", "graph_modularity", "graph_hits", "bpe_encode",
+    "theil_sen",
+]
+SF01 = "/root/testdata/sf0.1"
+SF1 = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   ".scale", "sf1")
+WARM = "/root/testdata/sf0.001"
+
+
+def run_at(spark, sf_dir: str) -> dict[str, float]:
+    out: dict[str, float] = {}
+    for name in HEAVY:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite").save()
+        out[name] = round(time.perf_counter() - t0, 3)
+        release_persisted()
+        print(f"  {name}: {out[name]:.2f}s", file=sys.stderr, flush=True)
+    return out
+
+
+def main() -> None:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.appName("cdl-scale-bench")
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus if cpus.isdigit() else "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    print("warmup (sf0.001)", file=sys.stderr)
+    for name in HEAVY:
+        try:
+            QUERIES[name](spark, WARM).write.format("noop").mode(
+                "overwrite").save()
+        except Exception as ex:
+            print(f"warmup {name} failed: {ex}", file=sys.stderr)
+        release_persisted()
+    print("sf0.1 pass", file=sys.stderr)
+    t01 = run_at(spark, SF01)
+    print("sf1 pass", file=sys.stderr)
+    t1 = run_at(spark, SF1)
+    result = {
+        "sf_small": 0.1,
+        "sf_big": 1.0,
+        "queries": {
+            q: {
+                "t_sf0.1": t01[q],
+                "t_sf1": t1[q],
+                "ratio": round(t1[q] / t01[q], 2),
+                "alpha": round(math.log(t1[q] / t01[q]) / math.log(10), 2),
+            }
+            for q in HEAVY
+        },
+        "total_sf0.1": round(sum(t01.values()), 1),
+        "total_sf1": round(sum(t1.values()), 1),
+    }
+    with open("BENCH_SCALE.json", "w") as fh:
+        json.dump(result, fh, indent=1)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
