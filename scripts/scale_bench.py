@@ -19,6 +19,15 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# driver-memory must be fixed BEFORE the JVM launches — builder
+# `.config("spark.driver.memory", ...)` is silently ignored in local
+# mode because the gateway JVM reads only PYSPARK_SUBMIT_ARGS (the
+# bench.py lesson; the first run of this script thrashed a 1g heap and
+# reported 38x-inflated times for the explode-heavy queries)
+os.environ.setdefault(
+    "PYSPARK_SUBMIT_ARGS", "--driver-memory 48g pyspark-shell"
+)
+
 from pyspark.sql import SparkSession
 
 from clinical_data_lake_spark.driver_queries import QUERIES
@@ -59,7 +68,6 @@ def main() -> None:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.ansi.enabled", "true")
-        .config("spark.driver.memory", "48g")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
