@@ -25,9 +25,26 @@ sys.stdout = sys.stderr
 
 # driver-memory must be fixed BEFORE the JVM launches (builder configs
 # can't resize an already-started local JVM; the default 1g heap OOMs
-# array-heavy queries at sf0.1)
+# array-heavy queries at sf0.1).
+#
+# -XX:-UseDynamicNumberOfCompilerThreads: JDK 11+ stops compiler
+# threads when the compile queue drains and restarts them on demand;
+# in long codegen-heavy marathons (~300 query executions) the restart
+# silently fails and C2 compilation stops for the rest of the process
+# — thread dumps showed the C2 thread's cpu time frozen while all 32
+# executor threads ground a hot generated loop at C1 tier, inflating
+# decimal/md5-heavy queries 5-40x (poisson_bootstrap 27-253s across
+# six plain runs vs 4.7-7.4s steady state; the break always began
+# ~100 measured queries in). A fixed compiler-thread pool removes the
+# pathology: the same marathon measured uniform ~1.2x of the r10
+# record (host-generation drift) with zero positional cliff. Bigger
+# code cache, periodic System.gc(), and recompilation-cutoff flags
+# were each tried and did NOT fix it; this flag did, reproducibly.
 os.environ.setdefault(
-    "PYSPARK_SUBMIT_ARGS", "--driver-memory 16g pyspark-shell"
+    "PYSPARK_SUBMIT_ARGS",
+    "--driver-memory 16g "
+    "--driver-java-options -XX:-UseDynamicNumberOfCompilerThreads "
+    "pyspark-shell",
 )
 
 from pyspark.sql import SparkSession  # noqa: E402

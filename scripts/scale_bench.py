@@ -39,7 +39,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # 24s vs 9s, likely G1 region-size/locality effects), so bigger is
 # not safer here.
 os.environ.setdefault(
-    "PYSPARK_SUBMIT_ARGS", "--driver-memory 16g pyspark-shell"
+    "PYSPARK_SUBMIT_ARGS",
+    # fixed compiler-thread pool: see bench.py — JDK's dynamic
+    # compiler-thread scaling silently loses C2 threads in long
+    # codegen-heavy runs, stranding hot loops at C1 tier (5-40x)
+    "--driver-memory 16g "
+    "--driver-java-options -XX:-UseDynamicNumberOfCompilerThreads "
+    "pyspark-shell",
 )
 
 from pyspark.sql import SparkSession
