@@ -44,7 +44,11 @@ os.environ.setdefault(
     # compiler-thread scaling silently loses C2 threads in long
     # codegen-heavy runs, stranding hot loops at C1 tier (5-40x)
     "--driver-memory 16g "
-    "--driver-java-options -XX:-UseDynamicNumberOfCompilerThreads "
+    # fixed, LARGE compiler pool: this bench's query mix is the 30
+    # heaviest codegen producers in the registry and floods the C2
+    # queue harder than the full 184-query bench (see run_at)
+    '--driver-java-options "-XX:-UseDynamicNumberOfCompilerThreads '
+    '-XX:CICompilerCount=18" '
     "pyspark-shell",
 )
 
@@ -53,11 +57,19 @@ from pyspark.sql import SparkSession
 from clinical_data_lake_spark.driver_queries import QUERIES
 from clinical_data_lake_spark.operators.caching import release_persisted
 
+# the r10 verdict's 12 named heaviest, extended to the top 30 of
+# BENCH_r10 by cost — the queries whose plans carry the 100 TB claims
 HEAVY = [
     "poisson_bootstrap", "semantic_dedup", "dedup_prefix_filter",
     "soft_dedup", "link_predict", "permutation_test", "khop",
     "graph_lpa", "graph_modularity", "graph_hits", "bpe_encode",
     "theil_sen",
+    # extension tier (r11): next-heaviest 18
+    "graph_pagerank", "dedup_sorted_ngh", "pretraining_pipeline",
+    "winnow_pairs", "er_pipeline", "dedup_containment", "bpe_merges",
+    "dedup_simhash", "silhouette", "ann_pq_topk", "dedup_pair_metrics",
+    "corr_matrix", "graph_assort", "item_cf", "span_dedup",
+    "dedup_minhash_lsh", "ann_recall", "fd_check",
 ]
 SF01 = "/root/testdata/sf0.1"
 SF1 = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -65,15 +77,23 @@ SF1 = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 WARM = "/root/testdata/sf0.001"
 
 
-def run_at(spark, sf_dir: str) -> dict[str, float]:
+def run_at(spark, sf_dir: str, passes: int = 1) -> dict[str, float]:
+    """Per-query MIN over ``passes`` full sweeps. One-shot timings in
+    codegen-heavy marathons are unreliable even with a fixed compiler
+    pool: a flooded C2 queue leaves a query's hot loop at C1 tier for
+    one run and compiled for the next (measured: same-session
+    poisson_bootstrap 62.7s then 16.7s then ~5s steady). The minimum
+    is the steady-state execution cost — the quantity that scales."""
     out: dict[str, float] = {}
-    for name in HEAVY:
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode(
-            "overwrite").save()
-        out[name] = round(time.perf_counter() - t0, 3)
-        release_persisted()
-        print(f"  {name}: {out[name]:.2f}s", file=sys.stderr, flush=True)
+    for p in range(passes):
+        for name in HEAVY:
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite").save()
+            t = round(time.perf_counter() - t0, 3)
+            release_persisted()
+            out[name] = min(out.get(name, t), t)
+            print(f"  [{p}] {name}: {t:.2f}s", file=sys.stderr, flush=True)
     return out
 
 
@@ -103,10 +123,10 @@ def main() -> None:
     # (see module docstring — steady state is ~2-6x faster than cold)
     print("warmup (sf0.1: JIT steady-state)", file=sys.stderr)
     run_at(spark, SF01)
-    print("sf0.1 pass", file=sys.stderr)
-    t01 = run_at(spark, SF01)
-    print("sf1 pass", file=sys.stderr)
-    t1 = run_at(spark, SF1)
+    print("sf0.1 pass (min of 2)", file=sys.stderr)
+    t01 = run_at(spark, SF01, passes=2)
+    print("sf1 pass (min of 2)", file=sys.stderr)
+    t1 = run_at(spark, SF1, passes=2)
     result = {
         "sf_small": 0.1,
         "sf_big": 1.0,
