@@ -55,7 +55,16 @@ def recommended_cluster_conf(
       guesses at every scale; skewed AGGREGATION keys need explicit
       salting (operators/aggregates.salted_group_count) — AQE does not
       split those.
+    - executor/driver `-XX:-UseDynamicNumberOfCompilerThreads`: JDK
+      11+ stops idle JIT compiler threads and restarts them on
+      demand; in long-lived JVMs churning codegen across hundreds of
+      distinct stages the restart can silently fail, after which
+      nothing tiers up to C2 and generated loops run 5-40x slower at
+      C1 (root-caused on this engine's own bench marathon — see
+      bench.py and STATUS.md round-11 notes). A fixed compiler pool
+      costs a few idle threads and removes the cliff.
     """
+    jit_fix = "-XX:-UseDynamicNumberOfCompilerThreads"
     return dict(
         _SCALE_DEFAULTS,
         **{
@@ -64,6 +73,8 @@ def recommended_cluster_conf(
             "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
             "spark.executor.memory": f"{executor_mem_gb}g",
             "spark.memory.fraction": "0.6",
+            "spark.executor.extraJavaOptions": jit_fix,
+            "spark.driver.extraJavaOptions": jit_fix,
         },
     )
 

@@ -5,6 +5,16 @@ import sys
 
 import pytest
 
+# fixed JIT compiler-thread pool for the test JVM: the full suite is a
+# 30+-minute codegen-heavy marathon, exactly the profile where JDK's
+# dynamic compiler-thread scaling can silently stop C2 compilation
+# (root-caused on the bench marathon — see bench.py); heap unchanged.
+os.environ.setdefault(
+    "PYSPARK_SUBMIT_ARGS",
+    "--driver-java-options -XX:-UseDynamicNumberOfCompilerThreads "
+    "pyspark-shell",
+)
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from clinical_data_lake_spark.session import get_spark  # noqa: E402

@@ -32,6 +32,12 @@ def test_recommended_cluster_conf_scales_with_cores():
     assert conf["spark.executor.memory"] == "64g"
     assert conf["spark.sql.adaptive.enabled"] == "true"
     assert int(conf["spark.sql.files.maxPartitionBytes"]) == 128 * 1024 * 1024
+    # fixed JIT compiler pool on long-lived cluster JVMs (r11 finding)
+    assert (
+        conf["spark.executor.extraJavaOptions"]
+        == conf["spark.driver.extraJavaOptions"]
+        == "-XX:-UseDynamicNumberOfCompilerThreads"
+    )
 
 
 def test_cache_if_thresholds(spark):
