@@ -38,18 +38,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # matches bench.py exactly — a 48g heap measured WORSE (graph_hits
 # 24s vs 9s, likely G1 region-size/locality effects), so bigger is
 # not safer here.
-os.environ.setdefault(
-    "PYSPARK_SUBMIT_ARGS",
-    # fixed compiler-thread pool: see bench.py — JDK's dynamic
-    # compiler-thread scaling silently loses C2 threads in long
-    # codegen-heavy runs, stranding hot loops at C1 tier (5-40x)
-    "--driver-memory 16g "
-    # fixed, LARGE compiler pool: this bench's query mix is the 30
-    # heaviest codegen producers in the registry and floods the C2
-    # queue harder than the full 184-query bench (see run_at)
-    '--driver-java-options "-XX:-UseDynamicNumberOfCompilerThreads '
-    '-XX:CICompilerCount=18" '
-    "pyspark-shell",
+# fixed compiler-thread pool: see bench.py — JDK's dynamic
+# compiler-thread scaling silently loses C2 threads in long
+# codegen-heavy runs, stranding hot loops at C1 tier (5-40x); LARGE
+# pool here because this bench's query mix is the 30 heaviest codegen
+# producers in the registry and floods the C2 queue harder than the
+# full 184-query bench (see run_at). r12: MERGED into any preset
+# PYSPARK_SUBMIT_ARGS instead of setdefault (which silently yields).
+from clinical_data_lake_spark.jvm_opts import (  # noqa: E402
+    COMPILER_POOL_FLAG,
+    ensure_submit_args,
+)
+
+ensure_submit_args(
+    java_options=(COMPILER_POOL_FLAG, "-XX:CICompilerCount=18"),
+    driver_memory="16g",
 )
 
 from pyspark.sql import SparkSession

@@ -5,17 +5,17 @@ import sys
 
 import pytest
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 # fixed JIT compiler-thread pool for the test JVM: the full suite is a
 # 30+-minute codegen-heavy marathon, exactly the profile where JDK's
 # dynamic compiler-thread scaling can silently stop C2 compilation
 # (root-caused on the bench marathon — see bench.py); heap unchanged.
-os.environ.setdefault(
-    "PYSPARK_SUBMIT_ARGS",
-    "--driver-java-options -XX:-UseDynamicNumberOfCompilerThreads "
-    "pyspark-shell",
-)
+# r12: merged into any preset PYSPARK_SUBMIT_ARGS (setdefault silently
+# yields when the caller presets the variable — the BENCH_r11 lesson).
+from clinical_data_lake_spark.jvm_opts import ensure_submit_args  # noqa: E402
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+ensure_submit_args()
 
 from clinical_data_lake_spark.session import get_spark  # noqa: E402
 
