@@ -18,6 +18,8 @@ guarantees release.
 
 from __future__ import annotations
 
+import os
+import re
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
@@ -75,6 +77,31 @@ def track_persist(
     return df
 
 
+def _strip_scheme(path: str) -> str:
+    """file:/x, hdfs://nn:8020/x, s3a://bucket/x -> the path part."""
+    m = re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:(?://[^/]*)?(?P<p>/.*)$", path)
+    return m.group("p") if m else path
+
+
+def _ensure_checkpoint_dir(sc, checkpoint_dir: str) -> None:
+    """Set the context checkpoint dir ONLY when it doesn't already
+    resolve under ``checkpoint_dir``. Each ``setCheckpointDir`` call
+    mints a fresh UUID subdirectory under the requested path (it is
+    NOT idempotent per path) — calling it per iteration costs one DFS
+    mkdir RPC per round and silently re-points the session-global
+    checkpoint dir away from anything the caller configured for their
+    own checkpoints."""
+    current = sc.getCheckpointDir()
+    if current is not None:
+        want = _strip_scheme(checkpoint_dir).rstrip("/")
+        if "://" not in checkpoint_dir and not checkpoint_dir.startswith("file:"):
+            want = os.path.abspath(want)
+        cur = _strip_scheme(current).rstrip("/")
+        if cur == want or cur.startswith(want + "/"):
+            return
+    sc.setCheckpointDir(checkpoint_dir)
+
+
 def iter_checkpoint(
     df: DataFrame, checkpoint_dir: str | None = None, eager: bool = True
 ) -> DataFrame:
@@ -90,16 +117,32 @@ def iter_checkpoint(
     one executor mid-iteration fails the whole job. Right choice for
     local mode and short jobs on stable clusters.
 
-    ``checkpoint_dir=<DFS path>``: RELIABLE checkpoint — sets the
-    context checkpoint dir and writes each iteration's state there.
-    Survives executor loss (the job recovers by re-reading the
-    checkpoint files), the correct choice for a 100 TB iterative job
-    on a churning 1000-executor cluster, at the cost of one DFS write
-    per iteration. ``setCheckpointDir`` is idempotent per path.
+    ``checkpoint_dir=<DFS path>``: RELIABLE checkpoint — ensures the
+    context checkpoint dir resolves under that path (set ONCE per
+    session: Spark mints a fresh UUID subdir on every
+    ``setCheckpointDir`` call, so re-setting per iteration would both
+    pay a DFS RPC per round and clobber a caller-configured dir; we
+    skip the call when the current dir already lives under the
+    requested path) and writes each iteration's state there. Survives
+    executor loss (the job recovers by re-reading the checkpoint
+    files), the correct choice for a 100 TB iterative job on a
+    churning 1000-executor cluster, at the cost of one DFS write per
+    iteration.
+
+    Storage lifecycle: reliable checkpoint files are NOT deleted when
+    the DataFrame goes out of scope unless
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` — without
+    it every iteration's full state accumulates on DFS for the
+    application lifetime (e.g. ~25 label-table copies per
+    ``dup_clusters`` run), a real cost at the scale this option is for.
+    ``session.recommended_cluster_conf`` now sets the cleaner conf;
+    one-shot jobs can also just delete ``checkpoint_dir`` after the
+    final result is materialized ELSEWHERE (never while a returned
+    plan still reads from it).
     """
     if checkpoint_dir is None:
         return df.localCheckpoint(eager=eager)
-    df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    _ensure_checkpoint_dir(df.sparkSession.sparkContext, checkpoint_dir)
     return df.checkpoint(eager=eager)
 
 

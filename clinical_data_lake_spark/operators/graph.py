@@ -180,7 +180,7 @@ def link_prediction(
     src: str = "src",
     dst: str = "dst",
     digits: int = 6,
-    max_degree: int = 10_000,
+    max_degree: int | None = 10_000,
 ) -> DataFrame:
     """Common-neighbors + Adamic-Adar link prediction over an
     undirected graph: for every NON-adjacent pair sharing at least one
@@ -205,8 +205,10 @@ def link_prediction(
     degree join reaches on the same node-id shuffle key — no
     pre-flight job): one super-hub fails the job loudly with its node
     id named instead of quietly exploding the wedge count. Raise the
-    cap, or drop/sample hub nodes upstream exactly as the shingle
-    index caps document frequency.
+    cap, drop/sample hub nodes upstream exactly as the shingle index
+    caps document frequency, or pass ``max_degree=None`` to opt out of
+    the guard (the pre-cap behavior: legitimate hubs complete, at
+    deg^2 wedge cost).
     """
     from .caching import track_persist
 
@@ -228,27 +230,31 @@ def link_prediction(
     deg = adj.groupBy(F.col("u").alias("z")).agg(
         F.count(F.lit(1)).cast("long").alias("__deg__")
     )
-    guard_msg = F.concat(
-        F.lit(
-            f"link_prediction: node degree over {max_degree} (wedge "
-            f"join fans out deg^2 pairs per hub); drop or sample hub "
-            f"nodes upstream, or raise max_degree; offending node: "
-        ),
-        F.col("z").cast("string"),
-    )
     # degrees join the LEFT wedge input (same node-id key the wedge
     # join shuffles on) rather than the deg^2-sized wedge output: the
     # guard fires BEFORE the fan-out it protects against, and the
     # Adamic-Adar degree column rides the wedge rows for free
     w1 = adj.select(F.col("v").alias("x"), F.col("u").alias("z")).join(
         deg, on="z"
-    ).select(
-        "z",
-        F.when(F.col("__deg__") <= F.lit(max_degree), F.col("x"))
-        .otherwise(F.raise_error(guard_msg))
-        .alias("x"),
-        "__deg__",
     )
+    if max_degree is None:
+        w1 = w1.select("z", "x", "__deg__")
+    else:
+        guard_msg = F.concat(
+            F.lit(
+                f"link_prediction: node degree over {max_degree} (wedge "
+                f"join fans out deg^2 pairs per hub); drop or sample hub "
+                f"nodes upstream, or raise max_degree; offending node: "
+            ),
+            F.col("z").cast("string"),
+        )
+        w1 = w1.select(
+            "z",
+            F.when(F.col("__deg__") <= F.lit(max_degree), F.col("x"))
+            .otherwise(F.raise_error(guard_msg))
+            .alias("x"),
+            "__deg__",
+        )
     w2 = adj.select(F.col("u").alias("z"), F.col("v").alias("y"))
     wedges = (
         w1.join(w2, on="z")

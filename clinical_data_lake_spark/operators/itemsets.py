@@ -292,7 +292,7 @@ def item_cf_neighbors(
     top_k: int = 5,
     min_cooc: int = 2,
     digits: int = 6,
-    max_basket_size: int = 10_000,
+    max_basket_size: int | None = 10_000,
 ) -> DataFrame:
     """Item-item collaborative filtering: for every item, its top-k
     most similar items by CO-OCCURRENCE COSINE
@@ -316,8 +316,10 @@ def item_cf_neighbors(
     (theil_sen-style ``raise_error`` riding the join's own left input,
     co-partitioned on the basket key: no pre-flight job, no second
     scan): an oversized basket fails the job loudly with its key named
-    instead of quietly going quadratic. Raise the cap or pre-sample
-    hot baskets upstream when they are legitimate.
+    instead of quietly going quadratic. Raise the cap, pre-sample hot
+    baskets upstream when they are legitimate, or pass
+    ``max_basket_size=None`` to opt out of the guard entirely (the
+    pre-cap behavior: legitimate super-hub baskets complete, slowly).
     """
     from pyspark.sql import Window
 
@@ -334,22 +336,25 @@ def item_cf_neighbors(
     freq = bi.groupBy(F.col("__i__").alias("item")).agg(
         F.count(F.lit(1)).cast("long").alias("__n__")
     )
-    bsize = bi.groupBy("__b__").agg(F.count(F.lit(1)).alias("__bn__"))
-    guard_msg = F.concat(
-        F.lit(
-            f"item_cf_neighbors: basket over {max_basket_size} items "
-            f"(self-join is quadratic per basket); cap or sample hot "
-            f"baskets upstream, or raise max_basket_size; offending "
-            f"basket: "
-        ),
-        F.col("__b__").cast("string"),
-    )
-    a = bi.join(bsize, on="__b__").select(
-        "__b__",
-        F.when(F.col("__bn__") <= F.lit(max_basket_size), F.col("__i__"))
-        .otherwise(F.raise_error(guard_msg))
-        .alias("item"),
-    )
+    if max_basket_size is None:
+        a = bi.select("__b__", F.col("__i__").alias("item"))
+    else:
+        bsize = bi.groupBy("__b__").agg(F.count(F.lit(1)).alias("__bn__"))
+        guard_msg = F.concat(
+            F.lit(
+                f"item_cf_neighbors: basket over {max_basket_size} items "
+                f"(self-join is quadratic per basket); cap or sample hot "
+                f"baskets upstream, or raise max_basket_size; offending "
+                f"basket: "
+            ),
+            F.col("__b__").cast("string"),
+        )
+        a = bi.join(bsize, on="__b__").select(
+            "__b__",
+            F.when(F.col("__bn__") <= F.lit(max_basket_size), F.col("__i__"))
+            .otherwise(F.raise_error(guard_msg))
+            .alias("item"),
+        )
     b = bi.select("__b__", F.col("__i__").alias("neighbor"))
     cooc = (
         a.join(b, on="__b__")

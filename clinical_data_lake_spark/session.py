@@ -75,6 +75,12 @@ def recommended_cluster_conf(
             "spark.memory.fraction": "0.6",
             "spark.executor.extraJavaOptions": jit_fix,
             "spark.driver.extraJavaOptions": jit_fix,
+            # reliable per-iteration checkpoints (caching.iter_checkpoint
+            # with checkpoint_dir=...) otherwise accumulate every
+            # iteration's full state on DFS for the application lifetime
+            # — ~25 label-table copies per dup_clusters run; the cleaner
+            # deletes a checkpoint's files once its DataFrame is GC'd
+            "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
         },
     )
 

@@ -38,6 +38,9 @@ def test_recommended_cluster_conf_scales_with_cores():
         == conf["spark.driver.extraJavaOptions"]
         == "-XX:-UseDynamicNumberOfCompilerThreads"
     )
+    # reliable per-iteration checkpoints must not accumulate on DFS
+    # for the application lifetime (r11 advice)
+    assert conf["spark.cleaner.referenceTracking.cleanCheckpoints"] == "true"
 
 
 def test_cache_if_thresholds(spark):

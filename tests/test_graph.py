@@ -69,6 +69,20 @@ def test_link_prediction_hub_degree_guard_raises(spark):
         link_prediction(star, max_degree=5).collect()
 
 
+def test_link_prediction_guard_optout_none_completes(spark):
+    # max_degree=None restores the pre-cap behavior for legitimate
+    # hubs (r11 advice: the guard default was breaking for callers
+    # with real super-hub nodes)
+    from clinical_data_lake_spark.operators.graph import link_prediction
+
+    star = spark.createDataFrame(
+        [(0, k) for k in range(1, 7)], "src int, dst int"
+    )
+    rows = link_prediction(star, max_degree=None).collect()
+    # every leaf pair shares hub 0: C(6,2) = 15 candidate links
+    assert len(rows) == 15 and all(r.cn == 1 for r in rows)
+
+
 def test_link_prediction_guard_under_cap_matches_uncapped(spark):
     from clinical_data_lake_spark.operators.graph import link_prediction
 

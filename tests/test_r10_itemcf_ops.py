@@ -75,6 +75,18 @@ def test_item_cf_mega_basket_guard_raises(spark):
         ).collect()
 
 
+def test_item_cf_guard_optout_none_completes(spark):
+    # max_basket_size=None restores pre-cap behavior for legitimate
+    # hot baskets (r11 advice: breaking default for real hubs)
+    rows = [(1, f"i{k}") for k in range(6)] + [(2, "i0"), (2, "i1")]
+    out = item_cf_neighbors(
+        _baskets(spark, rows), "b", "i", min_cooc=1, max_basket_size=None
+    ).collect()
+    assert len(out) > 0
+    r = [x for x in out if x.item == "i0" and x.neighbor == "i1"][0]
+    assert r.cooc == 2
+
+
 def test_item_cf_guard_under_cap_matches_uncapped(spark):
     rows = [
         (1, "x"), (1, "y"),

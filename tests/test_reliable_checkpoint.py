@@ -94,6 +94,27 @@ def test_reliable_equals_local(spark, tmp_path, edges, op):
     assert len(rdds) > 0
 
 
+def test_checkpoint_dir_set_once_per_path(spark, tmp_path, edges):
+    """Spark mints a fresh UUID subdirectory on EVERY setCheckpointDir
+    call — per-iteration re-setting would mkdir a new dir per round
+    (one DFS RPC each) and re-point the session-global checkpoint dir.
+    iter_checkpoint must set it once per requested path (r11 advice)."""
+    ck = str(tmp_path / "ck")
+    sc = spark.sparkContext
+    assert iter_checkpoint(edges.distinct(), ck).count() == 8
+    resolved = sc.getCheckpointDir()
+    assert resolved is not None
+    # second call with the SAME requested path: no new UUID subdir,
+    # session checkpoint dir untouched
+    assert iter_checkpoint(edges.limit(3), ck).count() == 3
+    assert sc.getCheckpointDir() == resolved
+    assert len(os.listdir(ck)) == 1
+    # a DIFFERENT requested path re-points (the operator contract)
+    ck2 = str(tmp_path / "ck2")
+    assert iter_checkpoint(edges.limit(2), ck2).count() == 2
+    assert sc.getCheckpointDir() != resolved
+
+
 def test_bpe_train_reliable_equals_local(spark, tmp_path):
     docs = spark.createDataFrame(
         [(1, "low lower lowest"), (2, "new newer newest"), (3, "low new low")],
