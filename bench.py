@@ -272,6 +272,10 @@ BENCH_QUERIES = [
     "overdisp",
     "capture_recapture",
     "chao1",
+    # r12 additions (appended — keep the comparable prefix): the
+    # guarded fixed-key ER demo (er_pipeline itself now runs the
+    # scale-safe SNM blocking under its original position)
+    "er_pipeline_fixed_block_demo",
 ]
 
 # Scope the measured set without editing the file (drift A/B testing,

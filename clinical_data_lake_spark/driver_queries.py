@@ -3212,12 +3212,46 @@ def q_degree_dist(spark: SparkSession, sf: str) -> DataFrame:
 
 
 
-def _fs_pair_cols(spark: SparkSession, sf: str):
-    """Shared blocked customer-pair construction for the FS queries."""
+def _fs_pair_cols(spark: SparkSession, sf: str, max_block_size: int = 10_000):
+    """Shared blocked customer-pair construction for the FS queries.
+
+    The (nation, segment) blocking key has FIXED cardinality (125), so
+    per-block population grows linearly with n and candidate pairs n²
+    — the measured α = +1.63 scale cliff (BENCH_SCALE r11). The pair
+    budget is therefore ENFORCED in-plan: per-block counts ride the
+    pair join's own left input on the same (nation, segment) shuffle
+    key (the item_cf/link_predict ``raise_error`` pattern — no
+    pre-flight job), and a block over ``max_block_size`` records fails
+    the job loudly with the block named instead of quietly going
+    quadratic. Scale-safe blocking lives in
+    ``er.sorted_neighborhood_block`` (the registered ``er_pipeline``)."""
     c = read_table(spark, sf, "customer").select(
         "c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal"
     )
-    a = c.select(*[F.col(x).alias(f"{x}_a") for x in c.columns])
+    blk = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("__bn__")
+    )
+    guard_msg = F.concat(
+        F.lit(
+            f"_fs_pair_cols: block over {max_block_size} records (the "
+            f"fixed-cardinality key join is quadratic per block); use "
+            f"er.sorted_neighborhood_block or a key whose cardinality "
+            f"scales with n; offending block: "
+        ),
+        F.col("c_nationkey").cast("string"),
+        F.lit(" / "),
+        F.col("c_mktsegment"),
+    )
+    guarded = c.join(blk, on=["c_nationkey", "c_mktsegment"]).select(
+        F.when(F.col("__bn__") <= F.lit(max_block_size), F.col("c_custkey"))
+        .otherwise(F.raise_error(guard_msg))
+        .alias("c_custkey"),
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        "c_acctbal",
+    )
+    a = guarded.select(*[F.col(x).alias(f"{x}_a") for x in guarded.columns])
     b = c.select(*[F.col(x).alias(f"{x}_b") for x in c.columns])
     pairs = a.join(
         b,
@@ -3766,31 +3800,74 @@ def q_hist_quantile(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_FS_DEMO_WEIGHTS = {
+    "last_char": (
+        lambda: F.substring("c_name_a", -1, 1) == F.substring("c_name_b", -1, 1),
+        0.9, 0.1,
+    ),
+    "bal_sign": (
+        lambda: (F.col("c_acctbal_a") > 0) == (F.col("c_acctbal_b") > 0),
+        0.7, 0.5,
+    ),
+}
+
+
+def _fs_demo_score(pairs: DataFrame) -> DataFrame:
+    return joins.fs_match_score(
+        pairs,
+        {k: (mk(), m, u) for k, (mk, m, u) in _FS_DEMO_WEIGHTS.items()},
+        threshold=2.0,
+    )
+
+
 def q_er_pipeline(spark: SparkSession, sf: str) -> DataFrame:
-    """Composed entity resolution (operators/er.py:resolve_matches):
-    nation+segment blocked customer pairs -> Fellegi-Sunter scores
-    (q_fs_score's weights/threshold) -> transitive closure -> resolved
-    clusters with sizes. The end-to-end record-linkage artifact; the
-    oracle chains the same block/score SQL into a recursive-CTE
-    closure."""
+    """Composed entity resolution with SCALE-SAFE blocking
+    (operators/er.py:sorted_neighborhood_block -> joins.fs_match_score
+    -> er.resolve_matches): customers ranked on a
+    (segment, nation, name-suffix) sort key, each paired with its next
+    9 neighbors — candidates are O(n·window) regardless of n — then
+    Fellegi-Sunter scored, transitively closed, and annotated with
+    cluster sizes. The end-to-end record-linkage artifact a user
+    copies; the oracle replays the global rank, rank-band pair join,
+    scoring, and a recursive-CTE closure. The previous registration
+    blocked on the FIXED-cardinality (nation, segment) key — measured
+    α = +1.63 across the sf0.1→sf1 decade (BENCH_SCALE r11) because
+    per-block population grows with n and pairs n²; that variant is
+    kept, guarded, as ``er_pipeline_fixed_block_demo``."""
+    from .operators import er
+
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    key = F.concat(
+        F.col("c_mktsegment"),
+        F.lpad(F.col("c_nationkey").cast("string"), 2, "0"),
+        F.substring("c_name", -1, 1),
+    )
+    pairs = er.sorted_neighborhood_block(
+        c, "c_custkey", key, window=10, prefix_len=2
+    )
+    return er.resolve_matches(
+        _fs_demo_score(pairs), "c_custkey_a", "c_custkey_b"
+    )
+
+
+def q_er_pipeline_fixed_block_demo(spark: SparkSession, sf: str) -> DataFrame:
+    """The FIXED-cardinality-key ER variant, kept as the honest
+    demonstration of why blocking choice — not pairwise scoring —
+    decides ER feasibility at scale: (nation, segment) has 125 blocks,
+    so candidate pairs grow n² (measured α = +1.63, 168 s at sf1 vs
+    3.9 s at sf0.1, BENCH_SCALE r11) while the composed operators
+    (fs_match_score, resolve_matches) stay linear in pair count.
+    ``_fs_pair_cols``' in-plan per-block budget guard fails this plan
+    loudly once any block exceeds 10k records instead of quietly going
+    quadratic. Same scoring/closure as ``er_pipeline``."""
     from .operators import er
 
     pairs, _cols = _fs_pair_cols(spark, sf)
-    scored = joins.fs_match_score(
-        pairs,
-        {
-            "last_char": (
-                F.substring("c_name_a", -1, 1) == F.substring("c_name_b", -1, 1),
-                0.9, 0.1,
-            ),
-            "bal_sign": (
-                (F.col("c_acctbal_a") > 0) == (F.col("c_acctbal_b") > 0),
-                0.7, 0.5,
-            ),
-        },
-        threshold=2.0,
+    return er.resolve_matches(
+        _fs_demo_score(pairs), "c_custkey_a", "c_custkey_b"
     )
-    return er.resolve_matches(scored, "c_custkey_a", "c_custkey_b")
 
 
 def q_conformal(spark: SparkSession, sf: str) -> DataFrame:
@@ -5334,6 +5411,8 @@ QUERIES = {
     "overdisp": q_overdisp,
     "capture_recapture": q_capture_recapture,
     "chao1": q_chao1,
+    # r12 additions
+    "er_pipeline_fixed_block_demo": q_er_pipeline_fixed_block_demo,
 }
 
 
@@ -5415,9 +5494,40 @@ _R11_WINDOW = [
     "funnel_timeboxed", "header_detail", "cem_match",
 ]
 assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
+
+# -- r12 certification window (ROTATION.md): the 39 remaining r10
+#    session-3 operators (the last never-rowed entries — after this
+#    window lands, never-rowed = 0), plus er_pipeline (its registered
+#    plan changed to scale-safe SNM blocking this round and needs a
+#    fresh driver row), the new er_pipeline_fixed_block_demo, and 9
+#    re-rows from the r6/r7 pool oldest-first. Same invariants: pure
+#    permutation (modulo the one r12-new entry), explicit list. --
+_R12_WINDOW = [
+    # The 39 r10 session-3 operators (all oracle-twinned,
+    # invariance-certified, and plan-audit-swept in r10).
+    "did", "evalue", "meta_pool", "std_rate", "weighted_corr",
+    "partial_corr", "srm_check", "ratio_metric_ci", "graph_hits",
+    "graph_assort", "graph_modularity", "readability", "fertility",
+    "t_closeness", "spatial_nearest", "partition_stats", "kmeans_step",
+    "iptw", "rollup_topn", "cum_crossover", "log_odds", "vocab_overlap",
+    "seasonal_anomaly", "sir", "welch_t", "sign_test", "event_study",
+    "qte", "wasserstein", "future_label", "span_dedup", "stream_anomaly",
+    "embed_quality", "fk_fanout", "item_cf", "shapley", "overdisp",
+    "capture_recapture", "chao1",
+    # Re-row: er_pipeline's registered plan changed this round
+    # (scale-safe sorted-neighborhood blocking; oracle re-twinned).
+    "er_pipeline",
+    # New this round: the guarded fixed-cardinality-key ER demo.
+    "er_pipeline_fixed_block_demo",
+    # 9 re-rows from the r6/r7 pool (oldest driver rows first).
+    "scd2_build", "scd2_lookup", "table_diff", "k_anonymity",
+    "target_encode", "robust_scale", "dedup_sorted_ngh",
+    "dedup_prefix_filter", "agg_grouping_sets",
+]
+assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
 QUERIES = {
-    **{k: QUERIES[k] for k in _R11_WINDOW},
-    **{k: v for k, v in QUERIES.items() if k not in set(_R11_WINDOW)},
+    **{k: QUERIES[k] for k in _R12_WINDOW},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R12_WINDOW)},
 }
 
 
@@ -10529,7 +10639,67 @@ ORACLES["hist_quantile"] = """
     """
 
 _LOG2 = __import__("math").log2
+# scale-safe registered plan: sorted-neighborhood blocking — the
+# oracle replays the global (key, custkey) rank and the rank-band
+# pair join (y.rk - x.rk in [1, window)), then the same scoring and
+# recursive closure as the fixed-block demo below
 ORACLES["er_pipeline"] = f"""
+        WITH RECURSIVE a AS (
+            SELECT c_custkey, c_name, c_nationkey, c_mktsegment, c_acctbal
+            FROM customer
+        ),
+        r AS (
+            SELECT c_custkey, c_name, c_acctbal,
+                   row_number() OVER (
+                       ORDER BY (c_mktsegment
+                                 || lpad(CAST(c_nationkey AS VARCHAR), 2, '0')
+                                 || substr(c_name, -1, 1)),
+                                c_custkey
+                   ) AS rk
+            FROM a
+        ),
+        p AS (
+            SELECT x.c_custkey AS ka, y.c_custkey AS kb,
+                   coalesce(substr(x.c_name, -1, 1) = substr(y.c_name, -1, 1),
+                            FALSE) AS ag1,
+                   coalesce((x.c_acctbal > 0) = (y.c_acctbal > 0),
+                            FALSE) AS ag2
+            FROM r x JOIN r y
+              ON y.rk > x.rk AND y.rk - x.rk < 10
+        ),
+        m AS (
+            SELECT ka, kb FROM p
+            WHERE round(
+                (CASE WHEN ag1 THEN CAST({_LOG2(0.9 / 0.1)!r} AS DOUBLE)
+                      ELSE CAST({_LOG2(0.1 / 0.9)!r} AS DOUBLE) END)
+              + (CASE WHEN ag2 THEN CAST({_LOG2(0.7 / 0.5)!r} AS DOUBLE)
+                      ELSE CAST({_LOG2(0.3 / 0.5)!r} AS DOUBLE) END), 6)
+                >= 2.0
+        ),
+        edges AS (
+            SELECT ka AS src, kb AS dst FROM m
+            UNION
+            SELECT kb AS src, ka AS dst FROM m
+        ),
+        reach AS (
+            SELECT src AS node, src AS lbl FROM edges
+            UNION
+            SELECT e.src AS node, r.lbl
+            FROM edges e JOIN reach r ON r.node = e.dst
+        ),
+        cl AS (
+            SELECT node AS entity_id, min(lbl) AS cluster_id
+            FROM reach GROUP BY node
+        ),
+        sz AS (
+            SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+            FROM cl GROUP BY 1
+        )
+        SELECT entity_id, cluster_id, cluster_size
+        FROM cl JOIN sz USING (cluster_id)
+    """
+
+ORACLES["er_pipeline_fixed_block_demo"] = f"""
         WITH RECURSIVE a AS (
             SELECT c_custkey, c_name, c_nationkey, c_mktsegment, c_acctbal
             FROM customer

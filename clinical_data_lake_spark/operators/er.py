@@ -16,8 +16,103 @@ registry needs).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def sorted_neighborhood_block(
+    records: DataFrame,
+    id_col: str,
+    key: Column | str,
+    window: int = 10,
+    prefix_len: int = 2,
+    suffixes: tuple[str, str] = ("_a", "_b"),
+) -> DataFrame:
+    """Scale-safe candidate blocking for entity resolution
+    (Hernández/Stolfo sorted-neighborhood): sort records on a cheap
+    string blocking ``key``, pair each record with its next
+    ``window - 1`` neighbors in that order, and return the pairs with
+    EVERY record column present twice (suffixed ``_a``/``_b``, the
+    lower-rank record on the ``_a`` side) — a drop-in pair generator
+    for ``joins.fs_match_score``.
+
+    This is the blocking default that survives scale: candidates are
+    exactly O(n · window) REGARDLESS of key cardinality, where any
+    fixed-cardinality key join (nation × segment, zip code, …) grows
+    per-block population linearly with n and candidate pairs n² — the
+    measured failure of the fixed-key demo (BENCH_SCALE r11:
+    α = +1.63, ~90 M pairs at sf1 vs 0.9 M at sf0.1, kept as
+    ``er_pipeline_fixed_block_demo``). Choosing WHAT to sort on still
+    decides recall — duplicates must share a key prefix to land in the
+    same window; run several passes with different keys for
+    multi-attribute recall (standard SNM practice).
+
+    Scale shape — no global sort, no single-partition fact window
+    (the certified ``dedup.sorted_neighborhood_pairs`` rank machinery,
+    generalized to arbitrary records/keys):
+    1. global rank by (key, id) via order-preserving PREFIX buckets:
+       row_number within each bucket + the broadcast cumulative count
+       of earlier buckets; the only global window runs over the
+       bounded per-bucket count table (raise ``prefix_len`` to split
+       hot prefixes);
+    2. neighbor pairing as a rank-band equi-join: bands of width
+       ``window``, the right side exploded into its own and the
+       previous band, so every pair with rank distance < ``window``
+       meets in exactly one band — shuffle keys are bands, never a
+       global order;
+    3. attributes join back onto the id pairs (two id-keyed linear
+       shuffles; ``records`` is scanned three times — persist it first
+       when it is a derived plan rather than a table scan).
+    """
+    from .caching import track_persist
+
+    if window < 2:
+        raise ValueError("sorted_neighborhood_block: window must be >= 2")
+    key_col = F.col(key) if isinstance(key, str) else key
+    base = records.select(F.col(id_col), key_col.cast("string").alias("__key__"))
+    b = base.withColumn("__bkt__", F.substring("__key__", 1, prefix_len))
+    counts = b.groupBy("__bkt__").agg(F.count(F.lit(1)).alias("__bn__"))
+    w_off = Window.orderBy("__bkt__").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__bkt__",
+        F.coalesce(F.sum("__bn__").over(w_off), F.lit(0)).alias("__off__"),
+    )
+    w_local = Window.partitionBy("__bkt__").orderBy("__key__", id_col)
+    # the 16 B/record (id, rank) table feeds BOTH band-join sides;
+    # unpersisted, each side replays the upstream scan + rank
+    ranked = track_persist(
+        b.join(F.broadcast(offsets), on="__bkt__").select(
+            F.col(id_col),
+            (F.row_number().over(w_local) + F.col("__off__")).alias("__rk__"),
+        )
+    )
+    band = F.floor(F.col("__rk__") / F.lit(window))
+    a_side = ranked.select(
+        F.col(id_col).alias("__ida__"),
+        F.col("__rk__").alias("__ra__"),
+        band.alias("__band__"),
+    )
+    b_side = ranked.select(
+        F.col(id_col).alias("__idb__"),
+        F.col("__rk__").alias("__rb__"),
+        F.explode(F.array(band, band - 1)).alias("__band__"),
+    )
+    cand = (
+        a_side.join(b_side, on="__band__")
+        .filter(
+            (F.col("__rb__") > F.col("__ra__"))
+            & (F.col("__rb__") - F.col("__ra__") < window)
+        )
+        .select("__ida__", "__idb__")
+    )
+    sa, sb = suffixes
+    left = records.select([F.col(c).alias(f"{c}{sa}") for c in records.columns])
+    right = records.select([F.col(c).alias(f"{c}{sb}") for c in records.columns])
+    return (
+        cand.join(left, F.col("__ida__") == F.col(f"{id_col}{sa}"))
+        .join(right, F.col("__idb__") == F.col(f"{id_col}{sb}"))
+        .drop("__ida__", "__idb__")
+    )
 
 
 def resolve_matches(

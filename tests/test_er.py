@@ -1,8 +1,73 @@
-"""Composed entity resolution: scored pairs -> transitive clusters."""
+"""Composed entity resolution: scored pairs -> transitive clusters,
+plus the scale-safe sorted-neighborhood blocking (r12)."""
 
 from __future__ import annotations
 
-from clinical_data_lake_spark.operators.er import resolve_matches
+from clinical_data_lake_spark.operators.er import (
+    resolve_matches,
+    sorted_neighborhood_block,
+)
+
+
+def test_snm_block_equals_global_window_definition(spark):
+    """The bucketed-rank + band-join machinery must produce EXACTLY the
+    pairs of the textbook definition: sort by (key, id), pair each
+    record with its next window-1 neighbors — verified against a pure
+    Python replay, attributes carried on both sides."""
+    from clinical_data_lake_spark.operators.caching import release_persisted
+
+    rows = [(i, f"k{(i * 7) % 10}{i % 3}", f"v{i}") for i in range(1, 41)]
+    df = spark.createDataFrame(rows, "id int, key string, val string")
+    w = 4
+    out = sorted_neighborhood_block(df, "id", "key", window=w, prefix_len=1)
+    got = sorted((r.id_a, r.id_b) for r in out.collect())
+    order = [i for i, k, _ in sorted(rows, key=lambda t: (t[1], t[0]))]
+    want = sorted(
+        (order[i], order[j])
+        for i in range(len(order))
+        for j in range(i + 1, min(i + w, len(order)))
+    )
+    assert got == want
+    # O(n*window) bound: n*(w-1) minus the tail edge effect
+    assert len(got) == 40 * (w - 1) - (w - 1) * w // 2
+    r0 = out.collect()[0]
+    assert r0.val_a == f"v{r0.id_a}" and r0.val_b == f"v{r0.id_b}"
+    release_persisted()
+
+
+def test_snm_block_prefix_len_invariant(spark):
+    """Bucketing is an implementation detail: different prefix_len
+    values (different bucket splits) must not change the pair set."""
+    from clinical_data_lake_spark.operators.caching import release_persisted
+
+    rows = [(i, f"{'ab'[i % 2]}{i % 5}{i}", i * 1.5) for i in range(1, 31)]
+    df = spark.createDataFrame(rows, "id int, key string, x double")
+    sets = []
+    for pl in (1, 2, 3):
+        out = sorted_neighborhood_block(df, "id", "key", window=5, prefix_len=pl)
+        sets.append(sorted((r.id_a, r.id_b) for r in out.collect()))
+        release_persisted()
+    assert sets[0] == sets[1] == sets[2] and len(sets[0]) > 0
+
+
+def test_fs_pair_block_budget_guard(spark):
+    """_fs_pair_cols' fixed-cardinality blocking is quadratic per
+    block; the in-plan budget guard must fail loudly (naming the
+    block) once any block exceeds max_block_size, and be a no-op
+    below the cap (r11 verdict: the same blow-up mode as the
+    er_pipeline fixed-key demo)."""
+    import pytest as _pt
+
+    from clinical_data_lake_spark.driver_queries import _fs_pair_cols
+    from conftest import SF_SMALL
+
+    # sf0.001 has 150 customers over 125 (nation, segment) blocks —
+    # pigeonhole guarantees a block of >= 2
+    pairs, _ = _fs_pair_cols(spark, SF_SMALL, max_block_size=1)
+    with _pt.raises(Exception, match="_fs_pair_cols.*block"):
+        pairs.count()
+    under_cap, _ = _fs_pair_cols(spark, SF_SMALL)
+    assert under_cap.count() > 0
 
 
 def test_resolve_matches_transitive_closure(spark):

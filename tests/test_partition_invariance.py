@@ -271,6 +271,15 @@ R10_NEW = [
     "chao1",
 ]
 
+# r12-new operators (bound for their named window the same round they
+# were registered — ROTATION.md). er_pipeline itself stays covered via
+# R10_NEW; its r12 plan (SNM blocking) rides the same registry key.
+R12_NEW = [
+    # guarded fixed-cardinality-key ER demo: same FS scoring/closure,
+    # per-block budget guard riding the pair join
+    "er_pipeline_fixed_block_demo",
+]
+
 
 def _canon(v):
     if v is None:
@@ -333,7 +342,9 @@ def test_partition_invariant_approx(spark, name):
     )
 
 
-@pytest.mark.parametrize("name", ROTATED_IN + R8_NEW + R9_EXACT + R9_NEW + R10_NEW)
+@pytest.mark.parametrize(
+    "name", ROTATED_IN + R8_NEW + R9_EXACT + R9_NEW + R10_NEW + R12_NEW
+)
 def test_partition_invariant(spark, name):
     from clinical_data_lake_spark.operators.caching import release_persisted
 
