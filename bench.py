@@ -274,8 +274,14 @@ BENCH_QUERIES = [
     "chao1",
     # r12 additions (appended — keep the comparable prefix): the
     # guarded fixed-key ER demo (er_pipeline itself now runs the
-    # scale-safe SNM blocking under its original position)
+    # scale-safe SNM blocking under its original position), multi-key
+    # SNM ER, the MERGE-shaped upsert, watermarked-dedup twin, and the
+    # IVF recall-vs-cells sweep
     "er_pipeline_fixed_block_demo",
+    "er_multipass",
+    "merge_upsert",
+    "stream_dedup",
+    "ann_cells_sweep",
 ]
 
 # Scope the measured set without editing the file (drift A/B testing,

@@ -3870,6 +3870,163 @@ def q_er_pipeline_fixed_block_demo(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_er_multipass(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-pass sorted-neighborhood ER (standard SNM practice:
+    candidates from SEVERAL sort keys union — each pass recovers pairs
+    the other key's sort order separates): two
+    er.sorted_neighborhood_block passes over customers with the
+    component order of the sort key permuted, canonical pair union,
+    then the same Fellegi-Sunter scoring + closure as er_pipeline.
+    Still O(n·window·passes) candidates. The oracle replays both
+    global ranks, both rank-band joins, the union, and the
+    recursive-CTE closure."""
+    from .operators import er
+
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    nation2 = F.lpad(F.col("c_nationkey").cast("string"), 2, "0")
+    last1 = F.substring("c_name", -1, 1)
+    keys = [
+        F.concat(F.col("c_mktsegment"), nation2, last1),
+        F.concat(last1, nation2, F.col("c_mktsegment")),
+    ]
+    # two passes over the SAME attribute table; ids canonicalized so a
+    # pair found in both passes (possibly in opposite rank order)
+    # dedups to one candidate
+    parts = []
+    for key in keys:
+        cand = er.sorted_neighborhood_block(c, "c_custkey", key, window=10)
+        parts.append(
+            cand.select(
+                F.least("c_custkey_a", "c_custkey_b").alias("ka"),
+                F.greatest("c_custkey_a", "c_custkey_b").alias("kb"),
+            )
+        )
+    ids = parts[0].unionByName(parts[1]).distinct()
+    left = c.select(*[F.col(x).alias(f"{x}_a") for x in c.columns])
+    right = c.select(*[F.col(x).alias(f"{x}_b") for x in c.columns])
+    pairs = (
+        ids.join(left, F.col("ka") == F.col("c_custkey_a"))
+        .join(right, F.col("kb") == F.col("c_custkey_b"))
+        .drop("ka", "kb")
+    )
+    return er.resolve_matches(
+        _fs_demo_score(pairs), "c_custkey_a", "c_custkey_b"
+    )
+
+
+def q_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """Delta-``MERGE INTO``-shaped conditional upsert on the plain
+    parquet path (operators/cdc.py:merge_into — the reference's Delta
+    upsert habit, 00-etl-rwd.py:136-141, as condition-driven DataFrame
+    algebra): a deterministic change feed derived from orders — urgent
+    open orders update to status F at a 5% price bump, low-priority
+    finished orders signal deletion via a negative price, and re-keyed
+    copies of every 100th pending order insert. One full-outer key
+    join (the canonical distributed MERGE plan); returns the full
+    post-merge snapshot; the oracle replays the clause algebra."""
+    od = read_table(spark, sf, "orders")
+    upd = od.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderstatus") == "O")
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("F").alias("o_orderstatus"),
+        (F.col("o_totalprice") * F.lit(1.05)).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    dele = od.filter(
+        (F.col("o_orderpriority") == "5-LOW")
+        & (F.col("o_orderstatus") == "F")
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.lit(-1.0).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    ins = od.filter(
+        (F.col("o_orderstatus") == "P") & (F.col("o_orderkey") % 100 == 0)
+    ).select(
+        (F.col("o_orderkey") + F.lit(2_000_000_000)).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("O").alias("o_orderstatus"),
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    src = upd.unionByName(dele).unionByName(ins)
+    return cdc.merge_into(
+        od, src, "o_orderkey",
+        delete_condition=F.col("src.o_totalprice") < 0,
+    )
+
+
+def q_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermarked streaming exact dedup
+    (streaming/events.py:dedup_within_watermark —
+    dropDuplicatesWithinWatermark, state bounded by keys-per-horizon
+    instead of growing forever): the SAME builder runs incrementally
+    (streaming==batch parity in test_streaming.py); the batch twin's
+    surviving KEY SET is the oracle-checkable artifact (which physical
+    row survives per key is engine-arbitrary, so only the keys are
+    projected)."""
+    ev = read_table(spark, sf, "events")
+    return streaming_events.dedup_within_watermark(
+        ev, ["user_id", "event_type"]
+    ).select("user_id", "event_type")
+
+
+def q_ann_cells_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF recall-vs-cells capacity curve (llm/similarity.py:ivf_topk):
+    recall@10 against brute-force cosine for
+    (n_cells, n_probe) in {(4,1), (16,4), (64,16)} — probe fraction
+    fixed at 1/4, so the sweep isolates how cell granularity trades
+    comparison volume (~n_probe/n_cells of brute force) against
+    recall. Same md5-deterministic centroid construction ann_recall
+    certifies; the oracle rebuilds every configuration verbatim."""
+    from .operators.caching import track_persist
+
+    emb = read_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = track_persist(
+        similarity.cosine_topk(q, emb, k=10).select("query_id", "neighbor_id")
+    )
+    qids = q.select(F.col("vec_id").alias("query_id"))
+    outs = []
+    for n_cells, n_probe in ((4, 1), (16, 4), (64, 16)):
+        adf = similarity.ivf_topk(
+            q, emb, k=10, n_cells=n_cells, n_probe=n_probe
+        )
+        hits = (
+            exact.join(
+                adf.select("query_id", "neighbor_id"),
+                on=["query_id", "neighbor_id"],
+                how="left_semi",
+            )
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+        )
+        n_hit = F.coalesce("n_hit", F.lit(0).cast("long"))
+        outs.append(
+            qids.join(hits, on="query_id", how="left").select(
+                "query_id",
+                F.lit(n_cells).alias("n_cells"),
+                F.lit(n_probe).alias("n_probe"),
+                n_hit.alias("n_hit"),
+                (n_hit / F.lit(10.0)).alias("recall"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 def q_conformal(spark: SparkSession, sf: str) -> DataFrame:
     """Split-conformal prediction intervals per event type
     (ml/stats.py:conformal_interval): md5 train/cal/test thirds,
@@ -5413,6 +5570,10 @@ QUERIES = {
     "chao1": q_chao1,
     # r12 additions
     "er_pipeline_fixed_block_demo": q_er_pipeline_fixed_block_demo,
+    "er_multipass": q_er_multipass,
+    "merge_upsert": q_merge_upsert,
+    "stream_dedup": q_stream_dedup,
+    "ann_cells_sweep": q_ann_cells_sweep,
 }
 
 
@@ -10746,6 +10907,193 @@ ORACLES["er_pipeline_fixed_block_demo"] = f"""
         SELECT entity_id, cluster_id, cluster_size
         FROM cl JOIN sz USING (cluster_id)
     """
+
+# er_multipass twin: both sort keys' global ranks + rank-band joins,
+# canonical pair union, same scoring + recursive closure
+ORACLES["er_multipass"] = f"""
+        WITH RECURSIVE a AS (
+            SELECT c_custkey, c_name, c_nationkey, c_mktsegment, c_acctbal
+            FROM customer
+        ),
+        r1 AS (
+            SELECT c_custkey,
+                   row_number() OVER (
+                       ORDER BY (c_mktsegment
+                                 || lpad(CAST(c_nationkey AS VARCHAR), 2, '0')
+                                 || substr(c_name, -1, 1)),
+                                c_custkey
+                   ) AS rk
+            FROM a
+        ),
+        r2 AS (
+            SELECT c_custkey,
+                   row_number() OVER (
+                       ORDER BY (substr(c_name, -1, 1)
+                                 || lpad(CAST(c_nationkey AS VARCHAR), 2, '0')
+                                 || c_mktsegment),
+                                c_custkey
+                   ) AS rk
+            FROM a
+        ),
+        ids AS (
+            SELECT least(x.c_custkey, y.c_custkey) AS ka,
+                   greatest(x.c_custkey, y.c_custkey) AS kb
+            FROM r1 x JOIN r1 y ON y.rk > x.rk AND y.rk - x.rk < 10
+            UNION
+            SELECT least(x.c_custkey, y.c_custkey) AS ka,
+                   greatest(x.c_custkey, y.c_custkey) AS kb
+            FROM r2 x JOIN r2 y ON y.rk > x.rk AND y.rk - x.rk < 10
+        ),
+        p AS (
+            SELECT ids.ka, ids.kb,
+                   coalesce(substr(x.c_name, -1, 1) = substr(y.c_name, -1, 1),
+                            FALSE) AS ag1,
+                   coalesce((x.c_acctbal > 0) = (y.c_acctbal > 0),
+                            FALSE) AS ag2
+            FROM ids
+            JOIN a x ON x.c_custkey = ids.ka
+            JOIN a y ON y.c_custkey = ids.kb
+        ),
+        m AS (
+            SELECT ka, kb FROM p
+            WHERE round(
+                (CASE WHEN ag1 THEN CAST({_LOG2(0.9 / 0.1)!r} AS DOUBLE)
+                      ELSE CAST({_LOG2(0.1 / 0.9)!r} AS DOUBLE) END)
+              + (CASE WHEN ag2 THEN CAST({_LOG2(0.7 / 0.5)!r} AS DOUBLE)
+                      ELSE CAST({_LOG2(0.3 / 0.5)!r} AS DOUBLE) END), 6)
+                >= 2.0
+        ),
+        edges AS (
+            SELECT ka AS src, kb AS dst FROM m
+            UNION
+            SELECT kb AS src, ka AS dst FROM m
+        ),
+        reach AS (
+            SELECT src AS node, src AS lbl FROM edges
+            UNION
+            SELECT e.src AS node, r.lbl
+            FROM edges e JOIN reach r ON r.node = e.dst
+        ),
+        cl AS (
+            SELECT node AS entity_id, min(lbl) AS cluster_id
+            FROM reach GROUP BY node
+        ),
+        sz AS (
+            SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+            FROM cl GROUP BY 1
+        )
+        SELECT entity_id, cluster_id, cluster_size
+        FROM cl JOIN sz USING (cluster_id)
+    """
+
+# merge_upsert twin: the same derived change feed, then MERGE clause
+# algebra as one full-outer join — matched+negative-price rows drop,
+# matched rows take every source column, source-only rows insert
+ORACLES["merge_upsert"] = """
+        WITH src AS (
+            SELECT o_orderkey, o_custkey, 'F' AS o_orderstatus,
+                   o_totalprice * CAST(1.05 AS DOUBLE) AS o_totalprice,
+                   o_orderdate, o_orderpriority
+            FROM orders
+            WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'O'
+            UNION ALL
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   CAST(-1.0 AS DOUBLE) AS o_totalprice,
+                   o_orderdate, o_orderpriority
+            FROM orders
+            WHERE o_orderpriority = '5-LOW' AND o_orderstatus = 'F'
+            UNION ALL
+            SELECT o_orderkey + 2000000000 AS o_orderkey, o_custkey,
+                   'O' AS o_orderstatus, o_totalprice,
+                   o_orderdate, o_orderpriority
+            FROM orders
+            WHERE o_orderstatus = 'P' AND o_orderkey % 100 = 0
+        ),
+        j AS (
+            SELECT t.o_orderkey AS tk, s.o_orderkey AS sk,
+                   coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+                   CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_custkey
+                        ELSE t.o_custkey END AS o_custkey,
+                   CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+                        ELSE t.o_orderstatus END AS o_orderstatus,
+                   CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+                        ELSE t.o_totalprice END AS o_totalprice,
+                   CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderdate
+                        ELSE t.o_orderdate END AS o_orderdate,
+                   CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderpriority
+                        ELSE t.o_orderpriority END AS o_orderpriority,
+                   s.o_totalprice AS sprice
+            FROM orders t FULL OUTER JOIN src s
+              ON t.o_orderkey = s.o_orderkey
+        )
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM j
+        WHERE NOT (tk IS NOT NULL AND sk IS NOT NULL AND sprice < 0)
+    """
+
+ORACLES["stream_dedup"] = """
+        SELECT DISTINCT user_id, event_type FROM events
+    """
+
+
+def _ivf_recall_sweep_sql(configs: list[tuple[int, int]]) -> str:
+    """IVF recall@10 rebuilt verbatim per (n_cells, n_probe) config —
+    the parameterized form of _ANN_RECALL_SQL's ivf branch."""
+    ctes = [
+        """q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ce FROM embeddings),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY {cos_qc} DESC, neighbor_id) AS rnk
+            FROM q, c WHERE query_id != neighbor_id)
+        WHERE rnk <= 10)""".format(cos_qc=_cos_sql("qe", "ce"))
+    ]
+    selects = []
+    for n_cells, n_probe in configs:
+        s = f"_{n_cells}"
+        ctes.append(f"""cent{s} AS (SELECT cell, cv FROM (
+        SELECT CAST(row_number() OVER (
+                   ORDER BY md5('42:' || CAST(vec_id AS VARCHAR)), vec_id)
+               AS INT) - 1 AS cell,
+               embedding::DOUBLE[] AS cv
+        FROM embeddings) WHERE cell < {n_cells}),
+    cassign{s} AS (SELECT neighbor_id, ce, cell FROM (
+        SELECT c.neighbor_id, c.ce, cent{s}.cell,
+               row_number() OVER (PARTITION BY c.neighbor_id
+                   ORDER BY {_cos_sql("c.ce", f"cent{s}.cv")} DESC, cent{s}.cell) AS rr
+        FROM c, cent{s}) WHERE rr = 1),
+    qassign{s} AS (SELECT query_id, qe, cell FROM (
+        SELECT q.query_id, q.qe, cent{s}.cell,
+               row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY {_cos_sql("q.qe", f"cent{s}.cv")} DESC, cent{s}.cell) AS rr
+        FROM q, cent{s}) WHERE rr <= {n_probe}),
+    ivf{s} AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT qa.query_id, ca.neighbor_id,
+                   row_number() OVER (PARTITION BY qa.query_id
+                       ORDER BY {_cos_sql("qa.qe", "ca.ce")} DESC, ca.neighbor_id) AS rnk
+            FROM qassign{s} qa JOIN cassign{s} ca ON qa.cell = ca.cell
+                                           AND qa.query_id != ca.neighbor_id)
+        WHERE rnk <= 10),
+    m{s} AS (
+        SELECT query_id, count(*) AS n_hit FROM (
+            SELECT * FROM exact INTERSECT SELECT * FROM ivf{s})
+        GROUP BY query_id)""")
+        selects.append(f"""SELECT q.query_id, {n_cells} AS n_cells,
+           {n_probe} AS n_probe, coalesce(m{s}.n_hit, 0) AS n_hit,
+           coalesce(m{s}.n_hit, 0) / CAST(10.0 AS DOUBLE) AS recall
+    FROM q LEFT JOIN m{s} ON m{s}.query_id = q.query_id""")
+    return (
+        "WITH " + ",\n    ".join(ctes) + "\n    "
+        + "\n    UNION ALL\n    ".join(selects)
+    )
+
+
+ORACLES["ann_cells_sweep"] = _ivf_recall_sweep_sql([(4, 1), (16, 4), (64, 16)])
 
 ORACLES["conformal"] = """
         WITH base AS (

@@ -56,6 +56,120 @@ def apply_changes(
     return kept.unionByName(upserts)
 
 
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str] | str,
+    update_cols: list[str] | None = None,
+    update_condition=None,
+    delete_condition=None,
+    insert: bool = True,
+) -> DataFrame:
+    """Delta-Lake-``MERGE INTO``-shaped upsert on plain DataFrames /
+    parquet: condition-driven WHEN MATCHED UPDATE / WHEN MATCHED
+    DELETE / WHEN NOT MATCHED INSERT, without an op/sequence column
+    (``apply_changes`` is the CDC-feed sibling; this is the shape a
+    Delta user writes by hand). Returns the post-merge snapshot with
+    the target's schema.
+
+    Semantics (Delta MERGE with one clause of each kind):
+    - matched and ``delete_condition``            -> row removed;
+    - matched and ``update_condition`` (default
+      always) -> target row with ``update_cols`` (default: every
+      non-key target column present in the source) replaced by the
+      source's values;
+    - matched otherwise                            -> target row kept;
+    - source-only                                  -> inserted when
+      ``insert`` (source must carry the target's columns);
+    - target-only                                  -> kept.
+    Conditions are Columns over the aliases ``tgt`` / ``src``
+    (``F.col("src.o_totalprice") < 0``), exactly how Delta MERGE
+    conditions reference the two sides.
+
+    Like Delta, a source with MULTIPLE rows per key is an error (the
+    merge would be ambiguous): enforced IN-PLAN — per-key source
+    counts ride the merge join's own source input on the same key
+    shuffle (no pre-flight job), and a duplicate key fails loudly by
+    name via ``raise_error``.
+
+    100 TB shape: ONE full-outer shuffle join on the merge keys — the
+    canonical distributed MERGE plan (AQE broadcasts the source side
+    when it is small, the common case); per-row clause resolution is
+    pure projection. No windows, no second pass over the target.
+    """
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    if update_cols is None:
+        update_cols = [
+            c for c in target.columns
+            if c not in key_list and c in source.columns
+        ]
+    upd_set = set(update_cols)
+
+    guard_msg = F.concat(
+        F.lit(
+            "merge_into: multiple source rows match the same key "
+            "(ambiguous merge, the Delta MERGE error contract); "
+            "deduplicate the source first; offending key: "
+        ),
+        F.concat_ws("/", *[F.col(k).cast("string") for k in key_list]),
+    )
+    # per-key count as a key-partitioned window over the source (the
+    # SMALL side): null-safe (NULL keys form their own group, unlike a
+    # count-table equi-join back, which would silently drop them) and
+    # join-free — the guard rides the source's own shuffle
+    wcnt = Window.partitionBy(*key_list)
+    # a source row with ANY null key can never equi-match a target
+    # row, so duplicates among such rows are plain multiple inserts,
+    # not ambiguity — only fully-keyed duplicates are errors
+    all_nn = None
+    for k in key_list:
+        nn = F.col(k).isNotNull()
+        all_nn = nn if all_nn is None else (all_nn & nn)
+    src_g = (
+        source.withColumn("__sn__", F.count(F.lit(1)).over(wcnt))
+        .select(
+            F.when((F.col("__sn__") == 1) | ~all_nn, F.col(key_list[0]))
+            .otherwise(F.raise_error(guard_msg))
+            .alias(key_list[0]),
+            *[F.col(c) for c in source.columns if c != key_list[0]],
+        )
+        .withColumn("__s__", F.lit(1))
+    )
+    t = target.withColumn("__t__", F.lit(1)).alias("tgt")
+    s = src_g.alias("src")
+    cond = None
+    for k in key_list:
+        c = F.col(f"tgt.{k}") == F.col(f"src.{k}")
+        cond = c if cond is None else (cond & c)
+    j = t.join(s, cond, "full_outer")
+
+    matched = F.col("tgt.__t__").isNotNull() & F.col("src.__s__").isNotNull()
+    upd = update_condition if update_condition is not None else F.lit(True)
+    dele = delete_condition if delete_condition is not None else F.lit(False)
+
+    keep = F.when(matched, ~dele).when(
+        F.col("src.__s__").isNotNull(), F.lit(insert)
+    ).otherwise(F.lit(True))
+
+    out_cols = []
+    for c in target.columns:
+        tv, sv = F.col(f"tgt.{c}"), (
+            F.col(f"src.{c}") if c in source.columns else None
+        )
+        if c in key_list:
+            out_cols.append(F.coalesce(tv, sv).alias(c))
+        elif sv is not None:
+            expr = (
+                F.when(F.col("tgt.__t__").isNull(), sv)  # insert row
+                .when(matched & upd & F.lit(c in upd_set), sv)
+                .otherwise(tv)
+            )
+            out_cols.append(expr.alias(c))
+        else:
+            out_cols.append(tv.alias(c))
+    return j.filter(keep).select(*out_cols)
+
+
 def scd2_build(
     changes: DataFrame,
     keys: list[str] | str,

@@ -25,6 +25,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import re
 import sys
 import time
 
@@ -74,10 +75,31 @@ HEAVY = [
     "corr_matrix", "graph_assort", "item_cf", "span_dedup",
     "dedup_minhash_lsh", "ann_recall", "fd_check",
 ]
-SF01 = "/root/testdata/sf0.1"
-SF1 = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   ".scale", "sf1")
+# Scope the measured set without editing the file (single-query scale
+# probes, e.g. SPARK_GRAFT_SCALE_QUERIES="er_pipeline"); scoped runs
+# write BENCH_SCALE_SCOPED.json so the recorded full-set artifact is
+# never clobbered by a probe.
+_env_scale = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
+if _env_scale:
+    HEAVY = [q.strip() for q in _env_scale.split(",") if q.strip()]
+OUT_FILE = os.environ.get("SPARK_GRAFT_SCALE_OUT") or (
+    "BENCH_SCALE_SCOPED.json" if _env_scale else "BENCH_SCALE.json"
+)
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# Both decade endpoints are env-overridable so the SAME harness
+# measures any 10x pair — e.g. the sf1->sf10 second decade
+# (SPARK_GRAFT_SCALE_SMALL=.scale/sf1 SPARK_GRAFT_SCALE_BIG=.scale/sf10).
+SF01 = os.environ.get("SPARK_GRAFT_SCALE_SMALL", "/root/testdata/sf0.1")
+SF1 = os.environ.get(
+    "SPARK_GRAFT_SCALE_BIG", os.path.join(_REPO, ".scale", "sf1")
+)
 WARM = "/root/testdata/sf0.001"
+
+
+def _sf_label(d: str) -> float:
+    m = re.search(r"sf([0-9.]+)", d)
+    return float(m.group(1)) if m else -1.0
 
 
 def run_at(spark, sf_dir: str, passes: int = 1) -> dict[str, float]:
@@ -131,8 +153,8 @@ def main() -> None:
     print("sf1 pass (min of 2)", file=sys.stderr)
     t1 = run_at(spark, SF1, passes=2)
     result = {
-        "sf_small": 0.1,
-        "sf_big": 1.0,
+        "sf_small": _sf_label(SF01),
+        "sf_big": _sf_label(SF1),
         "queries": {
             q: {
                 "t_sf0.1": t01[q],
@@ -145,7 +167,7 @@ def main() -> None:
         "total_sf0.1": round(sum(t01.values()), 1),
         "total_sf1": round(sum(t1.values()), 1),
     }
-    with open("BENCH_SCALE.json", "w") as fh:
+    with open(OUT_FILE, "w") as fh:
         json.dump(result, fh, indent=1)
     print(json.dumps(result))
 

@@ -278,6 +278,16 @@ R12_NEW = [
     # guarded fixed-cardinality-key ER demo: same FS scoring/closure,
     # per-block budget guard riding the pair join
     "er_pipeline_fixed_block_demo",
+    # two-key SNM union blocking — bucketed ranks + canonical pair
+    # union must be partitioning-blind
+    "er_multipass",
+    # MERGE clause algebra over a full-outer key join
+    "merge_upsert",
+    # watermarked dedup's batch twin: distinct key set
+    "stream_dedup",
+    # md5-deterministic IVF centroids + argmax cell assignment per
+    # config — the sweep must not depend on scan/shuffle splits
+    "ann_cells_sweep",
 ]
 
 

@@ -182,6 +182,29 @@ def test_streaming_dedup_within_watermark_equals_batch(spark, events_stream_setu
     assert got == want
 
 
+def test_streaming_dedup_key_subset_equals_batch(spark, events_stream_setup):
+    """The registered stream_dedup query's key set (user_id,
+    event_type): the streaming survivors' KEY SET equals batch
+    distinct — the oracle-checkable artifact (which physical row
+    survives per key is engine-arbitrary, so only keys compare)."""
+    ev, root, schema = events_stream_setup
+    stream = se.dedup_within_watermark(
+        se.stream_from_batch_dir(spark, root, schema),
+        keys=["user_id", "event_type"],
+        watermark="365 days",
+    ).select("user_id", "event_type")
+    se.run_to_memory_sink(stream, "dedup_keys_test", output_mode="append")
+    got = sorted(
+        (r.user_id, r.event_type)
+        for r in spark.table("dedup_keys_test").collect()
+    )
+    want = sorted(
+        (r.user_id, r.event_type)
+        for r in ev.select("user_id", "event_type").distinct().collect()
+    )
+    assert got == want
+
+
 def test_stream_static_enrichment_equals_batch(spark, events_stream_setup):
     """Stream-static join: events enriched against a static dim table
     must match the same join run in batch, with the dim broadcast."""
