@@ -1455,9 +1455,17 @@ def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """SemDeDup end to end (llm/similarity.py:semantic_dedup):
     md5-deterministic cells, within-cell cosine pairs, connected
     components, min-id survivors — the embedding-space dedup policy,
-    oracle-replayed including the recursive closure."""
+    oracle-replayed including the recursive closure. Cells scale with
+    the corpus (target_cell_size=500, the paper's k-grows-with-N
+    practice; max(16, ceil(N/500)) replayed by the oracle's scalar
+    subquery) — a fixed cell count measured α≈1.78 at the sf1→sf10
+    decade, the er_pipeline fixed-blocking mistake in embedding
+    space."""
     return similarity.semantic_dedup(
-        read_table(spark, sf, "embeddings"), n_cells=16, threshold=0.35
+        read_table(spark, sf, "embeddings"),
+        n_cells=16,
+        threshold=0.35,
+        target_cell_size=500,
     )
 
 
@@ -7970,12 +7978,17 @@ FROM final f JOIN ordered o USING (doc_id) JOIN packed p USING (doc_id)
     "semantic_dedup": f"""
         WITH RECURSIVE
         c AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
+        -- cell count scales with the corpus: max(16, ceil(N/500)) —
+        -- the Spark side's target_cell_size=500 rule replayed
+        nc AS (SELECT greatest(16, CAST(ceil(count(*) / 500.0) AS INT))
+                   AS n_cells
+               FROM embeddings),
         cent AS (SELECT cell, cv FROM (
             SELECT CAST(row_number() OVER (
                        ORDER BY md5('42:' || CAST(vec_id AS VARCHAR)), vec_id)
                    AS INT) - 1 AS cell,
                    embedding::DOUBLE[] AS cv
-            FROM embeddings) WHERE cell < 16),
+            FROM embeddings) WHERE cell < (SELECT n_cells FROM nc)),
         assign AS (SELECT vec_id, ce, cell FROM (
             SELECT c.vec_id, c.ce, cent.cell,
                    row_number() OVER (PARTITION BY c.vec_id

@@ -754,6 +754,7 @@ def semantic_dedup(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_cell_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): embedding-space semantic
     deduplication end to end — cluster the corpus into cells, find
@@ -773,35 +774,72 @@ def semantic_dedup(
     clustered corpora — assignment/dedup machinery is centroid-
     agnostic; the md5 rule is what makes this composition
     oracle-checkable.
+
+    ``target_cell_size``: when set, the cell count scales with the
+    corpus — n_cells = max(n_cells, ceil(N / target_cell_size)) — the
+    paper's own k-grows-with-N practice (Abbas et al. run 50k clusters
+    on LAION). A FIXED cell count is the er_pipeline fixed-blocking
+    mistake in embedding space: per-cell population grows with N and
+    the within-cell pair term grows N²/n_cells — measured at the
+    sf1→sf10 decade, 16 fixed cells inflated 26s → 1585s (α ≈ 1.78).
+    With the cap, within-cell work is bounded at ~target_cell_size per
+    row, so total pair work is N × target_cell_size — linear. Costs
+    one bounded count() pre-pass to size the cell grid.
     """
     from .dedup import near_dedup_canonical
+
+    if target_cell_size:
+        n_rows = corpus.count()
+        n_cells = max(n_cells, -(-n_rows // int(target_cell_size)))
 
     h = F.md5(
         F.concat_ws(":", F.lit(seed).cast("string"), F.col(id_col).cast("string"))
     )
-    w_cell = Window.orderBy("__h__", id_col)  # n_cells rows — tiny
-    cents = (
-        corpus.select(_as_double(vec_col).alias("cv"), h.alias("__h__"), F.col(id_col))
-        .orderBy("__h__", id_col)
-        .limit(n_cells)
-        .select(
-            (F.row_number().over(w_cell) - 1).cast("int").alias("cell"),
-            "cv",
-            l2_norm(F.col("cv")).alias("cvn"),
+    # centroid matrix is bounded (n_cells x dim) — a TakeOrdered
+    # collect baked into the assignment UDF, ivf_topk's contract
+    cent_rows = (
+        corpus.select(
+            _as_double(vec_col).alias("cv"), h.alias("__h__"),
+            F.col(id_col).alias("__i__"),
         )
+        .orderBy("__h__", "__i__")
+        .limit(n_cells)
+        .collect()
     )
-    c = corpus.select(
-        F.col(id_col), _as_double(vec_col).alias("ce"),
-        l2_norm(_as_double(vec_col)).alias("cn"),
-    )
-    sim_c = _guarded_ratio(dot(F.col("ce"), F.col("cv")), F.col("cn") * F.col("cvn"))
-    w_assign = Window.partitionBy(id_col).orderBy(F.desc("__s__"), F.asc("cell"))
-    assigned = (
-        c.crossJoin(F.broadcast(cents))
-        .select(id_col, "ce", "cn", "cell", sim_c.alias("__s__"))
-        .withColumn("__rn__", F.row_number().over(w_assign))
-        .filter(F.col("__rn__") == 1)
-        .select(id_col, "ce", "cn", "cell")
+    cent_list = [list(r["cv"]) for r in cent_rows]
+
+    # Vectorized argmax-cosine assignment (one numpy matmul per Arrow
+    # batch; ties -> lowest cell, matching ORDER BY sim DESC, cell ASC;
+    # zero-norm vectors score 0 everywhere -> cell 0, the guarded-ratio
+    # contract). The r11 crossJoin + row_number form materialized
+    # N x n_cells rows CARRYING THE FULL EMBEDDING ARRAYS through a
+    # per-id window sort — measured 1085s at sf10 with scaled cells
+    # (80M x ~0.5KB rows spilling); this is N rows in, N rows out.
+    from pyspark.sql.functions import pandas_udf
+
+    def _make_best_cell(cl: list[list[float]]):
+        @pandas_udf("int")
+        def best_cell(vecs: pd.Series) -> pd.Series:
+            import numpy as np
+
+            cent = np.asarray(cl, dtype=np.float64)
+            cnorm = np.maximum(np.linalg.norm(cent, axis=1), 1e-300)
+            mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+            vnorm = np.linalg.norm(mat, axis=1)
+            sims = (mat @ cent.T) / np.outer(np.maximum(vnorm, 1e-300), cnorm)
+            sims[vnorm == 0.0, :] = 0.0
+            return pd.Series(np.argmax(sims, axis=1).astype("int32"))
+
+        return best_cell
+
+    # referenced three times below (both pair-join sides + the final
+    # membership table) — persist so the scan + assignment UDF run once
+    assigned = track_persist(
+        corpus.select(
+            F.col(id_col), _as_double(vec_col).alias("ce"),
+            l2_norm(_as_double(vec_col)).alias("cn"),
+            _make_best_cell(cent_list)(_as_double(vec_col)).alias("cell"),
+        )
     )
     a = assigned.select(
         F.col(id_col).alias("doc_a"), F.col("ce").alias("ea"),

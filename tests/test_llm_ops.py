@@ -1367,3 +1367,32 @@ def test_semantic_dedup_drops_planted_near_dups(spark, planted_embeddings):
     full = {r.vec_id for r in
             semantic_dedup(emb, n_cells=1, threshold=0.95).collect()}
     assert full == set(range(40))
+
+
+def test_semantic_dedup_target_cell_size_scales_cells(spark, planted_embeddings):
+    """target_cell_size derives n_cells = max(n_cells, ceil(N/target))
+    — the k-grows-with-N rule that keeps the within-cell pair term
+    linear (a fixed cell count measured alpha~1.8 at the sf1->sf10
+    decade). Result must equal the explicit-n_cells call it resolves
+    to, and the floor must win when the corpus is small."""
+    from clinical_data_lake_spark.llm.similarity import semantic_dedup
+
+    emb = planted_embeddings  # 45 rows
+    # ceil(45/10) = 5 > floor 2 -> 5 cells
+    derived = sorted(
+        (r.vec_id, r.cell)
+        for r in semantic_dedup(
+            emb, n_cells=2, threshold=0.95, target_cell_size=10
+        ).collect()
+    )
+    explicit = sorted(
+        (r.vec_id, r.cell)
+        for r in semantic_dedup(emb, n_cells=5, threshold=0.95).collect()
+    )
+    assert derived == explicit
+    assert max(c for _, c in derived) == 4
+    # large target: floor n_cells wins (ceil(45/1000) = 1 < 2)
+    floor = semantic_dedup(
+        emb, n_cells=2, threshold=0.95, target_cell_size=1000
+    )
+    assert max(r.cell for r in floor.collect()) <= 1

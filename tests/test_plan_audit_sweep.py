@@ -22,7 +22,8 @@ from conftest import SF_SMALL
 # event-time cardinality) — never over fact-table rows.
 WAIVERS = {
     "single-partition-window": {
-        "semantic_dedup": "n_cells centroid table (cell id assignment)",
+        # (r12: semantic_dedup's waiver removed — centroid selection is
+        # now a bounded TakeOrdered collect + vectorized UDF, no window)
         "pareto": "label-cardinality rollup (cumulative share ranks)",
         "period_growth": "period table (one row per calendar period)",
         "dedup_sorted_ngh": "per-prefix-bucket count table (global rank offsets)",
