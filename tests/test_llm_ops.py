@@ -345,6 +345,63 @@ def test_dup_clusters_deep_chain_converges(spark):
     assert got == {(i, 100) for i in range(100, 112)}
 
 
+def test_dup_clusters_star_phase_matches_union_find(spark):
+    """The hybrid closure must agree with a pure-Python union-find on
+    adversarial structures (decreasing/shuffled chains, stars, bridged
+    cliques, random multigraphs) under EVERY phase split:
+    propagation_rounds=8 (phase-1 exit), 0 (pure star contraction on
+    the raw graph), and 1 (star contraction composed with a partial
+    propagation labeling). Guards the silent-truncation bug where
+    min-label propagation hit max_iters on >25-diameter match graphs
+    and returned partially-merged clusters (found on er_multipass at
+    sf0.1, r12)."""
+    from clinical_data_lake_spark.llm.dedup import dup_clusters
+
+    def uf(pairs):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp = {}
+        for x in list(parent):
+            comp.setdefault(find(x), []).append(x)
+        return {x: min(mem) for mem in comp.values() for x in mem}
+
+    rnd = random.Random(7)
+    n = 120
+    perm = list(range(1, n + 1))
+    rnd.shuffle(perm)
+    cases = [
+        [(i + 1, i) for i in range(1, n)],  # decreasing-id chain
+        [(perm[i], perm[i + 1]) for i in range(n - 1)],  # shuffled chain
+        [(1, i) for i in range(2, 40)],  # star
+        # two cliques + one bridge
+        [(i, j) for i in range(1, 7) for j in range(i + 1, 7)]
+        + [(100 + i, 100 + j) for i in range(1, 7) for j in range(i + 1, 7)]
+        + [(6, 101)],
+        [(rnd.randint(1, 60), rnd.randint(1, 60)) for _ in range(150)],
+    ]
+    for pairs in cases:
+        clean = [(a, b) for a, b in pairs if a != b]
+        want = set(uf(clean).items())
+        df = spark.createDataFrame(pairs, schema="doc_a long, doc_b long")
+        for pr in (8, 0, 1):
+            got = {
+                (r.doc_id, r.cluster_id)
+                for r in dup_clusters(df, propagation_rounds=pr).collect()
+            }
+            assert got == want, f"propagation_rounds={pr}"
+
+
 def test_hash_sample_deterministic_and_partition_invariant(spark):
     """Membership is a pure function of the key: same rows selected
     regardless of partitioning, and the fraction tracks n_256/256."""
