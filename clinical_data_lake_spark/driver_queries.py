@@ -3901,10 +3901,14 @@ def q_er_multipass(spark: SparkSession, sf: str) -> DataFrame:
     ]
     # two passes over the SAME attribute table; ids canonicalized so a
     # pair found in both passes (possibly in opposite rank order)
-    # dedups to one candidate
+    # dedups to one candidate. with_attributes=False: attributes join
+    # once AFTER the union instead of twice per pass (Catalyst cannot
+    # prune the dead join-backs — no uniqueness proof for the id)
     parts = []
     for key in keys:
-        cand = er.sorted_neighborhood_block(c, "c_custkey", key, window=10)
+        cand = er.sorted_neighborhood_block(
+            c, "c_custkey", key, window=10, with_attributes=False
+        )
         parts.append(
             cand.select(
                 F.least("c_custkey_a", "c_custkey_b").alias("ka"),

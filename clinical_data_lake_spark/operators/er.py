@@ -27,6 +27,7 @@ def sorted_neighborhood_block(
     window: int = 10,
     prefix_len: int = 2,
     suffixes: tuple[str, str] = ("_a", "_b"),
+    with_attributes: bool = True,
 ) -> DataFrame:
     """Scale-safe candidate blocking for entity resolution
     (Hernández/Stolfo sorted-neighborhood): sort records on a cheap
@@ -63,6 +64,14 @@ def sorted_neighborhood_block(
     3. attributes join back onto the id pairs (two id-keyed linear
        shuffles; ``records`` is scanned three times — persist it first
        when it is a derived plan rather than a table scan).
+
+    ``with_attributes=False`` skips step 3 and returns the bare id
+    pairs (``{id_col}_a``, ``{id_col}_b``): Catalyst prunes unused
+    COLUMNS but cannot eliminate the join-back JOINS (it has no
+    uniqueness proof for the id), so multi-pass callers that union
+    candidate ids from several sort keys and join attributes once
+    afterwards should opt out here rather than pay two dead joins per
+    pass.
     """
     from .caching import track_persist
 
@@ -106,6 +115,11 @@ def sorted_neighborhood_block(
         .select("__ida__", "__idb__")
     )
     sa, sb = suffixes
+    if not with_attributes:
+        return cand.select(
+            F.col("__ida__").alias(f"{id_col}{sa}"),
+            F.col("__idb__").alias(f"{id_col}{sb}"),
+        )
     left = records.select([F.col(c).alias(f"{c}{sa}") for c in records.columns])
     right = records.select([F.col(c).alias(f"{c}{sb}") for c in records.columns])
     return (

@@ -35,6 +35,25 @@ def test_snm_block_equals_global_window_definition(spark):
     release_persisted()
 
 
+def test_snm_block_ids_only_matches_attribute_pairs(spark):
+    """with_attributes=False returns exactly the id pairs of the full
+    variant (the two join-backs are the ONLY difference; multi-pass
+    callers that union ids and join attributes once opt out of them)."""
+    from clinical_data_lake_spark.operators.caching import release_persisted
+
+    rows = [(i, f"k{(i * 7) % 10}{i % 3}", f"v{i}") for i in range(1, 41)]
+    df = spark.createDataFrame(rows, "id int, key string, val string")
+    full = sorted_neighborhood_block(df, "id", "key", window=4, prefix_len=1)
+    bare = sorted_neighborhood_block(
+        df, "id", "key", window=4, prefix_len=1, with_attributes=False
+    )
+    assert bare.columns == ["id_a", "id_b"]
+    got_full = sorted((r.id_a, r.id_b) for r in full.collect())
+    got_bare = sorted((r.id_a, r.id_b) for r in bare.collect())
+    assert got_bare == got_full
+    release_persisted()
+
+
 def test_snm_block_prefix_len_invariant(spark):
     """Bucketing is an implementation detail: different prefix_len
     values (different bucket splits) must not change the pair set."""
