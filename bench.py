@@ -282,6 +282,12 @@ BENCH_QUERIES = [
     "merge_upsert",
     "stream_dedup",
     "ann_cells_sweep",
+    # r12 session-2 additions (appended — keep the comparable prefix):
+    # the sequential MERGE fold (streaming-upsert batch twin), the ER
+    # cluster-size audit, and the per-dimension embedding profile
+    "stream_upsert",
+    "er_cluster_stats",
+    "embed_dim_stats",
 ]
 
 # Scope the measured set without editing the file (drift A/B testing,

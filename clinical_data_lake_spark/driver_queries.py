@@ -3993,6 +3993,81 @@ def q_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
     ).select("user_id", "event_type")
 
 
+def q_stream_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequential three-batch MERGE fold — the registered batch twin of
+    ``streaming/events.py:merge_stream_to_parquet`` (foreachBatch +
+    merge_into per micro-batch, the Delta streaming-upsert habit on the
+    plain parquet path; test_streaming.py proves the streamed drain of
+    the same three slices lands the identical final table). Batch 1
+    INSERTS re-keyed copies of every 100th pending order; batch 2
+    UPDATES exactly those inserted rows (10% price bump, status F) —
+    ordering matters: a single-merge union of the three slices is NOT
+    equivalent; batch 3 DELETES low-priority finished originals via the
+    negative-price signal. The oracle replays the three snapshots as
+    layered CTEs (re-keyed ids live above 2e9, disjoint from every
+    TPC-H order key at any sf)."""
+    od = read_table(spark, sf, "orders")
+    pend = od.filter(
+        (F.col("o_orderstatus") == "P") & (F.col("o_orderkey") % 100 == 0)
+    )
+    b1 = pend.select(
+        (F.col("o_orderkey") + F.lit(2_000_000_000)).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("O").alias("o_orderstatus"),
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    b2 = pend.select(
+        (F.col("o_orderkey") + F.lit(2_000_000_000)).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("F").alias("o_orderstatus"),
+        (F.col("o_totalprice") * F.lit(1.10)).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    b3 = od.filter(
+        (F.col("o_orderpriority") == "5-LOW")
+        & (F.col("o_orderstatus") == "F")
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.lit(-1.0).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    s1 = cdc.merge_into(od, b1, "o_orderkey")
+    s2 = cdc.merge_into(s1, b2, "o_orderkey")
+    return cdc.merge_into(
+        s2, b3, "o_orderkey",
+        delete_condition=F.col("src.o_totalprice") < 0,
+    )
+
+
+def q_er_cluster_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Cluster-size distribution of the resolved ER entities
+    (operators/er.py:cluster_size_profile over er_pipeline's output) —
+    the post-resolution sanity table where blocking/scoring mistakes
+    surface first as a mega-cluster (the SNM chaining lesson this
+    round: sorted-run windows chain same-key records into one giant
+    component). Oracle wraps the certified er_pipeline recursive-CTE
+    closure in a size rollup."""
+    from .operators import er
+
+    return er.cluster_size_profile(q_er_pipeline(spark, sf))
+
+
+def q_embed_dim_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-dimension embedding health audit
+    (llm/similarity.py:embedding_dim_stats): count, mean, variance,
+    zero fraction, min/max per vector position — catches dead and
+    collapsed dimensions, un-centered axes, and clipping walls before
+    ANN / SemDeDup / quantization trust the vectors. One posexplode
+    into one dimension-keyed aggregate; decimal-exact sums."""
+    return similarity.embedding_dim_stats(read_table(spark, sf, "embeddings"))
+
+
 def q_ann_cells_sweep(spark: SparkSession, sf: str) -> DataFrame:
     """IVF recall-vs-cells capacity curve (llm/similarity.py:ivf_topk):
     recall@10 against brute-force cosine for
@@ -5586,6 +5661,10 @@ QUERIES = {
     "merge_upsert": q_merge_upsert,
     "stream_dedup": q_stream_dedup,
     "ann_cells_sweep": q_ann_cells_sweep,
+    # r12 session-2 additions
+    "stream_upsert": q_stream_upsert,
+    "er_cluster_stats": q_er_cluster_stats,
+    "embed_dim_stats": q_embed_dim_stats,
 }
 
 
@@ -11051,6 +11130,82 @@ ORACLES["merge_upsert"] = """
 
 ORACLES["stream_dedup"] = """
         SELECT DISTINCT user_id, event_type FROM events
+    """
+
+# stream_upsert twin: the three merge batches replayed as layered
+# snapshots. Batch 2 updates exactly the keys batch 1 inserted (all of
+# them and only them — re-keyed ids live above 2e9, disjoint from every
+# TPC-H key), so the update is a CASE on the key range; batch 3 deletes
+# by ORIGINAL key membership.
+ORACLES["stream_upsert"] = """
+        WITH ins AS (
+            SELECT o_orderkey + 2000000000 AS o_orderkey, o_custkey,
+                   'O' AS o_orderstatus, o_totalprice,
+                   o_orderdate, o_orderpriority
+            FROM orders
+            WHERE o_orderstatus = 'P' AND o_orderkey % 100 = 0
+        ),
+        snap1 AS (
+            SELECT * FROM orders UNION ALL SELECT * FROM ins
+        ),
+        snap2 AS (
+            SELECT o_orderkey, o_custkey,
+                   CASE WHEN o_orderkey >= 2000000000 THEN 'F'
+                        ELSE o_orderstatus END AS o_orderstatus,
+                   CASE WHEN o_orderkey >= 2000000000
+                        THEN o_totalprice * CAST(1.10 AS DOUBLE)
+                        ELSE o_totalprice END AS o_totalprice,
+                   o_orderdate, o_orderpriority
+            FROM snap1
+        )
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM snap2
+        WHERE o_orderkey NOT IN (
+            SELECT o_orderkey FROM orders
+            WHERE o_orderpriority = '5-LOW' AND o_orderstatus = 'F'
+        )
+    """
+
+# er_cluster_stats twin: the certified er_pipeline closure wrapped in a
+# size rollup (count DISTINCT clusters per size; records = rows).
+ORACLES["er_cluster_stats"] = f"""
+        SELECT cluster_size,
+               CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+               CAST(count(*) AS BIGINT) AS n_records
+        FROM ({ORACLES["er_pipeline"]}) base
+        GROUP BY cluster_size
+    """
+
+# embed_dim_stats twin: long-form per-position aggregate with
+# decimal(27,18) coordinate sums (order-free addition); divisions done
+# once in doubles on the aggregate outputs, exactly as the Spark side.
+ORACLES["embed_dim_stats"] = """
+        WITH pts AS (
+            SELECT embedding::DOUBLE[] AS v
+            FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        exd AS (
+            SELECT CAST(t.i - 1 AS INT) AS pos,
+                   CAST(v[CAST(t.i AS INTEGER)] AS DOUBLE) AS val
+            FROM pts, UNNEST(range(1, len(v) + 1)) AS t(i)
+        ),
+        agg AS (
+            SELECT pos, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(val AS DECIMAL(27,18))) AS DOUBLE) AS s,
+                   CAST(sum(CAST(val * val AS DECIMAL(27,18))) AS DOUBLE)
+                       AS s2,
+                   CAST(sum(CASE WHEN val = 0.0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS z,
+                   min(val) AS min_val, max(val) AS max_val
+            FROM exd GROUP BY pos
+        )
+        SELECT pos, n,
+               round(s / n, 6) + 0.0 AS mean_val,
+               round(s2 / n - (s / n) * (s / n), 6) + 0.0 AS var_val,
+               round(CAST(z AS DOUBLE) / n, 6) + 0.0 AS zero_frac,
+               min_val, max_val
+        FROM agg
     """
 
 

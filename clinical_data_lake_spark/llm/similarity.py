@@ -1309,3 +1309,61 @@ def embedding_quality(
             F.round(F.col("__sc__").cast("double") / nn, digits) + F.lit(0.0)
         ).alias("mean_cos"),
     )
+
+
+def embedding_dim_stats(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    digits: int = 6,
+) -> DataFrame:
+    """Per-DIMENSION embedding health profile: for every vector
+    position, the count, mean, variance, zero fraction, and min/max of
+    that coordinate across the corpus. The dimension-level audit that
+    catches dead dimensions (zero variance — wasted index width),
+    collapsed/duplicated axes (near-zero variance), un-centered
+    dimensions (|mean| >> 0 distorts cosine after quantization), and
+    clipped activations (min/max walls) BEFORE the embedding column is
+    trusted by ANN / SemDeDup / quantization — the per-dimension
+    sibling of ``embedding_quality``'s per-class audit.
+
+    Scale shape: one posexplode (N x d rows, the standard long-form
+    vector shape) into ONE dimension-keyed aggregate — d is tiny, so
+    the shuffle is d partitions of partial aggregates; no windows, no
+    joins. Partitioning-invariant arithmetic: coordinate sums fold in
+    decimal(27,18) (order-free addition), divisions happen once in
+    doubles on the driver-visible aggregate outputs, results round to
+    ``digits`` with the -0.0 -> +0.0 normalization the oracle twins
+    rely on. Min/max of float32-widened doubles are exact in both
+    engines.
+    """
+    exd = (
+        emb.filter(F.col(vec_col).isNotNull())
+        .select(F.posexplode(F.col(vec_col)).alias("pos", "__v__"))
+        .select("pos", F.col("__v__").cast("double").alias("v"))
+    )
+    agg = exd.groupBy("pos").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("v").cast("decimal(27,18)")).alias("__s__"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(27,18)")).alias("__s2__"),
+        F.sum(F.when(F.col("v") == 0.0, 1).otherwise(0))
+        .cast("long")
+        .alias("__z__"),
+        F.min("v").alias("min_val"),
+        F.max("v").alias("max_val"),
+    )
+    m = F.col("__s__").cast("double") / F.col("n").cast("double")
+    e2 = F.col("__s2__").cast("double") / F.col("n").cast("double")
+    return agg.select(
+        F.col("pos").cast("int").alias("pos"),
+        "n",
+        (F.round(m, digits) + F.lit(0.0)).alias("mean_val"),
+        (F.round(e2 - m * m, digits) + F.lit(0.0)).alias("var_val"),
+        (
+            F.round(
+                F.col("__z__").cast("double") / F.col("n").cast("double"), digits
+            )
+            + F.lit(0.0)
+        ).alias("zero_frac"),
+        "min_val",
+        "max_val",
+    )

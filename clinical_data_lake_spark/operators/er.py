@@ -167,3 +167,35 @@ def resolve_matches(
     return clusters.join(sizes, on="cluster_id").select(
         "entity_id", "cluster_id", "cluster_size"
     )
+
+
+def cluster_size_profile(
+    resolved: DataFrame,
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Cluster-size distribution over ``resolve_matches`` output: for
+    every size, how many entity clusters have it and how many records
+    they hold. THE post-resolution sanity artifact — blocking or
+    scoring mistakes show up here first as a mega-cluster (this round's
+    sorted-neighborhood chaining lesson: windows over a sorted run
+    chain same-key records into one giant component; a user reading
+    this table sees the blow-up before shipping the merge).
+
+    Scale shape: one count per cluster (key-partitioned aggregate over
+    the resolved table), then a size-keyed rollup over the
+    cluster-count table — nothing record-scale after the first
+    aggregate. Returns (cluster_size, n_clusters, n_records)."""
+    per_cluster = resolved.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return (
+        per_cluster.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("n_clusters") * F.col("cluster_size"))
+            .cast("long")
+            .alias("n_records"),
+        )
+    )

@@ -711,3 +711,70 @@ def volume_anomaly(
         (F.round(F.col("__sg__"), digits) + F.lit(0.0)).alias("sigma"),
         (z + F.lit(0.0)).alias("z"),
     ).filter(F.abs(F.col("z")) >= F.lit(float(z_threshold)))
+
+
+def merge_stream_to_parquet(
+    changes: DataFrame,
+    target_dir: str,
+    keys: list[str] | str,
+    checkpoint: str,
+    update_condition: Column | None = None,
+    delete_condition: Column | None = None,
+    insert: bool = True,
+    timeout_sec: float = 300.0,
+):
+    """Streaming ``MERGE INTO`` on the plain-parquet path: every
+    micro-batch of ``changes`` upserts into the parquet directory
+    ``target_dir`` through ``cdc.merge_into`` (WHEN MATCHED UPDATE /
+    DELETE, WHEN NOT MATCHED INSERT — the Delta streaming-upsert habit,
+    ``foreachBatch`` + ``MERGE``, without Delta). The target is
+    rewritten per batch with the staged rename swap
+    (``catalog._rewrite_in_place``): parquet cannot overwrite a path it
+    is reading, and the swap restores the original on failure.
+
+    Exactly-once story: availableNow + the checkpoint's source offsets
+    give at-least-once batch delivery, and THIS merge shape is
+    idempotent under replay — re-applying a batch updates rows to the
+    values they already hold, re-inserts become matched updates of
+    identical rows, and re-deletes match nothing — so the sink state
+    converges even when a batch is retried after a crash between the
+    directory swap and the checkpoint commit.
+
+    ``target_dir`` must exist (seed it with the initial snapshot
+    before starting). At 100 TB the per-batch cost is one full-outer
+    merge join plus a full rewrite of the target — the same cost
+    profile as a Delta MERGE that rewrites every file; partition the
+    target and pre-filter batches to touched partitions when change
+    locality allows."""
+    from ..catalog import _rewrite_in_place
+    from ..operators.cdc import merge_into
+
+    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        _rewrite_in_place(
+            batch_df.sparkSession,
+            target_dir,
+            lambda tgt: merge_into(
+                tgt,
+                batch_df,
+                keys,
+                update_condition=update_condition,
+                delete_condition=delete_condition,
+                insert=insert,
+            ),
+        )
+
+    q = (
+        changes.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"availableNow merge drain into {target_dir} still running "
+            f"after {timeout_sec}s; stopped the query"
+        )
+    return q

@@ -172,3 +172,20 @@ def test_conformal_interval_small_group_null_radius(spark):
     rows = conformal_interval(df, "grp", "id", "y", alpha=0.05).collect()
     for r in rows:
         assert r.q_hat is None and r.coverage is None
+
+
+def test_cluster_size_profile_closed_form(spark):
+    """Three clusters of sizes 3, 2, 2 -> rows (3,1,3) and (2,2,4);
+    mass conservation: sum(n_records) == input rows."""
+    from clinical_data_lake_spark.operators.er import cluster_size_profile
+
+    resolved = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20), (21, 20)],
+        "entity_id long, cluster_id long",
+    )
+    got = {
+        (r.cluster_size, r.n_clusters, r.n_records)
+        for r in cluster_size_profile(resolved).collect()
+    }
+    assert got == {(3, 1, 3), (2, 2, 4)}
+    assert sum(r for _, _, r in got) == resolved.count()

@@ -1453,3 +1453,21 @@ def test_semantic_dedup_target_cell_size_scales_cells(spark, planted_embeddings)
         emb, n_cells=2, threshold=0.95, target_cell_size=1000
     )
     assert max(r.cell for r in floor.collect()) <= 1
+
+
+def test_embedding_dim_stats_closed_form(spark):
+    """Planted vectors: dim 0 = [1,3] (mean 2, var 1), dim 1 = [0,0]
+    (dead: var 0, zero_frac 1), dim 2 = [-1,1] (mean 0, var 1,
+    min/max walls)."""
+    from clinical_data_lake_spark.llm.similarity import embedding_dim_stats
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0, -1.0]), (2, [3.0, 0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.pos: r for r in embedding_dim_stats(emb).collect()}
+    assert rows[0].n == 2 and rows[0].mean_val == 2.0 and rows[0].var_val == 1.0
+    assert rows[0].zero_frac == 0.0
+    assert rows[1].var_val == 0.0 and rows[1].zero_frac == 1.0
+    assert rows[2].mean_val == 0.0 and rows[2].min_val == -1.0
+    assert rows[2].max_val == 1.0

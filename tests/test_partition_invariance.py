@@ -288,6 +288,12 @@ R12_NEW = [
     # md5-deterministic IVF centroids + argmax cell assignment per
     # config — the sweep must not depend on scan/shuffle splits
     "ann_cells_sweep",
+    # r12 session 2: sequential MERGE fold (three layered full-outer
+    # merges), ER cluster-size rollup over the closure, and the
+    # decimal-summed per-dimension embedding profile
+    "stream_upsert",
+    "er_cluster_stats",
+    "embed_dim_stats",
 ]
 
 

@@ -720,3 +720,88 @@ def test_streaming_volume_anomaly_equals_batch(spark, events_stream_setup):
     rows = _sorted_rows(got, cols)
     assert rows == _sorted_rows(batch, cols)
     assert len(rows) > 0
+
+
+def test_merge_stream_to_parquet_equals_sequential_batch_fold(spark, tmp_path):
+    """Streaming MERGE (foreachBatch + merge_into + staged swap) over
+    three ordered change slices must land exactly the state of the
+    sequential batch fold the driver certifies as ``stream_upsert``:
+    batch 1 inserts re-keyed pending orders, batch 2 UPDATES those very
+    inserts (ordering matters — a one-shot union merge is not
+    equivalent), batch 3 deletes via the negative-price signal. Slices
+    are single files written sequentially (distinct mtimes: the file
+    source consumes in modification-time order) and drained with
+    maxFilesPerTrigger=1 so each slice is its own micro-batch."""
+    import time
+
+    from clinical_data_lake_spark.driver_queries import QUERIES
+
+    sf = SF_SMALL
+    od = read_table(spark, sf, "orders")
+    pend = od.filter(
+        (F.col("o_orderstatus") == "P") & (F.col("o_orderkey") % 100 == 0)
+    )
+    b1 = pend.select(
+        (F.col("o_orderkey") + F.lit(2_000_000_000)).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("O").alias("o_orderstatus"),
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    b2 = pend.select(
+        (F.col("o_orderkey") + F.lit(2_000_000_000)).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("F").alias("o_orderstatus"),
+        (F.col("o_totalprice") * F.lit(1.10)).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    b3 = od.filter(
+        (F.col("o_orderpriority") == "5-LOW")
+        & (F.col("o_orderstatus") == "F")
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.lit(-1.0).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    src_dir = str(tmp_path / "changes")
+    for i, b in enumerate((b1, b2, b3)):
+        b.coalesce(1).write.parquet(f"{src_dir}/slice{i}")
+        time.sleep(1.1)  # distinct mtimes -> deterministic file order
+    # flatten the slice part-files into one dir for the file source
+    import glob
+    import os
+    import shutil
+
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i in range(3):
+        for f in sorted(glob.glob(f"{src_dir}/slice{i}/part-*.parquet")):
+            shutil.copy(f, os.path.join(flat, f"{i}-{os.path.basename(f)}"))
+            os.utime(
+                os.path.join(flat, f"{i}-{os.path.basename(f)}"),
+                (1_700_000_000 + i, 1_700_000_000 + i),
+            )
+    target = str(tmp_path / "target")
+    od.write.parquet(target)  # seed with the initial snapshot
+    changes = (
+        spark.readStream.schema(od.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    se.merge_stream_to_parquet(
+        changes,
+        target,
+        "o_orderkey",
+        checkpoint=str(tmp_path / "ckpt"),
+        delete_condition=F.col("src.o_totalprice") < 0,
+    )
+    got = sorted(
+        map(tuple, spark.read.parquet(target).collect())
+    )
+    want = sorted(map(tuple, QUERIES["stream_upsert"](spark, sf).collect()))
+    assert got == want
