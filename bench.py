@@ -288,6 +288,17 @@ BENCH_QUERIES = [
     "stream_upsert",
     "er_cluster_stats",
     "embed_dim_stats",
+    # r12 session-3 additions (appended — keep the comparable prefix):
+    # the training-data curation pack — leakage-safe cluster split,
+    # per-slice dup pressure, trigram diversity, Zipf fit, PII audit,
+    # embedding-norm health, and context-length truncation planning
+    "leakage_split",
+    "dup_rate_by_slice",
+    "ngram_diversity",
+    "zipf_fit",
+    "pii_profile",
+    "embed_norm_profile",
+    "truncation_loss",
 ]
 
 # Scope the measured set without editing the file (drift A/B testing,

@@ -4068,6 +4068,78 @@ def q_embed_dim_stats(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.embedding_dim_stats(read_table(spark, sf, "embeddings"))
 
 
+def q_leakage_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe train/val/test split
+    (llm/dedup.py:cluster_safe_split): near-dup clusters (the same
+    certified jaccard pairs + closure dedup_clusters runs) are
+    assigned WHOLE to splits via md5 of the cluster id, so no near-dup
+    pair ever straddles a train/eval boundary — the corpus-internal
+    counterpart of decontamination. Oracle replays the recursive-CTE
+    closure, the singleton fallback, and the md5-cell thresholds."""
+    docs = read_table(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.2, max_doc_freq=100)
+    return dedup.cluster_safe_split(docs, pairs)
+
+
+def q_dup_rate_by_slice(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-(lang, source) exact-duplicate pressure report
+    (llm/dedup.py:dup_rate_profile): doc count, distinct normalized
+    texts, redundant copies, largest dup group, dup rate — the
+    dashboard that decides where dedup budget goes. Two-stage
+    fingerprint rollup; second stage bounded by distinct texts."""
+    return dedup.dup_rate_profile(read_table(spark, sf, "documents"))
+
+
+def q_ngram_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language trigram diversity (functions/text.py:
+    ngram_diversity): total/distinct word-trigram counts and their
+    type-token ratio — the slice-level template-spam detector
+    (distinct-n applied to training text). Shared zip-shifted
+    shingling core without the per-doc distinct; vocabulary-bounded
+    second aggregate."""
+    return text.ngram_diversity(read_table(spark, sf, "documents"))
+
+
+def q_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf's-law slope/intercept per language (functions/text.py:
+    zipf_fit): OLS of ln(freq) on ln(rank) over the top-200 tokens —
+    natural text sits near slope -1; template/synthetic text flattens.
+    Rank window runs over the bounded vocabulary table; regression
+    terms fold as round-14 decimals so both engines sum exactly."""
+    return text.zipf_fit(read_table(spark, sf, "documents"))
+
+
+def q_pii_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-(lang, source) PII incidence audit (functions/text.py:
+    pii_profile): email-shaped and long-digit-run match counts and
+    document rates using the same RE2/Java-portable patterns
+    redact_pii scrubs with — the pre-scrub audit and post-scrub
+    zero-check. Scan-side regexp projection into one aggregate."""
+    return text.pii_profile(read_table(spark, sf, "documents"))
+
+
+def q_embed_norm_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label embedding L2-norm health (llm/similarity.py:
+    embedding_norm_profile): mean/min/max norm, dead-vector and
+    unit-normalized fractions — the per-vector sibling of
+    embed_dim_stats and the gate before cosine consumers trust the
+    column. Long-form decimal sum of squares, no windows or joins."""
+    return similarity.embedding_norm_profile(
+        read_table(spark, sf, "embeddings")
+    )
+
+
+def q_truncation_loss(spark: SparkSession, sf: str) -> DataFrame:
+    """Context-length planning per language (llm/packing.py:
+    truncation_loss): documents truncated and token mass lost at max
+    sequence lengths {16, 32, 64} — how a packing length gets chosen.
+    One scan; limits are an in-plan literal array exploded against
+    the token counts the text_stats twin certifies."""
+    from .llm import packing
+
+    return packing.truncation_loss(read_table(spark, sf, "documents"))
+
+
 def q_ann_cells_sweep(spark: SparkSession, sf: str) -> DataFrame:
     """IVF recall-vs-cells capacity curve (llm/similarity.py:ivf_topk):
     recall@10 against brute-force cosine for
@@ -5665,6 +5737,14 @@ QUERIES = {
     "stream_upsert": q_stream_upsert,
     "er_cluster_stats": q_er_cluster_stats,
     "embed_dim_stats": q_embed_dim_stats,
+    # r12 session-3 additions: the training-data curation pack
+    "leakage_split": q_leakage_split,
+    "dup_rate_by_slice": q_dup_rate_by_slice,
+    "ngram_diversity": q_ngram_diversity,
+    "zipf_fit": q_zipf_fit,
+    "pii_profile": q_pii_profile,
+    "embed_norm_profile": q_embed_norm_profile,
+    "truncation_loss": q_truncation_loss,
 }
 
 
@@ -14608,4 +14688,217 @@ ORACLES["chao1"] = """
                                / (2.0 * (CAST(f2 AS DOUBLE) + 1.0)), 6),
                      6) + 0.0 AS coverage
         FROM agg
+    """
+
+# -- r12 session-3 oracle twins: the training-data curation pack. --
+
+# leakage_split twin: the dedup_clusters recursive closure + singleton
+# fallback + the exact md5-cell thresholds hash_split bakes in for
+# (0.8, 0.1, 0.1) -> cells 205 ('cd') and 230 ('e6'), same as the
+# certified sample_split twin.
+ORACLES["leakage_split"] = f"""
+        WITH RECURSIVE pairs AS (
+            SELECT doc_a, doc_b FROM ({_NGRAM_PAIRS_SQL})
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION
+            SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        reach AS (
+            SELECT src AS node, src AS lbl FROM edges
+            UNION
+            SELECT e.src AS node, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+        ),
+        clusters AS (
+            SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+        ),
+        assign AS (
+            SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+        )
+        SELECT doc_id, cluster_id,
+               CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < 'cd'
+                         THEN 'train'
+                    WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < 'e6'
+                         THEN 'val'
+                    ELSE 'test' END AS split
+        FROM assign
+    """
+
+# dup_rate_by_slice twin: two-stage fingerprint rollup, integer counts,
+# one rate division.
+ORACLES["dup_rate_by_slice"] = """
+        WITH per AS (
+            SELECT lang, source,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+                   count(*) AS n
+            FROM documents GROUP BY 1, 2, 3
+        )
+        SELECT lang, source,
+               CAST(sum(n) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(sum(n) - count(*) AS BIGINT) AS n_redundant,
+               CAST(max(n) AS BIGINT) AS max_group,
+               round(CAST(sum(n) - count(*) AS DOUBLE)
+                     / CAST(sum(n) AS DOUBLE), 6) AS dup_rate
+        FROM per GROUP BY lang, source
+    """
+
+# ngram_diversity twin: the certified shingle construction (same as
+# _NGRAM_PAIRS_SQL's toks/shingles) WITHOUT the per-doc distinct,
+# grouped per language.
+ORACLES["ngram_diversity"] = """
+        WITH toks AS (
+            SELECT lang,
+                   string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+            FROM documents
+        ),
+        grams AS (
+            SELECT lang, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+            FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+            WHERE len(w) >= 3
+        ),
+        per AS (SELECT lang, g, count(*) AS n FROM grams GROUP BY 1, 2)
+        SELECT lang,
+               CAST(sum(n) AS BIGINT) AS n_ngrams,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               round(CAST(count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6)
+                   AS diversity
+        FROM per GROUP BY lang
+    """
+
+# zipf_fit twin: rank window over the bounded vocabulary table (total
+# order: freq desc, token asc), ln-terms rounded to 14 dp and summed as
+# DECIMAL(28,14) (order-free), slope/intercept once per slice in
+# doubles — the mutual_info decimal-term convention.
+ORACLES["zipf_fit"] = """
+        WITH toks AS (
+            SELECT lang, t.tok
+            FROM (
+                SELECT lang,
+                       string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+                FROM documents
+            ), UNNEST(w) AS t(tok)
+            WHERE t.tok != ''
+        ),
+        vocab AS (SELECT lang, tok, count(*) AS f FROM toks GROUP BY 1, 2),
+        ranked AS (
+            SELECT lang, f,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY f DESC, tok ASC) AS r
+            FROM vocab
+        ),
+        terms AS (
+            SELECT lang,
+                   CAST(round(ln(CAST(r AS DOUBLE)), 14) AS DECIMAL(28,14)) AS x,
+                   CAST(round(ln(CAST(f AS DOUBLE)), 14) AS DECIMAL(28,14)) AS y
+            FROM ranked WHERE r <= 200
+        ),
+        agg AS (
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_terms,
+                   CAST(count(*) AS DOUBLE) AS nd,
+                   CAST(sum(x) AS DOUBLE) AS sx,
+                   CAST(sum(y) AS DOUBLE) AS sy,
+                   CAST(sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                 AS DECIMAL(28,14))) AS DOUBLE) AS sxx,
+                   CAST(sum(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)
+                                 AS DECIMAL(28,14))) AS DOUBLE) AS sxy
+            FROM terms GROUP BY lang
+        )
+        SELECT lang, n_terms,
+               round((nd * sxy - sx * sy) / (nd * sxx - sx * sx), 9) + 0.0
+                   AS zipf_slope,
+               round((sy - ((nd * sxy - sx * sy) / (nd * sxx - sx * sx)) * sx)
+                     / nd, 9) + 0.0 AS zipf_intercept
+        FROM agg
+    """
+
+# pii_profile twin: the exact EMAIL_RE / LONG_NUMBER_RE patterns
+# (RE2/Java-portable by construction) replayed via regexp_extract_all.
+ORACLES["pii_profile"] = f"""
+        WITH base AS (
+            SELECT lang, source,
+                   len(regexp_extract_all(text, '{text.EMAIL_RE}')) AS ne,
+                   len(regexp_extract_all(text, '{text.LONG_NUMBER_RE}')) AS nn
+            FROM documents
+        )
+        SELECT lang, source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN ne > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS docs_with_email,
+               CAST(sum(ne) AS BIGINT) AS n_emails,
+               CAST(sum(CASE WHEN nn > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS docs_with_number,
+               CAST(sum(nn) AS BIGINT) AS n_numbers,
+               round(CAST(sum(CASE WHEN ne > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 6) AS email_rate,
+               round(CAST(sum(CASE WHEN nn > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 6) AS number_rate
+        FROM base GROUP BY lang, source
+    """
+
+# embed_norm_profile twin: long-form decimal(27,18) sum of squares per
+# vector (the embed_dim_stats convention), sqrt once, then a label
+# rollup whose norm sums fold as round-14 decimals.
+ORACLES["embed_norm_profile"] = """
+        WITH pts AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS v
+            FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        exd AS (
+            SELECT vec_id, label,
+                   CAST(v[CAST(t.i AS INTEGER)] AS DOUBLE) AS val
+            FROM pts, UNNEST(range(1, len(v) + 1)) AS t(i)
+        ),
+        pv AS (
+            SELECT vec_id, label,
+                   CAST(sum(CAST(val * val AS DECIMAL(27,18))) AS DOUBLE) AS ss
+            FROM exd GROUP BY 1, 2
+        ),
+        vecs AS (
+            SELECT label, sqrt(ss) AS norm,
+                   CAST(round(sqrt(ss), 14) AS DECIMAL(28,14)) AS normd
+            FROM pv
+        )
+        SELECT label,
+               CAST(count(*) AS BIGINT) AS n_vectors,
+               round(CAST(sum(normd) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 6) + 0.0 AS mean_norm,
+               round(min(norm), 6) + 0.0 AS min_norm,
+               round(max(norm), 6) + 0.0 AS max_norm,
+               round(CAST(sum(CASE WHEN norm < 1e-6 THEN 1 ELSE 0 END)
+                          AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+                   AS dead_frac,
+               round(CAST(sum(CASE WHEN abs(norm - 1.0) <= 1e-3
+                                   THEN 1 ELSE 0 END)
+                          AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+                   AS unit_frac
+        FROM vecs GROUP BY label
+    """
+
+# truncation_loss twin: the text_stats-certified whitespace token
+# count crossed with the literal limits grid; integer sums, one
+# division per output row.
+ORACLES["truncation_loss"] = """
+        WITH base AS (
+            SELECT lang,
+                   CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)
+                       AS tok,
+                   lim.max_len
+            FROM documents
+            CROSS JOIN (VALUES (16), (32), (64)) AS lim(max_len)
+        )
+        SELECT lang, max_len,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN tok > max_len THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_truncated,
+               CAST(sum(tok) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN tok > max_len THEN tok - max_len ELSE 0 END)
+                    AS BIGINT) AS n_tokens_lost,
+               round(CAST(sum(CASE WHEN tok > max_len THEN tok - max_len
+                                   ELSE 0 END) AS DOUBLE)
+                     / CAST(sum(tok) AS DOUBLE), 6) AS loss_rate
+        FROM base GROUP BY lang, max_len
     """

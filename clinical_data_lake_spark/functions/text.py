@@ -1255,3 +1255,153 @@ def chao1_richness(
             F.round(v / chao1, digits) + F.lit(0.0)
         ).alias("coverage"),
     )
+
+
+def ngram_diversity(
+    docs,
+    group_col: str = "lang",
+    text_col: str = "text",
+    n: int = 3,
+    digits: int = 6,
+):
+    """Per-slice n-gram diversity (type-token ratio over word n-grams):
+    total n-gram occurrences, distinct n-grams, and their ratio. The
+    corpus-health inverse of the repetition/dup profiles — a slice
+    whose trigram diversity collapses is template spam or mass
+    near-duplication even when no single pair crosses a dedup
+    threshold (distinct-n is the standard generation-diversity metric;
+    here applied slice-wise to training text).
+
+    Scale shape: the shared shingling core (zip-shifted slices, no
+    per-element lambda re-evaluation) WITHOUT the per-doc distinct,
+    then one (slice, shingle) aggregate whose second stage is bounded
+    by vocabulary, not corpus size. Integer counts; one division per
+    slice row.
+    """
+    from ..llm.dedup import word_shingles
+
+    grams = word_shingles(
+        docs.select(F.col(group_col).alias("__g__"), F.col(text_col).alias("__t__")),
+        id_col="__g__",
+        text_col="__t__",
+        n=n,
+        distinct=False,
+    )
+    per_gram = grams.groupBy("__g__", "shingle").agg(
+        F.count(F.lit(1)).alias("__n__")
+    )
+    n_total = F.sum("__n__").cast("long")
+    n_distinct = F.count(F.lit(1)).cast("long")
+    return per_gram.groupBy(F.col("__g__").alias(group_col)).agg(
+        n_total.alias("n_ngrams"),
+        n_distinct.alias("n_distinct"),
+        F.round(
+            n_distinct.cast("double") / n_total.cast("double"), digits
+        ).alias("diversity"),
+    )
+
+
+def zipf_fit(
+    docs,
+    group_col: str = "lang",
+    text_col: str = "text",
+    top_k: int = 200,
+    digits: int = 9,
+):
+    """Zipf's-law fit per slice: OLS slope/intercept of ln(frequency)
+    on ln(rank) over the top-``top_k`` tokens. Natural text runs a
+    slope near -1; synthetic/template text flattens toward 0 and
+    boilerplate-dominated crawls steepen past -1.5 — a one-number
+    distribution-shape audit that catches corpus pathologies
+    vocabulary counts alone miss (Zipf 1949; used as an LM-corpus
+    health check in data-quality literature).
+
+    Scale shape: one token explode into a (slice, token) count (the
+    vocabulary table), ranked by a window over THAT bounded table
+    (freq desc, token asc — total order), truncated to ``top_k``.
+    The regression folds ln-terms rounded to 14 dp into
+    decimal(28,14) sums (order-free addition); slope/intercept are
+    computed once per slice in doubles from the exact sums, so both
+    engines run the identical IEEE expression.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(group_col).alias("__g__"),
+        F.explode(
+            F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+        ).alias("__tok__"),
+    ).filter(F.col("__tok__") != "")
+    vocab = toks.groupBy("__g__", "__tok__").agg(F.count(F.lit(1)).alias("__f__"))
+    w = Window.partitionBy("__g__").orderBy(F.desc("__f__"), F.asc("__tok__"))
+    ranked = vocab.withColumn("__r__", F.row_number().over(w)).filter(
+        F.col("__r__") <= top_k
+    )
+    dec = "decimal(28,14)"
+    x = F.round(F.log(F.col("__r__").cast("double")), 14).cast(dec)
+    y = F.round(F.log(F.col("__f__").cast("double")), 14).cast(dec)
+    agg = ranked.groupBy(F.col("__g__").alias(group_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum(x).alias("__sx__"),
+        F.sum(y).alias("__sy__"),
+        F.sum((x.cast("double") * x.cast("double")).cast(dec)).alias("__sxx__"),
+        F.sum((x.cast("double") * y.cast("double")).cast(dec)).alias("__sxy__"),
+    )
+    nd = F.col("n_terms").cast("double")
+    sx = F.col("__sx__").cast("double")
+    sy = F.col("__sy__").cast("double")
+    sxx = F.col("__sxx__").cast("double")
+    sxy = F.col("__sxy__").cast("double")
+    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    return agg.select(
+        group_col,
+        "n_terms",
+        (F.round(slope, digits) + F.lit(0.0)).alias("zipf_slope"),
+        (F.round((sy - slope * sx) / nd, digits) + F.lit(0.0)).alias(
+            "zipf_intercept"
+        ),
+    )
+
+
+def pii_profile(
+    docs,
+    group_cols: tuple[str, ...] = ("lang", "source"),
+    text_col: str = "text",
+    digits: int = 6,
+):
+    """Per-slice PII incidence audit: document counts and rates for
+    email-shaped and long-digit-run matches (the same cross-engine
+    ``EMAIL_RE``/``LONG_NUMBER_RE`` patterns ``redact_pii`` scrubs
+    with), plus total match counts. Redaction removes PII; this
+    MEASURES it — the audit that decides whether a source needs the
+    scrub pass at all, and the post-redaction zero-check.
+
+    Pure scan-side projection (two regexp_extract_all calls, codegen)
+    into one slice-keyed aggregate; integer counts, rate divisions
+    once per slice. Patterns are RE2/Java-compatible by construction
+    so the oracle replays them verbatim.
+    """
+    c = _col(text_col)
+    n_email = F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), 0))
+    n_num = F.size(F.regexp_extract_all(c, F.lit(LONG_NUMBER_RE), 0))
+    base = docs.select(
+        *[F.col(g) for g in group_cols],
+        F.coalesce(n_email, F.lit(0)).cast("long").alias("__ne__"),
+        F.coalesce(n_num, F.lit(0)).cast("long").alias("__nn__"),
+    )
+    n_docs = F.count(F.lit(1)).cast("long")
+    docs_email = F.sum((F.col("__ne__") > 0).cast("long")).cast("long")
+    docs_num = F.sum((F.col("__nn__") > 0).cast("long")).cast("long")
+    return base.groupBy(*group_cols).agg(
+        n_docs.alias("n_docs"),
+        docs_email.alias("docs_with_email"),
+        F.sum("__ne__").cast("long").alias("n_emails"),
+        docs_num.alias("docs_with_number"),
+        F.sum("__nn__").cast("long").alias("n_numbers"),
+        F.round(docs_email.cast("double") / n_docs.cast("double"), digits).alias(
+            "email_rate"
+        ),
+        F.round(docs_num.cast("double") / n_docs.cast("double"), digits).alias(
+            "number_rate"
+        ),
+    )

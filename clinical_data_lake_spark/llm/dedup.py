@@ -1659,3 +1659,97 @@ def dedup_span_removal(
         .alias("n_removed"),
         F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
     )
+
+
+def cluster_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    weights: tuple[float, ...] = (0.8, 0.1, 0.1),
+    labels: tuple[str, ...] = ("train", "val", "test"),
+    left: str = "doc_a",
+    right: str = "doc_b",
+    max_iters: int = 25,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Leakage-safe train/val/test split: near-duplicate CLUSTERS are
+    the unit of assignment, so two near-identical documents can never
+    land on opposite sides of a train/eval boundary. A plain per-doc
+    hash split leaks — every near-dup pair that straddles the cut is a
+    training example memorized into the eval set (the reason published
+    pipelines dedup/split at cluster granularity; cf. the
+    decontamination operator, which handles EXTERNAL eval sets, while
+    this handles the corpus's own split).
+
+    Pipeline: transitive closure over the provided near-dup ``pairs``
+    (``dup_clusters`` — converges or raises, never truncates),
+    singletons fall back to their own id, then the deterministic
+    md5-cell ``hash_split`` keyed on ``cluster_id``. Same md5 hex in
+    every engine, so the assignment is reproducible and
+    oracle-replayable; output = (id, cluster_id, split).
+
+    Scale shape: closure cost is the pair graph's (see
+    ``dup_clusters``); the split itself is one broadcast-free
+    projection after a left join on the (much smaller) clustered-doc
+    table. No windows, no collects.
+    """
+    from ..operators.sampling import hash_split
+
+    clusters = dup_clusters(
+        pairs,
+        left=left,
+        right=right,
+        id_alias=id_col,
+        cluster_alias="cluster_id",
+        max_iters=max_iters,
+        checkpoint_dir=checkpoint_dir,
+    )
+    assigned = (
+        docs.select(id_col)
+        .join(clusters, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    return hash_split(assigned, "cluster_id", weights, labels)
+
+
+def dup_rate_profile(
+    docs: DataFrame,
+    group_cols: tuple[str, ...] = ("lang", "source"),
+    text_col: str = "text",
+    digits: int = 6,
+) -> DataFrame:
+    """Per-slice exact-duplicate pressure report: for every corpus
+    slice (language x source by default) the document count, distinct
+    normalized-text count, redundant-copy count, largest duplicate
+    group, and duplicate rate. The curation dashboard that decides
+    WHERE dedup budget goes — a crawl source with dup_rate 0.4 gets
+    deduped first; one at 0.01 may not be worth a pass.
+
+    Two-stage aggregation: md5 fingerprint groupBy (the
+    ``exact_dedup_groups`` shuffle, linear, map-side combinable) then
+    a slice-level rollup of the (slice, fingerprint) counts — the
+    second stage's input is bounded by distinct texts, not documents.
+    Integer counts throughout; the single rate division happens once
+    per output row.
+    """
+    keys = [F.col(c) for c in group_cols]
+    per_fp = (
+        docs.select(*keys, F.md5(_normalized(text_col)).alias("__fp__"))
+        .groupBy(*group_cols, "__fp__")
+        .agg(F.count(F.lit(1)).alias("__n__"))
+    )
+    n_docs = F.sum("__n__").cast("long")
+    n_distinct = F.count(F.lit(1)).cast("long")
+    return per_fp.groupBy(*group_cols).agg(
+        n_docs.alias("n_docs"),
+        n_distinct.alias("n_distinct"),
+        (n_docs - n_distinct).alias("n_redundant"),
+        F.max("__n__").cast("long").alias("max_group"),
+        F.round(
+            (n_docs - n_distinct).cast("double") / n_docs.cast("double"),
+            digits,
+        ).alias("dup_rate"),
+    )

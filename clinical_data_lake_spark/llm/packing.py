@@ -254,3 +254,51 @@ def pack_stats(packed: DataFrame, token_col: str = "n_tokens", budget: int = 204
         .agg(*agg)
         .withColumn("fill_frac", (F.col("fill") / F.lit(float(budget))).cast("double"))
     )
+
+
+def truncation_loss(
+    docs: DataFrame,
+    limits: tuple[int, ...] = (16, 32, 64),
+    group_col: str = "lang",
+    text_col: str = "text",
+    digits: int = 6,
+) -> DataFrame:
+    """Context-length planning table: for each candidate maximum
+    sequence length, how many documents a hard truncation would cut
+    and what fraction of the corpus's tokens it would discard, per
+    slice. The capacity-planning twin of the packing operators —
+    ``pack_*`` assumes a sequence length; this table is how that
+    length gets CHOSEN (token loss vs context cost), and per-slice
+    because the answer differs by language/source.
+
+    One corpus scan: whitespace token counts (the same expression the
+    certified text_stats twin pins) cross a tiny in-plan limits array
+    via explode, then one (slice, limit) aggregate. Integer token
+    sums; one loss-rate division per output row. The limits array is
+    literal — no join, no second scan per limit.
+    """
+    if not limits:
+        raise ValueError("need at least one limit")
+    tok = F.size(F.split(F.col(text_col), r"\s+")).cast("long")
+    base = docs.select(
+        F.col(group_col),
+        tok.alias("__tok__"),
+        F.explode(
+            F.array(*[F.lit(int(m)) for m in limits])
+        ).alias("max_len"),
+    )
+    n_tokens = F.sum("__tok__").cast("long")
+    lost = F.sum(
+        F.greatest(F.col("__tok__") - F.col("max_len"), F.lit(0).cast("long"))
+    ).cast("long")
+    return base.groupBy(group_col, "max_len").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("__tok__") > F.col("max_len")).cast("long"))
+        .cast("long")
+        .alias("n_truncated"),
+        n_tokens.alias("n_tokens"),
+        lost.alias("n_tokens_lost"),
+        F.round(lost.cast("double") / n_tokens.cast("double"), digits).alias(
+            "loss_rate"
+        ),
+    )

@@ -1367,3 +1367,72 @@ def embedding_dim_stats(
         "min_val",
         "max_val",
     )
+
+
+def embedding_norm_profile(
+    emb: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    unit_tol: float = 1e-3,
+    dead_tol: float = 1e-6,
+    digits: int = 6,
+) -> DataFrame:
+    """Per-group VECTOR-norm health profile: count, mean/min/max L2
+    norm, the fraction of near-zero ("dead") vectors, and the fraction
+    already unit-normalized. The per-vector sibling of
+    ``embedding_dim_stats``: cosine similarity silently degenerates on
+    zero vectors and mixed-norm corpora (dot products stop being
+    cosines), so this is the gate before any ANN / SemDeDup /
+    quantization consumer trusts ``vec_col``.
+
+    Scale shape: long-form posexplode into an id-keyed decimal(27,18)
+    sum of squares (order-free addition, same as the certified
+    dim-stats plan), one sqrt per vector, then a group-keyed rollup
+    whose norm sums fold as round-14 decimals. No windows, no joins,
+    no collects; divisions happen once per group row in doubles.
+    """
+    exd = (
+        emb.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.explode(F.col(vec_col)).alias("__v__"),
+        )
+        .select(
+            id_col,
+            group_col,
+            F.col("__v__").cast("double").alias("__v__"),
+        )
+    )
+    per_vec = exd.groupBy(id_col, group_col).agg(
+        F.sum((F.col("__v__") * F.col("__v__")).cast("decimal(27,18)")).alias(
+            "__ss__"
+        )
+    )
+    norm = F.sqrt(F.col("__ss__").cast("double"))
+    vecs = per_vec.select(
+        group_col,
+        norm.alias("__norm__"),
+        F.round(norm, 14).cast("decimal(28,14)").alias("__normd__"),
+    )
+    n = F.count(F.lit(1)).cast("long")
+    n_dead = F.sum((F.col("__norm__") < dead_tol).cast("long")).cast("long")
+    n_unit = F.sum(
+        (F.abs(F.col("__norm__") - 1.0) <= unit_tol).cast("long")
+    ).cast("long")
+    return vecs.groupBy(group_col).agg(
+        n.alias("n_vectors"),
+        (
+            F.round(F.sum("__normd__").cast("double") / n.cast("double"), digits)
+            + F.lit(0.0)
+        ).alias("mean_norm"),
+        (F.round(F.min("__norm__"), digits) + F.lit(0.0)).alias("min_norm"),
+        (F.round(F.max("__norm__"), digits) + F.lit(0.0)).alias("max_norm"),
+        F.round(n_dead.cast("double") / n.cast("double"), digits).alias(
+            "dead_frac"
+        ),
+        F.round(n_unit.cast("double") / n.cast("double"), digits).alias(
+            "unit_frac"
+        ),
+    )

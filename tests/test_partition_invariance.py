@@ -294,6 +294,17 @@ R12_NEW = [
     "stream_upsert",
     "er_cluster_stats",
     "embed_dim_stats",
+    # r12 session 3 — the training-data curation pack: closure +
+    # md5-cell split; two-stage fingerprint rollup; vocabulary-bounded
+    # shingle/token aggregates with decimal regression terms; regexp
+    # match counts; decimal norm sums; literal-limits token grid
+    "leakage_split",
+    "dup_rate_by_slice",
+    "ngram_diversity",
+    "zipf_fit",
+    "pii_profile",
+    "embed_norm_profile",
+    "truncation_loss",
 ]
 
 
