@@ -299,6 +299,10 @@ BENCH_QUERIES = [
     "pii_profile",
     "embed_norm_profile",
     "truncation_loss",
+    "embed_clip_bounds",
+    "cross_slice_dups",
+    "mixture_plan",
+    "quantized_recall",
 ]
 
 # Scope the measured set without editing the file (drift A/B testing,

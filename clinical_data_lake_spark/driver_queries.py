@@ -4140,6 +4140,77 @@ def q_truncation_loss(spark: SparkSession, sf: str) -> DataFrame:
     return packing.truncation_loss(read_table(spark, sf, "documents"))
 
 
+def q_embed_clip_bounds(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-dimension [p1, p99] quantization clip calibration
+    (llm/similarity.py:embedding_clip_bounds): exact interpolated
+    percentile bounds per coordinate + the clipped fraction — the
+    outlier-robust calibration table quantize_embeddings' max-|x|
+    scale needs at 100 TB. Long-form percentile aggregate (d rows),
+    broadcast join-back for the clip count; bounds rounded before
+    comparison (the winsorize convention)."""
+    return similarity.embedding_clip_bounds(
+        read_table(spark, sf, "embeddings")
+    )
+
+
+def q_cross_slice_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """Content-syndication matrix (llm/dedup.py:cross_slice_dups):
+    distinct normalized texts SHARED between every pair of sources —
+    the mirror-site/boilerplate-network detector within-slice dup
+    rates are blind to. Distinct (slice, fingerprint) self-join;
+    fan-out bounded by slice count, output by slices^2/2. Registered
+    on the first-8-words prefix fingerprint (the shared-opening
+    syndication key — full-text exact dups barely cross sources on
+    this corpus; prefix granularity keeps the check non-degenerate at
+    every SF)."""
+    return dedup.cross_slice_dups(
+        read_table(spark, sf, "documents"), prefix_words=8
+    )
+
+
+def q_mixture_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Alpha-mixture planning table (llm/corpus.py:mixture_plan):
+    per-language doc/token inventory, the exact 65536-cell keep-rate
+    sample_alpha executes (alpha=0.5, target 0.5), and expected
+    doc/token yield — the token-budget answer that comes before any
+    row is sampled. One corpus scan + broadcast-sized rate join."""
+    from .llm import corpus as llm_corpus
+
+    return llm_corpus.mixture_plan(read_table(spark, sf, "documents"))
+
+
+def q_quantized_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """int8-quantization recall audit: overlap@10 of quantized cosine
+    top-k (llm/similarity.py:quantized_cosine_topk, corpus max-|x|
+    scale) against exact float cosine — the quantization counterpart
+    of ann_cells_sweep's IVF curve. Both rankings are deterministic
+    (integer dot products / total-order tie-break), so the oracle
+    rebuilds each verbatim and recall is exact."""
+    emb = read_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(q, emb, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    quant = similarity.quantized_cosine_topk(q, emb, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        exact.join(quant, on=["query_id", "neighbor_id"], how="left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__h__"))
+    )
+    n_hit = F.coalesce("__h__", F.lit(0).cast("long")).cast("long")
+    return (
+        q.select(F.col("vec_id").alias("query_id"))
+        .join(hits, on="query_id", how="left")
+        .select(
+            "query_id",
+            n_hit.alias("n_hit"),
+            (n_hit / F.lit(10.0)).alias("recall"),
+        )
+    )
+
+
 def q_ann_cells_sweep(spark: SparkSession, sf: str) -> DataFrame:
     """IVF recall-vs-cells capacity curve (llm/similarity.py:ivf_topk):
     recall@10 against brute-force cosine for
@@ -5745,6 +5816,10 @@ QUERIES = {
     "pii_profile": q_pii_profile,
     "embed_norm_profile": q_embed_norm_profile,
     "truncation_loss": q_truncation_loss,
+    "embed_clip_bounds": q_embed_clip_bounds,
+    "cross_slice_dups": q_cross_slice_dups,
+    "mixture_plan": q_mixture_plan,
+    "quantized_recall": q_quantized_recall,
 }
 
 
@@ -14901,4 +14976,98 @@ ORACLES["truncation_loss"] = """
                                    ELSE 0 END) AS DOUBLE)
                      / CAST(sum(tok) AS DOUBLE), 6) AS loss_rate
         FROM base GROUP BY lang, max_len
+    """
+
+# embed_clip_bounds twin: quantile_cont percentiles per dimension
+# (the agg_percentile/winsorize interpolation parity), bounds rounded
+# to 6 BEFORE the clip comparison exactly as the Spark side.
+ORACLES["embed_clip_bounds"] = """
+        WITH pts AS (
+            SELECT embedding::DOUBLE[] AS v
+            FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        exd AS (
+            SELECT CAST(t.i - 1 AS INT) AS pos,
+                   CAST(v[CAST(t.i AS INTEGER)] AS DOUBLE) AS val
+            FROM pts, UNNEST(range(1, len(v) + 1)) AS t(i)
+        ),
+        bounds AS (
+            SELECT pos, CAST(count(*) AS BIGINT) AS n,
+                   round(quantile_cont(val, 0.01), 6) + 0.0 AS p_lo,
+                   round(quantile_cont(val, 0.99), 6) + 0.0 AS p_hi
+            FROM exd GROUP BY pos
+        )
+        SELECT b.pos, b.n, b.p_lo, b.p_hi,
+               round(CAST(sum(CASE WHEN e.val < b.p_lo OR e.val > b.p_hi
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(b.n AS DOUBLE), 6) AS clip_frac
+        FROM exd e JOIN bounds b ON e.pos = b.pos
+        GROUP BY b.pos, b.n, b.p_lo, b.p_hi
+    """
+
+# cross_slice_dups twin: distinct (slice, fingerprint) self-join.
+ORACLES["cross_slice_dups"] = """
+        WITH fps AS (
+            SELECT DISTINCT source,
+                   md5(array_to_string(list_slice(
+                       string_split(regexp_replace(lower(trim(text)),
+                                                   '\\s+', ' ', 'g'), ' '),
+                       1, 8), ' ')) AS fp
+            FROM documents
+        )
+        SELECT a.source AS slice_a, b.source AS slice_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+        GROUP BY 1, 2
+    """
+
+# mixture_plan twin: the certified sample_alpha rate CTEs + token sums;
+# expected yields from the exact integer rate.
+ORACLES["mixture_plan"] = """
+        WITH counts AS (
+            SELECT lang, count(*) AS n_docs,
+                   sum(CAST(len(string_split_regex(text, '\\s+')) AS BIGINT))
+                       AS n_tokens
+            FROM documents GROUP BY lang
+        ),
+        w AS (SELECT lang, n_docs, n_tokens,
+                     pow(CAST(n_docs AS DOUBLE), 0.5) AS wt
+              FROM counts),
+        t AS (SELECT sum(n_docs) AS n, sum(wt) AS wsum FROM w),
+        r AS (
+            SELECT lang, n_docs, n_tokens,
+                   CAST(floor(least(
+                       1.0,
+                       0.5 * CAST(n AS DOUBLE) * wt / wsum
+                           / CAST(n_docs AS DOUBLE)
+                   ) * 65536.0) AS INTEGER) AS rate_65536
+            FROM w CROSS JOIN t
+        )
+        SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(n_tokens AS BIGINT) AS n_tokens, rate_65536,
+               round(CAST(rate_65536 AS DOUBLE) / 65536.0, 6) AS rate,
+               round(CAST(n_docs AS DOUBLE) * CAST(rate_65536 AS DOUBLE)
+                     / 65536.0, 2) AS exp_docs,
+               round(CAST(n_tokens AS DOUBLE) * CAST(rate_65536 AS DOUBLE)
+                     / 65536.0, 2) AS exp_tokens
+        FROM r
+    """
+
+# quantized_recall twin: the certified exact and quantized top-10
+# rankings rebuilt verbatim (their own oracles as CTEs), overlap
+# counted per query.
+ORACLES["quantized_recall"] = f"""
+        WITH ex AS ({ORACLES["ann_cosine_topk"]}),
+        qz AS ({ORACLES["ann_quantized_topk"]}),
+        hits AS (
+            SELECT ex.query_id, count(*) AS h
+            FROM ex JOIN qz ON ex.query_id = qz.query_id
+                           AND ex.neighbor_id = qz.neighbor_id
+            GROUP BY ex.query_id
+        ),
+        qs AS (SELECT DISTINCT query_id FROM ex)
+        SELECT qs.query_id,
+               CAST(coalesce(h, 0) AS BIGINT) AS n_hit,
+               CAST(coalesce(h, 0) AS BIGINT) / 10.0 AS recall
+        FROM qs LEFT JOIN hits ON qs.query_id = hits.query_id
     """

@@ -656,3 +656,51 @@ def bpe_encode(
             ).alias("chars_per_token"),
         )
     )
+
+
+def mixture_plan(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+    digits: int = 6,
+) -> DataFrame:
+    """Mixture PLANNING table for temperature (alpha) sampling: per
+    slice, the document and token inventory, the data-derived
+    ``alpha_mixture_rates`` keep-rate (the same 65536-cell quantized
+    rate ``sample_alpha_mixture`` executes), and the expected document
+    and token yield under that rate. ``sample_alpha_mixture`` answers
+    "which rows survive"; this answers the question that comes FIRST —
+    what does alpha do to my token budget per slice — without
+    materializing a single sampled row.
+
+    Scale shape: one corpus scan folding token counts into the same
+    low-cardinality groupBy the rate computation uses; rates join back
+    on the slice key (broadcast-sized). Expected yields use the exact
+    integer rate (rate_65536/65536) so both engines run the identical
+    arithmetic.
+    """
+    from ..operators.sampling import alpha_mixture_rates
+
+    rates = alpha_mixture_rates(
+        docs.select(group_col), group_col, alpha=alpha, target_frac=target_frac
+    )
+    toks = docs.groupBy(group_col).agg(
+        F.sum(T.token_count(F.col(text_col))).cast("long").alias("n_tokens")
+    )
+    rate = F.col("rate_65536").cast("double") / F.lit(65536.0)
+    return (
+        rates.join(toks, on=group_col)
+        .select(
+            group_col,
+            "n_docs",
+            "n_tokens",
+            "rate_65536",
+            F.round(rate, digits).alias("rate"),
+            F.round(F.col("n_docs").cast("double") * F.col("rate_65536").cast("double") / F.lit(65536.0), 2)
+            .alias("exp_docs"),
+            F.round(F.col("n_tokens").cast("double") * F.col("rate_65536").cast("double") / F.lit(65536.0), 2)
+            .alias("exp_tokens"),
+        )
+    )

@@ -1753,3 +1753,49 @@ def dup_rate_profile(
             digits,
         ).alias("dup_rate"),
     )
+
+
+def cross_slice_dups(
+    docs: DataFrame,
+    slice_col: str = "source",
+    text_col: str = "text",
+    prefix_words: int | None = None,
+) -> DataFrame:
+    """Content-syndication matrix: for every pair of corpus slices, how
+    many distinct normalized texts they SHARE. Within-slice dup rates
+    (``dup_rate_profile``) miss mirrored/syndicated content entirely —
+    two crawl sources republishing the same articles each look clean
+    alone; this pairwise fingerprint intersection is how mirror sites
+    and boilerplate syndication networks surface (and which slice
+    pairs double-count their joint contribution to the token budget).
+
+    ``prefix_words`` fingerprints only the first N normalized words —
+    the standard cheap "shared opening" key that catches syndicated
+    articles with per-site footers/edits a full-text fingerprint
+    misses (and the granularity that makes the matrix non-degenerate
+    on lightly-syndicated corpora).
+
+    Scale shape: distinct (slice, fingerprint) projection (bounded by
+    slices x distinct texts), self-join on the 128-bit fingerprint —
+    fan-out per fingerprint is bounded by the SLICE count, not corpus
+    size — then one pair-keyed count whose output is at most
+    slices^2/2 rows.
+    """
+    norm = _normalized(text_col)
+    if prefix_words is not None:
+        norm = F.concat_ws(
+            " ", F.slice(F.split(norm, " "), 1, int(prefix_words))
+        )
+    fps = (
+        docs.select(F.col(slice_col), F.md5(norm).alias("__fp__"))
+        .distinct()
+    )
+    fps = track_persist(fps)
+    a = fps.select(F.col(slice_col).alias("slice_a"), "__fp__")
+    b = fps.select(F.col(slice_col).alias("slice_b"), "__fp__")
+    return (
+        a.join(b, on="__fp__")
+        .filter(F.col("slice_a") < F.col("slice_b"))
+        .groupBy("slice_a", "slice_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )

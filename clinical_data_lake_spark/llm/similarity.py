@@ -1436,3 +1436,63 @@ def embedding_norm_profile(
             "unit_frac"
         ),
     )
+
+
+def embedding_clip_bounds(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    lower: float = 0.01,
+    upper: float = 0.99,
+    digits: int = 6,
+) -> DataFrame:
+    """Per-dimension quantile CLIP bounds for quantization calibration:
+    the exact interpolated [lower, upper] percentiles of every vector
+    coordinate, plus the fraction of values falling outside them. The
+    calibration table that makes int8 quantization robust — a single
+    outlier coordinate otherwise sets ``quantize_embeddings``'s
+    max-|x| scale and crushes the other 99.99% of mass into a few
+    codes; clipping to e.g. [p1, p99] first is the standard fix
+    (outlier-aware calibration in the quantization literature).
+
+    Scale shape: the long-form posexplode (N x d) into ONE
+    dimension-keyed exact-percentile aggregate (d rows out), then one
+    broadcast join back to count clipped values. Bounds are rounded to
+    ``digits`` BEFORE the clip comparison so both engines classify
+    borderline values identically (the winsorize convention).
+    """
+    exd = (
+        emb.filter(F.col(vec_col).isNotNull())
+        .select(F.posexplode(F.col(vec_col)).alias("pos", "__v__"))
+        .select("pos", F.col("__v__").cast("double").alias("v"))
+    )
+    exd = track_persist(exd)
+    bounds = exd.groupBy("pos").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.round(F.percentile("v", F.lit(float(lower))), digits) + F.lit(0.0))
+        .alias("p_lo"),
+        (F.round(F.percentile("v", F.lit(float(upper))), digits) + F.lit(0.0))
+        .alias("p_hi"),
+    )
+    clipped = (
+        exd.join(F.broadcast(bounds.select("pos", "p_lo", "p_hi")), on="pos")
+        .groupBy("pos")
+        .agg(
+            F.sum(
+                ((F.col("v") < F.col("p_lo")) | (F.col("v") > F.col("p_hi")))
+                .cast("long")
+            ).alias("__nc__")
+        )
+    )
+    return (
+        bounds.join(clipped, on="pos")
+        .select(
+            F.col("pos").cast("int").alias("pos"),
+            "n",
+            "p_lo",
+            "p_hi",
+            F.round(
+                F.col("__nc__").cast("double") / F.col("n").cast("double"),
+                digits,
+            ).alias("clip_frac"),
+        )
+    )

@@ -305,6 +305,13 @@ R12_NEW = [
     "pii_profile",
     "embed_norm_profile",
     "truncation_loss",
+    # batch 2: exact percentile clip calibration; fingerprint
+    # self-join syndication matrix; rate-formula planning table;
+    # deterministic quantized-vs-exact recall
+    "embed_clip_bounds",
+    "cross_slice_dups",
+    "mixture_plan",
+    "quantized_recall",
 ]
 
 

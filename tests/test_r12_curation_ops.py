@@ -204,3 +204,89 @@ def test_truncation_loss_requires_limits(spark):
     docs = spark.createDataFrame([("en", "a b")], "lang string, text string")
     with pytest.raises(ValueError):
         truncation_loss(docs, limits=())
+
+
+# ----------------------------------------------------- batch 2: bounds
+
+
+def test_embedding_clip_bounds_closed_form(spark):
+    from clinical_data_lake_spark.llm.similarity import embedding_clip_bounds
+
+    emb = spark.createDataFrame(
+        [(i, [float(v)]) for i, v in enumerate([0.0, 1.0, 2.0, 3.0, 100.0])],
+        "vec_id long, embedding array<float>",
+    )
+    r = embedding_clip_bounds(emb).collect()[0]
+    # quantile_cont over [0,1,2,3,100]: p01 = 0 + 0.04*(1-0) = 0.04,
+    # p99 = 3 + 0.96*(100-3) = 96.12; 0.0 and 100.0 fall outside
+    assert r.pos == 0 and r.n == 5
+    assert r.p_lo == pytest.approx(0.04)
+    assert r.p_hi == pytest.approx(96.12)
+    assert r.clip_frac == pytest.approx(0.4)
+
+
+def test_cross_slice_dups_closed_form(spark):
+    from clinical_data_lake_spark.llm.dedup import cross_slice_dups
+
+    docs = spark.createDataFrame(
+        [
+            ("s0", "a"), ("s0", "b"),
+            ("s1", "a"),
+            ("s2", "a"), ("s2", "b"), ("s2", "b  "),  # dup within s2
+        ],
+        "source string, text string",
+    )
+    out = {(r.slice_a, r.slice_b): r.n_shared
+           for r in cross_slice_dups(docs).collect()}
+    assert out == {("s0", "s1"): 1, ("s0", "s2"): 2, ("s1", "s2"): 1}
+
+
+def test_mixture_plan_replays_rate_formula(spark):
+    import math
+
+    from clinical_data_lake_spark.llm.corpus import mixture_plan
+
+    docs = spark.createDataFrame(
+        [("en", "w w")] * 4 + [("fr", "w w w")],
+        "lang string, text string",
+    )
+    out = {r.lang: r for r in mixture_plan(docs).collect()}
+    n, wsum = 5, math.sqrt(4) + math.sqrt(1)
+    for lang, n_docs, n_tokens in (("en", 4, 8), ("fr", 1, 3)):
+        rate = min(1.0, 0.5 * n * math.sqrt(n_docs) / wsum / n_docs)
+        cell = math.floor(rate * 65536.0)
+        r = out[lang]
+        assert (r.n_docs, r.n_tokens, r.rate_65536) == (n_docs, n_tokens, cell)
+        assert r.exp_tokens == pytest.approx(round(n_tokens * cell / 65536.0, 2))
+
+
+def test_quantized_recall_bounded_and_typed(spark):
+    from clinical_data_lake_spark.driver_queries import q_quantized_recall
+
+    from conftest import SF_SMALL
+
+    rows = q_quantized_recall(spark, SF_SMALL).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r.n_hit <= 10
+        assert r.recall == pytest.approx(r.n_hit / 10.0)
+
+
+def test_cross_slice_dups_prefix_matches_shared_openings(spark):
+    from clinical_data_lake_spark.llm.dedup import cross_slice_dups
+
+    opening = " ".join(f"w{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            ("s0", opening + " tail one"),
+            ("s1", opening + " different ending"),
+            ("s0", "something else entirely"),
+        ],
+        "source string, text string",
+    )
+    # full-text: nothing shared
+    assert cross_slice_dups(docs).count() == 0
+    # prefix-8: the shared opening counts
+    out = cross_slice_dups(docs, prefix_words=8).collect()
+    assert len(out) == 1
+    assert (out[0].slice_a, out[0].slice_b, out[0].n_shared) == ("s0", "s1", 1)
