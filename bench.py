@@ -303,6 +303,9 @@ BENCH_QUERIES = [
     "cross_slice_dups",
     "mixture_plan",
     "quantized_recall",
+    "dedup_clusters_lsh",
+    "leakage_audit",
+    "lang_mismatch",
 ]
 
 # Scope the measured set without editing the file (drift A/B testing,

@@ -4211,6 +4211,49 @@ def q_quantized_recall(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Dup clustering over the SCALE-path pair generator: MinHash+LSH
+    candidates -> exact-Jaccard verification (the certified
+    dedup_minhash_verified machinery, t=0.8) -> hybrid
+    connected-components closure. dedup_clusters certifies the closure
+    over exact inverted-index pairs; THIS certifies the end-to-end
+    pipeline a 100 TB corpus actually runs, where candidate generation
+    must be banding, not an all-shingle self-join. Oracle: recursive
+    closure over the exact uncapped Jaccard pairs at the same
+    threshold (banding collision probability > 0.9998/pair makes the
+    verified pair set equal the exact answer — the bet
+    dedup_minhash_verified has held green since r6)."""
+    docs = read_table(spark, sf, "documents")
+    cand = dedup.minhash_lsh_pairs(docs)
+    pairs = dedup.verified_near_dup_pairs(docs, cand, threshold=0.8)
+    return dedup.dup_clusters(pairs)
+
+
+def q_leakage_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Split-leakage matrix (llm/dedup.py:split_leakage_audit): how
+    many near-dup pairs straddle a PLAIN per-doc hash split, per
+    (split, split) cell — the measured eval-contamination
+    cluster_safe_split exists to prevent (its own audit is
+    zero off-diagonal by construction, unit-pinned). Two id-keyed
+    joins + one splits^2-bounded aggregate."""
+    from .operators.sampling import hash_split
+
+    docs = read_table(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.2, max_doc_freq=100)
+    plain = hash_split(docs.select("doc_id"), "doc_id")
+    return dedup.split_leakage_audit(pairs, plain)
+
+
+def q_lang_mismatch(spark: SparkSession, sf: str) -> DataFrame:
+    """Declared-vs-detected language confusion matrix
+    (functions/text.py:lang_mismatch_profile): lang column against the
+    certified marker-based lang_id, with per-declared-language cell
+    rates — the label-quality audit for every lang-stratified mixture,
+    fertility, and split decision. Scan-side projection into a
+    vocabulary-bounded cell rollup."""
+    return text.lang_mismatch_profile(read_table(spark, sf, "documents"))
+
+
 def q_ann_cells_sweep(spark: SparkSession, sf: str) -> DataFrame:
     """IVF recall-vs-cells capacity curve (llm/similarity.py:ivf_topk):
     recall@10 against brute-force cosine for
@@ -5820,6 +5863,9 @@ QUERIES = {
     "cross_slice_dups": q_cross_slice_dups,
     "mixture_plan": q_mixture_plan,
     "quantized_recall": q_quantized_recall,
+    "dedup_clusters_lsh": q_dedup_clusters_lsh,
+    "leakage_audit": q_leakage_audit,
+    "lang_mismatch": q_lang_mismatch,
 }
 
 
@@ -15070,4 +15116,67 @@ ORACLES["quantized_recall"] = f"""
                CAST(coalesce(h, 0) AS BIGINT) AS n_hit,
                CAST(coalesce(h, 0) AS BIGINT) / 10.0 AS recall
         FROM qs LEFT JOIN hits ON qs.query_id = hits.query_id
+    """
+
+# dedup_clusters_lsh twin: the recursive closure over the exact
+# uncapped Jaccard pairs at t=0.8 — the same equality bet the certified
+# dedup_minhash_verified oracle has held since r6, now composed with
+# the closure.
+ORACLES["dedup_clusters_lsh"] = f"""
+        WITH RECURSIVE pairs AS (
+            SELECT doc_a, doc_b FROM ({_EXACT_JACCARD_SQL.format(t=0.8)})
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION
+            SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        reach AS (
+            SELECT src AS node, src AS lbl FROM edges
+            UNION
+            SELECT e.src AS node, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+        )
+        SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+    """
+
+# leakage_audit twin: the capped-jaccard pair list + the plain md5-cell
+# per-doc split, order-normalized split-pair cells.
+ORACLES["leakage_audit"] = f"""
+        WITH pairs AS (
+            SELECT doc_a, doc_b FROM ({_NGRAM_PAIRS_SQL})
+        ),
+        s AS (
+            SELECT doc_id,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                             THEN 'train'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                             THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        )
+        SELECT least(sa.split, sb.split) AS split_a,
+               greatest(sa.split, sb.split) AS split_b,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(CASE WHEN least(sa.split, sb.split)
+                              != greatest(sa.split, sb.split)
+                         THEN 1 ELSE 0 END AS INTEGER) AS leaked
+        FROM pairs
+        JOIN s sa ON sa.doc_id = pairs.doc_a
+        JOIN s sb ON sb.doc_id = pairs.doc_b
+        GROUP BY 1, 2
+    """
+
+# lang_mismatch twin: the certified lang_id CTE wrapped in a
+# (declared, predicted) cell rollup with per-declared-language rates.
+ORACLES["lang_mismatch"] = f"""
+        WITH pred AS ({ORACLES["lang_id"]}),
+        cells AS (
+            SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+            FROM pred GROUP BY 1, 2
+        ),
+        tot AS (SELECT lang, sum(n_docs) AS t FROM cells GROUP BY lang)
+        SELECT c.lang, c.pred_lang, c.n_docs,
+               round(CAST(c.n_docs AS DOUBLE) / CAST(t.t AS DOUBLE), 6)
+                   AS cell_rate
+        FROM cells c JOIN tot t ON c.lang = t.lang
     """

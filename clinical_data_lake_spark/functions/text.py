@@ -1405,3 +1405,40 @@ def pii_profile(
             "number_rate"
         ),
     )
+
+
+def lang_mismatch_profile(
+    docs,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    digits: int = 6,
+):
+    """Label-quality audit: the confusion matrix between the corpus's
+    DECLARED language column and the marker-based ``lang_id``
+    prediction, with each cell's share of its declared language.
+    Mislabeled-language rows poison per-language mixture rates,
+    tokenizer fertility numbers, and any lang-stratified split — and
+    crawl metadata is routinely wrong; this is the audit that says by
+    how much, per slice.
+
+    One scan-side ``lang_id`` projection into a (declared, predicted)
+    cell count, then a broadcast-sized join back to declared-language
+    totals. Integer counts; one rate division per cell.
+    """
+    cells = (
+        docs.select(
+            F.col(lang_col), lang_id(F.col(text_col)).alias("pred_lang")
+        )
+        .groupBy(lang_col, "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    totals = cells.groupBy(lang_col).agg(F.sum("n_docs").alias("__t__"))
+    return cells.join(totals, on=lang_col).select(
+        lang_col,
+        "pred_lang",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double") / F.col("__t__").cast("double"),
+            digits,
+        ).alias("cell_rate"),
+    )

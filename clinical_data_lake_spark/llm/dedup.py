@@ -1799,3 +1799,44 @@ def cross_slice_dups(
         .groupBy("slice_a", "slice_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
     )
+
+
+def split_leakage_audit(
+    pairs: DataFrame,
+    assignment: DataFrame,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+    left: str = "doc_a",
+    right: str = "doc_b",
+) -> DataFrame:
+    """Split-leakage matrix: how many near-dup PAIRS land in each
+    (split, split) cell of a train/val/test assignment. Off-diagonal
+    cells are leaks — a training document whose near-duplicate sits in
+    an eval split inflates eval scores by memorization, which is
+    exactly what ``cluster_safe_split`` prevents (its audit is all
+    zeros off-diagonal, by construction; a plain per-doc hash split
+    leaks roughly pair-count x 2 x val_frac). Run this BEFORE trusting
+    any eval number computed on a hash-split corpus.
+
+    Scale shape: two id-keyed joins of the (small) assignment table
+    into the pair list, one bounded (splits x splits) aggregate.
+    The split-pair key is order-normalized (least/greatest) so each
+    unordered cell appears once.
+    """
+    a = assignment.select(
+        F.col(id_col).alias(left), F.col(split_col).alias("__sa__")
+    )
+    b = assignment.select(
+        F.col(id_col).alias(right), F.col(split_col).alias("__sb__")
+    )
+    joined = pairs.select(left, right).join(a, on=left).join(b, on=right)
+    return (
+        joined.groupBy(
+            F.least("__sa__", "__sb__").alias("split_a"),
+            F.greatest("__sa__", "__sb__").alias("split_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .withColumn(
+            "leaked", (F.col("split_a") != F.col("split_b")).cast("int")
+        )
+    )

@@ -312,6 +312,11 @@ R12_NEW = [
     "cross_slice_dups",
     "mixture_plan",
     "quantized_recall",
+    # batch 3: LSH-candidate closure; order-normalized split-pair
+    # cells; declared-vs-detected language confusion rollup
+    "dedup_clusters_lsh",
+    "leakage_audit",
+    "lang_mismatch",
 ]
 
 

@@ -290,3 +290,62 @@ def test_cross_slice_dups_prefix_matches_shared_openings(spark):
     out = cross_slice_dups(docs, prefix_words=8).collect()
     assert len(out) == 1
     assert (out[0].slice_a, out[0].slice_b, out[0].n_shared) == ("s0", "s1", 1)
+
+
+# ------------------------------------------------------ batch 3: leaks
+
+
+def test_split_leakage_audit_counts_cross_split_pairs(spark):
+    from clinical_data_lake_spark.llm.dedup import split_leakage_audit
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4)], "doc_a long, doc_b long"
+    )
+    assignment = spark.createDataFrame(
+        [(1, "train"), (2, "val"), (3, "train"), (4, "train")],
+        "doc_id long, split string",
+    )
+    out = {(r.split_a, r.split_b): r
+           for r in split_leakage_audit(pairs, assignment).collect()}
+    assert out[("train", "val")].n_pairs == 1
+    assert out[("train", "val")].leaked == 1
+    assert out[("train", "train")].n_pairs == 1
+    assert out[("train", "train")].leaked == 0
+
+
+def test_cluster_safe_split_audit_is_leak_free(spark):
+    from clinical_data_lake_spark.llm.dedup import (
+        cluster_safe_split,
+        split_leakage_audit,
+    )
+
+    docs = _docs(spark, range(200))
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 120, 2)]
+        + [(i, i + 2) for i in range(0, 60, 3)],
+        "doc_a long, doc_b long",
+    )
+    safe = cluster_safe_split(docs, pairs)
+    audit = split_leakage_audit(pairs, safe).collect()
+    # THE property cluster_safe_split sells: zero off-diagonal pairs
+    assert all(r.leaked == 0 for r in audit)
+    assert sum(r.n_pairs for r in audit) == pairs.count()
+
+
+def test_lang_mismatch_profile_closed_form(spark):
+    from clinical_data_lake_spark.functions.text import lang_mismatch_profile
+
+    docs = spark.createDataFrame(
+        [
+            ("en", "the cat sat"),        # pred en
+            ("en", "der und die sind"),   # pred de (mislabeled)
+            ("fr", "zz qq ww"),           # pred und
+        ],
+        "lang string, text string",
+    )
+    out = {(r.lang, r.pred_lang): r
+           for r in lang_mismatch_profile(docs).collect()}
+    assert out[("en", "en")].n_docs == 1
+    assert out[("en", "de")].n_docs == 1
+    assert out[("en", "de")].cell_rate == pytest.approx(0.5)
+    assert out[("fr", "und")].cell_rate == pytest.approx(1.0)
