@@ -306,6 +306,7 @@ BENCH_QUERIES = [
     "dedup_clusters_lsh",
     "leakage_audit",
     "lang_mismatch",
+    "stream_clean",
 ]
 
 # Scope the measured set without editing the file (drift A/B testing,

@@ -4254,6 +4254,21 @@ def q_lang_mismatch(spark: SparkSession, sf: str) -> DataFrame:
     return text.lang_mismatch_profile(read_table(spark, sf, "documents"))
 
 
+def q_stream_clean(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming corpus-ingest hygiene's oracle-checkable batch twin
+    (streaming/events.py:clean_doc_stream): the certified corpus_clean
+    gates (lang/quality/length) + fingerprint dedup, projected to the
+    surviving text_hash KEY SET (per-fingerprint row choice is
+    arrival-order-arbitrary — the stream_dedup convention).
+    test_streaming.py proves the streamed replay (incl. duplicated
+    files = at-least-once source) lands the identical key set. Oracle:
+    the certified corpus_clean canonical survivors joined back to
+    their fingerprints (one canonical doc per kept hash)."""
+    return streaming_events.clean_doc_stream(
+        read_table(spark, sf, "documents")
+    ).select("text_hash")
+
+
 def q_ann_cells_sweep(spark: SparkSession, sf: str) -> DataFrame:
     """IVF recall-vs-cells capacity curve (llm/similarity.py:ivf_topk):
     recall@10 against brute-force cosine for
@@ -5866,6 +5881,7 @@ QUERIES = {
     "dedup_clusters_lsh": q_dedup_clusters_lsh,
     "leakage_audit": q_leakage_audit,
     "lang_mismatch": q_lang_mismatch,
+    "stream_clean": q_stream_clean,
 }
 
 
@@ -15179,4 +15195,14 @@ ORACLES["lang_mismatch"] = f"""
                round(CAST(c.n_docs AS DOUBLE) / CAST(t.t AS DOUBLE), 6)
                    AS cell_rate
         FROM cells c JOIN tot t ON c.lang = t.lang
+    """
+
+# stream_clean twin: the certified corpus_clean canonical survivors
+# joined back to their text fingerprints — exactly one canonical doc
+# per kept hash, so this IS the surviving key set.
+ORACLES["stream_clean"] = f"""
+        SELECT md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g'))
+                   AS text_hash
+        FROM ({ORACLES["corpus_clean"]}) cc
+        JOIN documents d ON cc.doc_id = d.doc_id
     """

@@ -26,6 +26,37 @@ from ..operators.caching import iter_checkpoint
 from .dedup import _ensure_parallelism, _normalized
 
 
+def score_and_gate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang: str = "en",
+    min_tokens: int = 5,
+    max_tokens: int = 5000,
+    min_quality: float = 0.2,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """The hygiene-gate stage shared by batch ``clean_corpus`` and the
+    streaming ``clean_doc_stream``: scan-side scoring projection
+    (token count, rounded quality, marker lang-id, 32-char md5
+    fingerprint) + the lang/quality/length filter. Pure projections
+    and filters — streaming-safe by construction; ``extra_cols``
+    carries e.g. an ingest timestamp through for watermarking."""
+    scored = docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        T.token_count(text_col).alias("n_tokens"),
+        F.round(T.quality_score(text_col), 6).alias("quality"),
+        T.lang_id(text_col).alias("pred_lang"),
+        T.fingerprint(text_col, 32).alias("text_hash"),
+    )
+    return scored.filter(
+        (F.col("pred_lang") == lang)
+        & (F.col("quality") >= min_quality)
+        & F.col("n_tokens").between(min_tokens, max_tokens)
+    )
+
+
 def clean_corpus(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -38,17 +69,8 @@ def clean_corpus(
     """Returns (doc_id, n_tokens, quality) for the surviving canonical
     documents, deterministic (quality rounded, min-id canonicalization).
     """
-    scored = docs.select(
-        F.col(id_col),
-        T.token_count(text_col).alias("n_tokens"),
-        F.round(T.quality_score(text_col), 6).alias("quality"),
-        T.lang_id(text_col).alias("pred_lang"),
-        T.fingerprint(text_col, 32).alias("text_hash"),
-    )
-    kept = scored.filter(
-        (F.col("pred_lang") == lang)
-        & (F.col("quality") >= min_quality)
-        & F.col("n_tokens").between(min_tokens, max_tokens)
+    kept = score_and_gate(
+        docs, id_col, text_col, lang, min_tokens, max_tokens, min_quality
     )
     w = Window.partitionBy("text_hash").orderBy(id_col)
     return (

@@ -778,3 +778,45 @@ def merge_stream_to_parquet(
             f"after {timeout_sec}s; stopped the query"
         )
     return q
+
+
+def clean_doc_stream(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang: str = "en",
+    min_tokens: int = 5,
+    max_tokens: int = 5000,
+    min_quality: float = 0.2,
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming corpus-ingest hygiene: the same scan-side
+    score-and-gate stage batch ``clean_corpus`` runs (token/quality/
+    lang-id gates — pure projections, streaming-safe), then exact
+    dedup on the text fingerprint with watermark-bounded state
+    (``dropDuplicatesWithinWatermark``) — clean AT INGEST instead of
+    re-scanning the lake nightly. State is keys-per-horizon, not
+    corpus-lifetime: the property that makes the op runnable on a
+    100 TB/day feed. Batch inputs degrade to plain ``dropDuplicates``
+    on the fingerprint (identical surviving KEY SET; which physical
+    row survives per fingerprint is engine/arrival-order-arbitrary,
+    so downstream consumers key on ``text_hash`` — the stream_dedup
+    convention).
+
+    Returns (id, [ts], n_tokens, quality, text_hash) survivors.
+    """
+    from ..llm.corpus import score_and_gate
+
+    extra = (ts_col,) if ts_col else ()
+    kept = score_and_gate(
+        docs, id_col, text_col, lang, min_tokens, max_tokens, min_quality,
+        extra_cols=extra,
+    ).drop("pred_lang")
+    if kept.isStreaming:
+        if not ts_col:
+            raise ValueError("streaming input needs ts_col for the watermark")
+        return kept.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["text_hash"]
+        )
+    return kept.dropDuplicates(["text_hash"])

@@ -317,6 +317,9 @@ R12_NEW = [
     "dedup_clusters_lsh",
     "leakage_audit",
     "lang_mismatch",
+    # batch 4: gated-fingerprint key set (dedup survivor choice is
+    # arbitrary, the projected hash set is not)
+    "stream_clean",
 ]
 
 

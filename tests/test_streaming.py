@@ -805,3 +805,46 @@ def test_merge_stream_to_parquet_equals_sequential_batch_fold(spark, tmp_path):
     )
     want = sorted(map(tuple, QUERIES["stream_upsert"](spark, sf).collect()))
     assert got == want
+
+
+def test_streaming_clean_doc_equals_batch_with_replay(spark, tmp_path_factory):
+    """clean_doc_stream: the streamed survivors' fingerprint KEY SET
+    (through gates + watermarked dedup, with every file REPLAYED once
+    = an at-least-once source) equals the batch twin's — the
+    stream_clean registry artifact."""
+    import shutil
+
+    root = str(tmp_path_factory.mktemp("doc_stream_src"))
+    docs = read_table(spark, SF_SMALL, "documents").withColumn(
+        "ingest_ts",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+        + F.make_interval(secs=F.col("doc_id").cast("double")),
+    )
+    docs.repartition(3).write.mode("overwrite").parquet(root)
+    # replay every file once: at-least-once delivery
+    import os as _os
+
+    for i, f in enumerate(list(_os.listdir(root))):
+        if f.endswith(".parquet"):
+            shutil.copy(f"{root}/{f}", f"{root}/replay_{i}.parquet")
+
+    batch = se.clean_doc_stream(docs).select("text_hash")
+    stream = se.clean_doc_stream(
+        se.stream_from_batch_dir(spark, root, docs.schema),
+        ts_col="ingest_ts",
+        watermark="365 days",
+    ).select("text_hash")
+    assert stream.isStreaming
+    se.run_to_memory_sink(stream, "clean_doc_test", output_mode="append")
+    got = sorted(r.text_hash for r in spark.table("clean_doc_test").collect())
+    want = sorted(r.text_hash for r in batch.collect())
+    assert got == want
+    assert len(got) > 0
+
+
+def test_clean_doc_stream_requires_ts_on_streams(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("doc_stream_src2"))
+    docs = read_table(spark, SF_SMALL, "documents")
+    docs.write.mode("overwrite").parquet(root)
+    with pytest.raises(ValueError):
+        se.clean_doc_stream(se.stream_from_batch_dir(spark, root, docs.schema))
