@@ -81,6 +81,14 @@ def recommended_cluster_conf(
             # — ~25 label-table copies per dup_clusters run; the cleaner
             # deletes a checkpoint's files once its DataFrame is GC'd
             "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
+            # Runtime bloom-filter join pruning: for selective dim->fact
+            # shuffle joins the build side's keys become a bloom filter
+            # applied at the fact scan, cutting shuffle-write volume by
+            # the filter's selectivity. Defaults gate on a >=10 GiB
+            # application-side scan — trivially met at this engine's
+            # design scale, never met by local test data (the plan test
+            # forces the threshold to pin the wiring).
+            "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
         },
     )
 

@@ -279,3 +279,49 @@ def test_winsorize_bounds_broadcast_fact_unshuffled(spark):
     the bounds aggregation input)."""
     p = _plan(spark, "winsorize")
     assert "BroadcastHashJoin" in p
+
+
+def test_runtime_bloom_filter_join_pruning_wiring(spark):
+    """recommended_cluster_conf enables runtime bloom-filter join
+    pruning; its >=10 GiB application-side gate is trivially met at
+    design scale and never by test data, so this pins the WIRING by
+    forcing the threshold: a selective dim->fact shuffle join must
+    inject bloom_filter_might_contain at the fact scan side, and the
+    filtered result must equal the plain join's."""
+    from pyspark.sql import functions as F
+
+    from clinical_data_lake_spark.session import recommended_cluster_conf
+
+    assert (
+        recommended_cluster_conf(4000)[
+            "spark.sql.optimizer.runtime.bloomFilter.enabled"
+        ]
+        == "true"
+    )
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        lo = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        od = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = lo.join(od, lo.l_orderkey == od.o_orderkey).select(
+            "l_orderkey", "o_totalprice"
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloomfilter" in plan.lower()
+        n_bloom = j.count()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    plain = lo.join(od, lo.l_orderkey == od.o_orderkey)
+    assert n_bloom == plain.count()
