@@ -508,3 +508,124 @@ def test_lpa_matches_python_synchronous_schedule(spark, edges):
             nxt[n] = best
         labels = nxt
     assert got == labels
+
+
+_edge_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=40),
+        st.integers(min_value=0, max_value=40),
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=_edge_lists)
+def test_cluster_safe_split_never_leaks_property(spark, edges):
+    """For ARBITRARY near-dup pair graphs, cluster_safe_split must
+    never place a pair's endpoints in different splits, must cover
+    every doc exactly once, and must label each component by its
+    minimum id (verified against a pure-Python union-find)."""
+    from clinical_data_lake_spark.llm.dedup import (
+        cluster_safe_split,
+        split_leakage_audit,
+    )
+
+    n_docs = 41
+    docs = spark.createDataFrame(
+        [Row(doc_id=i) for i in range(n_docs)], schema="doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [Row(doc_a=a, doc_b=b) for a, b in edges],
+        schema="doc_a long, doc_b long",
+    )
+    out = {r.doc_id: r for r in cluster_safe_split(docs, pairs).collect()}
+    assert len(out) == n_docs
+    # union-find ground truth
+    parent = list(range(n_docs))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict = {}
+    for i in range(n_docs):
+        comp.setdefault(find(i), []).append(i)
+    for members in comp.values():
+        want_label = min(members)
+        assert {out[m].cluster_id for m in members} == {want_label}
+        assert len({out[m].split for m in members}) == 1
+    # and the audit agrees: zero off-diagonal mass
+    audit = split_leakage_audit(
+        pairs, cluster_safe_split(docs, pairs)
+    ).collect()
+    assert all(r.leaked == 0 for r in audit)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab X"), min_size=0, max_size=12
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_dup_rate_profile_mass_conservation(spark, texts):
+    """For arbitrary corpora: n_docs = slice row count, n_redundant =
+    n_docs - n_distinct >= 0, max_group <= n_docs, and dup_rate is the
+    stated ratio."""
+    from clinical_data_lake_spark.llm.dedup import dup_rate_profile
+
+    docs = spark.createDataFrame(
+        [Row(lang="en", source="s", text=t) for t in texts],
+        schema="lang string, source string, text string",
+    )
+    r = dup_rate_profile(docs).collect()[0]
+    assert r.n_docs == len(texts)
+    assert r.n_redundant == r.n_docs - r.n_distinct >= 0
+    assert 1 <= r.max_group <= r.n_docs
+    assert r.dup_rate == round(r.n_redundant / r.n_docs, 6)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=60),
+                    min_size=1, max_size=20),
+    limits=st.lists(st.integers(min_value=1, max_value=80),
+                    min_size=2, max_size=3, unique=True),
+)
+def test_truncation_loss_monotone_in_limit(spark, counts, limits):
+    """A larger context limit can never lose MORE tokens or truncate
+    more documents; totals conserve."""
+    from clinical_data_lake_spark.llm.packing import truncation_loss
+
+    docs = spark.createDataFrame(
+        [Row(lang="en", text=" ".join(["w"] * c)) for c in counts],
+        schema="lang string, text string",
+    )
+    out = {
+        r.max_len: r
+        for r in truncation_loss(docs, limits=tuple(limits)).collect()
+    }
+    total = sum(counts)
+    for L in limits:
+        r = out[L]
+        assert r.n_tokens == total
+        assert r.n_tokens_lost == sum(max(0, c - L) for c in counts)
+        assert r.n_truncated == sum(1 for c in counts if c > L)
+    ordered = sorted(limits)
+    for lo, hi in zip(ordered, ordered[1:]):
+        assert out[hi].n_tokens_lost <= out[lo].n_tokens_lost
+        assert out[hi].n_truncated <= out[lo].n_truncated
