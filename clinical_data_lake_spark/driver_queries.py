@@ -14945,10 +14945,13 @@ ORACLES["zipf_fit"] = """
             FROM terms GROUP BY lang
         )
         SELECT lang, n_terms,
-               round((nd * sxy - sx * sy) / (nd * sxx - sx * sx), 9) + 0.0
-                   AS zipf_slope,
-               round((sy - ((nd * sxy - sx * sy) / (nd * sxx - sx * sx)) * sx)
-                     / nd, 9) + 0.0 AS zipf_intercept
+               CASE WHEN nd * sxx - sx * sx = 0 THEN NULL
+                    ELSE round((nd * sxy - sx * sy) / (nd * sxx - sx * sx), 9)
+                         + 0.0 END AS zipf_slope,
+               CASE WHEN nd * sxx - sx * sx = 0 THEN NULL
+                    ELSE round((sy - ((nd * sxy - sx * sy)
+                                      / (nd * sxx - sx * sx)) * sx)
+                               / nd, 9) + 0.0 END AS zipf_intercept
         FROM agg
     """
 

@@ -1352,14 +1352,21 @@ def zipf_fit(
     sy = F.col("__sy__").cast("double")
     sxx = F.col("__sxx__").cast("double")
     sxy = F.col("__sxy__").cast("double")
-    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    denom = nd * sxx - sx * sx
+    slope = (nd * sxy - sx * sy) / denom
+    # degenerate slice (a single distinct token: all x identical) has
+    # no defined slope -> NULL, not a DIVIDE_BY_ZERO under ANSI; the
+    # when() guards evaluation (Spark conditionals are branch-lazy)
     return agg.select(
         group_col,
         "n_terms",
-        (F.round(slope, digits) + F.lit(0.0)).alias("zipf_slope"),
-        (F.round((sy - slope * sx) / nd, digits) + F.lit(0.0)).alias(
-            "zipf_intercept"
+        F.when(denom != 0.0, F.round(slope, digits) + F.lit(0.0)).alias(
+            "zipf_slope"
         ),
+        F.when(
+            denom != 0.0,
+            F.round((sy - slope * sx) / nd, digits) + F.lit(0.0),
+        ).alias("zipf_intercept"),
     )
 
 

@@ -629,3 +629,88 @@ def test_truncation_loss_monotone_in_limit(spark, counts, limits):
     for lo, hi in zip(ordered, ordered[1:]):
         assert out[hi].n_tokens_lost <= out[lo].n_tokens_lost
         assert out[hi].n_truncated <= out[lo].n_truncated
+
+
+_corpus = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+        min_size=0, max_size=15,
+    ).map(" ".join),
+    min_size=1, max_size=15,
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=_corpus)
+def test_zipf_fit_matches_pure_python_ols(spark, texts):
+    """zipf_fit must equal an independent pure-Python replay (token
+    counts -> (freq desc, token asc) rank -> round-14 OLS terms) to
+    the emitted 1e-9 rounding."""
+    import math
+    from collections import Counter
+
+    from clinical_data_lake_spark.functions.text import zipf_fit
+
+    docs = spark.createDataFrame(
+        [Row(lang="en", text=t) for t in texts],
+        schema="lang string, text string",
+    )
+    rows = zipf_fit(docs, top_k=4).collect()
+    counts = Counter(
+        tok
+        for t in texts
+        for tok in " ".join(t.lower().strip().split()).split(" ")
+        if tok
+    )
+    if not counts:
+        assert rows == []
+        return
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+    xs = [round(math.log(i + 1), 14) for i in range(len(ranked))]
+    ys = [round(math.log(f), 14) for _, f in ranked]
+    n = float(len(ranked))
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(round(x * x, 14) for x in xs)
+    sxy = sum(round(x * y, 14) for x, y in zip(xs, ys))
+    denom = n * sxx - sx * sx
+    import pytest
+
+    r = rows[0]
+    assert r.n_terms == len(ranked)
+    if denom == 0:
+        assert r.zipf_slope is None and r.zipf_intercept is None
+    else:
+        slope = (n * sxy - sx * sy) / denom
+        assert r.zipf_slope == pytest.approx(slope, abs=2e-9)
+        assert r.zipf_intercept == pytest.approx(
+            (sy - slope * sx) / n, abs=2e-9
+        )
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=_corpus)
+def test_ngram_diversity_matches_pure_python(spark, texts):
+    from collections import Counter
+
+    from clinical_data_lake_spark.functions.text import ngram_diversity
+
+    docs = spark.createDataFrame(
+        [Row(lang="en", text=t) for t in texts],
+        schema="lang string, text string",
+    )
+    rows = ngram_diversity(docs).collect()
+    grams = Counter()
+    for t in texts:
+        w = " ".join(t.lower().strip().split()).split(" ")
+        if len(w) >= 3:
+            for i in range(len(w) - 2):
+                grams[" ".join(w[i:i + 3])] += 1
+    if not grams:
+        assert rows == []
+        return
+    r = rows[0]
+    assert r.n_ngrams == sum(grams.values())
+    assert r.n_distinct == len(grams)
+    assert r.diversity == round(len(grams) / sum(grams.values()), 6)
