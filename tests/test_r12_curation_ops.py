@@ -349,3 +349,18 @@ def test_lang_mismatch_profile_closed_form(spark):
     assert out[("en", "de")].n_docs == 1
     assert out[("en", "de")].cell_rate == pytest.approx(0.5)
     assert out[("fr", "und")].cell_rate == pytest.approx(1.0)
+
+
+def test_cluster_safe_split_empty_pair_graph(spark):
+    """No near-dup pairs at all: every doc is its own cluster and the
+    split equals the plain hash split exactly."""
+    docs = _docs(spark, range(10))
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    out = {r.doc_id: r for r in cluster_safe_split(docs, pairs).collect()}
+    plain = {
+        r.doc_id: r.split
+        for r in hash_split(docs.selectExpr("doc_id"), "doc_id").collect()
+    }
+    assert len(out) == 10
+    assert all(out[i].cluster_id == i and out[i].split == plain[i]
+               for i in range(10))
