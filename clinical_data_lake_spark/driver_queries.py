@@ -4194,20 +4194,8 @@ def q_quantized_recall(spark: SparkSession, sf: str) -> DataFrame:
     quant = similarity.quantized_cosine_topk(q, emb, k=10).select(
         "query_id", "neighbor_id"
     )
-    hits = (
-        exact.join(quant, on=["query_id", "neighbor_id"], how="left_semi")
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("__h__"))
-    )
-    n_hit = F.coalesce("__h__", F.lit(0).cast("long")).cast("long")
-    return (
-        q.select(F.col("vec_id").alias("query_id"))
-        .join(hits, on="query_id", how="left")
-        .select(
-            "query_id",
-            n_hit.alias("n_hit"),
-            (n_hit / F.lit(10.0)).alias("recall"),
-        )
+    return similarity.recall_at_k(
+        exact, quant, q.select(F.col("vec_id").alias("query_id")), k=10
     )
 
 
@@ -4290,23 +4278,15 @@ def q_ann_cells_sweep(spark: SparkSession, sf: str) -> DataFrame:
         adf = similarity.ivf_topk(
             q, emb, k=10, n_cells=n_cells, n_probe=n_probe
         )
-        hits = (
-            exact.join(
-                adf.select("query_id", "neighbor_id"),
-                on=["query_id", "neighbor_id"],
-                how="left_semi",
-            )
-            .groupBy("query_id")
-            .agg(F.count(F.lit(1)).alias("n_hit"))
-        )
-        n_hit = F.coalesce("n_hit", F.lit(0).cast("long"))
         outs.append(
-            qids.join(hits, on="query_id", how="left").select(
+            similarity.recall_at_k(
+                exact, adf.select("query_id", "neighbor_id"), qids, k=10
+            ).select(
                 "query_id",
                 F.lit(n_cells).alias("n_cells"),
                 F.lit(n_probe).alias("n_probe"),
-                n_hit.alias("n_hit"),
-                (n_hit / F.lit(10.0)).alias("recall"),
+                "n_hit",
+                "recall",
             )
         )
     out = outs[0]

@@ -279,7 +279,9 @@ def truncation_loss(
     """
     if not limits:
         raise ValueError("need at least one limit")
-    tok = F.size(F.split(F.col(text_col), r"\s+")).cast("long")
+    from ..functions.text import token_count
+
+    tok = token_count(F.col(text_col))
     base = docs.select(
         F.col(group_col),
         tok.alias("__tok__"),

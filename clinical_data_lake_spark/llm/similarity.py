@@ -1496,3 +1496,30 @@ def embedding_clip_bounds(
             ).alias("clip_frac"),
         )
     )
+
+
+def recall_at_k(
+    exact: DataFrame,
+    approx: DataFrame,
+    qids: DataFrame,
+    k: int = 10,
+    id_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Overlap@k of an approximate neighbor list against the exact
+    one, per query: (id, n_hit, recall). The shared evaluation tail of
+    every recall-style diagnostic (IVF cells sweep, quantization
+    audit, …) — one left-semi overlap count, a left join back to the
+    query list so zero-hit queries report 0 rather than vanish, and
+    one exact division by the literal k."""
+    hits = (
+        exact.join(approx, on=[id_col, neighbor_col], how="left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__h__"))
+    )
+    n_hit = F.coalesce("__h__", F.lit(0).cast("long")).cast("long")
+    return qids.join(hits, on=id_col, how="left").select(
+        id_col,
+        n_hit.alias("n_hit"),
+        (n_hit / F.lit(float(k))).alias("recall"),
+    )

@@ -307,8 +307,10 @@ def test_runtime_bloom_filter_join_pruning_wiring(spark):
     try:
         for k, v in confs.items():
             spark.conf.set(k, v)
-        lo = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
-        od = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").filter(
+        from conftest import SF_SMALL
+
+        lo = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+        od = spark.read.parquet(f"{SF_SMALL}/orders.parquet").filter(
             F.col("o_orderpriority") == "1-URGENT"
         )
         j = lo.join(od, lo.l_orderkey == od.o_orderkey).select(
