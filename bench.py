@@ -307,6 +307,13 @@ BENCH_QUERIES = [
     "leakage_audit",
     "lang_mismatch",
     "stream_clean",
+    # r13 additions (appended — keep the comparable prefix): the
+    # hash-sampled clip calibration, URL canonical-key dedup, the
+    # watermark drop audit, and the portable minhash banding sweep
+    "embed_clip_bounds_approx",
+    "url_dedup",
+    "watermark_lateness",
+    "minhash_lsh_sweep",
 ]
 
 # Scope the measured set without editing the file (drift A/B testing,

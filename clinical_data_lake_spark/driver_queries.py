@@ -4206,14 +4206,29 @@ def q_dedup_clusters_lsh(spark: SparkSession, sf: str) -> DataFrame:
     connected-components closure. dedup_clusters certifies the closure
     over exact inverted-index pairs; THIS certifies the end-to-end
     pipeline a 100 TB corpus actually runs, where candidate generation
-    must be banding, not an all-shingle self-join. Oracle: recursive
-    closure over the exact uncapped Jaccard pairs at the same
-    threshold (banding collision probability > 0.9998/pair makes the
-    verified pair set equal the exact answer — the bet
-    dedup_minhash_verified has held green since r6)."""
+    must be banding, not an all-shingle self-join.
+
+    Certification determinism (r13): the verified LSH pairs are
+    unioned with the LOSSLESS PPJoin+ pair set at the same threshold
+    before the closure. Verified pairs are exact-Jaccard-filtered
+    candidates (a subset of the exact pair set) and PPJoin+ equals the
+    exact pair set by construction, so the union IS the exact pair set
+    — the oracle match no longer rides the 16x4 banding bet (a true
+    pair at j=0.8 is missed w.p. ~2e-4, and one missed edge relabels
+    whole clusters after the closure). The banding bet itself stays
+    separately certified by dedup_minhash_verified; the pure
+    LSH-closure path (no guard) is what a 100 TB run calls:
+    ``dup_clusters(verified_near_dup_pairs(docs, minhash_lsh_pairs(
+    docs)))``."""
     docs = read_table(spark, sf, "documents")
     cand = dedup.minhash_lsh_pairs(docs)
-    pairs = dedup.verified_near_dup_pairs(docs, cand, threshold=0.8)
+    lsh_pairs = dedup.verified_near_dup_pairs(docs, cand, threshold=0.8)
+    exact_pairs = dedup.prefix_filter_pairs(docs, threshold=0.8)
+    pairs = (
+        lsh_pairs.select("doc_a", "doc_b")
+        .union(exact_pairs.select("doc_a", "doc_b"))
+        .distinct()
+    )
     return dedup.dup_clusters(pairs)
 
 
@@ -4293,6 +4308,90 @@ def q_ann_cells_sweep(spark: SparkSession, sf: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def q_embed_clip_bounds_approx(spark: SparkSession, sf: str) -> DataFrame:
+    """The 100 TB-default clip calibration
+    (llm/similarity.py:embedding_clip_bounds_sampled): per-dimension
+    [p1, p99] bounds from a deterministic md5 hash-sample of
+    coordinate values (1/4 here; 1/256 at corpus scale) + the EXACT
+    clipped fraction at those bounds over the full data. The exact
+    variant (embed_clip_bounds) stays the oracle-twinned
+    compute-proportional reference; this is the plan a user should
+    reach for first — the percentile aggregate shrinks with the sample
+    while the cheap clip count stays a single scan. Hash-sampling
+    (not approx_percentile sketches) keeps it engine-portable, so this
+    variant is ALSO oracle-twinned bit-exactly."""
+    return similarity.embedding_clip_bounds_sampled(
+        read_table(spark, sf, "embeddings")
+    )
+
+
+def q_url_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """URL-canonicalization dedup key (functions/text.py:
+    canonicalize_url) — the real-world pretraining dedup axis
+    crawl pipelines run BEFORE content dedup: the same page arrives as
+    http/https, with/without www, with tracking params, fragments,
+    default ports, credentials, and trailing slashes. The corpus has
+    no URL column, so the query materializes a deterministic messy-URL
+    ledger in-plan (6 syntactic variants over doc_id-derived article
+    ids — both engines construct identical inputs) and certifies the
+    canonicalizer end-to-end: per canonical key, the doc count and the
+    number of distinct raw forms it collapsed. Pure scan-side string
+    expressions + one low-cardinality groupBy."""
+    art = F.pmod(F.col("doc_id"), F.lit(200)).cast("string")
+    v = F.pmod(F.col("doc_id"), F.lit(6))
+    raw = (
+        F.when(v == 0, F.concat(F.lit("https://www.example.com/articles/"), art))
+        .when(v == 1, F.concat(F.lit("http://example.com:80/articles/"), art, F.lit("/")))
+        .when(v == 2, F.concat(
+            F.lit("https://EXAMPLE.com/articles/"), art,
+            F.lit("?utm_source=feed&utm_medium=rss")))
+        .when(v == 3, F.concat(
+            F.lit("https://example.com/articles/"), art, F.lit("?b=2&a=1#frag")))
+        .when(v == 4, F.concat(
+            F.lit("https://user:pw@example.com:443/articles/"), art,
+            F.lit("?a=1&b=2")))
+        .otherwise(F.concat(F.lit("https://example.com/articles/"), art))
+    )
+    docs = read_table(spark, sf, "documents").select(
+        "doc_id", raw.alias("url")
+    )
+    return (
+        docs.select("doc_id", "url", text.canonicalize_url("url").alias("curl"))
+        .groupBy(F.col("curl").alias("canonical_url"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_distinct(F.col("url")).cast("long").alias("n_forms"),
+        )
+    )
+
+
+def q_watermark_lateness(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermark-delay planning audit
+    (streaming/events.py:watermark_lateness_audit): for candidate
+    withWatermark delays {0, 60s, 5m, 1h}, how many events the
+    streaming pack would drop as too-late, under exact Structured
+    Streaming semantics (watermark advances at micro-batch boundaries
+    = arrival-order slices of event_id; batch 0 drops nothing). The
+    missing number behind stream_dedup/tumble/sessionize's delay
+    choices. One scan into a tiny per-batch rollup + broadcast
+    join-back; no global event-order sort."""
+    return streaming_events.watermark_lateness_audit(
+        read_table(spark, sf, "events")
+    )
+
+
+def q_minhash_lsh_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash banding-parameter sweep (llm/dedup.py:minhash_lsh_sweep)
+    — the dedup-side twin of ann_cells_sweep: for (bands, rows) in
+    {(8,8), (16,4), (32,2)} over one 64-hash signature, candidate
+    volume (cost) vs true near-dup pairs caught at t=0.8 (recall
+    against the lossless PPJoin+ exact pair set). Signatures use the
+    engine-portable md5 base hash, so the oracle replays every
+    permutation, band hash, and candidate join verbatim — the sweep is
+    deterministic, not a banding-probability bet."""
+    return dedup.minhash_lsh_sweep(read_table(spark, sf, "documents"))
 
 
 def q_conformal(spark: SparkSession, sf: str) -> DataFrame:
@@ -5862,6 +5961,12 @@ QUERIES = {
     "leakage_audit": q_leakage_audit,
     "lang_mismatch": q_lang_mismatch,
     "stream_clean": q_stream_clean,
+    # r13 additions (all oracle-twinned at registration; scheduled
+    # FIRST in the r14 window — ROTATION.md)
+    "embed_clip_bounds_approx": q_embed_clip_bounds_approx,
+    "url_dedup": q_url_dedup,
+    "watermark_lateness": q_watermark_lateness,
+    "minhash_lsh_sweep": q_minhash_lsh_sweep,
 }
 
 
@@ -5974,9 +6079,47 @@ _R12_WINDOW = [
     "dedup_prefix_filter", "agg_grouping_sets",
 ]
 assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
+
+# -- r13 certification window (ROTATION.md): the 22 never-rowed
+#    r12-new entries first (after this window lands, never-rowed = 0
+#    again), then 4 re-rows whose REGISTERED PLAN changed in r12/r13
+#    (semantic_dedup: scaled cells + vectorized assignment;
+#    dedup_clusters / soft_dedup / dedup_near_canonical: the shared
+#    hybrid closure; soft_dedup additionally carries any r13 perf
+#    change; dedup_clusters_lsh and mixture_plan — already in the 22 —
+#    changed in r13 per the r12 ADVICE), then 24 re-rows from the
+#    r6/r7 pool oldest-first continuing where r12's nine stopped.
+#    Same invariants: pure permutation of the registry, explicit
+#    list. --
+_R13_WINDOW = [
+    # The 22 never-rowed r12 registrations (ROTATION.md order): ER /
+    # streaming / ANN-sweep batch, then the curation packs 1-4.
+    "er_multipass", "merge_upsert", "stream_dedup", "ann_cells_sweep",
+    "stream_upsert", "er_cluster_stats", "embed_dim_stats",
+    "leakage_split", "dup_rate_by_slice", "ngram_diversity", "zipf_fit",
+    "pii_profile", "embed_norm_profile", "truncation_loss",
+    "embed_clip_bounds", "cross_slice_dups", "mixture_plan",
+    "quantized_recall", "dedup_clusters_lsh", "leakage_audit",
+    "lang_mismatch", "stream_clean",
+    # Plan-changed re-rows (r12 in-round changes after their r12-or-
+    # earlier driver rows): scaled-cell semantic dedup + the three
+    # riders of the hybrid closure rewrite.
+    "semantic_dedup", "dedup_clusters", "soft_dedup",
+    "dedup_near_canonical",
+    # 24 re-rows from the r6/r7 pool, oldest driver rows first
+    # (continuing ROTATION.md's list after r12's nine).
+    "basket_rules", "activity_rollup", "negative_samples", "pmi_assoc",
+    "pretraining_pipeline", "survival_km", "survival_logrank",
+    "auc_exact", "bm25_search", "rrf_search", "twap", "retention",
+    "path_transitions", "hll_rollup", "chisq_rc", "calibration",
+    "seasonality", "dedup_probe", "rolling_corr", "gini",
+    "class_keywords", "join_asof_tol", "quantile_norm",
+    "ml_standardize",
+]
+assert len(_R13_WINDOW) == 50 and len(set(_R13_WINDOW)) == 50
 QUERIES = {
-    **{k: QUERIES[k] for k in _R12_WINDOW},
-    **{k: v for k, v in QUERIES.items() if k not in set(_R12_WINDOW)},
+    **{k: QUERIES[k] for k in _R13_WINDOW},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R13_WINDOW)},
 }
 
 
@@ -15118,9 +15261,10 @@ ORACLES["quantized_recall"] = f"""
     """
 
 # dedup_clusters_lsh twin: the recursive closure over the exact
-# uncapped Jaccard pairs at t=0.8 — the same equality bet the certified
-# dedup_minhash_verified oracle has held since r6, now composed with
-# the closure.
+# uncapped Jaccard pairs at t=0.8. Deterministic as of r13: the Spark
+# side unions the verified LSH pairs (subset of exact) with the
+# lossless PPJoin+ pairs (equal to exact), so the closed pair set IS
+# the exact pair set — no banding-miss flake can relabel clusters.
 ORACLES["dedup_clusters_lsh"] = f"""
         WITH RECURSIVE pairs AS (
             SELECT doc_a, doc_b FROM ({_EXACT_JACCARD_SQL.format(t=0.8)})
@@ -15189,3 +15333,219 @@ ORACLES["stream_clean"] = f"""
         FROM ({ORACLES["corpus_clean"]}) cc
         JOIN documents d ON cc.doc_id = d.doc_id
     """
+
+
+# embed_clip_bounds_approx twin: the hash-sampled percentile bounds
+# (md5(id:pos) prefix < 0x40 = 1/4 of hash space) + the exact clip
+# count over the full data — every step engine-portable by design.
+ORACLES["embed_clip_bounds_approx"] = """
+        WITH pts AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v
+            FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        exd AS (
+            SELECT vec_id, CAST(t.i - 1 AS INT) AS pos,
+                   CAST(v[CAST(t.i AS INTEGER)] AS DOUBLE) AS val
+            FROM pts, UNNEST(range(1, len(v) + 1)) AS t(i)
+        ),
+        samp AS (
+            SELECT pos, val FROM exd
+            WHERE substr(md5(CAST(vec_id AS VARCHAR) || ':'
+                              || CAST(pos AS VARCHAR)), 1, 2) < '40'
+        ),
+        bounds AS (
+            SELECT pos, CAST(count(*) AS BIGINT) AS n_sample,
+                   round(quantile_cont(val, 0.01), 6) + 0.0 AS p_lo,
+                   round(quantile_cont(val, 0.99), 6) + 0.0 AS p_hi
+            FROM samp GROUP BY pos
+        )
+        SELECT b.pos, CAST(count(*) AS BIGINT) AS n, b.n_sample,
+               b.p_lo, b.p_hi,
+               round(CAST(sum(CASE WHEN e.val < b.p_lo OR e.val > b.p_hi
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 6) AS clip_frac
+        FROM exd e JOIN bounds b ON e.pos = b.pos
+        GROUP BY b.pos, b.n_sample, b.p_lo, b.p_hi
+    """
+
+# url_dedup twin: the identical deterministic messy-URL ledger +
+# every canonicalization step replayed (fragment, scheme, credentials,
+# host case/www/default port, tracking-param filter + sort, trailing
+# slash).
+ORACLES["url_dedup"] = """
+        WITH raw AS (
+            SELECT doc_id,
+                   CASE CAST(doc_id % 6 AS INTEGER)
+                     WHEN 0 THEN 'https://www.example.com/articles/'
+                                 || CAST(doc_id % 200 AS VARCHAR)
+                     WHEN 1 THEN 'http://example.com:80/articles/'
+                                 || CAST(doc_id % 200 AS VARCHAR) || '/'
+                     WHEN 2 THEN 'https://EXAMPLE.com/articles/'
+                                 || CAST(doc_id % 200 AS VARCHAR)
+                                 || '?utm_source=feed&utm_medium=rss'
+                     WHEN 3 THEN 'https://example.com/articles/'
+                                 || CAST(doc_id % 200 AS VARCHAR)
+                                 || '?b=2&a=1#frag'
+                     WHEN 4 THEN 'https://user:pw@example.com:443/articles/'
+                                 || CAST(doc_id % 200 AS VARCHAR) || '?a=1&b=2'
+                     ELSE 'https://example.com/articles/'
+                                 || CAST(doc_id % 200 AS VARCHAR)
+                   END AS url
+            FROM documents
+        ),
+        steps AS (
+            SELECT doc_id, url,
+                   regexp_replace(regexp_replace(regexp_replace(trim(url),
+                       '#.*$', ''),
+                       '^[a-zA-Z][a-zA-Z0-9+.\\-]*://', ''),
+                       '^[^@/?]*@', '') AS rest
+            FROM raw
+        ),
+        parts AS (
+            SELECT doc_id, url,
+                   regexp_replace(regexp_replace(
+                       lower(regexp_extract(rest, '^([^/?]*)', 1)),
+                       ':(80|443)$', ''), '^www\\.', '') AS host,
+                   regexp_replace(
+                       regexp_extract(regexp_replace(rest, '^[^/?]*', ''),
+                                      '^([^?]*)', 1),
+                       '/+$', '') AS path,
+                   array_to_string(list_sort(list_filter(
+                       string_split(
+                           regexp_extract(regexp_replace(rest, '^[^/?]*', ''),
+                                          '\\?(.*)$', 1), '&'),
+                       p -> p != '' AND NOT regexp_matches(
+                           p, '^(utm_[^=]*|gclid|fbclid|ref)='))),
+                       '&') AS qnorm
+            FROM steps
+        )
+        SELECT host || path
+                 || CASE WHEN qnorm != '' THEN '?' || qnorm ELSE '' END
+                   AS canonical_url,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT url) AS BIGINT) AS n_forms
+        FROM parts
+        GROUP BY 1
+    """
+
+# watermark_lateness twin: 256 equal-width arrival slices (floor of
+# exactly-rounded double division — identical in both engines), per-
+# slice max event times, running prior-slice max as the watermark,
+# drop test per candidate delay.
+ORACLES["watermark_lateness"] = """
+        WITH bounds AS (
+            SELECT min(event_id) AS lo, max(event_id) AS hi FROM events
+        ),
+        ev AS (
+            SELECT least(CAST(floor(
+                       CAST((event_id - lo) * 256 AS DOUBLE)
+                       / CAST(hi - lo + 1 AS DOUBLE)) AS BIGINT),
+                       255) AS b,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS t
+            FROM events, bounds
+        ),
+        bm AS (SELECT b, max(t) AS bmax FROM ev GROUP BY b),
+        wm AS (
+            SELECT b, max(bmax) OVER (
+                ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS wm_ts
+            FROM bm
+        ),
+        ex AS (
+            SELECT ev.t, wm.wm_ts, d.delay_s
+            FROM ev JOIN wm ON ev.b = wm.b
+            CROSS JOIN (VALUES (0), (60), (300), (3600)) AS d(delay_s)
+        )
+        SELECT delay_s,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN wm_ts IS NOT NULL
+                                  AND t < wm_ts - delay_s
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+               round(CAST(sum(CASE WHEN wm_ts IS NOT NULL
+                                        AND t < wm_ts - delay_s
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 6) AS frac_late
+        FROM ex
+        GROUP BY delay_s
+    """
+
+
+# minhash_lsh_sweep twin: a FULL SQL replay — portable md5-based
+# 28-bit shingle hash, the seeded (a,b) permutation table interpolated
+# as literals (same generator as the Spark side:
+# llm/dedup.py:_minhash_coeffs), per-(doc, perm) minima, band hashes
+# as md5 of the comma-joined minima, candidate join, and recall
+# against the exact pair set. Nothing probabilistic is left to a bet.
+def _minhash_sweep_oracle(
+    configs=((8, 8), (16, 4), (32, 2)), num_hashes=64, seed=42
+) -> str:
+    from .llm.dedup import _minhash_coeffs
+
+    coeffs = _minhash_coeffs(num_hashes, seed)
+    coef_rows = ", ".join(
+        f"({i}, {a}::BIGINT, {b}::BIGINT)" for i, (a, b) in enumerate(coeffs)
+    )
+    shingles = """
+        toks AS (
+            SELECT doc_id,
+                   string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+            FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+            WHERE len(w) >= 3
+        ),
+        hv AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(shingle), 1, 7)) AS BIGINT) AS h
+            FROM sh
+        ),
+        coef(perm, a, b) AS (VALUES {coef_rows}),
+        mins AS (
+            SELECT doc_id, perm,
+                   min((a * h + b) % 2147483647) AS mv
+            FROM hv CROSS JOIN coef
+            GROUP BY doc_id, perm
+        ),
+        exact AS (
+            SELECT doc_a, doc_b FROM ({exact_sql})
+        )
+    """.format(coef_rows=coef_rows, exact_sql=_EXACT_JACCARD_SQL.format(t=0.8))
+    parts = []
+    for bands, rows in configs:
+        parts.append(
+            """
+        SELECT {bands} AS bands, {rows} AS rows_per_band,
+               (SELECT CAST(count(*) AS BIGINT) FROM cand_{bands}) AS n_cand,
+               (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_true,
+               (SELECT CAST(count(*) AS BIGINT)
+                FROM exact e JOIN cand_{bands} c
+                  ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b) AS n_caught,
+               (SELECT round(
+                    CAST((SELECT count(*)
+                          FROM exact e JOIN cand_{bands} c
+                            ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b)
+                         AS DOUBLE)
+                    / nullif(CAST((SELECT count(*) FROM exact) AS DOUBLE), 0),
+                    6)) AS recall
+            """.format(bands=bands, rows=rows)
+        )
+        shingles += """,
+        bh_{bands} AS (
+            SELECT doc_id, perm // {rows} AS band,
+                   md5(string_agg(CAST(mv AS VARCHAR), ',' ORDER BY perm))
+                       AS band_hash
+            FROM mins GROUP BY doc_id, perm // {rows}
+        ),
+        cand_{bands} AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bh_{bands} a JOIN bh_{bands} b
+              ON a.band = b.band AND a.band_hash = b.band_hash
+                 AND a.doc_id < b.doc_id
+        )
+        """.format(bands=bands, rows=rows)
+    return "WITH " + shingles + "\n" + "\nUNION ALL\n".join(parts)
+
+
+ORACLES["minhash_lsh_sweep"] = _minhash_sweep_oracle()

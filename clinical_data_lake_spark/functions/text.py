@@ -1449,3 +1449,54 @@ def lang_mismatch_profile(
             digits,
         ).alias("cell_rate"),
     )
+
+
+# Tracking/session query parameters stripped by URL canonicalization —
+# the standard crawl-dedup list (utm_* campaign tags, ad click ids,
+# referrer echoes). Kept as one regex so Spark and the DuckDB oracle
+# share it verbatim.
+URL_TRACKING_PARAM_RE = "^(utm_[^=]*|gclid|fbclid|ref)="
+
+
+def canonicalize_url(url: str | Column) -> Column:
+    """Canonical dedup KEY for a URL — the pretraining-crawl dedup
+    axis: the same page is fetched as http/https, with/without www,
+    with tracking parameters, fragments, default ports, and trailing
+    slashes, and URL-exact dedup misses all of it. Normalization
+    (RFC 3986 syntax normalization + the crawl-pipeline conventions):
+
+    - strip the fragment (``#...``) and the scheme (http/https served
+      content is the same document; the key is scheme-less),
+    - drop ``user:pass@`` credentials,
+    - lowercase the host, strip a leading ``www.`` and a default
+      ``:80``/``:443`` port (path case is PRESERVED — paths are
+      case-sensitive),
+    - drop tracking query parameters (``URL_TRACKING_PARAM_RE``), sort
+      the survivors (param order is non-semantic), drop an empty ``?``,
+    - strip trailing slashes from the path.
+
+    Returns ``host/path?query``. Pure column expressions (regexp +
+    array ops) — scan-side, codegen, engine-portable (the oracle
+    replays every step in DuckDB SQL).
+    """
+    u = F.trim(_col(url))
+    u = F.regexp_replace(u, "#.*$", "")                      # fragment
+    rest = F.regexp_replace(u, "^[a-zA-Z][a-zA-Z0-9+.\\-]*://", "")
+    rest = F.regexp_replace(rest, "^[^@/?]*@", "")           # credentials
+    hostport = F.lower(F.regexp_extract(rest, "^([^/?]*)", 1))
+    host = F.regexp_replace(
+        F.regexp_replace(hostport, ":(80|443)$", ""), "^www\\.", ""
+    )
+    pathquery = F.regexp_replace(rest, "^[^/?]*", "")
+    path = F.regexp_replace(F.regexp_extract(pathquery, "^([^?]*)", 1), "/+$", "")
+    qs = F.regexp_extract(pathquery, "\\?(.*)$", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(qs, "&"),
+            lambda p: (p != "") & ~p.rlike(URL_TRACKING_PARAM_RE),
+        )
+    )
+    qnorm = F.array_join(params, "&")
+    return F.concat(
+        host, path, F.when(qnorm != "", F.concat(F.lit("?"), qnorm)).otherwise(F.lit(""))
+    )

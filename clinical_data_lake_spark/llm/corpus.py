@@ -697,24 +697,27 @@ def mixture_plan(
     what does alpha do to my token budget per slice — without
     materializing a single sampled row.
 
-    Scale shape: one corpus scan folding token counts into the same
-    low-cardinality groupBy the rate computation uses; rates join back
-    on the slice key (broadcast-sized). Expected yields use the exact
-    integer rate (rate_65536/65536) so both engines run the identical
-    arithmetic.
+    Scale shape: ONE corpus scan — token counts fold into the same
+    low-cardinality groupBy that feeds the rate computation (via
+    ``alpha_mixture_rates_from_counts``), so there is no second scan
+    and no re-join on the slice key. This also keeps a NULL-group
+    slice in the plan: a NULL key survives a groupBy but would be
+    silently dropped by a null-unsafe equality join. Expected yields
+    use the exact integer rate (rate_65536/65536) so both engines run
+    the identical arithmetic.
     """
-    from ..operators.sampling import alpha_mixture_rates
+    from ..operators.sampling import alpha_mixture_rates_from_counts
 
-    rates = alpha_mixture_rates(
-        docs.select(group_col), group_col, alpha=alpha, target_frac=target_frac
+    counts = docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.token_count(F.col(text_col))).cast("long").alias("n_tokens"),
     )
-    toks = docs.groupBy(group_col).agg(
-        F.sum(T.token_count(F.col(text_col))).cast("long").alias("n_tokens")
+    rates = alpha_mixture_rates_from_counts(
+        counts, group_col, alpha=alpha, target_frac=target_frac
     )
     rate = F.col("rate_65536").cast("double") / F.lit(65536.0)
     return (
-        rates.join(toks, on=group_col)
-        .select(
+        rates.select(
             group_col,
             "n_docs",
             "n_tokens",

@@ -1840,3 +1840,151 @@ def split_leakage_audit(
             "leaked", (F.col("split_a") != F.col("split_b")).cast("int")
         )
     )
+
+
+def _minhash_coeffs(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """The (a, b) universal-hash coefficients shared by
+    ``minhash_signatures`` and the sweep's DuckDB oracle — one
+    seeded generator so both engines replay the identical
+    permutations."""
+    import random
+
+    rnd = random.Random(seed)
+    return [
+        (rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE))
+        for _ in range(num_hashes)
+    ]
+
+
+def portable_minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """``minhash_signatures`` with an ENGINE-PORTABLE base hash: the
+    shingle is reduced to 28 bits via its md5 hex prefix (identical in
+    every engine) instead of xxhash64 (JVM-specific). Same universal
+    hashing, same ANSI-safe ranges (h < 2^28, a < 2^31 => a*h+b <
+    2^59 fits a long). Costs one md5 per shingle instead of one
+    xxhash64 — measurable but small next to the explode shuffle; use
+    this variant when the signatures themselves must be replayable
+    outside Spark (cross-engine dedup ledgers, the sweep oracle)."""
+    coeffs = _minhash_coeffs(num_hashes, seed)
+    sh = word_shingles(docs, id_col, text_col, n)
+    h = F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10).cast("long")
+    aggs = [
+        F.min(F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        id_col,
+        F.array(*[f"mh_{i}" for i in range(num_hashes)]).alias("signature"),
+    )
+
+
+def minhash_lsh_sweep(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    configs: tuple[tuple[int, int], ...] = ((8, 8), (16, 4), (32, 2)),
+    threshold: float = 0.8,
+    seed: int = 42,
+    digits: int = 6,
+) -> DataFrame:
+    """Banding-parameter sweep for MinHash LSH: for each (bands, rows)
+    split of one ``num_hashes``-wide signature, the candidate count
+    (cost), the true near-dup pairs caught at ``threshold`` and the
+    recall against the exact pair set — the capacity-planning curve
+    the dedup side needs before committing banding parameters to a
+    100 TB run (the twin of ``ann_cells_sweep`` on the ANN side).
+    More bands with shorter rows = higher recall, more candidates;
+    the curve says what a point estimate (``dedup_minhash_verified``'s
+    fixed 16x4) cannot: where recall falls off.
+
+    Output: one row per config — (bands, rows_per_band, n_cand,
+    n_true, n_caught, recall). ``n_true``/``n_caught`` use the
+    LOSSLESS PPJoin+ exact pair set (``prefix_filter_pairs``), so the
+    sweep is deterministic and fully oracle-replayable: signatures use
+    ``portable_minhash_signatures`` (md5 base hash), banding is
+    md5-of-joined-minima — every step recomputable in SQL.
+
+    Scale shape: signatures computed ONCE (one explode + 64-min
+    aggregate, persisted — ~0.5 KB/doc), each config re-bands the
+    cached signatures (band-hash-keyed shuffle, linear); the exact
+    pair set is computed once and persisted (pair-scale, tiny vs the
+    corpus). No all-pairs term anywhere.
+    """
+    sig = track_persist(
+        portable_minhash_signatures(docs, id_col, text_col, n, num_hashes, seed)
+    )
+    exact = track_persist(
+        prefix_filter_pairs(docs, id_col, text_col, n, threshold)
+        .select("doc_a", "doc_b")
+    )
+    out: DataFrame | None = None
+    for bands, rows in configs:
+        if bands * rows != num_hashes:
+            raise ValueError(
+                f"bands*rows must equal num_hashes: {bands}x{rows} != {num_hashes}"
+            )
+        banded = sig.select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",", F.slice("signature", b * rows + 1, rows)
+                            )
+                        ).alias("band_hash"),
+                    ),
+                )
+            ).alias("bb"),
+        ).select(id_col, "bb.band", "bb.band_hash")
+        cand = (
+            banded.select(F.col(id_col).alias("doc_a"), "band", "band_hash")
+            .join(
+                banded.select(F.col(id_col).alias("doc_b"), "band", "band_hash"),
+                on=["band", "band_hash"],
+            )
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+        caught = exact.join(cand, on=["doc_a", "doc_b"], how="left_semi")
+        row = (
+            cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
+            .crossJoin(
+                F.broadcast(
+                    exact.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+                )
+            )
+            .crossJoin(
+                F.broadcast(
+                    caught.agg(F.count(F.lit(1)).cast("long").alias("n_caught"))
+                )
+            )
+            .select(
+                F.lit(bands).cast("int").alias("bands"),
+                F.lit(rows).cast("int").alias("rows_per_band"),
+                "n_cand",
+                "n_true",
+                "n_caught",
+                F.round(
+                    F.col("n_caught").cast("double")
+                    / F.nullif(F.col("n_true").cast("double"), F.lit(0.0)),
+                    digits,
+                ).alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    assert out is not None
+    return out

@@ -1498,6 +1498,90 @@ def embedding_clip_bounds(
     )
 
 
+def embedding_clip_bounds_sampled(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lower: float = 0.01,
+    upper: float = 0.99,
+    n_256: int = 64,
+    digits: int = 6,
+) -> DataFrame:
+    """The 100 TB-default variant of ``embedding_clip_bounds``: clip
+    bounds estimated from a DETERMINISTIC hash-sample of coordinate
+    values (exact interpolated percentile over the sample), with the
+    clipped fraction still counted over the FULL data at those bounds.
+
+    ``embedding_clip_bounds`` runs an exact percentile over all N*d
+    coordinate values — compute-proportional by design (~24s at sf10
+    locally), which at 100 TB makes the percentile aggregate the whole
+    job. Calibration does not need exact corpus percentiles: a p1/p99
+    estimate from an unbiased sample moves the bound by O(1/sqrt(m))
+    quantile mass, far below the quantization tolerance it feeds. This
+    variant keeps the percentile input at ``n_256/256`` of the
+    coordinates (default 1/4; at 100 TB you'd run 1/256) while the
+    cheap single-scan clip count stays exact, so ``clip_frac`` reports
+    the TRUE clipped mass at the sampled bounds.
+
+    Sampling is the repo's engine-portable convention — md5 prefix of
+    ``id:pos`` under ``n_256/256`` of hash space — so membership is a
+    pure function of the data (partitioning-independent, and the
+    DuckDB oracle replays it bit-exactly; ``approx_percentile``
+    sketches are engine-specific and cannot be oracle-twinned).
+
+    Scale shape: one posexplode feeding (a) the sampled percentile
+    aggregate (d rows out of N*d/4 in) and (b) the full clip count via
+    a d-row broadcast join. No window, no full-data sort.
+    """
+    if not 0 < n_256 <= 256:
+        raise ValueError("n_256 must be in (0, 256]")
+    exd = (
+        emb.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), F.posexplode(F.col(vec_col)).alias("pos", "__v__"))
+        .select(id_col, "pos", F.col("__v__").cast("double").alias("v"))
+    )
+    exd = track_persist(exd)
+    thresh = format(n_256, "02x")
+    sampled = exd.filter(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
+                              F.col("pos").cast("string"))), 1, 2
+        ) < thresh
+    ) if n_256 < 256 else exd
+    bounds = sampled.groupBy("pos").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sample"),
+        (F.round(F.percentile("v", F.lit(float(lower))), digits) + F.lit(0.0))
+        .alias("p_lo"),
+        (F.round(F.percentile("v", F.lit(float(upper))), digits) + F.lit(0.0))
+        .alias("p_hi"),
+    )
+    clipped = (
+        exd.join(F.broadcast(bounds.select("pos", "p_lo", "p_hi")), on="pos")
+        .groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                ((F.col("v") < F.col("p_lo")) | (F.col("v") > F.col("p_hi")))
+                .cast("long")
+            ).alias("__nc__"),
+        )
+    )
+    return (
+        bounds.join(clipped, on="pos")
+        .select(
+            F.col("pos").cast("int").alias("pos"),
+            "n",
+            "n_sample",
+            "p_lo",
+            "p_hi",
+            F.round(
+                F.col("__nc__").cast("double") / F.col("n").cast("double"),
+                digits,
+            ).alias("clip_frac"),
+        )
+    )
+
+
 def recall_at_k(
     exact: DataFrame,
     approx: DataFrame,
@@ -1511,13 +1595,21 @@ def recall_at_k(
     every recall-style diagnostic (IVF cells sweep, quantization
     audit, …) — one left-semi overlap count, a left join back to the
     query list so zero-hit queries report 0 rather than vanish, and
-    one exact division by the literal k."""
+    one exact division by the literal k.
+
+    Both inputs are expected to carry at most ``k`` neighbors per
+    query; the overlap count is defensively capped at ``k`` so a
+    caller passing a wider exact list cannot produce recall > 1
+    silently."""
     hits = (
         exact.join(approx, on=[id_col, neighbor_col], how="left_semi")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("__h__"))
     )
-    n_hit = F.coalesce("__h__", F.lit(0).cast("long")).cast("long")
+    n_hit = F.least(
+        F.coalesce("__h__", F.lit(0).cast("long")).cast("long"),
+        F.lit(int(k)).cast("long"),
+    )
     return qids.join(hits, on=id_col, how="left").select(
         id_col,
         n_hit.alias("n_hit"),

@@ -233,6 +233,23 @@ def alpha_mixture_rates(
     low-cardinality group key + two 1-row broadcast scalars.
     """
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    return alpha_mixture_rates_from_counts(counts, group_col, alpha, target_frac)
+
+
+def alpha_mixture_rates_from_counts(
+    counts: DataFrame,
+    group_col: str,
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+) -> DataFrame:
+    """``alpha_mixture_rates`` from a pre-aggregated per-group table
+    (one row per group with an ``n_docs`` column). Extra columns in
+    ``counts`` (e.g. per-group token sums) are carried through — this
+    lets callers fold auxiliary aggregates into the SAME groupBy that
+    feeds the rate computation, avoiding a second corpus scan and a
+    null-unsafe re-join on the group key (a NULL group survives a
+    groupBy but not an equality join).
+    """
     weight = F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha)))
     weighted = counts.withColumn("__w__", weight)
     totals = weighted.agg(
@@ -246,11 +263,13 @@ def alpha_mixture_rates(
         / F.col("__wsum__")
         / F.col("n_docs").cast("double"),
     )
+    extra = [c for c in counts.columns if c not in (group_col, "n_docs")]
     return (
         weighted.crossJoin(F.broadcast(totals))
         .select(
             F.col(group_col),
             F.col("n_docs"),
+            *[F.col(c) for c in extra],
             F.floor(rate * F.lit(65536.0)).cast("int").alias("rate_65536"),
         )
     )

@@ -820,3 +820,91 @@ def clean_doc_stream(
             ["text_hash"]
         )
     return kept.dropDuplicates(["text_hash"])
+
+
+def watermark_lateness_audit(
+    events: DataFrame,
+    ts_col: str = "ts",
+    arrival_col: str = "event_id",
+    delays_s: tuple[int, ...] = (0, 60, 300, 3600),
+    num_batches: int = 256,
+    digits: int = 6,
+) -> DataFrame:
+    """Watermark-delay planning table for the streaming pack: for each
+    candidate ``withWatermark`` delay, how many events the stream
+    would DROP as too-late — the number you need BEFORE picking the
+    delay (too small silently loses data, too large bloats every
+    stateful operator's store by the same factor).
+
+    Semantics mirror Structured Streaming: the watermark advances at
+    micro-batch boundaries to ``max(event time seen in prior batches)
+    - delay``, and a row is dropped when its event time is older than
+    the CURRENT watermark. Arrival order is modeled by ``arrival_col``
+    (ingest sequence), micro-batches by ``num_batches`` equal-width
+    arrival slices; batch 0 drops nothing (no watermark yet), exactly
+    like a fresh query. Coarser batches advance the watermark less
+    often, so the audit is a mild UNDER-estimate of drops vs a
+    finer-triggered stream — the conservative direction for capacity
+    planning is a larger ``num_batches``.
+
+    Scale shape: one scan rolls events into per-slice max event times;
+    the slice table is ``num_batches`` rows BY CONSTRUCTION (not
+    data-sized — a fixed batch_size would funnel N/batch_size rows
+    through the prefix window at 100 TB), so the running prior-batch
+    max is a window over a bounded table; each event then joins its
+    slice row broadcast-style and every (event, delay) test is a
+    projection. No global event-order sort ever happens.
+    """
+    from pyspark.sql import Window
+
+    bounds = events.agg(
+        F.min(arrival_col).alias("__lo__"), F.max(arrival_col).alias("__hi__")
+    )
+    # floor(double division): operands stay exactly representable
+    # (arrival deltas * num_batches << 2^53) and IEEE division is
+    # exactly rounded, so both engines compute the identical slice id.
+    slice_id = F.least(
+        F.floor(
+            ((F.col(arrival_col) - F.col("__lo__"))
+             * F.lit(int(num_batches))).cast("double")
+            / (F.col("__hi__") - F.col("__lo__") + F.lit(1)).cast("double")
+        ),
+        F.lit(num_batches - 1).cast("long"),
+    )
+    ev = events.crossJoin(F.broadcast(bounds)).select(
+        slice_id.cast("long").alias("__b__"),
+        F.unix_timestamp(F.col(ts_col)).alias("__t__"),
+    )
+    batches = ev.groupBy("__b__").agg(F.max("__t__").alias("__bmax__"))
+    prior = Window.orderBy("__b__").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    batches = batches.select(
+        "__b__", F.max("__bmax__").over(prior).alias("__wm_ts__")
+    )
+    joined = ev.join(F.broadcast(batches), on="__b__")
+    delays = F.array(*[F.lit(int(d)) for d in delays_s])
+    exploded = joined.select(
+        "__t__", "__wm_ts__", F.explode(delays).alias("delay_s")
+    )
+    late = (
+        F.col("__wm_ts__").isNotNull()
+        & (F.col("__t__") < F.col("__wm_ts__") - F.col("delay_s"))
+    )
+    n = F.count(F.lit(1))
+    return (
+        exploded.groupBy("delay_s")
+        .agg(
+            n.cast("long").alias("n_events"),
+            F.sum(late.cast("long")).alias("n_late"),
+        )
+        .select(
+            "delay_s",
+            "n_events",
+            "n_late",
+            F.round(
+                F.col("n_late").cast("double") / F.col("n_events").cast("double"),
+                digits,
+            ).alias("frac_late"),
+        )
+    )

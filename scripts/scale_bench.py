@@ -124,10 +124,19 @@ def run_at(spark, sf_dir: str, passes: int = 1) -> dict[str, float]:
 
 def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # r13: shuffle partitions overridable so the RECORDED protocol can
+    # be the cluster-sized one (recommended_cluster_conf's 3x-cores
+    # rule = 96 here). The r12 rows for dedup_prefix_filter/soft_dedup
+    # carried misleading 32-partition alphas: 32 partitions at sf10
+    # (100x sf0.1 data) under-parallelizes the shingle shuffles, and
+    # the exponent then measures partition starvation, not the plan.
+    parts = os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus if cpus.isdigit() else "32"
+    )
     spark = (
         SparkSession.builder.appName("cdl-scale-bench")
         .master(f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", cpus if cpus.isdigit() else "32")
+        .config("spark.sql.shuffle.partitions", parts)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -322,6 +322,18 @@ R12_NEW = [
     "stream_clean",
 ]
 
+# r13-new operators (scheduled first in the r14 window at
+# registration — ROTATION.md): hash-sampled percentile calibration;
+# regexp-chain URL canonical keys; batch-bucketed watermark model;
+# md5-portable minhash banding sweep against the lossless exact pair
+# set
+R13_NEW = [
+    "embed_clip_bounds_approx",
+    "url_dedup",
+    "watermark_lateness",
+    "minhash_lsh_sweep",
+]
+
 
 def _canon(v):
     if v is None:
@@ -385,7 +397,7 @@ def test_partition_invariant_approx(spark, name):
 
 
 @pytest.mark.parametrize(
-    "name", ROTATED_IN + R8_NEW + R9_EXACT + R9_NEW + R10_NEW + R12_NEW
+    "name", ROTATED_IN + R8_NEW + R9_EXACT + R9_NEW + R10_NEW + R12_NEW + R13_NEW
 )
 def test_partition_invariant(spark, name):
     from clinical_data_lake_spark.operators.caching import release_persisted

@@ -47,6 +47,8 @@ WAIVERS = {
         "srm_check": "design-arm table (one row per experiment variant)",
         "cum_crossover": "calendar-day rollup table (one row per day)",
         "wasserstein": "n_bins-row zero-filled bin grid (CDF walk + totals)",
+        "watermark_lateness": "256-row arrival-slice table, bounded by"
+        " construction (prior-slice watermark maxes)",
     },
 }
 
