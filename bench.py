@@ -314,6 +314,8 @@ BENCH_QUERIES = [
     "url_dedup",
     "watermark_lateness",
     "minhash_lsh_sweep",
+    "incremental_dedup",
+    "shard_plan",
 ]
 
 # Scope the measured set without editing the file (drift A/B testing,

@@ -4394,6 +4394,40 @@ def q_minhash_lsh_sweep(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.minhash_lsh_sweep(read_table(spark, sf, "documents"))
 
 
+def q_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental-ingest dedup (llm/dedup.py:incremental_dedup) — the
+    production shape at 100 TB: a new batch admitted against the
+    EXISTING corpus, never re-deduped from scratch. The corpus is
+    split by the repo's deterministic md5 convention (75% ledger /
+    25% batch); every batch doc gets a decision — exact_dup
+    (fingerprint already in the ledger), near_dup (word-3-gram Jaccard
+    >= 0.2 against any ledger doc, exact-survivors only), or accept.
+    Exact gate = one fingerprint anti/semi join; near gate = directed
+    batch x ledger inverted-index join (ledger-df-capped) — no
+    self-join term on either side."""
+    docs = read_table(spark, sf, "documents")
+    in_ledger = (
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "c0"
+    )
+    return dedup.incremental_dedup(
+        docs.filter(~in_ledger), docs.filter(in_ledger), threshold=0.2
+    )
+
+
+def q_shard_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Output-shard planning (llm/corpus.py:shard_plan): docs assigned
+    — in deterministic doc_id order — to 2000-token shards via the
+    distributed prefix-sum (id-range buckets -> bounded-window
+    offsets -> in-bucket running sums; budget_select's shape, no
+    global sort), rolled up to per-shard doc/token loads. The last
+    step of every corpus build: token-balanced, reproducible shards."""
+    from .llm import corpus
+
+    return corpus.shard_plan(
+        read_table(spark, sf, "documents"), shard_tokens=2000
+    )
+
+
 def q_conformal(spark: SparkSession, sf: str) -> DataFrame:
     """Split-conformal prediction intervals per event type
     (ml/stats.py:conformal_interval): md5 train/cal/test thirds,
@@ -5967,6 +6001,8 @@ QUERIES = {
     "url_dedup": q_url_dedup,
     "watermark_lateness": q_watermark_lateness,
     "minhash_lsh_sweep": q_minhash_lsh_sweep,
+    "incremental_dedup": q_incremental_dedup,
+    "shard_plan": q_shard_plan,
 }
 
 
@@ -15549,3 +15585,105 @@ def _minhash_sweep_oracle(
 
 
 ORACLES["minhash_lsh_sweep"] = _minhash_sweep_oracle()
+
+
+# incremental_dedup twin: the md5 ledger/batch split, fingerprint
+# exact gate, and the directed batch x ledger capped-inverted-index
+# Jaccard replayed as one CTE chain.
+ORACLES["incremental_dedup"] = """
+        WITH norm AS (
+            SELECT doc_id, text,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                       AS fp,
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'c0'
+                       AS in_ledger
+            FROM documents
+        ),
+        batch AS (SELECT doc_id, text, fp FROM norm WHERE NOT in_ledger),
+        ledger AS (SELECT doc_id, text, fp FROM norm WHERE in_ledger),
+        lfp AS (SELECT DISTINCT fp FROM ledger),
+        exact AS (
+            SELECT doc_id FROM batch WHERE fp IN (SELECT fp FROM lfp)
+        ),
+        rest AS (
+            SELECT doc_id, text FROM batch
+            WHERE fp NOT IN (SELECT fp FROM lfp)
+        ),
+        btoks AS (
+            SELECT doc_id,
+                   string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+            FROM rest
+        ),
+        ltoks AS (
+            SELECT doc_id,
+                   string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+            FROM ledger
+        ),
+        bsh_all AS (
+            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+            FROM btoks, UNNEST(range(1, len(w) - 1)) AS t(i)
+            WHERE len(w) >= 3
+        ),
+        lsh_all AS (
+            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+            FROM ltoks, UNNEST(range(1, len(w) - 1)) AS t(i)
+            WHERE len(w) >= 3
+        ),
+        keep AS (
+            SELECT shingle FROM lsh_all GROUP BY shingle
+            HAVING count(*) <= 100
+        ),
+        bsh AS (
+            SELECT doc_id, shingle FROM bsh_all
+            WHERE shingle IN (SELECT shingle FROM keep)
+        ),
+        lsh AS (
+            SELECT doc_id, shingle FROM lsh_all
+            WHERE shingle IN (SELECT shingle FROM keep)
+        ),
+        na AS (SELECT doc_id, count(*) AS n_sh FROM bsh GROUP BY doc_id),
+        nb AS (SELECT doc_id, count(*) AS n_sh FROM lsh GROUP BY doc_id),
+        inter AS (
+            SELECT b.doc_id AS doc_a, l.doc_id AS doc_b, count(*) AS inter
+            FROM bsh b JOIN lsh l ON b.shingle = l.shingle
+            GROUP BY 1, 2
+        ),
+        near AS (
+            SELECT DISTINCT inter.doc_a AS doc_id
+            FROM inter
+            JOIN na ON na.doc_id = inter.doc_a
+            JOIN nb ON nb.doc_id = inter.doc_b
+            WHERE CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter)
+                  >= 0.2
+        )
+        SELECT doc_id, 'exact_dup' AS decision FROM exact
+        UNION ALL
+        SELECT doc_id, 'near_dup' AS decision FROM near
+        UNION ALL
+        SELECT doc_id, 'accept' AS decision FROM rest
+        WHERE doc_id NOT IN (SELECT doc_id FROM near)
+    """
+
+# shard_plan twin: plain window cumulative token sum in doc_id order
+# (the oracle need not be scale-shaped), integer start-offset shard
+# assignment, per-shard rollup.
+ORACLES["shard_plan"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)
+                       AS nt
+            FROM documents
+        ),
+        cum AS (
+            SELECT doc_id, nt,
+                   sum(nt) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS c
+            FROM toks
+        )
+        SELECT CAST((c - nt) // 2000 AS BIGINT) AS shard_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(nt) AS BIGINT) AS n_tokens
+        FROM cum
+        GROUP BY 1
+    """

@@ -729,3 +729,89 @@ def mixture_plan(
             .alias("exp_tokens"),
         )
     )
+
+
+def shard_plan(
+    docs: DataFrame,
+    shard_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 256,
+) -> DataFrame:
+    """Output-shard planning: assign documents — in deterministic
+    ``id_col`` order — to fixed-token-budget shards, and report each
+    shard's document and token load. The last step of every corpus
+    build: training jobs want shards of roughly equal TOKEN count (not
+    doc count or byte size), and the assignment must be reproducible
+    (a rerun that shuffles differently but shards identically).
+
+    A document lands in the shard containing its START offset:
+    ``shard_id = floor((cum_tokens_inclusive - n_tokens) /
+    shard_tokens)`` — integer arithmetic, so both engines agree
+    exactly. Shards can slightly overflow (a doc straddling a boundary
+    stays in the shard it started in), which is the standard
+    concat-and-cut convention.
+
+    Scale shape: the global ordered cumulative sum is the distributed
+    prefix-sum restatement (budget_select's shape): ``num_buckets``
+    equal-width id-range buckets (order-preserving, pure arithmetic
+    over broadcast [min, max] bounds), per-bucket token totals ->
+    cumulative offsets via a window over the bounded bucket table,
+    in-bucket running sum on the bucket-key shuffle + broadcast
+    offset. No corpus-wide single-partition sort.
+
+    Returns (shard_id, n_docs, n_tokens), one row per shard.
+    """
+    if shard_tokens <= 0:
+        raise ValueError("shard_tokens must be positive")
+    toks = docs.select(
+        F.col(id_col), T.token_count(F.col(text_col)).cast("long").alias("__nt__")
+    )
+    bounds = toks.agg(
+        F.min(id_col).alias("__lo__"), F.max(id_col).alias("__hi__")
+    )
+    bucket = F.least(
+        F.floor(
+            ((F.col(id_col) - F.col("__lo__")) * F.lit(int(num_buckets)))
+            .cast("double")
+            / (F.col("__hi__") - F.col("__lo__") + F.lit(1)).cast("double")
+        ),
+        F.lit(num_buckets - 1).cast("long"),
+    ).cast("long")
+    from ..operators.caching import track_persist
+
+    bucketed = track_persist(
+        toks.crossJoin(F.broadcast(bounds)).select(
+            id_col, "__nt__", bucket.alias("__bkt__")
+        )
+    )
+    btotals = bucketed.groupBy("__bkt__").agg(F.sum("__nt__").alias("__bt__"))
+    w_off = Window.orderBy("__bkt__").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = btotals.select(
+        "__bkt__",
+        F.coalesce(F.sum("__bt__").over(w_off), F.lit(0)).cast("long").alias("__off__"),
+    )
+    w_in = (
+        Window.partitionBy("__bkt__")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    assigned = (
+        bucketed.join(F.broadcast(offsets), on="__bkt__")
+        .select(
+            id_col,
+            "__nt__",
+            (F.sum("__nt__").over(w_in) + F.col("__off__")).alias("__cum__"),
+        )
+        .select(
+            id_col,
+            "__nt__",
+            F.floor(
+                (F.col("__cum__") - F.col("__nt__")) / F.lit(int(shard_tokens))
+            ).cast("long").alias("shard_id"),
+        )
+    )
+    return assigned.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__nt__").cast("long").alias("n_tokens"),
+    )

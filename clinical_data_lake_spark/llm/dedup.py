@@ -1988,3 +1988,112 @@ def minhash_lsh_sweep(
         out = row if out is None else out.unionByName(row)
     assert out is not None
     return out
+
+
+def cross_jaccard_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = 100,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs BETWEEN two corpora (every pair is
+    one left doc x one right doc) — the directed building block
+    incremental dedup needs: a new batch is compared against the
+    existing ledger, never against itself.
+
+    Stop-shingle semantics: shingles whose RIGHT-corpus document
+    frequency exceeds ``max_doc_freq`` are dropped from BOTH sides
+    before sizes and intersections (the ledger is the at-scale side,
+    so its df is the fan-out that must be capped; sizes are computed
+    post-filter so the Jaccard stays internally consistent and
+    engine-replayable). Returns (doc_a = left id, doc_b = right id,
+    jaccard >= threshold).
+
+    Scale shape: one inverted-index join keyed by shingle — work is
+    linear in both corpora + emitted intersections; the batch side is
+    typically tiny next to the ledger, so this is a map-side-friendly
+    join on the shingle key. No self-join term.
+    """
+    lsh = word_shingles(left, id_col, text_col, n)
+    rsh = track_persist(word_shingles(right, id_col, text_col, n))
+    if max_doc_freq is not None:
+        keep = (
+            rsh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        lsh = lsh.join(keep, on="shingle", how="left_semi")
+        rsh = rsh.join(keep, on="shingle", how="left_semi")
+    lsh = track_persist(lsh)
+    rsh = track_persist(rsh)
+    la = lsh.groupBy(id_col).agg(F.count(F.lit(1)).alias("na"))
+    rb = rsh.groupBy(id_col).agg(F.count(F.lit(1)).alias("nb"))
+    inter = (
+        lsh.select(F.col(id_col).alias("doc_a"), "shingle")
+        .join(rsh.select(F.col(id_col).alias("doc_b"), "shingle"), on="shingle")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(la.select(F.col(id_col).alias("doc_a"), "na"), on="doc_a")
+        .join(rb.select(F.col(id_col).alias("doc_b"), "nb"), on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+            .alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    ledger: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = 100,
+) -> DataFrame:
+    """Incremental-ingest dedup decision table — the shape a 100 TB
+    pipeline ACTUALLY runs day to day: a new batch is admitted against
+    the corpus that already exists, never re-deduped from scratch.
+    Per batch document: ``exact_dup`` (normalized fingerprint already
+    in the ledger), ``near_dup`` (word n-gram Jaccard >= ``threshold``
+    against any ledger doc, tested only for exact-survivors), else
+    ``accept``. Returns (id, decision) for EVERY batch document.
+
+    Scale shape: the exact gate is one fingerprint semi/anti join
+    against the ledger's distinct-fingerprint projection; the near
+    gate runs ``cross_jaccard_pairs`` batch x ledger (inverted index,
+    ledger-df-capped) on the exact-survivors only. The ledger is
+    scanned for fingerprints + shingles — no batch self-join, no
+    ledger self-join.
+    """
+    fp = F.md5(_normalized(text_col))
+    b = batch.select(F.col(id_col), fp.alias("__fp__"))
+    lfp = ledger.select(fp.alias("__fp__")).distinct()
+    exact = (
+        b.join(lfp, on="__fp__", how="left_semi")
+        .select(id_col, F.lit("exact_dup").alias("decision"))
+    )
+    rest_ids = b.join(lfp, on="__fp__", how="left_anti").select(id_col)
+    rest = batch.join(rest_ids, on=id_col, how="left_semi")
+    near_ids = (
+        cross_jaccard_pairs(
+            rest, ledger, id_col, text_col, n, threshold, max_doc_freq
+        )
+        .select(F.col("doc_a").alias(id_col))
+        .distinct()
+    )
+    near = near_ids.select(id_col, F.lit("near_dup").alias("decision"))
+    accept = (
+        rest_ids.join(near_ids, on=id_col, how="left_anti")
+        .select(id_col, F.lit("accept").alias("decision"))
+    )
+    return exact.unionByName(near).unionByName(accept)

@@ -332,6 +332,10 @@ R13_NEW = [
     "url_dedup",
     "watermark_lateness",
     "minhash_lsh_sweep",
+    # session 2: fingerprint + directed capped-index decision table;
+    # distributed prefix-sum shard assignment
+    "incremental_dedup",
+    "shard_plan",
 ]
 
 

@@ -49,6 +49,8 @@ WAIVERS = {
         "wasserstein": "n_bins-row zero-filled bin grid (CDF walk + totals)",
         "watermark_lateness": "256-row arrival-slice table, bounded by"
         " construction (prior-slice watermark maxes)",
+        "shard_plan": "num_buckets-row id-range bucket table (distributed"
+        " prefix-sum offsets — budget_select's shape)",
     },
 }
 

@@ -223,3 +223,112 @@ def test_portable_signatures_shape(spark):
     assert all(
         0 <= v < (1 << 31) for r in sig for v in r["signature"]
     )
+
+
+# -------------------------------------------- incremental dedup
+def _mk_docs(spark, rows):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows])
+
+
+def test_incremental_dedup_decisions(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    ledger = _mk_docs(spark, [
+        (0, base),
+        (1, "one two three four five six seven eight nine ten"),
+        (2, "completely different ledger content entirely here now ok yes"),
+    ])
+    batch = _mk_docs(spark, [
+        (10, base),                                  # exact dup of 0
+        (11, base + " extra"),                       # near dup of 0
+        (12, "fresh unseen document with novel words only here below"),
+    ])
+    out = {
+        r["doc_id"]: r["decision"]
+        for r in dedup.incremental_dedup(
+            batch, ledger, threshold=0.5
+        ).collect()
+    }
+    release_persisted()
+    assert out == {10: "exact_dup", 11: "near_dup", 12: "accept"}
+
+
+def test_incremental_dedup_covers_every_batch_doc(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ledger = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    out = dedup.incremental_dedup(batch, ledger, threshold=0.2)
+    rows = out.collect()
+    release_persisted()
+    assert len(rows) == batch.count()
+    assert {r["decision"] for r in rows} <= {"exact_dup", "near_dup", "accept"}
+    assert len({r["doc_id"] for r in rows}) == len(rows)  # one decision/doc
+
+
+def test_cross_jaccard_is_directed_and_exact(spark):
+    a = _mk_docs(spark, [(0, "w1 w2 w3 w4 w5 w6")])
+    b = _mk_docs(spark, [(100, "w1 w2 w3 w4 w5 w6 w7")])
+    out = dedup.cross_jaccard_pairs(a, b, threshold=0.1,
+                                    max_doc_freq=None).collect()
+    release_persisted()
+    # shingles a: 4 (w1..w6 3-grams), b: 5; intersection 4 -> j = 4/5
+    assert len(out) == 1
+    r = out[0]
+    assert (r["doc_a"], r["doc_b"]) == (0, 100)
+    assert abs(r["jaccard"] - 0.8) < 1e-12
+
+
+def test_cross_jaccard_ledger_cap_drops_stop_shingles(spark):
+    hot = "the same boilerplate line repeated everywhere"
+    ledger = _mk_docs(spark, [(i, hot) for i in range(5)])
+    batch = _mk_docs(spark, [(100, hot)])
+    # cap 3 < 5 ledger docs sharing every shingle -> all dropped
+    out = dedup.cross_jaccard_pairs(batch, ledger, threshold=0.1,
+                                    max_doc_freq=3).collect()
+    release_persisted()
+    assert out == []
+
+
+# ------------------------------------------------------ shard plan
+def test_shard_plan_matches_naive_cumsum(spark):
+    from clinical_data_lake_spark.llm.corpus import shard_plan
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {r["shard_id"]: (r["n_docs"], r["n_tokens"])
+           for r in shard_plan(docs, shard_tokens=500).collect()}
+    release_persisted()
+    rows = sorted(
+        (r["doc_id"], len(r["text"].split()))
+        for r in docs.select("doc_id", "text").collect()
+    )
+    want = {}
+    cum = 0
+    for _id, nt in rows:
+        sid = cum // 500
+        cum += nt
+        d, t = want.get(sid, (0, 0))
+        want[sid] = (d + 1, t + nt)
+    assert got == want
+
+
+def test_shard_plan_shards_are_token_balanced(spark):
+    from clinical_data_lake_spark.llm.corpus import shard_plan
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = shard_plan(docs, shard_tokens=1000).collect()
+    release_persisted()
+    # every shard except possibly the last must reach the budget
+    # (a doc straddles its start shard, so >= budget - max_doc_tokens
+    # is the guarantee; use >= 1000 - 200 conservatively)
+    sids = sorted(r["shard_id"] for r in out)
+    assert sids == list(range(len(sids)))  # contiguous from 0
+    for r in out:
+        if r["shard_id"] != sids[-1]:
+            assert r["n_tokens"] >= 800
+
+
+def test_shard_plan_rejects_bad_budget(spark):
+    from clinical_data_lake_spark.llm.corpus import shard_plan
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    with pytest.raises(ValueError):
+        shard_plan(docs, shard_tokens=0)
