@@ -309,7 +309,9 @@ BENCH_QUERIES = [
     "stream_clean",
     # r13 additions (appended — keep the comparable prefix): the
     # hash-sampled clip calibration, URL canonical-key dedup, the
-    # watermark drop audit, and the portable minhash banding sweep
+    # watermark drop audit, the portable minhash banding sweep, the
+    # incremental batch-vs-ledger dedup, and the token-balanced
+    # shard planner
     "embed_clip_bounds_approx",
     "url_dedup",
     "watermark_lateness",
@@ -422,8 +424,15 @@ def main() -> None:
     # too long, elide the cheapest queries from the printed dict into
     # an "elided": [n_queries, total_sec] summary — the heavy entries
     # (the ones the judge grades) always survive.
+    # Scoped probes (SPARK_GRAFT_BENCH_QUERIES) must NOT clobber the
+    # recorded full-headline artifact: an 8-query probe labeled
+    # headline_queries_total would read as a ~10x speedup to any
+    # consumer of BENCH_DETAIL.json (bench_diff.py, round records).
+    detail_name = (
+        "BENCH_DETAIL_SCOPED.json" if _env_set else "BENCH_DETAIL.json"
+    )
     with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), detail_name),
         "w",
     ) as fh:
         json.dump(out, fh)

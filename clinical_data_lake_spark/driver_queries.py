@@ -15601,13 +15601,20 @@ ORACLES["incremental_dedup"] = """
         ),
         batch AS (SELECT doc_id, text, fp FROM norm WHERE NOT in_ledger),
         ledger AS (SELECT doc_id, text, fp FROM norm WHERE in_ledger),
-        lfp AS (SELECT DISTINCT fp FROM ledger),
+        -- NULL fingerprints (NULL text) are excluded here and
+        -- NULL-guarded below: `fp NOT IN (...NULL...)` is never TRUE,
+        -- which would empty `rest` and diverge from Spark's
+        -- null-unsafe left_anti (a NULL-fp batch doc proceeds to the
+        -- near gate and, with no shingles, lands on accept).
+        lfp AS (
+            SELECT DISTINCT fp FROM ledger WHERE fp IS NOT NULL
+        ),
         exact AS (
             SELECT doc_id FROM batch WHERE fp IN (SELECT fp FROM lfp)
         ),
         rest AS (
             SELECT doc_id, text FROM batch
-            WHERE fp NOT IN (SELECT fp FROM lfp)
+            WHERE fp IS NULL OR fp NOT IN (SELECT fp FROM lfp)
         ),
         btoks AS (
             SELECT doc_id,

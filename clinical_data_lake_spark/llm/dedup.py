@@ -235,10 +235,7 @@ def minhash_signatures(
     aggregate expressions over ONE exploded-shingle shuffle — not
     num_hashes passes.
     """
-    import random
-
-    rnd = random.Random(seed)
-    coeffs = [(rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE)) for _ in range(num_hashes)]
+    coeffs = _minhash_coeffs(num_hashes, seed)
     sh = word_shingles(docs, id_col, text_col, n)
     h = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
     aggs = [
@@ -1949,7 +1946,10 @@ def minhash_lsh_sweep(
                 )
             ).alias("bb"),
         ).select(id_col, "bb.band", "bb.band_hash")
-        cand = (
+        # persisted: the candidate set feeds BOTH the n_cand aggregate
+        # and the n_caught semi-join — unpersisted, the band self-join
+        # + pair-dedup shuffle (the config's dominant cost) runs twice
+        cand = track_persist(
             banded.select(F.col(id_col).alias("doc_a"), "band", "band_hash")
             .join(
                 banded.select(F.col(id_col).alias("doc_b"), "band", "band_hash"),
@@ -2018,8 +2018,12 @@ def cross_jaccard_pairs(
     join on the shingle key. No self-join term.
     """
     lsh = word_shingles(left, id_col, text_col, n)
-    rsh = track_persist(word_shingles(right, id_col, text_col, n))
+    rsh = word_shingles(right, id_col, text_col, n)
     if max_doc_freq is not None:
+        # the raw ledger shingles feed both the df count and the
+        # semi-join base — persist the unfiltered table only when this
+        # branch creates that second reference
+        rsh = track_persist(rsh)
         keep = (
             rsh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
@@ -2028,6 +2032,7 @@ def cross_jaccard_pairs(
         )
         lsh = lsh.join(keep, on="shingle", how="left_semi")
         rsh = rsh.join(keep, on="shingle", how="left_semi")
+    # both sides feed a size aggregate AND the inverted-index join
     lsh = track_persist(lsh)
     rsh = track_persist(rsh)
     la = lsh.groupBy(id_col).agg(F.count(F.lit(1)).alias("na"))

@@ -871,9 +871,16 @@ def watermark_lateness_audit(
         ),
         F.lit(num_batches - 1).cast("long"),
     )
-    ev = events.crossJoin(F.broadcast(bounds)).select(
-        slice_id.cast("long").alias("__b__"),
-        F.unix_timestamp(F.col(ts_col)).alias("__t__"),
+    # persisted: this narrow (slice, epoch) frame feeds BOTH the
+    # per-slice max rollup and the join-back — unpersisted, the events
+    # scan (the dominant I/O at scale) runs twice more
+    from ..operators.caching import track_persist
+
+    ev = track_persist(
+        events.crossJoin(F.broadcast(bounds)).select(
+            slice_id.cast("long").alias("__b__"),
+            F.unix_timestamp(F.col(ts_col)).alias("__t__"),
+        )
     )
     batches = ev.groupBy("__b__").agg(F.max("__t__").alias("__bmax__"))
     prior = Window.orderBy("__b__").rowsBetween(
