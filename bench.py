@@ -318,6 +318,7 @@ BENCH_QUERIES = [
     "minhash_lsh_sweep",
     "incremental_dedup",
     "shard_plan",
+    "stream_admission",
 ]
 
 # Scope the measured set without editing the file (drift A/B testing,

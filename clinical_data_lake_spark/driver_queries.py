@@ -4414,6 +4414,30 @@ def q_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_stream_admission(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequential-admission fold (llm/dedup.py:
+    incremental_admission_fold) — the oracle-checkable batch twin of
+    the streaming ingest sink (streaming/events.py:admit_doc_stream,
+    streamed==batch parity in test_streaming.py): 50% of the corpus
+    seeds the ledger (md5 split), the rest arrives as 3 slices
+    (doc_id mod 3); each slice is admitted against the ledger PLUS
+    every earlier acceptance, so a duplicate later in the stream is
+    blocked by a doc accepted earlier. Output: (doc_id, slice_id,
+    decision) for every streamed doc. The oracle replays all three
+    admission rounds as chained CTE layers (the stream_upsert
+    sequential-fold pattern)."""
+    docs = read_table(spark, sf, "documents")
+    in_ledger = (
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "80"
+    )
+    ledger = docs.filter(in_ledger)
+    rest = docs.filter(~in_ledger)
+    batches = [
+        rest.filter(F.pmod(F.col("doc_id"), F.lit(3)) == k) for k in range(3)
+    ]
+    return dedup.incremental_admission_fold(ledger, batches, threshold=0.2)
+
+
 def q_shard_plan(spark: SparkSession, sf: str) -> DataFrame:
     """Output-shard planning (llm/corpus.py:shard_plan): docs assigned
     — in deterministic doc_id order — to 2000-token shards via the
@@ -6003,6 +6027,7 @@ QUERIES = {
     "minhash_lsh_sweep": q_minhash_lsh_sweep,
     "incremental_dedup": q_incremental_dedup,
     "shard_plan": q_shard_plan,
+    "stream_admission": q_stream_admission,
 }
 
 
@@ -15694,3 +15719,109 @@ ORACLES["shard_plan"] = """
         FROM cum
         GROUP BY 1
     """
+
+
+# stream_admission twin: all three sequential admission rounds
+# replayed as chained CTE layers — each round's accepted docs extend
+# the ledger CTE the next round reads (the stream_upsert fold
+# pattern). Generated programmatically so every round shares one
+# template (fingerprint gate + ledger-df-capped directed Jaccard,
+# NULL-guarded like the incremental_dedup twin).
+def _admission_fold_oracle(slices: int = 3, threshold: float = 0.2,
+                           cap: int = 100) -> str:
+    toks = ("string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', "
+            "'g'), ' ')")
+    fp = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+    sql = f"""
+        WITH norm AS MATERIALIZED (
+            SELECT doc_id, text, {fp} AS fp,
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+                       AS in_ledger
+            FROM documents
+        ),
+        acc0 AS MATERIALIZED (SELECT doc_id, text FROM norm WHERE in_ledger)"""
+    for k in range(1, slices + 1):
+        p = k - 1
+        sql += f""",
+        sl{k} AS MATERIALIZED (
+            SELECT doc_id, text, fp FROM norm
+            WHERE NOT in_ledger AND doc_id % {slices} = {p}
+        ),
+        lfp{k} AS MATERIALIZED (
+            SELECT DISTINCT fp FROM (
+                SELECT {fp} AS fp FROM acc{p}
+            ) WHERE fp IS NOT NULL
+        ),
+        ex{k} AS MATERIALIZED (
+            SELECT doc_id FROM sl{k} WHERE fp IN (SELECT fp FROM lfp{k})
+        ),
+        rest{k} AS MATERIALIZED (
+            SELECT doc_id, text FROM sl{k}
+            WHERE fp IS NULL OR fp NOT IN (SELECT fp FROM lfp{k})
+        ),
+        bt{k} AS MATERIALIZED (SELECT doc_id, {toks} AS w FROM rest{k}),
+        lt{k} AS MATERIALIZED (SELECT doc_id, {toks} AS w FROM acc{p}),
+        bsha{k} AS MATERIALIZED (
+            SELECT DISTINCT doc_id,
+                   w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+            FROM bt{k}, UNNEST(range(1, len(w) - 1)) AS t(i)
+            WHERE len(w) >= 3
+        ),
+        lsha{k} AS MATERIALIZED (
+            SELECT DISTINCT doc_id,
+                   w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+            FROM lt{k}, UNNEST(range(1, len(w) - 1)) AS t(i)
+            WHERE len(w) >= 3
+        ),
+        keep{k} AS MATERIALIZED (
+            SELECT shingle FROM lsha{k} GROUP BY shingle
+            HAVING count(*) <= {cap}
+        ),
+        bsh{k} AS MATERIALIZED (
+            SELECT doc_id, shingle FROM bsha{k}
+            WHERE shingle IN (SELECT shingle FROM keep{k})
+        ),
+        lsh{k} AS MATERIALIZED (
+            SELECT doc_id, shingle FROM lsha{k}
+            WHERE shingle IN (SELECT shingle FROM keep{k})
+        ),
+        na{k} AS MATERIALIZED (SELECT doc_id, count(*) AS n_sh FROM bsh{k} GROUP BY doc_id),
+        nb{k} AS MATERIALIZED (SELECT doc_id, count(*) AS n_sh FROM lsh{k} GROUP BY doc_id),
+        inter{k} AS MATERIALIZED (
+            SELECT b.doc_id AS doc_a, l.doc_id AS doc_b, count(*) AS inter
+            FROM bsh{k} b JOIN lsh{k} l ON b.shingle = l.shingle
+            GROUP BY 1, 2
+        ),
+        near{k} AS MATERIALIZED (
+            SELECT DISTINCT inter{k}.doc_a AS doc_id
+            FROM inter{k}
+            JOIN na{k} ON na{k}.doc_id = inter{k}.doc_a
+            JOIN nb{k} ON nb{k}.doc_id = inter{k}.doc_b
+            WHERE CAST(inter AS DOUBLE) / (na{k}.n_sh + nb{k}.n_sh - inter)
+                  >= {threshold}
+        ),
+        dec{k} AS MATERIALIZED (
+            SELECT doc_id, {p} AS slice_id, 'exact_dup' AS decision
+            FROM ex{k}
+            UNION ALL
+            SELECT doc_id, {p} AS slice_id, 'near_dup' AS decision
+            FROM near{k}
+            UNION ALL
+            SELECT doc_id, {p} AS slice_id, 'accept' AS decision
+            FROM rest{k}
+            WHERE doc_id NOT IN (SELECT doc_id FROM near{k})
+        ),
+        acc{k} AS MATERIALIZED (
+            SELECT doc_id, text FROM acc{p}
+            UNION ALL
+            SELECT r.doc_id, r.text FROM rest{k} r
+            WHERE r.doc_id NOT IN (SELECT doc_id FROM near{k})
+        )"""
+    unions = "\nUNION ALL\n".join(
+        f"SELECT doc_id, CAST(slice_id AS INTEGER) AS slice_id, decision FROM dec{k}"
+        for k in range(1, slices + 1)
+    )
+    return sql + "\n" + unions
+
+
+ORACLES["stream_admission"] = _admission_fold_oracle()

@@ -2102,3 +2102,61 @@ def incremental_dedup(
         .select(id_col, F.lit("accept").alias("decision"))
     )
     return exact.unionByName(near).unionByName(accept)
+
+
+def incremental_admission_fold(
+    ledger: DataFrame,
+    batches: list[DataFrame],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = 100,
+) -> DataFrame:
+    """Sequential-admission fold — the oracle-checkable batch twin of
+    a streaming ingest running ``incremental_dedup`` per micro-batch:
+    slice k is admitted against the ORIGINAL ledger PLUS every doc
+    accepted from slices < k (an accepted doc immediately blocks its
+    own later duplicates — the property per-slice-vs-static-ledger
+    admission silently lacks). Returns (id, slice_id, decision) for
+    every batch document.
+
+    The fold is a plan-level loop, so each slice's DECISION table is
+    eagerly checkpointed (``iter_checkpoint``, the loop-operator
+    convention): without lineage truncation, slice k's ledger embeds
+    the full decision subtrees of every earlier slice and the plan
+    re-evaluates them combinatorially (measured: the 3-slice fold at
+    sf0.01 went from minutes-not-finishing to seconds). Decision
+    tables are batch-sized — the checkpoint is cheap. The production
+    stream (streaming/events.py:admit_doc_stream) maintains the
+    accumulated ledger as a parquet sink instead of a growing plan,
+    so per-batch work stays bounded by |batch| x |ledger|
+    inverted-index terms, not by lineage.
+    """
+    from ..operators.caching import iter_checkpoint
+
+    accepted = ledger.select(F.col(id_col), F.col(text_col))
+    outs: list[DataFrame] = []
+    for k, b in enumerate(batches):
+        dec = iter_checkpoint(
+            incremental_dedup(
+                b, accepted, id_col, text_col, n, threshold, max_doc_freq
+            )
+        )
+        outs.append(
+            dec.select(
+                F.col(id_col),
+                F.lit(k).cast("int").alias("slice_id"),
+                "decision",
+            )
+        )
+        acc_ids = dec.filter(F.col("decision") == "accept").select(id_col)
+        accepted = accepted.unionByName(
+            b.select(F.col(id_col), F.col(text_col)).join(
+                acc_ids, on=id_col, how="left_semi"
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -915,3 +915,85 @@ def watermark_lateness_audit(
             ).alias("frac_late"),
         )
     )
+
+
+def admit_doc_stream(
+    docs: DataFrame,
+    ledger_dir: str,
+    decisions_dir: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = 100,
+    timeout_sec: float = 300.0,
+):
+    """Streaming incremental-dedup ADMISSION — the ingest pipeline a
+    100 TB corpus actually runs: every micro-batch of new documents is
+    admitted against the ledger parquet at ``ledger_dir`` via
+    ``llm.dedup.incremental_dedup`` (exact fingerprint gate + directed
+    batch x ledger capped-index Jaccard), accepted docs are APPENDED
+    to the ledger (so a duplicate later in the stream is blocked by a
+    doc accepted earlier — the sequential-fold semantics
+    ``incremental_admission_fold`` certifies against DuckDB), and
+    every decision row (id, decision, batch id) is appended to
+    ``decisions_dir``.
+
+    Seed ``ledger_dir`` with the initial corpus snapshot before
+    starting. Per-batch cost is |batch| x |ledger| inverted-index
+    terms plus one ledger scan — the ledger is read fresh each batch
+    (appends from prior batches are visible because parquet appends
+    are new files). Replay story: at-least-once batch delivery can
+    re-run a batch after a crash between the ledger append and the
+    checkpoint commit; a re-run batch's accepted docs would already
+    sit in the ledger and every row would flip to exact_dup — so the
+    decisions log is the at-least-once artifact (dedup it on id
+    downstream, keeping the FIRST decision per id), while the ledger
+    itself stays duplicate-free: re-accepted ids are excluded by an
+    anti-join against the current ledger ids before the append.
+    """
+    from ..llm.dedup import incremental_dedup
+    from ..operators.caching import release_persisted
+
+    spark_ref = docs.sparkSession
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ledger = spark_ref.read.parquet(ledger_dir)
+        dec = incremental_dedup(
+            batch_df, ledger, id_col, text_col, n, threshold, max_doc_freq
+        )
+        try:
+            dec.select(
+                F.col(id_col),
+                "decision",
+                F.lit(batch_id).cast("long").alias("batch_id"),
+            ).write.mode("append").parquet(decisions_dir)
+            accepted = batch_df.join(
+                dec.filter(F.col("decision") == "accept").select(id_col),
+                on=id_col,
+                how="left_semi",
+            ).join(  # replay guard: never re-append an id already present
+                ledger.select(id_col), on=id_col, how="left_anti"
+            )
+            accepted.select(*ledger.columns).write.mode("append").parquet(
+                ledger_dir
+            )
+        finally:
+            release_persisted()
+
+    q = (
+        docs.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"availableNow admission drain into {ledger_dir} still running "
+            f"after {timeout_sec}s; stopped the query"
+        )
+    return q

@@ -336,6 +336,9 @@ R13_NEW = [
     # distributed prefix-sum shard assignment
     "incremental_dedup",
     "shard_plan",
+    # session 3: the sequential-admission fold (checkpointed per-slice
+    # decisions must not depend on how the shuffle split any slice)
+    "stream_admission",
 ]
 
 

@@ -848,3 +848,112 @@ def test_clean_doc_stream_requires_ts_on_streams(spark, tmp_path_factory):
     docs.write.mode("overwrite").parquet(root)
     with pytest.raises(ValueError):
         se.clean_doc_stream(se.stream_from_batch_dir(spark, root, docs.schema))
+
+
+def test_admit_doc_stream_equals_sequential_fold(spark, tmp_path):
+    """Streaming incremental-dedup admission (foreachBatch vs the
+    incremental_admission_fold batch twin): the streamed decisions and
+    the final ledger must equal the sequential fold's, slice for
+    slice — including an accepted doc from slice 0 blocking its own
+    near-duplicate arriving in slice 2."""
+    import time as _time
+
+    from clinical_data_lake_spark.llm.dedup import (
+        incremental_admission_fold,
+    )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    fresh1 = "one two three four five six seven eight nine ten eleven"
+    fresh2 = "red blue green yellow purple orange cyan magenta lime teal"
+    ledger_rows = [(0, base)]
+    slices = [
+        [(10, fresh1)],                       # accept (novel)
+        [(11, base + " coda")],               # near dup of ledger 0
+        [(12, fresh1), (13, fresh2),          # 12 = exact dup of 10
+         (14, fresh2 + " extra word here")],  # 14 near dup of 13? same slice
+    ]
+    schema = "doc_id long, text string"
+
+    src = str(tmp_path / "incoming")
+    ledger_dir = str(tmp_path / "ledger")
+    dec_dir = str(tmp_path / "decisions")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(ledger_rows, schema).write.parquet(ledger_dir)
+    for sl in slices:
+        spark.createDataFrame(sl, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        _time.sleep(1.1)  # distinct mtimes -> deterministic file order
+
+    stream = se.stream_from_batch_dir(
+        spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1
+    )
+    se.admit_doc_stream(
+        stream, ledger_dir, dec_dir, ckpt, threshold=0.5
+    )
+
+    got = {
+        (r["doc_id"], r["decision"])
+        for r in spark.read.parquet(dec_dir).collect()
+    }
+    fold = incremental_admission_fold(
+        spark.createDataFrame(ledger_rows, schema),
+        [spark.createDataFrame(sl, schema) for sl in slices],
+        threshold=0.5,
+    )
+    want = {(r["doc_id"], r["decision"]) for r in fold.collect()}
+    from clinical_data_lake_spark.operators.caching import release_persisted
+
+    release_persisted()
+    assert got == want
+    assert dict(got)[11] == "near_dup"     # blocked by the seed ledger
+    assert dict(got)[12] == "exact_dup"    # blocked by slice-0 acceptance
+    # ledger = seed + exactly the accepted docs, no duplicates
+    ledger_ids = sorted(
+        r["doc_id"] for r in spark.read.parquet(ledger_dir).collect()
+    )
+    accepted = sorted([0] + [i for i, d in got if d == "accept"])
+    assert ledger_ids == accepted
+
+
+def test_admit_doc_stream_replay_keeps_ledger_duplicate_free(spark, tmp_path):
+    """At-least-once replay: draining the SAME source files with a
+    FRESH checkpoint re-admits every batch; every re-run row flips to
+    exact_dup (its content is already in the ledger) and the ledger
+    gains nothing — the anti-join replay guard plus content
+    fingerprints keep the sink converged."""
+    import time as _time
+
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "incoming")
+    ledger_dir = str(tmp_path / "ledger")
+    dec_dir = str(tmp_path / "decisions")
+    spark.createDataFrame(
+        [(0, "seed document with enough words to shingle properly here")],
+        schema,
+    ).write.parquet(ledger_dir)
+    spark.createDataFrame(
+        [(10, "first novel document content alpha beta gamma delta")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)
+
+    for ck in ("ckpt1", "ckpt2"):  # second drain = full replay
+        stream = se.stream_from_batch_dir(
+            spark, src, spark.read.parquet(src).schema,
+            max_files_per_trigger=1,
+        )
+        se.admit_doc_stream(
+            stream, ledger_dir, dec_dir, str(tmp_path / ck), threshold=0.5
+        )
+
+    ledger_ids = [
+        r["doc_id"] for r in spark.read.parquet(ledger_dir).collect()
+    ]
+    assert sorted(ledger_ids) == [0, 10]  # replay appended nothing
+    decs = sorted(
+        (r["doc_id"], r["decision"])
+        for r in spark.read.parquet(dec_dir).collect()
+    )
+    assert decs == [(10, "accept"), (10, "exact_dup")]
