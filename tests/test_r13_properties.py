@@ -12,6 +12,7 @@ import re
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from clinical_data_lake_spark.functions.text import canonicalize_url
 from clinical_data_lake_spark.llm.corpus import shard_plan
@@ -171,3 +172,64 @@ def test_incremental_dedup_matches_python_reference(
                                       max_doc_freq=cap).collect()}
     release_persisted()
     assert got == _py_incremental(batch, ledger, threshold, cap)
+
+
+def _py_watermark_late(rows, delays, num_batches):
+    """Pure-Python replay of the micro-batch watermark model: rows =
+    [(arrival_id, epoch_s)], slices = equal-width arrival buckets,
+    watermark before slice b = max event time of earlier slices."""
+    import math
+
+    ids = [i for i, _ in rows]
+    lo, hi = min(ids), max(ids)
+    def b(i):
+        return min(
+            int(math.floor((i - lo) * num_batches / (hi - lo + 1))),
+            num_batches - 1,
+        )
+    bmax: dict = {}
+    for i, t in rows:
+        bmax[b(i)] = max(bmax.get(b(i), -10**18), t)
+    out = {}
+    for d in delays:
+        late = 0
+        for i, t in rows:
+            prior = [m for bb, m in bmax.items() if bb < b(i)]
+            wm = max(prior) if prior else None
+            if wm is not None and t < wm - d:
+                late += 1
+        out[d] = late
+    return out
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.integers(min_value=0, max_value=100_000),
+        ),
+        min_size=1, max_size=40,
+        unique_by=lambda r: r[0],
+    ),
+    num_batches=st.sampled_from([1, 3, 8]),
+)
+def test_watermark_lateness_matches_python_replay(spark, rows, num_batches):
+    from clinical_data_lake_spark.streaming.events import (
+        watermark_lateness_audit,
+    )
+
+    delays = (0, 50, 5000)
+    ev = spark.createDataFrame(
+        [Row(event_id=i, ts=t) for i, t in rows],
+        schema="event_id long, ts long",
+    ).select("event_id", F.timestamp_seconds("ts").alias("ts"))
+    got = {
+        r["delay_s"]: r["n_late"]
+        for r in watermark_lateness_audit(
+            ev, delays_s=delays, num_batches=num_batches
+        ).collect()
+    }
+    release_persisted()
+    assert got == _py_watermark_late(rows, delays, num_batches)
