@@ -319,7 +319,30 @@ BENCH_QUERIES = [
     "incremental_dedup",
     "shard_plan",
     "stream_admission",
+    # r14 additions (appended — keep the comparable prefix): the pure
+    # MinHash+LSH end-to-end closure — bench-only (EXTRA_BENCH): its
+    # pair set is certified by dedup_minhash_verified, the closure by
+    # dedup_clusters_lsh (now PPJoin+-only per the r13 verdict); this
+    # keeps the production LSH path's cost measured without making the
+    # correctness gate ride the banding bet
+    "dedup_clusters_lsh_pure",
 ]
+
+# Bench-only entries: measured here (and in the scale records) but NOT
+# registered in QUERIES/ORACLES — paths whose correctness is certified
+# by a registered twin while their production-shape cost still needs a
+# round-over-round record.
+from clinical_data_lake_spark.driver_queries import (  # noqa: E402
+    q_dedup_clusters_lsh_pure,
+)
+
+EXTRA_BENCH = {
+    "dedup_clusters_lsh_pure": q_dedup_clusters_lsh_pure,
+}
+
+
+def _bench_fn(name: str):
+    return QUERIES[name] if name in QUERIES else EXTRA_BENCH[name]
 
 # Scope the measured set without editing the file (drift A/B testing,
 # e.g. SPARK_GRAFT_BENCH_QUERIES="pricing_summary,join_3way"); the
@@ -387,7 +410,7 @@ def main() -> None:
     if os.path.isdir(warm_dir) and os.path.abspath(warm_dir) != os.path.abspath(SF_DIR):
         for name in BENCH_QUERIES:
             try:
-                QUERIES[name](spark, warm_dir).write.format("noop").mode(
+                _bench_fn(name)(spark, warm_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
             except Exception as ex:  # warmup must never sink the bench
@@ -397,7 +420,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
-        df = QUERIES[name](spark, SF_DIR)
+        df = _bench_fn(name)(spark, SF_DIR)
         # noop sink materializes every row AND column without driver
         # collect — a count(*) action would let Catalyst prune
         # projection-only queries down to parquet metadata reads

@@ -4200,13 +4200,25 @@ def q_quantized_recall(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_dedup_clusters_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """Dup clustering over the SCALE-path pair generator: MinHash+LSH
-    candidates -> exact-Jaccard verification (the certified
-    dedup_minhash_verified machinery, t=0.8) -> hybrid
+    """Dup clustering at the LSH pipeline's near-dup operating point
+    (t=0.8): LOSSLESS PPJoin+ pair generation (prefix_filter_pairs —
+    provably equal to the exact pair set) -> hybrid
     connected-components closure. dedup_clusters certifies the closure
-    over exact inverted-index pairs; THIS certifies the end-to-end
-    pipeline a 100 TB corpus actually runs, where candidate generation
-    must be banding, not an all-shingle self-join.
+    over exact inverted-index pairs at t=0.2; THIS certifies it at the
+    0.8 threshold over the prefix-filtered generator.
+
+    r14 plan change (per the r13 verdict): r13's registered plan
+    unioned verified-LSH pairs with this same PPJoin+ exact set before
+    the closure to make certification deterministic — but since
+    PPJoin+ EQUALS the exact pair set by construction, the LSH stages
+    added cost (8.1s -> 19.6s at sf0.1) without checked signal. Now
+    the closure is certified over the lossless pairs alone (oracle
+    unchanged — it computes the exact closure); the banding machinery
+    stays certified by dedup_minhash_verified (pair set == exact,
+    co-scheduled in the r14 window per ADVICE), and the pure LSH
+    end-to-end path a 100 TB run actually calls stays measured as the
+    bench-only entry ``dedup_clusters_lsh_pure`` (bench.py
+    EXTRA_BENCH), where bit-determinism isn't required.
 
     Certification determinism (r13): the verified LSH pairs are
     unioned with the LOSSLESS PPJoin+ pair set at the same threshold
@@ -4221,15 +4233,26 @@ def q_dedup_clusters_lsh(spark: SparkSession, sf: str) -> DataFrame:
     ``dup_clusters(verified_near_dup_pairs(docs, minhash_lsh_pairs(
     docs)))``."""
     docs = read_table(spark, sf, "documents")
-    cand = dedup.minhash_lsh_pairs(docs)
-    lsh_pairs = dedup.verified_near_dup_pairs(docs, cand, threshold=0.8)
-    exact_pairs = dedup.prefix_filter_pairs(docs, threshold=0.8)
-    pairs = (
-        lsh_pairs.select("doc_a", "doc_b")
-        .union(exact_pairs.select("doc_a", "doc_b"))
-        .distinct()
+    pairs = dedup.prefix_filter_pairs(docs, threshold=0.8).select(
+        "doc_a", "doc_b"
     )
     return dedup.dup_clusters(pairs)
+
+
+def q_dedup_clusters_lsh_pure(spark: SparkSession, sf: str) -> DataFrame:
+    """BENCH-ONLY (not registered — not in QUERIES/ORACLES): the pure
+    MinHash+LSH end-to-end closure pipeline a 100 TB corpus actually
+    runs — banding candidates -> exact-Jaccard verification -> hybrid
+    CC closure. Its pair-set correctness is certified bit-exact by
+    dedup_minhash_verified (verified pairs == exact pairs); the
+    closure machinery by dedup_clusters / dedup_clusters_lsh. This
+    entry exists so the production path's COST stays measured
+    round-over-round (bench + scale records) without making the
+    correctness gate ride the ~2e-4/pair banding bet."""
+    docs = read_table(spark, sf, "documents")
+    cand = dedup.minhash_lsh_pairs(docs)
+    pairs = dedup.verified_near_dup_pairs(docs, cand, threshold=0.8)
+    return dedup.dup_clusters(pairs.select("doc_a", "doc_b"))
 
 
 def q_leakage_audit(spark: SparkSession, sf: str) -> DataFrame:
@@ -6178,9 +6201,50 @@ _R13_WINDOW = [
     "ml_standardize",
 ]
 assert len(_R13_WINDOW) == 50 and len(set(_R13_WINDOW)) == 50
+
+# -- r14 certification window (r13 VERDICT "Next round" #1): the 7
+#    never-rowed r13 registrations first (after this window lands,
+#    never-rowed = 0 again), then — the verdict's amended fill list —
+#    the 18 r1-r5-era queries whose only green driver rows predate the
+#    r6 testdata regeneration (after this window lands, every
+#    registered query's newest green row is on CURRENT testdata), then
+#    the 2 plan-touched entries (dedup_clusters_lsh: r14 PPJoin+-only
+#    closure per verdict #3; dedup_minhash_verified: ADVICE #2's
+#    co-scheduling requirement — it certifies the LSH pair set the
+#    de-guarded dedup_clusters_lsh no longer exercises), then 23
+#    re-rows from the r6/r7 pool oldest-first continuing ROTATION.md's
+#    list after r13's 24 (skipping the 4 names already placed by the
+#    stale-18 block). Same invariants: pure permutation of the
+#    registry, explicit list. --
+_R14_WINDOW = [
+    # The 7 never-rowed r13 registrations (ROTATION.md order).
+    "embed_clip_bounds_approx", "url_dedup", "watermark_lateness",
+    "minhash_lsh_sweep", "incremental_dedup", "shard_plan",
+    "stream_admission",
+    # The 18 stale-row r1-r5-era queries (verdict "What's missing" #3
+    # order): last rowed before the r6 testdata regeneration.
+    "join_3way", "pricing_summary", "window_range_sum", "join_asof",
+    "join_range", "join_interval_overlap", "agg_pivot", "agg_salted",
+    "sample_split", "seq_pack_concat", "window_rank_stats",
+    "agg_percentile", "agg_stats", "agg_histogram", "agg_mode",
+    "decontaminate", "repetition", "sample_mixture",
+    # Plan-changed re-row + its mandated certification companion.
+    "dedup_clusters_lsh", "dedup_minhash_verified",
+    # 23 re-rows from the r6/r7 pool, oldest driver rows first
+    # (continuing ROTATION.md's list after r13's 24; sample_split /
+    # join_asof / join_range / join_interval_overlap already above).
+    "feature_drift", "budget_select", "attribution_left", "dq_report",
+    "rolling_median", "fuzzy_match", "lm_score", "sample_alpha",
+    "winsorize", "incremental_agg", "rolling_zscore",
+    "attribution_join", "skew_profile", "ann_recall",
+    "dedup_pair_metrics", "resample_ewma", "dedup_chunks",
+    "ann_quantized_topk", "resample_gapfill", "cdc_apply",
+    "graph_pagerank", "join_salted", "text_truncate",
+]
+assert len(_R14_WINDOW) == 50 and len(set(_R14_WINDOW)) == 50
 QUERIES = {
-    **{k: QUERIES[k] for k in _R13_WINDOW},
-    **{k: v for k, v in QUERIES.items() if k not in set(_R13_WINDOW)},
+    **{k: QUERIES[k] for k in _R14_WINDOW},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R14_WINDOW)},
 }
 
 

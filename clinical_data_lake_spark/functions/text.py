@@ -42,15 +42,19 @@ def token_count(text: str | Column) -> Column:
     return F.size(tokens(text)).cast("long")
 
 
-def bpe_ish_token_count(text: str | Column) -> Column:
-    """Rough BPE-style token estimate: count word pieces of <=4 chars by
-    splitting words and ceiling-dividing their lengths. Pure column
-    arithmetic — a cheap stand-in for a real tokenizer at scan speed."""
+def bpe_ish_token_count(text: str | Column, piece_len: int = 4) -> Column:
+    """Rough BPE-style token estimate: count word pieces of
+    <=``piece_len`` chars by splitting words and ceiling-dividing their
+    lengths. Pure column arithmetic — a cheap stand-in for a real
+    tokenizer at scan speed. ``piece_len`` models the vocab size knob:
+    a smaller vocab merges shorter pieces, so the same text emits more
+    tokens (fertility_drift compares two settings)."""
     t = tokens(text)
     return F.aggregate(
         t,
         F.lit(0).cast("long"),
-        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("long"),
+        lambda acc, w: acc
+        + F.ceil(F.length(w) / F.lit(float(piece_len))).cast("long"),
     )
 
 
@@ -1039,6 +1043,77 @@ def tokenizer_fertility(
             )
             + F.lit(0.0)
         ).alias("fertility"),
+    )
+
+
+def fertility_drift(
+    docs: DataFrame,
+    text_col: str = "text",
+    lang_col: str | None = None,
+    piece_len_a: int = 4,
+    piece_len_b: int = 3,
+    digits: int = 6,
+) -> DataFrame:
+    """Tokenizer-fertility DRIFT audit between two vocab versions — the
+    pre-flight check before swapping tokenizers on a multilingual
+    corpus: per language, the fertility (subword tokens per whitespace
+    word) under vocab A and vocab B, the per-word drift, and the
+    token-budget ratio (how much more compute the same corpus costs
+    under B). A retokenization that silently inflates one language's
+    budget 1.5x skews every mixture weight downstream; this is the
+    table that catches it BEFORE the 100 TB retokenization run. Pairs
+    with ``tokenizer_fertility`` (the single-vocab read-out) and the
+    bpe_* machinery.
+
+    Vocab versions are modeled by the piece-length knob of the
+    scan-speed BPE-ish estimator (``bpe_ish_token_count``): a smaller
+    vocab merges shorter pieces -> more tokens per word. Swap in real
+    tokenizer UDFs for production calibration; the Spark-side shape
+    (two scan-speed token counters + ONE group aggregate, zero joins,
+    zero extra scans) is what matters at scale.
+
+    Returns (lang, n_docs, n_words, n_subwords_a, n_subwords_b,
+    fertility_a, fertility_b, drift, budget_ratio) — integer count
+    sums, two rounded divisions, one rounded difference.
+    """
+    lang = F.col(lang_col) if lang_col else lang_id(text_col)
+    base = docs.select(
+        lang.alias("lang"),
+        token_count(text_col).alias("__w__"),
+        bpe_ish_token_count(text_col, piece_len_a).alias("__sa__"),
+        bpe_ish_token_count(text_col, piece_len_b).alias("__sb__"),
+    )
+    agg = base.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__w__").cast("long").alias("n_words"),
+        F.sum("__sa__").cast("long").alias("n_subwords_a"),
+        F.sum("__sb__").cast("long").alias("n_subwords_b"),
+    )
+    fa = F.round(
+        F.col("n_subwords_a").cast("double") / F.col("n_words").cast("double"),
+        digits,
+    ) + F.lit(0.0)
+    fb = F.round(
+        F.col("n_subwords_b").cast("double") / F.col("n_words").cast("double"),
+        digits,
+    ) + F.lit(0.0)
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_subwords_a",
+        "n_subwords_b",
+        fa.alias("fertility_a"),
+        fb.alias("fertility_b"),
+        (F.round(fb - fa, digits) + F.lit(0.0)).alias("drift"),
+        (
+            F.round(
+                F.col("n_subwords_b").cast("double")
+                / F.col("n_subwords_a").cast("double"),
+                digits,
+            )
+            + F.lit(0.0)
+        ).alias("budget_ratio"),
     )
 
 

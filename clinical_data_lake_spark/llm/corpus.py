@@ -806,9 +806,14 @@ def shard_plan(
         .select(
             id_col,
             "__nt__",
-            F.floor(
-                (F.col("__cum__") - F.col("__nt__")) / F.lit(int(shard_tokens))
-            ).cast("long").alias("shard_id"),
+            # exact LONG integer division (`div`), not double `/` +
+            # floor: the double path loses exactness once cumulative
+            # tokens exceed 2^53 (~9e15) — the very range a 100 TB
+            # corpus shard planner operates in. The DuckDB twin uses
+            # `//`; both engines now do exact integer arithmetic.
+            F.expr(f"(__cum__ - __nt__) div {int(shard_tokens)}")
+            .cast("long")
+            .alias("shard_id"),
         )
     )
     return assigned.groupBy("shard_id").agg(

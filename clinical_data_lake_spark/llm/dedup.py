@@ -1917,6 +1917,15 @@ def minhash_lsh_sweep(
     pair set is computed once and persisted (pair-scale, tiny vs the
     corpus). No all-pairs term anywhere.
     """
+    # validate EVERY config before any work: a bad tuple late in the
+    # sweep would otherwise waste the persisted signatures + exact pair
+    # set and every earlier config's banding shuffle, and leave the
+    # tracked caches behind until release_persisted()
+    for bands, rows in configs:
+        if bands * rows != num_hashes:
+            raise ValueError(
+                f"bands*rows must equal num_hashes: {bands}x{rows} != {num_hashes}"
+            )
     sig = track_persist(
         portable_minhash_signatures(docs, id_col, text_col, n, num_hashes, seed)
     )
@@ -1926,10 +1935,6 @@ def minhash_lsh_sweep(
     )
     out: DataFrame | None = None
     for bands, rows in configs:
-        if bands * rows != num_hashes:
-            raise ValueError(
-                f"bands*rows must equal num_hashes: {bands}x{rows} != {num_hashes}"
-            )
         banded = sig.select(
             id_col,
             F.explode(

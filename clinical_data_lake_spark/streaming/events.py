@@ -978,9 +978,15 @@ def admit_doc_stream(
             ).join(  # replay guard: never re-append an id already present
                 ledger.select(id_col), on=id_col, how="left_anti"
             )
-            accepted.select(*ledger.columns).write.mode("append").parquet(
-                ledger_dir
-            )
+            # materialize BEFORE the append: `accepted`'s plan scans
+            # ledger_dir (incremental_dedup + the anti-join above), and
+            # a write must never share a live plan with a scan of its
+            # own destination — append mode happens to list files at
+            # planning time today, but a re-listed or speculatively
+            # re-executed scan could read its own partial output.
+            # localCheckpoint cuts the lineage at batch size.
+            accepted = accepted.select(*ledger.columns).localCheckpoint(eager=True)
+            accepted.write.mode("append").parquet(ledger_dir)
         finally:
             release_persisted()
 
