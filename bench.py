@@ -326,6 +326,12 @@ BENCH_QUERIES = [
     # keeps the production LSH path's cost measured without making the
     # correctness gate ride the banding bet
     "dedup_clusters_lsh_pure",
+    # r14 registrations (appended — keep the comparable prefix): the
+    # multi-source corpus merge, the incremental ANN index-maintenance
+    # audit, and the tokenizer-swap fertility drift
+    "multi_ledger_dedup",
+    "ann_ivf_admit",
+    "fertility_drift",
 ]
 
 # Bench-only entries: measured here (and in the scale records) but NOT

@@ -4475,6 +4475,58 @@ def q_shard_plan(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_multi_ledger_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-source admission (llm/dedup.py:multi_ledger_dedup) — the
+    corpus-MERGE shape: one new batch (md5 split, ~19%) admitted
+    against TWO existing ledgers ('web' ~41%, 'books' ~41%) with an
+    independent (doc, ledger) decision — exact_dup / near_dup
+    (word-3-gram Jaccard >= 0.2, per-source df cap) / accept. The
+    multi-ledger generalization of incremental_dedup: one pass over
+    the source-tagged ledger union, the near gate a single
+    inverted-index join on (source, shingle)."""
+    docs = read_table(spark, sf, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    batch = docs.filter(h >= "d0")
+    web = docs.filter(h < "68")
+    books = docs.filter((h >= "68") & (h < "d0"))
+    return dedup.multi_ledger_dedup(
+        batch, [("web", web), ("books", books)], threshold=0.2
+    )
+
+
+def q_ann_ivf_admit(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental ANN index maintenance (llm/similarity.py:
+    ivf_admission_audit) — the similarity twin of incremental_dedup:
+    new embeddings (md5 split, ~19%) admitted into an EXISTING IVF
+    index whose 16 centroids were sampled from the BASE corpus only
+    (deliberately stale — production never re-fits per batch). Per
+    cell: base/new occupancy, each side's share of its own corpus,
+    and the share drift — the re-fit trigger. One Arrow-batched
+    assignment pass over base ∪ batch; the md5-deterministic centroid
+    construction is the same one ann_recall / ann_cells_sweep certify,
+    rebuilt verbatim by the oracle."""
+    emb = read_table(spark, sf, "embeddings")
+    is_new = (
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 2) >= "d0"
+    )
+    return similarity.ivf_admission_audit(
+        emb.filter(~is_new), emb.filter(is_new), n_cells=16
+    )
+
+
+def q_fertility_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer-fertility drift between two vocab versions
+    (functions/text.py:fertility_drift): per language, fertility under
+    vocab A (piece_len 4) vs vocab B (piece_len 3), the per-word
+    drift, and the token-budget ratio — the pre-flight audit before a
+    tokenizer swap re-prices every language's mixture weight. Pairs
+    with fertility (single-vocab read-out) and the bpe_* machinery;
+    two scan-speed token counters + ONE group aggregate, zero joins."""
+    return text.fertility_drift(
+        read_table(spark, sf, "documents"), lang_col="lang"
+    )
+
+
 def q_conformal(spark: SparkSession, sf: str) -> DataFrame:
     """Split-conformal prediction intervals per event type
     (ml/stats.py:conformal_interval): md5 train/cal/test thirds,
@@ -6051,6 +6103,13 @@ QUERIES = {
     "incremental_dedup": q_incremental_dedup,
     "shard_plan": q_shard_plan,
     "stream_admission": q_stream_admission,
+    # r14 additions (all oracle-twinned at registration; scheduled
+    # FIRST in the r15 window — ROTATION.md): the multi-source corpus
+    # merge, the incremental ANN index-maintenance audit, and the
+    # tokenizer-swap fertility drift
+    "multi_ledger_dedup": q_multi_ledger_dedup,
+    "ann_ivf_admit": q_ann_ivf_admit,
+    "fertility_drift": q_fertility_drift,
 }
 
 
@@ -15889,3 +15948,186 @@ def _admission_fold_oracle(slices: int = 3, threshold: float = 0.2,
 
 
 ORACLES["stream_admission"] = _admission_fold_oracle()
+
+
+ORACLES["multi_ledger_dedup"] = r"""
+        WITH norm AS MATERIALIZED (
+            SELECT doc_id, text,
+                   md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                       AS fp,
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h
+            FROM documents
+        ),
+        batch AS MATERIALIZED (
+            SELECT doc_id, text, fp FROM norm WHERE h >= 'd0'
+        ),
+        tagged AS MATERIALIZED (
+            SELECT 'web' AS source, doc_id, text, fp FROM norm
+            WHERE h < '68'
+            UNION ALL
+            SELECT 'books' AS source, doc_id, text, fp FROM norm
+            WHERE h >= '68' AND h < 'd0'
+        ),
+        -- NULL fingerprints excluded (inner join below is null-unsafe
+        -- on both engines: a NULL-fp batch doc matches nothing and
+        -- proceeds to the near gate)
+        lfp AS (
+            SELECT DISTINCT source, fp FROM tagged WHERE fp IS NOT NULL
+        ),
+        exact AS MATERIALIZED (
+            SELECT b.doc_id, l.source FROM batch b JOIN lfp l ON b.fp = l.fp
+        ),
+        srcs AS (SELECT DISTINCT source FROM tagged),
+        combos AS (SELECT b.doc_id, s.source FROM batch b, srcs s),
+        rest AS MATERIALIZED (
+            SELECT c.doc_id, c.source FROM combos c
+            WHERE NOT EXISTS (SELECT 1 FROM exact e
+                              WHERE e.doc_id = c.doc_id
+                                AND e.source = c.source)
+        ),
+        btoks AS (
+            SELECT doc_id,
+                   string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+            FROM batch
+        ),
+        ltoks AS (
+            SELECT source, doc_id,
+                   string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+            FROM tagged
+        ),
+        bsh_all AS (
+            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+            FROM btoks, UNNEST(range(1, len(w) - 1)) AS t(i)
+            WHERE len(w) >= 3
+        ),
+        lsh_all AS (
+            SELECT DISTINCT source, doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+            FROM ltoks, UNNEST(range(1, len(w) - 1)) AS t(i)
+            WHERE len(w) >= 3
+        ),
+        keep AS MATERIALIZED (
+            SELECT source, shingle FROM lsh_all
+            GROUP BY source, shingle HAVING count(*) <= 100
+        ),
+        lshf AS MATERIALIZED (
+            SELECT l.source, l.doc_id, l.shingle FROM lsh_all l
+            JOIN keep k ON k.source = l.source AND k.shingle = l.shingle
+        ),
+        bshf AS MATERIALIZED (
+            SELECT b.doc_id, k.source, b.shingle
+            FROM bsh_all b JOIN keep k ON k.shingle = b.shingle
+            WHERE EXISTS (SELECT 1 FROM rest r
+                          WHERE r.doc_id = b.doc_id AND r.source = k.source)
+        ),
+        na AS (SELECT doc_id, source, count(*) AS n_a
+               FROM bshf GROUP BY 1, 2),
+        nb AS (SELECT source, doc_id AS lid, count(*) AS n_b
+               FROM lshf GROUP BY 1, 2),
+        inters AS (
+            SELECT b.doc_id, b.source, l.doc_id AS lid, count(*) AS n_i
+            FROM bshf b
+            JOIN lshf l ON l.source = b.source AND l.shingle = b.shingle
+            GROUP BY 1, 2, 3
+        ),
+        near AS MATERIALIZED (
+            SELECT DISTINCT i.doc_id, i.source
+            FROM inters i
+            JOIN na ON na.doc_id = i.doc_id AND na.source = i.source
+            JOIN nb ON nb.source = i.source AND nb.lid = i.lid
+            WHERE CAST(i.n_i AS DOUBLE) / (na.n_a + nb.n_b - i.n_i) >= 0.2
+        )
+        SELECT doc_id, source, 'exact_dup' AS decision FROM exact
+        UNION ALL
+        SELECT doc_id, source, 'near_dup' AS decision FROM near
+        UNION ALL
+        SELECT r.doc_id, r.source, 'accept' AS decision FROM rest r
+        WHERE NOT EXISTS (SELECT 1 FROM near x
+                          WHERE x.doc_id = r.doc_id AND x.source = r.source)
+"""
+
+ORACLES["ann_ivf_admit"] = """
+        WITH v AS MATERIALIZED (
+            SELECT vec_id, embedding::DOUBLE[] AS e,
+                   substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) >= 'd0'
+                       AS is_new
+            FROM embeddings
+        ),
+        cent AS MATERIALIZED (
+            SELECT cell, cv FROM (
+                SELECT CAST(row_number() OVER (
+                           ORDER BY md5('42:' || CAST(vec_id AS VARCHAR)),
+                                    vec_id)
+                       AS INT) - 1 AS cell,
+                       e AS cv
+                FROM v WHERE NOT is_new) WHERE cell < 16
+        ),
+        assign AS (
+            SELECT is_new, cell FROM (
+                SELECT v.is_new, cent.cell,
+                       row_number() OVER (PARTITION BY v.vec_id
+                           ORDER BY list_dot_product(v.e, cent.cv) /
+                                    (sqrt(list_dot_product(v.e, v.e))
+                                     * sqrt(list_dot_product(cent.cv, cent.cv)))
+                                    DESC,
+                                    cent.cell) AS rr
+                FROM v, cent) WHERE rr = 1
+        ),
+        per AS (
+            SELECT cell,
+                   CAST(sum(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT)
+                       AS n_base,
+                   CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_new
+            FROM assign GROUP BY cell
+        ),
+        tot AS (
+            SELECT CAST(sum(n_base) AS DOUBLE) AS tb,
+                   CAST(sum(n_new) AS DOUBLE) AS tn
+            FROM per
+        )
+        SELECT cell, n_base, n_new,
+               round(CASE WHEN tb > 0 THEN n_base / tb ELSE 0.0 END, 6)
+                   + 0.0 AS share_base,
+               round(CASE WHEN tn > 0 THEN n_new / tn ELSE 0.0 END, 6)
+                   + 0.0 AS share_new,
+               round(round(CASE WHEN tn > 0 THEN n_new / tn ELSE 0.0 END, 6)
+                     - round(CASE WHEN tb > 0 THEN n_base / tb ELSE 0.0 END, 6),
+                     6) + 0.0 AS share_drift
+        FROM per, tot
+"""
+
+ORACLES["fertility_drift"] = r"""
+        WITH per_doc AS (
+            SELECT lang,
+                   CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
+                       AS w,
+                   CAST(list_sum(list_transform(
+                            string_split_regex(text, '\s+'),
+                            t -> CAST(ceil(length(t) / 4.0) AS BIGINT)))
+                        AS BIGINT) AS sa,
+                   CAST(list_sum(list_transform(
+                            string_split_regex(text, '\s+'),
+                            t -> CAST(ceil(length(t) / 3.0) AS BIGINT)))
+                        AS BIGINT) AS sb
+            FROM documents
+        ),
+        agg AS (
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(w) AS BIGINT) AS n_words,
+                   CAST(sum(sa) AS BIGINT) AS n_subwords_a,
+                   CAST(sum(sb) AS BIGINT) AS n_subwords_b
+            FROM per_doc GROUP BY lang
+        )
+        SELECT lang, n_docs, n_words, n_subwords_a, n_subwords_b,
+               round(CAST(n_subwords_a AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+                   + 0.0 AS fertility_a,
+               round(CAST(n_subwords_b AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+                   + 0.0 AS fertility_b,
+               round(round(CAST(n_subwords_b AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+                     - round(CAST(n_subwords_a AS DOUBLE) / CAST(n_words AS DOUBLE), 6),
+                     6) + 0.0 AS drift,
+               round(CAST(n_subwords_b AS DOUBLE) / CAST(n_subwords_a AS DOUBLE), 6)
+                   + 0.0 AS budget_ratio
+        FROM agg
+"""

@@ -2109,6 +2109,121 @@ def incremental_dedup(
     return exact.unionByName(near).unionByName(accept)
 
 
+def multi_ledger_dedup(
+    batch: DataFrame,
+    ledgers: list[tuple[str, DataFrame]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int = 100,
+) -> DataFrame:
+    """Multi-source admission — the multi-ledger generalization of
+    ``incremental_dedup`` (the corpus-MERGE shape): one new batch is
+    admitted against SEVERAL existing ledgers (the web-crawl ledger,
+    the books ledger, ...) with an INDEPENDENT decision per
+    (document, ledger). A doc that is an exact dup of the crawl can
+    still be fresh relative to books; the downstream merge policy
+    (admit-if-accepted-everywhere vs per-slice admission) is a trivial
+    groupBy over this table, so the engine emits the full decision
+    matrix rather than baking one policy in.
+
+    Per (batch doc, ledger): ``exact_dup`` (normalized fingerprint
+    already in THAT ledger), ``near_dup`` (word n-gram Jaccard >=
+    ``threshold`` against any doc of that ledger, tested only for that
+    ledger's exact-survivors — the ``incremental_dedup`` convention),
+    else ``accept``. NULL-text batch docs have NULL fingerprints,
+    match nothing exactly (null-unsafe join on both engines), shingle
+    to nothing, and land on accept — the certified single-ledger
+    semantics.
+
+    Scale shape: the ledger count L is CONFIG (a handful of sources),
+    not data-sized. Everything is one pass over the source-tagged
+    union of ledgers: fingerprints keyed (source, fp); the near gate
+    is ONE inverted-index join on (source, shingle) with a PER-SOURCE
+    document-frequency cap (each ledger's own hot shingles are its own
+    fan-out hazard); output is |batch| x L decision rows. No self-join
+    term on either side. ``max_doc_freq`` is mandatory here — an
+    uncapped multi-ledger join multiplies every ledger's hot-shingle
+    fan-out by the batch.
+
+    Returns (id_col, source, decision).
+    """
+    if not ledgers:
+        raise ValueError("ledgers must be non-empty")
+    names = [nm for nm, _ in ledgers]
+    if len(set(names)) != len(names):
+        raise ValueError(f"ledger names must be unique, got {names}")
+    if max_doc_freq is None or max_doc_freq <= 0:
+        raise ValueError("max_doc_freq must be a positive int")
+
+    fp = F.md5(_normalized(text_col))
+    tagged_fp = None
+    lsh = None
+    for nm, df in ledgers:
+        tf = df.select(F.lit(nm).alias("source"), fp.alias("__fp__"))
+        tagged_fp = tf if tagged_fp is None else tagged_fp.unionByName(tf)
+        sh = word_shingles(df, id_col, text_col, n).select(
+            F.lit(nm).alias("source"), F.col(id_col).alias("__lid__"), "shingle"
+        )
+        lsh = sh if lsh is None else lsh.unionByName(sh)
+
+    b = batch.select(F.col(id_col), fp.alias("__fp__"))
+    lfp = tagged_fp.filter(F.col("__fp__").isNotNull()).distinct()
+    # inner join on fp: NULL-fp batch docs match nothing (null-unsafe)
+    exact = b.join(lfp, on="__fp__").select(
+        id_col, "source", F.lit("exact_dup").alias("decision")
+    )
+    sources = lfp.sparkSession.createDataFrame(
+        [(nm,) for nm in names], "source string"
+    )
+    combos = b.select(id_col).crossJoin(F.broadcast(sources))
+    rest = combos.join(
+        exact.select(id_col, "source"), on=[id_col, "source"], how="left_anti"
+    )
+
+    # per-source df cap: the raw tagged shingles feed both the df count
+    # and the semi-join base
+    lsh = track_persist(lsh)
+    keep = (
+        lsh.groupBy("source", "shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_doc_freq)
+        .select("source", "shingle")
+    )
+    lshf = track_persist(lsh.join(keep, on=["source", "shingle"], how="left_semi"))
+    # batch shingles gain the source dimension through the keep join
+    # (the cross_jaccard_pairs convention: sizes post-filter against
+    # the capped LEDGER vocabulary), then drop to exact-survivors
+    bshf = track_persist(
+        word_shingles(batch, id_col, text_col, n)
+        .join(keep, on="shingle")
+        .join(rest, on=[id_col, "source"], how="left_semi")
+    )
+    na = bshf.groupBy(id_col, "source").agg(F.count(F.lit(1)).alias("na"))
+    nb = lshf.groupBy("source", "__lid__").agg(F.count(F.lit(1)).alias("nb"))
+    inter = (
+        bshf.join(lshf, on=["source", "shingle"])
+        .groupBy(id_col, "source", "__lid__")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    near_keys = (
+        inter.join(na, on=[id_col, "source"])
+        .join(nb, on=["source", "__lid__"])
+        .filter(
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+            >= F.lit(float(threshold))
+        )
+        .select(id_col, "source")
+        .distinct()
+    )
+    near = near_keys.select(id_col, "source", F.lit("near_dup").alias("decision"))
+    accept = rest.join(near_keys, on=[id_col, "source"], how="left_anti").select(
+        id_col, "source", F.lit("accept").alias("decision")
+    )
+    return exact.unionByName(near).unionByName(accept)
+
+
 def incremental_admission_fold(
     ledger: DataFrame,
     batches: list[DataFrame],

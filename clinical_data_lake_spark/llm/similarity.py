@@ -202,6 +202,124 @@ def cosine_dup_pairs_lsh(
     )
 
 
+def _md5_sample_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+) -> list[list[float]]:
+    """The deterministic engine-portable centroid sample ``ivf_topk``
+    defaults to: the ``n_cells`` corpus vectors with the smallest
+    md5("seed:id"), ties by id. A TakeOrdered of a bounded handful of
+    rows (n_cells x dim floats regardless of corpus size) — md5, not
+    xxhash64, so any SQL engine reproduces the same centroid set and
+    ordering verbatim (cell k = position k in this order)."""
+    h = F.md5(
+        F.concat_ws(":", F.lit(seed).cast("string"), F.col(id_col).cast("string"))
+    )
+    rows = (
+        corpus.select(
+            _as_double(vec_col).alias("e"), h.alias("h"), F.col(id_col).alias("i")
+        )
+        .orderBy("h", "i")
+        .limit(n_cells)
+        .collect()
+    )
+    return [list(r["e"]) for r in rows]
+
+
+def _cells_udf(centroids: list[list[float]], n: int):
+    """Arrow-batched nearest-cell assignment against a fixed centroid
+    matrix: normalize both sides, one numpy matmul per batch, argsort
+    descending cosine — returns the ``n`` nearest cell indices per
+    vector. Shared by ``ivf_topk`` and ``ivf_admission_audit`` so the
+    assignment semantics the oracles replay stay single-sourced."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def cells(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        cent = np.asarray(centroids, dtype=np.float64)  # closure by value
+        cent = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ cent.T
+        order = np.argsort(-sims, axis=1)[:, :n].astype(np.int32)
+        return pd.Series(list(order))
+
+    return cells
+
+
+def ivf_admission_audit(
+    base: DataFrame,
+    batch: DataFrame,
+    n_cells: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    digits: int = 6,
+) -> DataFrame:
+    """Incremental ANN index maintenance — the similarity twin of
+    ``incremental_dedup``: new embeddings are ADMITTED into an EXISTING
+    IVF index (centroids sampled from the BASE corpus and deliberately
+    left stale — production never re-fits per batch), and the per-cell
+    occupancy drift is the re-fit trigger: a batch whose distribution
+    has drifted piles into few cells, degrading both balance (hot
+    probe cells) and recall (queries probe cells that no longer match
+    the data's modes).
+
+    Per cell: base occupancy, admitted-batch occupancy, each side's
+    SHARE of its own corpus, and the share drift (share_new -
+    share_base). A large positive drift = the new data concentrates
+    where the old index is thin; sustained drift across batches = time
+    to re-fit (``fit_ivf_centroids``) and re-assign.
+
+    Scale shape: ONE assignment pass over base ∪ batch (the same
+    Arrow-batched numpy matmul ``ivf_topk`` uses, n_cells x dim
+    broadcast in the closure), one groupBy cell; the share window runs
+    over the n_cells-row aggregate — bounded by construction. The
+    centroid sample is md5-deterministic from BASE only, so the oracle
+    rebuilds cells verbatim.
+
+    Returns (cell, n_base, n_new, share_base, share_new, share_drift),
+    one row per non-empty cell.
+    """
+    centroids = _md5_sample_centroids(base, n_cells, seed, id_col, vec_col)
+    assign1 = _cells_udf(centroids, 1)
+    tagged = base.select(
+        _as_double(vec_col).alias("__e__"), F.lit(0).alias("__new__")
+    ).unionByName(
+        batch.select(_as_double(vec_col).alias("__e__"), F.lit(1).alias("__new__"))
+    )
+    per = (
+        tagged.select(
+            F.element_at(assign1(F.col("__e__")), 1).alias("cell"), "__new__"
+        )
+        .groupBy("cell")
+        .agg(
+            F.sum((F.col("__new__") == 0).cast("long")).alias("n_base"),
+            F.sum(F.col("__new__").cast("long")).alias("n_new"),
+        )
+    )
+    # totals over the n_cells-row aggregate: a single-partition window
+    # over <= n_cells rows, bounded by construction
+    w = Window.partitionBy(F.lit(1))
+    tb = F.sum("n_base").over(w).cast("double")
+    tn = F.sum("n_new").over(w).cast("double")
+    share_b = F.round(_guarded_ratio(F.col("n_base").cast("double"), tb), digits)
+    share_n = F.round(_guarded_ratio(F.col("n_new").cast("double"), tn), digits)
+    return per.select(
+        "cell",
+        "n_base",
+        "n_new",
+        (share_b + F.lit(0.0)).alias("share_base"),
+        (share_n + F.lit(0.0)).alias("share_new"),
+        (F.round(share_n - share_b, digits) + F.lit(0.0)).alias("share_drift"),
+    )
+
+
 def fit_ivf_centroids(
     corpus: DataFrame,
     n_cells: int = 16,
@@ -265,37 +383,14 @@ def ivf_topk(
     trade cost for recall (n_probe == n_cells degenerates to exact
     brute force).
     """
-    from pyspark.sql.functions import pandas_udf
-
     if centroids is None:
-        h = F.md5(F.concat_ws(":", F.lit(seed).cast("string"), F.col(id_col).cast("string")))
-        centroid_rows = (
-            corpus.select(_as_double(vec_col).alias("e"), h.alias("h"),
-                          F.col(id_col).alias("i"))
-            .orderBy("h", "i").limit(n_cells).collect()
-        )
-        centroids = [list(r["e"]) for r in centroid_rows]
+        centroids = _md5_sample_centroids(corpus, n_cells, seed, id_col, vec_col)
     else:
         n_cells = len(centroids)
         n_probe = min(n_probe, n_cells)
 
-    def make_cells_udf(n: int):
-        @pandas_udf("array<int>")
-        def cells(vecs: pd.Series) -> pd.Series:
-            import numpy as np
-
-            cent = np.asarray(centroids, dtype=np.float64)  # closure by value
-            cent = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
-            mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
-            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-            sims = mat @ cent.T
-            order = np.argsort(-sims, axis=1)[:, :n].astype(np.int32)
-            return pd.Series(list(order))
-
-        return cells
-
-    assign1 = make_cells_udf(1)
-    assign_probe = make_cells_udf(n_probe)
+    assign1 = _cells_udf(centroids, 1)
+    assign_probe = _cells_udf(centroids, n_probe)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("ce"),

@@ -341,6 +341,17 @@ R13_NEW = [
     "stream_admission",
 ]
 
+# r14-new operators (scheduled first in the r15 window at
+# registration — ROTATION.md): per-(doc, ledger) admission decisions
+# over the source-tagged union; stale-centroid cell occupancy drift
+# (the Arrow-batched assignment must not depend on batch boundaries);
+# two-vocab fertility deltas
+R14_NEW = [
+    "multi_ledger_dedup",
+    "ann_ivf_admit",
+    "fertility_drift",
+]
+
 
 def _canon(v):
     if v is None:
@@ -404,7 +415,8 @@ def test_partition_invariant_approx(spark, name):
 
 
 @pytest.mark.parametrize(
-    "name", ROTATED_IN + R8_NEW + R9_EXACT + R9_NEW + R10_NEW + R12_NEW + R13_NEW
+    "name",
+    ROTATED_IN + R8_NEW + R9_EXACT + R9_NEW + R10_NEW + R12_NEW + R13_NEW + R14_NEW,
 )
 def test_partition_invariant(spark, name):
     from clinical_data_lake_spark.operators.caching import release_persisted

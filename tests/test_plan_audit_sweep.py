@@ -51,6 +51,8 @@ WAIVERS = {
         " construction (prior-slice watermark maxes)",
         "shard_plan": "num_buckets-row id-range bucket table (distributed"
         " prefix-sum offsets — budget_select's shape)",
+        "ann_ivf_admit": "n_cells-row occupancy table (corpus-share"
+        " totals over the per-cell aggregate, bounded by construction)",
     },
 }
 
