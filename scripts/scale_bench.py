@@ -172,20 +172,24 @@ def main() -> None:
     t01 = run_at(spark, SF01, passes=2)
     print("sf1 pass (min of 2)", file=sys.stderr)
     t1 = run_at(spark, SF1, passes=2)
+    # key labels derive from the ACTUAL endpoints so env-overridden
+    # decades (sf1 -> sf10) record truthful per-query keys
+    lo, hi = _sf_label(SF01), _sf_label(SF1)
+    klo, khi = f"t_sf{lo:g}", f"t_sf{hi:g}"
     result = {
-        "sf_small": _sf_label(SF01),
-        "sf_big": _sf_label(SF1),
+        "sf_small": lo,
+        "sf_big": hi,
         "queries": {
             q: {
-                "t_sf0.1": t01[q],
-                "t_sf1": t1[q],
+                klo: t01[q],
+                khi: t1[q],
                 "ratio": round(t1[q] / t01[q], 2),
                 "alpha": round(math.log(t1[q] / t01[q]) / math.log(10), 2),
             }
             for q in HEAVY
         },
-        "total_sf0.1": round(sum(t01.values()), 1),
-        "total_sf1": round(sum(t1.values()), 1),
+        f"total_sf{lo:g}": round(sum(t01.values()), 1),
+        f"total_sf{hi:g}": round(sum(t1.values()), 1),
     }
     with open(OUT_FILE, "w") as fh:
         json.dump(result, fh, indent=1)
