@@ -332,6 +332,7 @@ BENCH_QUERIES = [
     "multi_ledger_dedup",
     "ann_ivf_admit",
     "fertility_drift",
+    "ann_recall_drift",
 ]
 
 # Bench-only entries: measured here (and in the scale records) but NOT

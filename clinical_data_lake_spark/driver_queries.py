@@ -4527,6 +4527,27 @@ def q_fertility_drift(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ann_recall_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall drift of an incrementally grown IVF index
+    (llm/similarity.py:ivf_recall_drift) — the second half of the
+    ann_ivf_admit maintenance story: centroids stay stale (sampled
+    from the ~81% base split) while the corpus grows to full; the
+    fixed probe set's recall@10 vs brute force is measured on both
+    corpus states with the same stale cells. Recall sagging on grown =
+    the admitted data lands where the old cells probe poorly — the
+    re-fit trigger occupancy drift alone can miss. Same
+    md5-deterministic centroid construction ann_recall certifies; the
+    oracle rebuilds both phases verbatim."""
+    emb = read_table(spark, sf, "embeddings")
+    is_new = (
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 2) >= "d0"
+    )
+    return similarity.ivf_recall_drift(
+        emb.filter(F.col("vec_id") < 5), emb.filter(~is_new), emb,
+        n_cells=16, n_probe=4,
+    )
+
+
 def q_conformal(spark: SparkSession, sf: str) -> DataFrame:
     """Split-conformal prediction intervals per event type
     (ml/stats.py:conformal_interval): md5 train/cal/test thirds,
@@ -6110,6 +6131,7 @@ QUERIES = {
     "multi_ledger_dedup": q_multi_ledger_dedup,
     "ann_ivf_admit": q_ann_ivf_admit,
     "fertility_drift": q_fertility_drift,
+    "ann_recall_drift": q_ann_recall_drift,
 }
 
 
@@ -16130,4 +16152,139 @@ ORACLES["fertility_drift"] = r"""
                round(CAST(n_subwords_b AS DOUBLE) / CAST(n_subwords_a AS DOUBLE), 6)
                    + 0.0 AS budget_ratio
         FROM agg
+"""
+
+
+ORACLES["ann_recall_drift"] = """
+        WITH v AS MATERIALIZED (
+            SELECT vec_id, embedding::DOUBLE[] AS e,
+                   substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) >= 'd0'
+                       AS is_new
+            FROM embeddings
+        ),
+        q AS MATERIALIZED (
+            SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5
+        ),
+        cent AS MATERIALIZED (
+            SELECT cell, cv FROM (
+                SELECT CAST(row_number() OVER (
+                           ORDER BY md5('42:' || CAST(vec_id AS VARCHAR)),
+                                    vec_id)
+                       AS INT) - 1 AS cell,
+                       e AS cv
+                FROM v WHERE NOT is_new) WHERE cell < 16
+        ),
+        qassign AS MATERIALIZED (
+            SELECT query_id, qe, cell FROM (
+                SELECT q.query_id, q.qe, cent.cell,
+                       row_number() OVER (PARTITION BY q.query_id
+                           ORDER BY list_dot_product(q.qe, cent.cv) /
+                                    (sqrt(list_dot_product(q.qe, q.qe))
+                                     * sqrt(list_dot_product(cent.cv, cent.cv)))
+                                    DESC,
+                                    cent.cell) AS rr
+                FROM q, cent) WHERE rr <= 4
+        ),
+        cb AS MATERIALIZED (
+            SELECT vec_id AS neighbor_id, e AS ce FROM v WHERE NOT is_new
+        ),
+        exact_b AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.query_id, cb.neighbor_id,
+                       row_number() OVER (PARTITION BY q.query_id
+                           ORDER BY list_dot_product(q.qe, cb.ce) /
+                                    (sqrt(list_dot_product(q.qe, q.qe))
+                                     * sqrt(list_dot_product(cb.ce, cb.ce)))
+                                    DESC,
+                                    cb.neighbor_id) AS rnk
+                FROM q, cb WHERE q.query_id != cb.neighbor_id)
+            WHERE rnk <= 10
+        ),
+        cassign_b AS MATERIALIZED (
+            SELECT neighbor_id, ce, cell FROM (
+                SELECT cb.neighbor_id, cb.ce, cent.cell,
+                       row_number() OVER (PARTITION BY cb.neighbor_id
+                           ORDER BY list_dot_product(cb.ce, cent.cv) /
+                                    (sqrt(list_dot_product(cb.ce, cb.ce))
+                                     * sqrt(list_dot_product(cent.cv, cent.cv)))
+                                    DESC,
+                                    cent.cell) AS rr
+                FROM cb, cent) WHERE rr = 1
+        ),
+        ivf_b AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT qa.query_id, ca.neighbor_id,
+                       row_number() OVER (PARTITION BY qa.query_id
+                           ORDER BY list_dot_product(qa.qe, ca.ce) /
+                                    (sqrt(list_dot_product(qa.qe, qa.qe))
+                                     * sqrt(list_dot_product(ca.ce, ca.ce)))
+                                    DESC,
+                                    ca.neighbor_id) AS rnk
+                FROM qassign qa JOIN cassign_b ca ON qa.cell = ca.cell
+                                            AND qa.query_id != ca.neighbor_id)
+            WHERE rnk <= 10
+        ),
+        hit_b AS (
+            SELECT query_id, count(*) AS h FROM (
+                SELECT * FROM exact_b INTERSECT SELECT * FROM ivf_b)
+            GROUP BY query_id
+        ),
+        cg AS MATERIALIZED (
+            SELECT vec_id AS neighbor_id, e AS ce FROM v
+        ),
+        exact_g AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.query_id, cg.neighbor_id,
+                       row_number() OVER (PARTITION BY q.query_id
+                           ORDER BY list_dot_product(q.qe, cg.ce) /
+                                    (sqrt(list_dot_product(q.qe, q.qe))
+                                     * sqrt(list_dot_product(cg.ce, cg.ce)))
+                                    DESC,
+                                    cg.neighbor_id) AS rnk
+                FROM q, cg WHERE q.query_id != cg.neighbor_id)
+            WHERE rnk <= 10
+        ),
+        cassign_g AS MATERIALIZED (
+            SELECT neighbor_id, ce, cell FROM (
+                SELECT cg.neighbor_id, cg.ce, cent.cell,
+                       row_number() OVER (PARTITION BY cg.neighbor_id
+                           ORDER BY list_dot_product(cg.ce, cent.cv) /
+                                    (sqrt(list_dot_product(cg.ce, cg.ce))
+                                     * sqrt(list_dot_product(cent.cv, cent.cv)))
+                                    DESC,
+                                    cent.cell) AS rr
+                FROM cg, cent) WHERE rr = 1
+        ),
+        ivf_g AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT qa.query_id, ca.neighbor_id,
+                       row_number() OVER (PARTITION BY qa.query_id
+                           ORDER BY list_dot_product(qa.qe, ca.ce) /
+                                    (sqrt(list_dot_product(qa.qe, qa.qe))
+                                     * sqrt(list_dot_product(ca.ce, ca.ce)))
+                                    DESC,
+                                    ca.neighbor_id) AS rnk
+                FROM qassign qa JOIN cassign_g ca ON qa.cell = ca.cell
+                                            AND qa.query_id != ca.neighbor_id)
+            WHERE rnk <= 10
+        ),
+        hit_g AS (
+            SELECT query_id, count(*) AS h FROM (
+                SELECT * FROM exact_g INTERSECT SELECT * FROM ivf_g)
+            GROUP BY query_id
+        )
+        SELECT q.query_id,
+               CAST(least(coalesce(hb.h, 0), 10) AS BIGINT) AS n_hit_base,
+               CAST(least(coalesce(hb.h, 0), 10) AS DOUBLE)
+                   / CAST(10.0 AS DOUBLE) AS recall_base,
+               CAST(least(coalesce(hg.h, 0), 10) AS BIGINT) AS n_hit_grown,
+               CAST(least(coalesce(hg.h, 0), 10) AS DOUBLE)
+                   / CAST(10.0 AS DOUBLE) AS recall_grown,
+               CAST(least(coalesce(hg.h, 0), 10) AS DOUBLE)
+                   / CAST(10.0 AS DOUBLE)
+               - CAST(least(coalesce(hb.h, 0), 10) AS DOUBLE)
+                   / CAST(10.0 AS DOUBLE) AS recall_drift
+        FROM q
+        LEFT JOIN hit_b hb ON hb.query_id = q.query_id
+        LEFT JOIN hit_g hg ON hg.query_id = q.query_id
 """

@@ -320,6 +320,74 @@ def ivf_admission_audit(
     )
 
 
+def ivf_recall_drift(
+    queries: DataFrame,
+    base: DataFrame,
+    grown: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall-drift audit for an INCREMENTALLY GROWN IVF index — the
+    second half of the index-maintenance story ``ivf_admission_audit``
+    starts: centroids are sampled from the BASE corpus and left stale
+    while the corpus grows to ``grown`` (base + admitted batches); the
+    fixed probe set's recall@k against brute force is measured on BOTH
+    corpus states with the SAME stale centroids. Recall that holds on
+    base but sags on grown = the admitted data lands where the old
+    cells probe poorly — re-fit time (``fit_ivf_centroids``), even if
+    occupancy drift alone looked benign.
+
+    Scale shape: two exact brute-force passes (the probe set is small
+    and broadcast — the certified cosine_topk plan) + two IVF probes
+    against the same stale centroid matrix; everything downstream of
+    the per-query top-k lists is k-bounded. md5-deterministic
+    centroids (from base ONLY) keep every step SQL-replayable.
+
+    Returns one row per probe query: (query_id, n_hit_base,
+    recall_base, n_hit_grown, recall_grown, recall_drift).
+    """
+    centroids = _md5_sample_centroids(base, n_cells, seed, id_col, vec_col)
+    qids = queries.select(F.col(id_col).alias("query_id"))
+    per_phase = {}
+    for phase, corpus in (("base", base), ("grown", grown)):
+        exact = cosine_topk(queries, corpus, k=k, id_col=id_col, vec_col=vec_col)
+        approx = ivf_topk(
+            queries,
+            corpus,
+            k=k,
+            n_probe=n_probe,
+            id_col=id_col,
+            vec_col=vec_col,
+            centroids=centroids,
+        )
+        per_phase[phase] = recall_at_k(
+            exact.select("query_id", "neighbor_id"),
+            approx.select("query_id", "neighbor_id"),
+            qids,
+            k=k,
+        ).select(
+            "query_id",
+            F.col("n_hit").alias(f"n_hit_{phase}"),
+            F.col("recall").alias(f"recall_{phase}"),
+        )
+    return (
+        per_phase["base"]
+        .join(per_phase["grown"], on="query_id")
+        .select(
+            "query_id",
+            "n_hit_base",
+            "recall_base",
+            "n_hit_grown",
+            "recall_grown",
+            (F.col("recall_grown") - F.col("recall_base")).alias("recall_drift"),
+        )
+    )
+
+
 def fit_ivf_centroids(
     corpus: DataFrame,
     n_cells: int = 16,

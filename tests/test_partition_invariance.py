@@ -350,6 +350,9 @@ R14_NEW = [
     "multi_ledger_dedup",
     "ann_ivf_admit",
     "fertility_drift",
+    # session 2: stale-index recall drift (k-bounded per-query lists
+    # must not depend on shuffle layout)
+    "ann_recall_drift",
 ]
 
 

@@ -184,3 +184,39 @@ def test_bpe_piece_len_monotone(spark):
         bpe_ish_token_count("text", 3).alias("b"),
     ).filter(F.col("b") < F.col("a"))
     assert bad.count() == 0
+
+
+# --------------------------------------------------- ANN recall drift
+def test_ivf_recall_drift_full_probe_is_exact_on_both_phases(spark):
+    # n_probe == n_cells degenerates IVF to brute force, so recall must
+    # be exactly 1.0 on BOTH corpus states and drift exactly 0.0
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    is_new = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 2) >= "d0"
+    rows = similarity.ivf_recall_drift(
+        emb.filter(F.col("vec_id") < 3),
+        emb.filter(~is_new),
+        emb,
+        n_cells=4,
+        n_probe=4,
+    ).collect()
+    release_persisted()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["recall_base"] == 1.0 and r["recall_grown"] == 1.0
+        assert r["recall_drift"] == 0.0
+
+
+def test_ivf_recall_drift_bounds(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    is_new = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 2) >= "d0"
+    rows = similarity.ivf_recall_drift(
+        emb.filter(F.col("vec_id") < 5), emb.filter(~is_new), emb,
+        n_cells=16, n_probe=4,
+    ).collect()
+    release_persisted()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0.0 <= r["recall_base"] <= 1.0
+        assert 0.0 <= r["recall_grown"] <= 1.0
+        assert r["n_hit_base"] == round(r["recall_base"] * 10)
+        assert r["n_hit_grown"] == round(r["recall_grown"] * 10)
