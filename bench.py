@@ -333,6 +333,7 @@ BENCH_QUERIES = [
     "ann_ivf_admit",
     "fertility_drift",
     "ann_recall_drift",
+    "ingest_drift",
 ]
 
 # Bench-only entries: measured here (and in the scale records) but NOT

@@ -4548,6 +4548,23 @@ def q_ann_recall_drift(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ingest_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Ingest-distribution drift monitor (llm/corpus.py:ingest_drift)
+    — the daily intake health check that pairs with incremental_dedup:
+    topline PSI of the incoming batch (md5 split, ~19%) against the
+    ledger for the quality-score distribution (ledger-decile bins, the
+    certified population_stability machinery), the token-count
+    distribution, and the categorical language shares — plus the
+    standard stable/shifting/drifted status. One scan-side projection
+    per side; every aggregate after the bin/category rollup is
+    n_bins- or vocabulary-bounded."""
+    from .llm import corpus
+
+    docs = read_table(spark, sf, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return corpus.ingest_drift(docs.filter(h < "d0"), docs.filter(h >= "d0"))
+
+
 def q_conformal(spark: SparkSession, sf: str) -> DataFrame:
     """Split-conformal prediction intervals per event type
     (ml/stats.py:conformal_interval): md5 train/cal/test thirds,
@@ -6132,6 +6149,7 @@ QUERIES = {
     "ann_ivf_admit": q_ann_ivf_admit,
     "fertility_drift": q_fertility_drift,
     "ann_recall_drift": q_ann_recall_drift,
+    "ingest_drift": q_ingest_drift,
 }
 
 
@@ -16287,4 +16305,111 @@ ORACLES["ann_recall_drift"] = """
         FROM q
         LEFT JOIN hit_b hb ON hb.query_id = q.query_id
         LEFT JOIN hit_g hg ON hg.query_id = q.query_id
+"""
+
+
+ORACLES["ingest_drift"] = r"""
+        WITH src AS MATERIALIZED (
+            SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= 'd0'
+                       AS is_batch,
+                   round(least(greatest(
+                       (CASE WHEN CAST(len(string_split_regex(text, '\s+'))
+                                  AS DOUBLE) > 0
+                             THEN CAST(length(text) AS DOUBLE)
+                                  / CAST(len(string_split_regex(text, '\s+'))
+                                         AS DOUBLE)
+                             ELSE 0.0 END / 8.0)
+                       * (1.0 - CASE WHEN CAST(length(text) AS DOUBLE) > 0
+                                     THEN CAST(length(text)
+                                          - length(regexp_replace(text,
+                                                '[^A-Za-z\s]', '', 'g'))
+                                          AS DOUBLE)
+                                          / CAST(length(text) AS DOUBLE)
+                                     ELSE 1.0 END),
+                       0.0), 1.0), 6) AS quality,
+                   CAST(len(string_split_regex(text, '\s+')) AS DOUBLE)
+                       AS tokens,
+                   coalesce(lang, '__null__') AS lang
+            FROM documents WHERE text IS NOT NULL
+        ),
+        qedges AS (
+            SELECT list_transform(quantile_cont(quality,
+                [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+                e -> round(e, 6)) AS ed
+            FROM src WHERE NOT is_batch
+        ),
+        qbins AS (
+            SELECT len(list_filter(ed, e -> quality > e)) AS bin,
+                   CAST(sum(CASE WHEN is_batch THEN 0 ELSE 1 END) AS BIGINT)
+                       AS n_base,
+                   CAST(sum(CASE WHEN is_batch THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_cur
+            FROM src, qedges GROUP BY 1
+        ),
+        qterms AS (
+            SELECT round(
+                ((n_cur + 0.5) / (CAST(sum(n_cur) OVER () AS DOUBLE) + 5.0)
+                 - (n_base + 0.5) / (CAST(sum(n_base) OVER () AS DOUBLE) + 5.0))
+                * ln(((n_cur + 0.5) / (CAST(sum(n_cur) OVER () AS DOUBLE) + 5.0))
+                     / ((n_base + 0.5) / (CAST(sum(n_base) OVER () AS DOUBLE) + 5.0))),
+                6) AS t
+            FROM qbins
+        ),
+        qpsi AS (SELECT round(sum(t), 6) + 0.0 AS psi FROM qterms),
+        tedges AS (
+            SELECT list_transform(quantile_cont(tokens,
+                [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+                e -> round(e, 6)) AS ed
+            FROM src WHERE NOT is_batch
+        ),
+        tbins AS (
+            SELECT len(list_filter(ed, e -> tokens > e)) AS bin,
+                   CAST(sum(CASE WHEN is_batch THEN 0 ELSE 1 END) AS BIGINT)
+                       AS n_base,
+                   CAST(sum(CASE WHEN is_batch THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_cur
+            FROM src, tedges GROUP BY 1
+        ),
+        tterms AS (
+            SELECT round(
+                ((n_cur + 0.5) / (CAST(sum(n_cur) OVER () AS DOUBLE) + 5.0)
+                 - (n_base + 0.5) / (CAST(sum(n_base) OVER () AS DOUBLE) + 5.0))
+                * ln(((n_cur + 0.5) / (CAST(sum(n_cur) OVER () AS DOUBLE) + 5.0))
+                     / ((n_base + 0.5) / (CAST(sum(n_base) OVER () AS DOUBLE) + 5.0))),
+                6) AS t
+            FROM tbins
+        ),
+        tpsi AS (SELECT round(sum(t), 6) + 0.0 AS psi FROM tterms),
+        lcats AS (
+            SELECT lang,
+                   CAST(sum(CASE WHEN is_batch THEN 0 ELSE 1 END) AS BIGINT)
+                       AS n_base,
+                   CAST(sum(CASE WHEN is_batch THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_cur
+            FROM src GROUP BY lang
+        ),
+        lterms AS (
+            SELECT round(
+                ((n_cur + 0.5) / (CAST(sum(n_cur) OVER () AS DOUBLE)
+                                  + 0.5 * CAST(count(*) OVER () AS DOUBLE))
+                 - (n_base + 0.5) / (CAST(sum(n_base) OVER () AS DOUBLE)
+                                     + 0.5 * CAST(count(*) OVER () AS DOUBLE)))
+                * ln(((n_cur + 0.5) / (CAST(sum(n_cur) OVER () AS DOUBLE)
+                                       + 0.5 * CAST(count(*) OVER () AS DOUBLE)))
+                     / ((n_base + 0.5) / (CAST(sum(n_base) OVER () AS DOUBLE)
+                                          + 0.5 * CAST(count(*) OVER () AS DOUBLE)))),
+                6) AS t
+            FROM lcats
+        ),
+        lpsi AS (SELECT round(sum(t), 6) + 0.0 AS psi FROM lterms),
+        allpsi AS (
+            SELECT 'quality' AS metric, psi FROM qpsi
+            UNION ALL SELECT 'tokens' AS metric, psi FROM tpsi
+            UNION ALL SELECT 'lang' AS metric, psi FROM lpsi
+        )
+        SELECT metric, psi,
+               CASE WHEN psi < 0.1 THEN 'stable'
+                    WHEN psi < 0.25 THEN 'shifting'
+                    ELSE 'drifted' END AS status
+        FROM allpsi
 """

@@ -820,3 +820,94 @@ def shard_plan(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("__nt__").cast("long").alias("n_tokens"),
     )
+
+
+def ingest_drift(
+    ledger: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+    n_bins: int = 10,
+    digits: int = 6,
+) -> DataFrame:
+    """Ingest-distribution drift monitor — the daily corpus-intake
+    health check that pairs with ``incremental_dedup``: dedup decides
+    per-document admission; THIS decides whether the incoming batch is
+    still the distribution the mixture/budget plans were built on.
+    Three topline PSI read-outs against the ledger:
+
+    - ``quality``: the certified quality_score distribution (rounded
+      to ``digits`` BEFORE binning so both engines bin identical
+      values), ledger-decile bins via ``population_stability``;
+    - ``tokens``: whitespace token-count distribution, same machinery;
+    - ``lang``: categorical language-share PSI with the same
+      Laplace-0.5 smoothing, K = observed categories across both
+      sides (the category table is lang-vocabulary-bounded).
+
+    NULL-text docs are excluded (they carry no signal for any of the
+    three metrics). Returns one row per metric: (metric, psi, status)
+    with the standard thresholds (< 0.1 stable, < 0.25 shifting, else
+    drifted). Scale shape: ONE scan-side projection per side, one
+    1-row exact-percentile aggregate per numeric metric (broadcast
+    edges, no per-row join), n_bins- / vocabulary-bounded aggregates
+    after — the only unpartitioned windows run over those bounded
+    tables.
+    """
+    from ..ml.stats import population_stability
+    from ..operators.caching import track_persist
+
+    def proj(df: DataFrame) -> DataFrame:
+        lang = F.col(lang_col) if lang_col else T.lang_id(text_col)
+        return df.filter(F.col(text_col).isNotNull()).select(
+            F.round(T.quality_score(F.col(text_col)), digits).alias("quality"),
+            T.token_count(F.col(text_col)).cast("double").alias("tokens"),
+            F.coalesce(lang, F.lit("__null__")).alias("lang"),
+        )
+
+    led = track_persist(proj(ledger))
+    bat = track_persist(proj(batch))
+    parts = []
+    for metric in ("quality", "tokens"):
+        ps = population_stability(led, bat, metric, n_bins=n_bins, digits=digits)
+        parts.append(
+            ps.agg(F.round(F.sum("psi_term"), digits).alias("psi")).select(
+                F.lit(metric).alias("metric"), "psi"
+            )
+        )
+    lc = led.groupBy("lang").agg(F.count(F.lit(1)).alias("n_base"))
+    bc = bat.groupBy("lang").agg(F.count(F.lit(1)).alias("n_cur"))
+    joined = lc.join(bc, on="lang", how="full_outer").select(
+        "lang",
+        F.coalesce("n_base", F.lit(0).cast("long")).alias("n_base"),
+        F.coalesce("n_cur", F.lit(0).cast("long")).alias("n_cur"),
+    )
+    # window over the category table — bounded by the lang vocabulary
+    w = Window.partitionBy()
+    k = F.count(F.lit(1)).over(w).cast("double")
+    p = (F.col("n_base") + 0.5) / (
+        F.sum("n_base").over(w).cast("double") + 0.5 * k
+    )
+    q = (F.col("n_cur") + 0.5) / (
+        F.sum("n_cur").over(w).cast("double") + 0.5 * k
+    )
+    lang_terms = joined.select(
+        F.round((q - p) * F.log(q / p), digits).alias("t")
+    )
+    parts.append(
+        lang_terms.agg(F.round(F.sum("t"), digits).alias("psi")).select(
+            F.lit("lang").alias("metric"), "psi"
+        )
+    )
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    status = (
+        F.when(F.col("psi") < 0.1, F.lit("stable"))
+        .when(F.col("psi") < 0.25, F.lit("shifting"))
+        .otherwise(F.lit("drifted"))
+    )
+    return out.select(
+        "metric",
+        (F.col("psi") + F.lit(0.0)).alias("psi"),
+        status.alias("status"),
+    )

@@ -353,6 +353,9 @@ R14_NEW = [
     # session 2: stale-index recall drift (k-bounded per-query lists
     # must not depend on shuffle layout)
     "ann_recall_drift",
+    # session 3: topline PSI triplet (rounded-term sums over bounded
+    # bin/category tables must not depend on partition merge order)
+    "ingest_drift",
 ]
 
 

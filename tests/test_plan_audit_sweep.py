@@ -53,6 +53,8 @@ WAIVERS = {
         " prefix-sum offsets — budget_select's shape)",
         "ann_ivf_admit": "n_cells-row occupancy table (corpus-share"
         " totals over the per-cell aggregate, bounded by construction)",
+        "ingest_drift": "n_bins-row PSI bin tables (x2) + the"
+        " lang-vocabulary-bounded category table (smoothing totals)",
     },
 }
 
