@@ -829,6 +829,8 @@ def ingest_drift(
     lang_col: str | None = "lang",
     n_bins: int = 10,
     digits: int = 6,
+    id_col: str | None = None,
+    sample_hex: str | None = None,
 ) -> DataFrame:
     """Ingest-distribution drift monitor — the daily corpus-intake
     health check that pairs with ``incremental_dedup``: dedup decides
@@ -852,12 +854,32 @@ def ingest_drift(
     edges, no per-row join), n_bins- / vocabulary-bounded aggregates
     after — the only unpartitioned windows run over those bounded
     tables.
+
+    Measured cost is compute-proportional (alpha ~ 0.96 sf1 -> sf10:
+    the quality regexp scan + the exact-percentile state are both
+    linear in rows — BENCH_SCALE2_R14NEW2.json), which is the correct
+    EXACT shape but the wrong 100 TB default for a daily monitor. The
+    scale path is ``sample_hex``: a deterministic md5 hash sample of
+    BOTH sides (doc kept when substr(md5(id), 3, 2) < sample_hex —
+    byte offset 3 so the sample is independent of the repo's
+    substr(..., 1, 2) batch/ledger split convention), fully
+    SQL-replayable like embed_clip_bounds_approx's sampled
+    percentiles. PSI over an unbiased sample of both sides estimates
+    the same shift; e.g. sample_hex='28' keeps ~16%.
     """
     from ..ml.stats import population_stability
     from ..operators.caching import track_persist
 
+    if sample_hex is not None and id_col is None:
+        raise ValueError("sample_hex requires id_col (the hash-sample key)")
+
     def proj(df: DataFrame) -> DataFrame:
         lang = F.col(lang_col) if lang_col else T.lang_id(text_col)
+        if sample_hex is not None:
+            df = df.filter(
+                F.substring(F.md5(F.col(id_col).cast("string")), 3, 2)
+                < sample_hex
+            )
         return df.filter(F.col(text_col).isNotNull()).select(
             F.round(T.quality_score(F.col(text_col)), digits).alias("quality"),
             T.token_count(F.col(text_col)).cast("double").alias("tokens"),

@@ -271,3 +271,25 @@ def test_ingest_drift_ignores_null_text(spark):
     # the 'xx' rows were dropped with their NULL texts)
     for r in rows:
         assert r["psi"] == 0.0 and r["status"] == "stable"
+
+
+def test_ingest_drift_sample_requires_id(spark):
+    from clinical_data_lake_spark.llm.corpus import ingest_drift
+
+    docs = spark.createDataFrame([Row(doc_id=1, lang="en", text="a b c")])
+    with pytest.raises(ValueError, match="id_col"):
+        ingest_drift(docs, docs, sample_hex="40")
+
+
+def test_ingest_drift_sampled_identical_sides_still_stable(spark):
+    # the hash sample keeps the SAME docs on both sides, so ledger vs
+    # itself stays exactly 0.0/stable under sampling too
+    from clinical_data_lake_spark.llm.corpus import ingest_drift
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = ingest_drift(
+        docs, docs, id_col="doc_id", sample_hex="80"
+    ).collect()
+    release_persisted()
+    for r in rows:
+        assert r["psi"] == 0.0 and r["status"] == "stable"
