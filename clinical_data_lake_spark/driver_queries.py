@@ -4565,6 +4565,98 @@ def q_ingest_drift(spark: SparkSession, sf: str) -> DataFrame:
     return corpus.ingest_drift(docs.filter(h < "d0"), docs.filter(h >= "d0"))
 
 
+def q_ingest_drift_sampled(spark: SparkSession, sf: str) -> DataFrame:
+    """The 100 TB-DEFAULT sampled form of the ingest-distribution
+    drift monitor (llm/corpus.py:ingest_drift, sample_hex path): both
+    sides are cut to a deterministic md5 hash sample BEFORE any text
+    work (substr(md5(doc_id), 3, 2) — byte offset 3 so the sample is
+    independent of the offset-1 batch/ledger split), then the same
+    certified PSI machinery runs on the sampled sides. The exact form
+    (`ingest_drift`) is compute-proportional (alpha ~0.96) — correct
+    but the wrong default for a DAILY monitor; this is the path a
+    100 TB run actually executes (alpha ~0.55 at sample_hex='28',
+    BENCH_SCALE2_R14NEW2). Registered at '80' (~50%) so every decile
+    bin stays populated at sf0.01; the sampled PSI is an unbiased
+    estimate of the same shift. Fully SQL-replayable — the
+    embed_clip_bounds_approx pattern."""
+    from .llm import corpus
+
+    docs = read_table(spark, sf, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return corpus.ingest_drift(
+        docs.filter(h < "d0"),
+        docs.filter(h >= "d0"),
+        id_col="doc_id",
+        sample_hex="80",
+    )
+
+
+def q_ledger_compaction(spark: SparkSession, sf: str) -> DataFrame:
+    """Admission-ledger compaction/GC decision table
+    (llm/dedup.py:ledger_compaction) — the WRITE-side twin of
+    incremental_dedup: per ledger row, keep / superseded (a newer
+    ingest of the same doc id exists) / dup_retired (its content's
+    canonical row is another live doc with a smaller id). The ledger
+    here is two simulated ingest days: every document at ts=1, the
+    ~19% md5 slice re-ingested at ts=2 — so version retirement and
+    exact-dup retirement are both exercised. Two key-partitioned
+    windows (by id, then by fingerprint over live rows), no joins."""
+    from .llm import dedup
+
+    d = read_table(spark, sf, "documents")
+    reing = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) >= "d0"
+    ledger = d.select(
+        "doc_id", "text", F.lit(1).cast("long").alias("ingest_ts")
+    ).unionByName(
+        d.filter(reing).select(
+            "doc_id", "text", F.lit(2).cast("long").alias("ingest_ts")
+        )
+    )
+    return dedup.ledger_compaction(ledger)
+
+
+def q_ann_refit_policy(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF index re-fit DECISION (llm/similarity.py:ivf_refit_policy)
+    — fuses the two maintenance triggers the r14 audits expose
+    separately: ann_ivf_admit's occupancy drift (summarized as
+    total-variation distance between base and admitted-batch cell
+    shares) and ann_recall_drift's recall sag (probe-set mean
+    recall@10 on base vs grown under the same stale centroids). One
+    output row: the drift numbers, decision refit/hold at the default
+    thresholds (tv > 0.1 or recall drop > 0.05), and WHICH trigger
+    fired. Same md5 split, centroids, and certified machinery as the
+    two audits; the oracle rebuilds both sides verbatim."""
+    emb = read_table(spark, sf, "embeddings")
+    is_new = (
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 2) >= "d0"
+    )
+    return similarity.ivf_refit_policy(
+        emb.filter(~is_new),
+        emb.filter(is_new),
+        emb.filter(F.col("vec_id") < 5),
+        k=10,
+        n_cells=16,
+        n_probe=4,
+    )
+
+
+def q_packing_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Packing-efficiency drift between two tokenizer versions
+    (llm/packing.py:packing_drift) — the sequence-budget half of the
+    tokenizer-swap pre-flight fertility_drift starts: the same corpus
+    concat-packed into 512-token bins under vocab A (piece_len 4) and
+    vocab B (piece_len 3); one row with bins used, fill fractions,
+    boundary-split fractions, and the token/bin inflation ratios.
+    One shared token-count scan, one shard-key shuffle + window
+    cumsum per version (the certified seq_pack_concat machinery,
+    id-mod sharding), exact long bin arithmetic."""
+    from .llm import packing
+
+    return packing.packing_drift(
+        read_table(spark, sf, "documents"), budget=512, shards=8
+    )
+
+
 def q_conformal(spark: SparkSession, sf: str) -> DataFrame:
     """Split-conformal prediction intervals per event type
     (ml/stats.py:conformal_interval): md5 train/cal/test thirds,
@@ -6150,6 +6242,16 @@ QUERIES = {
     "fertility_drift": q_fertility_drift,
     "ann_recall_drift": q_ann_recall_drift,
     "ingest_drift": q_ingest_drift,
+    # r15 additions (all oracle-twinned at registration; scheduled
+    # FIRST in the r16 window — ROTATION.md): the sampled 100 TB-
+    # default ingest monitor (r14 verdict "What's missing" #3), the
+    # admission-ledger compaction GC, the fused IVF re-fit decision,
+    # and the tokenizer-swap packing drift (r14 verdict "Next round"
+    # #5 a/b/c)
+    "ingest_drift_sampled": q_ingest_drift_sampled,
+    "ledger_compaction": q_ledger_compaction,
+    "ann_refit_policy": q_ann_refit_policy,
+    "packing_drift": q_packing_drift,
 }
 
 
@@ -6344,6 +6446,52 @@ assert len(_R14_WINDOW) == 50 and len(set(_R14_WINDOW)) == 50
 QUERIES = {
     **{k: QUERIES[k] for k in _R14_WINDOW},
     **{k: v for k, v in QUERIES.items() if k not in set(_R14_WINDOW)},
+}
+
+# -- r15 certification window (r14 VERDICT "Next round" #1): the 5
+#    never-rowed r14 registrations first (after this window lands,
+#    never-rowed = 0 again except the round's own r15 additions, named
+#    in the r16 window at registration), then the 5 queries whose
+#    REGISTERED PLAN changed this round (the r14 ADVICE #1 stable-
+#    argsort tie-break in similarity._cells_udf touches every consumer
+#    of the IVF assignment: ann_ivf_exact / ann_recall /
+#    ann_cells_sweep / ann_ivf_kmeans_recall / ann_ivf_topk; the two
+#    other consumers, ann_ivf_admit + ann_recall_drift, already sit in
+#    the never-rowed block), then the 5 rows-only entries whose only
+#    driver rows predate the r6 testdata regeneration (r4-era:
+#    ml_train_score seq_pack dedup_minhash_lsh dedup_simhash
+#    ann_lsh_topk — the last pre-r6 rows anywhere in the ledger; each
+#    keeps its certified oracle-twinned proxy, ROTATION.md), then 35
+#    re-rows from the r6 pool oldest-first continuing ROTATION.md's
+#    list after r14's 23 (ann_ivf_exact already placed above). Same
+#    invariants: pure permutation of the registry, explicit list. --
+_R15_WINDOW = [
+    # The 5 never-rowed r14 registrations (ROTATION.md order).
+    "multi_ledger_dedup", "ann_ivf_admit", "fertility_drift",
+    "ann_recall_drift", "ingest_drift",
+    # The 5 r15 plan-changed re-rows (stable argsort tie-break).
+    "ann_ivf_exact", "ann_recall", "ann_cells_sweep",
+    "ann_ivf_kmeans_recall", "ann_ivf_topk",
+    # The 5 r4-era rows-only entries — the last pre-r6 driver rows.
+    "ml_train_score", "seq_pack", "dedup_minhash_lsh", "dedup_simhash",
+    "ann_lsh_topk",
+    # 35 re-rows from the r6 pool, oldest driver rows first
+    # (continuing ROTATION.md's list after r14's 23).
+    "compression_ratio", "dedup_containment", "sample_weighted",
+    "agg_equidepth", "merge_intervals", "ml_group_fit",
+    "multimodal_features", "funnel", "profile_nulls", "corpus_profile",
+    "training_order", "stratified_split", "ann_lsh_exact",
+    "dedup_simhash_verified", "chisq_assoc", "ml_string_index",
+    "ml_features", "etl_denorm", "comorbidity_topk",
+    "cohort_case_control", "tumble_count", "slide_agg", "sessionize",
+    "ann_cosine_topk", "embedding_cosine_dup", "multimodal_meta",
+    "text_stats", "tfidf", "lang_id", "doc_quality", "text_redact",
+    "corpus_clean", "sample_hash", "sample_per_group", "session_stats",
+]
+assert len(_R15_WINDOW) == 50 and len(set(_R15_WINDOW)) == 50
+QUERIES = {
+    **{k: QUERIES[k] for k in _R15_WINDOW},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R15_WINDOW)},
 }
 
 
@@ -16412,4 +16560,175 @@ ORACLES["ingest_drift"] = r"""
                     WHEN psi < 0.25 THEN 'shifting'
                     ELSE 'drifted' END AS status
         FROM allpsi
+"""
+
+
+# The sampled twin IS the exact oracle with the deterministic md5
+# sample cut added to the one scan CTE — built by substitution so the
+# two registered forms can never drift apart (r14 verdict "What's
+# missing" #3: the 100 TB-default path now carries its own driver row).
+_IDS_EXACT_SCAN = "FROM documents WHERE text IS NOT NULL"
+_IDS_SAMPLED_SCAN = (
+    "FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)), 3, 2)"
+    " < '80' AND text IS NOT NULL"
+)
+assert _IDS_EXACT_SCAN in ORACLES["ingest_drift"]
+ORACLES["ingest_drift_sampled"] = ORACLES["ingest_drift"].replace(
+    _IDS_EXACT_SCAN, _IDS_SAMPLED_SCAN
+)
+
+ORACLES["ledger_compaction"] = r"""
+        WITH led AS (
+            SELECT doc_id, CAST(1 AS BIGINT) AS ingest_ts, text
+            FROM documents
+            UNION ALL
+            SELECT doc_id, CAST(2 AS BIGINT) AS ingest_ts, text
+            FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= 'd0'
+        ),
+        fped AS (
+            SELECT doc_id, ingest_ts,
+                   md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                       AS fp
+            FROM led
+        ),
+        ver AS (
+            SELECT doc_id, ingest_ts, fp,
+                   row_number() OVER (PARTITION BY doc_id
+                       ORDER BY ingest_ts DESC, fp ASC NULLS LAST) AS vrn
+            FROM fped
+        ),
+        live AS (
+            SELECT doc_id, ingest_ts,
+                   row_number() OVER (
+                       PARTITION BY coalesce(
+                           fp, 'null:' || CAST(doc_id AS VARCHAR))
+                       ORDER BY doc_id ASC) AS crn
+            FROM ver WHERE vrn = 1
+        )
+        SELECT doc_id, ingest_ts,
+               CASE WHEN crn = 1 THEN 'keep'
+                    ELSE 'dup_retired' END AS decision
+        FROM live
+        UNION ALL
+        SELECT doc_id, ingest_ts, 'superseded' AS decision
+        FROM ver WHERE vrn > 1
+"""
+
+# The fused re-fit decision's oracle wraps the two audit oracles
+# VERBATIM as subqueries — the policy twin cannot drift from the
+# occupancy / recall twins it fuses.
+ORACLES["ann_refit_policy"] = f"""
+        WITH occ_cells AS MATERIALIZED ({ORACLES["ann_ivf_admit"]}),
+        rec_rows AS MATERIALIZED ({ORACLES["ann_recall_drift"]}),
+        occ AS (
+            SELECT round(sum(abs(share_drift)) / 2.0, 6) + 0.0 AS tv_drift,
+                   round(max(abs(share_drift)), 6) + 0.0 AS max_share_drift
+            FROM occ_cells
+        ),
+        rec AS (
+            SELECT round(avg(recall_base), 6) + 0.0 AS recall_base,
+                   round(avg(recall_grown), 6) + 0.0 AS recall_grown
+            FROM rec_rows
+        ),
+        rec2 AS (
+            SELECT recall_base, recall_grown,
+                   round(recall_base - recall_grown, 6) + 0.0 AS recall_drop
+            FROM rec
+        )
+        SELECT tv_drift, max_share_drift,
+               recall_base, recall_grown, recall_drop,
+               CASE WHEN tv_drift > 0.1 OR recall_drop > 0.05
+                    THEN 'refit' ELSE 'hold' END AS decision,
+               CASE WHEN tv_drift > 0.1 AND recall_drop > 0.05 THEN 'both'
+                    WHEN tv_drift > 0.1 THEN 'occupancy'
+                    WHEN recall_drop > 0.05 THEN 'recall'
+                    ELSE 'none' END AS reason
+        FROM occ, rec2
+"""
+
+ORACLES["packing_drift"] = r"""
+        WITH base AS MATERIALIZED (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(list_sum(list_transform(
+                            string_split_regex(text, '\s+'),
+                            w -> CAST(ceil(length(w) / 4.0) AS BIGINT)))
+                        AS BIGINT) AS ta,
+                   CAST(list_sum(list_transform(
+                            string_split_regex(text, '\s+'),
+                            w -> CAST(ceil(length(w) / 3.0) AS BIGINT)))
+                        AS BIGINT) AS tb,
+                   CAST(CAST(doc_id AS BIGINT) % 8 AS INTEGER) AS shard
+            FROM documents WHERE text IS NOT NULL
+        ),
+        ca AS (
+            SELECT shard, ta AS t,
+                   CAST(SUM(ta) OVER (PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS fin
+            FROM base
+        ),
+        pa AS (
+            SELECT shard,
+                   CAST(count(*) AS BIGINT) AS sd,
+                   CAST(sum(t) AS BIGINT) AS st,
+                   CAST(sum(CASE WHEN t > 0
+                                 AND floor((fin - t) / 512.0)
+                                     <> floor((fin - 1) / 512.0)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS ss
+            FROM ca GROUP BY shard
+        ),
+        aa AS (
+            SELECT CAST(sum(sd) AS BIGINT) AS n_docs,
+                   CAST(sum(st) AS BIGINT) AS n_tokens_a,
+                   CAST(sum((st + 511) // 512) AS BIGINT) AS n_bins_a,
+                   CAST(sum(ss) AS BIGINT) AS splits_a
+            FROM pa
+        ),
+        cb AS (
+            SELECT shard, tb AS t,
+                   CAST(SUM(tb) OVER (PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS fin
+            FROM base
+        ),
+        pb AS (
+            SELECT shard,
+                   CAST(count(*) AS BIGINT) AS sd,
+                   CAST(sum(t) AS BIGINT) AS st,
+                   CAST(sum(CASE WHEN t > 0
+                                 AND floor((fin - t) / 512.0)
+                                     <> floor((fin - 1) / 512.0)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS ss
+            FROM cb GROUP BY shard
+        ),
+        ab AS (
+            SELECT CAST(sum(sd) AS BIGINT) AS n_docs_b,
+                   CAST(sum(st) AS BIGINT) AS n_tokens_b,
+                   CAST(sum((st + 511) // 512) AS BIGINT) AS n_bins_b,
+                   CAST(sum(ss) AS BIGINT) AS splits_b
+            FROM pb
+        )
+        SELECT n_docs, n_tokens_a, n_tokens_b, n_bins_a, n_bins_b,
+               round(CAST(n_tokens_a AS DOUBLE)
+                     / CAST(n_bins_a * 512 AS DOUBLE), 6) + 0.0
+                   AS fill_frac_a,
+               round(CAST(n_tokens_b AS DOUBLE)
+                     / CAST(n_bins_b * 512 AS DOUBLE), 6) + 0.0
+                   AS fill_frac_b,
+               round(CAST(splits_a AS DOUBLE)
+                     / CAST(n_docs AS DOUBLE), 6) + 0.0 AS split_frac_a,
+               round(CAST(splits_b AS DOUBLE)
+                     / CAST(n_docs_b AS DOUBLE), 6) + 0.0 AS split_frac_b,
+               round(CAST(n_tokens_b AS DOUBLE)
+                     / CAST(n_tokens_a AS DOUBLE), 6) + 0.0
+                   AS budget_ratio,
+               round(CAST(n_bins_b AS DOUBLE)
+                     / CAST(n_bins_a AS DOUBLE), 6) + 0.0 AS bin_ratio,
+               round(round(CAST(n_tokens_b AS DOUBLE)
+                           / CAST(n_bins_b * 512 AS DOUBLE), 6)
+                     - round(CAST(n_tokens_a AS DOUBLE)
+                             / CAST(n_bins_a * 512 AS DOUBLE), 6), 6) + 0.0
+                   AS fill_drift
+        FROM aa, ab
 """

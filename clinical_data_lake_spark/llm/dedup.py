@@ -2280,3 +2280,90 @@ def incremental_admission_fold(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def ledger_compaction(
+    ledger: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ingest_ts",
+) -> DataFrame:
+    """Admission-ledger compaction/GC — the WRITE-side twin of
+    ``incremental_dedup``: the ledger a daily admission pipeline
+    appends to grows unboundedly (re-ingested documents leave their
+    old versions behind; exact duplicates admitted before the dedup
+    gate existed never get retired), and every batch's fingerprint
+    anti-join and shingle inverted-index join pays for those dead rows
+    forever. This operator decides, per ledger row, what a compaction
+    pass keeps:
+
+    - ``superseded`` — a NEWER version of the same document id exists
+      (higher ``ts_col``; ties broken by fingerprint so the decision
+      is deterministic). Its fingerprint and shingles describe text
+      that is no longer the document's content.
+    - ``dup_retired`` — the row is its id's live version, but another
+      live row carries the SAME normalized-text fingerprint and a
+      smaller id (the ``exact_dedup_groups`` keep-min-id convention):
+      one canonical row per distinct content is all the admission
+      anti-join needs.
+    - ``keep`` — the live, canonical row. The compacted ledger is
+      exactly the ``keep`` set; ``superseded`` + ``dup_retired`` rows
+      (and their derived shingles) are reclaimable.
+
+    NULL-text live rows are never dup-retired against each other:
+    their fingerprint is NULL, and the canonical-selection window
+    keys on (fingerprint, id) with NULL fingerprints isolated per id
+    — two unrelated rows that both lack text share no content.
+
+    Returns (id, ts, decision) for EVERY ledger row.
+
+    Scale shape: two window functions — one partitioned by id (version
+    selection), one by fingerprint (canonical selection over live rows
+    only) — i.e. two key-partitioned shuffles, each linear in ledger
+    size with per-task work bounded by the largest version/duplicate
+    group, never by the corpus. No joins, no collects; composes
+    directly with a ``filter(decision = 'keep')`` rewrite of the
+    ledger parquet. Reference parity: the reference's retention
+
+    / VACUUM-style maintenance (OPTIMIZE path, 00-etl-rwd.py) keeps
+    table files healthy; THIS keeps the dedup ledger's logical
+    content healthy — the operator a 100 TB corpus runs weekly.
+    """
+    fp = F.md5(_normalized(text_col))
+    base = ledger.select(
+        F.col(id_col),
+        F.col(ts_col),
+        fp.alias("__fp__"),
+    )
+    w_ver = Window.partitionBy(id_col).orderBy(
+        F.desc(ts_col), F.asc_nulls_last("__fp__")
+    )
+    versioned = base.select(
+        "*", F.row_number().over(w_ver).alias("__vrn__")
+    )
+    # NULL fingerprints must not pool into one canonical group: key
+    # the canonical window on the id itself for NULL-text rows so each
+    # is its own (trivially kept) group.
+    # 'null:<id>' cannot collide with a 32-char hex md5 fingerprint
+    fp_key = F.coalesce(
+        F.col("__fp__"),
+        F.concat(F.lit("null:"), F.col(id_col).cast("string")),
+    )
+    w_fp = Window.partitionBy(fp_key).orderBy(F.asc(id_col))
+    live = versioned.filter(F.col("__vrn__") == 1).select(
+        id_col,
+        ts_col,
+        "__fp__",
+        F.row_number().over(w_fp).alias("__crn__"),
+    )
+    decided_live = live.select(
+        id_col,
+        ts_col,
+        F.when(F.col("__crn__") == 1, F.lit("keep"))
+        .otherwise(F.lit("dup_retired"))
+        .alias("decision"),
+    )
+    superseded = versioned.filter(F.col("__vrn__") > 1).select(
+        id_col, ts_col, F.lit("superseded").alias("decision")
+    )
+    return decided_live.unionByName(superseded)

@@ -304,3 +304,113 @@ def truncation_loss(
             "loss_rate"
         ),
     )
+
+
+def packing_drift(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 512,
+    piece_len_a: int = 4,
+    piece_len_b: int = 3,
+    shards: int = 8,
+    digits: int = 6,
+) -> DataFrame:
+    """Packing-efficiency drift between two tokenizer versions — the
+    sequence-budget half of the tokenizer-swap pre-flight that
+    ``fertility_drift`` starts: fertility says the same corpus costs
+    more TOKENS under vocab B; this says what that does to the PACKED
+    training set — bins (sequences) used, fill fraction, and the
+    fraction of documents cut by a bin boundary, under identical
+    concat-and-cut packing (``pack_concat``, id-mod sharding so every
+    number is engine-replayable). A swap that inflates tokens 15% can
+    inflate SEQUENCES more or less than 15% depending on how doc
+    lengths interact with the budget — and the split fraction (a
+    training-quality cost: more documents straddling sequence
+    boundaries) moves independently. This one row is the capacity
+    side of the swap decision.
+
+    NULL-text documents are excluded (they pack nothing under either
+    vocab). Token counts use the scan-speed BPE-ish estimator with
+    the vocab modeled by ``piece_len`` exactly as ``fertility_drift``
+    does; swap in real tokenizer UDFs for production calibration —
+    the plan shape is what matters at scale.
+
+    Scale shape: ONE scan computes both vocabs' token counts (the
+    projection is shared and persisted); each version then pays
+    ``pack_concat``'s one shard-key shuffle + window cumsum; every
+    aggregate after is shard-bounded (bins per shard is exact long
+    arithmetic: ceil(shard_tokens / budget), no doubles). Returns ONE
+    row: (n_docs, n_tokens_a, n_tokens_b, n_bins_a, n_bins_b,
+    fill_frac_a, fill_frac_b, split_frac_a, split_frac_b,
+    budget_ratio, bin_ratio, fill_drift).
+    """
+    from ..functions.text import bpe_ish_token_count
+    from ..operators.caching import track_persist
+
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    base = track_persist(
+        docs.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col),
+            bpe_ish_token_count(F.col(text_col), piece_len_a).alias("__ta__"),
+            bpe_ish_token_count(F.col(text_col), piece_len_b).alias("__tb__"),
+        )
+    )
+    sides = {}
+    for ver, tok in (("a", "__ta__"), ("b", "__tb__")):
+        packed = pack_concat(
+            base.select(F.col(id_col), F.col(tok).alias("n_tokens")),
+            id_col=id_col,
+            budget=budget,
+            shards=shards,
+            shard_by_hash=False,
+        )
+        per_shard = packed.groupBy("shard").agg(
+            F.count(F.lit(1)).cast("long").alias("__d__"),
+            F.sum("n_tokens").cast("long").alias("__t__"),
+            F.sum(F.col("split").cast("long")).cast("long").alias("__s__"),
+        )
+        # exact long ceil-division (`div`), the shard_plan convention:
+        # bins used by a non-empty concat-packed shard is exactly
+        # ceil(shard_tokens / budget)
+        bins = F.expr(
+            f"(__t__ + {int(budget) - 1}) div {int(budget)}"
+        ).cast("long")
+        sides[ver] = per_shard.agg(
+            F.sum("__d__").cast("long").alias(f"__docs_{ver}__"),
+            F.sum("__t__").cast("long").alias(f"n_tokens_{ver}"),
+            F.sum(bins).cast("long").alias(f"n_bins_{ver}"),
+            F.sum("__s__").cast("long").alias(f"__splits_{ver}__"),
+        )
+    one = sides["a"].crossJoin(sides["b"])
+
+    def _ratio(num: F.Column, den: F.Column) -> F.Column:
+        return F.round(
+            num.cast("double") / den.cast("double"), digits
+        ) + F.lit(0.0)
+
+    b = F.lit(int(budget)).cast("long")
+    return one.select(
+        F.col("__docs_a__").alias("n_docs"),
+        "n_tokens_a",
+        "n_tokens_b",
+        "n_bins_a",
+        "n_bins_b",
+        _ratio(F.col("n_tokens_a"), F.col("n_bins_a") * b).alias("fill_frac_a"),
+        _ratio(F.col("n_tokens_b"), F.col("n_bins_b") * b).alias("fill_frac_b"),
+        _ratio(F.col("__splits_a__"), F.col("__docs_a__")).alias("split_frac_a"),
+        _ratio(F.col("__splits_b__"), F.col("__docs_b__")).alias("split_frac_b"),
+        _ratio(F.col("n_tokens_b"), F.col("n_tokens_a")).alias("budget_ratio"),
+        _ratio(F.col("n_bins_b"), F.col("n_bins_a")).alias("bin_ratio"),
+        (
+            F.round(
+                F.round(F.col("n_tokens_b").cast("double")
+                        / (F.col("n_bins_b") * b).cast("double"), digits)
+                - F.round(F.col("n_tokens_a").cast("double")
+                          / (F.col("n_bins_a") * b).cast("double"), digits),
+                digits,
+            )
+            + F.lit(0.0)
+        ).alias("fill_drift"),
+    )

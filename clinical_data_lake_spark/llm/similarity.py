@@ -246,7 +246,11 @@ def _cells_udf(centroids: list[list[float]], n: int):
         mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
         mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         sims = mat @ cent.T
-        order = np.argsort(-sims, axis=1)[:, :n].astype(np.int32)
+        # stable sort so exact cosine ties resolve to the LOWEST cell
+        # index — the oracles break ties by ascending cell (ORDER BY
+        # cos DESC, cell), and duplicate/zero vectors sampled as
+        # centroids would otherwise diverge from the DuckDB twin
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n].astype(np.int32)
         return pd.Series(list(order))
 
     return cells
@@ -1777,4 +1781,103 @@ def recall_at_k(
         id_col,
         n_hit.alias("n_hit"),
         (n_hit / F.lit(float(k))).alias("recall"),
+    )
+
+
+def ivf_refit_policy(
+    base: DataFrame,
+    batch: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    occ_tv_threshold: float = 0.1,
+    recall_drop_threshold: float = 0.05,
+    digits: int = 6,
+) -> DataFrame:
+    """Index re-fit DECISION table — the operator a maintenance
+    scheduler actually calls, fusing the two re-fit triggers the
+    audits expose separately: ``ivf_admission_audit``'s per-cell
+    occupancy drift (the admitted batch piling into cells where the
+    stale index is thin) and ``ivf_recall_drift``'s recall sag (the
+    probe set's recall@k holding on base but dropping on the grown
+    corpus under the same stale centroids). Either signal alone can
+    miss: occupancy can drift while recall holds (the new mass still
+    probes fine), and recall can sag under benign-looking occupancy
+    (the new mass lands NEAR cell boundaries). Thresholds are config,
+    not policy baked into the callers.
+
+    Occupancy is summarized as total-variation distance between the
+    base and admitted-batch cell-share distributions (0.5 * sum of
+    |share_drift| over cells — 0 when the batch lands exactly like
+    the base, 1 when fully disjoint) plus the max per-cell drift;
+    recall as the probe-set means on base and grown and their drop.
+
+    ``decision`` = 'refit' when tv_drift > ``occ_tv_threshold`` OR
+    recall_drop > ``recall_drop_threshold``, else 'hold'; ``reason``
+    in {'occupancy','recall','both','none'} so the scheduler's log
+    says WHICH trigger fired.
+
+    Scale shape: both inputs are the already-bounded audit outputs —
+    the occupancy side aggregates an n_cells-row table, the recall
+    side a probe-set-sized table; the fuse is a cross join of two
+    single-row aggregates. All the heavy lifting (one assignment pass
+    over base ∪ batch; two brute-force + two IVF probes of a small
+    broadcast query set) is the certified machinery of the two audits,
+    unchanged. Returns ONE row: (tv_drift, max_share_drift,
+    recall_base, recall_grown, recall_drop, decision, reason).
+    """
+    occ = ivf_admission_audit(
+        base, batch, n_cells=n_cells, seed=seed,
+        id_col=id_col, vec_col=vec_col, digits=digits,
+    )
+    occ_row = occ.agg(
+        (
+            F.round(F.sum(F.abs(F.col("share_drift"))) / 2.0, digits)
+            + F.lit(0.0)
+        ).alias("tv_drift"),
+        (F.round(F.max(F.abs(F.col("share_drift"))), digits) + F.lit(0.0)).alias(
+            "max_share_drift"
+        ),
+    )
+    grown = base.select(F.col(id_col), F.col(vec_col)).unionByName(
+        batch.select(F.col(id_col), F.col(vec_col))
+    )
+    rec = ivf_recall_drift(
+        queries, base, grown, k=k, n_cells=n_cells, n_probe=n_probe,
+        seed=seed, id_col=id_col, vec_col=vec_col,
+    )
+    rec_row = rec.agg(
+        (F.round(F.avg("recall_base"), digits) + F.lit(0.0)).alias("recall_base"),
+        (F.round(F.avg("recall_grown"), digits) + F.lit(0.0)).alias(
+            "recall_grown"
+        ),
+    ).select(
+        "recall_base",
+        "recall_grown",
+        (
+            F.round(F.col("recall_base") - F.col("recall_grown"), digits)
+            + F.lit(0.0)
+        ).alias("recall_drop"),
+    )
+    fused = occ_row.crossJoin(rec_row)
+    occ_fired = F.col("tv_drift") > F.lit(float(occ_tv_threshold))
+    rec_fired = F.col("recall_drop") > F.lit(float(recall_drop_threshold))
+    return fused.select(
+        "tv_drift",
+        "max_share_drift",
+        "recall_base",
+        "recall_grown",
+        "recall_drop",
+        F.when(occ_fired | rec_fired, F.lit("refit"))
+        .otherwise(F.lit("hold"))
+        .alias("decision"),
+        F.when(occ_fired & rec_fired, F.lit("both"))
+        .when(occ_fired, F.lit("occupancy"))
+        .when(rec_fired, F.lit("recall"))
+        .otherwise(F.lit("none"))
+        .alias("reason"),
     )

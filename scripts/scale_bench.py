@@ -184,7 +184,7 @@ def main() -> None:
                 klo: t01[q],
                 khi: t1[q],
                 "ratio": round(t1[q] / t01[q], 2),
-                "alpha": round(math.log(t1[q] / t01[q]) / math.log(10), 2),
+                "alpha": round(math.log(t1[q] / t01[q]) / math.log(hi / lo), 2),
             }
             for q in HEAVY
         },
