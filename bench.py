@@ -340,6 +340,14 @@ BENCH_QUERIES = [
     "fertility_drift",
     "ann_recall_drift",
     "ingest_drift",
+    # r15 registrations (appended — keep the comparable prefix): the
+    # sampled 100 TB-default ingest monitor, the admission-ledger
+    # compaction GC, the fused IVF re-fit decision, and the
+    # tokenizer-swap packing drift
+    "ingest_drift_sampled",
+    "ledger_compaction",
+    "ann_refit_policy",
+    "packing_drift",
 ]
 
 # Bench-only entries: measured here (and in the scale records) but NOT

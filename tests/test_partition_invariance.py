@@ -358,6 +358,21 @@ R14_NEW = [
     "ingest_drift",
 ]
 
+R15_NEW = [
+    # sampled PSI monitor: the md5 sample cut must be row-deterministic
+    # (hash of the id, never of partition layout)
+    "ingest_drift_sampled",
+    # ledger GC: both decision windows key on data (id / fingerprint),
+    # so the keep/superseded/dup_retired multiset is layout-free
+    "ledger_compaction",
+    # fused re-fit decision: single-row policy output over the two
+    # bounded audit aggregates
+    "ann_refit_policy",
+    # packing drift: id-mod shards + ROWS-frame cumsum are pure
+    # arithmetic in (id, tokens) — no layout term anywhere
+    "packing_drift",
+]
+
 
 def _canon(v):
     if v is None:
@@ -422,7 +437,8 @@ def test_partition_invariant_approx(spark, name):
 
 @pytest.mark.parametrize(
     "name",
-    ROTATED_IN + R8_NEW + R9_EXACT + R9_NEW + R10_NEW + R12_NEW + R13_NEW + R14_NEW,
+    ROTATED_IN + R8_NEW + R9_EXACT + R9_NEW + R10_NEW + R12_NEW + R13_NEW
+    + R14_NEW + R15_NEW,
 )
 def test_partition_invariant(spark, name):
     from clinical_data_lake_spark.operators.caching import release_persisted

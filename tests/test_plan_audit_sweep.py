@@ -55,6 +55,11 @@ WAIVERS = {
         " totals over the per-cell aggregate, bounded by construction)",
         "ingest_drift": "n_bins-row PSI bin tables (x2) + the"
         " lang-vocabulary-bounded category table (smoothing totals)",
+        "ingest_drift_sampled": "same bounded PSI bin/category tables"
+        " as ingest_drift (the hash sample shrinks the scan side only)",
+        "ann_refit_policy": "n_cells-row occupancy table inherited from"
+        " ivf_admission_audit (corpus-share totals, bounded by"
+        " construction)",
     },
 }
 

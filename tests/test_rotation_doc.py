@@ -11,7 +11,11 @@ import re
 
 import pytest
 
-from clinical_data_lake_spark.driver_queries import _R13_WINDOW, _R14_WINDOW
+from clinical_data_lake_spark.driver_queries import (
+    _R13_WINDOW,
+    _R14_WINDOW,
+    _R15_WINDOW,
+)
 
 _DOC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "ROTATION.md")
 
@@ -31,7 +35,7 @@ def _doc_window(round_no: int) -> list[str]:
 
 
 @pytest.mark.parametrize(
-    "round_no,window", [(13, _R13_WINDOW), (14, _R14_WINDOW)]
+    "round_no,window", [(13, _R13_WINDOW), (14, _R14_WINDOW), (15, _R15_WINDOW)]
 )
 def test_rotation_doc_table_matches_code_window(round_no, window):
     doc = _doc_window(round_no)
