@@ -223,3 +223,55 @@ def test_ingest_drift_sampled_same_metrics_schema(spark):
     # homogeneous test corpus)
     for m, v in sa.items():
         assert v is not None and abs(v) < 1.0
+
+
+def test_ledger_compaction_is_admission_safe(spark):
+    """GC-safety: incremental_dedup decisions against the COMPACTED
+    ledger equal decisions against the ledger's live content (version
+    winners), because dup_retired rows carry the same fingerprint and
+    shingle set as their kept canonical row. Uncapped df isolates the
+    semantic claim (the df cap counts copies, so retiring duplicates
+    legitimately lowers stop-shingle df at scale)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    batch = docs.filter(h >= "e0").select("doc_id", "text")
+    led_docs = docs.filter(h < "e0")
+    reing = F.substring(F.md5(F.col("doc_id").cast("string")), 3, 1) < "4"
+    ledger = led_docs.select(
+        "doc_id", "text", F.lit(1).cast("long").alias("ingest_ts")
+    ).unionByName(
+        led_docs.filter(reing).select(
+            "doc_id", "text", F.lit(2).cast("long").alias("ingest_ts")
+        )
+    )
+    decisions = dedup.ledger_compaction(ledger)
+    # live content = the per-id version winners (keep + dup_retired)
+    live = ledger.join(
+        decisions.filter(F.col("decision") != "superseded").select(
+            "doc_id", "ingest_ts"
+        ),
+        on=["doc_id", "ingest_ts"],
+        how="left_semi",
+    )
+    compacted = ledger.join(
+        decisions.filter(F.col("decision") == "keep").select(
+            "doc_id", "ingest_ts"
+        ),
+        on=["doc_id", "ingest_ts"],
+        how="left_semi",
+    )
+    adm_live = {
+        (r["doc_id"], r["decision"])
+        for r in dedup.incremental_dedup(
+            batch, live, threshold=0.3, max_doc_freq=None
+        ).collect()
+    }
+    release_persisted()
+    adm_comp = {
+        (r["doc_id"], r["decision"])
+        for r in dedup.incremental_dedup(
+            batch, compacted, threshold=0.3, max_doc_freq=None
+        ).collect()
+    }
+    release_persisted()
+    assert adm_live == adm_comp
