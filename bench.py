@@ -451,6 +451,14 @@ def main() -> None:
             release_persisted()
 
     repo_dir = os.path.dirname(os.path.abspath(__file__))
+    # stale-evidence guard: a previous run with a higher pass count
+    # (or an aborted pass 2) would leave PASS files that read as this
+    # run's evidence — clear them before the measured loop
+    if not _env_set:
+        import glob
+
+        for stale in glob.glob(os.path.join(repo_dir, "BENCH_DETAIL_PASS*.json")):
+            os.remove(stale)
     passes: list[dict[str, float]] = []
     for p in range(1, PASSES + 1):
         pass_t: dict[str, float] = {}

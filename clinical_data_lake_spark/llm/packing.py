@@ -391,7 +391,7 @@ def packing_drift(
         ) + F.lit(0.0)
 
     b = F.lit(int(budget)).cast("long")
-    return one.select(
+    wide = one.select(
         F.col("__docs_a__").alias("n_docs"),
         "n_tokens_a",
         "n_tokens_b",
@@ -403,14 +403,13 @@ def packing_drift(
         _ratio(F.col("__splits_b__"), F.col("__docs_b__")).alias("split_frac_b"),
         _ratio(F.col("n_tokens_b"), F.col("n_tokens_a")).alias("budget_ratio"),
         _ratio(F.col("n_bins_b"), F.col("n_bins_a")).alias("bin_ratio"),
+    )
+    # drift differences the ROUNDED fractions (single source of truth
+    # for the fill definition; the oracle does the same)
+    return wide.select(
+        "*",
         (
-            F.round(
-                F.round(F.col("n_tokens_b").cast("double")
-                        / (F.col("n_bins_b") * b).cast("double"), digits)
-                - F.round(F.col("n_tokens_a").cast("double")
-                          / (F.col("n_bins_a") * b).cast("double"), digits),
-                digits,
-            )
+            F.round(F.col("fill_frac_b") - F.col("fill_frac_a"), digits)
             + F.lit(0.0)
         ).alias("fill_drift"),
     )

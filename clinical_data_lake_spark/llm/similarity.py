@@ -264,6 +264,7 @@ def ivf_admission_audit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     digits: int = 6,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Incremental ANN index maintenance — the similarity twin of
     ``incremental_dedup``: new embeddings are ADMITTED into an EXISTING
@@ -288,9 +289,12 @@ def ivf_admission_audit(
     rebuilds cells verbatim.
 
     Returns (cell, n_base, n_new, share_base, share_new, share_drift),
-    one row per non-empty cell.
+    one row per non-empty cell. ``centroids`` lets a caller that
+    already holds the deterministic sample (``ivf_refit_policy``)
+    skip the redundant base-corpus sampling job.
     """
-    centroids = _md5_sample_centroids(base, n_cells, seed, id_col, vec_col)
+    if centroids is None:
+        centroids = _md5_sample_centroids(base, n_cells, seed, id_col, vec_col)
     assign1 = _cells_udf(centroids, 1)
     tagged = base.select(
         _as_double(vec_col).alias("__e__"), F.lit(0).alias("__new__")
@@ -334,6 +338,7 @@ def ivf_recall_drift(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Recall-drift audit for an INCREMENTALLY GROWN IVF index — the
     second half of the index-maintenance story ``ivf_admission_audit``
@@ -353,8 +358,11 @@ def ivf_recall_drift(
 
     Returns one row per probe query: (query_id, n_hit_base,
     recall_base, n_hit_grown, recall_grown, recall_drift).
+    ``centroids`` lets a caller that already holds the deterministic
+    sample (``ivf_refit_policy``) skip the redundant sampling job.
     """
-    centroids = _md5_sample_centroids(base, n_cells, seed, id_col, vec_col)
+    if centroids is None:
+        centroids = _md5_sample_centroids(base, n_cells, seed, id_col, vec_col)
     qids = queries.select(F.col(id_col).alias("query_id"))
     per_phase = {}
     for phase, corpus in (("base", base), ("grown", grown)):
@@ -1830,9 +1838,13 @@ def ivf_refit_policy(
     unchanged. Returns ONE row: (tv_drift, max_share_drift,
     recall_base, recall_grown, recall_drop, decision, reason).
     """
+    # sample the deterministic centroids ONCE: both audits would
+    # otherwise each run the identical md5-ordered TakeOrdered job
+    # over the base corpus — a redundant full pass at 100 TB
+    cents = _md5_sample_centroids(base, n_cells, seed, id_col, vec_col)
     occ = ivf_admission_audit(
         base, batch, n_cells=n_cells, seed=seed,
-        id_col=id_col, vec_col=vec_col, digits=digits,
+        id_col=id_col, vec_col=vec_col, digits=digits, centroids=cents,
     )
     occ_row = occ.agg(
         (
@@ -1848,7 +1860,7 @@ def ivf_refit_policy(
     )
     rec = ivf_recall_drift(
         queries, base, grown, k=k, n_cells=n_cells, n_probe=n_probe,
-        seed=seed, id_col=id_col, vec_col=vec_col,
+        seed=seed, id_col=id_col, vec_col=vec_col, centroids=cents,
     )
     rec_row = rec.agg(
         (F.round(F.avg("recall_base"), digits) + F.lit(0.0)).alias("recall_base"),
