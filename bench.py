@@ -348,6 +348,11 @@ BENCH_QUERIES = [
     "ledger_compaction",
     "ann_refit_policy",
     "packing_drift",
+    # r15 session-2 additions (appended — keep the comparable prefix):
+    # the longitudinal admission-rate monitor and the per-source
+    # snapshot diff
+    "admission_trend",
+    "snapshot_diff",
 ]
 
 # Bench-only entries: measured here (and in the scale records) but NOT

@@ -4657,6 +4657,65 @@ def q_packing_drift(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_admission_trend(spark: SparkSession, sf: str) -> DataFrame:
+    """Longitudinal admission-rate monitor
+    (llm/dedup.py:admission_trend): the certified incremental_dedup
+    decision table (same md5 75/25 split, threshold 0.2) tagged into
+    3 arrival slices (doc_id mod 3), rolled up to per-slice
+    accept/exact/near counts, the accept rate, and its
+    slice-over-slice delta (NULL for the first slice) — the first
+    signal when a source starts re-sending content or a dedup gate
+    breaks. One slice-key groupBy + a lag window over the
+    slice-count-bounded aggregate; the oracle wraps the
+    incremental_dedup twin verbatim as a subquery."""
+    from .llm import dedup as llm_dedup
+
+    docs = read_table(spark, sf, "documents")
+    in_ledger = (
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "c0"
+    )
+    dec = llm_dedup.incremental_dedup(
+        docs.filter(~in_ledger), docs.filter(in_ledger), threshold=0.2
+    )
+    return llm_dedup.admission_trend(
+        dec.select(
+            F.pmod(F.col("doc_id"), F.lit(3)).cast("long").alias("slice_id"),
+            "decision",
+        )
+    )
+
+
+def q_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source snapshot diff (llm/corpus.py:snapshot_diff) — the
+    audit log between maintenance runs: day-2 snapshot simulated from
+    documents by removing the md5 < '20' slice (re-added under
+    shifted ids, so the same content shows as removed + added),
+    revising the >= 'd0' slice's text (content-changed), and keeping
+    the rest. Per source: added/removed/changed/same counts and the
+    churn rate (NULL-guarded for brand-new sources). ONE full-outer
+    join on the id key over fingerprint projections + one groupBy
+    source; no windows, no collects."""
+    from .llm import corpus
+
+    d = read_table(spark, sf, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    kept = d.filter(h >= "20").select(
+        "doc_id",
+        F.when(h >= "d0", F.concat(F.col("text"), F.lit(" rev2")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "source",
+    )
+    added = d.filter(h < "20").select(
+        (F.col("doc_id") + F.lit(100000000)).alias("doc_id"),
+        "text",
+        "source",
+    )
+    return corpus.snapshot_diff(
+        d.select("doc_id", "text", "source"), kept.unionByName(added)
+    )
+
+
 def q_conformal(spark: SparkSession, sf: str) -> DataFrame:
     """Split-conformal prediction intervals per event type
     (ml/stats.py:conformal_interval): md5 train/cal/test thirds,
@@ -6252,6 +6311,12 @@ QUERIES = {
     "ledger_compaction": q_ledger_compaction,
     "ann_refit_policy": q_ann_refit_policy,
     "packing_drift": q_packing_drift,
+    # r15 session-2 additions (same discipline, r16 window right after
+    # the first four): the longitudinal admission-rate monitor and the
+    # per-source snapshot diff — the observability pair over the
+    # admission/compaction write path
+    "admission_trend": q_admission_trend,
+    "snapshot_diff": q_snapshot_diff,
 }
 
 
@@ -16731,4 +16796,98 @@ ORACLES["packing_drift"] = r"""
                              / CAST(n_bins_a * 512 AS DOUBLE), 6), 6) + 0.0
                    AS fill_drift
         FROM aa, ab
+"""
+
+
+# The trend monitor's oracle wraps the incremental_dedup twin VERBATIM
+# as a subquery (the ann_refit_policy pattern) — the rollup cannot
+# drift from the decision table it summarizes.
+ORACLES["admission_trend"] = f"""
+        WITH dec AS MATERIALIZED ({ORACLES["incremental_dedup"]}),
+        per AS (
+            SELECT CAST(doc_id % 3 AS BIGINT) AS slice_id,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN decision = 'accept'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_accept,
+                   CAST(sum(CASE WHEN decision = 'exact_dup'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+                   CAST(sum(CASE WHEN decision = 'near_dup'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_near
+            FROM dec GROUP BY 1
+        ),
+        wr AS (
+            SELECT slice_id, n_docs, n_accept, n_exact, n_near,
+                   round(CAST(n_accept AS DOUBLE)
+                         / CAST(n_docs AS DOUBLE), 6) + 0.0 AS accept_rate
+            FROM per
+        )
+        SELECT slice_id, n_docs, n_accept, n_exact, n_near, accept_rate,
+               round(accept_rate
+                     - lag(accept_rate) OVER (ORDER BY slice_id), 6) + 0.0
+                   AS accept_delta
+        FROM wr
+"""
+
+ORACLES["snapshot_diff"] = r"""
+        WITH oldsnap AS (
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                       AS fp,
+                   source
+            FROM documents
+        ),
+        hx AS (
+            SELECT doc_id,
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h
+            FROM documents
+        ),
+        newsnap AS (
+            SELECT d.doc_id,
+                   md5(regexp_replace(lower(trim(
+                       CASE WHEN hx.h >= 'd0' THEN d.text || ' rev2'
+                            ELSE d.text END)), '\s+', ' ', 'g')) AS fp,
+                   d.source
+            FROM documents d JOIN hx ON d.doc_id = hx.doc_id
+            WHERE hx.h >= '20'
+            UNION ALL
+            SELECT d.doc_id + 100000000,
+                   md5(regexp_replace(lower(trim(d.text)), '\s+', ' ', 'g')),
+                   d.source
+            FROM documents d JOIN hx ON d.doc_id = hx.doc_id
+            WHERE hx.h < '20'
+        ),
+        j AS (
+            SELECT coalesce(n.source, o.source) AS source,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        WHEN o.fp IS NOT DISTINCT FROM n.fp THEN 'same'
+                        ELSE 'changed' END AS st,
+                   CASE WHEN o.doc_id IS NOT NULL THEN 1 ELSE 0 END
+                       AS in_old,
+                   CASE WHEN n.doc_id IS NOT NULL THEN 1 ELSE 0 END
+                       AS in_new
+            FROM oldsnap o FULL OUTER JOIN newsnap n
+                ON o.doc_id = n.doc_id
+        ),
+        agg AS (
+            SELECT source,
+                   CAST(sum(in_old) AS BIGINT) AS n_old,
+                   CAST(sum(in_new) AS BIGINT) AS n_new,
+                   CAST(sum(CASE WHEN st = 'added' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_added,
+                   CAST(sum(CASE WHEN st = 'removed' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_removed,
+                   CAST(sum(CASE WHEN st = 'changed' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_changed,
+                   CAST(sum(CASE WHEN st = 'same' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_same
+            FROM j GROUP BY source
+        )
+        SELECT source, n_old, n_new, n_added, n_removed, n_changed, n_same,
+               CASE WHEN n_old > 0
+                    THEN round(CAST(n_added + n_removed + n_changed
+                                    AS DOUBLE)
+                               / CAST(n_old AS DOUBLE), 6) + 0.0
+               END AS churn_rate
+        FROM agg
 """

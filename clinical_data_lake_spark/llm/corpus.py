@@ -933,3 +933,83 @@ def ingest_drift(
         (F.col("psi") + F.lit(0.0)).alias("psi"),
         status.alias("status"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    digits: int = 6,
+) -> DataFrame:
+    """Per-source diff of two corpus/ledger snapshots — the audit log
+    between maintenance runs: after a day of admission
+    (``incremental_dedup``), compaction (``ledger_compaction``), and
+    re-ingest, WHAT actually changed? Per source: documents added
+    (id only in new), removed (id only in old), content-changed (same
+    id, different normalized-text fingerprint), retained-same, and
+    the churn rate — (added + removed + changed) / old-snapshot size,
+    NULL when the source had no old rows (a brand-new source is all
+    churn by definition; the NULL keeps the division honest under
+    ANSI). NULL-text rows compare null-safely: NULL == NULL content
+    counts as same, NULL vs text as changed. A document whose source
+    attribute itself changed is attributed to its NEW source (the
+    coalesce convention).
+
+    Returns (source, n_old, n_new, n_added, n_removed, n_changed,
+    n_same, churn_rate), one row per source.
+
+    Scale shape: ONE full-outer join on the id key (both sides
+    project to (id, fingerprint, source) first — scan-side column
+    pruning), then one groupBy source over the joined table; both
+    shuffles linear, no windows, no collects.
+    """
+    from .dedup import _normalized
+
+    fp = F.md5(_normalized(text_col))
+    o = old.select(
+        F.col(id_col).alias("__id__"),
+        fp.alias("__ofp__"),
+        F.col(source_col).alias("__osrc__"),
+        F.lit(1).alias("__in_old__"),
+    )
+    n = new.select(
+        F.col(id_col).alias("__id__"),
+        fp.alias("__nfp__"),
+        F.col(source_col).alias("__nsrc__"),
+        F.lit(1).alias("__in_new__"),
+    )
+    j = o.join(n, on="__id__", how="full_outer")
+    status = (
+        F.when(F.col("__in_old__").isNull(), F.lit("added"))
+        .when(F.col("__in_new__").isNull(), F.lit("removed"))
+        .when(F.col("__ofp__").eqNullSafe(F.col("__nfp__")), F.lit("same"))
+        .otherwise(F.lit("changed"))
+    )
+    tagged = j.select(
+        F.coalesce("__nsrc__", "__osrc__").alias("source"),
+        status.alias("__st__"),
+        F.coalesce("__in_old__", F.lit(0)).alias("__in_old__"),
+        F.coalesce("__in_new__", F.lit(0)).alias("__in_new__"),
+    )
+    agg = tagged.groupBy("source").agg(
+        F.sum("__in_old__").cast("long").alias("n_old"),
+        F.sum("__in_new__").cast("long").alias("n_new"),
+        F.sum((F.col("__st__") == "added").cast("long")).cast("long").alias("n_added"),
+        F.sum((F.col("__st__") == "removed").cast("long")).cast("long").alias("n_removed"),
+        F.sum((F.col("__st__") == "changed").cast("long")).cast("long").alias("n_changed"),
+        F.sum((F.col("__st__") == "same").cast("long")).cast("long").alias("n_same"),
+    )
+    churn = F.when(
+        F.col("n_old") > 0,
+        F.round(
+            (F.col("n_added") + F.col("n_removed") + F.col("n_changed")).cast(
+                "double"
+            )
+            / F.col("n_old").cast("double"),
+            digits,
+        )
+        + F.lit(0.0),
+    )
+    return agg.select("*", churn.alias("churn_rate"))

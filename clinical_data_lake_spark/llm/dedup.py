@@ -2367,3 +2367,64 @@ def ledger_compaction(
         id_col, ts_col, F.lit("superseded").alias("decision")
     )
     return decided_live.unionByName(superseded)
+
+
+def admission_trend(
+    decisions: DataFrame,
+    slice_col: str = "slice_id",
+    decision_col: str = "decision",
+    digits: int = 6,
+) -> DataFrame:
+    """Longitudinal admission-rate monitor — the rollup a pipeline
+    operator actually watches over the per-batch decision tables the
+    admission family emits (``incremental_dedup`` /
+    ``multi_ledger_dedup`` / ``incremental_admission_fold``): per
+    arrival slice, how many documents were accepted vs retired as
+    exact/near duplicates, the accept rate, and its slice-over-slice
+    delta. A falling accept rate = the source is re-sending content
+    (crawler loop, upstream re-delivery); a jump = a new content vein
+    or a broken dedup gate — either way the FIRST signal is this
+    table, before ``ingest_drift`` moves.
+
+    Returns one row per slice: (slice, n_docs, n_accept, n_exact,
+    n_near, accept_rate, accept_delta) — ``accept_delta`` is NULL for
+    the first slice (nothing to difference against).
+
+    Scale shape: one groupBy on the slice key (linear, map-side
+    combinable); the lag window runs over the slice-count-bounded
+    aggregate — slices are batches/days, config-bounded, never
+    data-sized.
+    """
+    per = decisions.groupBy(slice_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col(decision_col) == "accept").cast("long"))
+        .cast("long")
+        .alias("n_accept"),
+        F.sum((F.col(decision_col) == "exact_dup").cast("long"))
+        .cast("long")
+        .alias("n_exact"),
+        F.sum((F.col(decision_col) == "near_dup").cast("long"))
+        .cast("long")
+        .alias("n_near"),
+    )
+    rate = F.round(
+        F.col("n_accept").cast("double") / F.col("n_docs").cast("double"),
+        digits,
+    ) + F.lit(0.0)
+    with_rate = per.select(
+        F.col(slice_col),
+        "n_docs",
+        "n_accept",
+        "n_exact",
+        "n_near",
+        rate.alias("accept_rate"),
+    )
+    # lag over the slice-count-bounded aggregate (bounded by config)
+    w = Window.orderBy(slice_col)
+    prev = F.lag("accept_rate").over(w)
+    return with_rate.select(
+        "*",
+        (F.round(F.col("accept_rate") - prev, digits) + F.lit(0.0)).alias(
+            "accept_delta"
+        ),
+    )

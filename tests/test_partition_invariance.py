@@ -371,6 +371,10 @@ R15_NEW = [
     # packing drift: id-mod shards + ROWS-frame cumsum are pure
     # arithmetic in (id, tokens) — no layout term anywhere
     "packing_drift",
+    # session 2: the slice rollup + lag must not depend on partition
+    # merge order; the full-outer diff keys purely on (id, fp, source)
+    "admission_trend",
+    "snapshot_diff",
 ]
 
 

@@ -60,6 +60,9 @@ WAIVERS = {
         "ann_refit_policy": "n_cells-row occupancy table inherited from"
         " ivf_admission_audit (corpus-share totals, bounded by"
         " construction)",
+        "admission_trend": "slice-count-bounded rate aggregate (the lag"
+        " differences one row per arrival slice — config-bounded,"
+        " never data-sized)",
     },
 }
 

@@ -275,3 +275,62 @@ def test_ledger_compaction_is_admission_safe(spark):
     }
     release_persisted()
     assert adm_live == adm_comp
+
+
+# ------------------------------------------------- admission trend
+def test_admission_trend_rates_and_deltas(spark):
+    dec = spark.createDataFrame(
+        [(0, "accept"), (0, "accept"), (0, "exact_dup"), (0, "near_dup"),
+         (1, "accept"), (1, "exact_dup"),
+         (2, "exact_dup"), (2, "near_dup")],
+        "slice_id long, decision string",
+    )
+    rows = {r["slice_id"]: r for r in dedup.admission_trend(dec).collect()}
+    assert rows[0]["n_docs"] == 4 and rows[0]["n_accept"] == 2
+    assert rows[0]["accept_rate"] == pytest.approx(0.5)
+    assert rows[0]["accept_delta"] is None  # first slice: no reference
+    assert rows[1]["accept_rate"] == pytest.approx(0.5)
+    assert rows[1]["accept_delta"] == pytest.approx(0.0)
+    assert rows[2]["n_accept"] == 0 and rows[2]["accept_rate"] == 0.0
+    assert rows[2]["accept_delta"] == pytest.approx(-0.5)
+
+
+# ------------------------------------------------- snapshot diff
+def test_snapshot_diff_classification(spark):
+    old = spark.createDataFrame(
+        [(1, "alpha content", "web"), (2, "beta content", "web"),
+         (3, "gamma content", "books"), (5, None, "web")],
+        "doc_id long, text string, source string",
+    )
+    new = spark.createDataFrame(
+        [(1, "alpha content", "web"),        # same
+         (2, "beta content REVISED", "web"), # changed
+         (4, "delta content", "books"),      # added (3 removed)
+         (5, None, "web")],                  # NULL == NULL -> same
+        "doc_id long, text string, source string",
+    )
+    from clinical_data_lake_spark.llm import corpus as llm_corpus
+
+    rows = {r["source"]: r for r in llm_corpus.snapshot_diff(old, new).collect()}
+    web = rows["web"]
+    assert (web["n_old"], web["n_new"]) == (3, 3)
+    assert (web["n_added"], web["n_removed"], web["n_changed"], web["n_same"]) == (0, 0, 1, 2)
+    assert web["churn_rate"] == pytest.approx(1 / 3, abs=1e-6)
+    books = rows["books"]
+    assert (books["n_added"], books["n_removed"]) == (1, 1)
+    assert books["churn_rate"] == pytest.approx(2.0, abs=1e-6)
+
+
+def test_snapshot_diff_new_source_null_churn(spark):
+    old = spark.createDataFrame(
+        [(1, "alpha", "web")], "doc_id long, text string, source string"
+    )
+    new = spark.createDataFrame(
+        [(1, "alpha", "web"), (9, "fresh", "papers")],
+        "doc_id long, text string, source string",
+    )
+    from clinical_data_lake_spark.llm import corpus as llm_corpus
+
+    rows = {r["source"]: r for r in llm_corpus.snapshot_diff(old, new).collect()}
+    assert rows["papers"]["n_old"] == 0
+    assert rows["papers"]["churn_rate"] is None  # brand-new source
