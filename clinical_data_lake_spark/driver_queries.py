@@ -16833,7 +16833,7 @@ ORACLES["snapshot_diff"] = r"""
             SELECT doc_id,
                    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
                        AS fp,
-                   source
+                   source, 1 AS present
             FROM documents
         ),
         hx AS (
@@ -16846,26 +16846,29 @@ ORACLES["snapshot_diff"] = r"""
                    md5(regexp_replace(lower(trim(
                        CASE WHEN hx.h >= 'd0' THEN d.text || ' rev2'
                             ELSE d.text END)), '\s+', ' ', 'g')) AS fp,
-                   d.source
+                   d.source, 1 AS present
             FROM documents d JOIN hx ON d.doc_id = hx.doc_id
             WHERE hx.h >= '20'
             UNION ALL
             SELECT d.doc_id + 100000000,
                    md5(regexp_replace(lower(trim(d.text)), '\s+', ' ', 'g')),
-                   d.source
+                   d.source, 1 AS present
             FROM documents d JOIN hx ON d.doc_id = hx.doc_id
             WHERE hx.h < '20'
         ),
+        -- presence keys on the injected marker, NOT the join key: a
+        -- NULL-id row never matches in the join but is still a real
+        -- row of its own side (the Spark library's __in_old__/__in_new__
+        -- convention; doc_id is non-null on this table, so this is
+        -- future-proofing, not a behavior change here)
         j AS (
             SELECT coalesce(n.source, o.source) AS source,
-                   CASE WHEN o.doc_id IS NULL THEN 'added'
-                        WHEN n.doc_id IS NULL THEN 'removed'
+                   CASE WHEN o.present IS NULL THEN 'added'
+                        WHEN n.present IS NULL THEN 'removed'
                         WHEN o.fp IS NOT DISTINCT FROM n.fp THEN 'same'
                         ELSE 'changed' END AS st,
-                   CASE WHEN o.doc_id IS NOT NULL THEN 1 ELSE 0 END
-                       AS in_old,
-                   CASE WHEN n.doc_id IS NOT NULL THEN 1 ELSE 0 END
-                       AS in_new
+                   coalesce(o.present, 0) AS in_old,
+                   coalesce(n.present, 0) AS in_new
             FROM oldsnap o FULL OUTER JOIN newsnap n
                 ON o.doc_id = n.doc_id
         ),

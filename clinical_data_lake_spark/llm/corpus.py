@@ -965,8 +965,6 @@ def snapshot_diff(
     pruning), then one groupBy source over the joined table; both
     shuffles linear, no windows, no collects.
     """
-    from .dedup import _normalized
-
     fp = F.md5(_normalized(text_col))
     o = old.select(
         F.col(id_col).alias("__id__"),

@@ -309,9 +309,7 @@ def test_snapshot_diff_classification(spark):
          (5, None, "web")],                  # NULL == NULL -> same
         "doc_id long, text string, source string",
     )
-    from clinical_data_lake_spark.llm import corpus as llm_corpus
-
-    rows = {r["source"]: r for r in llm_corpus.snapshot_diff(old, new).collect()}
+    rows = {r["source"]: r for r in corpus.snapshot_diff(old, new).collect()}
     web = rows["web"]
     assert (web["n_old"], web["n_new"]) == (3, 3)
     assert (web["n_added"], web["n_removed"], web["n_changed"], web["n_same"]) == (0, 0, 1, 2)
@@ -329,8 +327,6 @@ def test_snapshot_diff_new_source_null_churn(spark):
         [(1, "alpha", "web"), (9, "fresh", "papers")],
         "doc_id long, text string, source string",
     )
-    from clinical_data_lake_spark.llm import corpus as llm_corpus
-
-    rows = {r["source"]: r for r in llm_corpus.snapshot_diff(old, new).collect()}
+    rows = {r["source"]: r for r in corpus.snapshot_diff(old, new).collect()}
     assert rows["papers"]["n_old"] == 0
     assert rows["papers"]["churn_rate"] is None  # brand-new source
