@@ -353,6 +353,10 @@ BENCH_QUERIES = [
     # snapshot diff
     "admission_trend",
     "snapshot_diff",
+    # r15 session-3 addition (appended): the composed weekly
+    # maintenance job — compaction -> admission vs the compacted
+    # ledger -> trend monitor
+    "maintenance_pipeline",
 ]
 
 # Bench-only entries: measured here (and in the scale records) but NOT

@@ -4716,6 +4716,53 @@ def q_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_maintenance_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed weekly corpus-maintenance job — the end-to-end
+    artifact the r13-r15 admission/GC/monitoring operators exist for
+    (the maintenance twin of pretraining_pipeline): (1) COMPACT the
+    two-day ledger over the < 'd0' md5 slice (every doc at ts=1, the
+    offset-3 < '4' slice re-ingested at ts=2;
+    llm/dedup.py:ledger_compaction keep-set), (2) ADMIT the held-out
+    >= 'd0' batch against the COMPACTED ledger
+    (llm/dedup.py:incremental_dedup, threshold 0.2 — GC-safety of
+    this composition is property-pinned in tests/test_r15_ops.py),
+    (3) roll the decisions into the per-slice
+    llm/dedup.py:admission_trend monitor. Returns the 3-row trend
+    table — counts, accept rates, deltas. Plan: two key-partitioned
+    compaction windows -> one fingerprint semi/anti join -> one
+    df-capped inverted-index join -> one slice groupBy; no step
+    breaks the components' certified shapes."""
+    from .llm import dedup as llm_dedup
+
+    d = read_table(spark, sf, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    h3 = F.substring(F.md5(F.col("doc_id").cast("string")), 3, 1)
+    batch = d.filter(h >= "d0").select("doc_id", "text")
+    led_docs = d.filter(h < "d0")
+    ledger = led_docs.select(
+        "doc_id", "text", F.lit(1).cast("long").alias("ingest_ts")
+    ).unionByName(
+        led_docs.filter(h3 < "4").select(
+            "doc_id", "text", F.lit(2).cast("long").alias("ingest_ts")
+        )
+    )
+    decisions = llm_dedup.ledger_compaction(ledger)
+    compacted = ledger.join(
+        decisions.filter(F.col("decision") == "keep").select(
+            "doc_id", "ingest_ts"
+        ),
+        on=["doc_id", "ingest_ts"],
+        how="left_semi",
+    )
+    adm = llm_dedup.incremental_dedup(batch, compacted, threshold=0.2)
+    return llm_dedup.admission_trend(
+        adm.select(
+            F.pmod(F.col("doc_id"), F.lit(3)).cast("long").alias("slice_id"),
+            "decision",
+        )
+    )
+
+
 def q_conformal(spark: SparkSession, sf: str) -> DataFrame:
     """Split-conformal prediction intervals per event type
     (ml/stats.py:conformal_interval): md5 train/cal/test thirds,
@@ -6317,6 +6364,11 @@ QUERIES = {
     # admission/compaction write path
     "admission_trend": q_admission_trend,
     "snapshot_diff": q_snapshot_diff,
+    # r15 session-3 addition (same discipline): the composed weekly
+    # maintenance job — compaction -> admission against the compacted
+    # ledger -> trend monitor; the end-to-end artifact of the
+    # r13-r15 production-maintenance arc
+    "maintenance_pipeline": q_maintenance_pipeline,
 }
 
 
@@ -16893,4 +16945,141 @@ ORACLES["snapshot_diff"] = r"""
                                / CAST(n_old AS DOUBLE), 6) + 0.0
                END AS churn_rate
         FROM agg
+"""
+
+
+# The composed maintenance job's oracle replays all three stages:
+# compaction keep-set (the ledger_compaction machinery over the
+# < 'd0' two-day ledger), admission against the COMPACTED ledger
+# (the incremental_dedup machinery, threshold 0.2, df cap 100), and
+# the trend rollup. Multiply-referenced CTEs are MATERIALIZED (the
+# r13 exponential-inlining lesson).
+ORACLES["maintenance_pipeline"] = r"""
+        WITH led0 AS MATERIALIZED (
+            SELECT doc_id, CAST(1 AS BIGINT) AS ingest_ts, text
+            FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'd0'
+            UNION ALL
+            SELECT doc_id, CAST(2 AS BIGINT) AS ingest_ts, text
+            FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'd0'
+              AND substr(md5(CAST(doc_id AS VARCHAR)), 3, 1) < '4'
+        ),
+        fped AS (
+            SELECT doc_id, ingest_ts, text,
+                   md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                       AS fp
+            FROM led0
+        ),
+        ver AS (
+            SELECT doc_id, ingest_ts, text, fp,
+                   row_number() OVER (PARTITION BY doc_id
+                       ORDER BY ingest_ts DESC, fp ASC NULLS LAST) AS vrn
+            FROM fped
+        ),
+        live AS (
+            SELECT doc_id, text, fp,
+                   row_number() OVER (
+                       PARTITION BY coalesce(
+                           fp, 'null:' || CAST(doc_id AS VARCHAR))
+                       ORDER BY doc_id ASC) AS crn
+            FROM ver WHERE vrn = 1
+        ),
+        ledger AS MATERIALIZED (
+            SELECT doc_id, text, fp FROM live WHERE crn = 1
+        ),
+        batch AS MATERIALIZED (
+            SELECT doc_id, text,
+                   md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                       AS fp
+            FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= 'd0'
+        ),
+        lfp AS (
+            SELECT DISTINCT fp FROM ledger WHERE fp IS NOT NULL
+        ),
+        exact AS (
+            SELECT doc_id FROM batch WHERE fp IN (SELECT fp FROM lfp)
+        ),
+        rest AS MATERIALIZED (
+            SELECT doc_id, text FROM batch
+            WHERE fp IS NULL OR fp NOT IN (SELECT fp FROM lfp)
+        ),
+        btoks AS (
+            SELECT doc_id,
+                   string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+            FROM rest
+        ),
+        ltoks AS (
+            SELECT doc_id,
+                   string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+            FROM ledger
+        ),
+        bsh_all AS (
+            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+            FROM btoks, UNNEST(range(1, len(w) - 1)) AS t(i)
+            WHERE len(w) >= 3
+        ),
+        lsh_all AS MATERIALIZED (
+            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+            FROM ltoks, UNNEST(range(1, len(w) - 1)) AS t(i)
+            WHERE len(w) >= 3
+        ),
+        keep AS MATERIALIZED (
+            SELECT shingle FROM lsh_all GROUP BY shingle
+            HAVING count(*) <= 100
+        ),
+        bsh AS MATERIALIZED (
+            SELECT doc_id, shingle FROM bsh_all
+            WHERE shingle IN (SELECT shingle FROM keep)
+        ),
+        lsh AS MATERIALIZED (
+            SELECT doc_id, shingle FROM lsh_all
+            WHERE shingle IN (SELECT shingle FROM keep)
+        ),
+        na AS (SELECT doc_id, count(*) AS n_sh FROM bsh GROUP BY doc_id),
+        nb AS (SELECT doc_id, count(*) AS n_sh FROM lsh GROUP BY doc_id),
+        inter AS (
+            SELECT b.doc_id AS doc_a, l.doc_id AS doc_b, count(*) AS inter
+            FROM bsh b JOIN lsh l ON b.shingle = l.shingle
+            GROUP BY 1, 2
+        ),
+        near AS MATERIALIZED (
+            SELECT DISTINCT inter.doc_a AS doc_id
+            FROM inter
+            JOIN na ON na.doc_id = inter.doc_a
+            JOIN nb ON nb.doc_id = inter.doc_b
+            WHERE CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter)
+                  >= 0.2
+        ),
+        dec AS (
+            SELECT doc_id, 'exact_dup' AS decision FROM exact
+            UNION ALL
+            SELECT doc_id, 'near_dup' AS decision FROM near
+            UNION ALL
+            SELECT doc_id, 'accept' AS decision FROM rest
+            WHERE doc_id NOT IN (SELECT doc_id FROM near)
+        ),
+        per AS (
+            SELECT CAST(doc_id % 3 AS BIGINT) AS slice_id,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN decision = 'accept'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_accept,
+                   CAST(sum(CASE WHEN decision = 'exact_dup'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+                   CAST(sum(CASE WHEN decision = 'near_dup'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_near
+            FROM dec GROUP BY 1
+        ),
+        wr AS (
+            SELECT slice_id, n_docs, n_accept, n_exact, n_near,
+                   round(CAST(n_accept AS DOUBLE)
+                         / CAST(n_docs AS DOUBLE), 6) + 0.0 AS accept_rate
+            FROM per
+        )
+        SELECT slice_id, n_docs, n_accept, n_exact, n_near, accept_rate,
+               round(accept_rate
+                     - lag(accept_rate) OVER (ORDER BY slice_id), 6) + 0.0
+                   AS accept_delta
+        FROM wr
 """

@@ -375,6 +375,9 @@ R15_NEW = [
     # merge order; the full-outer diff keys purely on (id, fp, source)
     "admission_trend",
     "snapshot_diff",
+    # session 3: the composed maintenance job (compaction -> admission
+    # -> trend) must be layout-free end-to-end
+    "maintenance_pipeline",
 ]
 
 

@@ -63,6 +63,8 @@ WAIVERS = {
         "admission_trend": "slice-count-bounded rate aggregate (the lag"
         " differences one row per arrival slice — config-bounded,"
         " never data-sized)",
+        "maintenance_pipeline": "the same slice-count-bounded trend lag"
+        " (admission_trend's tail stage)",
     },
 }
 
