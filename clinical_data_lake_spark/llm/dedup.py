@@ -109,9 +109,10 @@ def word_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     doc by default.
 
     Built with array expressions (split -> transform over a sequence ->
-    explode) — whole-stage codegen, no UDF. ``distinct=False`` skips
-    the dedup shuffle for consumers that filter the exploded rows first
-    and dedup the (much smaller) survivor set themselves.
+    array_distinct -> explode) — whole-stage codegen, no UDF, and the
+    per-doc dedup is a per-row hash set BEFORE the explode, never a
+    shuffle. ``distinct=False`` skips the array_distinct for consumers
+    that count repeated grams (e.g. dup_gram_coverage's weighting).
     """
     toks = F.split(_normalized(text_col), " ")
     # zip n shifted slices and join INSIDE the lambda from the struct
@@ -122,20 +123,23 @@ def word_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     # identical shingle strings
     win = F.greatest(F.size("t") - (n - 1), F.lit(0))
     zipped = F.arrays_zip(*[F.slice("t", j + 1, win) for j in range(n)])
-    out = (
+    arr = F.transform(
+        zipped, lambda t: F.concat_ws(" ", *[t[str(j)] for j in range(n)])
+    )
+    # per-doc dedup happens BEFORE the explode (array_distinct is a
+    # codegen'd per-row hash set) instead of a .distinct() over the
+    # exploded (id, shingle) rows — that distinct was a full Exchange +
+    # two-phase HashAggregate of the largest intermediate every shingle
+    # consumer builds (r15: one shuffle of the exploded table removed
+    # from every distinct=True call site; ids are unique per doc in all
+    # callers, so the output row set is identical)
+    if distinct:
+        arr = F.array_distinct(arr)
+    return (
         _ensure_parallelism(docs).select(F.col(id_col), toks.alias("t"))
         .filter(F.size("t") >= n)
-        .select(
-            id_col,
-            F.explode(
-                F.transform(
-                    zipped,
-                    lambda t: F.concat_ws(" ", *[t[str(j)] for j in range(n)]),
-                )
-            ).alias("shingle"),
-        )
+        .select(id_col, F.explode(arr).alias("shingle"))
     )
-    return out.distinct() if distinct else out
 
 
 def _shingle_intersections(
@@ -150,8 +154,18 @@ def _shingle_intersections(
     shingle index -> per-pair intersection counts + per-doc shingle
     sizes. ``directed=False`` emits each unordered pair once
     (doc_a < doc_b, the symmetric-metric case); ``directed=True``
-    emits both orderings (asymmetric metrics like containment)."""
-    sh = word_shingles(docs, id_col, text_col, n)
+    emits both orderings (asymmetric metrics like containment).
+
+    Shingles travel as xxhash64 longs from the explode onward (r15):
+    every consumer reads only (inter, sizes) — never a shingle string —
+    so the df-count aggregate, the stop-shingle semi-join, and the
+    inverted-index self-join all shuffle, hash, and compare 8-byte
+    keys instead of ~25-byte strings. Same negligible-collision
+    contract as chunk_dedup / prefix_filter_pairs (a collision could
+    only merge two shingles of a doc pair; ~2^-64 per string pair)."""
+    sh = word_shingles(docs, id_col, text_col, n).select(
+        F.col(id_col), F.xxhash64("shingle").alias("shingle")
+    )
     if max_doc_freq is not None:
         # the raw shingle table feeds BOTH the frequency count and the
         # semi-join base; unpersisted, each branch re-runs the explode
@@ -1995,6 +2009,17 @@ def minhash_lsh_sweep(
     return out
 
 
+def _hashed_shingles(
+    docs: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """Distinct per-doc word shingles as xxhash64 longs — the narrow
+    (8 B/key) representation the incremental-admission family shuffles
+    instead of shingle strings."""
+    return word_shingles(docs, id_col, text_col, n).select(
+        F.col(id_col), F.xxhash64("shingle").alias("shingle")
+    )
+
+
 def cross_jaccard_pairs(
     left: DataFrame,
     right: DataFrame,
@@ -2003,6 +2028,7 @@ def cross_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int | None = 100,
+    right_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs BETWEEN two corpora (every pair is
     one left doc x one right doc) — the directed building block
@@ -2021,14 +2047,35 @@ def cross_jaccard_pairs(
     linear in both corpora + emitted intersections; the batch side is
     typically tiny next to the ledger, so this is a map-side-friendly
     join on the shingle key. No self-join term.
+
+    ``right_shingles`` (optional): a precomputed — typically already
+    persisted — (id_col, shingle) table of the RIGHT corpus's distinct
+    per-doc shingles, PRE-HASHED to xxhash64 longs (the
+    ``_hashed_shingles`` convention below). Callers that admit several
+    batches against an incrementally growing ledger
+    (``incremental_admission_fold``) pass the maintained table so each
+    round shingles only its delta instead of re-exploding the whole
+    accumulated ledger.
+
+    Shingles travel as xxhash64 longs (r15): the output carries only
+    ids and the Jaccard ratio, so the df cap, both size aggregates,
+    and the inverted-index join run on 8-byte keys instead of ~25-byte
+    strings — the chunk_dedup / prefix_filter_pairs
+    negligible-collision contract.
     """
-    lsh = word_shingles(left, id_col, text_col, n)
-    rsh = word_shingles(right, id_col, text_col, n)
+    lsh = _hashed_shingles(left, id_col, text_col, n)
+    rsh = (
+        right_shingles
+        if right_shingles is not None
+        else _hashed_shingles(right, id_col, text_col, n)
+    )
     if max_doc_freq is not None:
         # the raw ledger shingles feed both the df count and the
         # semi-join base — persist the unfiltered table only when this
-        # branch creates that second reference
-        rsh = track_persist(rsh)
+        # branch creates that second reference (callers passing
+        # right_shingles hand over an already-persisted table)
+        if right_shingles is None:
+            rsh = track_persist(rsh)
         keep = (
             rsh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
@@ -2039,7 +2086,8 @@ def cross_jaccard_pairs(
         rsh = rsh.join(keep, on="shingle", how="left_semi")
     # both sides feed a size aggregate AND the inverted-index join
     lsh = track_persist(lsh)
-    rsh = track_persist(rsh)
+    if max_doc_freq is not None or right_shingles is None:
+        rsh = track_persist(rsh)
     la = lsh.groupBy(id_col).agg(F.count(F.lit(1)).alias("na"))
     rb = rsh.groupBy(id_col).agg(F.count(F.lit(1)).alias("nb"))
     inter = (
@@ -2069,6 +2117,8 @@ def incremental_dedup(
     n: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int | None = 100,
+    ledger_fp: DataFrame | None = None,
+    ledger_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental-ingest dedup decision table — the shape a 100 TB
     pipeline ACTUALLY runs day to day: a new batch is admitted against
@@ -2078,32 +2128,47 @@ def incremental_dedup(
     against any ledger doc, tested only for exact-survivors), else
     ``accept``. Returns (id, decision) for EVERY batch document.
 
-    Scale shape: the exact gate is one fingerprint semi/anti join
-    against the ledger's distinct-fingerprint projection; the near
-    gate runs ``cross_jaccard_pairs`` batch x ledger (inverted index,
+    Scale shape: the exact gate is one fingerprint semi + one anti
+    join against the ledger's fingerprint projection (r15: no
+    ``distinct()`` on it — semi/anti joins are set-semantics already,
+    the distinct was a full Exchange + aggregate of the ledger
+    fingerprints for nothing; and the anti join carries the batch text
+    along instead of re-attaching it with a second semi join back to
+    the batch — one join and one batch scan removed). The near gate
+    runs ``cross_jaccard_pairs`` batch x ledger (inverted index,
     ledger-df-capped) on the exact-survivors only. The ledger is
     scanned for fingerprints + shingles — no batch self-join, no
     ledger self-join.
+
+    ``ledger_fp`` / ``ledger_shingles`` (optional): precomputed —
+    typically persisted — ledger fingerprint (``__fp__``) and
+    (id, shingle) tables; ``incremental_admission_fold`` maintains
+    them incrementally so round k only fingerprints/shingles its
+    accepted delta.
     """
     fp = F.md5(_normalized(text_col))
-    b = batch.select(F.col(id_col), fp.alias("__fp__"))
-    lfp = ledger.select(fp.alias("__fp__")).distinct()
+    b = batch.select(F.col(id_col), F.col(text_col), fp.alias("__fp__"))
+    lfp = (
+        ledger_fp
+        if ledger_fp is not None
+        else ledger.select(fp.alias("__fp__"))
+    )
     exact = (
         b.join(lfp, on="__fp__", how="left_semi")
         .select(id_col, F.lit("exact_dup").alias("decision"))
     )
-    rest_ids = b.join(lfp, on="__fp__", how="left_anti").select(id_col)
-    rest = batch.join(rest_ids, on=id_col, how="left_semi")
+    rest = b.join(lfp, on="__fp__", how="left_anti")
     near_ids = (
         cross_jaccard_pairs(
-            rest, ledger, id_col, text_col, n, threshold, max_doc_freq
+            rest, ledger, id_col, text_col, n, threshold, max_doc_freq,
+            right_shingles=ledger_shingles,
         )
         .select(F.col("doc_a").alias(id_col))
         .distinct()
     )
     near = near_ids.select(id_col, F.lit("near_dup").alias("decision"))
     accept = (
-        rest_ids.join(near_ids, on=id_col, how="left_anti")
+        rest.select(id_col).join(near_ids, on=id_col, how="left_anti")
         .select(id_col, F.lit("accept").alias("decision"))
     )
     return exact.unionByName(near).unionByName(accept)
@@ -2163,7 +2228,10 @@ def multi_ledger_dedup(
     for nm, df in ledgers:
         tf = df.select(F.lit(nm).alias("source"), fp.alias("__fp__"))
         tagged_fp = tf if tagged_fp is None else tagged_fp.unionByName(tf)
-        sh = word_shingles(df, id_col, text_col, n).select(
+        # shingles as xxhash64 longs (the _hashed_shingles convention):
+        # the per-source df cap, the keep semi-join, and the
+        # (source, shingle) inverted-index join all shuffle 8-byte keys
+        sh = _hashed_shingles(df, id_col, text_col, n).select(
             F.lit(nm).alias("source"), F.col(id_col).alias("__lid__"), "shingle"
         )
         lsh = sh if lsh is None else lsh.unionByName(sh)
@@ -2196,7 +2264,7 @@ def multi_ledger_dedup(
     # (the cross_jaccard_pairs convention: sizes post-filter against
     # the capped LEDGER vocabulary), then drop to exact-survivors
     bshf = track_persist(
-        word_shingles(batch, id_col, text_col, n)
+        _hashed_shingles(batch, id_col, text_col, n)
         .join(keep, on="shingle")
         .join(rest, on=[id_col, "source"], how="left_semi")
     )
@@ -2252,15 +2320,30 @@ def incremental_admission_fold(
     accumulated ledger as a parquet sink instead of a growing plan,
     so per-batch work stays bounded by |batch| x |ledger|
     inverted-index terms, not by lineage.
+
+    r15: the ledger's DERIVED tables — the fingerprint projection and
+    the (id, shingle) inverted-index base — are maintained
+    INCREMENTALLY across rounds (persisted union of the previous
+    round's table + the accepted delta's rows) instead of re-deriving
+    both from the full accumulated ledger text every round: round k
+    normalizes/fingerprints/shingles only its accepted docs, exactly
+    the production sink's incremental shape. Shingling is per-row, so
+    shingles(ledger ∪ delta) == shingles(ledger) ∪ shingles(delta) —
+    the per-round df cap and sizes still aggregate over the FULL
+    maintained table, bit-identical to the from-scratch derivation.
     """
     from ..operators.caching import iter_checkpoint
 
-    accepted = ledger.select(F.col(id_col), F.col(text_col))
+    fpx = F.md5(_normalized(text_col))
+    led = ledger.select(F.col(id_col), F.col(text_col))
+    led_fp = track_persist(led.select(fpx.alias("__fp__")))
+    led_sh = track_persist(_hashed_shingles(led, id_col, text_col, n))
     outs: list[DataFrame] = []
     for k, b in enumerate(batches):
         dec = iter_checkpoint(
             incremental_dedup(
-                b, accepted, id_col, text_col, n, threshold, max_doc_freq
+                b, led, id_col, text_col, n, threshold, max_doc_freq,
+                ledger_fp=led_fp, ledger_shingles=led_sh,
             )
         )
         outs.append(
@@ -2270,11 +2353,17 @@ def incremental_admission_fold(
                 "decision",
             )
         )
+        if k == len(batches) - 1:
+            break  # the last round's ledger tables have no consumer
         acc_ids = dec.filter(F.col("decision") == "accept").select(id_col)
-        accepted = accepted.unionByName(
+        acc = track_persist(
             b.select(F.col(id_col), F.col(text_col)).join(
                 acc_ids, on=id_col, how="left_semi"
             )
+        )
+        led_fp = track_persist(led_fp.unionByName(acc.select(fpx.alias("__fp__"))))
+        led_sh = track_persist(
+            led_sh.unionByName(_hashed_shingles(acc, id_col, text_col, n))
         )
     out = outs[0]
     for o in outs[1:]:

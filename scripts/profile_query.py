@@ -29,6 +29,9 @@ ensure_submit_args(driver_memory="16g")
 from pyspark.sql import SparkSession  # noqa: E402
 
 
+_SEEN_EXECS: set = set()
+
+
 def _api(base: str, path: str):
     with urllib.request.urlopen(base + path) as r:
         return json.load(r)
@@ -75,6 +78,12 @@ def main() -> None:
         except Exception as ex:
             print(f"warmup {name} failed: {ex}", file=sys.stderr)
         release_persisted()
+        # mark warmup executions as seen so rep metrics are clean
+        try:
+            for ex_ in _api(base, "/sql?details=false&length=10000"):
+                _SEEN_EXECS.add(ex_.get("id"))
+        except Exception:
+            pass
         for rep in range(reps):
             group = f"prof:{name}:{rep}"
             spark.sparkContext.setJobGroup(group, group)
@@ -132,6 +141,43 @@ def main() -> None:
                     f"shR {s.get('shuffleReadBytes',0)/1e6:7.2f}MB  {nm}",
                     file=sys.stderr,
                 )
+            # SQL-node metrics: aggregate time-like metrics by node name
+            # across every SQL execution this query triggered
+            try:
+                sqls = _api(base, "/sql?details=true&planDescription=false&length=10000")
+            except Exception:
+                sqls = []
+            import re as _re
+
+            def _ms(v: str) -> float:
+                # values like "1.2 s", "345 ms", "total (min, med, max...)\n1.2 s (...)"
+                first = v.split("\n")[-1] if "\n" in v else v
+                m = _re.match(r"([\d.,]+)\s*(ms|s|m|h)?", first.strip())
+                if not m:
+                    return 0.0
+                x = float(m.group(1).replace(",", ""))
+                unit = m.group(2) or "ms"
+                return x * {"ms": 1.0, "s": 1000.0, "m": 60000.0, "h": 3600000.0}[unit]
+
+            agg: dict[str, float] = {}
+            n_execs = 0
+            for ex in sqls:
+                if ex.get("status") != "COMPLETED":
+                    continue
+                if ex.get("id") in _SEEN_EXECS:
+                    continue
+                _SEEN_EXECS.add(ex.get("id"))
+                n_execs += 1
+                for node in ex.get("nodes", []):
+                    for met in node.get("metrics", []):
+                        mn = met.get("name", "")
+                        if "time" in mn or "duration" in mn:
+                            key = f"{node.get('nodeName','?')}: {mn}"
+                            agg[key] = agg.get(key, 0.0) + _ms(met.get("value", "0"))
+            print(f"  -- SQL node time metrics (sum over {n_execs} executions, top 18):",
+                  file=sys.stderr)
+            for k, v in sorted(agg.items(), key=lambda kv: -kv[1])[:18]:
+                print(f"    {v/1000.0:8.1f}s  {k[:120]}", file=sys.stderr)
     spark.stop()
 
 
