@@ -920,6 +920,7 @@ def dup_clusters(
                 F.least(
                     labels["label"], F.coalesce(F.col("neigh_label"), labels["label"])
                 ).alias("label"),
+                labels["label"].alias("__old__"),
             )
         )
         # pointer jump: label <- min(label, label[label]); the parent
@@ -930,6 +931,11 @@ def dup_clusters(
             .agg(F.min("label").alias("__pl__"))
             .select(F.col("node").alias("__pn__"), "__pl__")
         )
+        # r15: carry the change flag THROUGH the checkpoint — the
+        # convergence probe becomes a filter+limit scan of the already
+        # materialized round table instead of a node-keyed shuffle
+        # join of two checkpointed tables (one probe join removed per
+        # propagation round for every dup_clusters consumer)
         new_labels = (
             stepped.join(parent, stepped["label"] == parent["__pn__"], "left")
             .select(
@@ -938,17 +944,18 @@ def dup_clusters(
                     stepped["label"],
                     F.coalesce(F.col("__pl__"), stepped["label"]),
                 ).alias("label"),
+                (
+                    F.least(
+                        stepped["label"],
+                        F.coalesce(F.col("__pl__"), stepped["label"]),
+                    )
+                    != F.col("__old__")
+                ).alias("__chg__"),
             )
         )
         new_labels = iter_checkpoint(new_labels, checkpoint_dir)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("__chg__")).limit(1).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             converged = True
             break
@@ -1013,9 +1020,17 @@ def dup_clusters(
         # lazy: the convergence probe below materializes it (and
         # after_large) in ONE action per round
         new_edges = iter_checkpoint(new_edges, checkpoint_dir, eager=False)
+        # r15: both edge sets are distinct by construction, so set
+        # inequality == a null row in the full-outer key join — ONE
+        # join probe instead of two exceptAll anti-joins + union
         changed = (
-            new_edges.exceptAll(edges)
-            .union(edges.exceptAll(new_edges))
+            new_edges.withColumn("__l__", F.lit(1))
+            .join(
+                edges.withColumn("__r__", F.lit(1)),
+                on=["lo", "hi"],
+                how="full",
+            )
+            .filter(F.col("__l__").isNull() | F.col("__r__").isNull())
             .limit(1)
             .count()
         )
@@ -1947,66 +1962,104 @@ def minhash_lsh_sweep(
         prefix_filter_pairs(docs, id_col, text_col, n, threshold)
         .select("doc_a", "doc_b")
     )
-    out: DataFrame | None = None
+    # r15 (guide §2.4): ONE config-tagged banding pass instead of one
+    # banding self-join + pair-dedup + three aggregates PER config.
+    # All configs' band rows (sum(bands) rows/doc) union over the
+    # persisted signatures and flow through a single
+    # (bands, band, band_hash)-keyed self-join, a single per-config
+    # pair dedup, and two grouped aggregates — same shuffled bytes,
+    # one barrier chain instead of len(configs). Per-config counts are
+    # unchanged: dedup on (bands, doc_a, doc_b) == each config's
+    # (doc_a, doc_b) dedup, and the exact join counts each exact pair
+    # once per config that bands it together.
+    banded_parts = []
     for bands, rows in configs:
-        banded = sig.select(
-            id_col,
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda b: F.struct(
-                        b.alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",", F.slice("signature", b * rows + 1, rows)
-                            )
-                        ).alias("band_hash"),
-                    ),
-                )
-            ).alias("bb"),
-        ).select(id_col, "bb.band", "bb.band_hash")
-        # persisted: the candidate set feeds BOTH the n_cand aggregate
-        # and the n_caught semi-join — unpersisted, the band self-join
-        # + pair-dedup shuffle (the config's dominant cost) runs twice
-        cand = track_persist(
-            banded.select(F.col(id_col).alias("doc_a"), "band", "band_hash")
-            .join(
-                banded.select(F.col(id_col).alias("doc_b"), "band", "band_hash"),
-                on=["band", "band_hash"],
-            )
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-            .dropDuplicates(["doc_a", "doc_b"])
-        )
-        caught = exact.join(cand, on=["doc_a", "doc_b"], how="left_semi")
-        row = (
-            cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
-            .crossJoin(
-                F.broadcast(
-                    exact.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
-                )
-            )
-            .crossJoin(
-                F.broadcast(
-                    caught.agg(F.count(F.lit(1)).cast("long").alias("n_caught"))
-                )
-            )
-            .select(
+        banded_parts.append(
+            sig.select(
+                id_col,
                 F.lit(bands).cast("int").alias("bands"),
-                F.lit(rows).cast("int").alias("rows_per_band"),
-                "n_cand",
-                "n_true",
-                "n_caught",
-                F.round(
-                    F.col("n_caught").cast("double")
-                    / F.nullif(F.col("n_true").cast("double"), F.lit(0.0)),
-                    digits,
-                ).alias("recall"),
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(bands - 1)),
+                        # closure binds rows — a 2-arg lambda would
+                        # receive the ELEMENT INDEX as its second arg
+                        (
+                            lambda r: lambda b: F.struct(
+                                b.alias("band"),
+                                F.md5(
+                                    F.concat_ws(
+                                        ",",
+                                        F.slice("signature", b * r + 1, r),
+                                    )
+                                ).alias("band_hash"),
+                            )
+                        )(rows),
+                    )
+                ).alias("bb"),
+            ).select(id_col, "bands", "bb.band", "bb.band_hash")
+        )
+    banded = banded_parts[0]
+    for part in banded_parts[1:]:
+        banded = banded.unionByName(part)
+    # persisted: the candidate set feeds BOTH the n_cand aggregate and
+    # the n_caught join — unpersisted, the band self-join + pair-dedup
+    # shuffle (the sweep's dominant cost) runs twice
+    cand = track_persist(
+        banded.select(F.col(id_col).alias("doc_a"), "bands", "band", "band_hash")
+        .join(
+            banded.select(
+                F.col(id_col).alias("doc_b"), "bands", "band", "band_hash"
+            ),
+            on=["bands", "band", "band_hash"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("bands", "doc_a", "doc_b")
+        .dropDuplicates(["bands", "doc_a", "doc_b"])
+    )
+    n_cand = cand.groupBy("bands").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cand")
+    )
+    n_caught = (
+        exact.join(cand, on=["doc_a", "doc_b"])
+        .groupBy("bands")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_caught"))
+    )
+    # literal config axis (one row per config even when a config has
+    # zero candidates), built without a driver-side createDataFrame
+    cfg = sig.sparkSession.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bands).cast("int").alias("bands"),
+                        F.lit(rows).cast("int").alias("rows_per_band"),
+                    )
+                    for bands, rows in configs
+                ]
+            )
+        ).alias("c")
+    ).select("c.bands", "c.rows_per_band")
+    return (
+        cfg.join(F.broadcast(n_cand), on="bands", how="left")
+        .join(F.broadcast(n_caught), on="bands", how="left")
+        .crossJoin(
+            F.broadcast(
+                exact.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
             )
         )
-        out = row if out is None else out.unionByName(row)
-    assert out is not None
-    return out
+        .select(
+            "bands",
+            "rows_per_band",
+            F.coalesce("n_cand", F.lit(0).cast("long")).alias("n_cand"),
+            "n_true",
+            F.coalesce("n_caught", F.lit(0).cast("long")).alias("n_caught"),
+            F.round(
+                F.coalesce("n_caught", F.lit(0).cast("long")).cast("double")
+                / F.nullif(F.col("n_true").cast("double"), F.lit(0.0)),
+                digits,
+            ).alias("recall"),
+        )
+    )
 
 
 def _hashed_shingles(

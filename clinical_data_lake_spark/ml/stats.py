@@ -1248,13 +1248,31 @@ def poisson_bootstrap_mean(
     are filtered before the shuffle. Compute cost IS n_boot x n — the
     published algorithm's price; pick n_boot to fit the budget.
     """
-    b = F.explode(F.sequence(F.lit(1), F.lit(int(n_boot)))).alias("b")
-    grp = ((F.col("b") - 1) / F.lit(4)).cast("long") + 1
-    pos = ((F.col("b") - 1) % F.lit(4)) * 8 + 1
+    # r15 (guide §1.2 "per-task work"): the 4-slot md5 carving is now
+    # REAL — explode the ceil(n_boot/4) hash GROUPS first, evaluate
+    # one md5 per (row, group), then explode that row's 4 slots. The
+    # previous form exploded b = 1..n_boot first, so the per-row
+    # projection recomputed the identical md5(id|ceil(b/4)) on each of
+    # the 4 sibling rows (no cross-row CSE exists): n x n_boot md5
+    # evaluations instead of the n x n_boot/4 the docstring promised.
+    # Every u is bit-identical (same hash, same slot arithmetic).
+    n_grp = (int(n_boot) + 3) // 4
+    grp = F.explode(F.sequence(F.lit(1), F.lit(n_grp))).alias("__grp__")
+    # slots this group actually carries (the last group may be short
+    # when n_boot % 4 != 0)
+    slot = F.explode(
+        F.sequence(
+            F.lit(0),
+            F.least(
+                F.lit(3),
+                F.lit(int(n_boot)) - (F.col("__grp__") - 1) * 4 - 1,
+            ).cast("int"),
+        )
+    ).alias("__slot__")
     u = (
         F.conv(
-            F.md5(F.concat_ws("|", F.col(id_col), grp)).substr(
-                pos.cast("int"), F.lit(8)
+            F.col("__h__").substr(
+                (F.col("__slot__") * 8 + 1).cast("int"), F.lit(8)
             ),
             16,
             10,
@@ -1276,8 +1294,20 @@ def poisson_bootstrap_mean(
     if narrow.rdd.getNumPartitions() < target:
         narrow = narrow.repartition(target)
     rep = (
-        narrow.select(F.col(id_col), "__x__", b)
-        .select("b", x, w.cast("long").alias("__w__"))
+        narrow.select(F.col(id_col), "__x__", grp)
+        .select(
+            "__x__",
+            "__grp__",
+            F.md5(F.concat_ws("|", F.col(id_col), F.col("__grp__"))).alias(
+                "__h__"
+            ),
+        )
+        .select("__x__", "__grp__", "__h__", slot)
+        .select(
+            ((F.col("__grp__") - 1) * 4 + F.col("__slot__") + 1).alias("b"),
+            x,
+            w.cast("long").alias("__w__"),
+        )
         .filter(F.col("__w__") > 0)
         .groupBy("b")
         .agg(
@@ -2314,13 +2344,24 @@ def permutation_test(
     narrow = base.select("__id__", "__x__")
     if narrow.rdd.getNumPartitions() < target:
         narrow = narrow.repartition(target)
-    b = F.explode(F.sequence(F.lit(1), F.lit(int(n_perm)))).alias("b")
-    grp = ((F.col("b") - 1) / F.lit(4)).cast("long") + 1
-    pos = ((F.col("b") - 1) % F.lit(4)) * 8 + 1
+    # r15: same two-stage explode as poisson_bootstrap_mean — one md5
+    # per (row, 4-replicate hash group) instead of one per replicate;
+    # every u bit-identical (same hash string, same slot arithmetic)
+    n_grp = (int(n_perm) + 3) // 4
+    grp = F.explode(F.sequence(F.lit(1), F.lit(n_grp))).alias("__grp__")
+    slot = F.explode(
+        F.sequence(
+            F.lit(0),
+            F.least(
+                F.lit(3),
+                F.lit(int(n_perm)) - (F.col("__grp__") - 1) * 4 - 1,
+            ).cast("int"),
+        )
+    ).alias("__slot__")
     u = (
         F.conv(
-            F.md5(F.concat_ws("|", F.col("__id__"), grp)).substr(
-                pos.cast("int"), F.lit(8)
+            F.col("__h__").substr(
+                (F.col("__slot__") * 8 + 1).cast("int"), F.lit(8)
             ),
             16,
             10,
@@ -2329,8 +2370,21 @@ def permutation_test(
     )
     rep = (
         narrow.crossJoin(F.broadcast(obs.select("__p1__")))
-        .select("__id__", "__x__", "__p1__", b)
-        .select("b", F.col("__x__"), (u < F.col("__p1__")).alias("__t__"))
+        .select("__id__", "__x__", "__p1__", grp)
+        .select(
+            "__x__",
+            "__p1__",
+            "__grp__",
+            F.md5(F.concat_ws("|", F.col("__id__"), F.col("__grp__"))).alias(
+                "__h__"
+            ),
+        )
+        .select("__x__", "__p1__", "__grp__", "__h__", slot)
+        .select(
+            ((F.col("__grp__") - 1) * 4 + F.col("__slot__") + 1).alias("b"),
+            F.col("__x__"),
+            (u < F.col("__p1__")).alias("__t__"),
+        )
         .groupBy("b")
         .agg(
             F.sum(F.col("__t__").cast("long")).alias("__k1__"),
