@@ -55,6 +55,31 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     return df
 
 
+def _shuffle_partitions(df: DataFrame) -> int:
+    """The session's shuffle fan-out — used to pin explicit repartition
+    counts to the same number every keyed shuffle uses, so a persisted
+    hash-partitioned table satisfies downstream join/groupBy
+    distributions without a new Exchange (scale-adaptive: the session
+    conf, not a constant)."""
+    try:
+        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return df.sparkSession.sparkContext.defaultParallelism
+
+
+def _persist_keyed(df: DataFrame, *cols: str) -> DataFrame:
+    """track_persist with the cache laid out as HashPartitioning(cols)
+    (guide §2.4 'share one exchange'): InMemoryTableScan preserves the
+    cached plan's outputPartitioning, so every downstream join or
+    groupBy keyed on ``cols`` reads the cache WITHOUT re-shuffling it.
+    Pays the one shuffle the first consumer would have paid anyway;
+    every further keyed consumer rides it — the in-session analogue of
+    a bucketed table."""
+    from ..operators.caching import track_persist
+
+    return track_persist(df.repartition(_shuffle_partitions(df), *cols))
+
+
 def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact duplicate groups: md5 over normalized text, keep the min id.
 
@@ -173,6 +198,11 @@ def _shingle_intersections(
         # groupBy + semi-join (not a count-over-shingle window) so the
         # stop-shingle hot keys are partially aggregated map-side
         # instead of funneled into single window partitions.
+        # NOT keyed-persisted (r15, measured): ReusedExchange already
+        # collapses the self-join's two identical shingle exchanges,
+        # and a keyed persist shuffles the RAW exploded rows while the
+        # df groupBy's shuffle moves partially-aggregated ones —
+        # keyed-first A/B'd 12% SLOWER on soft_dedup/containment.
         sh = track_persist(sh)
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         sh = (
@@ -524,6 +554,11 @@ def prefix_filter_pairs(
     # verification recomputes EXACT string-shingle Jaccard on the
     # candidates, so a collision can only add a candidate, never a
     # false positive
+    # plain persist (r15, measured): a hash(__sh__) keyed persist was
+    # A/B'd and LOST — ReusedExchange already collapses the identical
+    # __sh__-keyed consumer exchanges, while the keyed persist
+    # shuffles raw exploded rows the df groupBy would have partially
+    # aggregated first
     sh = track_persist(
         word_shingles(docs, id_col, text_col, n).select(
             id_col, F.xxhash64("shingle").alias("__sh__")
@@ -2003,7 +2038,11 @@ def minhash_lsh_sweep(
         banded = banded.unionByName(part)
     # persisted: the candidate set feeds BOTH the n_cand aggregate and
     # the n_caught join — unpersisted, the band self-join + pair-dedup
-    # shuffle (the sweep's dominant cost) runs twice
+    # shuffle (the sweep's dominant cost) runs twice. Re-keyed to
+    # (doc_a, doc_b) BEFORE the dedup: hash(doc_a, doc_b) satisfies
+    # the (bands, doc_a, doc_b) dedup clustering (subset rule), so the
+    # dedup adds no exchange and the exact∩cand join reads both sides
+    # co-partitioned (exact is keyed the same way above).
     cand = track_persist(
         banded.select(F.col(id_col).alias("doc_a"), "bands", "band", "band_hash")
         .join(
@@ -2014,6 +2053,7 @@ def minhash_lsh_sweep(
         )
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("bands", "doc_a", "doc_b")
+        .repartition(_shuffle_partitions(banded), "doc_a", "doc_b")
         .dropDuplicates(["bands", "doc_a", "doc_b"])
     )
     n_cand = cand.groupBy("bands").agg(
@@ -2126,9 +2166,13 @@ def cross_jaccard_pairs(
         # the raw ledger shingles feed both the df count and the
         # semi-join base — persist the unfiltered table only when this
         # branch creates that second reference (callers passing
-        # right_shingles hand over an already-persisted table)
+        # right_shingles hand over an already-persisted — ideally
+        # shingle-keyed, see incremental_admission_fold — table).
+        # Keyed by shingle (r15, guide §2.4): the df groupBy, the keep
+        # semi-join, and the inverted-index join all read this layout
+        # with no further ledger-side exchange.
         if right_shingles is None:
-            rsh = track_persist(rsh)
+            rsh = _persist_keyed(rsh, "shingle")
         keep = (
             rsh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
@@ -2137,10 +2181,17 @@ def cross_jaccard_pairs(
         )
         lsh = lsh.join(keep, on="shingle", how="left_semi")
         rsh = rsh.join(keep, on="shingle", how="left_semi")
-    # both sides feed a size aggregate AND the inverted-index join
-    lsh = track_persist(lsh)
-    if max_doc_freq is not None or right_shingles is None:
+    # both sides feed a size aggregate AND the inverted-index join;
+    # the batch side is keyed by shingle too so the join shuffles
+    # NEITHER side (the semi-join above preserves the layout when the
+    # df-cap branch ran — track_persist then adds no exchange)
+    if max_doc_freq is not None:
+        lsh = track_persist(lsh)
         rsh = track_persist(rsh)
+    else:
+        lsh = _persist_keyed(lsh, "shingle")
+        if right_shingles is None:
+            rsh = _persist_keyed(rsh, "shingle")
     la = lsh.groupBy(id_col).agg(F.count(F.lit(1)).alias("na"))
     rb = rsh.groupBy(id_col).agg(F.count(F.lit(1)).alias("nb"))
     inter = (
@@ -2304,8 +2355,11 @@ def multi_ledger_dedup(
     )
 
     # per-source df cap: the raw tagged shingles feed both the df count
-    # and the semi-join base
-    lsh = track_persist(lsh)
+    # and the semi-join base. Keyed persist on (source, shingle) (r15,
+    # guide §2.4): the df groupBy, the keep semi-join, and — via the
+    # preserved layout on lshf — the ledger side of the inverted-index
+    # join all read this one exchange.
+    lsh = _persist_keyed(lsh, "source", "shingle")
     keep = (
         lsh.groupBy("source", "shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -2315,11 +2369,15 @@ def multi_ledger_dedup(
     lshf = track_persist(lsh.join(keep, on=["source", "shingle"], how="left_semi"))
     # batch shingles gain the source dimension through the keep join
     # (the cross_jaccard_pairs convention: sizes post-filter against
-    # the capped LEDGER vocabulary), then drop to exact-survivors
-    bshf = track_persist(
+    # the capped LEDGER vocabulary), then drop to exact-survivors;
+    # keyed on (source, shingle) so the batch side of the inverted-
+    # index join needs no further exchange either
+    bshf = _persist_keyed(
         _hashed_shingles(batch, id_col, text_col, n)
         .join(keep, on="shingle")
-        .join(rest, on=[id_col, "source"], how="left_semi")
+        .join(rest, on=[id_col, "source"], how="left_semi"),
+        "source",
+        "shingle",
     )
     na = bshf.groupBy(id_col, "source").agg(F.count(F.lit(1)).alias("na"))
     nb = lshf.groupBy("source", "__lid__").agg(F.count(F.lit(1)).alias("nb"))
@@ -2389,8 +2447,16 @@ def incremental_admission_fold(
 
     fpx = F.md5(_normalized(text_col))
     led = ledger.select(F.col(id_col), F.col(text_col))
-    led_fp = track_persist(led.select(fpx.alias("__fp__")))
-    led_sh = track_persist(_hashed_shingles(led, id_col, text_col, n))
+    # maintained tables persist HASH-PARTITIONED ON THEIR JOIN KEY
+    # (r15, guide §2.4): the exact gate's semi/anti joins read led_fp
+    # and the df count + keep semi-join + inverted-index join read
+    # led_sh without re-shuffling the ledger-scale side — one keyed
+    # exchange per round (at the persist) replaces three consumer
+    # shuffles
+    led_fp = _persist_keyed(led.select(fpx.alias("__fp__")), "__fp__")
+    led_sh = _persist_keyed(
+        _hashed_shingles(led, id_col, text_col, n), "shingle"
+    )
     outs: list[DataFrame] = []
     for k, b in enumerate(batches):
         dec = iter_checkpoint(
@@ -2414,9 +2480,15 @@ def incremental_admission_fold(
                 acc_ids, on=id_col, how="left_semi"
             )
         )
-        led_fp = track_persist(led_fp.unionByName(acc.select(fpx.alias("__fp__"))))
-        led_sh = track_persist(
-            led_sh.unionByName(_hashed_shingles(acc, id_col, text_col, n))
+        # union discards the hash layout, so re-key at each round's
+        # persist: one keyed exchange of the grown table per round,
+        # against the three consumer shuffles it saves next round
+        led_fp = _persist_keyed(
+            led_fp.unionByName(acc.select(fpx.alias("__fp__"))), "__fp__"
+        )
+        led_sh = _persist_keyed(
+            led_sh.unionByName(_hashed_shingles(acc, id_col, text_col, n)),
+            "shingle",
         )
     out = outs[0]
     for o in outs[1:]:
