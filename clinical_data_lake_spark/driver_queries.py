@@ -4311,10 +4311,17 @@ def q_ann_cells_sweep(spark: SparkSession, sf: str) -> DataFrame:
         similarity.cosine_topk(q, emb, k=10).select("query_id", "neighbor_id")
     )
     qids = q.select(F.col("vec_id").alias("query_id"))
+    # r15: the md5-ordered centroid samples are NESTED (cells for
+    # n_cells=4 are the first 4 of the 64-sample — same seed, same
+    # (md5, id) order), so ONE bounded collect serves every config
+    # instead of one full scan+sort per config. Slices are
+    # list-identical to the per-config samples.
+    cents = similarity._md5_sample_centroids(emb, 64, 42, "vec_id", "embedding")
     outs = []
     for n_cells, n_probe in ((4, 1), (16, 4), (64, 16)):
         adf = similarity.ivf_topk(
-            q, emb, k=10, n_cells=n_cells, n_probe=n_probe
+            q, emb, k=10, n_cells=n_cells, n_probe=n_probe,
+            centroids=cents[:n_cells],
         )
         outs.append(
             similarity.recall_at_k(

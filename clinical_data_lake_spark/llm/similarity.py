@@ -1100,6 +1100,16 @@ def silhouette_simplified(
         # would differ per (point, dimension) row — every point would
         # look like d one-dimensional points.
         base = base.withColumn("vec_id", F.monotonically_increasing_id())
+    # the posexplode inflates rows ~dim x and the broadcast join below
+    # multiplies them again by the label count; a single-file scan
+    # would pin all of it to one core (measured: the per-(point, label)
+    # residual aggregate ran 3.5 s on ONE task at sf0.1) — lift the
+    # scan to full parallelism first (no-op on a real multi-split scan;
+    # safe before the mono-id fallback: ids stay unique per point and
+    # only ever group a point's own rows)
+    target = base.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < target:
+        base = base.repartition(target)
     pts = base.select(
         "vec_id",
         F.col(label_col),

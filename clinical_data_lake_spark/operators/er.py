@@ -154,12 +154,25 @@ def resolve_matches(
     matches = scored_pairs.filter(F.col(match_col)).select(
         F.col(id_a), F.col(id_b)
     )
+    # propagation_rounds=4 (r15, measured): ER match graphs from
+    # sorted-neighborhood blocking chain consecutive records of a sort
+    # run, so min-label propagation cannot converge within any small
+    # round budget (>25 rounds measured at sf0.1) — the rounds mostly
+    # delay the star-contraction phase that handles diameter in
+    # O(log^2 n) regardless. 4 keeps genuinely shallow match graphs on
+    # the cheap phase-1 exit (dup cliques converge in 2-4 rounds)
+    # while chain graphs enter phase 2 four rounds sooner: er_multipass
+    # 10.5 -> 8.3 s, er_pipeline 3.31 -> 3.33 s (min-of-2 at sf0.1;
+    # rounds=2 was faster still for er_multipass but regressed
+    # er_pipeline 3.3 -> 3.6). Result identical either way — both
+    # phases compute the exact transitive closure.
     clusters = dup_clusters(
         matches,
         left=id_a,
         right=id_b,
         id_alias="entity_id",
         cluster_alias="cluster_id",
+        propagation_rounds=4,
     )
     sizes = clusters.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("long").alias("cluster_size")
