@@ -219,11 +219,19 @@ def test_pretraining_pipeline_probes_shingles_once(spark):
     prints the cached subtree (with its original expr ids) at every
     reference, so we count DISTINCT explode input ids: one pair
     (corpus side + benchmark side) = 2. The unpersisted regression
-    clones the subtree with fresh expr ids per branch -> 6."""
+    clones the subtree with fresh expr ids per branch -> 6.
+
+    r15: word_shingles(distinct=True) now dedups per doc with an
+    array_distinct wrapped around the transform BEFORE the explode, so
+    the benchmark side prints explode(array_distinct(transform(...)))
+    while the distinct=False corpus side stays bare — match both."""
     import re
 
     p = _plan(spark, "pretraining_pipeline")
-    ids = re.findall(r"Generate explode\(transform\(arrays_zip\(slice\((\w+#\d+)", p)
+    ids = re.findall(
+        r"Generate explode\((?:array_distinct\()?transform\(arrays_zip\(slice\((\w+#\d+)",
+        p,
+    )
     assert ids, "expected the shingle explode pair in the plan"
     assert len(set(ids)) == 2, f"probe subtree cloned: {sorted(set(ids))}"
 
@@ -234,11 +242,18 @@ def test_pair_metrics_single_inverted_index_pass(spark):
     and referenced, never cloned. Same distinct-expr-id counting as the
     pretraining lock — the cached subtree prints with its original ids
     at every reference, so >1 distinct explode input id means the
-    inverted index was rebuilt."""
+    inverted index was rebuilt.
+
+    r15: pair metrics shingle with distinct=True, which now prints as
+    explode(array_distinct(transform(...))) — the optional
+    array_distinct in the pattern tracks that."""
     import re
 
     p = _plan(spark, "dedup_pair_metrics")
-    ids = re.findall(r"Generate explode\(transform\(arrays_zip\(slice\((\w+#\d+)", p)
+    ids = re.findall(
+        r"Generate explode\((?:array_distinct\()?transform\(arrays_zip\(slice\((\w+#\d+)",
+        p,
+    )
     assert ids, "expected the shingle explode in the plan"
     assert len(set(ids)) == 1, f"inverted index rebuilt: {sorted(set(ids))}"
 
