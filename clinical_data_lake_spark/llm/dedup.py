@@ -515,12 +515,14 @@ def prefix_filter_pairs(
     vice versa) prunes length-incompatible survivors before
     verification.
 
-    Scale shape: one groupBy for document frequencies, one doc-key
-    shuffle for the in-doc frequency sort (window partitioned by doc,
-    never global), a self-join restricted to prefix tokens — the
-    frequency order concentrates candidates on rare shingles, the
-    opposite of the hot-key fan-out a naive inverted index suffers —
-    then exact verification on the candidate docs only.
+    Scale shape: one groupBy for document frequencies, ONE doc-key
+    shuffle that builds each doc's (df, hash)-sorted shingle array
+    (per-doc sort, never global — and the same persisted array serves
+    both the prefix explode and the suffix verification, r16), a
+    self-join restricted to prefix tokens — the frequency order
+    concentrates candidates on rare shingles, the opposite of the
+    hot-key fan-out a naive inverted index suffers — then exact
+    verification on the candidate pairs only.
 
     Regime: the prefix has length |x|(1-t)+1, so the filter only
     bites at HIGH thresholds — t=0.8 indexes ~20% of each doc (the
@@ -564,15 +566,44 @@ def prefix_filter_pairs(
             id_col, F.xxhash64("shingle").alias("__sh__")
         )
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     dfreq = sh.groupBy("__sh__").agg(F.count(F.lit(1)).alias("__df__"))
-    w_doc = Window.partitionBy(id_col).orderBy("__df__", "__sh__")
-    prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
-    ranked = (
+    # r16: ONE per-doc (df, hash)-sorted array, built once and reused
+    # by BOTH the prefix explode and the suffix verification. The r15
+    # shape built the same order twice — a row_number window (id-key
+    # exchange + per-doc sort over every (doc, shingle) row) for the
+    # prefix positions, plus a second collect_list + sort_array over
+    # the candidate docs for verification — and paid a separate
+    # fact-scale sizes groupBy and a candidate-id semi join. One
+    # ObjectHashAggregate now carries the same bytes through the same
+    # id-key exchange exactly once; positions come from posexplode of
+    # the array prefix (sort_array on the (df, sh) struct is the
+    # identical total order — per-doc shingles are distinct, so there
+    # are no ties — and n_sh is the array size).
+    arrs = track_persist(
         sh.join(dfreq, on="__sh__")
-        .withColumn("__pos__", F.row_number().over(w_doc))
-        .join(sizes, on=id_col)
-        .filter(F.col("__pos__") <= prefix_len)
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("__df__").alias("df"),
+                            F.col("__sh__").alias("sh"),
+                        )
+                    )
+                ),
+                lambda x: x["sh"],
+            ).alias("__arr__")
+        )
+        .select(id_col, "__arr__", F.size("__arr__").alias("n_sh"))
+    )
+    prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    ranked = arrs.select(
+        id_col,
+        "n_sh",
+        F.posexplode(F.slice("__arr__", 1, prefix_len)).alias("__p0__", "__sh__"),
+    ).select(
+        id_col, "n_sh", (F.col("__p0__") + 1).alias("__pos__"), "__sh__"
     )
     a = ranked.select(
         F.col(id_col).alias("doc_a"),
@@ -640,32 +671,14 @@ def prefix_filter_pairs(
     # struct(df, sh) then projected down to bare 8-byte hash longs
     # (the transform lambda runs once per doc in the groupBy, not per
     # pair), so the pair join ships the minimal representation.
-    ids = (
-        cand.select(F.col("doc_a").alias(id_col))
-        .union(cand.select(F.col("doc_b").alias(id_col)))
-        .distinct()
-    )
-    arrs = (
-        sh.join(ids, on=id_col, how="left_semi")
-        .join(dfreq, on="__sh__")
-        .groupBy(id_col)
-        .agg(
-            F.transform(
-                F.sort_array(
-                    F.collect_list(
-                        F.struct(F.col("__df__").alias("df"), F.col("__sh__").alias("sh"))
-                    )
-                ),
-                lambda x: x["sh"],
-            ).alias("__arr__")
-        )
-    )
     inter = F.col("__k__") + F.size(
         F.array_intersect(
             F.slice("__aarr__", F.col("__mpa__") + 1, F.col("__na__") - F.col("__mpa__")),
             F.slice("__barr__", F.col("__mpb__") + 1, F.col("__nb__") - F.col("__mpb__")),
         )
     )
+    # the persisted per-doc arrays serve verification directly — no
+    # candidate-id collection, no second aggregate (r16)
     return (
         cand.join(
             arrs.select(F.col(id_col).alias("doc_a"), F.col("__arr__").alias("__aarr__")),
