@@ -648,34 +648,39 @@ def pq_topk(
 
     # One giant argmin expression per code column blows the codegen
     # method limit (measured: Janino compile failure -> interpreted
-    # fallback at 8x16x8 = 1024 terms). Instead explode each vector
-    # against a LITERAL array of (c, centroid) structs — m x d_sub
-    # terms per exploded row stays comfortably codegen'd — and take
-    # the per-subspace argmin as a min(struct(d, c)) aggregate (same
+    # fallback at 8x16x8 = 1024 terms). Instead join each vector
+    # against the k_cent (c, centroid) rows — m x d_sub terms per
+    # joined row stays comfortably codegen'd — and take the
+    # per-subspace argmin as a min(struct(d, c)) aggregate (same
     # (d, c) tiebreak order as the SQL twin's row_number).
-    cent_lit = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("c"),
-                F.array(*[F.lit(float(x)) for x in centroids[c]]).alias("ce"),
-            )
-            for c in range(k_cent)
-        ]
+    #
+    # r16: the centroid rows ride a BROADCAST 16-row DataFrame instead
+    # of the r9 literal array-of-structs expression. The 1024-literal
+    # tree sat inside BOTH the corpus and the query plan, and every
+    # DataFrame operation re-ran the analyzer over it — 2.4 s of the
+    # query's 3.2 s wall was DRIVER-side plan construction (profiled;
+    # executor task-time was 0.4 s). The cross join produces the
+    # identical rows (same Python doubles, same (c, ce) fields), so
+    # every downstream distance/argmin is bit-unchanged.
+    cent_df = F.broadcast(
+        queries.sparkSession.createDataFrame(
+            [(c, [float(x) for x in centroids[c]]) for c in range(k_cent)],
+            "c int, ce array<double>",
+        )
     )
 
     def _dists(df: DataFrame, out_id: str) -> DataFrame:
         ex = df.select(
             F.col(id_col).alias(out_id),
             _as_double(vec_col).alias("__v__"),
-            F.explode(cent_lit).alias("__cent__"),
-        )
+        ).crossJoin(cent_df)
         dcols = [
             _subdist_col(
-                F.col("__v__"), F.col("__cent__")["ce"], j * d_sub, d_sub
+                F.col("__v__"), F.col("ce"), j * d_sub, d_sub
             ).alias(f"__d{j}__")
             for j in range(m)
         ]
-        return ex.select(out_id, F.col("__cent__")["c"].alias("__c__"), *dcols)
+        return ex.select(out_id, F.col("c").alias("__c__"), *dcols)
 
     codes = (
         _dists(corpus, "neighbor_id")

@@ -540,6 +540,13 @@ def theil_sen(
         F.col(x_col).cast("double").alias("__x__"),
         F.col(y_col).cast("double").alias("__y__"),
     ).filter(F.col("__x__").isNotNull() & F.col("__y__").isNotNull())
+    # a coarse single-file scan otherwise pins every map-side cost —
+    # the pair join's shuffle write and the per-key aggregate buffers —
+    # to one core (r16, profiled: a 1-task 2.8 s stage fed the whole
+    # query). No-op on an already-parallel scan (the 100 TB case).
+    target = events.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < target:
+        base = base.repartition(target)
     counts = base.groupBy(key_col).agg(F.count(F.lit(1)).alias("__n__"))
     # In-plan guard, not a pre-flight job: the per-key count joins
     # onto the pair join's left input (co-partitioned — both sides
@@ -634,6 +641,13 @@ def mann_kendall(
         F.col(x_col).cast("double").alias("__x__"),
         F.col(y_col).cast("double").alias("__y__"),
     ).filter(F.col("__x__").isNotNull() & F.col("__y__").isNotNull())
+    # a coarse single-file scan otherwise pins every map-side cost —
+    # the pair join's shuffle write and the per-key aggregate buffers —
+    # to one core (r16, profiled: a 1-task 2.8 s stage fed the whole
+    # query). No-op on an already-parallel scan (the 100 TB case).
+    target = events.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < target:
+        base = base.repartition(target)
     counts = base.groupBy(key_col).agg(F.count(F.lit(1)).alias("__n__"))
     guard_msg = F.concat(
         F.lit(
