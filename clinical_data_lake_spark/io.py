@@ -101,13 +101,28 @@ _TS_FROM_INT64 = {
 }
 
 
+# Schema memo per parquet path — METADATA only, like _TS_UNIT_CACHE
+# above: the footer-inference pass costs ~75 ms of driver time per
+# spark.read.parquet call (measured r16; an explicit-schema read is
+# ~19 ms), and a session issues hundreds of read_table calls. The scan
+# itself still lists files and reads data on every execution — nothing
+# computed is cached. Keyed on the absolute path; testdata paths are
+# immutable within a session (the driver contract).
+_SCHEMA_CACHE: dict[str, StructType] = {}
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table (``<sf_dir>/<name>.parquet``)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         df = spark.read.schema(_EVENTS_SCHEMA).parquet(path)
         return df.withColumn("ts", F.expr(_TS_FROM_INT64[_parquet_ts_unit(path)]))
-    return spark.read.parquet(path)
+    key = os.path.abspath(path)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[key] = schema
+    return spark.read.schema(schema).parquet(path)
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables=TESTDATA_TABLES) -> None:
