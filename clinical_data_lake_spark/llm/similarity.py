@@ -514,13 +514,44 @@ def lsh_buckets(
     doubles), so bucketing is a pure projection — no fitting job, no
     state, deterministic across runs and engines.
     """
-    v = _as_double(vec_col)
-    bucket = F.lit(0).cast("long")
+    # r16: ONE SQL expr string parsed JVM-side instead of 512 F.lit
+    # calls + 8 interpreted F.aggregate folds — the Column route cost
+    # ~1.0 s of driver time per call (measured, 2 calls per lsh_topk),
+    # and the HOF fold evaluated interpreted per row. The generated
+    # chain `0.0D + v[0]*p0 + v[1]*p1 + ...` is the identical
+    # left-associated fp order the aggregate fold produced; repr()
+    # doubles round-trip exactly through the SQL parser. Semantics for
+    # malformed vectors preserved: old zip_with padded with NULLs so
+    # any size mismatch or NULL element nullified the dot and the bit
+    # was 0 — the size guard + NULL propagation below does the same
+    # (and keeps ANSI from raising on out-of-range indexes).
+    # the cast array is projected ONCE into a bound column (a bound
+    # reference is free to re-reference; the inline cast is not), and
+    # each plane keeps the ORIGINAL zip_with + aggregate fold — an
+    # unrolled v[j]*p_j chain was A/B'd 30-50% SLOWER per row than the
+    # fold it replaced (512 getItem bound/null checks beat one array
+    # allocation, apparently not) — so the runtime plan is the exact
+    # r9 shape; only the CONSTRUCTION route changed.
+    vv = "__lshv__"
+    terms = []
     for i, plane in enumerate(_random_planes(dim, bits, seed)):
-        p = F.array(*[F.lit(x) for x in plane])
-        bit = F.when(dot(v, p) >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        bucket = bucket + F.shiftleft(bit, i)
-    return df.withColumn(bucket_col, bucket)
+        lits = ", ".join(f"{x!r}D" for x in plane)
+        d = (
+            f"aggregate(zip_with({vv}, array({lits}), (x, y) -> x * y), "
+            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        bit = (
+            f"(CASE WHEN {d} >= 0.0D THEN CAST(1 AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+        )
+        terms.append(f"shiftleft({bit}, {i})")
+    # bits=0 (full coverage: one bucket) leaves no terms — plain zero
+    bucket = "CAST(0 AS BIGINT)" + "".join(f" + {t}" for t in terms)
+    return (
+        df.withColumn(vv, _as_double(vec_col))
+        .withColumn(bucket_col, F.expr(bucket))
+        .drop(vv)
+    )
 
 
 def lsh_topk(
