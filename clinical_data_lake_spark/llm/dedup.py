@@ -212,7 +212,11 @@ def _shingle_intersections(
     # sh feeds the size aggregate AND both sides of the inverted-index
     # join — three recomputes of the explode+distinct shuffle without a
     # persist. The cache is corpus-shingle-sized (spills to disk), still
-    # far cheaper than re-shuffling the explode three times.
+    # far cheaper than re-shuffling the explode three times. (A
+    # persist-the-keep-set-instead variant was A/B'd r16 and lost
+    # ~5-8% on soft_dedup/pair_metrics/containment — the extra semi
+    # probes over the reused exchange cost more than the second
+    # materialization saves at bench scale.)
     sh = track_persist(sh)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
@@ -2195,7 +2199,13 @@ def cross_jaccard_pairs(
         # with no further ledger-side exchange.
         if right_shingles is None:
             rsh = _persist_keyed(rsh, "shingle")
-        keep = (
+        # persist the KEEP set (vocabulary-sized, layout-preserving),
+        # not the filtered fact table (r16): the filtered ledger's two
+        # consumers (size aggregate + inverted-index join) re-run a
+        # zero-exchange semi join over the keyed caches instead of
+        # paying a second fact-scale materialization per call — in the
+        # admission fold that materialization repeated EVERY round
+        keep = track_persist(
             rsh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") <= max_doc_freq)
@@ -2203,13 +2213,12 @@ def cross_jaccard_pairs(
         )
         lsh = lsh.join(keep, on="shingle", how="left_semi")
         rsh = rsh.join(keep, on="shingle", how="left_semi")
-    # both sides feed a size aggregate AND the inverted-index join;
-    # the batch side is keyed by shingle too so the join shuffles
-    # NEITHER side (the semi-join above preserves the layout when the
-    # df-cap branch ran — track_persist then adds no exchange)
+    # the batch side feeds a size aggregate AND the inverted-index
+    # join; it is keyed by shingle too so the join shuffles NEITHER
+    # side (the semi-join above preserves the layout when the df-cap
+    # branch ran — track_persist then adds no exchange)
     if max_doc_freq is not None:
         lsh = track_persist(lsh)
-        rsh = track_persist(rsh)
     else:
         lsh = _persist_keyed(lsh, "shingle")
         if right_shingles is None:
